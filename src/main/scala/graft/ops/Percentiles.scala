@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** A6 — exact percentile threshold fitting ("training").
+  *
+  * Reference semantics: per camera, `np.percentile(hourly_volumes,
+  * [50, 75, 90])` + max → congestion thresholds catalog
+  * (scripts/analyze_thresholds.py:30-60). numpy uses linear
+  * interpolation — Spark's exact `percentile` implements the same
+  * estimator (SURVEY.md §7.4 hazard 3: `percentile_approx` does NOT and
+  * must not be used for the correctness contract; at 100 TB a
+  * sketch-based `approx_percentile` variant is offered separately where
+  * the consumer tolerates error).
+  *
+  * Input is the *hourly volume* series: `GROUP BY strftime('%Y-%m-%d %H')`
+  * sums (A5, scripts/analyze_thresholds.py:33-44) — two chained hash
+  * aggregates, both map-side-partial, both scale linearly.
+  */
+object Percentiles {
+
+  /** Per-key hourly sums → per-key p50/p75/p90/max of hourly volume. */
+  def thresholds(df: DataFrame, keyCol: String, tsCol: String,
+                 valueCol: String): DataFrame =
+    df.groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("hour_bucket"))
+      .agg(sum(col(valueCol).cast("decimal(28,2)")).cast("double").as("hourly_volume"))
+      .groupBy(col(keyCol))
+      .agg(
+        round(percentile(col("hourly_volume"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("hourly_volume"), lit(0.75)), 6).as("p75"),
+        round(percentile(col("hourly_volume"), lit(0.9)), 6).as("p90"),
+        max(col("hourly_volume")).as("max_volume"))
+      .orderBy(keyCol)
+
+  /** Scale path: t-digest/approx variant for interactive 100 TB fitting
+    * (NOT oracle-checked — different estimator by design). */
+  def thresholdsApprox(df: DataFrame, keyCol: String, tsCol: String,
+                       valueCol: String): DataFrame =
+    df.groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("hour_bucket"))
+      .agg(sum(col(valueCol)).as("hourly_volume"))
+      .groupBy(col(keyCol))
+      .agg(
+        percentile_approx(col("hourly_volume"), array(lit(0.5), lit(0.75), lit(0.9)),
+          lit(10000)).as("p"),
+        max(col("hourly_volume")).as("max_volume"))
+      .select(col(keyCol), col("p")(0).as("p50"), col("p")(1).as("p75"),
+        col("p")(2).as("p90"), col("max_volume"))
+      .orderBy(keyCol)
+}

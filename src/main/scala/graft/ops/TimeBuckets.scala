@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.util.Exact
+
+/** A8 — the `/api/history` chart query family.
+  *
+  * Reference semantics: bucket epoch timestamps to a fixed interval via
+  * `int(ts // interval) * interval`, accumulate sums per bucket, sort by
+  * bucket, format a display label (reference: app/routes.py:105-137; the
+  * in-memory dense-bucket variant app/utils.py:567-689; period→interval
+  * table app/routes.py:83-103).
+  *
+  * Spark-first design: one `groupBy` on the computed bucket column — a
+  * single shuffle keyed on the bucket, partial (map-side) aggregation
+  * first, so at 100 TB the shuffle carries one row per (partition ×
+  * bucket), not per event. Label formatting happens after aggregation
+  * (cardinality = number of buckets, not rows).
+  */
+object TimeBuckets {
+
+  /** Epoch-floor bucket: `floor(epoch(ts) / interval) * interval`,
+    * the exact arithmetic of reference app/routes.py:112. */
+  def bucketCol(ts: Column, intervalSec: Long): Column =
+    (floor(unix_timestamp(ts) / intervalSec) * intervalSec).cast("long")
+
+  /** Tumbling-bucket aggregation with a formatted label
+    * (reference label formats: app/routes.py:124-127). */
+  def history(events: DataFrame, tsCol: String, valueCol: String,
+              intervalSec: Long, labelFmt: String = "HH:mm"): DataFrame =
+    events
+      .groupBy(bucketCol(col(tsCol), intervalSec).as("bucket_ts"))
+      .agg(
+        Exact.dsum2(col(valueCol)).as("total_value"),
+        count(lit(1)).as("n_events"))
+      .withColumn("label", date_format(timestamp_seconds(col("bucket_ts")), labelFmt))
+      .orderBy("bucket_ts")
+
+  /** Day-aligned variant (reference app/utils.py:614-647: 24h/custom
+    * modes align buckets to day/hour starts via mktime of Y/M/D). */
+  def dayAligned(events: DataFrame, tsCol: String, valueCol: String,
+                 unit: String): DataFrame =
+    events
+      .groupBy(date_trunc(unit, col(tsCol)).as("bucket"))
+      .agg(
+        Exact.dsum2(col(valueCol)).as("total_value"),
+        count(lit(1)).as("n_events"))
+      .withColumn("bucket_ts", unix_timestamp(col("bucket")))
+      .drop("bucket")
+      .orderBy("bucket_ts")
+
+  /** Dense (zero-filled) bucket spine — reference X8 pre-allocates
+    * zero-filled buckets then fills (app/utils.py:663-689). Spark form:
+    * `sequence()` + `explode` calendar spine, left join, coalesce to 0.
+    * The spine is tiny (one row per bucket) → broadcast to the agg side;
+    * at 100 TB the expensive side is already aggregated before the join.
+    */
+  def dense(events: DataFrame, tsCol: String, valueCol: String,
+            intervalSec: Long): DataFrame = {
+    val agg = history(events, tsCol, valueCol, intervalSec).drop("label")
+    val bounds = events.agg(
+      (floor(min(unix_timestamp(col(tsCol))) / intervalSec) * intervalSec)
+        .cast("long").as("lo"),
+      (floor(max(unix_timestamp(col(tsCol))) / intervalSec) * intervalSec)
+        .cast("long").as("hi"))
+    val spine = bounds.select(
+      explode(sequence(col("lo"), col("hi"), lit(intervalSec))).as("bucket_ts"))
+    spine.join(agg, Seq("bucket_ts"), "left")
+      .select(
+        col("bucket_ts"),
+        coalesce(col("total_value"), lit(0.0)).as("total_value"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy("bucket_ts")
+  }
+}

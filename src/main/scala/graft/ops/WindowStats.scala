@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** A7 — multi-window rolling stats.
+  *
+  * Reference semantics: for each window in {10s, 30m, 1h, 5h, 24h},
+  * filter `ts >= now - w` over the retained history and compute
+  * `total_volume`, per-class sums, point count, and rounded average
+  * density (app/utils.py:523-565). The reference re-scans the deque once
+  * per window (5 passes).
+  *
+  * Spark-first design: ONE pass with conditional aggregation —
+  * `sum(when(ts >= now - w, value))` per window — so 100 TB is scanned
+  * once, not five times, and each conditional sum is a map-side partial.
+  * "now" is the data max (deterministic) attached via broadcast join.
+  */
+object WindowStats {
+
+  /** One row, 3 columns per window: total, n, avg (reference rounds avg,
+    * app/utils.py:551). Window label → seconds. */
+  def multiWindow(df: DataFrame, tsCol: String, valueCol: String,
+                  windows: Seq[(String, Long)]): DataFrame = {
+    val mx = df.agg(max(unix_timestamp(col(tsCol))).as("now_ts"))
+    val withNow = df.join(broadcast(mx))
+    val eps = unix_timestamp(col(tsCol))
+    val aggs = windows.flatMap { case (label, secs) =>
+      val in = eps >= col("now_ts") - secs
+      val dec = when(in, col(valueCol)).otherwise(lit(null)).cast("decimal(28,2)")
+      Seq(
+        coalesce(sum(dec).cast("double"), lit(0.0)).as(s"total_$label"),
+        count(when(in, lit(1))).as(s"n_$label"),
+        round(coalesce(sum(dec).cast("double"), lit(0.0)) /
+          greatest(count(when(in, lit(1))), lit(1L)), 2).as(s"avg_$label"))
+    }
+    withNow.agg(aggs.head, aggs.tail: _*)
+  }
+}
