@@ -73,7 +73,137 @@ object SparkEntry {
         .orderBy("user_id", "dow", "hr")),
     // ---- flagship: slot prediction + J3 thresholds + rules engine ----
     "j4_predict_slot_rules" -> ((s, dir) => predictSlotRules(s, dir)),
+    // ---- §2.3 joins ----
+    "j1_export_topk" -> ((s, dir) => {
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey").as("user_id"), col("c_name").as("camera_name"))
+      Joins.exportTopK(ev(s, dir), "ts", "event_id", 1000, dim,
+          "user_id", "camera_name")
+        .select(col("event_id"), col("user_id"), col("camera_name"),
+          unix_timestamp(col("ts")).as("ts_epoch"), col("value"))
+        .orderBy(col("ts_epoch").desc, col("event_id").desc)
+    }),
+    "j1_revenue_by_brand" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir).select("p_partkey", "p_brand")
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
+            .cast("double").as("revenue"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_brand")
+    }),
+    "p8_semi_join" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir).filter(col("l_quantity") > 45)
+        .select("l_orderkey")
+      o.join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(28,2)")).cast("double")
+            .as("total_price"))
+        .orderBy("o_orderstatus")
+    }),
+    "o7_anti_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 200000).select("o_custkey")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("c_acctbal").cast("decimal(28,2)")).cast("double")
+            .as("total_acctbal"))
+        .orderBy("c_mktsegment")
+    }),
+    "j5_dim_chain" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("c_acctbal").cast("decimal(28,2)")).cast("double")
+            .as("total_acctbal"))
+        .orderBy("r_name")
+    }),
+    "j6_replay_pattern" -> ((s, dir) => {
+      val pattern = ev(s, dir)
+        .groupBy(hour(col("ts")).cast("long").as("hr"))
+        .agg((sum(col("value").cast("decimal(28,2)")).cast("double") /
+          count(lit(1))).as("avg_value"))
+      Joins.replayPattern(pattern, "hr", "2024-02-01", 3)
+        .select(date_format(col("target_date"), "yyyy-MM-dd").as("target_date"),
+          col("hr"), col("target_ts"), col("avg_value"))
+        .orderBy("target_date", "hr")
+    }),
+    "j7_geo_range_join" -> ((s, dir) => {
+      val zones = Tables.customer(s, dir).select(
+        col("c_custkey").as("zone_id"),
+        (lit(-6.90) - ((col("c_custkey") * 7) % 200).cast("double") / lit(1000.0))
+          .as("z_lat"),
+        (lit(107.60) + ((col("c_custkey") * 11) % 200).cast("double") / lit(1000.0))
+          .as("z_lng"))
+      val points = Tables.supplier(s, dir).select(
+        col("s_suppkey").as("point_id"),
+        (lit(-6.90) - ((col("s_suppkey") * 13) % 200).cast("double") / lit(1000.0))
+          .as("p_lat"),
+        (lit(107.60) + ((col("s_suppkey") * 17) % 200).cast("double") / lit(1000.0))
+          .as("p_lng"))
+      Joins.withinRange(zones, "z_lat", "z_lng", points, "p_lat", "p_lng", 2000.0)
+        .groupBy("zone_id")
+        .agg(count(lit(1)).as("n_points_within"))
+        .orderBy("zone_id")
+    }),
+    "j8_argmax_worst" -> ((s, dir) => {
+      val totals = ev(s, dir).groupBy("event_type", "user_id")
+        .agg(sum(col("value").cast("decimal(28,2)")).cast("double")
+          .as("total_value"))
+      Analytic.topKPerGroup(totals, "event_type", "total_value", "user_id", 1)
+    }),
+    // ---- §2.5 analytic window functions ----
+    "w_lag_delta" -> ((s, dir) =>
+      Analytic.withPrev(ev(s, dir), "user_id", "ts", "event_id", "value")),
+    "w_last_per_camera" -> ((s, dir) =>
+      Analytic.lastPerKey(ev(s, dir), "user_id", "ts", "event_id", "value")),
+    "a11_running_total" -> ((s, dir) =>
+      Analytic.runningTotal(ev(s, dir), "user_id", "ts", "event_id", "value")),
+    "w_top3_per_type" -> ((s, dir) =>
+      Analytic.topKPerGroup(ev(s, dir), "event_type", "value", "event_id", 3)),
+    // ---- §2.7 scalar families ----
+    "f_datetime_family" -> ((s, dir) =>
+      Scalars.datetimeFamily(ev(s, dir), "ts", "event_id")),
+    "f_diurnal_curve" -> ((s, dir) =>
+      Scalars.diurnalCurve(s, 120.0, 8.0, 18.0, 5.0, 100.0)),
+    "f_iou_static_pairs" -> ((s, dir) =>
+      Scalars.iouStaticPairs(ev(s, dir), "user_id", "ts", "event_id")),
+    "f_profile_classifier" -> ((s, dir) =>
+      Profiles.distribution(Tables.documents(s, dir), "text", "lang",
+        profileRules, "DEFAULT")),
+    "f_rules_density_status" -> ((s, dir) => {
+      ev(s, dir)
+        .withColumn("status",
+          when(col("value") <= 10, lit("LANCAR"))
+            .when(col("value") <= 25, lit("PADAT LANCAR"))
+            .when(col("value") <= 45, lit("MACET"))
+            .otherwise(lit("MACET TOTAL")))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(28,2)")).cast("double").as("total_value"))
+        .orderBy("status")
+    }),
   )
+
+  /** Keyword→profile rules over the documents vocabulary, mirroring the
+    * first-match-wins cascade of reference app/utils.py:16-30. */
+  private val profileRules: Seq[(String, Seq[String])] = Seq(
+    "EXTREME" -> Seq("spark", "stream"),
+    "HEAVY" -> Seq("merge", "join"),
+    "ARTERIAL" -> Seq("scan", "filter"),
+    "RESIDENTIAL" -> Seq("window", "batch"))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -203,5 +333,190 @@ object SparkEntry {
         |            WHEN predicted_volume > p50 THEN 'Waspada perlambatan'
         |            ELSE 'Lalu lintas lancar' END AS recommendation
         |FROM joined ORDER BY user_id""".stripMargin,
+    "j1_export_topk" ->
+      """WITH topk AS (
+        |  SELECT event_id, user_id, ts, value
+        |  FROM events ORDER BY ts DESC, event_id DESC LIMIT 1000)
+        |SELECT t.event_id AS event_id, t.user_id AS user_id,
+        |       COALESCE(c.c_name, 'Unknown Camera') AS camera_name,
+        |       CAST(floor(epoch(t.ts)) AS BIGINT) AS ts_epoch,
+        |       t.value AS value
+        |FROM topk t LEFT JOIN customer c ON t.user_id = c.c_custkey
+        |ORDER BY ts_epoch DESC, event_id DESC""".stripMargin,
+    "j1_revenue_by_brand" ->
+      """SELECT p_brand,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "p8_semi_join" ->
+      """SELECT o_orderstatus,
+        |       COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "o7_anti_join" ->
+      """SELECT c_mktsegment,
+        |       COUNT(*) AS n_customers,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS total_acctbal
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "j5_dim_chain" ->
+      """SELECT r_name,
+        |       COUNT(*) AS n_customers,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS total_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "j6_replay_pattern" ->
+      """WITH pattern AS (
+        |  SELECT CAST(hour(ts) AS BIGINT) AS hr,
+        |         CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*) AS avg_value
+        |  FROM events GROUP BY 1),
+        |days AS (
+        |  SELECT unnest(generate_series(TIMESTAMP '2024-02-01',
+        |                                TIMESTAMP '2024-02-03',
+        |                                INTERVAL 1 DAY)) AS d)
+        |SELECT strftime(d, '%Y-%m-%d') AS target_date, hr,
+        |       CAST(floor(epoch(d)) AS BIGINT) + hr * 3600 AS target_ts,
+        |       avg_value
+        |FROM days, pattern ORDER BY target_date, hr""".stripMargin,
+    "j7_geo_range_join" ->
+      """WITH zones AS (
+        |  SELECT c_custkey AS zone_id,
+        |         CAST(-6.90 AS DOUBLE) - CAST((c_custkey * 7) % 200 AS DOUBLE) / CAST(1000.0 AS DOUBLE) AS z_lat,
+        |         CAST(107.60 AS DOUBLE) + CAST((c_custkey * 11) % 200 AS DOUBLE) / CAST(1000.0 AS DOUBLE) AS z_lng
+        |  FROM customer),
+        |points AS (
+        |  SELECT s_suppkey AS point_id,
+        |         CAST(-6.90 AS DOUBLE) - CAST((s_suppkey * 13) % 200 AS DOUBLE) / CAST(1000.0 AS DOUBLE) AS p_lat,
+        |         CAST(107.60 AS DOUBLE) + CAST((s_suppkey * 17) % 200 AS DOUBLE) / CAST(1000.0 AS DOUBLE) AS p_lng
+        |  FROM supplier)
+        |SELECT zone_id, COUNT(*) AS n_points_within
+        |FROM points p JOIN zones z
+        |  ON ((z.z_lat - p.p_lat) * CAST(110540.0 AS DOUBLE)) * ((z.z_lat - p.p_lat) * CAST(110540.0 AS DOUBLE)) +
+        |     ((z.z_lng - p.p_lng) * CAST(109640.0 AS DOUBLE)) * ((z.z_lng - p.p_lng) * CAST(109640.0 AS DOUBLE))
+        |     <= CAST(2000.0 AS DOUBLE) * CAST(2000.0 AS DOUBLE)
+        |GROUP BY zone_id ORDER BY zone_id""".stripMargin,
+    "j8_argmax_worst" ->
+      """WITH totals AS (
+        |  SELECT event_type, user_id,
+        |         CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+        |  FROM events GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT event_type, user_id, total_value,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |                            ORDER BY total_value DESC, user_id) AS INT) AS rnk
+        |  FROM totals)
+        |SELECT event_type, user_id, total_value, rnk
+        |FROM ranked WHERE rnk <= 1 ORDER BY event_type, rnk""".stripMargin,
+    "w_lag_delta" ->
+      """SELECT user_id, event_id,
+        |       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch, value,
+        |       LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+        |       value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+        |FROM events ORDER BY user_id, ts_epoch, event_id""".stripMargin,
+    "w_last_per_camera" ->
+      """WITH ranked AS (
+        |  SELECT user_id, ts, value,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS last_ts_epoch,
+        |       value AS last_value
+        |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "a11_running_total" ->
+      """SELECT user_id, event_id,
+        |       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+        |       CAST(SUM(CAST(value AS DECIMAL(28,2)))
+        |              OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS accumulated
+        |FROM events ORDER BY user_id, ts_epoch, event_id""".stripMargin,
+    "w_top3_per_type" ->
+      """WITH ranked AS (
+        |  SELECT event_type, event_id, value,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |                            ORDER BY value DESC, event_id) AS INT) AS rnk
+        |  FROM events)
+        |SELECT event_type, event_id, value, rnk
+        |FROM ranked WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin,
+    "f_datetime_family" ->
+      """SELECT event_id,
+        |       CAST(dayofweek(ts) AS BIGINT) AS dow,
+        |       CAST(hour(ts) AS BIGINT) AS hr,
+        |       strftime(ts, '%Y-%m-%d') AS date_str,
+        |       strftime(ts, '%H:%M') AS label_hm,
+        |       strftime(ts, '%d/%m') AS label_dm,
+        |       strftime(ts, '%a, %d %b') AS label_abbrev,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS label_full,
+        |       CAST(hour(ts) * 3600 + minute(ts) * 60 + second(ts) AS BIGINT) AS secs_of_day,
+        |       CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_bucket
+        |FROM events ORDER BY event_id""".stripMargin,
+    "f_diurnal_curve" ->
+      """WITH h AS (SELECT CAST(unnest(generate_series(0, 23)) AS BIGINT) AS hr),
+        |c AS (
+        |  SELECT hr,
+        |         round(CAST(120.0 AS DOUBLE) *
+        |               exp(-((CAST(hr AS DOUBLE) - CAST(8.0 AS DOUBLE)) *
+        |                     (CAST(hr AS DOUBLE) - CAST(8.0 AS DOUBLE))) /
+        |                   CAST(18.0 AS DOUBLE)), 6) AS raw
+        |  FROM h)
+        |SELECT hr, raw,
+        |       greatest(least(raw, CAST(100.0 AS DOUBLE)), CAST(5.0 AS DOUBLE)) AS clamped,
+        |       CAST(trunc(greatest(least(raw, CAST(100.0 AS DOUBLE)),
+        |                           CAST(5.0 AS DOUBLE))) AS BIGINT) AS as_int
+        |FROM c ORDER BY hr""".stripMargin,
+    "f_iou_static_pairs" ->
+      """WITH boxed AS (
+        |  SELECT user_id, event_id, ts,
+        |         event_id % 80 AS x1, (event_id * 7) % 80 AS y1,
+        |         event_id % 80 + user_id % 40 + 10 AS x2,
+        |         (event_id * 7) % 80 + (user_id * 3) % 40 + 10 AS y2
+        |  FROM events),
+        |paired AS (
+        |  SELECT user_id, event_id, x1, y1, x2, y2,
+        |         LAG(x1) OVER w AS px1, LAG(y1) OVER w AS py1,
+        |         LAG(x2) OVER w AS px2, LAG(y2) OVER w AS py2
+        |  FROM boxed
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |scored AS (
+        |  SELECT user_id, event_id,
+        |         greatest(least(x2, px2) - greatest(x1, px1) + 1, 0) *
+        |         greatest(least(y2, py2) - greatest(y1, py1) + 1, 0) AS inter,
+        |         (x2 - x1 + 1) * (y2 - y1 + 1) +
+        |         (px2 - px1 + 1) * (py2 - py1 + 1) -
+        |         greatest(least(x2, px2) - greatest(x1, px1) + 1, 0) *
+        |         greatest(least(y2, py2) - greatest(y1, py1) + 1, 0) AS un
+        |  FROM paired WHERE px1 IS NOT NULL)
+        |SELECT user_id, event_id,
+        |       CASE WHEN un > 0 THEN CAST(inter AS DOUBLE) / CAST(un AS DOUBLE)
+        |            ELSE 0.0 END AS iou,
+        |       (CASE WHEN un > 0 THEN CAST(inter AS DOUBLE) / CAST(un AS DOUBLE)
+        |             ELSE 0.0 END) > 0.5 AS is_static
+        |FROM scored ORDER BY user_id, event_id""".stripMargin,
+    "f_profile_classifier" ->
+      """SELECT lang,
+        |       CASE WHEN lower(text) LIKE '%spark%' OR lower(text) LIKE '%stream%' THEN 'EXTREME'
+        |            WHEN lower(text) LIKE '%merge%' OR lower(text) LIKE '%join%' THEN 'HEAVY'
+        |            WHEN lower(text) LIKE '%scan%' OR lower(text) LIKE '%filter%' THEN 'ARTERIAL'
+        |            WHEN lower(text) LIKE '%window%' OR lower(text) LIKE '%batch%' THEN 'RESIDENTIAL'
+        |            ELSE 'DEFAULT' END AS profile,
+        |       COUNT(*) AS n
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, profile""".stripMargin,
+    "f_rules_density_status" ->
+      """SELECT CASE WHEN value <= 10 THEN 'LANCAR'
+        |            WHEN value <= 25 THEN 'PADAT LANCAR'
+        |            WHEN value <= 45 THEN 'MACET'
+        |            ELSE 'MACET TOTAL' END AS status,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1 ORDER BY status""".stripMargin,
   )
 }

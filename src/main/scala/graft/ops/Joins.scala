@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** §2.3 — the join family. The reference never writes a SQL JOIN; every
+  * join is an application-level dict lookup or nested loop (SURVEY §2.3).
+  * Here each becomes a native Spark join with an explicit distribution
+  * strategy chosen for 100 TB:
+  *
+  *  - dimension lookups (J1/J2/J3) → `broadcast()` hash joins: the dim
+  *    side is catalog-sized (36 cameras / thresholds / names) and must
+  *    never shuffle the fact side;
+  *  - existence checks (P8/O7) → left_semi / left_anti (no payload
+  *    duplication, no row explosion);
+  *  - J6 pattern replay → crossJoin of a tiny generated spine against a
+  *    pre-aggregated pattern (both sides small by construction — the
+  *    100-TB fact table is reduced BEFORE the cross join);
+  *  - J7 geo range join → broadcast nested-loop with a distance
+  *    predicate; the zone side is the broadcast side.
+  */
+object Joins {
+
+  /** J1/J2 — name-lookup enrichment via broadcast left join with a
+    * default for misses (reference: scripts/sync_stats_db.py:70-92,
+    * "Unknown Camera" default). */
+  def enrichWithNames(fact: DataFrame, dim: DataFrame, key: String,
+                      nameCol: String, default: String): DataFrame =
+    fact.join(broadcast(dim), Seq(key), "left")
+      .withColumn(nameCol, coalesce(col(nameCol), lit(default)))
+
+  /** S11/O3 — export top-K: ORDER BY ts DESC LIMIT k with name
+    * substitution (reference: scripts/export_data.py:24-86). Catalyst
+    * plans TakeOrderedAndProject: each partition keeps only its local
+    * top-K, so at 100 TB the driver sees K rows per partition, not the
+    * table. Tie-broken on a unique id for determinism. */
+  def exportTopK(fact: DataFrame, tsCol: String, idCol: String, k: Int,
+                 dim: DataFrame, key: String, nameCol: String): DataFrame =
+    enrichWithNames(
+      fact.orderBy(col(tsCol).desc, col(idCol).desc).limit(k),
+      dim, key, nameCol, "Unknown Camera")
+
+  /** J6 — template-backfill pattern replay: cross join of a generated
+    * date spine against a time-of-day pattern, emitting the pattern
+    * shifted onto each target date (reference: app/utils.py:221-248).
+    * Both inputs are tiny aggregates → the cross join is O(days×slots). */
+  def replayPattern(pattern: DataFrame, hrCol: String,
+                    startDate: String, days: Int): DataFrame = {
+    val spine = pattern.sparkSession.range(1)
+      .select(explode(sequence(
+        to_date(lit(startDate)),
+        date_add(to_date(lit(startDate)), days - 1),
+        expr("interval 1 day"))).as("target_date"))
+    spine.crossJoin(pattern)
+      .withColumn("target_ts",
+        unix_timestamp(col("target_date").cast("timestamp")) +
+          col(hrCol).cast("long") * 3600)
+  }
+
+  /** J7 — geo range join: points within `radiusM` meters of a zone,
+    * planar small-angle metric (dx·m-per-deg-lat)² + (dy·m-per-deg-lng)².
+    * The reference does this client-side per route segment
+    * (app/templates/dashboard.html:1168-1205). Zone side broadcasts;
+    * Spark plans BroadcastNestedLoopJoin — the only correct strategy for
+    * a theta join, and the broadcast side is the small catalog. */
+  def withinRange(zones: DataFrame, zLat: String, zLng: String,
+                  points: DataFrame, pLat: String, pLng: String,
+                  radiusM: Double): DataFrame = {
+    val mLat = lit(110540.0) // meters per degree latitude
+    val mLng = lit(109640.0) // meters per degree longitude near the equator
+    // x*x, not pow(x,2): plain multiplication is exactly reproducible
+    // across engines; Math.pow is not guaranteed correctly rounded.
+    val dx = (col(zLat) - col(pLat)) * mLat
+    val dy = (col(zLng) - col(pLng)) * mLng
+    val d2 = dx * dx + dy * dy
+    points.join(broadcast(zones), d2 <= lit(radiusM) * lit(radiusM))
+  }
+}
