@@ -183,6 +183,56 @@ object SparkEntry {
     "f_profile_classifier" -> ((s, dir) =>
       Profiles.distribution(Tables.documents(s, dir), "text", "lang",
         profileRules, "DEFAULT")),
+    // ---- training-data pipeline: dedup family over documents ----
+    "dd_exact_dedup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val u = d.union(d.select((col("doc_id") + 100000).as("doc_id"),
+        col("text")))
+      TextDedup.exactDedup(u, "doc_id", "text").orderBy("keep_id")
+    }),
+    "dd_jaccard_pairs" -> ((s, dir) =>
+      TextDedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        3, 0.8).orderBy("a_id", "b_id")),
+    "dd_minhash_lsh" -> ((s, dir) =>
+      TextDedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, k = 16, bands = 4, minJ = 0.8).orderBy("a_id", "b_id")),
+    "dd_simhash_pairs" -> ((s, dir) =>
+      TextDedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
+        maxHamming = 10).orderBy("a_id", "b_id")),
+    // ---- training-data pipeline: text analysis ----
+    "t_langid" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TextStats.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+    "t_quality" -> ((s, dir) =>
+      TextStats.qualityMetrics(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+    "t_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextStats.fingerprint(col("text"))
+          .as("fingerprint"))
+        .orderBy("doc_id")),
+    // ---- training-data pipeline: embedding similarity ----
+    "e_ann_bruteforce" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Embeddings.bruteForceTopK(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5).orderBy("query_id", "rnk")
+    }),
+    "e_cosine_neardup" -> ((s, dir) => {
+      val e0 = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val u = e0.union(e0.select((col("vec_id") + 100000).as("vec_id"),
+        col("embedding")))
+      Embeddings.cosineNearDupPairs(u, "vec_id", "embedding",
+        nPlanes = 8, minCos = 0.99).orderBy("a_id", "b_id")
+    }),
+    // rows-only (no SQL oracle: recall<1 by design; consistency vs brute
+    // force is pinned in ScalaTest instead)
+    "e_lsh_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Embeddings.lshTopK(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", nPlanes = 4, k = 5).orderBy("query_id", "rnk")
+    }),
     "f_rules_density_status" -> ((s, dir) => {
       ev(s, dir)
         .withColumn("status",
@@ -510,6 +560,141 @@ object SparkEntry {
         |            ELSE 'DEFAULT' END AS profile,
         |       COUNT(*) AS n
         |FROM documents GROUP BY 1, 2 ORDER BY lang, profile""".stripMargin,
+    "dd_exact_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents)
+        |SELECT CAST(('0x'||substr(md5(text),1,15)) AS BIGINT) AS content_hash,
+        |       min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM u GROUP BY text ORDER BY keep_id""".stripMargin,
+    "dd_jaccard_pairs" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+        |       FROM t, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS g(i)),
+        |sizes AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) n_common
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT a_id, b_id, n_common,
+        |       CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) AS jaccard
+        |FROM inter JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+        |WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin,
+    "dd_minhash_lsh" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+        |       FROM t, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS g(i)),
+        |hh AS (SELECT doc_id, CAST(('0x'||substr(md5(shingle),1,15)) AS BIGINT) % 1000000007 AS hh FROM sh),
+        |sig AS (SELECT doc_id, i, min(((i*2+1) * hh + (i*17+91)) % 1000000007) AS minhash
+        |        FROM hh, UNNEST(generate_series(0, 15)) AS g(i) GROUP BY 1, 2),
+        |banded AS (SELECT doc_id, CAST(i/4 AS INT) AS band,
+        |                  array_to_string(list_sort(list(
+        |                    lpad(CAST(i AS VARCHAR),2,'0') || '=' || CAST(minhash AS VARCHAR))), ':') AS band_key
+        |           FROM sig GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.doc_id a_id, y.doc_id b_id
+        |         FROM banded x JOIN banded y
+        |           ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+        |sizes AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) n_common
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT c.a_id AS a_id, c.b_id AS b_id,
+        |       CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) AS jaccard
+        |FROM cand c JOIN inter i ON c.a_id = i.a_id AND c.b_id = i.b_id
+        |JOIN sizes sa ON c.a_id = sa.doc_id JOIN sizes sb ON c.b_id = sb.doc_id
+        |WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin,
+    "dd_simhash_pairs" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) t FROM documents),
+        |h AS (SELECT doc_id, CAST(('0x'||substr(md5(t),1,15)) AS BIGINT) AS h FROM tok),
+        |bits AS (SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) s
+        |         FROM h, UNNEST(generate_series(0, 59)) AS g(b) GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sig
+        |        FROM bits GROUP BY 1),
+        |banded AS (SELECT doc_id, sig, band, (sig >> (band*15)) & 32767 AS chunk
+        |           FROM sig, UNNEST(generate_series(0, 3)) AS g(band)),
+        |cand AS (SELECT DISTINCT x.doc_id a_id, y.doc_id b_id, x.sig a_sig, y.sig b_sig
+        |         FROM banded x JOIN banded y
+        |           ON x.band = y.band AND x.chunk = y.chunk AND x.doc_id < y.doc_id)
+        |SELECT a_id, b_id, CAST(bit_count(xor(a_sig, b_sig)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(a_sig, b_sig)) <= 10
+        |ORDER BY a_id, b_id""".stripMargin,
+    "t_langid" ->
+      """WITH w AS (SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') w FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |        CAST(len(list_filter(w, x -> x IN ('the','a','of','and','is'))) AS BIGINT) s_en,
+        |        CAST(len(list_filter(w, x -> x IN ('el','la','de','los','es'))) AS BIGINT) s_es,
+        |        CAST(len(list_filter(w, x -> x IN ('der','die','das','und','ist'))) AS BIGINT) s_de,
+        |        CAST(len(list_filter(w, x -> x IN ('le','la','les','des','est'))) AS BIGINT) s_fr
+        |      FROM w),
+        |b AS (SELECT *, greatest(s_en, s_es, s_de, s_fr) best FROM s)
+        |SELECT doc_id, lang,
+        |       CASE WHEN s_en > 0 AND s_en = best THEN 'en'
+        |            WHEN s_es > 0 AND s_es = best THEN 'es'
+        |            WHEN s_de > 0 AND s_de = best THEN 'de'
+        |            WHEN s_fr > 0 AND s_fr = best THEN 'fr'
+        |            ELSE 'und' END AS lang_pred
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "t_quality" ->
+      """WITH w AS (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') w FROM documents),
+        |m AS (SELECT doc_id,
+        |        CAST(len(text) AS BIGINT) n_chars,
+        |        CAST(len(w) AS BIGINT) n_tokens,
+        |        CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) n_tokens_ws,
+        |        CAST(COALESCE(list_sum(list_transform(w, x -> CAST(ceil(len(x) / 4.0) AS BIGINT))), 0)
+        |          + len(regexp_replace(text, '[a-zA-Z0-9\s]+', '', 'g')) AS BIGINT) n_tokens_bpe,
+        |        CAST(COALESCE(list_sum(list_transform(w, x -> len(x))), 0) AS DOUBLE)
+        |          / CAST(len(w) AS DOUBLE) mean_raw,
+        |        CAST(len(regexp_replace(text, '[a-zA-Z0-9\s]+', '', 'g')) AS DOUBLE)
+        |          / CAST(len(text) AS DOUBLE) punct_raw,
+        |        CAST(len(list_filter(w, x -> x IN ('the','a','of','and','is','el','la','de','los','es',
+        |          'der','die','das','und','ist','le','les','des','est'))) AS DOUBLE)
+        |          / CAST(len(w) AS DOUBLE) stop_raw,
+        |        least(CAST(len(w) AS DOUBLE) / 20.0, 1.0) len_score
+        |      FROM w)
+        |SELECT doc_id, n_chars, n_tokens, n_tokens_ws, n_tokens_bpe,
+        |       round(mean_raw, 6) AS mean_token_len,
+        |       round(punct_raw, 6) AS punct_ratio,
+        |       round(stop_raw, 6) AS stopword_ratio,
+        |       round(len_score * (1.0 - punct_raw) * (0.5 + least(stop_raw * 5.0, 0.5)), 6) AS quality_score
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "t_fingerprint" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') w FROM documents),
+        |t AS (SELECT doc_id, unnest(w) tok, generate_subscripts(w, 1) pos FROM w)
+        |SELECT doc_id,
+        |       COALESCE(SUM(pos * (CAST(('0x'||substr(md5(tok),1,15)) AS BIGINT) % 1000000)), 0)
+        |         % 2305843009213693951 AS fingerprint
+        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "e_ann_bruteforce" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding,
+        |             x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) qv
+        |           FROM embeddings),
+        |q AS (SELECT vec_id query_id, qv FROM v WHERE vec_id < 10),
+        |s AS (SELECT q.query_id, c.vec_id corpus_id,
+        |        CAST(list_dot_product(q.qv, c.qv) AS DOUBLE) /
+        |        (sqrt(CAST(list_dot_product(q.qv, q.qv) AS DOUBLE)) *
+        |         sqrt(CAST(list_dot_product(c.qv, c.qv) AS DOUBLE))) AS cosine
+        |      FROM q JOIN v c ON c.vec_id <> q.query_id),
+        |r AS (SELECT query_id, corpus_id, cosine,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |          ORDER BY cosine DESC, corpus_id) AS INT) rnk
+        |      FROM s)
+        |SELECT query_id, corpus_id, cosine, rnk
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "e_cosine_neardup" ->
+      """WITH u AS (SELECT vec_id, embedding FROM embeddings
+        |           UNION ALL SELECT vec_id + 100000, embedding FROM embeddings),
+        |v AS (SELECT vec_id, list_transform(embedding,
+        |        x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) qv FROM u)
+        |SELECT a.vec_id a_id, b.vec_id b_id,
+        |       CAST(list_dot_product(a.qv, b.qv) AS DOUBLE) /
+        |       (sqrt(CAST(list_dot_product(a.qv, a.qv) AS DOUBLE)) *
+        |        sqrt(CAST(list_dot_product(b.qv, b.qv) AS DOUBLE))) AS cosine
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE CAST(list_dot_product(a.qv, b.qv) AS DOUBLE) /
+        |      (sqrt(CAST(list_dot_product(a.qv, a.qv) AS DOUBLE)) *
+        |       sqrt(CAST(list_dot_product(b.qv, b.qv) AS DOUBLE))) >= 0.99
+        |ORDER BY a_id, b_id""".stripMargin,
     "f_rules_density_status" ->
       """SELECT CASE WHEN value <= 10 THEN 'LANCAR'
         |            WHEN value <= 25 THEN 'PADAT LANCAR'

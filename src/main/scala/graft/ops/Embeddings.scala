@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`) — the
+  * ANN surface a training-data pipeline needs: brute-force cosine top-k
+  * as the correctness baseline, and an LSH-bucketed variant as the scale
+  * path.
+  *
+  * Determinism contract: floats are quantized to BIGINT (floor(x*10^4))
+  * before any arithmetic, so dot products and norms are EXACT integer
+  * sums (order-independent, identical in any engine — this is what makes
+  * the DuckDB oracle byte-exact). The final cosine is one double division
+  * of exact integers. Quantization noise ~1e-4 is far below any ranking
+  * that matters, and ties break on vec_id.
+  *
+  * Scale design: queries are broadcast (top-k search is "few probes vs
+  * huge corpus"); the corpus side never shuffles for brute force. The
+  * LSH path buckets the corpus by hyperplane-sign signature so each
+  * probe only scans its bucket — the 1000-executor plan is a broadcast
+  * join on (bucket) instead of a full scan per probe.
+  */
+object Embeddings {
+
+  /** Quantize a float vector to exact BIGINTs: floor(x * 10^4). */
+  def quantize(v: Column): Column =
+    transform(v, x => floor(x.cast("double") * 10000).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Cosine similarity of two quantized vectors as double (exact-integer
+    * dot/norms, one final double division; 0 when either norm is 0). */
+  def qcosine(a: Column, b: Column): Column = {
+    val dot = qdot(a, b).cast("double")
+    val na = sqrt(qdot(a, a).cast("double"))
+    val nb = sqrt(qdot(b, b).cast("double"))
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot / (na * nb))
+  }
+
+  /** Brute-force cosine top-k: for each query vector, the k most similar
+    * corpus vectors (excluding itself). Queries are broadcast; the corpus
+    * is scanned once; ranking is windowed per query with vec_id
+    * tie-break. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      quantize(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      quantize(col(vecCol)).as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("cosine", qcosine(col("qv"), col("cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cosine"),
+        col("rnk").cast("int").as("rnk"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane j,
+    * dim i): md5-derived value mapped to [-1, 1). Reproducible in any
+    * engine — no RNG state. */
+  private def planeComponent(j: Column, i: Column): Column =
+    (TextDedup.md5Hash60(concat(lit("plane:"), j, lit(":"), i)) % 2000001L)
+      .cast("double") / 1000000.0 - 1.0
+
+  /** Sign-random-projection LSH signature: `nPlanes` hyperplanes, bit j =
+    * 1 iff dot(v, plane_j) >= 0. Returns (id, bucket) where bucket packs
+    * the signs into a BIGINT. Same-bucket vectors are ANN candidates. */
+  def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
+                 nPlanes: Int): DataFrame = {
+    val v = quantize(col(vecCol))
+    // dot(v, plane_j) sign per plane, packed little-endian
+    val bucket = (0 until nPlanes).map { j =>
+      val dotJ = aggregate(
+        zip_with(v, sequence(lit(0), size(col(vecCol)) - 1),
+          (x, i) => x.cast("double") * planeComponent(lit(j), i)),
+        lit(0.0).cast("double"), (acc, x) => acc + x)
+      when(dotJ >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    df.select(col(idCol), bucket.as("bucket"))
+  }
+
+  /** LSH-bucketed ANN: top-k per query restricted to the query's bucket.
+    * Recall < 1 by construction (that's the trade); bucket size bounds the
+    * per-probe work. At scale the corpus is written bucketed/partitioned
+    * by `bucket` so a probe reads one partition. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, nPlanes: Int, k: Int): DataFrame = {
+    val cb = corpus.join(lshBuckets(corpus, idCol, vecCol, nPlanes), idCol)
+      .select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cv"),
+        col("bucket"))
+    val qb = queries.join(lshBuckets(queries, idCol, vecCol, nPlanes), idCol)
+      .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"),
+        col("bucket"))
+    val scored = cb.join(broadcast(qb), Seq("bucket"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("cosine", qcosine(col("qv"), col("cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cosine"),
+        col("rnk").cast("int").as("rnk"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all (a, b), a < b, with
+    * cosine >= minCos, generated through LSH buckets (scale path) and
+    * exact-verified. For full recall at moderate n use nPlanes small
+    * enough that near-dups collide; at 100 TB this is the standard
+    * recall/cost dial. */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         nPlanes: Int, minCos: Double): DataFrame = {
+    val b = df.join(lshBuckets(df, idCol, vecCol, nPlanes), idCol)
+      .select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"),
+        col("bucket"))
+    b.as("x").join(b.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+      .withColumn("cosine", qcosine(col("x.qv"), col("y.qv")))
+      .filter(col("cosine") >= minCos)
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"), col("cosine"))
+  }
+}

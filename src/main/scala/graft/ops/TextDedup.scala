@@ -1,0 +1,181 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data dedup family over the `documents` table — the operators a
+  * 100 TB pretraining-corpus pipeline needs (builder brief; beyond the
+  * reference's own surface, which has no text processing).
+  *
+  * Scale design:
+  *  - NOTHING here is O(n²) on documents. Pair generation always goes
+  *    through an inverted index (shingle → docs) or an LSH band bucket
+  *    (signature chunk → docs), so the shuffle key is the shingle/bucket
+  *    and candidate pairs are emitted only within a bucket.
+  *  - The shared hash primitive is the first 60 bits of md5, which is
+  *    (a) deterministic across engines — the DuckDB oracle reproduces it
+  *    exactly — and (b) cheap inside whole-stage codegen (no UDF).
+  *  - Exact dedup is a hash-groupBy: one shuffle on the content hash,
+  *    map-side partial aggregation, no driver collect.
+  */
+object TextDedup {
+
+  /** Lower-cased alphanumeric tokens (the one tokenizer used across the
+    * text family so every op agrees on what a "word" is). */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  /** First 60 bits of md5 as a non-negative BIGINT — the cross-engine
+    * deterministic string hash (DuckDB: CAST('0x'||substr(md5(s),1,15) AS
+    * BIGINT)). 60 bits keeps every downstream product in Long range under
+    * ANSI arithmetic. */
+  def md5Hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  private val P = 1000000007L // hash-family modulus (fits products in Long)
+
+  /** `n`-word shingles of a document, as (id, shingle) — DISTINCT per doc.
+    * This is the inverted-index fact table: at scale it shuffles by
+    * shingle, never by document pair. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val w = tokens(col(textCol))
+    df.select(col(idCol), w.as("w"))
+      .select(col(idCol),
+        explode(transform(
+          sequence(lit(0), greatest(size(col("w")) - n, lit(0))),
+          i => concat_ws(" ", slice(col("w"), i + 1, lit(n))))).as("shingle"))
+      .distinct()
+  }
+
+  /** Exact dedup: group by full-content hash, keep the smallest id as the
+    * canonical representative. One shuffle on a 60-bit key; the text
+    * itself never shuffles (only hash + id). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), md5Hash60(col(textCol)).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact n-gram Jaccard near-dup pairs via inverted index:
+    * shingle-join → per-pair intersection count → Jaccard against the
+    * two set sizes. Emits (a, b, n_common, jaccard) for J >= minJ, a < b.
+    * At 100 TB the hot shingles are the skew hazard — callers should
+    * drop top-frequency shingles (stop-shingles) first; here document
+    * sets are small so the raw index is fine. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int, minJ: Double): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n).cache()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .groupBy(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col(idCol).as("a_id"), col("sz").as("a_sz")), "a_id")
+      .join(sizes.select(col(idCol).as("b_id"), col("sz").as("b_sz")), "b_id")
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("a_sz") + col("b_sz") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= minJ)
+      .select("a_id", "b_id", "n_common", "jaccard")
+  }
+
+  /** MinHash signature: k hash functions h_i(s) = (a_i*h + b_i) mod P over
+    * the doc's shingle set; one row per (id, i, minhash). a_i/b_i are a
+    * fixed deterministic family so results are reproducible anywhere. */
+  def minhashSignatures(sh: DataFrame, idCol: String, k: Int): DataFrame = {
+    val hh = (md5Hash60(col("shingle")) % P).as("hh")
+    val perms = explode(sequence(lit(0), lit(k - 1))).as("i")
+    sh.select(col(idCol), hh).select(col(idCol), col("hh"), perms)
+      .withColumn("hv",
+        ((col("i") * 2 + 1) * col("hh") + (col("i") * 17 + 91)) % P)
+      .groupBy(col(idCol), col("i"))
+      .agg(min("hv").as("minhash"))
+  }
+
+  /** MinHash + LSH banded candidate generation, verified with exact
+    * Jaccard. `k` signatures in `bands` bands of k/bands rows; docs
+    * sharing any full band land in one bucket and become candidates.
+    * The band bucket is the shuffle key → no all-pairs comparison.
+    * Candidates are then exact-verified (jaccard >= minJ). */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      n: Int, k: Int, bands: Int, minJ: Double): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n).cache()
+    val rows = k / bands
+    val sig = minhashSignatures(sh, idCol, k)
+    // band key: concat of the band's minhash values, plus the band index
+    val banded = sig
+      .withColumn("band", (col("i") / rows).cast("int"))
+      .groupBy(col(idCol), col("band"))
+      // order-stable band key: sort the (i, minhash) pairs
+      .agg(concat_ws(":", sort_array(collect_list(
+        concat(lpad(col("i").cast("string"), 2, "0"), lit("="),
+          col("minhash").cast("string"))))).as("band_key"))
+      .select(col(idCol), col("band"), col("band_key"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
+      .distinct()
+    // exact verify candidates only
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .groupBy(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
+      .agg(count(lit(1)).as("n_common"))
+    cand.join(inter, Seq("a_id", "b_id"))
+      .join(sizes.select(col(idCol).as("a_id"), col("sz").as("a_sz")), "a_id")
+      .join(sizes.select(col(idCol).as("b_id"), col("sz").as("b_sz")), "b_id")
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("a_sz") + col("b_sz") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= minJ)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** SimHash: 60-bit signature from token hashes. Bit b of the signature
+    * is 1 iff the sum over tokens of (+1 if bit b of md5Hash60(token) else
+    * -1), weighted by token frequency, is positive. Returns (id, simhash).
+    * Built as explode(tokens) × explode(bits 0..59) → two-level agg; the
+    * shuffle key is (id, bit) then id — no pairwise work. */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("t"))
+      .withColumn("h", md5Hash60(col("t")))
+    val bits = tok.select(col(idCol), col("h"),
+        explode(sequence(lit(0), lit(59))).as("b"))
+      .withColumn("sign",
+        when(expr("shiftrightunsigned(h, CAST(b AS INT)) & 1") === 1L,
+          lit(1L)).otherwise(lit(-1L)))
+      .groupBy(col(idCol), col("b"))
+      .agg(sum("sign").as("s"))
+    bits.groupBy(col(idCol))
+      .agg(sum(when(col("s") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))")).otherwise(lit(0L)))
+        .as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: candidates from 15-bit band buckets (4 bands
+    * over the 60-bit signature — any identical band → candidate), then
+    * exact Hamming-distance filter <= maxHamming. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int): DataFrame = {
+    val sig = simhashSignatures(df, idCol, textCol).cache()
+    val banded = sig.select(col(idCol), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("chunk",
+        expr("shiftrightunsigned(simhash, CAST(band * 15 AS INT)) & 32767"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.chunk") === col("y.chunk") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"),
+        col("x.simhash").as("a_sig"), col("y.simhash").as("b_sig"))
+      .distinct()
+    cand.withColumn("hamming",
+        expr("CAST(bit_count(a_sig ^ b_sig) AS BIGINT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+  }
+}
