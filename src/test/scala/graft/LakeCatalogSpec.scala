@@ -1,0 +1,77 @@
+package graft
+
+import graft.io.{Catalog, Lake}
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class LakeCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("partitioned lake: write → pruned day read round-trips") {
+    val root = Files.createTempDirectory("lake").toString
+    val d = Seq(
+      (1L, Timestamp.valueOf("2024-02-01 10:00:00"), "cam1"),
+      (2L, Timestamp.valueOf("2024-02-01 23:59:59"), "cam2"),
+      (3L, Timestamp.valueOf("2024-02-02 00:00:00"), "cam1"))
+      .toDF("id", "ts", "cam")
+    Lake.writePartitioned(d, "ts", root, mode = SaveMode.Overwrite)
+    val day1 = Lake.readDay(spark, root, 2024, 2, 1)
+    assert(day1.select("id").as[Long].collect().sorted.sameElements(Array(1L, 2L)))
+    // partition pruning visible in the plan: the scan must carry
+    // partition filters, not a post-scan filter on data columns
+    val plan = day1.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || plan.contains("partition"),
+      s"expected pruned scan, got:\n$plan")
+  }
+
+  test("dayStatsPivot counts per class with zero-fill and total") {
+    val d = Seq(("a", "car"), ("a", "car"), ("a", "motorcycle"), ("b", "car"))
+      .toDF("src", "cls")
+    val out = Lake.dayStatsPivot(d, "src", "cls", Seq("car", "motorcycle"))
+      .orderBy("src").collect()
+    assert(out(0).getAs[Long]("car") == 2L)
+    assert(out(0).getAs[Long]("motorcycle") == 1L)
+    assert(out(0).getAs[Long]("total") == 3L)
+    assert(out(1).getAs[Long]("motorcycle") == 0L) // zero-filled miss
+    assert(out(1).getAs[Long]("total") == 1L)
+  }
+
+  test("catalog read coerces mixed-type lat/lng and nullable mirror_id") {
+    val f = Files.createTempFile("cfg", ".json")
+    // lat as number on one entry, as string on the other — the reference
+    // file has BOTH (SURVEY §1.1); mirror_id present on some entries only
+    Files.writeString(f,
+      """[{"id":"u1","name":"Cam A","url":"rtsp://a","active":true,
+        |  "lat":-6.95,"lng":107.6,"mirror_id":null},
+        | {"id":"u2","name":"Cam B","url":"rtsp://b","active":false,
+        |  "lat":"-6.954","lng":"107.61"}]""".stripMargin)
+    val cfg = Catalog.readConfig(spark, f.toString).orderBy("id").collect()
+    assert(cfg.length == 2)
+    assert(math.abs(cfg(0).getAs[Double]("lat") + 6.95) < 1e-9)
+    assert(math.abs(cfg(1).getAs[Double]("lat") + 6.954) < 1e-9)
+    assert(cfg(1).isNullAt(cfg(1).fieldIndex("mirror_id")))
+  }
+
+  test("thresholds map-object explodes into a typed dimension") {
+    val f = Files.createTempFile("thr", ".json")
+    Files.writeString(f,
+      """{"u1": {"p50": 10.0, "p75": 20.0, "p90": 30.0, "max": 99.0},
+        | "u2": {"p50": 1.5, "p75": 2.5, "p90": 3.5, "max": 9.0}}""".stripMargin)
+    val t = Catalog.readThresholds(spark, f.toString).orderBy("camera_id")
+      .collect()
+    assert(t.length == 2)
+    assert(t(0).getAs[String]("camera_id") == "u1")
+    assert(t(0).getAs[Double]("p90") == 30.0)
+    assert(t(1).getAs[Double]("max_volume") == 9.0)
+  }
+
+  test("pruneZombies keeps only configured keys (semi join)") {
+    val stats = Seq(("u1", 5), ("u2", 7), ("zombie", 9)).toDF("camera_id", "v")
+    val cfg = Seq(("u1", "A"), ("u2", "B")).toDF("id", "name")
+    val kept = Catalog.pruneZombies(stats, cfg, "camera_id", "id")
+      .select("camera_id").as[String].collect().sorted
+    assert(kept.sameElements(Array("u1", "u2")))
+  }
+}

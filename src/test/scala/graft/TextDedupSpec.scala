@@ -1,0 +1,110 @@
+package graft
+
+import graft.ops.{TextDedup, TextStats}
+import org.apache.spark.sql.functions._
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("exactDedup groups identical content, keeps min id") {
+    val d = docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y z")
+    val out = TextDedup.exactDedup(d, "doc_id", "text")
+      .orderBy("keep_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("keep_id") == 1L)
+    assert(out(0).getAs[Long]("n_copies") == 2L)
+    assert(out(1).getAs[Long]("keep_id") == 3L)
+    assert(out(1).getAs[Long]("n_copies") == 1L)
+  }
+
+  test("jaccardPairs finds near-dups and scores them exactly") {
+    // doc 1 and 2 share 4 of their 3-gram shingles; doc 3 is unrelated
+    val d = docs(
+      1L -> "a b c d e f",      // shingles: abc bcd cde def (4)
+      2L -> "a b c d e g",      // shingles: abc bcd cde deg (4) → ∩=3, ∪=5
+      3L -> "q r s t u v")
+    val out = TextDedup.jaccardPairs(d, "doc_id", "text", 3, 0.5)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("a_id") == 1L && r.getAs[Long]("b_id") == 2L)
+    assert(r.getAs[Long]("n_common") == 3L)
+    assert(math.abs(r.getAs[Double]("jaccard") - 0.6) < 1e-12)
+  }
+
+  test("jaccard dedup output is a subset of input pairs (property)") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val ids = d.select("doc_id").as[Long].collect().toSet
+    val pairs = TextDedup.jaccardPairs(d, "doc_id", "text", 3, 0.8).collect()
+    pairs.foreach { r =>
+      assert(ids.contains(r.getAs[Long]("a_id")))
+      assert(ids.contains(r.getAs[Long]("b_id")))
+      assert(r.getAs[Long]("a_id") < r.getAs[Long]("b_id"))
+      assert(r.getAs[Double]("jaccard") >= 0.8 &&
+        r.getAs[Double]("jaccard") <= 1.0)
+    }
+  }
+
+  test("minhashLshPairs achieves full recall on high-jaccard pairs") {
+    // LSH (16 sigs, 4 bands) must find everything jaccardPairs finds at
+    // J>=0.9 (theoretical recall at 0.9 with r=4: 1-(1-0.9^4)^4 ≈ 0.98;
+    // on the seeded near-dup corpus the pairs are J≈0.99 → recall 1)
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val exact = TextDedup.jaccardPairs(d, "doc_id", "text", 3, 0.9)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = TextDedup.minhashLshPairs(d, "doc_id", "text", 3, 16, 4, 0.9)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain near-dup pairs")
+    assert(exact == lsh)
+  }
+
+  test("simhash: identical docs have hamming 0 and are found") {
+    val d = docs(1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta",
+      3L -> "unrelated words entirely here")
+    val out = TextDedup.simhashPairs(d, "doc_id", "text", 0).collect()
+    assert(out.exists(r => r.getAs[Long]("a_id") == 1L &&
+      r.getAs[Long]("b_id") == 2L && r.getAs[Long]("hamming") == 0L))
+  }
+
+  test("simhash signature is 60-bit non-negative") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val sigs = TextDedup.simhashSignatures(d, "doc_id", "text")
+      .select("simhash").as[Long].collect()
+    sigs.foreach(sg => assert(sg >= 0L && sg < (1L << 60)))
+  }
+
+  test("langId picks the profile with most stopword hits; und when none") {
+    val d = Seq(
+      (1L, "the cat and the dog is a friend of mine"),
+      (2L, "el perro es de los gatos la casa"),
+      (3L, "zzz qqq www")).toDF("doc_id", "text")
+    val out = d.select(col("doc_id"), TextStats.langId(col("text")).as("l"))
+      .orderBy("doc_id").as[(Long, String)].collect()
+    assert(out(0)._2 == "en")
+    assert(out(1)._2 == "es")
+    assert(out(2)._2 == "und")
+  }
+
+  test("fingerprint is order-sensitive, stable, and 0 for empty") {
+    val d = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c"), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = d.select(col("doc_id"),
+        TextStats.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id").as[(Long, Long)].collect().map(_._2)
+    assert(out(0) != out(1)) // order matters
+    assert(out(0) == out(2)) // deterministic
+    assert(out(3) == 0L)
+  }
+
+  test("token counts: ws vs bpe-ish") {
+    val d = Seq((1L, "hello world, abcdefgh!")).toDF("doc_id", "text")
+    val r = TextStats.qualityMetrics(d, "doc_id", "text").collect().head
+    assert(r.getAs[Long]("n_tokens") == 3L)       // hello world abcdefgh
+    assert(r.getAs[Long]("n_tokens_ws") == 3L)
+    // bpe-ish: ceil(5/4)+ceil(5/4)+ceil(8/4) = 2+2+2 = 6 subwords + 2 punct
+    assert(r.getAs[Long]("n_tokens_bpe") == 8L)
+  }
+}
