@@ -1,0 +1,167 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One detection event — the contract the reference's CV stage emits
+  * (app/services/camera.py:210-227: boxes → (class, conf, bbox) with the
+  * COCO→internal class map of app/config.py:31-37). */
+case class Detection(
+    camera_id: String,
+    ts: java.sql.Timestamp,
+    class_id: String, // "car" | "motorcycle" after mapping
+    confidence: Double,
+    x1: Long, y1: Long, x2: Long, y2: Long)
+
+/** One observation row — the reference's traffic_history grain
+  * (app/database.py:18-30): density (total_*) vs flux (new_*). */
+case class Observation(
+    camera_id: String,
+    ts: java.sql.Timestamp,
+    total_count: Long, car_count: Long, motorcycle_count: Long,
+    new_count: Long, new_cars: Long, new_motors: Long)
+
+/** Per-camera dedup state: the previous tick's boxes
+  * (app/services/camera.py:35 `prev_rects`). */
+case class CamState(prevBoxes: Seq[(Long, Long, Long, Long)])
+
+/** §2.9 — the streaming ingest pipeline. The reference is a hand-rolled
+  * processing-time micro-batch system (2 s tick per camera, one daemon
+  * thread each); here it is Structured Streaming:
+  *
+  *   detections stream
+  *     → [stateful] IOU static-object dedup per camera (flatMapGroupsWithState)
+  *     → observation rows (density + flux)
+  *     → windowed aggregations with watermark / partitioned lake sink
+  *
+  * Scale: state is keyed by camera — thousands of cameras shard across
+  * executors; state size is bounded by boxes-per-frame, not history.
+  * The dedup is the ONE genuinely sequential op in the system (each tick
+  * compares against the previous tick), which is exactly what
+  * flatMapGroupsWithState models without giving up distribution across
+  * keys.
+  */
+object Ingest {
+
+  /** COCO class id → internal class (reference app/config.py:28-37). */
+  val cocoClassMap: Map[Int, String] =
+    Map(1 -> "motorcycle", 2 -> "car", 3 -> "motorcycle", 5 -> "car", 7 -> "car")
+
+  /** Column-level COCO mapping for use before typed conversion. */
+  def mapCocoClass(classId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val m = typedlit(cocoClassMap.map { case (k, v) => (k.toString, v) })
+    m(classId.cast("string"))
+  }
+
+  /** IOU with the reference's +1-pixel convention (camera.py:88-104). */
+  def iou(a: (Long, Long, Long, Long), b: (Long, Long, Long, Long)): Double = {
+    val iw = math.max(math.min(a._3, b._3) - math.max(a._1, b._1) + 1, 0L)
+    val ih = math.max(math.min(a._4, b._4) - math.max(a._2, b._2) + 1, 0L)
+    val inter = iw * ih
+    val union = (a._3 - a._1 + 1) * (a._4 - a._2 + 1) +
+      (b._3 - b._1 + 1) * (b._4 - b._2 + 1) - inter
+    if (union > 0) inter.toDouble / union.toDouble else 0.0
+  }
+
+  private val StaticIou = 0.5 // app/config.py IOU threshold for "static"
+
+  /** Core per-camera tick processor: rows sorted by event time, grouped
+    * into ticks (identical ts = one frame); a detection overlapping any
+    * previous-tick box with IOU > 0.5 is static → excluded from new_*
+    * (camera.py:239-256). Pure function so batch and streaming share it. */
+  def processTicks(rows: Seq[Detection],
+                   initial: Seq[(Long, Long, Long, Long)])
+      : (Seq[Observation], Seq[(Long, Long, Long, Long)]) = {
+    var prev = initial
+    val out = Seq.newBuilder[Observation]
+    // stable sort by ts then coordinates for deterministic tick order
+    val ticks = rows.sortBy(d => (d.ts.getTime, d.x1, d.y1, d.x2, d.y2))
+      .foldLeft(Vector.empty[Vector[Detection]]) { (acc, d) =>
+        if (acc.nonEmpty && acc.last.head.ts == d.ts) acc.init :+ (acc.last :+ d)
+        else acc :+ Vector(d)
+      }
+    ticks.foreach { tick =>
+      val boxes = tick.map(d => (d.x1, d.y1, d.x2, d.y2))
+      val isNew = tick.map { d =>
+        !prev.exists(p => iou((d.x1, d.y1, d.x2, d.y2), p) > StaticIou)
+      }
+      val cars = tick.count(_.class_id == "car")
+      val motos = tick.count(_.class_id == "motorcycle")
+      val newDet = tick.zip(isNew).filter(_._2).map(_._1)
+      out += Observation(
+        camera_id = tick.head.camera_id,
+        ts = tick.head.ts,
+        total_count = tick.size.toLong,
+        car_count = cars.toLong,
+        motorcycle_count = motos.toLong,
+        new_count = newDet.size.toLong,
+        new_cars = newDet.count(_.class_id == "car").toLong,
+        new_motors = newDet.count(_.class_id == "motorcycle").toLong)
+      prev = boxes
+    }
+    (out.result(), prev)
+  }
+
+  /** Streaming stateful dedup: one state object per camera, carried
+    * across micro-batches. Works identically on a batch Dataset (Spark
+    * invokes the function once per key with all rows). */
+  def dedupObservations(detections: Dataset[Detection]): Dataset[Observation] = {
+    import detections.sparkSession.implicits._
+    detections
+      .groupByKey(_.camera_id)
+      .flatMapGroupsWithState[CamState, Observation](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Detection], state: GroupState[CamState]) =>
+          val initial =
+            if (state.exists) state.get.prevBoxes else Seq.empty
+          val (obs, last) = processTicks(rows.toSeq, initial)
+          state.update(CamState(last))
+          obs.iterator
+      }
+  }
+
+  /** Batch analog with identical semantics (used to cross-check the
+    * streaming path in tests, and as the backfill job at rest). */
+  def batchObservations(detections: Dataset[Detection]): Dataset[Observation] =
+    dedupObservations(detections)
+
+  /** A7/A8 streaming: tumbling-window flux sums with watermark-based
+    * state eviction (replaces the deque retention bound, config.py:25). */
+  def windowedFlux(obs: DataFrame, windowLen: String,
+                   watermark: String): DataFrame =
+    obs.withWatermark("ts", watermark)
+      .groupBy(col("camera_id"), window(col("ts"), windowLen))
+      .agg(sum("new_count").as("flux"),
+        sum("new_cars").as("flux_cars"),
+        sum("new_motors").as("flux_motors"),
+        count(lit(1)).as("n_obs"))
+
+  /** X7-style running accumulators: streaming global + per-camera totals
+    * (output mode Update — incremental by design). */
+  def runningTotals(obs: DataFrame): DataFrame =
+    obs.groupBy(col("camera_id"))
+      .agg(sum("new_count").as("accumulated_count"),
+        sum("new_cars").as("accumulated_cars"),
+        sum("new_motors").as("accumulated_motors"),
+        max("ts").as("last_update"))
+
+  /** End-to-end wiring: detections stream → dedup → parquet history sink
+    * (partitioned by date like the reference's lake) + console-able
+    * windowed aggs. Returns the started query for the history sink. */
+  def startHistorySink(detections: Dataset[Detection], outRoot: String,
+                       checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val obs = dedupObservations(detections).toDF()
+    obs.withColumn("year", year(col("ts")))
+      .withColumn("month", month(col("ts")))
+      .withColumn("day", dayofmonth(col("ts")))
+      .writeStream
+      .format("parquet")
+      .option("path", outRoot)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("year", "month", "day")
+      .outputMode(OutputMode.Append)
+      .start()
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import graft.streaming.{Detection, Ingest, Observation}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def det(cam: String, t: String, cls: String,
+                  box: (Long, Long, Long, Long)): Detection =
+    Detection(cam, ts(t), cls, 0.9, box._1, box._2, box._3, box._4)
+
+  // tick 1: two cars; tick 2: one car static (same box), one new motorcycle
+  private val fixture = Seq(
+    det("cam1", "2024-02-01 10:00:00", "car", (0L, 0L, 10L, 10L)),
+    det("cam1", "2024-02-01 10:00:00", "car", (50L, 50L, 60L, 60L)),
+    det("cam1", "2024-02-01 10:00:02", "car", (0L, 0L, 10L, 10L)), // static
+    det("cam1", "2024-02-01 10:00:02", "motorcycle", (200L, 200L, 210L, 210L)),
+    det("cam2", "2024-02-01 10:00:00", "car", (5L, 5L, 15L, 15L)))
+
+  test("batch dedup: static box excluded from flux, density keeps it") {
+    val obs = Ingest.batchObservations(fixture.toDS())
+      .collect().sortBy(o => (o.camera_id, o.ts.getTime))
+    assert(obs.length == 3)
+    val t1 = obs(0); val t2 = obs(1); val c2 = obs(2)
+    assert(t1.total_count == 2 && t1.new_count == 2) // first tick: all new
+    assert(t2.total_count == 2 && t2.car_count == 1 && t2.motorcycle_count == 1)
+    assert(t2.new_count == 1 && t2.new_cars == 0 && t2.new_motors == 1) // car static
+    assert(c2.camera_id == "cam2" && c2.new_count == 1)
+  }
+
+  test("streaming dedup equals batch dedup, state carries across batches") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Detection]
+    val q = Ingest.dedupObservations(mem.toDS())
+      .writeStream.format("memory").queryName("obs_out")
+      .outputMode("append").start()
+    try {
+      // batch 1 = tick 1 only; batch 2 = tick 2 → the static-car
+      // comparison must use state carried from batch 1
+      mem.addData(fixture.filter(_.ts == ts("2024-02-01 10:00:00")): _*)
+      q.processAllAvailable()
+      mem.addData(fixture.filter(_.ts == ts("2024-02-01 10:00:02")): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("obs_out").as[Observation]
+        .collect().sortBy(o => (o.camera_id, o.ts.getTime))
+      val batch = Ingest.batchObservations(fixture.toDS())
+        .collect().sortBy(o => (o.camera_id, o.ts.getTime))
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
+  test("windowed flux with watermark aggregates per camera") {
+    val obs = Ingest.batchObservations(fixture.toDS()).toDF()
+    val out = Ingest.windowedFlux(obs, "1 minute", "10 minutes")
+      .orderBy("camera_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("flux") == 3L) // cam1: 2 + 1 new
+    assert(out(1).getAs[Long]("flux") == 1L)
+  }
+
+  test("running totals accumulate flux not density") {
+    val obs = Ingest.batchObservations(fixture.toDS()).toDF()
+    val out = Ingest.runningTotals(obs).orderBy("camera_id").collect()
+    assert(out(0).getAs[Long]("accumulated_count") == 3L)
+    assert(out(0).getAs[Long]("accumulated_cars") == 2L)
+    assert(out(0).getAs[Long]("accumulated_motors") == 1L)
+  }
+
+  test("history sink writes date-partitioned observations") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("hist").toString
+    val mem = MemoryStream[Detection]
+    val q = Ingest.startHistorySink(mem.toDS(), s"$dir/data", s"$dir/ckpt")
+    try {
+      mem.addData(fixture: _*)
+      q.processAllAvailable()
+      val back = spark.read.parquet(s"$dir/data")
+      assert(back.count() == 3)
+      assert(back.columns.contains("year")) // partition columns surfaced
+      val pruned = back.filter(col("year") === 2024 && col("month") === 2 &&
+        col("day") === 1)
+      assert(pruned.count() == 3)
+    } finally q.stop()
+  }
+
+  test("COCO class map: {1,3}→motorcycle, {2,5,7}→car, else null") {
+    val d = Seq(1, 2, 3, 5, 7, 9).toDF("c")
+    val out = d.select(Ingest.mapCocoClass(col("c"))).as[Option[String]]
+      .collect()
+    assert(out.sameElements(Array(Some("motorcycle"), Some("car"),
+      Some("motorcycle"), Some("car"), Some("car"), None)))
+  }
+}
