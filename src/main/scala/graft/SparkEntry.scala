@@ -158,6 +158,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_points_within"))
         .orderBy("zone_id")
     }),
+    "g_route_eta" -> ((s, dir) => {
+      val segs = Tables.supplier(s, dir).select(
+        (col("s_suppkey") % 3).cast("long").as("route_id"),
+        col("s_suppkey").as("seg_id"),
+        (lit(100) + (col("s_suppkey") % 50) * 10).cast("long").as("length_m"),
+        (lit(-6.90) - ((col("s_suppkey") * 13) % 200).cast("double") / lit(1000.0))
+          .as("s_lat"),
+        (lit(107.60) + ((col("s_suppkey") * 17) % 200).cast("double") / lit(1000.0))
+          .as("s_lng"))
+      val zones = Tables.customer(s, dir).select(
+        col("c_custkey").as("zone_id"),
+        (lit(-6.90) - ((col("c_custkey") * 7) % 200).cast("double") / lit(1000.0))
+          .as("z_lat"),
+        (lit(107.60) + ((col("c_custkey") * 11) % 200).cast("double") / lit(1000.0))
+          .as("z_lng"),
+        (lit(10) + (col("c_custkey") % 40)).cast("double").as("speed_kmh"))
+      Geo.routeEta(segs, zones, 2000.0, 40.0).orderBy("route_id")
+    }),
+    "syn_diurnal_series" -> ((s, dir) =>
+      Synthetic.series(s, "2024-03-01", days = 2, intervalSec = 3600,
+        peak = 120.0, mu = 8.0, width = 18.0, jitter = 15.0, cap = 100.0,
+        seed = "graft").orderBy("ts_epoch")),
     "j8_argmax_worst" -> ((s, dir) => {
       val totals = ev(s, dir).groupBy("event_type", "user_id")
         .agg(sum(col("value").cast("decimal(28,2)")).cast("double")
@@ -461,6 +483,53 @@ object SparkEntry {
         |     ((z.z_lng - p.p_lng) * CAST(109640.0 AS DOUBLE)) * ((z.z_lng - p.p_lng) * CAST(109640.0 AS DOUBLE))
         |     <= CAST(2000.0 AS DOUBLE) * CAST(2000.0 AS DOUBLE)
         |GROUP BY zone_id ORDER BY zone_id""".stripMargin,
+    "g_route_eta" ->
+      """WITH segs AS (
+        |  SELECT CAST(s_suppkey % 3 AS BIGINT) route_id, s_suppkey seg_id,
+        |         CAST(100 + (s_suppkey % 50) * 10 AS BIGINT) length_m,
+        |         CAST(-6.90 AS DOUBLE) - CAST((s_suppkey * 13) % 200 AS DOUBLE) / CAST(1000.0 AS DOUBLE) s_lat,
+        |         CAST(107.60 AS DOUBLE) + CAST((s_suppkey * 17) % 200 AS DOUBLE) / CAST(1000.0 AS DOUBLE) s_lng
+        |  FROM supplier),
+        |zones AS (
+        |  SELECT c_custkey zone_id,
+        |         CAST(-6.90 AS DOUBLE) - CAST((c_custkey * 7) % 200 AS DOUBLE) / CAST(1000.0 AS DOUBLE) z_lat,
+        |         CAST(107.60 AS DOUBLE) + CAST((c_custkey * 11) % 200 AS DOUBLE) / CAST(1000.0 AS DOUBLE) z_lng,
+        |         CAST(10 + (c_custkey % 40) AS DOUBLE) speed_kmh
+        |  FROM customer),
+        |per_seg AS (
+        |  SELECT s.route_id, s.seg_id, min(z.speed_kmh) zone_speed
+        |  FROM segs s JOIN zones z
+        |    ON ((z.z_lat - s.s_lat) * CAST(110540.0 AS DOUBLE)) * ((z.z_lat - s.s_lat) * CAST(110540.0 AS DOUBLE)) +
+        |       ((z.z_lng - s.s_lng) * CAST(109640.0 AS DOUBLE)) * ((z.z_lng - s.s_lng) * CAST(109640.0 AS DOUBLE))
+        |       <= CAST(2000.0 AS DOUBLE) * CAST(2000.0 AS DOUBLE)
+        |  GROUP BY 1, 2),
+        |st AS (
+        |  SELECT s.route_id,
+        |         CAST(floor(CAST(s.length_m AS DOUBLE) * 3600.0 /
+        |           least(COALESCE(p.zone_speed, 40.0), 40.0)) AS BIGINT) seg_time_ms,
+        |         CASE WHEN p.zone_speed IS NOT NULL THEN 1 ELSE 0 END congested
+        |  FROM segs s LEFT JOIN per_seg p
+        |    ON s.route_id = p.route_id AND s.seg_id = p.seg_id),
+        |routes AS (
+        |  SELECT route_id, SUM(seg_time_ms) total_time_ms,
+        |         COUNT(*) n_segments, SUM(congested) n_congested
+        |  FROM st GROUP BY 1)
+        |SELECT route_id, total_time_ms, n_segments, n_congested,
+        |       CAST(ROW_NUMBER() OVER (ORDER BY total_time_ms, route_id) AS INT) rnk
+        |FROM routes ORDER BY route_id""".stripMargin,
+    "syn_diurnal_series" ->
+      """WITH i AS (SELECT unnest(generate_series(0, 47)) AS i),
+        |t AS (SELECT i, CAST(floor(epoch(TIMESTAMP '2024-03-01 00:00:00')) AS BIGINT) + i * 3600 AS ts_epoch FROM i),
+        |h AS (SELECT ts_epoch, CAST(hour(make_timestamp(ts_epoch * 1000000)) AS BIGINT) hr FROM t),
+        |r AS (SELECT ts_epoch, hr,
+        |        CAST(120.0 AS DOUBLE) *
+        |          exp((CAST(hr AS DOUBLE) - 8.0) * (CAST(hr AS DOUBLE) - 8.0) * -1.0 / CAST(18.0 AS DOUBLE))
+        |        + ((CAST(CAST(('0x'||substr(md5('graft:' || CAST(ts_epoch AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS DOUBLE)
+        |            / 1000000.0) * 2.0 - 1.0) * 15.0 AS raw
+        |      FROM h)
+        |SELECT ts_epoch, hr,
+        |       CAST(trunc(greatest(least(raw, CAST(100.0 AS DOUBLE)), CAST(0.0 AS DOUBLE))) AS BIGINT) AS value
+        |FROM r ORDER BY ts_epoch""".stripMargin,
     "j8_argmax_worst" ->
       """WITH totals AS (
         |  SELECT event_type, user_id,
