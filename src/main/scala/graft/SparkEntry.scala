@@ -254,6 +254,14 @@ object SparkEntry {
       Embeddings.cosineNearDupPairs(u, "vec_id", "embedding",
         nPlanes = 8, minCos = 0.99).orderBy("a_id", "b_id")
     }),
+    // ---- multimodal plumbing (stubbed codec; Spark-side shape real) ----
+    "mm_feature_extract" -> ((s, dir) => {
+      val m = Multimodal.fromText(Tables.documents(s, dir), "doc_id", "text",
+        "image")
+      Multimodal.extractFeatures(m, 16).toDF()
+        .select(col("media_id"), col("modality"), col("n_bytes"))
+        .orderBy("media_id")
+    }),
     // rows-only (no SQL oracle: recall<1 by design; consistency vs brute
     // force is pinned in ScalaTest instead)
     "e_lsh_topk" -> ((s, dir) => {
@@ -749,6 +757,10 @@ object SparkEntry {
         |       COALESCE(SUM(pos * (CAST(('0x'||substr(md5(tok),1,15)) AS BIGINT) % 1000000)), 0)
         |         % 2305843009213693951 AS fingerprint
         |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "mm_feature_extract" ->
+      """SELECT doc_id AS media_id, 'image' AS modality,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY media_id""".stripMargin,
     "e_ann_bruteforce" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding,
         |             x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) qv
