@@ -252,7 +252,7 @@ object SparkEntry {
       val u = e0.union(e0.select((col("vec_id") + 100000).as("vec_id"),
         col("embedding")))
       Embeddings.cosineNearDupPairs(u, "vec_id", "embedding",
-        nPlanes = 8, minCos = 0.99).orderBy("a_id", "b_id")
+        nPlanes = 8, dim = 64, minCos = 0.99).orderBy("a_id", "b_id")
     }),
     // ---- multimodal plumbing (stubbed codec; Spark-side shape real) ----
     "mm_feature_extract" -> ((s, dir) => {
@@ -267,7 +267,8 @@ object SparkEntry {
     "e_lsh_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Embeddings.lshTopK(e, e.filter(col("vec_id") < 10),
-        "vec_id", "embedding", nPlanes = 4, k = 5).orderBy("query_id", "rnk")
+        "vec_id", "embedding", nPlanes = 4, dim = 64, k = 5)
+        .orderBy("query_id", "rnk")
     }),
     "f_rules_density_status" -> ((s, dir) => {
       ev(s, dir)
@@ -661,11 +662,12 @@ object SparkEntry {
         |FROM u GROUP BY text ORDER BY keep_id""".stripMargin,
     "dd_jaccard_pairs" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') w FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+        |sh AS (SELECT DISTINCT doc_id,
+        |         CAST(('0x'||substr(md5(array_to_string(w[i:i+2], ' ')),1,15)) AS BIGINT) AS sh_h
         |       FROM t, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS g(i)),
         |sizes AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
         |inter AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) n_common
-        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          FROM sh a JOIN sh b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
         |          GROUP BY 1, 2)
         |SELECT a_id, b_id, n_common,
         |       CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) AS jaccard
@@ -674,12 +676,13 @@ object SparkEntry {
         |ORDER BY a_id, b_id""".stripMargin,
     "dd_minhash_lsh" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') w FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+        |sh AS (SELECT DISTINCT doc_id,
+        |         CAST(('0x'||substr(md5(array_to_string(w[i:i+2], ' ')),1,15)) AS BIGINT) AS sh_h
         |       FROM t, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS g(i)),
-        |hh AS (SELECT doc_id, CAST(('0x'||substr(md5(shingle),1,15)) AS BIGINT) % 1000000007 AS hh FROM sh),
+        |hh AS (SELECT doc_id, sh_h % 1000000007 AS hh FROM sh),
         |sig AS (SELECT doc_id, i, min(((i*2+1) * hh + (i*17+91)) % 1000000007) AS minhash
         |        FROM hh, UNNEST(generate_series(0, 15)) AS g(i) GROUP BY 1, 2),
-        |banded AS (SELECT doc_id, CAST(i/4 AS INT) AS band,
+        |banded AS (SELECT doc_id, CAST(i // 4 AS INT) AS band,
         |                  array_to_string(list_sort(list(
         |                    lpad(CAST(i AS VARCHAR),2,'0') || '=' || CAST(minhash AS VARCHAR))), ':') AS band_key
         |           FROM sig GROUP BY 1, 2),
@@ -688,7 +691,7 @@ object SparkEntry {
         |           ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
         |sizes AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
         |inter AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) n_common
-        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          FROM sh a JOIN sh b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
         |          GROUP BY 1, 2)
         |SELECT c.a_id AS a_id, c.b_id AS b_id,
         |       CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) AS jaccard

@@ -63,23 +63,33 @@ object Embeddings {
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane j,
-    * dim i): md5-derived value mapped to [-1, 1). Reproducible in any
-    * engine — no RNG state. */
-  private def planeComponent(j: Column, i: Column): Column =
-    (TextDedup.md5Hash60(concat(lit("plane:"), j, lit(":"), i)) % 2000001L)
-      .cast("double") / 1000000.0 - 1.0
+    * dim i): md5-derived value mapped to [-1, 1). Computed ONCE on the
+    * driver (same md5 → same value as the column-expression form, but
+    * the row path multiplies against literals instead of running md5
+    * per element per row). Reproducible in any engine — no RNG state. */
+  private[ops] def planeComponent(j: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"plane:$j:$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2000001L)
+      .toDouble / 1000000.0 - 1.0
+  }
+
+  private def planeVector(j: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(i => planeComponent(j, i))
 
   /** Sign-random-projection LSH signature: `nPlanes` hyperplanes, bit j =
     * 1 iff dot(v, plane_j) >= 0. Returns (id, bucket) where bucket packs
-    * the signs into a BIGINT. Same-bucket vectors are ANN candidates. */
+    * the signs into a BIGINT. Same-bucket vectors are ANN candidates.
+    * `dim` is the embedding width (planes are driver-side literals). */
   def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
-                 nPlanes: Int): DataFrame = {
+                 nPlanes: Int, dim: Int): DataFrame = {
     val v = quantize(col(vecCol))
     // dot(v, plane_j) sign per plane, packed little-endian
     val bucket = (0 until nPlanes).map { j =>
       val dotJ = aggregate(
-        zip_with(v, sequence(lit(0), size(col(vecCol)) - 1),
-          (x, i) => x.cast("double") * planeComponent(lit(j), i)),
+        zip_with(v, typedlit(planeVector(j, dim)),
+          (x, p) => x.cast("double") * p),
         lit(0.0).cast("double"), (acc, x) => acc + x)
       when(dotJ >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
@@ -91,11 +101,12 @@ object Embeddings {
     * per-probe work. At scale the corpus is written bucketed/partitioned
     * by `bucket` so a probe reads one partition. */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
-              idCol: String, vecCol: String, nPlanes: Int, k: Int): DataFrame = {
-    val cb = corpus.join(lshBuckets(corpus, idCol, vecCol, nPlanes), idCol)
+              idCol: String, vecCol: String, nPlanes: Int, dim: Int,
+              k: Int): DataFrame = {
+    val cb = corpus.join(lshBuckets(corpus, idCol, vecCol, nPlanes, dim), idCol)
       .select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cv"),
         col("bucket"))
-    val qb = queries.join(lshBuckets(queries, idCol, vecCol, nPlanes), idCol)
+    val qb = queries.join(lshBuckets(queries, idCol, vecCol, nPlanes, dim), idCol)
       .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"),
         col("bucket"))
     val scored = cb.join(broadcast(qb), Seq("bucket"))
@@ -116,10 +127,11 @@ object Embeddings {
     * enough that near-dups collide; at 100 TB this is the standard
     * recall/cost dial. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                         nPlanes: Int, minCos: Double): DataFrame = {
-    val b = df.join(lshBuckets(df, idCol, vecCol, nPlanes), idCol)
+                         nPlanes: Int, dim: Int, minCos: Double): DataFrame = {
+    val b = df.join(lshBuckets(df, idCol, vecCol, nPlanes, dim), idCol)
       .select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"),
         col("bucket"))
+      .cache() // both sides of the self-join below
     b.as("x").join(b.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
       .withColumn("cosine", qcosine(col("x.qv"), col("y.qv")))

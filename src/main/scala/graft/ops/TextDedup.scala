@@ -9,12 +9,17 @@ import org.apache.spark.sql.functions._
   *
   * Scale design:
   *  - NOTHING here is O(n²) on documents. Pair generation always goes
-  *    through an inverted index (shingle → docs) or an LSH band bucket
-  *    (signature chunk → docs), so the shuffle key is the shingle/bucket
-  *    and candidate pairs are emitted only within a bucket.
+  *    through an inverted index (shingle-hash → docs) or an LSH band
+  *    bucket (signature chunk → docs), so the shuffle key is the
+  *    shingle/bucket and candidate pairs are emitted only within a
+  *    bucket.
   *  - The shared hash primitive is the first 60 bits of md5, which is
   *    (a) deterministic across engines — the DuckDB oracle reproduces it
   *    exactly — and (b) cheap inside whole-stage codegen (no UDF).
+  *  - The inverted index carries the 60-bit shingle HASH, not the
+  *    shingle string: the self-join shuffles 8-byte keys instead of
+  *    ~25-byte strings (at 100 TB that is the difference between a
+  *    shuffle that fits and one that doesn't).
   *  - Exact dedup is a hash-groupBy: one shuffle on the content hash,
   *    map-side partial aggregation, no driver collect.
   */
@@ -34,9 +39,8 @@ object TextDedup {
 
   private val P = 1000000007L // hash-family modulus (fits products in Long)
 
-  /** `n`-word shingles of a document, as (id, shingle) — DISTINCT per doc.
-    * This is the inverted-index fact table: at scale it shuffles by
-    * shingle, never by document pair. */
+  /** `n`-word shingles of a document, as (id, shingle string) —
+    * DISTINCT per doc. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val w = tokens(col(textCol))
     df.select(col(idCol), w.as("w"))
@@ -44,6 +48,21 @@ object TextDedup {
         explode(transform(
           sequence(lit(0), greatest(size(col("w")) - n, lit(0))),
           i => concat_ws(" ", slice(col("w"), i + 1, lit(n))))).as("shingle"))
+      .distinct()
+  }
+
+  /** The inverted-index fact table: (id, 60-bit shingle hash), DISTINCT
+    * per doc. All pairwise ops run on this — at scale it shuffles by
+    * `sh_h`, never by document pair. */
+  def shingleHashes(df: DataFrame, idCol: String, textCol: String,
+                    n: Int): DataFrame = {
+    val w = tokens(col(textCol))
+    df.select(col(idCol), w.as("w"))
+      .select(col(idCol),
+        explode(transform(
+          sequence(lit(0), greatest(size(col("w")) - n, lit(0))),
+          i => md5Hash60(concat_ws(" ", slice(col("w"), i + 1, lit(n))))))
+          .as("sh_h"))
       .distinct()
   }
 
@@ -55,42 +74,47 @@ object TextDedup {
       .groupBy("content_hash")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Exact n-gram Jaccard near-dup pairs via inverted index:
-    * shingle-join → per-pair intersection count → Jaccard against the
-    * two set sizes. Emits (a, b, n_common, jaccard) for J >= minJ, a < b.
-    * At 100 TB the hot shingles are the skew hazard — callers should
-    * drop top-frequency shingles (stop-shingles) first; here document
-    * sets are small so the raw index is fine. */
-  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   n: Int, minJ: Double): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n).cache()
+  /** Per-pair shingle intersection via the inverted index, with set
+    * sizes attached. Shared by the exact and LSH-verified paths. */
+  private def intersections(shIn: DataFrame, idCol: String): DataFrame = {
+    val sh = shIn.cache() // read 3× below (both join sides + sizes)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val inter = sh.as("x").join(sh.as("y"),
-        col("x.shingle") === col("y.shingle") &&
+    sh.as("x").join(sh.as("y"),
+        col("x.sh_h") === col("y.sh_h") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
       .groupBy(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
       .agg(count(lit(1)).as("n_common"))
-    inter
       .join(sizes.select(col(idCol).as("a_id"), col("sz").as("a_sz")), "a_id")
       .join(sizes.select(col(idCol).as("b_id"), col("sz").as("b_sz")), "b_id")
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("a_sz") + col("b_sz") - col("n_common")).cast("double"))
-      .filter(col("jaccard") >= minJ)
-      .select("a_id", "b_id", "n_common", "jaccard")
   }
 
-  /** MinHash signature: k hash functions h_i(s) = (a_i*h + b_i) mod P over
-    * the doc's shingle set; one row per (id, i, minhash). a_i/b_i are a
-    * fixed deterministic family so results are reproducible anywhere. */
+  /** Exact n-gram Jaccard near-dup pairs: inverted-index join → per-pair
+    * intersection count → Jaccard against the two set sizes. Emits
+    * (a, b, n_common, jaccard) for J >= minJ, a < b. At 100 TB the hot
+    * shingles are the skew hazard — callers should drop top-frequency
+    * shingles (stop-shingles) first; document shingle sets are small so
+    * the raw index is fine here. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int, minJ: Double): DataFrame =
+    intersections(shingleHashes(df, idCol, textCol, n), idCol)
+      .filter(col("jaccard") >= minJ)
+      .select("a_id", "b_id", "n_common", "jaccard")
+
+  /** MinHash signature: k hash functions h_i(s) = (a_i*h + b_i) mod P
+    * over the doc's shingle-hash set, computed as k `min` aggregates in
+    * ONE groupBy (no k-way row explosion — at sf0.1 this is ~16× less
+    * shuffle than the explode formulation). Output: (id, mh0..mh{k-1}). */
   def minhashSignatures(sh: DataFrame, idCol: String, k: Int): DataFrame = {
-    val hh = (md5Hash60(col("shingle")) % P).as("hh")
-    val perms = explode(sequence(lit(0), lit(k - 1))).as("i")
-    sh.select(col(idCol), hh).select(col(idCol), col("hh"), perms)
-      .withColumn("hv",
-        ((col("i") * 2 + 1) * col("hh") + (col("i") * 17 + 91)) % P)
-      .groupBy(col(idCol), col("i"))
-      .agg(min("hv").as("minhash"))
+    val hh = (col("sh_h") % P).as("hh")
+    val aggs = (0 until k).map { i =>
+      min((lit(i * 2L + 1) * col("hh") + lit(i * 17L + 91)) % P).as(s"mh$i")
+    }
+    sh.select(col(idCol), hh)
+      .groupBy(col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash + LSH banded candidate generation, verified with exact
@@ -100,37 +124,22 @@ object TextDedup {
     * Candidates are then exact-verified (jaccard >= minJ). */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int, k: Int, bands: Int, minJ: Double): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n).cache()
+    val sh = shingleHashes(df, idCol, textCol, n).cache()
     val rows = k / bands
     val sig = minhashSignatures(sh, idCol, k)
-    // band key: concat of the band's minhash values, plus the band index
-    val banded = sig
-      .withColumn("band", (col("i") / rows).cast("int"))
-      .groupBy(col(idCol), col("band"))
-      // order-stable band key: sort the (i, minhash) pairs
-      .agg(concat_ws(":", sort_array(collect_list(
-        concat(lpad(col("i").cast("string"), 2, "0"), lit("="),
-          col("minhash").cast("string"))))).as("band_key"))
-      .select(col(idCol), col("band"), col("band_key"))
+    // one row per (doc, band); the band key is the band's minhash tuple
+    val bandStructs = (0 until bands).map { b =>
+      struct((0 until rows).map(r => col(s"mh${b * rows + r}").as(s"v$r")): _*)
+    }
+    val banded = sig.select(col(idCol),
+      posexplode(array(bandStructs: _*)).as(Seq("band", "key")))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&
-          col("x.band_key") === col("y.band_key") &&
+          col("x.key") === col("y.key") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
       .distinct()
-    // exact verify candidates only
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val inter = sh.as("x").join(sh.as("y"),
-        col("x.shingle") === col("y.shingle") &&
-          col(s"x.$idCol") < col(s"y.$idCol"))
-      .groupBy(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
-      .agg(count(lit(1)).as("n_common"))
-    cand.join(inter, Seq("a_id", "b_id"))
-      .join(sizes.select(col(idCol).as("a_id"), col("sz").as("a_sz")), "a_id")
-      .join(sizes.select(col(idCol).as("b_id"), col("sz").as("b_sz")), "b_id")
-      .withColumn("jaccard",
-        col("n_common").cast("double") /
-          (col("a_sz") + col("b_sz") - col("n_common")).cast("double"))
+    cand.join(intersections(sh, idCol), Seq("a_id", "b_id"))
       .filter(col("jaccard") >= minJ)
       .select("a_id", "b_id", "jaccard")
   }

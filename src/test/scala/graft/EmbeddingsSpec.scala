@@ -44,7 +44,7 @@ class EmbeddingsSpec extends SparkSpec {
     val bf = Embeddings.bruteForceTopK(e, probes, "vec_id", "embedding", 50)
       .select("query_id", "corpus_id", "cosine")
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    val lsh = Embeddings.lshTopK(e, probes, "vec_id", "embedding", 4, 5)
+    val lsh = Embeddings.lshTopK(e, probes, "vec_id", "embedding", 4, 64, 5)
       .collect()
     assert(lsh.nonEmpty)
     lsh.foreach { r =>
@@ -58,7 +58,7 @@ class EmbeddingsSpec extends SparkSpec {
   test("identical vectors always share an LSH bucket (full recall on exact dups)") {
     val d = vecs(1L -> Seq(0.3f, -0.2f, 0.9f), 2L -> Seq(0.3f, -0.2f, 0.9f),
       3L -> Seq(-0.5f, 0.1f, 0.2f))
-    val out = Embeddings.cosineNearDupPairs(d, "vec_id", "embedding", 8, 0.99)
+    val out = Embeddings.cosineNearDupPairs(d, "vec_id", "embedding", 8, 3, 0.99)
       .collect()
     assert(out.length == 1)
     assert(out.head.getAs[Long]("a_id") == 1L)
