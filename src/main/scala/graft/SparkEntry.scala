@@ -130,6 +130,17 @@ object SparkEntry {
             .as("total_acctbal"))
         .orderBy("r_name")
     }),
+    "j5_mirror_lookup" -> ((s, dir) => {
+      val totals = ev(s, dir).groupBy("user_id")
+        .agg(sum(col("value").cast("decimal(28,2)")).cast("double")
+          .as("total_value"), count(lit(1)).as("n_rows"))
+      val dim = Tables.customer(s, dir).select(
+        col("c_custkey").as("user_id"),
+        when(col("c_custkey") % 10 === 0, col("c_custkey") + 1)
+          .as("mirror_id"))
+      Joins.mirrorLookup(totals, dim, "user_id", "mirror_id",
+        Seq("total_value", "n_rows")).orderBy("user_id")
+    }),
     "j6_replay_pattern" -> ((s, dir) => {
       val pattern = ev(s, dir)
         .groupBy(hour(col("ts")).cast("long").as("hr"))
@@ -462,6 +473,24 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "j5_mirror_lookup" ->
+      """WITH totals AS (
+        |  SELECT user_id,
+        |         CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) total_value,
+        |         COUNT(*) n_rows
+        |  FROM events GROUP BY 1),
+        |dim AS (
+        |  SELECT c_custkey AS user_id,
+        |         CASE WHEN c_custkey % 10 = 0 THEN c_custkey + 1 END AS mirror_id
+        |  FROM customer)
+        |SELECT t.user_id AS user_id,
+        |       COALESCE(m.total_value, t.total_value) AS eff_total_value,
+        |       COALESCE(m.n_rows, t.n_rows) AS eff_n_rows,
+        |       d.mirror_id IS NOT NULL AND m.total_value IS NOT NULL AS mirrored
+        |FROM totals t
+        |LEFT JOIN dim d ON t.user_id = d.user_id
+        |LEFT JOIN totals m ON d.mirror_id = m.user_id
+        |ORDER BY user_id""".stripMargin,
     "j6_replay_pattern" ->
       """WITH pattern AS (
         |  SELECT CAST(hour(ts) AS BIGINT) AS hr,

@@ -57,6 +57,23 @@ object Joins {
           col(hrCol).cast("long") * 3600)
   }
 
+  /** J5 — mirror self-lookup: a camera configured with `mirror_id`
+    * serves the stats of its mirror source (reference:
+    * app/services/camera.py:140-154). One broadcast of the catalog plus
+    * a self-join of the per-camera stats on the mirror key; cameras
+    * without a mirror (or whose mirror has no stats) keep their own. */
+  def mirrorLookup(stats: DataFrame, dim: DataFrame, key: String,
+                   mirrorCol: String, valueCols: Seq[String]): DataFrame = {
+    val mirrored = stats.select(
+      (col(key).as(mirrorCol)) +: valueCols.map(c => col(c).as(s"m_$c")): _*)
+    stats.join(broadcast(dim), Seq(key), "left")
+      .join(mirrored, Seq(mirrorCol), "left")
+      .select((col(key) +:
+        valueCols.map(c => coalesce(col(s"m_$c"), col(c)).as(s"eff_$c"))) :+
+        (col(mirrorCol).isNotNull && col(s"m_${valueCols.head}").isNotNull)
+          .as("mirrored"): _*)
+  }
+
   /** J7 — geo range join: points within `radiusM` meters of a zone,
     * planar small-angle metric (dx·m-per-deg-lat)² + (dy·m-per-deg-lng)².
     * The reference does this client-side per route segment
