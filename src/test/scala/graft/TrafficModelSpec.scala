@@ -1,0 +1,48 @@
+package graft
+
+import graft.ml.TrafficModel
+import org.apache.spark.sql.functions._
+
+class TrafficModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("training frame matches the A4 inner aggregate shape") {
+    val e = Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val tf = TrafficModel.trainingFrame(e, "user_id", "ts", "value")
+    assert(tf.columns.toSet ==
+      Set("user_id", "dow", "hr", "d", "hourly_total"))
+    assert(tf.count() > 0)
+    // label is non-negative (flux sums)
+    assert(tf.filter(col("hourly_total") < 0).count() == 0)
+  }
+
+  test("MLlib pipeline fits and predicts close to per-slot means on strong signal") {
+    // Synthetic: two cameras with different constant hourly volumes —
+    // a linear model with one-hot features must recover them near-exactly
+    val rows = for {
+      cam <- Seq(1L, 2L); day <- 1 to 14; hr <- Seq(8, 9)
+    } yield (cam, java.sql.Timestamp.valueOf(f"2024-02-$day%02d $hr%02d:30:00"),
+      if (cam == 1L) 100.0 else 20.0)
+    val hist = rows.toDF("user_id", "ts", "value")
+    val model = TrafficModel.fit(hist, "user_id", "ts", "value")
+    val keys = Seq(1L, 2L).toDF("user_id")
+    val pred = TrafficModel.predictSlots(model, keys, "user_id")
+      .filter(col("hr") === 8)
+    val byCam = pred.groupBy("user_id")
+      .agg(avg("predicted_volume").as("p"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(byCam(1L) > byCam(2L) + 30.0,
+      s"camera signal must dominate: $byCam")
+  }
+
+  test("predictions are non-negative and cover every slot") {
+    val e = Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val model = TrafficModel.fit(e, "user_id", "ts", "value")
+    val keys = e.select("user_id").distinct().limit(5)
+    val pred = TrafficModel.predictSlots(model, keys, "user_id")
+    assert(pred.count() == 5 * 7 * 24)
+    assert(pred.filter(col("predicted_volume") < 0).count() == 0)
+  }
+}
