@@ -216,6 +216,30 @@ object SparkEntry {
     "f_profile_classifier" -> ((s, dir) =>
       Profiles.distribution(Tables.documents(s, dir), "text", "lang",
         profileRules, "DEFAULT")),
+    // ---- A12: totals + percentage shares (guarded ratios) ----
+    "a12_shares" -> ((s, dir) =>
+      ev(s, dir).groupBy("event_type")
+        .agg(sum(col("value").cast("decimal(28,2)")).as("_tv"),
+          count(lit(1)).as("n"))
+        .withColumn("_total", sum(col("_tv")).over())
+        .select(col("event_type"),
+          col("_tv").cast("double").as("total_value"),
+          col("n"),
+          when(col("_total") > 0,
+            round(col("_tv").cast("double") / col("_total").cast("double")
+              * 100.0, 2)).otherwise(lit(0.0)).as("share_pct"))
+        .orderBy("event_type")),
+    // ---- scenario injection: seeded high/low clamp (routes.py:269-282) ----
+    "f_scenario_clamp" -> ((s, dir) =>
+      ev(s, dir).groupBy("user_id")
+        .agg(sum(col("value").cast("decimal(28,2)")).cast("double")
+          .as("base"))
+        .withColumn("high_clamped",
+          greatest(col("base"),
+            Synthetic.u01("scenario", col("user_id")) * 150.0 + 250.0))
+        .withColumn("low_clamped",
+          least(col("base"), Synthetic.u01("scenario", col("user_id")) * 50.0))
+        .orderBy("user_id")),
     // ---- A9/S10: data-lake day stats (pivot per class) ----
     "a9_pivot_day_stats" -> ((s, dir) => {
       val d = ev(s, dir).withColumn("d", date_format(col("ts"), "yyyy-MM-dd"))
@@ -673,6 +697,29 @@ object SparkEntry {
         |            ELSE 'DEFAULT' END AS profile,
         |       COUNT(*) AS n
         |FROM documents GROUP BY 1, 2 ORDER BY lang, profile""".stripMargin,
+    "a12_shares" ->
+      """WITH g AS (
+        |  SELECT event_type, SUM(CAST(value AS DECIMAL(28,2))) _tv, COUNT(*) n
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT SUM(_tv) _total FROM g)
+        |SELECT event_type, CAST(_tv AS DOUBLE) AS total_value, n,
+        |       CASE WHEN _total > 0
+        |            THEN round(CAST(_tv AS DOUBLE) / CAST(_total AS DOUBLE) * 100.0, 2)
+        |            ELSE 0.0 END AS share_pct
+        |FROM g, t ORDER BY event_type""".stripMargin,
+    "f_scenario_clamp" ->
+      """WITH b AS (
+        |  SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) base
+        |  FROM events GROUP BY 1),
+        |u AS (
+        |  SELECT user_id, base,
+        |         CAST(CAST(('0x'||substr(md5('scenario:' || CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) % 1000000 AS DOUBLE)
+        |           / 1000000.0 AS u01
+        |  FROM b)
+        |SELECT user_id, base,
+        |       greatest(base, u01 * 150.0 + 250.0) AS high_clamped,
+        |       least(base, u01 * 50.0) AS low_clamped
+        |FROM u ORDER BY user_id""".stripMargin,
     "a9_pivot_day_stats" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS d,
         |       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
