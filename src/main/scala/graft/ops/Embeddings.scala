@@ -27,9 +27,11 @@ object Embeddings {
   def quantize(v: Column): Column =
     transform(v, x => floor(x.cast("double") * 10000).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
-  def qdot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+  /** Exact integer dot product of two quantized vectors — fused custom
+    * Catalyst expression (graft.functions.QDotProduct): one codegen loop,
+    * no intermediate array, same exact-Long semantics as the
+    * zip_with+aggregate formulation it replaces. */
+  def qdot(a: Column, b: Column): Column = graft.functions.QDot.qdot(a, b)
 
   /** Cosine similarity of two quantized vectors as double (exact-integer
     * dot/norms, one final double division; 0 when either norm is 0). */
