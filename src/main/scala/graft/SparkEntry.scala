@@ -48,6 +48,10 @@ object SparkEntry {
       TimeBuckets.dayAligned(ev(s, dir), "ts", "value", "day")),
     "a8_history_dense_1h" -> ((s, dir) =>
       TimeBuckets.dense(ev(s, dir), "ts", "value", 3600)),
+    // custom period: one day of dense 30-min buckets from a start ts
+    // (1704499207 = 2024-01-06 01:20:07 UTC → day start 2024-01-06)
+    "a8_history_custom_day" -> ((s, dir) =>
+      TimeBuckets.customDay(ev(s, dir), "ts", "value", 1704499207L, 1800)),
     // ---- A1/A2/A3/A10/A13: totals and roll-ups ----
     "a1_totals_global" -> ((s, dir) => Totals.global(ev(s, dir), "value")),
     "a2_totals_trailing_7d" -> ((s, dir) =>
@@ -355,6 +359,21 @@ object SparkEntry {
         |         CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value,
         |         COUNT(*) AS n_events
         |  FROM events GROUP BY 1)
+        |SELECT s.bucket_ts AS bucket_ts,
+        |       COALESCE(a.total_value, 0.0) AS total_value,
+        |       COALESCE(a.n_events, 0) AS n_events
+        |FROM spine s LEFT JOIN agg a USING (bucket_ts)
+        |ORDER BY s.bucket_ts""".stripMargin,
+    "a8_history_custom_day" ->
+      """WITH p AS (SELECT CAST(1704499207 - (1704499207 % 86400) AS BIGINT) AS day_start),
+        |spine AS (SELECT day_start + unnest(generate_series(0, 47)) * 1800 AS bucket_ts FROM p),
+        |agg AS (
+        |  SELECT CAST(floor(epoch(ts)/1800)*1800 AS BIGINT) AS bucket_ts,
+        |         CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value,
+        |         COUNT(*) AS n_events
+        |  FROM events, p
+        |  WHERE floor(epoch(ts)) >= p.day_start AND floor(epoch(ts)) < p.day_start + 86400
+        |  GROUP BY 1)
         |SELECT s.bucket_ts AS bucket_ts,
         |       COALESCE(a.total_value, 0.0) AS total_value,
         |       COALESCE(a.n_events, 0) AS n_events

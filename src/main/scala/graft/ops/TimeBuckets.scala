@@ -73,4 +73,25 @@ object TimeBuckets {
         coalesce(col("n_events"), lit(0L)).as("n_events"))
       .orderBy("bucket_ts")
   }
+
+  /** A8 "custom" period (the drifted `/api/history?period=custom&start_ts`
+    * surface, SURVEY §2.11; in-memory impl at reference app/utils.py:
+    * 570-612): one full day of day-aligned buckets starting at the
+    * midnight of `startTs`, dense (zero-filled) like the reference's
+    * pre-allocated buckets. */
+  def customDay(events: DataFrame, tsCol: String, valueCol: String,
+                startTsEpoch: Long, intervalSec: Long): DataFrame = {
+    val dayStart = startTsEpoch - java.lang.Math.floorMod(startTsEpoch, 86400L)
+    val filtered = events.filter(
+      unix_timestamp(col(tsCol)) >= dayStart &&
+        unix_timestamp(col(tsCol)) < dayStart + 86400L)
+    val agg = history(filtered, tsCol, valueCol, intervalSec).drop("label")
+    val spine = events.sparkSession.range(86400L / intervalSec)
+      .select((lit(dayStart) + col("id") * intervalSec).as("bucket_ts"))
+    spine.join(agg, Seq("bucket_ts"), "left")
+      .select(col("bucket_ts"),
+        coalesce(col("total_value"), lit(0.0)).as("total_value"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy("bucket_ts")
+  }
 }

@@ -72,6 +72,15 @@ class HazardsSpec extends SparkSpec {
     assert(out(1).getAs[Double]("predicted_volume") == 0.0) // no-history default
   }
 
+  test("driver contract: entry() returns rows and every query has an oracle or rows-only note") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    assert(os.subsetOf(qs), s"oracles without queries: ${os -- qs}")
+    // rows-only queries are the deliberate exceptions
+    assert((qs -- os) == Set("e_lsh_topk"), s"unexpected rows-only: ${qs -- os}")
+  }
+
   test("numpy-style percentile thresholds agree with manual interpolation") {
     // hourly volumes 10,20,30,40 → p50=25, p75=32.5, p90=37 (numpy linear)
     val rows = (0 until 4).map { h =>
