@@ -146,6 +146,31 @@ object Ingest {
         sum("new_motors").as("accumulated_motors"),
         max("ts").as("last_update"))
 
+  /** S8 streaming — periodic full-state snapshot (the reference rewrites
+    * traffic_stats.json every 60 s, camera.py:319-322): observations
+    * append to the history lake per micro-batch, then the snapshot doc
+    * is rebuilt from the accumulated history and atomically replaced
+    * (Spark's commit protocol = the reference's tmp→bak→rename, X9).
+    * `foreachBatch` is exactly the reference's cadence hook; a real
+    * deployment sets Trigger.ProcessingTime("60 seconds"). */
+  def startSnapshotSink(detections: Dataset[Detection], historyRoot: String,
+                        snapshotPath: String, checkpoint: String,
+                        windows: Seq[(String, Long)])
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = detections.sparkSession
+    dedupObservations(detections).toDF()
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(historyRoot)
+        val all = spark.read.parquet(historyRoot)
+        graft.io.Snapshot.write(
+          graft.io.Snapshot.build(all, windows), snapshotPath)
+      }
+      .start()
+  }
+
   /** End-to-end wiring: detections stream → dedup → parquet history sink
     * (partitioned by date like the reference's lake) + console-able
     * windowed aggs. Returns the started query for the history sink. */

@@ -88,6 +88,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("snapshot sink maintains the full-state doc across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("snapsink").toString
+    val mem = MemoryStream[Detection]
+    val q = Ingest.startSnapshotSink(mem.toDS(), s"$dir/hist",
+      s"$dir/snap", s"$dir/ckpt", Seq("24h" -> 86400L))
+    try {
+      mem.addData(fixture.filter(_.ts == ts("2024-02-01 10:00:00")): _*)
+      q.processAllAvailable()
+      mem.addData(fixture.filter(_.ts == ts("2024-02-01 10:00:02")): _*)
+      q.processAllAvailable()
+      val back = graft.io.Snapshot.readSources(spark, s"$dir/snap")
+        .orderBy("camera_id").collect()
+      assert(back.length == 2)
+      // cam1 accumulated over BOTH batches: 2 new (t1) + 1 new (t2)
+      assert(back(0).getAs[Long]("accumulated_count") == 3L)
+    } finally q.stop()
+  }
+
+  test("streaming windowed flux emits closed windows in append mode") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Detection]
+    val obs = Ingest.dedupObservations(mem.toDS()).toDF()
+    val q = Ingest.windowedFlux(obs, "1 minute", "0 seconds")
+      .writeStream.format("memory").queryName("wflux")
+      .outputMode("append").start()
+    try {
+      mem.addData(det("cam1", "2024-02-01 10:00:00", "car", (0L, 0L, 10L, 10L)))
+      q.processAllAvailable()
+      // advance event time far past the first window + watermark
+      mem.addData(det("cam1", "2024-02-01 10:30:00", "car", (50L, 50L, 60L, 60L)))
+      q.processAllAvailable()
+      mem.addData(det("cam1", "2024-02-01 11:00:00", "car", (80L, 80L, 90L, 90L)))
+      q.processAllAvailable()
+      val out = spark.table("wflux").collect()
+      assert(out.length >= 1) // the 10:00 window closed and was emitted
+      assert(out.forall(_.getAs[Long]("flux") == 1L))
+    } finally q.stop()
+  }
+
   test("COCO class map: {1,3}→motorcycle, {2,5,7}→car, else null") {
     val d = Seq(1, 2, 3, 5, 7, 9).toDF("c")
     val out = d.select(Ingest.mapCocoClass(col("c"))).as[Option[String]]
