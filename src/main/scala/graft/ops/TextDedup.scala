@@ -98,10 +98,19 @@ object TextDedup {
     * shingles (stop-shingles) first; document shingle sets are small so
     * the raw index is fine here. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   n: Int, minJ: Double): DataFrame =
-    intersections(shingleHashes(df, idCol, textCol, n), idCol)
+                   n: Int, minJ: Double,
+                   maxShingleDocFreq: Option[Long] = None): DataFrame = {
+    val sh = shingleHashes(df, idCol, textCol, n)
+    // stop-shingle guard (Skew.dropHotKeys): at corpus scale, boilerplate
+    // shingles occurring in a large fraction of docs would make the
+    // inverted-index join quadratic on those keys; dropping them biases
+    // jaccard slightly low, the standard trade. Off by default so the
+    // oracle-matched exact semantics stay the default.
+    val guarded = maxShingleDocFreq.fold(sh)(Skew.dropHotKeys(sh, "sh_h", _))
+    intersections(guarded, idCol)
       .filter(col("jaccard") >= minJ)
       .select("a_id", "b_id", "n_common", "jaccard")
+  }
 
   /** MinHash signature: k hash functions h_i(s) = (a_i*h + b_i) mod P
     * over the doc's shingle-hash set, computed as k `min` aggregates in
