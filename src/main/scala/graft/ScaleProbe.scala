@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Diagnostic main: stress the scale-sensitive operators on a corpus
+  * synthetically multiplied from the test data (id-shifted unions), to
+  * catch quadratic blowups that sf0.1 alone would hide. Not part of the
+  * driver contract — run manually:
+  *   sbt "runMain graft.ScaleProbe [multiplier]"
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val mult = if (args.nonEmpty) args(0).toInt else 20
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    def multiplied(base: DataFrame, idCol: String): DataFrame =
+      (0 until mult).map { i =>
+        base.withColumn(idCol, col(idCol) + lit(i.toLong * 10000000L))
+      }.reduce(_ union _)
+
+    def time(name: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = body
+      println(f"[scaleprobe] $name%-28s rows=$n%10d  ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+
+    val docs = multiplied(Tables.documents(spark, dir)
+      .select("doc_id", "text"), "doc_id").cache()
+    println(s"[scaleprobe] documents x$mult = ${docs.count()}")
+
+    time("exact_dedup") {
+      ops.TextDedup.exactDedup(docs, "doc_id", "text").count()
+    }
+    time("dedup_corpus_pipeline") {
+      ops.TextDedup.dedupCorpus(docs, "doc_id", "text", 3, 16, 4, 0.8).count()
+    }
+    time("simhash_pairs") {
+      ops.TextDedup.simhashPairs(docs, "doc_id", "text", 10).count()
+    }
+    time("jaccard_guarded") {
+      ops.TextDedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8,
+        maxShingleDocFreq = Some(500L)).count()
+    }
+
+    val emb = multiplied(Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding"), "vec_id").cache()
+    println(s"[scaleprobe] embeddings x$mult = ${emb.count()}")
+    time("lsh_topk") {
+      ops.Embeddings.lshTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 8, 64, 5).count()
+    }
+    time("cosine_neardup") {
+      ops.Embeddings.cosineNearDupPairs(emb, "vec_id", "embedding",
+        12, 64, 0.99).count()
+    }
+
+    val ev = multiplied(Tables.events(spark, dir)
+      .withColumn("ts", col("ts").cast("timestamp")), "event_id").cache()
+    println(s"[scaleprobe] events x$mult = ${ev.count()}")
+    time("history_buckets") {
+      ops.TimeBuckets.history(ev, "ts", "value", 900, "HH:mm").count()
+    }
+    time("predict_pattern") {
+      ops.Predict.hourlyPattern(ev, "user_id", "ts", "value").count()
+    }
+    spark.stop()
+  }
+}

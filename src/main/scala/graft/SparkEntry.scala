@@ -263,6 +263,15 @@ object SparkEntry {
     "dd_minhash_lsh" -> ((s, dir) =>
       TextDedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
         n = 3, k = 16, bands = 4, minJ = 0.8).orderBy("a_id", "b_id")),
+    "dd_corpus_dedup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      // self-union: every doc duplicated → exact stage must halve it,
+      // near-dup stage then removes the seeded near-duplicates
+      val u = d.union(d.select((col("doc_id") + 100000).as("doc_id"),
+        col("text")))
+      TextDedup.dedupCorpus(u, "doc_id", "text", 3, 16, 4, 0.8)
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
     "dd_simhash_pairs" -> ((s, dir) =>
       TextDedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
         maxHamming = 10).orderBy("a_id", "b_id")),
@@ -794,6 +803,39 @@ object SparkEntry {
         |JOIN sizes sa ON c.a_id = sa.doc_id JOIN sizes sb ON c.b_id = sb.doc_id
         |WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.8
         |ORDER BY a_id, b_id""".stripMargin,
+    "dd_corpus_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents),
+        |reps AS (
+        |  SELECT min(doc_id) AS doc_id, any_value(text) AS text
+        |  FROM u GROUP BY text),
+        |t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') w FROM reps),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         CAST(('0x'||substr(md5(array_to_string(w[i:i+2], ' ')),1,15)) AS BIGINT) AS sh_h
+        |       FROM t, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS g(i)),
+        |hh AS (SELECT doc_id, sh_h % 1000000007 AS hh FROM sh),
+        |sig AS (SELECT doc_id, i, min(((i*2+1) * hh + (i*17+91)) % 1000000007) AS minhash
+        |        FROM hh, UNNEST(generate_series(0, 15)) AS g(i) GROUP BY 1, 2),
+        |banded AS (SELECT doc_id, CAST(i // 4 AS INT) AS band,
+        |                  array_to_string(list_sort(list(
+        |                    lpad(CAST(i AS VARCHAR),2,'0') || '=' || CAST(minhash AS VARCHAR))), ':') AS band_key
+        |           FROM sig GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.doc_id a_id, y.doc_id b_id
+        |         FROM banded x JOIN banded y
+        |           ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+        |sizes AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) n_common
+        |          FROM sh a JOIN sh b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |removed AS (
+        |  SELECT DISTINCT c.b_id AS doc_id
+        |  FROM cand c JOIN inter i ON c.a_id = i.a_id AND c.b_id = i.b_id
+        |  JOIN sizes sa ON c.a_id = sa.doc_id JOIN sizes sb ON c.b_id = sb.doc_id
+        |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.8)
+        |SELECT doc_id FROM reps
+        |WHERE doc_id NOT IN (SELECT doc_id FROM removed)
+        |ORDER BY doc_id""".stripMargin,
     "dd_simhash_pairs" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) t FROM documents),
         |h AS (SELECT doc_id, CAST(('0x'||substr(md5(t),1,15)) AS BIGINT) AS h FROM tok),

@@ -153,6 +153,26 @@ object TextDedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Full corpus dedup pipeline — the composition that actually scales:
+    * 1) EXACT dedup first (hash groupBy) collapses duplicate clusters to
+    *    one representative — this is what keeps the near-dup stage's
+    *    inverted index from going quadratic on dup clusters (a corpus
+    *    with a 10k-copy boilerplate doc would otherwise emit C(10k,2)
+    *    candidate pairs);
+    * 2) MinHash-LSH near-dup on the representatives only;
+    * 3) greedy removal: any representative with a near-dup of smaller id
+    *    is dropped (standard single-pass approximation of the
+    *    connected-components closure).
+    * Returns surviving (id, text) rows. */
+  def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
+                  n: Int, k: Int, bands: Int, minJ: Double): DataFrame = {
+    val keep = exactDedup(df, idCol, textCol).select(col("keep_id").as(idCol))
+    val reps = df.join(keep, Seq(idCol), "left_semi").cache()
+    val pairs = minhashLshPairs(reps, idCol, textCol, n, k, bands, minJ)
+    val removed = pairs.select(col("b_id").as(idCol)).distinct()
+    reps.join(removed, Seq(idCol), "left_anti")
+  }
+
   /** SimHash: 60-bit signature from token hashes. Bit b of the signature
     * is 1 iff the sum over tokens of (+1 if bit b of md5Hash60(token) else
     * -1), weighted by token frequency, is positive. Returns (id, simhash).
