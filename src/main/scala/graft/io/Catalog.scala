@@ -33,6 +33,12 @@ object Catalog {
       .withColumn("lat", col("lat").cast("double"))
       .withColumn("lng", col("lng").cast("double"))
 
+  /** S6 — write the catalog back (the reference pretty-prints the JSON
+    * array on camera edits, app/routes.py:66-68). A catalog is
+    * driver-sized; one output file keeps it a single JSON document dir. */
+  def writeConfig(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite").json(path)
+
   /** Thresholds catalog `{camera_id: {p50,p75,p90,max}}` →
     * (camera_id, p50, p75, p90, max) dimension (reference:
     * scripts/analyze_thresholds.py:55-60). Map-object JSON needs the

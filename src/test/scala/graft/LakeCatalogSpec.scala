@@ -54,6 +54,31 @@ class LakeCatalogSpec extends SparkSpec {
     assert(cfg(1).isNullAt(cfg(1).fieldIndex("mirror_id")))
   }
 
+  test("catalog write → read round-trips (S6)") {
+    val dir = Files.createTempDirectory("cfgout").toString
+    val df = Seq(("u1", "Cam A", "rtsp://a", true, -6.95, 107.6))
+      .toDF("id", "name", "url", "active", "lat", "lng")
+      .withColumn("mirror_id", lit(null).cast("string"))
+    Catalog.writeConfig(df, s"$dir/cfg")
+    val back = spark.read.json(s"$dir/cfg")
+    assert(back.count() == 1)
+    assert(back.head().getAs[String]("name") == "Cam A")
+  }
+
+  test("haversine distance matches known geodesics within 0.5%") {
+    // 1 degree of latitude ≈ 111.19 km on the R=6371km sphere
+    val d = Seq((0.0, 0.0, 1.0, 0.0)).toDF("lat1", "lng1", "lat2", "lng2")
+    val m = d.select(graft.ops.Geo.haversineM(
+      col("lat1"), col("lng1"), col("lat2"), col("lng2"))).as[Double]
+      .collect().head
+    assert(math.abs(m - 111194.9) < 500)
+    // symmetric and zero at identity
+    val z = Seq((3.5, 100.2)).toDF("a", "b")
+      .select(graft.ops.Geo.haversineM(col("a"), col("b"), col("a"), col("b")))
+      .as[Double].collect().head
+    assert(z == 0.0)
+  }
+
   test("thresholds map-object explodes into a typed dimension") {
     val f = Files.createTempFile("thr", ".json")
     Files.writeString(f,
