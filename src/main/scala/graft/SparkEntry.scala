@@ -318,6 +318,14 @@ object SparkEntry {
         "vec_id", "embedding", nPlanes = 4, dim = 64, k = 5)
         .orderBy("query_id", "rnk")
     }),
+    // rows-only (KMeans centroid floats vary at ulp level across
+    // partitionings; IVF==bruteforce equivalence is pinned in ScalaTest)
+    "e_ivf_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val model = Embeddings.ivfFit(e, "vec_id", "embedding", nLists = 16)
+      Embeddings.ivfTopK(model, e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", nProbe = 4, k = 5).orderBy("query_id", "rnk")
+    }),
     "f_rules_density_status" -> ((s, dir) => {
       ev(s, dir)
         .withColumn("status",

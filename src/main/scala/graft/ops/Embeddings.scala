@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.ml.functions.array_to_vector
 
 /** Similarity search over an embedding column (`Array[Float]`) — the
   * ANN surface a training-data pipeline needs: brute-force cosine top-k
@@ -112,6 +113,69 @@ object Embeddings {
       .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"),
         col("bucket"))
     val scored = cb.join(broadcast(qb), Seq("bucket"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("cosine", qcosine(col("qv"), col("cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cosine"),
+        col("rnk").cast("int").as("rnk"))
+  }
+
+  /** IVF (inverted-file) ANN index: a deterministic k-means coarse
+    * quantizer partitions the corpus into `nLists` cells; a query scans
+    * only its `nProbe` nearest cells. The scale path writes the corpus
+    * bucketed by cell so a probe reads nProbe partitions of a 100 TB
+    * corpus. Centroids come from MLlib KMeans with a FIXED seed —
+    * reproducible, and the model is a tiny driver-side array that
+    * broadcasts with the query side. */
+  def ivfFit(corpus: DataFrame, idCol: String, vecCol: String,
+             nLists: Int): org.apache.spark.ml.clustering.KMeansModel = {
+    val asm = corpus.select(col(idCol),
+      array_to_vector(col(vecCol)).as("features"))
+    new org.apache.spark.ml.clustering.KMeans()
+      .setK(nLists).setSeed(42L).setMaxIter(20)
+      .fit(asm)
+  }
+
+  /** Assign each vector to its IVF cell. */
+  def ivfAssign(model: org.apache.spark.ml.clustering.KMeansModel,
+                df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    model.transform(df.select(col(idCol),
+        array_to_vector(col(vecCol)).as("features")))
+      .select(col(idCol), col(model.getPredictionCol).as("cell"))
+
+  /** IVF top-k: per query, brute-force cosine within the query's
+    * `nProbe` nearest cells only. */
+  def ivfTopK(model: org.apache.spark.ml.clustering.KMeansModel,
+              corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, nProbe: Int, k: Int): DataFrame = {
+    val centroids = model.clusterCenters.zipWithIndex
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cb = corpus.join(ivfAssign(model, corpus, idCol, vecCol), idCol)
+      .select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cv"),
+        col("cell"))
+    // query → its nProbe nearest cells (tiny driver-side math per query
+    // is avoided: distances to all centroids computed as columns, then
+    // the nProbe smallest kept — centroid count is small by design)
+    val centDf = centroids.map { case (c, i) => (i, c.toArray) }
+      .toSeq.toDF("cell", "centroid")
+    val qCells = queries.select(col(idCol).as("query_id"),
+        quantize(col(vecCol)).as("qv"), col(vecCol).as("_v"))
+      .crossJoin(broadcast(centDf))
+      .withColumn("dist2", aggregate(
+        zip_with(col("_v"), col("centroid"),
+          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+        lit(0.0).cast("double"), (acc, x) => acc + x))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("dist2"), col("cell"))))
+      .filter(col("rnk") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    val scored = cb.join(broadcast(qCells), Seq("cell"))
       .filter(col("corpus_id") =!= col("query_id"))
       .withColumn("cosine", qcosine(col("qv"), col("cv")))
     val w = org.apache.spark.sql.expressions.Window

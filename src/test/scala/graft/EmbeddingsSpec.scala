@@ -55,6 +55,36 @@ class EmbeddingsSpec extends SparkSpec {
     }
   }
 
+  test("IVF with nProbe == nLists equals brute force exactly") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probes = e.filter($"vec_id" < 5)
+    val model = Embeddings.ivfFit(e, "vec_id", "embedding", nLists = 4)
+    val ivf = Embeddings.ivfTopK(model, e, probes, "vec_id", "embedding",
+        nProbe = 4, k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rnk")) ->
+        (r.getAs[Long]("corpus_id"), r.getAs[Double]("cosine"))).toMap
+    val bf = Embeddings.bruteForceTopK(e, probes, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rnk")) ->
+        (r.getAs[Long]("corpus_id"), r.getAs[Double]("cosine"))).toMap
+    assert(ivf == bf)
+  }
+
+  test("IVF with partial probes returns a subset with exact scores") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probes = e.filter($"vec_id" < 5)
+    val model = Embeddings.ivfFit(e, "vec_id", "embedding", nLists = 8)
+    val bf = Embeddings.bruteForceTopK(e, probes, "vec_id", "embedding", 100)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id")) ->
+        r.getAs[Double]("cosine")).toMap
+    val ivf = Embeddings.ivfTopK(model, e, probes, "vec_id", "embedding",
+      nProbe = 2, k = 5).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))
+      bf.get(key).foreach(c => assert(c == r.getAs[Double]("cosine")))
+    }
+  }
+
   test("identical vectors always share an LSH bucket (full recall on exact dups)") {
     val d = vecs(1L -> Seq(0.3f, -0.2f, 0.9f), 2L -> Seq(0.3f, -0.2f, 0.9f),
       3L -> Seq(-0.5f, 0.1f, 0.2f))

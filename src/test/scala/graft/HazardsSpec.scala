@@ -78,7 +78,8 @@ class HazardsSpec extends SparkSpec {
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"oracles without queries: ${os -- qs}")
     // rows-only queries are the deliberate exceptions
-    assert((qs -- os) == Set("e_lsh_topk"), s"unexpected rows-only: ${qs -- os}")
+    assert((qs -- os) == Set("e_lsh_topk", "e_ivf_topk"),
+      s"unexpected rows-only: ${qs -- os}")
   }
 
   test("numpy-style percentile thresholds agree with manual interpolation") {
