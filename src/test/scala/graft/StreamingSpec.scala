@@ -128,6 +128,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("running totals stream incrementally in update mode") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Detection]
+    val q = Ingest.runningTotals(Ingest.dedupObservations(mem.toDS()).toDF())
+      .writeStream.format("memory").queryName("rtot")
+      .outputMode("update").start()
+    try {
+      mem.addData(fixture.filter(_.ts == ts("2024-02-01 10:00:00")): _*)
+      q.processAllAvailable()
+      val afterB1 = spark.table("rtot")
+        .groupBy("camera_id").agg(max("accumulated_count").as("acc"))
+        .collect().map(r => r.getString(0) -> r.getAs[Long]("acc")).toMap
+      assert(afterB1("cam1") == 2L)
+      mem.addData(fixture.filter(_.ts == ts("2024-02-01 10:00:02")): _*)
+      q.processAllAvailable()
+      // update mode re-emits cam1 with the accumulated value grown by
+      // the second tick's flux (1 new, the static car excluded)
+      val afterB2 = spark.table("rtot")
+        .groupBy("camera_id").agg(max("accumulated_count").as("acc"))
+        .collect().map(r => r.getString(0) -> r.getAs[Long]("acc")).toMap
+      assert(afterB2("cam1") == 3L)
+      assert(afterB2("cam2") == 1L)
+    } finally q.stop()
+  }
+
   test("COCO class map: {1,3}→motorcycle, {2,5,7}→car, else null") {
     val d = Seq(1, 2, 3, 5, 7, 9).toDF("c")
     val out = d.select(Ingest.mapCocoClass(col("c"))).as[Option[String]]
