@@ -284,6 +284,15 @@ object SparkEntry {
     "t_quality" -> ((s, dir) =>
       TextStats.qualityMetrics(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
+    "t_vocab_topk" -> ((s, dir) =>
+      TextStats.vocabTopK(Tables.documents(s, dir), "text", 50)
+        .orderBy("rnk")),
+    "t_ngram_topk" -> ((s, dir) =>
+      TextStats.ngramTopK(Tables.documents(s, dir), "text", 2, 30)
+        .orderBy("rnk")),
+    "t_length_histogram" -> ((s, dir) =>
+      TextStats.lengthHistogram(Tables.documents(s, dir), "text", 50)
+        .orderBy("bin_lo")),
     "t_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), TextStats.fingerprint(col("text"))
@@ -898,6 +907,26 @@ object SparkEntry {
         |       round(stop_raw, 6) AS stopword_ratio,
         |       round(len_score * (1.0 - punct_raw) * (0.5 + least(stop_raw * 5.0, 0.5)), 6) AS quality_score
         |FROM m ORDER BY doc_id""".stripMargin,
+    "t_vocab_topk" ->
+      """WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) token FROM documents),
+        |c AS (SELECT token, COUNT(*) n FROM tok GROUP BY 1),
+        |r AS (SELECT token, n,
+        |        CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS INT) rnk
+        |      FROM c)
+        |SELECT token, n, rnk FROM r WHERE rnk <= 50 ORDER BY rnk""".stripMargin,
+    "t_ngram_topk" ->
+      """WITH t AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') w FROM documents),
+        |g AS (SELECT array_to_string(w[i:i+1], ' ') AS ngram
+        |      FROM t, UNNEST(generate_series(1, greatest(len(w)-1, 0))) AS gs(i)),
+        |c AS (SELECT ngram, COUNT(*) n FROM g GROUP BY 1),
+        |r AS (SELECT ngram, n,
+        |        CAST(ROW_NUMBER() OVER (ORDER BY n DESC, ngram) AS INT) rnk
+        |      FROM c)
+        |SELECT ngram, n, rnk FROM r WHERE rnk <= 30 ORDER BY rnk""".stripMargin,
+    "t_length_histogram" ->
+      """SELECT CAST((len(text) // 50) * 50 AS BIGINT) AS bin_lo,
+        |       COUNT(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "t_fingerprint" ->
       """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') w FROM documents),
         |t AS (SELECT doc_id, unnest(w) tok, generate_subscripts(w, 1) pos FROM w)

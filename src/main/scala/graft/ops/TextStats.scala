@@ -88,6 +88,41 @@ object TextStats {
       score.as("quality_score"))
   }
 
+  /** Corpus vocabulary: top-k tokens by frequency (ties broken
+    * lexicographically). Shuffle key = token; map-side partial counts do
+    * the heavy lifting at corpus scale; only k rows reach the driver. */
+  def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val counts = df.select(explode(TextDedup.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("token"))
+    counts.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+      .select("token", "n", "rnk")
+  }
+
+  /** Word n-gram frequency table, top-k (the n-gram statistics a
+    * contamination / memorization audit needs). */
+  def ngramTopK(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
+    val w = TextDedup.tokens(col(textCol))
+    val grams = df.select(explode(transform(
+      sequence(lit(0), greatest(size(w) - n, lit(0))),
+      i => concat_ws(" ", slice(w, i + 1, lit(n))))).as("ngram"))
+    val counts = grams.groupBy("ngram").agg(count(lit(1)).as("n"))
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("ngram"))
+    counts.withColumn("rnk", row_number().over(win).cast("int"))
+      .filter(col("rnk") <= k)
+      .select("ngram", "n", "rnk")
+  }
+
+  /** Document-length histogram: counts per `binWidth`-char bin —
+    * the distribution check before length-based quality filtering. */
+  def lengthHistogram(df: DataFrame, textCol: String, binWidth: Int): DataFrame =
+    df.select((floor(length(col(textCol)) / binWidth) * binWidth)
+        .cast("long").as("bin_lo"))
+      .groupBy("bin_lo").agg(count(lit(1)).as("n_docs"))
+
   /** Document fingerprint: position-weighted rolling hash over tokens —
     * sum over positions of ((pos+1) * (md5Hash60(token) mod 1e6)) mod
     * 2^61-1. Order-sensitive (unlike a bag-of-words hash) and exactly
