@@ -94,10 +94,13 @@ object TextStats {
   def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame = {
     val counts = df.select(explode(TextDedup.tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
+    // TakeOrdered first (parallel partial top-k per partition), THEN rank
+    // the k survivors — a global row_number over all counts would funnel
+    // the whole vocabulary through one reducer at corpus scale
+    val top = counts.orderBy(col("n").desc, col("token")).limit(k)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("n").desc, col("token"))
-    counts.withColumn("rnk", row_number().over(w).cast("int"))
-      .filter(col("rnk") <= k)
+    top.withColumn("rnk", row_number().over(w).cast("int"))
       .select("token", "n", "rnk")
   }
 
@@ -109,10 +112,10 @@ object TextStats {
       sequence(lit(0), greatest(size(w) - n, lit(0))),
       i => concat_ws(" ", slice(w, i + 1, lit(n))))).as("ngram"))
     val counts = grams.groupBy("ngram").agg(count(lit(1)).as("n"))
+    val top = counts.orderBy(col("n").desc, col("ngram")).limit(k)
     val win = org.apache.spark.sql.expressions.Window
       .orderBy(col("n").desc, col("ngram"))
-    counts.withColumn("rnk", row_number().over(win).cast("int"))
-      .filter(col("rnk") <= k)
+    top.withColumn("rnk", row_number().over(win).cast("int"))
       .select("ngram", "n", "rnk")
   }
 
