@@ -250,6 +250,9 @@ object SparkEntry {
       graft.io.Lake.dayStatsPivot(d, "d", "event_type",
         Seq("click", "error", "purchase", "signup", "view")).orderBy("d")
     }),
+    // ---- profiling: per-column summary over events ----
+    "prof_events_summary" -> ((s, dir) =>
+      Profiler.summary(ev(s, dir)).orderBy("col_name")),
     // ---- training-data pipeline: dedup family over documents ----
     "dd_exact_dedup" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
@@ -774,6 +777,28 @@ object SparkEntry {
         |       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
         |       COUNT(*) AS total
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "prof_events_summary" -> {
+      def num(c: String, mn: String, mx: String) =
+        s"""SELECT '$c' col_name, COUNT(*) n_rows, COUNT($c) n_nonnull,
+           |COUNT(DISTINCT $c) n_distinct,
+           |CAST($mn AS DOUBLE) min_num, CAST($mx AS DOUBLE) max_num,
+           |CAST(NULL AS VARCHAR) min_str, CAST(NULL AS VARCHAR) max_str
+           |FROM events""".stripMargin
+      def str(c: String) =
+        s"""SELECT '$c' col_name, COUNT(*) n_rows, COUNT($c) n_nonnull,
+           |COUNT(DISTINCT $c) n_distinct,
+           |CAST(NULL AS DOUBLE) min_num, CAST(NULL AS DOUBLE) max_num,
+           |min($c) min_str, max($c) max_str
+           |FROM events""".stripMargin
+      Seq(
+        num("event_id", "min(event_id)", "max(event_id)"),
+        num("ts", "floor(epoch(min(ts)))", "floor(epoch(max(ts)))"),
+        num("user_id", "min(user_id)", "max(user_id)"),
+        str("event_type"),
+        num("value", "min(value)", "max(value)"),
+        str("props"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
     "dd_exact_dedup" ->
       """WITH u AS (
         |  SELECT doc_id, text FROM documents

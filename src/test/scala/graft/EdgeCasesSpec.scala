@@ -1,0 +1,94 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Empty and single-row inputs — the places where scale code usually
+  * breaks first (null bounds, empty sequences, missing groups). */
+class EdgeCasesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val empty = Seq.empty[(Long, Timestamp, Double)]
+    .toDF("user_id", "ts", "value")
+  private val one = Seq((7L, Timestamp.valueOf("2024-02-01 10:00:00"), 5.0))
+    .toDF("user_id", "ts", "value")
+
+  test("totals on empty input: zero row, not crash") {
+    val g = Totals.global(empty, "value").collect().head
+    assert(g.getAs[Double]("total_value") == 0.0)
+    assert(g.getAs[Long]("n_rows") == 0L)
+  }
+
+  test("time buckets on empty and single-row input") {
+    assert(TimeBuckets.history(empty, "ts", "value", 900, "HH:mm")
+      .collect().isEmpty)
+    assert(TimeBuckets.dense(empty, "ts", "value", 3600).collect().isEmpty)
+    val d = TimeBuckets.dense(one, "ts", "value", 3600).collect()
+    assert(d.length == 1 && d.head.getAs[Double]("total_value") == 5.0)
+  }
+
+  test("window stats on empty input: zeros everywhere") {
+    val r = WindowStats.multiWindow(empty, "ts", "value", Seq("1h" -> 3600L))
+      .collect()
+    // empty input with a group-by-now: either zero rows or a zero row is
+    // acceptable; it must not throw. If a row exists, totals are 0.
+    r.foreach(row => assert(row.getAs[Double]("total_1h") == 0.0))
+  }
+
+  test("percentile thresholds on empty and single point") {
+    assert(Percentiles.thresholds(empty, "user_id", "ts", "value")
+      .collect().isEmpty)
+    val t = Percentiles.thresholds(one, "user_id", "ts", "value")
+      .collect().head
+    // single hourly volume: all percentiles collapse to it
+    assert(t.getAs[Double]("p50") == 5.0)
+    assert(t.getAs[Double]("max_volume") == 5.0)
+  }
+
+  test("dedup ops on empty documents") {
+    val ed = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextDedup.exactDedup(ed, "doc_id", "text").collect().isEmpty)
+    assert(TextDedup.jaccardPairs(ed, "doc_id", "text", 3, 0.5)
+      .collect().isEmpty)
+    assert(TextDedup.simhashPairs(ed, "doc_id", "text", 10)
+      .collect().isEmpty)
+    assert(TextDedup.minhashLshPairs(ed, "doc_id", "text", 3, 16, 4, 0.5)
+      .collect().isEmpty)
+  }
+
+  test("single-token and empty-text documents flow through text stats") {
+    val d = Seq((1L, "x"), (2L, ""), (3L, "   ")).toDF("doc_id", "text")
+    val q = TextStats.qualityMetrics(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(q.length == 3)
+    assert(q(0).getAs[Long]("n_tokens") == 1L)
+    assert(q(1).getAs[Long]("n_tokens") == 0L)
+    assert(q(1).getAs[Double]("quality_score") == 0.0)
+    val fp = d.select(TextStats.fingerprint(col("text"))).as[Long].collect()
+    assert(fp(1) == 0L && fp(2) == 0L)
+  }
+
+  test("ANN with empty query set") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = graft.ops.Embeddings.bruteForceTopK(
+      e, e.filter($"vec_id" < 0), "vec_id", "embedding", 5)
+    assert(out.collect().isEmpty)
+  }
+
+  test("approx distinct within 5% of exact on testdata") {
+    val e = Tables.events(spark, "/root/testdata/sf0.001")
+    val exact = e.select("user_id").distinct().count()
+    val approx = Profiler.approxDistinct(e, "user_id", 0.02)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("prediction with empty history returns 0 for all keys") {
+    val keys = Seq(1L, 2L).toDF("user_id")
+    val out = Predict.predictSlot(empty, keys, "user_id", "ts", "value", 1, 8)
+      .collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getAs[Double]("predicted_volume") == 0.0))
+  }
+}
