@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** One detection event — the contract the reference's CV stage emits
   * (app/services/camera.py:210-227: boxes → (class, conf, bbox) with the
@@ -155,12 +155,14 @@ object Ingest {
     * deployment sets Trigger.ProcessingTime("60 seconds"). */
   def startSnapshotSink(detections: Dataset[Detection], historyRoot: String,
                         snapshotPath: String, checkpoint: String,
-                        windows: Seq[(String, Long)])
+                        windows: Seq[(String, Long)],
+                        trigger: Trigger = Trigger.ProcessingTime(0L))
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = detections.sparkSession
     dedupObservations(detections).toDF()
       .writeStream
       .outputMode(OutputMode.Append)
+      .trigger(trigger) // reference cadence: ProcessingTime("60 seconds")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.write.mode("append").parquet(historyRoot)
@@ -175,13 +177,15 @@ object Ingest {
     * (partitioned by date like the reference's lake) + console-able
     * windowed aggs. Returns the started query for the history sink. */
   def startHistorySink(detections: Dataset[Detection], outRoot: String,
-                       checkpoint: String)
+                       checkpoint: String,
+                       trigger: Trigger = Trigger.ProcessingTime(0L))
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val obs = dedupObservations(detections).toDF()
     obs.withColumn("year", year(col("ts")))
       .withColumn("month", month(col("ts")))
       .withColumn("day", dayofmonth(col("ts")))
       .writeStream
+      .trigger(trigger) // reference tick: ProcessingTime("2 seconds")
       .format("parquet")
       .option("path", outRoot)
       .option("checkpointLocation", checkpoint)
