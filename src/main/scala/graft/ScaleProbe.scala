@@ -46,7 +46,10 @@ object ScaleProbe {
     time("simhash_pairs") {
       ops.TextDedup.simhashPairs(docs, "doc_id", "text", 10).count()
     }
-    time("jaccard_guarded") {
+    // the raw pairwise path is quadratic on dup clusters BY DESIGN on
+    // this multiplied corpus (that's the pathology dedupCorpus fixes);
+    // only probe it at small multipliers
+    if (mult <= 15) time("jaccard_guarded") {
       ops.TextDedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8,
         maxShingleDocFreq = Some(500L)).count()
     }

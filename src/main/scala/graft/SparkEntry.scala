@@ -250,6 +250,20 @@ object SparkEntry {
       graft.io.Lake.dayStatsPivot(d, "d", "event_type",
         Seq("click", "error", "purchase", "signup", "view")).orderBy("d")
     }),
+    // ---- as-of join (union+window composition; DuckDB ASOF oracle) ----
+    "x_asof_join" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val cp = e.groupBy(col("user_id"),
+          date_trunc("hour", col("ts")).as("ts"))
+        .agg(sum(col("value").cast("decimal(28,2)")).cast("double")
+          .as("checkpoint_total"))
+      val left = e.select("event_id", "user_id", "ts", "value")
+      AsOf.asofBackward(left, cp, "user_id", "ts", Seq("checkpoint_total"))
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("ts_epoch"), col("value"),
+          col("asof_checkpoint_total"))
+        .orderBy("event_id")
+    }),
     // ---- profiling: per-column summary over events ----
     "prof_events_summary" -> ((s, dir) =>
       Profiler.summary(ev(s, dir)).orderBy("col_name")),
@@ -777,6 +791,17 @@ object SparkEntry {
         |       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
         |       COUNT(*) AS total
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_asof_join" ->
+      """WITH cp AS (
+        |  SELECT user_id, date_trunc('hour', ts) cts,
+        |         CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) checkpoint_total
+        |  FROM events GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id,
+        |       CAST(floor(epoch(e.ts)) AS BIGINT) ts_epoch, e.value,
+        |       cp.checkpoint_total AS asof_checkpoint_total
+        |FROM events e ASOF LEFT JOIN cp
+        |  ON e.user_id = cp.user_id AND e.ts >= cp.cts
+        |ORDER BY event_id""".stripMargin,
     "prof_events_summary" -> {
       def num(c: String, mn: String, mx: String) =
         s"""SELECT '$c' col_name, COUNT(*) n_rows, COUNT($c) n_nonnull,
