@@ -250,6 +250,18 @@ object SparkEntry {
       graft.io.Lake.dayStatsPivot(d, "d", "event_type",
         Seq("click", "error", "purchase", "signup", "view")).orderBy("d")
     }),
+    // ---- sessionization (gap-based session windows) ----
+    "w_sessionize" -> ((s, dir) =>
+      Analytic.sessionize(ev(s, dir), "user_id", "ts", "value", 1800L)
+        .orderBy("user_id", "session_id")),
+    // ---- contamination: eval-vs-train n-gram overlap ----
+    "dd_contamination" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      TextDedup.contamination(
+        d.filter(col("source") =!= "src0"),
+        d.filter(col("source") === "src0"),
+        "doc_id", "text", 3).orderBy("doc_id")
+    }),
     // ---- as-of join (union+window composition; DuckDB ASOF oracle) ----
     "x_asof_join" -> ((s, dir) => {
       val e = ev(s, dir)
@@ -791,6 +803,45 @@ object SparkEntry {
         |       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
         |       COUNT(*) AS total
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "w_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, value, floor(epoch(ts)) eps,
+        |         LAG(floor(epoch(ts))) OVER (PARTITION BY user_id ORDER BY ts) prev
+        |  FROM events),
+        |brk AS (
+        |  SELECT user_id, ts, value, eps,
+        |         CASE WHEN prev IS NULL OR eps - prev > 1800 THEN 1 ELSE 0 END b
+        |  FROM o),
+        |sess AS (
+        |  SELECT user_id, ts, value, eps,
+        |         SUM(b) OVER (PARTITION BY user_id ORDER BY ts
+        |                      ROWS UNBOUNDED PRECEDING) session_id
+        |  FROM brk)
+        |SELECT user_id, session_id, COUNT(*) n_events,
+        |       CAST(min(eps) AS BIGINT) session_start,
+        |       CAST(max(eps) AS BIGINT) session_end,
+        |       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) total_value
+        |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+    "dd_contamination" ->
+      """WITH tr AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') w
+        |            FROM documents WHERE source <> 'src0'),
+        |ev AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') w
+        |       FROM documents WHERE source = 'src0'),
+        |tsh AS (SELECT DISTINCT
+        |          CAST(('0x'||substr(md5(array_to_string(w[i:i+2], ' ')),1,15)) AS BIGINT) AS sh_h
+        |        FROM tr, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS g(i)),
+        |esh AS (SELECT DISTINCT doc_id,
+        |          CAST(('0x'||substr(md5(array_to_string(w[i:i+2], ' ')),1,15)) AS BIGINT) AS sh_h
+        |        FROM ev, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS g(i)),
+        |sizes AS (SELECT doc_id, COUNT(*) n_shingles FROM esh GROUP BY 1),
+        |hits AS (SELECT doc_id, COUNT(*) n_contaminated
+        |         FROM esh WHERE sh_h IN (SELECT sh_h FROM tsh) GROUP BY 1)
+        |SELECT s.doc_id AS doc_id, s.n_shingles,
+        |       COALESCE(h.n_contaminated, 0) AS n_contaminated,
+        |       CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) /
+        |         CAST(s.n_shingles AS DOUBLE) AS contamination_ratio
+        |FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "x_asof_join" ->
       """WITH cp AS (
         |  SELECT user_id, date_trunc('hour', ts) cts,

@@ -70,4 +70,28 @@ object Analytic {
       .select(col(group), col(id), col(value), col("rnk"))
       .orderBy(col(group), col("rnk"))
   }
+
+  /** Sessionization: split each key's event sequence into sessions at
+    * gaps > `gapSec`, returning per-session aggregates (event count,
+    * start/end, total value). Session id = running count of gap-breaks —
+    * one shuffle on key, one windowed pass, then a hash agg; the
+    * streaming analog is session_window() with a watermark. */
+  def sessionize(df: DataFrame, key: String, ts: String, value: String,
+                 gapSec: Long): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts))
+    val eps = unix_timestamp(col(ts))
+    val newSession = when(
+      eps - lag(eps, 1).over(w) > gapSec || lag(eps, 1).over(w).isNull,
+      lit(1L)).otherwise(lit(0L))
+    df.withColumn("_brk", newSession)
+      .withColumn("session_id",
+        sum(col("_brk")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy(col(key), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_timestamp(col(ts))).as("session_start"),
+        max(unix_timestamp(col(ts))).as("session_end"),
+        sum(col(value).cast("decimal(28,2)")).cast("double")
+          .as("total_value"))
+  }
 }

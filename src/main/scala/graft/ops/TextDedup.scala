@@ -173,6 +173,27 @@ object TextDedup {
     reps.join(removed, Seq(idCol), "left_anti")
   }
 
+  /** Benchmark-contamination check: for each eval document, how many of
+    * its `n`-gram shingles appear anywhere in the training corpus (plus
+    * the contamination ratio). The standard pre-training hygiene query —
+    * one inverted-index semi-overlap, shuffled on the shingle hash; the
+    * train side reduces to DISTINCT hashes so a 100 TB train corpus
+    * contributes one row per distinct shingle. */
+  def contamination(train: DataFrame, eval_ : DataFrame, idCol: String,
+                    textCol: String, n: Int): DataFrame = {
+    val trainSh = shingleHashes(train, idCol, textCol, n)
+      .select("sh_h").distinct()
+    val evalSh = shingleHashes(eval_, idCol, textCol, n)
+    val sizes = evalSh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+    val hits = evalSh.join(trainSh, Seq("sh_h"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_contaminated"))
+    sizes.join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_contaminated"), lit(0L)).cast("double") /
+          col("n_shingles").cast("double")).as("contamination_ratio"))
+  }
+
   /** SimHash: 60-bit signature from token hashes. Bit b of the signature
     * is 1 iff the sum over tokens of (+1 if bit b of md5Hash60(token) else
     * -1), weighted by token frequency, is positive. Returns (id, simhash).
