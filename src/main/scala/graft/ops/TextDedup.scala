@@ -39,32 +39,42 @@ object TextDedup {
 
   private val P = 1000000007L // hash-family modulus (fits products in Long)
 
+  /** Array of `n`-word shingle strings for a token array. Built as a
+    * zip_with chain over n shifted slices — O(n·len) per document. The
+    * naive `transform(sequence, i => slice(w, i, n))` is O(len²) per doc
+    * (one O(len) slice per element) and was the hot spot of every dedup
+    * query. Same output strings, so oracles are unaffected.
+    *
+    * Note the slice length arg: greatest(size-n+1, 0) — an all-doc
+    * shorter than n words yields an empty shingle set (matching the
+    * sequence formulation's degenerate single truncated shingle is NOT
+    * desired; shorter-than-n docs have no n-shingles). */
+  private[ops] def shingleArray(w: Column, n: Int): Column = {
+    val len = greatest(size(w) - (n - 1), lit(0))
+    (1 until n).foldLeft(slice(w, lit(1), len)) { (acc, j) =>
+      zip_with(acc, slice(w, lit(j + 1), len),
+        (a, b) => concat(a, lit(" "), b))
+    }
+  }
+
   /** `n`-word shingles of a document, as (id, shingle string) —
     * DISTINCT per doc. */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val w = tokens(col(textCol))
-    df.select(col(idCol), w.as("w"))
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("w"))
       .select(col(idCol),
-        explode(transform(
-          sequence(lit(0), greatest(size(col("w")) - n, lit(0))),
-          i => concat_ws(" ", slice(col("w"), i + 1, lit(n))))).as("shingle"))
+        explode(shingleArray(col("w"), n)).as("shingle"))
       .distinct()
-  }
 
   /** The inverted-index fact table: (id, 60-bit shingle hash), DISTINCT
     * per doc. All pairwise ops run on this — at scale it shuffles by
     * `sh_h`, never by document pair. */
   def shingleHashes(df: DataFrame, idCol: String, textCol: String,
-                    n: Int): DataFrame = {
-    val w = tokens(col(textCol))
-    df.select(col(idCol), w.as("w"))
+                    n: Int): DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("w"))
       .select(col(idCol),
-        explode(transform(
-          sequence(lit(0), greatest(size(col("w")) - n, lit(0))),
-          i => md5Hash60(concat_ws(" ", slice(col("w"), i + 1, lit(n))))))
+        explode(transform(shingleArray(col("w"), n), s => md5Hash60(s)))
           .as("sh_h"))
       .distinct()
-  }
 
   /** Exact dedup: group by full-content hash, keep the smallest id as the
     * canonical representative. One shuffle on a 60-bit key; the text

@@ -108,9 +108,8 @@ object TextStats {
     * contamination / memorization audit needs). */
   def ngramTopK(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
     val w = TextDedup.tokens(col(textCol))
-    val grams = df.select(explode(transform(
-      sequence(lit(0), greatest(size(w) - n, lit(0))),
-      i => concat_ws(" ", slice(w, i + 1, lit(n))))).as("ngram"))
+    val grams = df.select(
+      explode(TextDedup.shingleArray(w, n)).as("ngram"))
     val counts = grams.groupBy("ngram").agg(count(lit(1)).as("n"))
     val top = counts.orderBy(col("n").desc, col("ngram")).limit(k)
     val win = org.apache.spark.sql.expressions.Window
