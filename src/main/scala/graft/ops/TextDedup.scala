@@ -158,7 +158,15 @@ object TextDedup {
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
       .distinct()
-    cand.join(intersections(sh, idCol), Seq("a_id", "b_id"))
+      .cache()
+    // exact-verify ONLY the candidates: restrict the inverted index to
+    // docs that appear in some candidate pair before the pairwise
+    // intersection join — LSH already did the pruning, so the expensive
+    // join runs on the (tiny) candidate doc set, not the corpus
+    val candDocs = cand.select(col("a_id").as(idCol))
+      .union(cand.select(col("b_id").as(idCol))).distinct()
+    val shCand = sh.join(candDocs, Seq(idCol), "left_semi")
+    cand.join(intersections(shCand, idCol), Seq("a_id", "b_id"))
       .filter(col("jaccard") >= minJ)
       .select("a_id", "b_id", "jaccard")
   }
