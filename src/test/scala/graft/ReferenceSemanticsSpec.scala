@@ -1,0 +1,57 @@
+package graft
+
+import graft.ops.{TimeBuckets, Totals, WindowStats}
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Pins reference display/boundary semantics not already covered by the
+  * oracle queries (which fix one parameterization each). */
+class ReferenceSemanticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rows = Seq(
+    (1L, Timestamp.valueOf("2024-02-01 10:07:00"), 5.0),
+    (2L, Timestamp.valueOf("2024-02-01 10:22:00"), 7.0),
+    (3L, Timestamp.valueOf("2024-02-03 09:00:00"), 11.0))
+    .toDF("user_id", "ts", "value")
+
+  test("bucket labels: HH:mm for short periods, dd/MM for day periods (routes.py:124-127)") {
+    val short = TimeBuckets.history(rows, "ts", "value", 900, "HH:mm")
+      .orderBy("bucket_ts").collect()
+    assert(short.head.getAs[String]("label") == "10:00")
+    val daily = TimeBuckets.history(rows, "ts", "value", 86400, "dd/MM")
+      .orderBy("bucket_ts").collect()
+    assert(daily.map(_.getAs[String]("label")).toSeq == Seq("01/02", "03/02"))
+  }
+
+  test("trailing window cutoff is inclusive of now - w (utils.py:539)") {
+    // now = max ts = 2024-02-03 09:00:00; w = exactly the gap to row 2
+    val gap = (Timestamp.valueOf("2024-02-03 09:00:00").getTime -
+      Timestamp.valueOf("2024-02-01 10:22:00").getTime) / 1000
+    val t = Totals.trailing(rows, "ts", "value", gap).collect().head
+    assert(t.getAs[Long]("n_rows") == 2L) // row 2 at the boundary included
+    assert(t.getAs[Double]("total_value") == 18.0)
+  }
+
+  test("window-stats avg is rounded to 2 decimals (utils.py:551)") {
+    val r = WindowStats.multiWindow(rows, "ts", "value",
+      Seq("all" -> 10L * 86400L)).collect().head
+    // (5+7+11)/3 = 7.666... → 7.67
+    assert(r.getAs[Double]("avg_all") == 7.67)
+  }
+
+  test("bucket alignment: epoch-floor buckets, not first-event-anchored (routes.py:112)") {
+    val b = TimeBuckets.history(rows, "ts", "value", 900, "HH:mm")
+      .orderBy("bucket_ts").collect()
+    // 10:07 lands in the 10:00 bucket (floor), not a 10:07-anchored one
+    val epoch0 = b.head.getAs[Long]("bucket_ts")
+    assert(epoch0 % 900 == 0)
+  }
+
+  test("day-aligned buckets use midnight boundaries (utils.py:574-576)") {
+    val d = TimeBuckets.dayAligned(rows, "ts", "value", "day")
+      .orderBy("bucket_ts").collect()
+    assert(d.length == 2)
+    assert(d.forall(_.getAs[Long]("bucket_ts") % 86400 == 0))
+  }
+}
