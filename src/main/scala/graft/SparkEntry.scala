@@ -647,8 +647,8 @@ object SparkEntry {
         |  FROM segs s LEFT JOIN per_seg p
         |    ON s.route_id = p.route_id AND s.seg_id = p.seg_id),
         |routes AS (
-        |  SELECT route_id, SUM(seg_time_ms) total_time_ms,
-        |         COUNT(*) n_segments, SUM(congested) n_congested
+        |  SELECT route_id, CAST(SUM(seg_time_ms) AS BIGINT) total_time_ms,
+        |         COUNT(*) n_segments, CAST(SUM(congested) AS BIGINT) n_congested
         |  FROM st GROUP BY 1)
         |SELECT route_id, total_time_ms, n_segments, n_congested,
         |       CAST(ROW_NUMBER() OVER (ORDER BY total_time_ms, route_id) AS INT) rnk
@@ -817,7 +817,7 @@ object SparkEntry {
         |         SUM(b) OVER (PARTITION BY user_id ORDER BY ts
         |                      ROWS UNBOUNDED PRECEDING) session_id
         |  FROM brk)
-        |SELECT user_id, session_id, COUNT(*) n_events,
+        |SELECT user_id, CAST(session_id AS BIGINT) session_id, COUNT(*) n_events,
         |       CAST(min(eps) AS BIGINT) session_start,
         |       CAST(max(eps) AS BIGINT) session_end,
         |       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) total_value
@@ -1032,8 +1032,8 @@ object SparkEntry {
       """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') w FROM documents),
         |t AS (SELECT doc_id, unnest(w) tok, generate_subscripts(w, 1) pos FROM w)
         |SELECT doc_id,
-        |       COALESCE(SUM(pos * (CAST(('0x'||substr(md5(tok),1,15)) AS BIGINT) % 1000000)), 0)
-        |         % 2305843009213693951 AS fingerprint
+        |       CAST(COALESCE(SUM(pos * (CAST(('0x'||substr(md5(tok),1,15)) AS BIGINT) % 1000000)), 0)
+        |         % 2305843009213693951 AS BIGINT) AS fingerprint
         |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "mm_feature_extract" ->
       """SELECT doc_id AS media_id, 'image' AS modality,

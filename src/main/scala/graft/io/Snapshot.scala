@@ -78,13 +78,12 @@ object Snapshot {
     val raw = s.read.option("wholetext", value = true).text(path)
     val v2 = StructType(Seq(
       StructField("sources", MapType(StringType, statsStruct))))
-    val parsedV2 = raw.select(
-      from_json(col("value"), v2).getField("sources").as("m"))
-    val parsedLegacy = raw.select(
-      from_json(col("value"), MapType(StringType, statsStruct)).as("m"))
-    val chosen = parsedV2.crossJoin(
-        parsedLegacy.select(col("m").as("legacy")))
-      .select(coalesce(col("m"), col("legacy")).as("m"))
+    // Both parses as columns of the SAME row (not a crossJoin of two
+    // derived one-row frames): with >1 input file the cross join would
+    // multiply rows and pair mismatched parses.
+    val chosen = raw.select(coalesce(
+      from_json(col("value"), v2).getField("sources"),
+      from_json(col("value"), MapType(StringType, statsStruct))).as("m"))
     chosen.select(explode(col("m")).as(Seq("camera_id", "st")))
       .select(col("camera_id"), col("st.accumulated_count"),
         col("st.accumulated_cars"), col("st.accumulated_motors"),

@@ -43,10 +43,18 @@ object AsOf {
         valueCols.map(v => col(s"_r_$v")) ++
         leftCols.filterNot(c => c == keyCol || c == tsCol)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    // Deterministic tiebreak among right rows sharing (key, ts): order by
+    // a payload-derived hash so `last` always lands on the same row (rows
+    // with equal hashes have equal payloads → same carried values either
+    // way). Without this the pick is partition-order-dependent (SURVEY
+    // hazard 7).
+    val unioned = lProj.union(rProj).withColumn("_tb",
+      when(col("_tag") === 0, xxhash64(valueCols.map(v => col(s"_r_$v")): _*))
+        .otherwise(lit(0L)))
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol), col("_tag"))
+      .orderBy(col(tsCol), col("_tag"), col("_tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(lProj.union(rProj))((d, v) =>
+    val carried = valueCols.foldLeft(unioned)((d, v) =>
       d.withColumn(s"asof_$v", last(col(s"_r_$v"), ignoreNulls = true).over(w)))
     carried.filter(col("_tag") === 1)
       .select((leftCols.map(col) ++ valueCols.map(v => col(s"asof_$v"))): _*)

@@ -5,12 +5,19 @@ Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
 
 Reads <verifyOutDir>/<name>/ parquet (written by graft.Verify) and
 <verifyOutDir>/oracle_sql.json, runs each oracle in DuckDB over views of
-<sfDir>/*.parquet, and compares: row count, column names, and values
-(exact for non-floats; floats exact too but near-misses reported with
-max abs diff so we can see whether a failure is semantic or ulp-level).
+<sfDir>/*.parquet, and compares: row count, column names, declared types,
+and values. Oracle values are fetched via fetchall() (NOT .df()) so that
+HUGEINT/DECIMAL stay exact Python ints/Decimals instead of being demoted
+to float64 — the driver compares hashes of exact values, and a float64
+demotion here can green-light values that differ beyond 2^53.
+
+Type parity is checked too: a Spark int64 column against a DuckDB HUGEINT
+(e.g. an uncast SUM) fails the driver's hash compare even when every value
+is equal, so it must fail here as well.
+
 Dev tool only — NOT part of the shipped library.
 """
-import sys, json, glob, os
+import sys, json, glob, os, math
 import duckdb
 import pandas as pd
 import numpy as np
@@ -20,39 +27,64 @@ def load_views(con, sf_dir):
         name = os.path.basename(f)[:-len(".parquet")]
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
 
-def canon(df):
-    df = df[sorted(df.columns)].reset_index(drop=True)
-    return df
+INT_DUCK = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+            "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
+FLOAT_DUCK = {"FLOAT", "DOUBLE"}
 
-def cmp_frames(name, spark_df, oracle_df):
+def type_mismatch(spark_dtype, duck_type):
+    """Returns a message when the declared types cannot hash-match on the
+    driver side; None when they are compatible."""
+    base = duck_type.split("(")[0].strip().upper()
+    if pd.api.types.is_integer_dtype(spark_dtype):
+        if base not in INT_DUCK:
+            return f"spark {spark_dtype} vs oracle {duck_type} (add CAST(... AS BIGINT) in the oracle SQL)"
+    elif pd.api.types.is_float_dtype(spark_dtype):
+        if base not in FLOAT_DUCK:
+            return f"spark {spark_dtype} vs oracle {duck_type} (add CAST(... AS DOUBLE) in the oracle SQL)"
+    return None
+
+def values_equal(x, y):
+    if x is None and y is None:
+        return True
+    if isinstance(x, float) and isinstance(y, float):
+        return (x == y) or (math.isnan(x) and math.isnan(y))
+    if isinstance(x, float) or isinstance(y, float):
+        # one side float, other int — types already flagged; compare numerically
+        try:
+            return float(x) == float(y)
+        except (TypeError, ValueError):
+            return False
+    return x == y
+
+def cmp_frames(name, spark_df, oracle_cols, oracle_types, oracle_rows):
     ok = True
     msgs = []
-    if sorted(spark_df.columns) != sorted(oracle_df.columns):
-        return False, [f"columns differ: spark={sorted(spark_df.columns)} oracle={sorted(oracle_df.columns)}"]
-    s, o = canon(spark_df), canon(oracle_df)
-    if len(s) != len(o):
-        return False, [f"row count differs: spark={len(s)} oracle={len(o)}"]
-    # also compare row-order-insensitively (driver convention unknown; we
-    # require BOTH orderings to match since queries end in ORDER BY)
-    for c in s.columns:
-        sv, ov = s[c], o[c]
-        if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
-            a = sv.astype(float).to_numpy()
-            b = ov.astype(float).to_numpy()
-            both_nan = np.isnan(a) & np.isnan(b)
-            eq = (a == b) | both_nan
-            if not eq.all():
-                d = np.nanmax(np.abs(a - b))
-                ok = False
-                msgs.append(f"col {c}: {int((~eq).sum())}/{len(a)} float mismatches, max abs diff {d:.3e}")
-        else:
-            sv = sv.astype(object).where(pd.notnull(sv), None)
-            ov = ov.astype(object).where(pd.notnull(ov), None)
-            neq = [(i, x, y) for i, (x, y) in enumerate(zip(sv, ov)) if x != y]
-            if neq:
-                ok = False
-                i, x, y = neq[0]
-                msgs.append(f"col {c}: {len(neq)} mismatches, first at row {i}: spark={x!r} oracle={y!r}")
+    if sorted(spark_df.columns) != sorted(oracle_cols):
+        return False, [f"columns differ: spark={sorted(spark_df.columns)} oracle={sorted(oracle_cols)}"]
+    order = sorted(range(len(oracle_cols)), key=lambda i: oracle_cols[i])
+    s = spark_df[sorted(spark_df.columns)].reset_index(drop=True)
+    if len(s) != len(oracle_rows):
+        return False, [f"row count differs: spark={len(s)} oracle={len(oracle_rows)}"]
+    for pos, i in enumerate(order):
+        c = oracle_cols[i]
+        tm = type_mismatch(s[c].dtype, oracle_types[i])
+        if tm:
+            ok = False
+            msgs.append(f"col {c}: TYPE mismatch: {tm}")
+        sv = s[c].astype(object).where(pd.notnull(s[c]), None).tolist()
+        ov = [row[i] for row in oracle_rows]
+        neq = [(j, x, y) for j, (x, y) in enumerate(zip(sv, ov))
+               if not values_equal(x, y)]
+        if neq:
+            ok = False
+            j, x, y = neq[0]
+            extra = ""
+            if isinstance(x, (int, float)) and isinstance(y, (int, float)):
+                diffs = [abs(float(a) - float(b)) for _, a, b in neq
+                         if a is not None and b is not None]
+                if diffs:
+                    extra = f", max abs diff {max(diffs):.3e}"
+            msgs.append(f"col {c}: {len(neq)} mismatches{extra}, first at row {j}: spark={x!r} oracle={y!r}")
     return ok, msgs
 
 def main():
@@ -75,12 +107,15 @@ def main():
             n_fail += 1
             continue
         try:
-            oracle_df = con.execute(sql).df()
+            desc = con.execute("DESCRIBE " + sql).fetchall()
+            oracle_cols = [r[0] for r in desc]
+            oracle_types = [r[1] for r in desc]
+            oracle_rows = con.execute(sql).fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
-        ok, msgs = cmp_frames(name, spark_df, oracle_df)
+        ok, msgs = cmp_frames(name, spark_df, oracle_cols, oracle_types, oracle_rows)
         if ok:
             print(f"PASS {name} ({len(spark_df)} rows)")
             n_pass += 1
