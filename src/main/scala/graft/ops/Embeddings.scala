@@ -135,8 +135,14 @@ object Embeddings {
              nLists: Int): org.apache.spark.ml.clustering.KMeansModel = {
     val asm = corpus.select(col(idCol),
       array_to_vector(col(vecCol)).as("features"))
+    // An IVF coarse quantizer only needs cells that roughly partition the
+    // space — recall comes from nProbe, not centroid optimality. Random
+    // init skips k-means||'s extra full passes over the corpus (several
+    // jobs each at cluster scale) and 10 iterations with a loose tol is
+    // the standard budget for this use.
     new org.apache.spark.ml.clustering.KMeans()
-      .setK(nLists).setSeed(42L).setMaxIter(20)
+      .setK(nLists).setSeed(42L).setMaxIter(10)
+      .setInitMode("random").setTol(1e-3)
       .fit(asm)
   }
 

@@ -101,23 +101,57 @@ object TextDedup {
           (col("a_sz") + col("b_sz") - col("n_common")).cast("double"))
   }
 
-  /** Exact n-gram Jaccard near-dup pairs: inverted-index join → per-pair
-    * intersection count → Jaccard against the two set sizes. Emits
-    * (a, b, n_common, jaccard) for J >= minJ, a < b. At 100 TB the hot
-    * shingles are the skew hazard — callers should drop top-frequency
-    * shingles (stop-shingles) first; document shingle sets are small so
-    * the raw index is fine here. */
+  /** Exact n-gram Jaccard near-dup pairs via PREFIX FILTERING (the
+    * AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al. WWW'08):
+    * order each document's shingles by global rarity (doc-frequency, then
+    * hash), index only the first `sz - ceil(minJ*sz) + 1` of them, and
+    * generate candidate pairs from prefix-prefix collisions plus a
+    * length-ratio filter. Candidates are then exact-verified with the
+    * full intersection. Output is IDENTICAL to the naive all-pairs
+    * inverted-index join (the prefix lemma guarantees no qualifying pair
+    * is missed for any global order), but candidate generation joins
+    * rare-shingle posting lists instead of every co-occurrence: at
+    * J >= 0.8 the indexed fraction is ~20% of each doc and the hot
+    * boilerplate shingles (the 100 TB skew hazard) fall out of the
+    * prefixes entirely. Emits (a, b, n_common, jaccard), a < b. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int, minJ: Double,
                    maxShingleDocFreq: Option[Long] = None): DataFrame = {
-    val sh = shingleHashes(df, idCol, textCol, n)
-    // stop-shingle guard (Skew.dropHotKeys): at corpus scale, boilerplate
-    // shingles occurring in a large fraction of docs would make the
-    // inverted-index join quadratic on those keys; dropping them biases
-    // jaccard slightly low, the standard trade. Off by default so the
-    // oracle-matched exact semantics stay the default.
-    val guarded = maxShingleDocFreq.fold(sh)(Skew.dropHotKeys(sh, "sh_h", _))
-    intersections(guarded, idCol)
+    val sh0 = shingleHashes(df, idCol, textCol, n)
+    // stop-shingle guard (Skew.dropHotKeys): optional hard cap for
+    // adversarial corpora; biases jaccard slightly low. Off by default —
+    // prefix filtering already keeps hot shingles out of the join.
+    val guarded = maxShingleDocFreq.fold(sh0)(Skew.dropHotKeys(sh0, "sh_h", _))
+    val sh = guarded.cache()
+    val dfreq = sh.groupBy(col("sh_h")).agg(count(lit(1)).as("_df"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("_df"), col("sh_h"))
+    val wSz = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    // prefix length sz - ceil(minJ*sz) + 1, fp-safe: the 1e-9 nudge makes
+    // ceil(0.8*5)=4 (not 5 via the 4.0000000000000002 double product) —
+    // errs only toward a LONGER prefix, never a shorter (unsound) one.
+    val ranked = sh.join(dfreq, "sh_h")
+      .withColumn("_rk", row_number().over(wDoc))
+      .withColumn("_sz", count(lit(1)).over(wSz))
+      .withColumn("_pfx",
+        col("_sz") - ceil(lit(minJ) * col("_sz") - lit(1e-9)) + 1)
+    val prefix = ranked.filter(col("_rk") <= col("_pfx"))
+      .select(col(idCol), col("sh_h"), col("_sz"))
+    // length-ratio filter: J >= t forces min_sz/max_sz >= t. Division is
+    // correctly rounded and J_exact <= ratio_exact, so by monotonicity of
+    // rounding this never rejects a pair the final jaccard filter keeps.
+    val cand = prefix.as("x").join(prefix.as("y"),
+        col("x.sh_h") === col("y.sh_h") &&
+          col(s"x.$idCol") < col(s"y.$idCol") &&
+          col("x._sz") / col("y._sz") >= minJ &&
+          col("y._sz") / col("x._sz") >= minJ)
+      .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
+      .distinct()
+      .cache()
+    val candDocs = cand.select(col("a_id").as(idCol))
+      .union(cand.select(col("b_id").as(idCol))).distinct()
+    val shCand = sh.join(candDocs, Seq(idCol), "left_semi")
+    cand.join(intersections(shCand, idCol), Seq("a_id", "b_id"))
       .filter(col("jaccard") >= minJ)
       .select("a_id", "b_id", "n_common", "jaccard")
   }
