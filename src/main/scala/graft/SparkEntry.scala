@@ -348,6 +348,22 @@ object SparkEntry {
         .select(col("media_id"), col("modality"), col("n_bytes"))
         .orderBy("media_id")
     }),
+    "mm_frame_sample" -> ((s, dir) => {
+      val m = Multimodal.fromText(Tables.documents(s, dir), "doc_id", "text",
+        "video")
+      Multimodal.sampleFrames(m, stride = 2)
+        .select(col("media_id"), col("frame_idx"),
+          col("frame_bytes").cast("long").as("frame_bytes"))
+        .orderBy("media_id", "frame_idx")
+    }),
+    "mm_resize" -> ((s, dir) => {
+      val m = Multimodal.fromText(Tables.documents(s, dir), "doc_id", "text",
+        "image")
+      Multimodal.resizeAll(m, targetBytes = 64).toDF()
+        .select(col("media_id"), length(col("payload")).cast("long")
+          .as("resized_bytes"), col("width").cast("long").as("width"))
+        .orderBy("media_id")
+    }),
     // rows-only (no SQL oracle: recall<1 by design; consistency vs brute
     // force is pinned in ScalaTest instead)
     "e_lsh_topk" -> ((s, dir) => {
@@ -1038,6 +1054,25 @@ object SparkEntry {
     "mm_feature_extract" ->
       """SELECT doc_id AS media_id, 'image' AS modality,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY media_id""".stripMargin,
+    // frame-sample stub semantics: payload = utf8 bytes, n_frames =
+    // max(len//16, 1), frame length max(len//nf, 1), frames 0..nf-1
+    // step 2, chunk = slice clamped to payload end
+    "mm_frame_sample" ->
+      """WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS len
+        |           FROM documents),
+        |n AS (SELECT media_id, len, greatest(len // 16, 1) AS nf FROM m),
+        |fl AS (SELECT media_id, len, nf, greatest(len // nf, 1) AS fl FROM n),
+        |fr AS (SELECT media_id, len, fl,
+        |         unnest(generate_series(0, nf - 1, 2)) AS f FROM fl)
+        |SELECT media_id, CAST(f AS INTEGER) AS frame_idx,
+        |       CAST(greatest(least(f * fl + fl, len) - f * fl, 0) AS BIGINT)
+        |         AS frame_bytes
+        |FROM fr ORDER BY media_id, frame_idx""".stripMargin,
+    "mm_resize" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(least(octet_length(encode(text)), 64) AS BIGINT) AS resized_bytes,
+        |       CAST(least(octet_length(encode(text)), 64) AS BIGINT) AS width
         |FROM documents ORDER BY media_id""".stripMargin,
     "e_ann_bruteforce" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding,

@@ -38,6 +38,24 @@ object Lake {
     s.read.format(format).option("header", "true").load(root)
       .filter(col("year") === y && col("month") === m && col("day") === d)
 
+  /** Bucketed co-located table write — the 100 TB answer to the
+    * reference's `(camera_id, timestamp)` index (app/database.py:33-36).
+    * Facts bucketed on the join/agg key mean every subsequent
+    * join-on-key and groupBy-on-key reads pre-partitioned data: NO
+    * shuffle at query time (LakeBucketingSpec pins the plan). Bucket
+    * count is a cluster-lifetime choice — pick ~2-4× executor count so
+    * every core has work; co-locating two tables requires equal bucket
+    * counts on the same key. `sortBy` additionally orders within each
+    * bucket file (time-range scans read sorted runs). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    nBuckets: Int, sortCols: Seq[String] = Nil,
+                    mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.format("parquet").mode(mode)
+      .bucketBy(nBuckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   /** A9 — per-day lake stats: count per source pivoted by class (reference
     * app/utils.py:353-381 builds by_camera[name][class] dicts in a loop).
     * Explicit pivot values keep this a single-pass job (no distinct scan)

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.io.Lake
+
+/** Bucketed co-located tables: the scale story for repeated joins/aggs on
+  * a stable key (camera_id). Both sides bucketed on the key with equal
+  * bucket counts → the join and the downstream groupBy read
+  * pre-partitioned data and the physical plan has NO shuffle exchange. */
+class LakeBucketingSpec extends SparkSpec {
+
+  test("join + groupBy on the bucket key run with no shuffle exchange") {
+    import spark.implicits._
+    val obs = (0 until 2000)
+      .map(i => (s"cam${i % 16}", i.toLong, (i % 50).toLong))
+      .toDF("camera_id", "ts", "new_count")
+    val thr = (0 until 16).map(i => (s"cam$i", i * 10L)).toDF("camera_id", "p50")
+    Lake.writeBucketed(obs, "obs_bucketed", "camera_id", 8,
+      sortCols = Seq("camera_id", "ts"))
+    Lake.writeBucketed(thr, "thr_bucketed", "camera_id", 8)
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force a non-broadcast join so the exchange-free claim is about
+      // bucketing, not about the dim side being tiny
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q = spark.table("obs_bucketed")
+        .join(spark.table("thr_bucketed"), "camera_id")
+        .groupBy("camera_id")
+        .agg(sum("new_count").as("total"), max("p50").as("p50"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected no shuffle, got:\n$plan")
+      // and the result is still correct
+      val row = q.filter(col("camera_id") === "cam3").collect().head
+      val expected = (0 until 2000).filter(_ % 16 == 3).map(_ % 50).sum.toLong
+      assert(row.getAs[Long]("total") == expected)
+      assert(row.getAs[Long]("p50") == 30L)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql("DROP TABLE IF EXISTS obs_bucketed")
+      spark.sql("DROP TABLE IF EXISTS thr_bucketed")
+    }
+  }
+
+  test("bucketed scan exposes the bucket partitioning to the optimizer") {
+    import spark.implicits._
+    val df = (0 until 100).map(i => (s"k$i", i.toLong)).toDF("camera_id", "v")
+    Lake.writeBucketed(df, "probe_bucketed", "camera_id", 4)
+    try {
+      val agg = spark.table("probe_bucketed")
+        .groupBy("camera_id").agg(count(lit(1)))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"groupBy on bucket key shuffled:\n$plan")
+      assert(agg.count() == 100)
+    } finally spark.sql("DROP TABLE IF EXISTS probe_bucketed")
+  }
+}
