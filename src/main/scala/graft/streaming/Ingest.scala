@@ -137,6 +137,27 @@ object Ingest {
         sum("new_motors").as("flux_motors"),
         count(lit(1)).as("n_obs"))
 
+  /** Gap-based session aggregation via the NATIVE `session_window` —
+    * the streaming counterpart of `ops.Analytic.sessionize` (batch
+    * lag+cumsum). State is merged/evicted by the engine per key as the
+    * watermark advances, so unbounded keys don't accumulate unbounded
+    * state. Boundary semantics: `session_window` starts a NEW session
+    * when the inter-event gap is >= gap, the batch operator when it is
+    * > gap — identical for every gap that isn't exactly the threshold.
+    * Works on a static frame too (same code path, batch execution). */
+  def sessionFlux(events: DataFrame, keyCol: String, tsCol: String,
+                  valueCol: String, gap: String,
+                  watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_timestamp(col(tsCol))).as("session_start"),
+        max(unix_timestamp(col(tsCol))).as("session_end"),
+        sum(col(valueCol).cast("decimal(28,2)")).cast("double")
+          .as("total_value"))
+      .select(col(keyCol), col("n_events"), col("session_start"),
+        col("session_end"), col("total_value"))
+
   /** X7-style running accumulators: streaming global + per-camera totals
     * (output mode Update — incremental by design). */
   def runningTotals(obs: DataFrame): DataFrame =

@@ -153,6 +153,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session_window flux equals batch sessionize") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val events = mem.toDS().toDF("user_id", "ts", "value")
+    val q = Ingest.sessionFlux(events, "user_id", "ts", "value",
+        gap = "30 minutes", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    val data = Seq(
+      (1L, ts("2024-02-01 10:00:00"), 5.0),
+      (1L, ts("2024-02-01 10:10:00"), 7.0), // same session (gap 10m)
+      (2L, ts("2024-02-01 10:05:00"), 1.0),
+      (1L, ts("2024-02-01 11:00:00"), 2.0)) // new session (gap 50m > 30m)
+    try {
+      mem.addData(data.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(data.drop(2): _*)
+      q.processAllAvailable()
+      // watermark pusher: a far-future event closes every earlier session
+      mem.addData((99L, ts("2024-02-01 13:00:00"), 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("sessions")
+        .filter(col("user_id") =!= 99L)
+        .select("user_id", "n_events", "session_start", "session_end",
+          "total_value")
+        .collect().map(_.toSeq).toSet
+      val batch = ops.Analytic.sessionize(
+          data.toDF("user_id", "ts", "value"), "user_id", "ts", "value",
+          gapSec = 1800L)
+        .select(col("user_id"), col("n_events"), col("session_start"),
+          col("session_end"), col("total_value"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch,
+        s"streamed=$streamed\nbatch=$batch")
+      assert(streamed.size == 3) // two sessions for user 1, one for user 2
+    } finally q.stop()
+  }
+
   test("COCO class map: {1,3}→motorcycle, {2,5,7}→car, else null") {
     val d = Seq(1, 2, 3, 5, 7, 9).toDF("c")
     val out = d.select(Ingest.mapCocoClass(col("c"))).as[Option[String]]
