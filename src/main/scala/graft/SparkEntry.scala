@@ -306,9 +306,10 @@ object SparkEntry {
         maxHamming = 10).orderBy("a_id", "b_id")),
     // ---- training-data pipeline: text analysis ----
     "t_langid" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"),
-          TextStats.langId(col("text")).as("lang_pred"))
+      TextStats.withLangId(
+          Tables.documents(s, dir).select("doc_id", "lang", "text"),
+          "text", "lang_pred")
+        .select("doc_id", "lang", "lang_pred")
         .orderBy("doc_id")),
     "t_quality" -> ((s, dir) =>
       TextStats.qualityMetrics(Tables.documents(s, dir), "doc_id", "text")
@@ -323,9 +324,8 @@ object SparkEntry {
       TextStats.lengthHistogram(Tables.documents(s, dir), "text", 50)
         .orderBy("bin_lo")),
     "t_fingerprint" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("doc_id"), TextStats.fingerprint(col("text"))
-          .as("fingerprint"))
+      TextStats.withFingerprint(Tables.documents(s, dir), "doc_id", "text",
+          "fingerprint")
         .orderBy("doc_id")),
     // ---- training-data pipeline: embedding similarity ----
     "e_ann_bruteforce" -> ((s, dir) => {

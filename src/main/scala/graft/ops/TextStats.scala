@@ -28,13 +28,40 @@ object TextStats {
     profile.map(countWord(text, _)).reduce(_ + _)
 
   /** Language-ID: argmax of profile scores, 'und' (undetermined) when all
-    * scores are zero. First profile in the list wins ties. */
+    * scores are zero. First profile in the list wins ties.
+    *
+    * Column form — fine for one-off use, but it re-tokenizes per score
+    * reference; hot paths should use `withLangId`, which materializes
+    * the token array and the per-language scores in their own projection
+    * stages (CollapseProject does not inline a non-cheap alias that is
+    * referenced more than once, so each stage evaluates exactly once). */
   def langId(text: Column): Column = {
     val scored = stopwordProfiles.map { case (l, p) => (l, langScore(text, p)) }
     val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
     scored.reverse.foldLeft(lit("und")) { case (acc, (l, s)) =>
       when(s > 0 && s === best, lit(l)).otherwise(acc)
     }
+  }
+
+  /** Language-ID as a staged DataFrame op: tokenize ONCE, score each
+    * profile ONCE over the materialized array, then argmax over the
+    * materialized scores. Identical output to `langId`; one regex pass
+    * per row instead of one per (language × reference). */
+  def withLangId(df: DataFrame, textCol: String, outCol: String): DataFrame = {
+    val tokCol = "_lid_w"
+    val scoreCols = stopwordProfiles.map { case (l, _) => s"_lid_s_$l" }
+    val tokenized = df.withColumn(tokCol, TextDedup.tokens(col(textCol)))
+    val scored = stopwordProfiles.foldLeft(tokenized) { case (d, (l, p)) =>
+      d.withColumn(s"_lid_s_$l",
+        size(filter(col(tokCol), w => w.isin(p.map(lit): _*))).cast("long"))
+    }
+    val best = scoreCols.map(col).reduce(greatest(_, _))
+    val pick = stopwordProfiles.reverse.foldLeft(lit("und")) {
+      case (acc, (l, _)) =>
+        when(col(s"_lid_s_$l") > 0 && col(s"_lid_s_$l") === best, lit(l))
+          .otherwise(acc)
+    }
+    scored.withColumn(outCol, pick).drop(tokCol +: scoreCols: _*)
   }
 
   /** Whitespace token count. */
@@ -59,29 +86,44 @@ object TextStats {
     * corpus-filtering recipe: penalize very short docs, high punctuation,
     * zero stopwords). */
   def qualityMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
-    val words = TextDedup.tokens(t)
-    val nTok = size(words).cast("long")
-    val nChars = length(t).cast("long")
-    val meanTokLen = when(nTok > 0,
-      aggregate(words, lit(0L), (acc, w) => acc + length(w).cast("long"))
-        .cast("double") / nTok.cast("double")).otherwise(lit(0.0))
-    val punctRatio = when(nChars > 0,
-      length(regexp_replace(t, "[a-zA-Z0-9\\s]+", "")).cast("double") /
-        nChars.cast("double")).otherwise(lit(0.0))
     val allStop = stopwordProfiles.flatMap(_._2).distinct
+    // Stage 1: tokenize once. Stage 2: every array/regex pass once, as
+    // materialized counts (CollapseProject keeps multiply-referenced
+    // non-cheap aliases in their own projection, so nothing re-runs).
+    // Stage 3: ratios and the composite score — same arithmetic, same
+    // order of operations as the one-expression form (oracle parity).
+    val s1 = df.select(col(idCol), col(textCol).as("_t"),
+      TextDedup.tokens(col(textCol)).as("_w"))
+    val s2 = s1.select(col(idCol),
+      length(col("_t")).cast("long").as("_nchars"),
+      size(col("_w")).cast("long").as("_ntok"),
+      tokenCountWs(col("_t")).as("_ntok_ws"),
+      aggregate(col("_w"), lit(0L),
+        (acc, w) => acc + length(w).cast("long")).as("_toklen"),
+      aggregate(col("_w"), lit(0L),
+        (acc, w) => acc + ceil(length(w).cast("double") / 4.0).cast("long"))
+        .as("_bpe_sub"),
+      length(regexp_replace(col("_t"), "[a-zA-Z0-9\\s]+", "")).cast("long")
+        .as("_npunct"),
+      size(filter(col("_w"), w => w.isin(allStop.map(lit): _*))).cast("long")
+        .as("_nstop"))
+    val nTok = col("_ntok")
+    val meanTokLen = when(nTok > 0,
+      col("_toklen").cast("double") / nTok.cast("double")).otherwise(lit(0.0))
+    val punctRatio = when(col("_nchars") > 0,
+      col("_npunct").cast("double") / col("_nchars").cast("double"))
+      .otherwise(lit(0.0))
     val stopRatio = when(nTok > 0,
-      size(filter(words, w => w.isin(allStop.map(lit): _*))).cast("double") /
-        nTok.cast("double")).otherwise(lit(0.0))
+      col("_nstop").cast("double") / nTok.cast("double")).otherwise(lit(0.0))
     val lengthScore = least(nTok.cast("double") / 20.0, lit(1.0))
     val score = round(
       lengthScore * (lit(1.0) - punctRatio) *
         (lit(0.5) + least(stopRatio * 5.0, lit(0.5))), 6)
-    df.select(col(idCol),
-      nChars.as("n_chars"),
+    s2.select(col(idCol),
+      col("_nchars").as("n_chars"),
       nTok.as("n_tokens"),
-      tokenCountWs(t).as("n_tokens_ws"),
-      tokenCountBpe(t).as("n_tokens_bpe"),
+      col("_ntok_ws").as("n_tokens_ws"),
+      (col("_bpe_sub") + col("_npunct")).as("n_tokens_bpe"),
       round(meanTokLen, 6).as("mean_token_len"),
       round(punctRatio, 6).as("punct_ratio"),
       round(stopRatio, 6).as("stopword_ratio"),
@@ -129,8 +171,9 @@ object TextStats {
     * sum over positions of ((pos+1) * (md5Hash60(token) mod 1e6)) mod
     * 2^61-1. Order-sensitive (unlike a bag-of-words hash) and exactly
     * reproducible in any engine with md5. */
-  def fingerprint(text: Column): Column = {
-    val words = TextDedup.tokens(text)
+  def fingerprint(text: Column): Column = fingerprintOf(TextDedup.tokens(text))
+
+  private def fingerprintOf(words: Column): Column = {
     val pairs = zip_with(
       words,
       sequence(lit(1), greatest(size(words), lit(1))),
@@ -138,4 +181,13 @@ object TextStats {
     when(size(words) === 0, lit(0L)).otherwise(
       aggregate(pairs, lit(0L), (acc, x) => (acc + x) % 2305843009213693951L))
   }
+
+  /** Staged fingerprint: the token array materializes once (it is
+    * referenced three times in the expression — zip_with input plus two
+    * size() guards — and would otherwise re-run the regex per
+    * reference). */
+  def withFingerprint(df: DataFrame, idCol: String, textCol: String,
+                      outCol: String): DataFrame =
+    df.select(col(idCol), TextDedup.tokens(col(textCol)).as("_w"))
+      .select(col(idCol), fingerprintOf(col("_w")).as(outCol))
 }
