@@ -93,10 +93,9 @@ object SparkEntry {
       li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand")
         .agg(
-          sum(col("l_extendedprice").cast("decimal(18,2)") *
-            (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
-            .cast("double").as("revenue"),
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          graft.util.Exact.dsumProd2(col("l_extendedprice"),
+            lit(1.0) - col("l_discount")).as("revenue"),
+          graft.util.Exact.dsum2(col("l_quantity")).as("sum_qty"),
           count(lit(1)).as("n_items"))
         .orderBy("p_brand")
     }),
@@ -107,8 +106,7 @@ object SparkEntry {
       o.join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast("decimal(28,2)")).cast("double")
-            .as("total_price"))
+          graft.util.Exact.dsum2(col("o_totalprice")).as("total_price"))
         .orderBy("o_orderstatus")
     }),
     "o7_anti_join" -> ((s, dir) => {
@@ -118,8 +116,7 @@ object SparkEntry {
       c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_customers"),
-          sum(col("c_acctbal").cast("decimal(28,2)")).cast("double")
-            .as("total_acctbal"))
+          graft.util.Exact.dsum2(col("c_acctbal")).as("total_acctbal"))
         .orderBy("c_mktsegment")
     }),
     "j5_dim_chain" -> ((s, dir) => {
@@ -130,14 +127,13 @@ object SparkEntry {
           col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name")
         .agg(count(lit(1)).as("n_customers"),
-          sum(col("c_acctbal").cast("decimal(28,2)")).cast("double")
-            .as("total_acctbal"))
+          graft.util.Exact.dsum2(col("c_acctbal")).as("total_acctbal"))
         .orderBy("r_name")
     }),
     "j5_mirror_lookup" -> ((s, dir) => {
       val totals = ev(s, dir).groupBy("user_id")
-        .agg(sum(col("value").cast("decimal(28,2)")).cast("double")
-          .as("total_value"), count(lit(1)).as("n_rows"))
+        .agg(graft.util.Exact.dsum2(col("value")).as("total_value"),
+          count(lit(1)).as("n_rows"))
       val dim = Tables.customer(s, dir).select(
         col("c_custkey").as("user_id"),
         when(col("c_custkey") % 10 === 0, col("c_custkey") + 1)
@@ -148,7 +144,7 @@ object SparkEntry {
     "j6_replay_pattern" -> ((s, dir) => {
       val pattern = ev(s, dir)
         .groupBy(hour(col("ts")).cast("long").as("hr"))
-        .agg((sum(col("value").cast("decimal(28,2)")).cast("double") /
+        .agg((graft.util.Exact.dsum2(col("value")) /
           count(lit(1))).as("avg_value"))
       Joins.replayPattern(pattern, "hr", "2024-02-01", 3)
         .select(date_format(col("target_date"), "yyyy-MM-dd").as("target_date"),
@@ -197,8 +193,7 @@ object SparkEntry {
         seed = "graft").orderBy("ts_epoch")),
     "j8_argmax_worst" -> ((s, dir) => {
       val totals = ev(s, dir).groupBy("event_type", "user_id")
-        .agg(sum(col("value").cast("decimal(28,2)")).cast("double")
-          .as("total_value"))
+        .agg(graft.util.Exact.dsum2(col("value")).as("total_value"))
       Analytic.topKPerGroup(totals, "event_type", "total_value", "user_id", 1)
     }),
     // ---- §2.5 analytic window functions ----
@@ -223,7 +218,7 @@ object SparkEntry {
     // ---- A12: totals + percentage shares (guarded ratios) ----
     "a12_shares" -> ((s, dir) =>
       ev(s, dir).groupBy("event_type")
-        .agg(sum(col("value").cast("decimal(28,2)")).as("_tv"),
+        .agg(graft.util.Exact.dsum2dec(col("value")).as("_tv"),
           count(lit(1)).as("n"))
         .withColumn("_total", sum(col("_tv")).over())
         .select(col("event_type"),
@@ -236,8 +231,7 @@ object SparkEntry {
     // ---- scenario injection: seeded high/low clamp (routes.py:269-282) ----
     "f_scenario_clamp" -> ((s, dir) =>
       ev(s, dir).groupBy("user_id")
-        .agg(sum(col("value").cast("decimal(28,2)")).cast("double")
-          .as("base"))
+        .agg(graft.util.Exact.dsum2(col("value")).as("base"))
         .withColumn("high_clamped",
           greatest(col("base"),
             Synthetic.u01("scenario", col("user_id")) * 150.0 + 250.0))
@@ -267,8 +261,7 @@ object SparkEntry {
       val e = ev(s, dir)
       val cp = e.groupBy(col("user_id"),
           date_trunc("hour", col("ts")).as("ts"))
-        .agg(sum(col("value").cast("decimal(28,2)")).cast("double")
-          .as("checkpoint_total"))
+        .agg(graft.util.Exact.dsum2(col("value")).as("checkpoint_total"))
       val left = e.select("event_id", "user_id", "ts", "value")
       AsOf.asofBackward(left, cp, "user_id", "ts", Seq("checkpoint_total"))
         .select(col("event_id"), col("user_id"),
@@ -389,7 +382,7 @@ object SparkEntry {
             .otherwise(lit("MACET TOTAL")))
         .groupBy("status")
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(28,2)")).cast("double").as("total_value"))
+          graft.util.Exact.dsum2(col("value")).as("total_value"))
         .orderBy("status")
     }),
   )

@@ -1,5 +1,8 @@
 package graft
 import org.apache.spark.sql.SparkSession
+/** Dev profiler: time named queries (default sf0.1) with the same
+  * full-evaluation noop sink Bench uses; 5 reps to separate JIT/GC noise
+  * from real per-query cost. */
 object TimeOne {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -7,13 +10,15 @@ object TimeOne {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.1"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     args.foreach { n =>
-      (1 to 3).foreach { i =>
+      val times = (1 to 5).map { _ =>
         val t0 = System.nanoTime()
-        SparkEntry.queries(n)(spark, dir).count()
-        println(f"$n run$i: ${(System.nanoTime()-t0)/1e9}%.2f s")
+        SparkEntry.queries(n)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
       }
+      println(f"$n%-26s min=${times.min}%.3f  runs=${times.map(t => f"$t%.2f").mkString(",")}")
     }
     spark.stop()
   }

@@ -36,8 +36,7 @@ object TrafficModel {
         (dayofweek(col(tsCol)) - 1).as("dow"),
         hour(col(tsCol)).as("hr"),
         to_date(col(tsCol)).as("d"))
-      .agg(sum(col(valueCol).cast("decimal(28,2)")).cast("double")
-        .as("hourly_total"))
+      .agg(graft.util.Exact.dsum2(col(valueCol)).as("hourly_total"))
 
   /** The feature pipeline + linear model. Deterministic: "normal" solver
     * (closed form), fixed feature layout, no sampling. */

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.util.Exact
 
 /** §2.5 — analytic window functions. The reference's per-camera
   * sequential patterns (previous-frame state, last-value-per-camera,
@@ -54,8 +55,7 @@ object Analytic {
     val w = Window.partitionBy(col(key)).orderBy(col(ts), col(id))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.select(col(key), col(id), unix_timestamp(col(ts)).as("ts_epoch"),
-        sum(col(value).cast("decimal(28,2)")).over(w).cast("double")
-          .as("accumulated"))
+        Exact.dsum2Over(col(value), w).as("accumulated"))
       .orderBy(col(key), col("ts_epoch"), col(id))
   }
 
@@ -91,7 +91,6 @@ object Analytic {
       .agg(count(lit(1)).as("n_events"),
         min(unix_timestamp(col(ts))).as("session_start"),
         max(unix_timestamp(col(ts))).as("session_end"),
-        sum(col(value).cast("decimal(28,2)")).cast("double")
-          .as("total_value"))
+        Exact.dsum2(col(value)).as("total_value"))
   }
 }

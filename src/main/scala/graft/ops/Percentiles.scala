@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.util.Exact
 
 /** A6 — exact percentile threshold fitting ("training").
   *
@@ -24,13 +25,19 @@ object Percentiles {
   def thresholds(df: DataFrame, keyCol: String, tsCol: String,
                  valueCol: String): DataFrame =
     df.groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("hour_bucket"))
-      .agg(sum(col(valueCol).cast("decimal(28,2)")).cast("double").as("hourly_volume"))
+      .agg(Exact.dsum2(col(valueCol)).as("hourly_volume"))
       .groupBy(col(keyCol))
       .agg(
-        round(percentile(col("hourly_volume"), lit(0.5)), 6).as("p50"),
-        round(percentile(col("hourly_volume"), lit(0.75)), 6).as("p75"),
-        round(percentile(col("hourly_volume"), lit(0.9)), 6).as("p90"),
+        // one percentile buffer+sort per group, not three: the array
+        // form shares the sorted values across all requested quantiles
+        percentile(col("hourly_volume"),
+          array(lit(0.5), lit(0.75), lit(0.9))).as("_p"),
         max(col("hourly_volume")).as("max_volume"))
+      .select(col(keyCol),
+        round(col("_p")(0), 6).as("p50"),
+        round(col("_p")(1), 6).as("p75"),
+        round(col("_p")(2), 6).as("p90"),
+        col("max_volume"))
       .orderBy(keyCol)
 
   /** Scale path: t-digest/approx variant for interactive 100 TB fitting

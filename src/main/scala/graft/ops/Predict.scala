@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.util.Exact
 
 /** A4 + J3 + J4 + rules — the flagship traffic-prediction pipeline.
   *
@@ -43,9 +44,12 @@ object Predict {
         dowCol(col(tsCol)),
         hour(col(tsCol)).as("hr"),
         to_date(col(tsCol)).as("d"))
-      .agg(sum(col(valueCol).cast("decimal(28,2)")).as("hourly_total"))
+      // hourly totals as exact long fixed-point units (one key-hour of
+      // 2-dp values is far inside the long bound); the decimal hop and
+      // the one double division happen per SLOT, not per row
+      .agg(Exact.unitsSum2(col(valueCol)).as("hourly_units"))
       .groupBy(col(keyCol), col("dow"), col("hr"))
-      .agg((sum(col("hourly_total")).cast("double") / count(lit(1)))
+      .agg((Exact.unitsToDouble2(sum(col("hourly_units"))) / count(lit(1)))
         .as("predicted_volume"))
 
   /** One (dow, hour) slot for ALL keys — the shape of one

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.util.Exact
 
 /** Skew-mitigation utilities for the 100 TB plan. AQE's skew-join
   * handling covers sort-merge joins; these cover the two cases it does
@@ -30,14 +31,18 @@ object Skew {
     * do. `aggs` are (sum-like) merge-associative expressions given the
     * partial column. */
   def saltedSum(df: DataFrame, key: String, valueCol: String,
-                saltCol: Column, n: Int): DataFrame =
+                saltCol: Column, n: Int): DataFrame = {
+    // exact split-word partials (graft.util.Exact): both phases stay on
+    // primitive long sums; the single decimal reassembly happens once
+    // per FINAL group, after the salt fan-in
+    val (hi, lo) = Exact.splitCols2(col(valueCol))
     df.withColumn("_salt", pmod(hash(saltCol), lit(n)))
       .groupBy(col(key), col("_salt"))
-      .agg(sum(col(valueCol).cast("decimal(28,2)")).as("_partial"),
-        count(lit(1)).as("_n"))
+      .agg(sum(hi).as("_ph"), sum(lo).as("_pl"), count(lit(1)).as("_n"))
       .groupBy(col(key))
-      .agg(sum("_partial").cast("double").as("total_value"),
+      .agg(Exact.combineSplitSums2(sum("_ph"), sum("_pl")).as("total_value"),
         sum("_n").as("n_rows"))
+  }
 
   /** Stop-shingle filter: drop inverted-index entries whose shingle
     * occurs in more than `maxDocFreq` documents before pair generation —

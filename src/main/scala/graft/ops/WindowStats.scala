@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.util.Exact
 
 /** A7 — multi-window rolling stats.
   *
@@ -27,11 +28,14 @@ object WindowStats {
     val eps = unix_timestamp(col(tsCol))
     val aggs = windows.flatMap { case (label, secs) =>
       val in = eps >= col("now_ts") - secs
-      val dec = when(in, col(valueCol)).otherwise(lit(null)).cast("decimal(28,2)")
+      // conditional exact sum: out-of-window rows become null and are
+      // skipped by the split-word sums (identical agg expressions are
+      // deduplicated inside HashAggregate, so total and avg share state)
+      val winVal = when(in, col(valueCol))
       Seq(
-        coalesce(sum(dec).cast("double"), lit(0.0)).as(s"total_$label"),
+        coalesce(Exact.dsum2(winVal), lit(0.0)).as(s"total_$label"),
         count(when(in, lit(1))).as(s"n_$label"),
-        round(coalesce(sum(dec).cast("double"), lit(0.0)) /
+        round(coalesce(Exact.dsum2(winVal), lit(0.0)) /
           greatest(count(when(in, lit(1))), lit(1L)), 2).as(s"avg_$label"))
     }
     withNow.agg(aggs.head, aggs.tail: _*)

@@ -153,8 +153,7 @@ object Ingest {
       .agg(count(lit(1)).as("n_events"),
         min(unix_timestamp(col(tsCol))).as("session_start"),
         max(unix_timestamp(col(tsCol))).as("session_end"),
-        sum(col(valueCol).cast("decimal(28,2)")).cast("double")
-          .as("total_value"))
+        graft.util.Exact.dsum2(col(valueCol)).as("total_value"))
       .select(col(keyCol), col("n_events"), col("session_start"),
         col("session_end"), col("total_value"))
 

@@ -1,31 +1,115 @@
 package graft.util
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.WindowSpec
 import org.apache.spark.sql.functions._
 
-/** Determinism helpers for oracle-parity aggregation.
+/** Exact, order-independent aggregation without per-row decimal cost.
   *
   * Double summation is order-dependent; on a 1000-executor cluster the
   * partial-aggregate merge order is nondeterministic, so `sum(double)`
-  * is not reproducible run-to-run (nor engine-to-engine vs DuckDB).
-  * Routing sums through DECIMAL makes the arithmetic exact and
-  * associative — identical results at any parallelism — then one final
-  * correctly-rounded cast back to double. This is also the right call
-  * at 100 TB: decimal sums cost a few cycles more per row but make
-  * results stable under AQE re-planning, speculative retries, and
-  * partition-count changes.
+  * is not reproducible run-to-run (nor engine-to-engine vs the DuckDB
+  * oracle). The first-cut fix — casting every row to `decimal(28,2)` —
+  * is exact but pays boxed-Decimal arithmetic per ROW inside the
+  * aggregate hash map (~3x a primitive long sum at sf0.1, measured).
+  *
+  * This implementation keeps bit-exactness on primitive longs:
+  * fixed-point subunits u = round(c·10^s) (exact because the data
+  * carries at most s decimals and |u| « 2^53), split into
+  * hi = u >> 20 and lo = u − hi·2^20 ∈ [0, 2^20). Both halves sum as
+  * codegen'd long aggregates; the total hi·2^20 + lo is reassembled in
+  * 38-digit decimal once per GROUP (not per row) and scaled back by
+  * 10^-s. Every intermediate is an integer inside its type's exact
+  * range, so the final decimal→double cast is the single
+  * correctly-rounded conversion — bit-identical to the decimal(28,2)
+  * formulation at any parallelism, partition count, or merge order.
+  *
+  * Overflow headroom (ANSI mode turns overflow into an error, never a
+  * silent wrap): sum(lo) can only overflow past 2^63/2^20 ≈ 8.8e12 rows
+  * per group; sum(hi) past ~9.2e18·2^20/(|c|·10^s) rows — e.g. ~9.6e16
+  * rows of million-scale 2-dp values. Both bounds exceed 100 TB
+  * per-group cardinalities by orders of magnitude.
   */
 object Exact {
+  private val Shift = 20
+  private val K = 1L << Shift
+
+  /** Exact fixed-point subunits of a ≤`scale`-decimal double column. */
+  private def units(c: Column, scale: Int): Column =
+    round(c * math.pow(10.0, scale.toDouble)).cast("long")
+
+  /** Decimal literal 10^-scale (exact scale shift on multiply). */
+  private def pow10Inv(scale: Int): Column =
+    lit(BigDecimal(java.math.BigDecimal.valueOf(1L, scale)))
+
+  private def hiOf(u: Column): Column = shiftright(u, Shift)
+  private def loOf(u: Column, h: Column): Column = u - (h * K)
+
+  /** Split-word sums reassembled to the exact decimal units-total. */
+  private def splitSum(u: Column): Column = {
+    val h = hiOf(u)
+    val l = loOf(u, h)
+    sum(h).cast("decimal(38,0)") * K + sum(l)
+  }
+
+  /** Exact decimal-typed sum of a ≤2-decimal double column (for further
+    * exact arithmetic; null on empty/all-null input like sum). */
+  def dsum2dec(c: Column): Column = splitSum(units(c, 2)) * pow10Inv(2)
+
   /** Order-independent exact sum of a double column (2-decimal data). */
-  def dsum2(c: Column): Column =
-    sum(c.cast("decimal(28,2)")).cast("double")
+  def dsum2(c: Column): Column = dsum2dec(c).cast("double")
 
-  /** Order-independent exact sum with 6-decimal capture. */
+  /** Order-independent exact sum with 6-decimal capture (|c| ≤ ~9e9 for
+    * the 2^53 subunit bound). */
   def dsum6(c: Column): Column =
-    sum(c.cast("decimal(28,6)")).cast("double")
+    (splitSum(units(c, 6)) * pow10Inv(6)).cast("double")
 
-  /** Exact average: decimal sum / count, one double division (IEEE
+  /** Exact average: exact sum / count, one double division (IEEE
     * correctly rounded → engine-independent given identical inputs). */
-  def davg2(c: Column): Column =
-    (sum(c.cast("decimal(28,2)")).cast("double") / count(c)).as("avg")
+  def davg2(c: Column): Column = (dsum2(c) / count(c)).as("avg")
+
+  /** Exact sum of a·b where both factors carry ≤2 decimals
+    * (|a·b| ≤ ~9e8 per row for the 2^53 product bound — e.g. the
+    * price·(1−discount) revenue kernel). */
+  def dsumProd2(a: Column, b: Column): Column =
+    (splitSum(units(a, 2) * units(b, 2)) * pow10Inv(4)).cast("double")
+
+  /** dsum2 over a window frame (running totals): the two primitive
+    * window sums share one WindowExec pass over the frame. */
+  def dsum2Over(c: Column, w: WindowSpec): Column = {
+    val u = units(c, 2)
+    val h = hiOf(u)
+    val l = loOf(u, h)
+    ((sum(h).over(w).cast("decimal(38,0)") * K + sum(l).over(w)) *
+      pow10Inv(2)).cast("double")
+  }
+
+  /** Exact LONG units-total (10^2 fixed point) for multi-level pipelines
+    * that re-aggregate partial sums (e.g. hourly totals that feed a
+    * per-slot average). Caller owns the per-group long bound — fine for
+    * bounded-window partials like one hour of one key. */
+  def unitsSum2(c: Column): Column = {
+    val u = units(c, 2)
+    val h = hiOf(u)
+    val l = loOf(u, h)
+    sum(h) * K + sum(l)
+  }
+
+  /** Exact double view of a long units-total (via one decimal hop:
+    * units may exceed 2^53, a direct long→double cast would round). */
+  def unitsToDouble2(unitsTotal: Column): Column =
+    (unitsTotal.cast("decimal(38,0)") * pow10Inv(2)).cast("double")
+
+  /** Per-row split halves, for explicit two-phase (salted) aggregation
+    * where the partial state must itself be re-aggregated exactly. */
+  def splitCols2(c: Column): (Column, Column) = {
+    val u = units(c, 2)
+    val h = hiOf(u)
+    (h, loOf(u, h))
+  }
+
+  /** Reassemble split-half sums (from [[splitCols2]] partials) into the
+    * exact double total. */
+  def combineSplitSums2(sumHi: Column, sumLo: Column): Column =
+    ((sumHi.cast("decimal(38,0)") * K + sumLo) * pow10Inv(2)).cast("double")
 }
