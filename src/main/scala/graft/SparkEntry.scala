@@ -373,6 +373,20 @@ object SparkEntry {
       Embeddings.ivfTopK(model, e, e.filter(col("vec_id") < 10),
         "vec_id", "embedding", nProbe = 4, k = 5).orderBy("query_id", "rnk")
     }),
+    // exact modes: full probe makes IVF/multi-probe-LSH equal brute
+    // force, hash-verifying the bucket plumbing against the oracle
+    "e_ivf_exact" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val model = Embeddings.ivfFit(e, "vec_id", "embedding", nLists = 8)
+      Embeddings.ivfTopK(model, e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", nProbe = 8, k = 5).orderBy("query_id", "rnk")
+    }),
+    "e_lsh_exact" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Embeddings.lshTopKMultiProbe(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", nPlanes = 4, dim = 64, k = 5,
+        probeHamming = 4).orderBy("query_id", "rnk")
+    }),
     "f_rules_density_status" -> ((s, dir) => {
       ev(s, dir)
         .withColumn("status",
@@ -397,6 +411,25 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** Brute-force cosine top-5 for the vec_id<10 probe set — the shared
+    * oracle for e_ann_bruteforce and the exact-mode ANN variants. */
+  private val annTop5Sql =
+    """WITH v AS (SELECT vec_id, list_transform(embedding,
+      |             x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) qv
+      |           FROM embeddings),
+      |q AS (SELECT vec_id query_id, qv FROM v WHERE vec_id < 10),
+      |s AS (SELECT q.query_id, c.vec_id corpus_id,
+      |        CAST(list_dot_product(q.qv, c.qv) AS DOUBLE) /
+      |        (sqrt(CAST(list_dot_product(q.qv, q.qv) AS DOUBLE)) *
+      |         sqrt(CAST(list_dot_product(c.qv, c.qv) AS DOUBLE))) AS cosine
+      |      FROM q JOIN v c ON c.vec_id <> q.query_id),
+      |r AS (SELECT query_id, corpus_id, cosine,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |          ORDER BY cosine DESC, corpus_id) AS INT) rnk
+      |      FROM s)
+      |SELECT query_id, corpus_id, cosine, rnk
+      |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "a8_history_buckets_15m" ->
       """WITH b AS (
@@ -1067,22 +1100,11 @@ object SparkEntry {
         |       CAST(least(octet_length(encode(text)), 64) AS BIGINT) AS resized_bytes,
         |       CAST(least(octet_length(encode(text)), 64) AS BIGINT) AS width
         |FROM documents ORDER BY media_id""".stripMargin,
-    "e_ann_bruteforce" ->
-      """WITH v AS (SELECT vec_id, list_transform(embedding,
-        |             x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) qv
-        |           FROM embeddings),
-        |q AS (SELECT vec_id query_id, qv FROM v WHERE vec_id < 10),
-        |s AS (SELECT q.query_id, c.vec_id corpus_id,
-        |        CAST(list_dot_product(q.qv, c.qv) AS DOUBLE) /
-        |        (sqrt(CAST(list_dot_product(q.qv, q.qv) AS DOUBLE)) *
-        |         sqrt(CAST(list_dot_product(c.qv, c.qv) AS DOUBLE))) AS cosine
-        |      FROM q JOIN v c ON c.vec_id <> q.query_id),
-        |r AS (SELECT query_id, corpus_id, cosine,
-        |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-        |          ORDER BY cosine DESC, corpus_id) AS INT) rnk
-        |      FROM s)
-        |SELECT query_id, corpus_id, cosine, rnk
-        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "e_ann_bruteforce" -> annTop5Sql,
+    // exact-mode ANN variants produce IDENTICAL results to brute force
+    // by construction (full probe coverage) — same oracle
+    "e_ivf_exact" -> annTop5Sql,
+    "e_lsh_exact" -> annTop5Sql,
     "e_cosine_neardup" ->
       """WITH u AS (SELECT vec_id, embedding FROM embeddings
         |           UNION ALL SELECT vec_id + 100000, embedding FROM embeddings),

@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.ml.functions.array_to_vector
 
 /** Similarity search over an embedding column (`Array[Float]`) — the
   * ANN surface a training-data pipeline needs: brute-force cosine top-k
@@ -105,13 +104,30 @@ object Embeddings {
     * by `bucket` so a probe reads one partition. */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, nPlanes: Int, dim: Int,
-              k: Int): DataFrame = {
+              k: Int): DataFrame =
+    lshTopKMultiProbe(corpus, queries, idCol, vecCol, nPlanes, dim, k,
+      probeHamming = 0)
+
+  /** Multi-probe LSH (Lv et al., VLDB'07): each query additionally scans
+    * buckets within Hamming distance `probeHamming` of its own signature
+    * — the standard way to buy recall without more hash tables. The
+    * query side fans out to Σ C(nPlanes, ≤h) buckets (driver-side mask
+    * literals; still broadcast), the corpus side is untouched. With
+    * h = nPlanes every bucket is probed and the result is EXACTLY brute
+    * force — which is how the bucket-join plumbing gets hash-verified
+    * against the DuckDB oracle. */
+  def lshTopKMultiProbe(corpus: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String, nPlanes: Int,
+                        dim: Int, k: Int, probeHamming: Int): DataFrame = {
     val cb = corpus.join(lshBuckets(corpus, idCol, vecCol, nPlanes, dim), idCol)
       .select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cv"),
         col("bucket"))
+    val masks = (0 until (1 << nPlanes))
+      .filter(m => Integer.bitCount(m) <= probeHamming)
     val qb = queries.join(lshBuckets(queries, idCol, vecCol, nPlanes, dim), idCol)
       .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"),
-        col("bucket"))
+        explode(array(masks.map(m =>
+          col("bucket").bitwiseXOR(lit(m.toLong))): _*)).as("bucket"))
     val scored = cb.join(broadcast(qb), Seq("bucket"))
       .filter(col("corpus_id") =!= col("query_id"))
       .withColumn("cosine", qcosine(col("qv"), col("cv")))
@@ -124,63 +140,118 @@ object Embeddings {
         col("rnk").cast("int").as("rnk"))
   }
 
-  /** IVF (inverted-file) ANN index: a deterministic k-means coarse
+  /** IVF coarse-quantizer model: a small centroid table, broadcast as
+    * expression literals on both the corpus and query side. */
+  final case class IvfModel(centroids: Array[Array[Double]])
+
+  /** IVF (inverted-file) ANN index fit: a deterministic k-means coarse
     * quantizer partitions the corpus into `nLists` cells; a query scans
     * only its `nProbe` nearest cells. The scale path writes the corpus
     * bucketed by cell so a probe reads nProbe partitions of a 100 TB
-    * corpus. Centroids come from MLlib KMeans with a FIXED seed —
-    * reproducible, and the model is a tiny driver-side array that
-    * broadcasts with the query side. */
+    * corpus.
+    *
+    * The quantizer is fit on a BOUNDED sample — at 100 TB nobody
+    * k-means the full corpus; recall comes from nProbe, not centroid
+    * optimality, so a few thousand sample points are plenty (this is
+    * also how FAISS trains IVF quantizers). The sample is the first
+    * `sampleCap` rows in md5(id) order (deterministic shuffle, one
+    * TakeOrdered pass over the corpus); Lloyd's then runs on the
+    * driver — a few ms for ≤4096 × dim points, replacing a 10-job
+    * distributed-KMeans loop whose per-iteration scheduling dominated
+    * the fit. Init = first nLists sample points; empty cells keep
+    * their previous centroid; all arithmetic is fixed-order → the
+    * model is bit-reproducible. */
   def ivfFit(corpus: DataFrame, idCol: String, vecCol: String,
-             nLists: Int): org.apache.spark.ml.clustering.KMeansModel = {
-    val asm = corpus.select(col(idCol),
-      array_to_vector(col(vecCol)).as("features"))
-    // An IVF coarse quantizer only needs cells that roughly partition the
-    // space — recall comes from nProbe, not centroid optimality. Random
-    // init skips k-means||'s extra full passes over the corpus (several
-    // jobs each at cluster scale) and 10 iterations with a loose tol is
-    // the standard budget for this use.
-    new org.apache.spark.ml.clustering.KMeans()
-      .setK(nLists).setSeed(42L).setMaxIter(10)
-      .setInitMode("random").setTol(1e-3)
-      .fit(asm)
+             nLists: Int, iters: Int = 10, sampleCap: Int = 4096): IvfModel = {
+    val sample: Array[Array[Double]] = corpus
+      .select(col(vecCol).cast("array<double>").as("v"),
+        md5(col(idCol).cast("string")).as("h"))
+      .orderBy("h").limit(sampleCap)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.length >= nLists, s"need >= $nLists sample vectors")
+    val dim = sample.head.length
+    var centers = sample.take(nLists).map(_.clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(nLists)(new Array[Double](dim))
+      val counts = new Array[Long](nLists)
+      sample.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var j = 0
+        while (j < nLists) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = p(i) - centers(j)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+      }
+      centers = centers.zipWithIndex.map { case (c, j) =>
+        if (counts(j) == 0) c
+        else sums(j).map(_ / counts(j))
+      }
+      it += 1
+    }
+    IvfModel(centers)
   }
 
-  /** Assign each vector to its IVF cell. */
-  def ivfAssign(model: org.apache.spark.ml.clustering.KMeansModel,
-                df: DataFrame, idCol: String, vecCol: String): DataFrame =
-    model.transform(df.select(col(idCol),
-        array_to_vector(col(vecCol)).as("features")))
-      .select(col(idCol), col(model.getPredictionCol).as("cell"))
+  /** Quantized centroids with their squared norms (exact longs). */
+  private def qCentroids(model: IvfModel): Array[(Array[Long], Long)] =
+    model.centroids.map { c =>
+      val q = c.map(x => math.floor(x * 10000).toLong)
+      (q, q.map(v => v * v).sum)
+    }
+
+  /** Centroid-distance (score, cell) structs over QUANTIZED vectors —
+    * a pure map expression (no join, no row blowup: the 100 TB corpus
+    * assignment is embarrassingly parallel). Ranking key is
+    * −2·(q·c) + ‖c‖², the squared L2 distance minus the per-row
+    * constant ‖q‖² — same argmin/ordering, and each centroid costs ONE
+    * fused QDot codegen loop (exact long arithmetic, no per-element
+    * lambda dispatch, no intermediate arrays). */
+  private def centroidDistStructs(model: IvfModel, qv: Column): Seq[Column] =
+    qCentroids(model).toIndexedSeq.zipWithIndex.map { case ((c, n2), j) =>
+      struct(
+        (lit(-2L) * qdot(qv, typedlit(c.toIndexedSeq)) + lit(n2)).as("d"),
+        lit(j).as("cell"))
+    }
+
+  /** Nearest-centroid cell id for a quantized vector (ties → lowest
+    * cell; struct comparison is lexicographic, so array_min gives the
+    * deterministic argmin). */
+  def cellOfQuantized(model: IvfModel, qv: Column): Column =
+    array_min(array(centroidDistStructs(model, qv): _*)).getField("cell")
+
+  /** Nearest-centroid cell id (quantizes, then exact integer argmin). */
+  def cellOf(model: IvfModel, vec: Column): Column =
+    cellOfQuantized(model, quantize(vec))
+
+  /** Assign each vector to its IVF cell — one narrow projection. */
+  def ivfAssign(model: IvfModel, df: DataFrame,
+                idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), cellOf(model, col(vecCol)).as("cell"))
 
   /** IVF top-k: per query, brute-force cosine within the query's
-    * `nProbe` nearest cells only. */
-  def ivfTopK(model: org.apache.spark.ml.clustering.KMeansModel,
-              corpus: DataFrame, queries: DataFrame,
+    * `nProbe` nearest cells only. Probe-cell selection is also a pure
+    * expression (sort the centroid-distance array, slice nProbe,
+    * explode) — no shuffle on the query side before the bucket join.
+    * With nProbe == nLists every cell is probed and the result is
+    * EXACTLY brute force (each corpus vector lives in exactly one
+    * cell), which oracle-verifies the IVF plumbing end to end. */
+  def ivfTopK(model: IvfModel, corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, nProbe: Int, k: Int): DataFrame = {
-    val centroids = model.clusterCenters.zipWithIndex
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val cb = corpus.join(ivfAssign(model, corpus, idCol, vecCol), idCol)
-      .select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cv"),
-        col("cell"))
-    // query → its nProbe nearest cells (tiny driver-side math per query
-    // is avoided: distances to all centroids computed as columns, then
-    // the nProbe smallest kept — centroid count is small by design)
-    val centDf = centroids.map { case (c, i) => (i, c.toArray) }
-      .toSeq.toDF("cell", "centroid")
+    val cb = corpus
+      .select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cv"))
+      .select(col("corpus_id"), col("cv"),
+        cellOfQuantized(model, col("cv")).as("cell"))
+    val probeCells = transform(
+      slice(array_sort(array(
+        centroidDistStructs(model, quantize(col(vecCol))): _*)), 1, nProbe),
+      s => s.getField("cell"))
     val qCells = queries.select(col(idCol).as("query_id"),
-        quantize(col(vecCol)).as("qv"), col(vecCol).as("_v"))
-      .crossJoin(broadcast(centDf))
-      .withColumn("dist2", aggregate(
-        zip_with(col("_v"), col("centroid"),
-          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-        lit(0.0).cast("double"), (acc, x) => acc + x))
-      .withColumn("rnk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("query_id").orderBy(col("dist2"), col("cell"))))
-      .filter(col("rnk") <= nProbe)
-      .select(col("query_id"), col("qv"), col("cell"))
+      quantize(col(vecCol)).as("qv"), explode(probeCells).as("cell"))
     val scored = cb.join(broadcast(qCells), Seq("cell"))
       .filter(col("corpus_id") =!= col("query_id"))
       .withColumn("cosine", qcosine(col("qv"), col("cv")))

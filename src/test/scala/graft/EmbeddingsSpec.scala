@@ -85,6 +85,34 @@ class EmbeddingsSpec extends SparkSpec {
     }
   }
 
+  test("multi-probe LSH with h == nPlanes equals brute force exactly") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probes = e.filter($"vec_id" < 5)
+    val mp = Embeddings.lshTopKMultiProbe(e, probes, "vec_id", "embedding",
+        nPlanes = 3, dim = 64, k = 5, probeHamming = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rnk")) ->
+        (r.getAs[Long]("corpus_id"), r.getAs[Double]("cosine"))).toMap
+    val bf = Embeddings.bruteForceTopK(e, probes, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rnk")) ->
+        (r.getAs[Long]("corpus_id"), r.getAs[Double]("cosine"))).toMap
+    assert(mp == bf)
+  }
+
+  test("multi-probe widens candidate coverage monotonically") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probes = e.filter($"vec_id" < 5)
+    // k above the corpus size ⇒ the result IS the candidate set, so
+    // widening the probe radius can only add pairs, never drop them
+    val kAll = e.count().toInt + 1
+    def hits(h: Int) = Embeddings.lshTopKMultiProbe(e, probes, "vec_id",
+        "embedding", nPlanes = 6, dim = 64, k = kAll, probeHamming = h)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("corpus_id"))).toSet
+    val h0 = hits(0); val h1 = hits(1)
+    assert(h0.subsetOf(h1))
+    assert(h1.size >= h0.size)
+  }
+
   test("identical vectors always share an LSH bucket (full recall on exact dups)") {
     val d = vecs(1L -> Seq(0.3f, -0.2f, 0.9f), 2L -> Seq(0.3f, -0.2f, 0.9f),
       3L -> Seq(-0.5f, 0.1f, 0.2f))
