@@ -56,6 +56,27 @@ object Lake {
       .saveAsTable(table)
   }
 
+  /** Range-clustered sorted write — the lake layout for selective
+    * time/key scans at 100 TB. `repartitionByRange` assigns contiguous
+    * key ranges to files and `sortWithinPartitions` orders rows inside
+    * each file, so every parquet row group carries tight min/max stats
+    * on the sort keys: a point or range predicate skips whole files and
+    * row groups at scan time (predicate pushdown does the skipping —
+    * no manual path math, no index table). This is the write-side dual
+    * of X1's `(camera_id, timestamp)` SQLite index
+    * (reference app/database.py:33-36): same read selectivity, but the
+    * "index" is the physical order plus footer stats, costs one range
+    * shuffle at write time, and needs no maintenance.
+    * LakeBucketingSpec asserts the clustering (one key → one file). */
+  def writeSortedByRange(df: DataFrame, root: String, nFiles: Int,
+                         sortCols: Seq[String],
+                         mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val keys = sortCols.map(col)
+    df.repartitionByRange(nFiles, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .write.format("parquet").mode(mode).save(root)
+  }
+
   /** A9 — per-day lake stats: count per source pivoted by class (reference
     * app/utils.py:353-381 builds by_camera[name][class] dicts in a loop).
     * Explicit pivot values keep this a single-pass job (no distinct scan)

@@ -85,4 +85,28 @@ object TrafficModel {
         col("hr").cast("long").as("hr"),
         greatest(col("prediction"), lit(0.0)).as("predicted_volume"))
   }
+
+  /** The full ML serving path: model-scored slots pushed through the
+    * reference rules engine (thresholds left-join with defaults + the
+    * CASE chain of app/routes.py:284-307) — the MLlib counterpart of
+    * the relational predictSlot → withStatus flow, so a trained model
+    * drops into the same prescriptive pipeline the group-mean uses. */
+  def scoreAndClassify(model: PipelineModel, keys: DataFrame,
+                       thresholds: DataFrame, keyCol: String,
+                       keyCardinality: Int = 1024): DataFrame =
+    graft.ops.Predict.withStatus(
+      predictSlots(model, keys, keyCol, keyCardinality), thresholds, keyCol)
+
+  /** Training-data RMSE — the fit-quality scalar used to sanity-check a
+    * model against the constant-mean baseline (one agg, no collect of
+    * predictions). */
+  def rmse(model: PipelineModel, history: DataFrame, keyCol: String,
+           tsCol: String, valueCol: String,
+           keyCardinality: Int = 1024): Double = {
+    val tf = withEncodings(
+      trainingFrame(history, keyCol, tsCol, valueCol), keyCol, keyCardinality)
+    model.transform(tf)
+      .select(pow(col("prediction") - col("hourly_total"), 2).as("se"))
+      .agg(sqrt(avg("se"))).head.getDouble(0)
+  }
 }

@@ -157,6 +157,34 @@ object Ingest {
       .select(col(keyCol), col("n_events"), col("session_start"),
         col("session_end"), col("total_value"))
 
+  /** Streaming exact dedup over a document stream: drop any document
+    * whose content hash was already seen within the watermark horizon —
+    * the ingest-time half of the corpus-dedup pipeline (the batch half,
+    * ops.TextDedup.exactDedup, sweeps the at-rest lake). State is one
+    * entry per distinct hash, keyed and sharded by the 60-bit content
+    * hash, and `dropDuplicatesWithinWatermark` evicts entries as event
+    * time advances — bounded state on an unbounded stream, which a
+    * plain dropDuplicates would not give. The text column never enters
+    * the state store (hash + event-time only). Works identically on a
+    * static frame (degenerates to the batch semantics). */
+  def streamingExactDedup(docs: DataFrame, idCol: String, textCol: String,
+                          tsCol: String, watermark: String): DataFrame = {
+    val hashed = docs.withColumn("content_hash",
+      graft.ops.TextDedup.md5Hash60(col(textCol)))
+    if (docs.isStreaming)
+      hashed.withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark("content_hash")
+    else {
+      // batch degenerate case: deterministic min-id survivor, matching
+      // ops.TextDedup.exactDedup's keep_id convention (a bare
+      // dropDuplicates keeps whichever row a partition saw first)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("content_hash").orderBy(col(idCol))
+      hashed.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
+    }
+  }
+
   /** X7-style running accumulators: streaming global + per-camera totals
     * (output mode Update — incremental by design). */
   def runningTotals(obs: DataFrame): DataFrame =

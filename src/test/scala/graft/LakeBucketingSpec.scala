@@ -41,6 +41,33 @@ class LakeBucketingSpec extends SparkSpec {
     }
   }
 
+  test("writeSortedByRange clusters a key's rows into one file (footer-stat skipping)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_range").toString
+    val df = (0 until 4000)
+      .map(i => (s"cam${i % 40}", i.toLong, (i % 7).toLong))
+      .toDF("camera_id", "ts", "v")
+    Lake.writeSortedByRange(df, dir, nFiles = 8,
+      sortCols = Seq("camera_id", "ts"))
+    val back = spark.read.parquet(dir)
+    // range partitioning ⇒ all rows of one camera live in exactly one
+    // file, so a camera predicate touches 1 of 8 files (parquet min/max
+    // on the sorted key does the skipping at scan time)
+    val touched = back.filter(col("camera_id") === "cam7")
+      .select(input_file_name()).distinct().count()
+    assert(touched == 1L, s"expected 1 file for one key, got $touched")
+    assert(back.inputFiles.length == 8)
+    // rows inside each FILE arrive sorted by (camera_id, ts) — check in
+    // row-arrival order per file (driver-side; 4k rows)
+    val byFile = back
+      .select(input_file_name().as("f"), col("camera_id"), col("ts"))
+      .collect().groupBy(_.getString(0))
+    byFile.values.foreach { rows =>
+      val seq = rows.map(r => (r.getString(1), r.getLong(2))).toSeq
+      assert(seq == seq.sorted, "rows not sorted within a file")
+    }
+  }
+
   test("bucketed scan exposes the bucket partitioning to the optimizer") {
     import spark.implicits._
     val df = (0 until 100).map(i => (s"k$i", i.toLong)).toDF("camera_id", "v")

@@ -54,6 +54,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup drops cross-batch duplicates, keeps state bounded by watermark") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = mem.toDF().toDF("doc_id", "text", "ts")
+    val q = Ingest.streamingExactDedup(docs, "doc_id", "text", "ts", "10 minutes")
+      .select("doc_id", "content_hash")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "alpha beta", ts("2024-02-01 10:00:00")),
+        (2L, "gamma delta", ts("2024-02-01 10:00:01")))
+      q.processAllAvailable()
+      // batch 2: doc 3 duplicates doc 1's content ACROSS batches → dropped
+      mem.addData((3L, "alpha beta", ts("2024-02-01 10:00:05")),
+        (4L, "epsilon", ts("2024-02-01 10:00:06")))
+      q.processAllAvailable()
+      val kept = spark.table("dedup_out").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
+  test("streaming exact dedup on a static frame equals batch exactDedup survivors") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "same text", ts("2024-02-01 10:00:00")),
+      (2L, "same text", ts("2024-02-01 10:00:01")),
+      (3L, "other", ts("2024-02-01 10:00:02")))
+      .toDF("doc_id", "text", "ts")
+    val streamedStyle = Ingest.streamingExactDedup(docs, "doc_id", "text",
+      "ts", "10 minutes").select("doc_id").collect().map(_.getLong(0)).toSet
+    val batch = graft.ops.TextDedup.exactDedup(docs, "doc_id", "text")
+      .select("keep_id").collect().map(_.getLong(0)).toSet
+    assert(streamedStyle == batch)
+  }
+
   test("windowed flux with watermark aggregates per camera") {
     val obs = Ingest.batchObservations(fixture.toDS()).toDF()
     val out = Ingest.windowedFlux(obs, "1 minute", "10 minutes")

@@ -36,6 +36,45 @@ class TrafficModelSpec extends SparkSpec {
       s"camera signal must dominate: $byCam")
   }
 
+  test("scoreAndClassify attaches reference statuses consistent with thresholds") {
+    val rows = for {
+      cam <- Seq(1L, 2L); day <- 1 to 14; hr <- Seq(8, 9)
+    } yield (cam, java.sql.Timestamp.valueOf(f"2024-02-$day%02d $hr%02d:30:00"),
+      if (cam == 1L) 400.0 else 10.0)
+    val hist = rows.toDF("user_id", "ts", "value")
+    val model = TrafficModel.fit(hist, "user_id", "ts", "value")
+    val keys = Seq(1L, 2L).toDF("user_id")
+    // no thresholds row for cam 2 → reference defaults (100/200/300)
+    val thresholds = Seq((1L, 50.0, 150.0, 350.0))
+      .toDF("user_id", "p50", "p75", "p90")
+    val out = TrafficModel.scoreAndClassify(model, keys, thresholds, "user_id")
+    assert(out.count() == 2 * 7 * 24)
+    // every row's status agrees with its own thresholds columns
+    val bad = out.filter(
+      (col("predicted_volume") > col("p90") && col("status") =!= "MACET TOTAL") ||
+      (col("predicted_volume") <= col("p50") && col("status") =!= "LANCAR"))
+      .count()
+    assert(bad == 0)
+    // defaults applied for the missing key
+    assert(out.filter(col("user_id") === 2L && col("p50") === 100.0).count() == 7 * 24)
+  }
+
+  test("LR beats the constant-mean baseline on camera-structured data") {
+    val rows = for {
+      cam <- Seq(1L, 2L, 3L); day <- 1 to 14; hr <- 7 to 10
+    } yield (cam, java.sql.Timestamp.valueOf(f"2024-02-$day%02d $hr%02d:15:00"),
+      cam * 50.0 + hr)
+    val hist = rows.toDF("user_id", "ts", "value")
+    val model = TrafficModel.fit(hist, "user_id", "ts", "value")
+    val fitRmse = TrafficModel.rmse(model, hist, "user_id", "ts", "value")
+    val tf = TrafficModel.trainingFrame(hist, "user_id", "ts", "value")
+    val stats = tf.agg(avg("hourly_total").as("mu"),
+      sqrt(avg(pow(col("hourly_total") - tf.agg(avg("hourly_total"))
+        .head.getDouble(0), 2))).as("sd")).head
+    assert(fitRmse < stats.getDouble(1) / 2,
+      s"LR rmse $fitRmse should beat constant baseline sd ${stats.getDouble(1)}")
+  }
+
   test("predictions are non-negative and cover every slot") {
     val e = Tables.events(spark, "/root/testdata/sf0.001")
       .withColumn("ts", col("ts").cast("timestamp"))
