@@ -33,9 +33,11 @@ object TextDedup {
   /** First 60 bits of md5 as a non-negative BIGINT — the cross-engine
     * deterministic string hash (DuckDB: CAST('0x'||substr(md5(s),1,15) AS
     * BIGINT)). 60 bits keeps every downstream product in Long range under
-    * ANSI arithmetic. */
-  def md5Hash60(s: Column): Column =
-    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+    * ANSI arithmetic. Fused codegen expression (graft.functions.Md5Hash60):
+    * digest bytes → long directly, vs the hex-format + substring +
+    * base-16 re-parse of the composed `conv(substring(md5(s),1,15),16,10)`
+    * — identical values, so oracles are unaffected. */
+  def md5Hash60(s: Column): Column = graft.functions.Md5Hash60.md5hash60(s)
 
   private val P = 1000000007L // hash-family modulus (fits products in Long)
 
