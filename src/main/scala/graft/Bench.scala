@@ -22,10 +22,11 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try { run(fn) } catch { case _: Throwable => }
     }
-    // best-of-2 timed runs per query: a single-shot timing at local[32]
-    // is dominated by JIT/GC noise from whatever ran before it
+    // best-of-3 timed runs per query: a single-shot timing at local[32]
+    // is dominated by JIT/GC noise from whatever ran before it (observed
+    // spread at sf0.1 is routinely 2-3x between reps of the same query)
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { run(fn) } catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9

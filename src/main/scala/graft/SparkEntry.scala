@@ -164,7 +164,7 @@ object SparkEntry {
           .as("p_lat"),
         (lit(107.60) + ((col("s_suppkey") * 17) % 200).cast("double") / lit(1000.0))
           .as("p_lng"))
-      Joins.withinRange(zones, "z_lat", "z_lng", points, "p_lat", "p_lng", 2000.0)
+      Joins.withinRangeGrid(zones, "z_lat", "z_lng", points, "p_lat", "p_lng", 2000.0)
         .groupBy("zone_id")
         .agg(count(lit(1)).as("n_points_within"))
         .orderBy("zone_id")

@@ -34,7 +34,7 @@ object Geo {
     * recommended route, reference dashboard.html:1229-1232). */
   def routeEta(segments: DataFrame, zones: DataFrame, radiusM: Double,
                baseKmh: Double): DataFrame = {
-    val joined = Joins.withinRange(
+    val joined = Joins.withinRangeGrid(
       zones, "z_lat", "z_lng", segments, "s_lat", "s_lng", radiusM)
     val perSeg = joined.groupBy("route_id", "seg_id")
       .agg(min("speed_kmh").as("zone_speed"))

@@ -92,4 +92,40 @@ object Joins {
     val d2 = dx * dx + dy * dy
     points.join(broadcast(zones), d2 <= lit(radiusM) * lit(radiusM))
   }
+
+  /** Grid-bucketed range join — the 100 TB shape of [[withinRange]].
+    * Every point hashes to ONE grid cell of side `radiusM`; every zone
+    * fans out to its 3×3 covering cells (a match within the radius
+    * forces |cell delta| <= 1 on both axes, so no qualifying pair can
+    * escape); the join is then an EQUI-join on the cell key with the
+    * exact distance predicate as a residual filter. Output is
+    * row-identical to the nested-loop form (GeoSpec pins it), but the
+    * plan is a hash join: with a catalog-sized zone side it broadcasts
+    * like before, and when BOTH sides are huge it degrades gracefully
+    * to a shuffle hash join on the cell key — something a
+    * BroadcastNestedLoopJoin can never do. Each zone appears in 9
+    * distinct cells and each point in exactly one, so no pair dedup is
+    * needed. */
+  def withinRangeGrid(zones: DataFrame, zLat: String, zLng: String,
+                      points: DataFrame, pLat: String, pLng: String,
+                      radiusM: Double): DataFrame = {
+    val mLat = lit(110540.0)
+    val mLng = lit(109640.0)
+    def cx(latC: Column): Column = floor(latC * mLat / radiusM).cast("long")
+    def cy(lngC: Column): Column = floor(lngC * mLng / radiusM).cast("long")
+    val zExp = zones
+      .withColumn("_cx", explode(array((-1 to 1).map(d =>
+        cx(col(zLat)) + d): _*)))
+      .withColumn("_cy", explode(array((-1 to 1).map(d =>
+        cy(col(zLng)) + d): _*)))
+    val pCells = points
+      .withColumn("_cx", cx(col(pLat)))
+      .withColumn("_cy", cy(col(pLng)))
+    val dx = (col(zLat) - col(pLat)) * mLat
+    val dy = (col(zLng) - col(pLng)) * mLng
+    val d2 = dx * dx + dy * dy
+    pCells.join(broadcast(zExp), Seq("_cx", "_cy"))
+      .filter(d2 <= lit(radiusM) * lit(radiusM))
+      .drop("_cx", "_cy")
+  }
 }
