@@ -9,6 +9,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // static conf: the default 100-entry codegen cache thrashes across
+      // a 60-query suite (several codegen units each), forcing janino
+      // recompiles on every timed rep
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Force FULL evaluation of every output column: count() would let

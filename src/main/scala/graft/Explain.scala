@@ -10,7 +10,8 @@ object Explain {
     val dir = "/root/testdata/sf0.01"
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "a8_history_buckets_15m", "j1_export_topk", "j1_revenue_by_brand",
-      "j4_predict_slot_rules", "a2_totals_trailing_7d", "j7_geo_range_join")
+      "j4_predict_slot_rules", "a2_totals_trailing_7d", "j7_geo_range_join",
+      "e_ivf_topk", "e_lsh_exact", "dd_jaccard_pairs", "a6_thresholds")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, dir).queryExecution.executedPlan
