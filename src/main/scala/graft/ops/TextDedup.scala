@@ -221,7 +221,18 @@ object TextDedup {
   def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
                   n: Int, k: Int, bands: Int, minJ: Double): DataFrame = {
     val keep = exactDedup(df, idCol, textCol).select(col("keep_id").as(idCol))
-    val reps = df.join(keep, Seq(idCol), "left_semi").cache()
+    // Right-size the survivor set before the multi-stage LSH pipeline:
+    // the semi join preserves the INPUT's partitioning, so on a
+    // dup-heavy corpus the (much smaller) representative set would
+    // otherwise drag the full input task count through ~6 downstream
+    // stages of near-empty tasks. coalesce (NOT repartition: merging
+    // partitions needs no shuffle of the text, and a measured
+    // repartition here cost more than the tiny tasks it saved) down to
+    // the cluster-sized partition count; no-op when already there.
+    val shufflePartitions =
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val reps = df.join(keep, Seq(idCol), "left_semi")
+      .coalesce(shufflePartitions).cache()
     val pairs = minhashLshPairs(reps, idCol, textCol, n, k, bands, minJ)
     val removed = pairs.select(col("b_id").as(idCol)).distinct()
     reps.join(removed, Seq(idCol), "left_anti")
