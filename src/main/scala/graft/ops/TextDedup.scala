@@ -86,16 +86,35 @@ object TextDedup {
       .groupBy("content_hash")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Per-pair shingle intersection via the inverted index, with set
-    * sizes attached. Shared by the exact and LSH-verified paths. */
-  private def intersections(shIn: DataFrame, idCol: String): DataFrame = {
-    val sh = shIn.cache() // read 3× below (both join sides + sizes)
+  /** Exact Jaccard verification driven by the CANDIDATE PAIR list:
+    * fan each (a, b) pair out over a's shingles, semi-join b's side on
+    * (b_id, sh_h), count matches per pair, attach set sizes. Work is
+    * O(Σ_pairs |shingles(a)|) — proportional to the verification
+    * actually requested. The earlier inverted-index self-join over
+    * candidate DOCS was quadratic on hot shingles (a boilerplate
+    * shingle shared by all candidate docs emits every co-occurrence
+    * pair before the cand filter: measured 28M intermediate rows for
+    * 238 surviving pairs at the 30x probe; this form emits ~57k).
+    * Pairs with zero overlap (LSH false positives) survive to the
+    * jaccard filter with n_common = 0. */
+  private[graft] def verifyPairs(cand: DataFrame, shIn: DataFrame,
+                                 idCol: String): DataFrame = {
+    // restrict the index to docs that appear in some candidate pair
+    // before anything else — sizes and both verify joins then run on
+    // the candidate slice, not the corpus
+    val candDocs = cand.select(col("a_id").as(idCol))
+      .union(cand.select(col("b_id").as(idCol))).distinct()
+    val sh = shIn.join(candDocs, Seq(idCol), "left_semi")
+      .cache() // a-side fan-out + b-side semi-join + sizes
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    sh.as("x").join(sh.as("y"),
-        col("x.sh_h") === col("y.sh_h") &&
-          col(s"x.$idCol") < col(s"y.$idCol"))
-      .groupBy(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
+    val common = cand
+      .join(sh.select(col(idCol).as("a_id"), col("sh_h")), Seq("a_id"))
+      .join(sh.select(col(idCol).as("b_id"), col("sh_h")),
+        Seq("b_id", "sh_h"), "left_semi")
+      .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("n_common"))
+    cand.join(common, Seq("a_id", "b_id"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
       .join(sizes.select(col(idCol).as("a_id"), col("sz").as("a_sz")), "a_id")
       .join(sizes.select(col(idCol).as("b_id"), col("sz").as("b_sz")), "b_id")
       .withColumn("jaccard",
@@ -150,10 +169,7 @@ object TextDedup {
       .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
       .distinct()
       .cache()
-    val candDocs = cand.select(col("a_id").as(idCol))
-      .union(cand.select(col("b_id").as(idCol))).distinct()
-    val shCand = sh.join(candDocs, Seq(idCol), "left_semi")
-    cand.join(intersections(shCand, idCol), Seq("a_id", "b_id"))
+    verifyPairs(cand, sh, idCol)
       .filter(col("jaccard") >= minJ)
       .select("a_id", "b_id", "n_common", "jaccard")
   }
@@ -195,14 +211,10 @@ object TextDedup {
       .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
       .distinct()
       .cache()
-    // exact-verify ONLY the candidates: restrict the inverted index to
-    // docs that appear in some candidate pair before the pairwise
-    // intersection join — LSH already did the pruning, so the expensive
-    // join runs on the (tiny) candidate doc set, not the corpus
-    val candDocs = cand.select(col("a_id").as(idCol))
-      .union(cand.select(col("b_id").as(idCol))).distinct()
-    val shCand = sh.join(candDocs, Seq(idCol), "left_semi")
-    cand.join(intersections(shCand, idCol), Seq("a_id", "b_id"))
+    // exact-verify ONLY the candidates, pair-driven: LSH already did
+    // the pruning, so verification fans each pair over one side's
+    // shingles instead of re-joining the inverted index with itself
+    verifyPairs(cand, sh, idCol)
       .filter(col("jaccard") >= minJ)
       .select("a_id", "b_id", "jaccard")
   }
