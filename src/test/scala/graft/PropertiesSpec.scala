@@ -103,4 +103,80 @@ class PropertiesSpec extends AnyFunSuite
       }
     }
   }
+
+  // random 2-decimal doubles, mixed sign, with a null sprinkled in
+  private val moneyGen = Gen.listOfN(80, for {
+    k <- Gen.choose(1L, 3L)
+    cents <- Gen.choose(-5000000L, 5000000L)
+    isNull <- Gen.frequency(9 -> Gen.const(false), 1 -> Gen.const(true))
+  } yield (k, if (isNull) None else Some(cents.toDouble / 100.0)))
+
+  test("property: Exact split-word sum is bit-identical to the decimal(28,2) sum") {
+    forAll(moneyGen) { rows =>
+      val df = rows.toDF("k", "v")
+      val both = df.groupBy("k").agg(
+        graft.util.Exact.dsum2(col("v")).as("fast"),
+        sum(col("v").cast("decimal(28,2)")).cast("double").as("ref"))
+      both.collect().foreach { r =>
+        val fast = Option(r.get(1)).map(_.asInstanceOf[Double])
+        val ref = Option(r.get(2)).map(_.asInstanceOf[Double])
+        assert(fast == ref, s"key ${r.get(0)}: $fast != $ref")
+      }
+    }
+  }
+
+  private val docGen = Gen.listOfN(14, for {
+    id <- Gen.choose(1L, 1000000L)
+    words <- Gen.listOfN(8, Gen.oneOf("alpha", "beta", "gamma", "delta",
+      "epsilon", "zeta", "eta", "theta"))
+  } yield (id, words.mkString(" ")))
+
+  test("property: prefix-filtered jaccardPairs equals the naive all-pairs result") {
+    forAll(docGen, cases = 3) { docsRaw =>
+      val docs = docsRaw.distinctBy(_._1)
+      whenever(docs.size >= 2) {
+        val df = docs.toDF("doc_id", "text")
+        val got = TextDedup.jaccardPairs(df, "doc_id", "text", 3, 0.5)
+          .select("a_id", "b_id", "jaccard").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        // naive: driver-side exact jaccard over 3-shingle sets
+        def sh(t: String): Set[String] =
+          t.split(" ").sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+        val naive = (for {
+          a <- docs; b <- docs if a._1 < b._1
+          sa = sh(a._2); sb = sh(b._2)
+          if sa.nonEmpty && sb.nonEmpty
+          inter = (sa intersect sb).size
+          j = inter.toDouble / (sa.size + sb.size - inter).toDouble
+          if j >= 0.5
+        } yield (a._1, b._1, j)).toSet
+        assert(got == naive, s"got $got\nexpected $naive")
+      }
+    }
+  }
+
+  test("property: grid range join equals nested-loop range join on random points") {
+    val ptsGen = Gen.listOfN(30, for {
+      id <- Gen.choose(1L, 100000L)
+      lat <- Gen.choose(-7000L, 7000L)
+      lng <- Gen.choose(-7000L, 7000L)
+    } yield (id, lat.toDouble / 100.0, lng.toDouble / 100.0))
+    forAll(ptsGen, cases = 3) { ptsRaw =>
+      val pts = ptsRaw.distinctBy(_._1)
+      whenever(pts.size >= 2) {
+        val zones = pts.take(pts.size / 2).toDF("zone_id", "z_lat", "z_lng")
+        val points = pts.drop(pts.size / 2).toDF("point_id", "p_lat", "p_lng")
+        val radius = 150000.0
+        val bnl = graft.ops.Joins.withinRange(zones, "z_lat", "z_lng",
+            points, "p_lat", "p_lng", radius)
+          .select("zone_id", "point_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val grid = graft.ops.Joins.withinRangeGrid(zones, "z_lat", "z_lng",
+            points, "p_lat", "p_lng", radius)
+          .select("zone_id", "point_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(grid == bnl)
+      }
+    }
+  }
 }
