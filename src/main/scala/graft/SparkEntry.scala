@@ -41,6 +41,18 @@ object SparkEntry {
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- S1/S2: indexed point-in-time range scan (database.py:74-93);
+    // the raw-nanos bounds derived by plans.PushdownNanosTs reach the
+    // parquet footer, so this skips row groups at 100 TB ----
+    "s1_range_scan" -> ((s, dir) =>
+      ev(s, dir)
+        .filter(col("user_id") === 7 &&
+          col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-17 00:00:00").cast("timestamp"))
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("ts_epoch"),
+          col("event_type"), col("value"))
+        .orderBy("ts_epoch", "event_id")),
     // ---- A8: time-bucketed history (the /api/history chart query) ----
     "a8_history_buckets_15m" -> ((s, dir) =>
       TimeBuckets.history(ev(s, dir), "ts", "value", 900, "HH:mm")),
@@ -431,6 +443,15 @@ object SparkEntry {
       |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "s1_range_scan" ->
+      """SELECT event_id, user_id,
+        |       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+        |       event_type, value
+        |FROM events
+        |WHERE user_id = 7
+        |  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts <  TIMESTAMP '2024-01-17 00:00:00'
+        |ORDER BY ts_epoch, event_id""".stripMargin,
     "a8_history_buckets_15m" ->
       """WITH b AS (
         |  SELECT CAST(floor(epoch(ts)/900)*900 AS BIGINT) AS bucket_ts,

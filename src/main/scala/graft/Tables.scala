@@ -34,6 +34,11 @@ object Tables {
     * 2^53 and epoch-nanos is ~1.7e18). Data is µs-grained → lossless. */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // time-range predicates over the converted column can't reach the
+    // parquet scan on their own; this rule derives the raw-nanos bounds
+    // (graft.plans.PushdownNanosTs) so S1-style point-in-time scans
+    // skip row groups
+    graft.plans.PushdownNanosTs.install(s)
     val df = rd(s, dir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
