@@ -10,8 +10,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * and `SELECT qdot(a, b)` works in spark.sql too (the Column API via
   * `QDot.qdot` needs no registration). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.qdotEntry)
+    ext.injectOptimizerRule(_ => graft.plans.PushdownNanosTs)
+  }
 }
 
 object GraftExtensions {

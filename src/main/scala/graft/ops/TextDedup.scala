@@ -144,14 +144,16 @@ object TextDedup {
     // prefix filtering already keeps hot shingles out of the join.
     val guarded = maxShingleDocFreq.fold(sh0)(Skew.dropHotKeys(sh0, "sh_h", _))
     val sh = guarded.cache()
-    val dfreq = sh.groupBy(col("sh_h")).agg(count(lit(1)).as("_df"))
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("_df"), col("sh_h"))
     val wSz = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    val wFreq = org.apache.spark.sql.expressions.Window.partitionBy(col("sh_h"))
     // prefix length sz - ceil(minJ*sz) + 1, fp-safe: the 1e-9 nudge makes
     // ceil(0.8*5)=4 (not 5 via the 4.0000000000000002 double product) —
     // errs only toward a LONGER prefix, never a shorter (unsound) one.
-    val ranked = sh.join(dfreq, "sh_h")
+    // doc frequency as a window over the shingle partition: one shuffle
+    // by sh_h, vs groupBy + re-join (two shuffles and a co-location)
+    val ranked = sh.withColumn("_df", count(lit(1)).over(wFreq))
       .withColumn("_rk", row_number().over(wDoc))
       .withColumn("_sz", count(lit(1)).over(wSz))
       .withColumn("_pfx",
