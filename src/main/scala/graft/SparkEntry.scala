@@ -232,6 +232,8 @@ object SparkEntry {
       ev(s, dir).groupBy("event_type")
         .agg(graft.util.Exact.dsum2dec(col("value")).as("_tv"),
           count(lit(1)).as("n"))
+        // global window over one row per event TYPE (bounded by the
+        // class catalog, not data volume) — fine unpartitioned
         .withColumn("_total", sum(col("_tv")).over())
         .select(col("event_type"),
           col("_tv").cast("double").as("total_value"),

@@ -51,6 +51,10 @@ object Geo {
         count(lit(1)).as("n_segments"),
         sum(when(col("zone_speed").isNotNull, 1L).otherwise(0L))
           .as("n_congested"))
+    // unpartitioned window — deliberate: it ranks ROUTES, whose
+    // cardinality is bounded by the route catalog (a handful in the
+    // reference), not by segment/observation volume; the single
+    // partition holds one row per route
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("total_time_ms"), col("route_id"))
     routes.withColumn("rnk", row_number().over(w).cast("int"))

@@ -190,6 +190,30 @@ object TextDedup {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** One row per (doc, band): the LSH bucket keys of a document —
+    * `k` minhashes in `bands` bands of k/bands rows, the band key being
+    * the band's minhash tuple. Shared by the batch pair generator and
+    * the streaming ingest filter (whose persisted index stores these
+    * rows). */
+  def bandKeys(df: DataFrame, idCol: String, textCol: String,
+               n: Int, k: Int, bands: Int): DataFrame = {
+    val sh = shingleHashes(df, idCol, textCol, n)
+    val rows = k / bands
+    val sig = minhashSignatures(sh, idCol, k)
+    val bandStructs = (0 until bands).map { b =>
+      struct((0 until rows).map(r => col(s"mh${b * rows + r}").as(s"v$r")): _*)
+    }
+    // hash the band tuple to one BIGINT so the key is storage-friendly
+    // (stable parquet schema for the persisted ingest index) — md5 of
+    // the canonical "band:v0,v1,..." string
+    sig.select(col(idCol),
+        posexplode(array(bandStructs: _*)).as(Seq("band", "key")))
+      .select(col(idCol), col("band"),
+        md5Hash60(concat_ws(",", col("band") +:
+          (0 until rows).map(r => col("key").getField(s"v$r")): _*))
+          .as("band_h"))
+  }
+
   /** MinHash + LSH banded candidate generation, verified with exact
     * Jaccard. `k` signatures in `bands` bands of k/bands rows; docs
     * sharing any full band land in one bucket and become candidates.

@@ -221,6 +221,57 @@ object Ingest {
       .start()
   }
 
+  /** Incremental NEAR-dup ingest filter: a persisted MinHash band index
+    * (parquet at `indexPath`, rows = (doc_id, band, band_h) from
+    * ops.TextDedup.bandKeys) suppresses any incoming document whose
+    * band key collides with an already-admitted document — the
+    * streaming half of corpus dedup (the at-rest half,
+    * `TextDedup.dedupCorpus`, additionally exact-verifies; ingest
+    * accepts LSH's false-positive rate in exchange for one
+    * hash-equi-join per batch against an index that is ~bands rows per
+    * admitted doc, never the text). Within-batch near-dups collapse by
+    * keeping the smallest id per colliding bucket. Surviving docs
+    * append to `outRoot`; their band keys append to the index.
+    * foreachBatch makes the read-index/filter/append cycle transactional
+    * per micro-batch (exactly-once under the checkpoint). */
+  def startNearDupFilterSink(docs: DataFrame, idCol: String,
+                             textCol: String, outRoot: String,
+                             indexPath: String, checkpoint: String,
+                             n: Int = 3, k: Int = 16, bands: Int = 4,
+                             trigger: Trigger = Trigger.ProcessingTime(0L))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val keys = graft.ops.TextDedup
+          .bandKeys(batch, idCol, textCol, n, k, bands).cache()
+        // cross-batch: drop docs colliding with the persisted index
+        val priorHits =
+          if (new java.io.File(indexPath).exists())
+            keys.join(spark.read.parquet(indexPath).select("band", "band_h"),
+                Seq("band", "band_h"), "left_semi")
+              .select(col(idCol)).distinct()
+          else spark.emptyDataFrame.withColumn(idCol, lit(0L)).limit(0)
+        // within-batch: keep the smallest id per colliding bucket
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "band_h").orderBy(col(idCol))
+        val batchDups = keys
+          .withColumn("_keep", min(col(idCol)).over(w))
+          .filter(col(idCol) =!= col("_keep"))
+          .select(col(idCol)).distinct()
+        val dropIds = priorHits.union(batchDups).distinct()
+        val kept = batch.join(dropIds, Seq(idCol), "left_anti")
+        kept.write.mode("append").parquet(outRoot)
+        keys.join(dropIds, Seq(idCol), "left_anti")
+          .write.mode("append").parquet(indexPath)
+        keys.unpersist()
+        ()
+      }
+      .start()
+
   /** End-to-end wiring: detections stream → dedup → parquet history sink
     * (partitioned by date like the reference's lake) + console-able
     * windowed aggs. Returns the started query for the history sink. */

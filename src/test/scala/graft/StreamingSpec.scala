@@ -75,6 +75,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("near-dup ingest filter drops collisions across and within batches, admits novel docs") {
+    implicit val sc = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_neardup")
+    val out = s"$tmp/out"; val idx = s"$tmp/idx"; val cp = s"$tmp/cp"
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = Ingest.startNearDupFilterSink(docs, "doc_id", "text",
+      out, idx, cp)
+    try {
+      mem.addData(
+        (1L, "the quick brown fox jumps over the lazy dog today"),
+        (2L, "completely different words describing another topic entirely here"))
+      q.processAllAvailable()
+      // batch 2: doc 3 duplicates doc 1 (cross-batch), docs 4 and 5 are
+      // identical to each other (within-batch), doc 6 is novel
+      mem.addData(
+        (3L, "the quick brown fox jumps over the lazy dog today"),
+        (4L, "some brand new content that matches only its own twin text"),
+        (5L, "some brand new content that matches only its own twin text"),
+        (6L, "yet another unrelated document with fresh vocabulary inside"))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(out)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 2L, 4L, 6L), s"kept $kept")
+      // index holds band keys only for admitted docs
+      val indexed = spark.read.parquet(idx)
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(indexed == Set(1L, 2L, 4L, 6L))
+    } finally q.stop()
+  }
+
   test("streaming exact dedup on a static frame equals batch exactDedup survivors") {
     import spark.implicits._
     val docs = Seq(
