@@ -2,7 +2,7 @@ package graft.ml
 
 import org.apache.spark.ml.{Pipeline, PipelineModel}
 import org.apache.spark.ml.feature.{OneHotEncoder, VectorAssembler}
-import org.apache.spark.ml.regression.LinearRegression
+import org.apache.spark.ml.regression.{GBTRegressor, LinearRegression}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -41,6 +41,26 @@ object TrafficModel {
   /** The feature pipeline + linear model. Deterministic: "normal" solver
     * (closed form), fixed feature layout, no sampling. */
   def pipeline(): Pipeline = {
+    val lr = new LinearRegression()
+      .setFeaturesCol("features").setLabelCol("hourly_total")
+      .setSolver("normal").setRegParam(1e-6)
+    new Pipeline().setStages(featureStages :+ lr)
+  }
+
+  /** Gradient-boosted-trees variant: captures (dow × hr × key)
+    * interactions the additive linear model cannot (e.g. one camera's
+    * rush hour differing from another's). Seeded and
+    * subsampling-free → deterministic fits. Same feature columns, so
+    * the two models are swappable in [[scoreAndClassify]]. */
+  def pipelineGbt(maxIter: Int = 20, maxDepth: Int = 4): Pipeline = {
+    val gbt = new GBTRegressor()
+      .setFeaturesCol("features").setLabelCol("hourly_total")
+      .setMaxIter(maxIter).setMaxDepth(maxDepth)
+      .setSubsamplingRate(1.0).setSeed(42L)
+    new Pipeline().setStages(featureStages :+ gbt)
+  }
+
+  private def featureStages: Array[org.apache.spark.ml.PipelineStage] = {
     val enc = new OneHotEncoder()
       .setInputCols(Array("dow", "hr", "key_idx"))
       .setOutputCols(Array("dow_vec", "hr_vec", "key_vec"))
@@ -48,10 +68,7 @@ object TrafficModel {
     val asm = new VectorAssembler()
       .setInputCols(Array("dow_vec", "hr_vec", "key_vec", "hr_sin", "hr_cos"))
       .setOutputCol("features")
-    val lr = new LinearRegression()
-      .setFeaturesCol("features").setLabelCol("hourly_total")
-      .setSolver("normal").setRegParam(1e-6)
-    new Pipeline().setStages(Array(enc, asm, lr))
+    Array(enc, asm)
   }
 
   private def withEncodings(tf: DataFrame, keyCol: String,
@@ -69,6 +86,14 @@ object TrafficModel {
     val tf = withEncodings(
       trainingFrame(history, keyCol, tsCol, valueCol), keyCol, keyCardinality)
     pipeline().fit(tf)
+  }
+
+  /** Fit the GBT variant on history (same features/label). */
+  def fitGbt(history: DataFrame, keyCol: String, tsCol: String,
+             valueCol: String, keyCardinality: Int = 1024): PipelineModel = {
+    val tf = withEncodings(
+      trainingFrame(history, keyCol, tsCol, valueCol), keyCol, keyCardinality)
+    pipelineGbt().fit(tf)
   }
 
   /** Predict hourly volume for every (key, dow, hr) slot of the given

@@ -91,4 +91,43 @@ class EdgeCasesSpec extends SparkSpec {
     assert(out.length == 2)
     assert(out.forall(_.getAs[Double]("predicted_volume") == 0.0))
   }
+
+  test("multi-probe LSH with empty corpus or empty query set yields no rows") {
+    val emptyVecs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val vecs = Seq(1L -> Seq(1f, 0f), 2L -> Seq(0f, 1f))
+      .toDF("vec_id", "embedding")
+    assert(Embeddings.lshTopKMultiProbe(emptyVecs, vecs, "vec_id",
+      "embedding", 2, 2, 5, 2).count() == 0)
+    assert(Embeddings.lshTopKMultiProbe(vecs, emptyVecs, "vec_id",
+      "embedding", 2, 2, 5, 2).count() == 0)
+  }
+
+  test("grid range join with an empty side yields no rows") {
+    val z = Seq.empty[(Long, Double, Double)].toDF("zone_id", "z_lat", "z_lng")
+    val p = Seq((1L, -6.9, 107.6)).toDF("point_id", "p_lat", "p_lng")
+    assert(Joins.withinRangeGrid(z, "z_lat", "z_lng",
+      p, "p_lat", "p_lng", 500.0).count() == 0)
+    assert(Joins.withinRangeGrid(
+      p.toDF("zone_id", "z_lat", "z_lng"), "z_lat", "z_lng",
+      Seq.empty[(Long, Double, Double)].toDF("point_id", "p_lat", "p_lng"),
+      "p_lat", "p_lng", 500.0).count() == 0)
+  }
+
+  test("bandKeys on empty and shorter-than-n documents") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextDedup.bandKeys(emptyDocs, "doc_id", "text", 3, 8, 4)
+      .count() == 0)
+    // a doc with fewer than n tokens has no shingles → no band rows
+    val shortDoc = Seq((1L, "two words")).toDF("doc_id", "text")
+    assert(TextDedup.bandKeys(shortDoc, "doc_id", "text", 3, 8, 4)
+      .count() == 0)
+  }
+
+  test("s1 range scan with an empty time window yields no rows") {
+    val out = SparkEntry.queries("s1_range_scan")(spark, "/root/testdata/sf0.001")
+    assert(out.filter(col("ts_epoch") < 0).count() == 0)
+    val e = Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("ts") >= lit("2031-01-01 00:00:00").cast("timestamp"))
+    assert(e.count() == 0)
+  }
 }

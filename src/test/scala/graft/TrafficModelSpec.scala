@@ -75,6 +75,30 @@ class TrafficModelSpec extends SparkSpec {
       s"LR rmse $fitRmse should beat constant baseline sd ${stats.getDouble(1)}")
   }
 
+  test("GBT variant learns slot interactions the linear model cannot") {
+    // interaction signal: the 2x2 (cam, hr) table is NOT additive, so
+    // the linear model keeps a constant residual of 60 in every cell;
+    // trees carve the four cells. (Deliberately asymmetric — a perfect
+    // XOR table would give every FIRST split exactly zero gain and
+    // greedy trees would never start.)
+    val cell = Map((1L, 8) -> 200.0, (1L, 9) -> 20.0,
+      (2L, 8) -> 40.0, (2L, 9) -> 100.0)
+    val rows = for {
+      cam <- Seq(1L, 2L); day <- 1 to 14; hr <- Seq(8, 9)
+    } yield (cam, java.sql.Timestamp.valueOf(f"2024-02-$day%02d $hr%02d:30:00"),
+      cell((cam, hr)))
+    val hist = rows.toDF("user_id", "ts", "value")
+    val gbt = TrafficModel.fitGbt(hist, "user_id", "ts", "value")
+    val gbtRmse = TrafficModel.rmse(gbt, hist, "user_id", "ts", "value")
+    val lr = TrafficModel.fit(hist, "user_id", "ts", "value")
+    val lrRmse = TrafficModel.rmse(lr, hist, "user_id", "ts", "value")
+    assert(gbtRmse < lrRmse / 2,
+      s"GBT ($gbtRmse) should fit the interaction far better than LR ($lrRmse)")
+    // deterministic: same seed, same fit
+    val gbt2 = TrafficModel.fitGbt(hist, "user_id", "ts", "value")
+    assert(TrafficModel.rmse(gbt2, hist, "user_id", "ts", "value") == gbtRmse)
+  }
+
   test("predictions are non-negative and cover every slot") {
     val e = Tables.events(spark, "/root/testdata/sf0.001")
       .withColumn("ts", col("ts").cast("timestamp"))
