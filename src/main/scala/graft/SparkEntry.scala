@@ -334,6 +334,10 @@ object SparkEntry {
       TextStats.withFingerprint(Tables.documents(s, dir), "doc_id", "text",
           "fingerprint")
         .orderBy("doc_id")),
+    // ---- composed curation pipeline: lang + quality + exact dedup ----
+    "t_curate" -> ((s, dir) =>
+      TextStats.curate(Tables.documents(s, dir), "doc_id", "text",
+        Seq("en", "es"), 0.7).orderBy("doc_id")),
     // ---- training-data pipeline: embedding similarity ----
     "e_ann_bruteforce" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -1073,6 +1077,40 @@ object SparkEntry {
         |       round(stop_raw, 6) AS stopword_ratio,
         |       round(len_score * (1.0 - punct_raw) * (0.5 + least(stop_raw * 5.0, 0.5)), 6) AS quality_score
         |FROM m ORDER BY doc_id""".stripMargin,
+    "t_curate" ->
+      """WITH w AS (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') w FROM documents),
+        |s AS (SELECT doc_id, text, w,
+        |        CAST(len(list_filter(w, x -> x IN ('the','a','of','and','is'))) AS BIGINT) s_en,
+        |        CAST(len(list_filter(w, x -> x IN ('el','la','de','los','es'))) AS BIGINT) s_es,
+        |        CAST(len(list_filter(w, x -> x IN ('der','die','das','und','ist'))) AS BIGINT) s_de,
+        |        CAST(len(list_filter(w, x -> x IN ('le','la','les','des','est'))) AS BIGINT) s_fr
+        |      FROM w),
+        |l AS (SELECT doc_id, text, w,
+        |        CASE WHEN s_en > 0 AND s_en = best THEN 'en'
+        |             WHEN s_es > 0 AND s_es = best THEN 'es'
+        |             WHEN s_de > 0 AND s_de = best THEN 'de'
+        |             WHEN s_fr > 0 AND s_fr = best THEN 'fr'
+        |             ELSE 'und' END AS lang_pred
+        |      FROM (SELECT *, greatest(s_en, s_es, s_de, s_fr) best FROM s)),
+        |m AS (SELECT doc_id, text, lang_pred,
+        |        CAST(len(w) AS BIGINT) n_tokens,
+        |        CAST(len(regexp_replace(text, '[a-zA-Z0-9\s]+', '', 'g')) AS DOUBLE)
+        |          / CAST(len(text) AS DOUBLE) punct_raw,
+        |        CAST(len(list_filter(w, x -> x IN ('the','a','of','and','is','el','la','de','los','es',
+        |          'der','die','das','und','ist','le','les','des','est'))) AS DOUBLE)
+        |          / CAST(len(w) AS DOUBLE) stop_raw,
+        |        least(CAST(len(w) AS DOUBLE) / 20.0, 1.0) len_score
+        |      FROM l),
+        |p AS (SELECT doc_id, text, lang_pred, n_tokens,
+        |        round(len_score * (1.0 - punct_raw) * (0.5 + least(stop_raw * 5.0, 0.5)), 6)
+        |          AS quality_score
+        |      FROM m),
+        |f AS (SELECT * FROM p WHERE lang_pred IN ('en', 'es') AND quality_score >= 0.7),
+        |k AS (SELECT min(doc_id) AS keep_id
+        |      FROM (SELECT doc_id, CAST(('0x'||substr(md5(text),1,15)) AS BIGINT) h FROM f)
+        |      GROUP BY h)
+        |SELECT doc_id, lang_pred, quality_score, n_tokens
+        |FROM f JOIN k ON f.doc_id = k.keep_id ORDER BY doc_id""".stripMargin,
     "t_vocab_topk" ->
       """WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) token FROM documents),
         |c AS (SELECT token, COUNT(*) n FROM tok GROUP BY 1),

@@ -190,4 +190,32 @@ object TextStats {
                       outCol: String): DataFrame =
     df.select(col(idCol), TextDedup.tokens(col(textCol)).as("_w"))
       .select(col(idCol), fingerprintOf(col("_w")).as(outCol))
+
+  /** End-to-end EXACT corpus curation — the composed training-data
+    * hygiene pipeline: language filter (predicted language ∈
+    * `keepLangs`) → quality filter (`quality_score >= minQuality`) →
+    * exact dedup (min-id survivor per content hash). Every stage is
+    * deterministic and SQL-expressible, so the whole composition is
+    * DuckDB-oracled; the LSH-approximate near-dup stage deliberately
+    * stays separate ([[graft.ops.TextDedup.dedupCorpus]]) — run it
+    * after this when near-dup removal is wanted. Returns
+    * (id, lang_pred, quality_score, n_tokens) for surviving docs.
+    * Shuffle budget: one hash agg on the content hash + the semi join
+    * back; language/quality are pure maps. */
+  def curate(df: DataFrame, idCol: String, textCol: String,
+             keepLangs: Seq[String], minQuality: Double): DataFrame = {
+    val lang = withLangId(df.select(col(idCol), col(textCol)),
+      textCol, "lang_pred")
+    val q = qualityMetrics(df, idCol, textCol)
+      .select(col(idCol), col("quality_score"), col("n_tokens"))
+    val passed = lang.join(q, idCol)
+      .filter(col("lang_pred").isin(keepLangs.map(lit): _*) &&
+        col("quality_score") >= minQuality)
+    val keep = TextDedup.exactDedup(
+        passed.select(col(idCol), col(textCol)), idCol, textCol)
+      .select(col("keep_id").as(idCol))
+    passed.join(keep, Seq(idCol), "left_semi")
+      .select(col(idCol), col("lang_pred"), col("quality_score"),
+        col("n_tokens"))
+  }
 }
