@@ -264,6 +264,46 @@ object Embeddings {
         col("rnk").cast("int").as("rnk"))
   }
 
+  /** Persist the IVF index: the quantized corpus written PARTITIONED BY
+    * cell — the physical layout behind the "a probe reads nProbe cells
+    * of a 100 TB corpus" claim. One directory per cell; the search path
+    * below joins on the partition column so Spark's dynamic partition
+    * pruning (broadcast side = the probed cells) skips every other
+    * directory at scan time. */
+  def writeIvfIndex(model: IvfModel, corpus: DataFrame, idCol: String,
+                    vecCol: String, path: String): Unit =
+    corpus.select(col(idCol), quantize(col(vecCol)).as("cv"))
+      .withColumn("cell", cellOfQuantized(model, col("cv")))
+      .write.partitionBy("cell")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+
+  /** IVF top-k against a persisted index: identical semantics to
+    * [[ivfTopK]] but the corpus side is the partitioned index, so only
+    * the probed cells' directories are read (IvfIndexSpec asserts the
+    * dynamic-pruning plan and result parity). */
+  def ivfTopKIndexed(model: IvfModel, spark: org.apache.spark.sql.SparkSession,
+                     indexPath: String, queries: DataFrame, idCol: String,
+                     vecCol: String, nProbe: Int, k: Int): DataFrame = {
+    val cb = spark.read.parquet(indexPath)
+      .select(col(idCol).as("corpus_id"), col("cv"), col("cell"))
+    val probeCells = transform(
+      slice(array_sort(array(
+        centroidDistStructs(model, quantize(col(vecCol))): _*)), 1, nProbe),
+      s => s.getField("cell"))
+    val qCells = queries.select(col(idCol).as("query_id"),
+      quantize(col(vecCol)).as("qv"), explode(probeCells).as("cell"))
+    val scored = cb.join(broadcast(qCells), Seq("cell"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("cosine", qcosine(col("qv"), col("cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cosine"),
+        col("rnk").cast("int").as("rnk"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a, b), a < b, with
     * cosine >= minCos, generated through LSH buckets (scale path) and
     * exact-verified. For full recall at moderate n use nPlanes small

@@ -1,0 +1,41 @@
+package graft
+
+import graft.ops.Embeddings
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF index: cell-partitioned layout + dynamic partition
+  * pruning on the probe join, with results identical to the in-memory
+  * search. */
+class IvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("indexed IVF search prunes to probed cells and matches in-memory results") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probes = e.filter($"vec_id" < 5)
+    val model = Embeddings.ivfFit(e, "vec_id", "embedding", nLists = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Embeddings.writeIvfIndex(model, e, "vec_id", "embedding", dir)
+
+    // one directory per non-empty cell
+    val cellDirs = new java.io.File(dir).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs > 1, s"expected multiple cell partitions, got $cellDirs")
+
+    val indexed = Embeddings.ivfTopKIndexed(model, spark, dir, probes,
+      "vec_id", "embedding", nProbe = 2, k = 5)
+    // plan: the partition column join must trigger dynamic partition
+    // pruning on the index scan (only probed cells are listed/read)
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the index scan:\n${plan.take(3000)}")
+
+    val mem = Embeddings.ivfTopK(model, e, probes, "vec_id", "embedding",
+        nProbe = 2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) ->
+        (r.getLong(1), r.getDouble(2))).toSet
+    val idx = indexed
+      .collect().map(r => (r.getLong(0), r.getInt(3)) ->
+        (r.getLong(1), r.getDouble(2))).toSet
+    assert(idx == mem)
+  }
+}
