@@ -1,0 +1,41 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Dev plan-audit sweep: flags join shapes worth eyeballing across the
+  * whole query suite. Expected (deliberate) flags as of round 2:
+  *  - BroadcastNestedLoop in a2/a7 (one-row max-ts scalar broadcast),
+  *    j6 (pattern replay IS a cross join, tiny side), e_ann_bruteforce
+  *    (the brute-force baseline is a deliberate corpus × probes scan);
+  *  - SortMergeJoin in the dedup family / e_cosine_neardup / t_curate:
+  *    inverted-index and band-bucket self-joins where BOTH sides are
+  *    large at scale — a shuffle join is the correct physical choice
+  *    (AQE still converts to broadcast at runtime when a side turns
+  *    out small).
+  * Anything NEW appearing here deserves a look.
+  */
+object AuditAll {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        val flags = Seq(
+          "CartesianProduct" -> plan.contains("CartesianProduct"),
+          "SortMergeJoin" -> plan.contains("SortMergeJoin"),
+          "BroadcastNestedLoop" -> plan.contains("BroadcastNestedLoopJoin"))
+          .filter(_._2).map(_._1)
+        if (flags.nonEmpty) println(s"[audit] $name: ${flags.mkString(",")}")
+      } catch {
+        case e: Throwable =>
+          println(s"[audit] $name: ERROR ${e.getMessage.take(80)}")
+      }
+    }
+    println("[audit] done")
+    spark.stop()
+  }
+}
