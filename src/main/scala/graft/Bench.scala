@@ -13,6 +13,9 @@ object Bench {
       // a 60-query suite (several codegen units each), forcing janino
       // recompiles on every timed rep
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // keep every job in the status store so per-query job counts
+      // (read via statusTracker job groups) never get evicted mid-run
+      .config("spark.ui.retainedJobs", "100000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Force FULL evaluation of every output column: count() would let
@@ -26,21 +29,37 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try { run(fn) } catch { case _: Throwable => }
     }
+    // Spark job count for a job group, letting the async listener bus
+    // settle (two consecutive equal reads) so late events are counted.
+    def jobsFor(group: String): Int = {
+      def read = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+      var prev = -1; var cur = read; var i = 0
+      while (cur != prev && i < 50) { Thread.sleep(20); prev = cur; cur = read; i += 1 }
+      cur
+    }
     // best-of-3 timed runs per query: a single-shot timing at local[32]
     // is dominated by JIT/GC noise from whatever ran before it (observed
-    // spread at sf0.1 is routinely 2-3x between reps of the same query)
+    // spread at sf0.1 is routinely 2-3x between reps of the same query).
+    // The last rep runs under a job group so the JSON can attribute the
+    // ~0.2 s/query scheduling floor: many-job queries pay it per job.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 3).map { _ =>
+      val times = (1 to 3).map { rep =>
+        if (rep == 3) spark.sparkContext.setJobGroup(s"bench:$name", name)
         val t0 = System.nanoTime()
         try { run(fn) } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (rep == 3) spark.sparkContext.clearJobGroup()
+        dt
       }
-      name -> times.min
+      name -> (times.min, jobsFor(s"bench:$name"))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val js = results.map { case (k, (_, j)) => s"\"" + k + "\":" + j }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    val totalJobs = results.values.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"jobs":$js,"total_jobs":$totalJobs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -64,6 +64,9 @@ object SparkEntry {
     // (1704499207 = 2024-01-06 01:20:07 UTC → day start 2024-01-06)
     "a8_history_custom_day" -> ((s, dir) =>
       TimeBuckets.customDay(ev(s, dir), "ts", "value", 1704499207L, 1800)),
+    // period-name dispatch (routes.py:83-103): 7d → 4h buckets, dd/MM label
+    "a8_history_period_7d" -> ((s, dir) =>
+      TimeBuckets.forPeriod(ev(s, dir), "ts", "value", "7d", "dd/MM")),
     // ---- A1/A2/A3/A10/A13: totals and roll-ups ----
     "a1_totals_global" -> ((s, dir) => Totals.global(ev(s, dir), "value")),
     "a2_totals_trailing_7d" -> ((s, dir) =>
@@ -203,6 +206,20 @@ object SparkEntry {
       Synthetic.series(s, "2024-03-01", days = 2, intervalSec = 3600,
         peak = 120.0, mu = 8.0, width = 18.0, jitter = 15.0, cap = 100.0,
         seed = "graft").orderBy("ts_epoch")),
+    // demo-augment proportional class rescale (camera.py:258-278): the
+    // total scales by the multiplier with int truncation, classes
+    // re-split proportionally with per-class truncation
+    "f_augment_rescale" -> ((s, dir) => {
+      val base = ev(s, dir).groupBy("user_id").agg(
+        count(lit(1)).as("total_count"),
+        count(when(col("event_type").isin("click", "view"), 1))
+          .as("car_count"),
+        count(when(col("event_type").isin("purchase", "signup", "error"), 1))
+          .as("moto_count"))
+      val mult = lit(0.5) + Synthetic.u01("mult", col("user_id")) * 2.0
+      Synthetic.augmentRescale(base, mult, "total_count",
+        Seq("car_count", "moto_count")).orderBy("user_id")
+    }),
     "j8_argmax_worst" -> ((s, dir) => {
       val totals = ev(s, dir).groupBy("event_type", "user_id")
         .agg(graft.util.Exact.dsum2(col("value")).as("total_value"))
@@ -283,9 +300,10 @@ object SparkEntry {
           col("asof_checkpoint_total"))
         .orderBy("event_id")
     }),
-    // ---- profiling: per-column summary over events ----
+    // ---- profiling: per-column summary over events (exact path — the
+    // default approx/HLL path is pinned against this in ProfilerSpec) ----
     "prof_events_summary" -> ((s, dir) =>
-      Profiler.summary(ev(s, dir)).orderBy("col_name")),
+      Profiler.summary(ev(s, dir), exact = true).orderBy("col_name")),
     // ---- training-data pipeline: dedup family over documents ----
     "dd_exact_dedup" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
@@ -503,6 +521,17 @@ object SparkEntry {
         |       COALESCE(a.n_events, 0) AS n_events
         |FROM spine s LEFT JOIN agg a USING (bucket_ts)
         |ORDER BY s.bucket_ts""".stripMargin,
+    "a8_history_period_7d" ->
+      """WITH m AS (SELECT max(floor(epoch(ts))) AS now_ts FROM events),
+        |b AS (
+        |  SELECT CAST(floor(epoch(ts)/14400)*14400 AS BIGINT) AS bucket_ts,
+        |         CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value,
+        |         COUNT(*) AS n_events
+        |  FROM events, m WHERE floor(epoch(ts)) >= m.now_ts - 604800
+        |  GROUP BY 1)
+        |SELECT bucket_ts, total_value, n_events,
+        |       strftime(make_timestamp(bucket_ts*1000000), '%d/%m') AS label
+        |FROM b ORDER BY bucket_ts""".stripMargin,
     "a1_totals_global" ->
       """SELECT CAST(COALESCE(SUM(CAST(value AS DECIMAL(28,2))), 0) AS DOUBLE) AS total_value,
         |       COUNT(*) AS n_rows
@@ -735,6 +764,27 @@ object SparkEntry {
         |SELECT ts_epoch, hr,
         |       CAST(trunc(greatest(least(raw, CAST(100.0 AS DOUBLE)), CAST(0.0 AS DOUBLE))) AS BIGINT) AS value
         |FROM r ORDER BY ts_epoch""".stripMargin,
+    "f_augment_rescale" ->
+      """WITH b AS (
+        |  SELECT user_id, COUNT(*) AS total_count,
+        |         COUNT(CASE WHEN event_type IN ('click','view') THEN 1 END) AS car_count,
+        |         COUNT(CASE WHEN event_type IN ('purchase','signup','error') THEN 1 END) AS moto_count
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT *, 0.5 + (CAST(CAST(('0x'||substr(md5('mult:' || CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) % 1000000 AS DOUBLE)
+        |           / 1000000.0) * 2.0 AS mult
+        |  FROM b),
+        |s AS (SELECT *, CAST(trunc(CAST(total_count AS DOUBLE) * mult) AS BIGINT) AS scaled_total_count FROM m)
+        |SELECT user_id, total_count, car_count, moto_count, scaled_total_count,
+        |       CASE WHEN CAST(car_count AS DOUBLE) + CAST(moto_count AS DOUBLE) > 0
+        |            THEN CAST(trunc(CAST(scaled_total_count AS DOUBLE) * CAST(car_count AS DOUBLE)
+        |                 / (CAST(car_count AS DOUBLE) + CAST(moto_count AS DOUBLE))) AS BIGINT)
+        |            ELSE CAST(car_count AS BIGINT) END AS scaled_car_count,
+        |       CASE WHEN CAST(car_count AS DOUBLE) + CAST(moto_count AS DOUBLE) > 0
+        |            THEN CAST(trunc(CAST(scaled_total_count AS DOUBLE) * CAST(moto_count AS DOUBLE)
+        |                 / (CAST(car_count AS DOUBLE) + CAST(moto_count AS DOUBLE))) AS BIGINT)
+        |            ELSE CAST(moto_count AS BIGINT) END AS scaled_moto_count
+        |FROM s ORDER BY user_id""".stripMargin,
     "j8_argmax_worst" ->
       """WITH totals AS (
         |  SELECT event_type, user_id,

@@ -77,6 +77,56 @@ object Lake {
       .write.format("parquet").mode(mode).save(root)
   }
 
+  /** Detection-grain CSV sink with the REFERENCE's exact lake schema
+    * (app/services/camera.py:54-86): header
+    * `timestamp,source_id,source_name,class_id,confidence,bbox`, with
+    * `timestamp` = epoch seconds as double (`time.time()`), confidence
+    * formatted `%.4f`, and bbox stringified like a Python list
+    * `[x1, y1, x2, y2]`. Partitioned by year/month/day like the
+    * reference's `raw/YYYY/MM/DD/` directories. Input: a typed frame
+    * with `tsCol` (timestamp), source_id, source_name, class_id,
+    * confidence (double), x1..y2.
+    *
+    * This is schema-parity glue, not the preferred lake format —
+    * [[writePartitioned]] with parquet is the scale path; this sink
+    * exists so reference-side consumers (and [[readDetections]]) see
+    * bit-identical CSV rows. */
+  def writeDetections(det: DataFrame, tsCol: String, root: String,
+                      mode: SaveMode = SaveMode.Append): Unit =
+    det
+      .withColumn("year", year(col(tsCol)))
+      .withColumn("month", month(col(tsCol)))
+      .withColumn("day", dayofmonth(col(tsCol)))
+      .withColumn("timestamp", unix_timestamp(col(tsCol)).cast("double"))
+      .withColumn("confidence", format_string("%.4f", col("confidence")))
+      .withColumn("bbox", concat(lit("["),
+        concat_ws(", ", col("x1"), col("y1"), col("x2"), col("y2")),
+        lit("]")))
+      .select("timestamp", "source_id", "source_name", "class_id",
+        "confidence", "bbox", "year", "month", "day")
+      .write.partitionBy("year", "month", "day")
+      .option("header", "true").format("csv").mode(mode).save(root)
+
+  /** Read a reference-shaped detection CSV lake back into typed rows:
+    * parses the stringified bbox into x1..y2 longs and the `%.4f`
+    * confidence into a double. Tolerant of the reference's own files
+    * (same header, same formats). */
+  def readDetections(s: SparkSession, root: String): DataFrame = {
+    val bboxRe = "\\[(-?\\d+), (-?\\d+), (-?\\d+), (-?\\d+)\\]"
+    s.read.option("header", "true").csv(root)
+      .select(
+        timestamp_seconds(col("timestamp").cast("double")).as("ts"),
+        col("source_id"), col("source_name"), col("class_id"),
+        col("confidence").cast("double").as("confidence"),
+        regexp_extract(col("bbox"), bboxRe, 1).cast("long").as("x1"),
+        regexp_extract(col("bbox"), bboxRe, 2).cast("long").as("y1"),
+        regexp_extract(col("bbox"), bboxRe, 3).cast("long").as("x2"),
+        regexp_extract(col("bbox"), bboxRe, 4).cast("long").as("y2"),
+        col("year").cast("int").as("year"),
+        col("month").cast("int").as("month"),
+        col("day").cast("int").as("day"))
+  }
+
   /** A9 — per-day lake stats: count per source pivoted by class (reference
     * app/utils.py:353-381 builds by_camera[name][class] dicts in a loop).
     * Explicit pivot values keep this a single-pass job (no distinct scan)

@@ -49,6 +49,36 @@ object Synthetic {
       .select(col("ts_epoch"), col("hr").cast("long").as("hr"), col("value"))
   }
 
+  /** Demo-augment proportional class rescale — the reference's
+    * post-multiplier count adjustment (app/services/camera.py:258-278):
+    * the TOTAL is scaled by the traffic multiplier with Python `int()`
+    * truncation, then each class count is re-derived as
+    * `int(scaled_total * class/total_classes)` — the class RATIOS come
+    * from the ORIGINAL counts, each class truncated independently (so
+    * the rescaled classes may sum to less than the scaled total; that
+    * loss is reference behavior, SURVEY hazard 4). When the original
+    * class sum is 0 the classes are left untouched (the reference's
+    * `if total_classes > 0` guard).
+    *
+    * Pure per-row projection — no shuffle, embarrassingly parallel at
+    * any scale. All arithmetic is double with one final truncation per
+    * output, in a fixed association order `(scaled_total * class) /
+    * total` that the DuckDB oracle reproduces bit-exactly.
+    */
+  def augmentRescale(df: DataFrame, multCol: Column, totalCol: String,
+                     classCols: Seq[String]): DataFrame = {
+    val totalClasses = classCols.map(c => col(c).cast("double")).reduce(_ + _)
+    val scaled = df.withColumn(s"scaled_$totalCol",
+      (col(totalCol).cast("double") * multCol).cast("long"))
+    classCols.foldLeft(scaled) { (d, c) =>
+      d.withColumn(s"scaled_$c",
+        when(totalClasses > 0,
+          (col(s"scaled_$totalCol").cast("double") * col(c).cast("double")
+            / totalClasses).cast("long"))
+          .otherwise(col(c).cast("long")))
+    }
+  }
+
   /** Profile multiplier map (reference get_camera_profile semantics:
     * EXTREME/HEAVY/ARTERIAL/RESIDENTIAL/DEFAULT classes scale the
     * synthetic volume). */

@@ -74,6 +74,33 @@ object TimeBuckets {
       .orderBy("bucket_ts")
   }
 
+  /** Period→(span, interval) plan-selection table — the reference's
+    * `/api/history?period=` dispatch (app/routes.py:83-103): each period
+    * name fixes a trailing time span and a bucket width. */
+  val periods: Map[String, (Long, Long)] = Map(
+    "30m" -> (1800L, 60L),
+    "1h" -> (3600L, 60L),
+    "6h" -> (21600L, 300L),
+    "12h" -> (43200L, 900L),
+    "24h" -> (86400L, 1800L),
+    "7d" -> (604800L, 14400L),
+    "30d" -> (2592000L, 86400L))
+
+  /** A8 by period name: trailing-span filter anchored at the data's max
+    * timestamp (deterministic "now", like A2), bucketed at the period's
+    * interval. The span filter is a broadcast of one scalar row — at
+    * 100 TB the time predicate reaches the scan (PushdownNanosTs) and
+    * the groupBy stays one bucket-keyed shuffle. */
+  def forPeriod(events: DataFrame, tsCol: String, valueCol: String,
+                period: String, labelFmt: String = "HH:mm"): DataFrame = {
+    val (span, interval) = periods(period)
+    val now = events.agg(max(unix_timestamp(col(tsCol))).as("_now_ts"))
+    val filtered = events.crossJoin(broadcast(now))
+      .filter(unix_timestamp(col(tsCol)) >= col("_now_ts") - span)
+      .drop("_now_ts")
+    history(filtered, tsCol, valueCol, interval, labelFmt)
+  }
+
   /** A8 "custom" period (the drifted `/api/history?period=custom&start_ts`
     * surface, SURVEY §2.11; in-memory impl at reference app/utils.py:
     * 570-612): one full day of day-aligned buckets starting at the

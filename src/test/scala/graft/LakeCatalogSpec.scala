@@ -38,6 +38,44 @@ class LakeCatalogSpec extends SparkSpec {
     assert(out(1).getAs[Long]("total") == 1L)
   }
 
+  test("detection CSV lake: reference-shaped write → typed read round-trips") {
+    val root = Files.createTempDirectory("detlake").toString
+    val det = Seq(
+      (Timestamp.valueOf("2024-02-01 10:00:00"), "cam1", "Cam One",
+        "car", 0.87654321, 10L, 20L, 110L, 220L),
+      (Timestamp.valueOf("2024-02-02 11:30:00"), "cam2", "Cam Two",
+        "motorcycle", 0.5, 0L, 0L, 5L, 7L))
+      .toDF("ts", "source_id", "source_name", "class_id", "confidence",
+        "x1", "y1", "x2", "y2")
+    Lake.writeDetections(det, "ts", root)
+    // raw file parity: the reference's exact header and row formats
+    val rawFile = new java.io.File(root)
+      .listFiles().filter(_.isDirectory).head // year=2024
+    val csv = {
+      def files(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(files)
+        else if (f.getName.endsWith(".csv")) Seq(f) else Nil
+      files(rawFile).flatMap(f =>
+        scala.io.Source.fromFile(f).getLines().toList)
+    }
+    assert(csv.contains(
+      "timestamp,source_id,source_name,class_id,confidence,bbox"))
+    assert(csv.exists(_.endsWith("cam1,Cam One,car,0.8765,\"[10, 20, 110, 220]\"")),
+      s"rows were:\n${csv.mkString("\n")}")
+    // typed read-back
+    val back = Lake.readDetections(spark, root).orderBy("source_id").collect()
+    assert(back.length == 2)
+    assert(back(0).getAs[Timestamp]("ts") ==
+      Timestamp.valueOf("2024-02-01 10:00:00"))
+    assert(back(0).getAs[String]("class_id") == "car")
+    assert(back(0).getAs[Double]("confidence") == 0.8765) // %.4f rounding
+    assert(back(0).getAs[Long]("x1") == 10L &&
+      back(0).getAs[Long]("y2") == 220L)
+    assert(back(1).getAs[Long]("x2") == 5L)
+    assert(back(0).getAs[Int]("year") == 2024 &&
+      back(0).getAs[Int]("day") == 1)
+  }
+
   test("catalog read coerces mixed-type lat/lng and nullable mirror_id") {
     val f = Files.createTempFile("cfg", ".json")
     // lat as number on one entry, as string on the other — the reference

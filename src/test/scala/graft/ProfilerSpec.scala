@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Profiler
+
+/** The approx (default, single-scan HLL) profile vs the exact
+  * (per-column-job) profile: identical schema, identical exact stats,
+  * distincts within HLL tolerance. */
+class ProfilerSpec extends SparkSpec {
+
+  private lazy val events =
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("ts", col("ts").cast("timestamp"))
+
+  test("approx summary matches exact summary on everything but n_distinct") {
+    val exact = Profiler.summary(events, exact = true)
+      .orderBy("col_name").collect()
+    val approx = Profiler.summary(events).orderBy("col_name").collect()
+    assert(exact.map(_.getString(0)).toSeq ==
+      approx.map(_.getString(0)).toSeq)
+    // schema parity (names and types)
+    assert(Profiler.summary(events).schema ==
+      Profiler.summary(events, exact = true).schema)
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(e.getLong(1) == a.getLong(1), s"n_rows ${e.getString(0)}")
+      assert(e.getLong(2) == a.getLong(2), s"n_nonnull ${e.getString(0)}")
+      // min/max/strs exact-equal
+      (4 to 7).foreach { i =>
+        assert(e.get(i) == a.get(i), s"col ${e.getString(0)} slot $i")
+      }
+      // HLL within 3x rsd of the exact distinct
+      val ed = e.getLong(3).toDouble
+      val ad = a.getLong(3).toDouble
+      assert(math.abs(ad - ed) <= math.max(ed * 0.15, 2.0),
+        s"n_distinct ${e.getString(0)}: exact=$ed approx=$ad")
+    }
+  }
+
+  test("approx summary plans a single aggregation (no per-column jobs)") {
+    // one wide agg: the physical plan contains no Expand and no Union
+    val plan = Profiler.summary(events).queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), "approx path must not Expand")
+    assert(!plan.contains("Union"), "approx path must be one aggregation")
+  }
+}
