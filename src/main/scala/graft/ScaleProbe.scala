@@ -63,7 +63,7 @@ object ScaleProbe {
     }
     time("cosine_neardup") {
       ops.Embeddings.cosineNearDupPairs(emb, "vec_id", "embedding",
-        12, 64, 0.99).count()
+        64, 0.99).count()
     }
 
     val ev = multiplied(Tables.events(spark, dir)

@@ -363,11 +363,15 @@ object SparkEntry {
         "vec_id", "embedding", 5).orderBy("query_id", "rnk")
     }),
     "e_cosine_neardup" -> ((s, dir) => {
-      val e0 = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      // fixture seeds NON-identical near-dups: each vector's twin is
+      // shifted by +0.005 per component (cosine ≈ 0.9992, not 1), so
+      // this exercises real banded-LSH recall, not exact-dup collision
+      val e0 = Tables.embeddings(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
       val u = e0.union(e0.select((col("vec_id") + 100000).as("vec_id"),
-        col("embedding")))
+        transform(col("embedding"), x => x + lit(0.005)).as("embedding")))
       Embeddings.cosineNearDupPairs(u, "vec_id", "embedding",
-        nPlanes = 8, dim = 64, minCos = 0.99).orderBy("a_id", "b_id")
+        dim = 64, minCos = 0.99).orderBy("a_id", "b_id")
     }),
     // ---- multimodal plumbing (stubbed codec; Spark-side shape real) ----
     "mm_feature_extract" -> ((s, dir) => {
@@ -1217,10 +1221,15 @@ object SparkEntry {
     "e_ivf_exact" -> annTop5Sql,
     "e_lsh_exact" -> annTop5Sql,
     "e_cosine_neardup" ->
-      """WITH u AS (SELECT vec_id, embedding FROM embeddings
-        |           UNION ALL SELECT vec_id + 100000, embedding FROM embeddings),
-        |v AS (SELECT vec_id, list_transform(embedding,
-        |        x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) qv FROM u)
+      """WITH u AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) emb
+        |           FROM embeddings
+        |           UNION ALL
+        |           SELECT vec_id + 100000,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.005)
+        |           FROM embeddings),
+        |v AS (SELECT vec_id, list_transform(emb,
+        |        x -> CAST(floor(x * 10000) AS BIGINT)) qv FROM u)
         |SELECT a.vec_id a_id, b.vec_id b_id,
         |       CAST(list_dot_product(a.qv, b.qv) AS DOUBLE) /
         |       (sqrt(CAST(list_dot_product(a.qv, a.qv) AS DOUBLE)) *

@@ -305,20 +305,49 @@ object Embeddings {
   }
 
   /** Embedding-cosine near-duplicate pairs: all (a, b), a < b, with
-    * cosine >= minCos, generated through LSH buckets (scale path) and
-    * exact-verified. For full recall at moderate n use nPlanes small
-    * enough that near-dups collide; at 100 TB this is the standard
-    * recall/cost dial. */
+    * cosine >= minCos — banded sign-LSH OR-construction (the embedding
+    * analog of MinHash banding): `bands × planesPerBand` hyperplanes,
+    * a pair becomes a candidate when it collides in AT LEAST ONE band,
+    * then every candidate is EXACT-verified (quantized-integer cosine).
+    *
+    * Why banded: a single wide band has recall p^nPlanes (p = per-plane
+    * collision prob, ≈ 1 − θ/π); at cos 0.99 (θ ≈ 8°) one 8-plane band
+    * catches only ~0.69 of true pairs. OR-ing `bands` narrow bands
+    * lifts recall to 1 − (1 − p^planesPerBand)^bands ≈ 0.999 at the
+    * default 4×4 dial — while keeping each band selective enough that
+    * random pairs rarely collide.
+    *
+    * Scale shape: band keys are an EXPLODE (bands rows per vector, key
+    * = that band's sign bits); candidates come from a hash self-join on
+    * (band, key); pairs are DISTINCT'd BEFORE verification so each
+    * survivor costs one fused-QDot cosine regardless of how many bands
+    * it collided in; the verify joins are pair-driven (candidate
+    * cardinality, not corpus cardinality). Nothing is ever all-pairs on
+    * the corpus. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                         nPlanes: Int, dim: Int, minCos: Double): DataFrame = {
-    val b = df.join(lshBuckets(df, idCol, vecCol, nPlanes, dim), idCol)
-      .select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"),
-        col("bucket"))
-      .cache() // both sides of the self-join below
-    b.as("x").join(b.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
-      .withColumn("cosine", qcosine(col("x.qv"), col("y.qv")))
+                         dim: Int, minCos: Double,
+                         planesPerBand: Int = 4, bands: Int = 4): DataFrame = {
+    val nPlanes = planesPerBand * bands
+    require(nPlanes <= 60, "sign signature must fit a BIGINT")
+    val mask = (1L << planesPerBand) - 1
+    val sig = lshBuckets(df, idCol, vecCol, nPlanes, dim)
+    val bandRows = sig.select(col(idCol).as("id"),
+      explode(array((0 until bands).map(b => struct(
+        lit(b).as("band"),
+        shiftrightunsigned(col("bucket"), b * planesPerBand)
+          .bitwiseAND(lit(mask)).as("key"))): _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = bandRows.as("x").join(bandRows.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+      .distinct()
+    val q = df.select(col(idCol).as("_vid"), quantize(col(vecCol)).as("_qv"))
+    cand
+      .join(q.select(col("_vid").as("a_id"), col("_qv").as("_aqv")), "a_id")
+      .join(q.select(col("_vid").as("b_id"), col("_qv").as("_bqv")), "b_id")
+      .withColumn("cosine", qcosine(col("_aqv"), col("_bqv")))
       .filter(col("cosine") >= minCos)
-      .select(col("x.id").as("a_id"), col("y.id").as("b_id"), col("cosine"))
+      .select(col("a_id"), col("b_id"), col("cosine"))
   }
 }

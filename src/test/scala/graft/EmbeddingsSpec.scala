@@ -116,10 +116,43 @@ class EmbeddingsSpec extends SparkSpec {
   test("identical vectors always share an LSH bucket (full recall on exact dups)") {
     val d = vecs(1L -> Seq(0.3f, -0.2f, 0.9f), 2L -> Seq(0.3f, -0.2f, 0.9f),
       3L -> Seq(-0.5f, 0.1f, 0.2f))
-    val out = Embeddings.cosineNearDupPairs(d, "vec_id", "embedding", 8, 3, 0.99)
+    val out = Embeddings.cosineNearDupPairs(d, "vec_id", "embedding", 3, 0.99)
       .collect()
     assert(out.length == 1)
     assert(out.head.getAs[Long]("a_id") == 1L)
     assert(out.head.getAs[Long]("b_id") == 2L)
+  }
+
+  test("banded near-dup recall >= 0.95 on NON-identical cos>=0.99 pairs") {
+    // corpus: sf0.001 embeddings plus a perturbed twin per vector —
+    // genuinely different directions (cosine < 1), still >= 0.99
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding").cast("array<double>")
+        .as("embedding"))
+    val twins = e.select((col("vec_id") + 100000).as("vec_id"),
+      transform(col("embedding"), x => x + lit(0.005)).as("embedding"))
+    val u = e.union(twins)
+    // ground truth: exact all-pairs cosine at the 0.99 bar
+    val q = u.select(col("vec_id").as("id"),
+      Embeddings.quantize(col("embedding")).as("qv"))
+    val truth = q.as("x").join(q.as("y"), col("x.id") < col("y.id"))
+      .withColumn("cos", Embeddings.qcosine(col("x.qv"), col("y.qv")))
+      .filter(col("cos") >= 0.99)
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture must seed true near-dup pairs")
+    // twins are non-identical: their cosine must be < 1
+    val twinCos = q.as("x").join(q.as("y"),
+        col("y.id") === col("x.id") + 100000)
+      .select(Embeddings.qcosine(col("x.qv"), col("y.qv")).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(twinCos.forall(c => c < 1.0 && c >= 0.99))
+    val found = Embeddings.cosineNearDupPairs(u, "vec_id", "embedding",
+        64, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact verification ⇒ no false positives
+    assert(found.subsetOf(truth))
+    val recall = found.size.toDouble / truth.size
+    assert(recall >= 0.95, s"recall $recall (${found.size}/${truth.size})")
   }
 }
