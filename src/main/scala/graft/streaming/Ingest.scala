@@ -195,28 +195,121 @@ object Ingest {
         max("ts").as("last_update"))
 
   /** S8 streaming — periodic full-state snapshot (the reference rewrites
-    * traffic_stats.json every 60 s, camera.py:319-322): observations
-    * append to the history lake per micro-batch, then the snapshot doc
-    * is rebuilt from the accumulated history and atomically replaced
-    * (Spark's commit protocol = the reference's tmp→bak→rename, X9).
-    * `foreachBatch` is exactly the reference's cadence hook; a real
-    * deployment sets Trigger.ProcessingTime("60 seconds"). */
+    * traffic_stats.json every 60 s, camera.py:319-322), maintained
+    * INCREMENTALLY: each micro-batch reads only itself plus two bounded
+    * stores, never the history lake.
+    *
+    *   - lifetime per-camera stats live in a versioned state table
+    *     (camera-catalog-sized, one file): the batch's
+    *     `Snapshot.perCamera` roll-up is folded in with
+    *     `Snapshot.mergePerCamera` — sums add, density/last-update come
+    *     from the later timestamp. Versioned by batchId and merged from
+    *     the PREVIOUS version, so a replayed batch after a crash
+    *     re-merges from the same base instead of double-counting
+    *     (exactly-once without a transactional store).
+    *   - the trailing-window slice lives in a `recent` store
+    *     partitioned by (batch, day): dynamic partition overwrite makes
+    *     replays idempotent, and day partitions older than the longest
+    *     window are DELETED each batch — the store is bounded by the
+    *     window horizon, not the stream's lifetime.
+    *
+    * The doc is then `Snapshot.assemble(state, recent)` — the same code
+    * path as the batch `Snapshot.build`, producing a byte-identical
+    * document (StreamingSpec pins equality across batches). At 100 TB
+    * this replaces a full-lake scan per tick with: one batch roll-up,
+    * one catalog-sized merge, one horizon-bounded read.
+    *
+    * The raw observations still append to `historyRoot` (the S9 lake) —
+    * write-only here; nothing below ever reads it back.
+    *
+    * `mirrors` (catalog rows with camera_id, mirror_id) enables the
+    * reference's mirror short-circuit (camera.py:140-154): mirrored
+    * cameras serve their source's stats in the doc, and their window
+    * history double-counts exactly like the reference's copied deque.
+    * `foreachBatch` is the reference's cadence hook; a real deployment
+    * sets Trigger.ProcessingTime("60 seconds"). */
   def startSnapshotSink(detections: Dataset[Detection], historyRoot: String,
                         snapshotPath: String, checkpoint: String,
                         windows: Seq[(String, Long)],
-                        trigger: Trigger = Trigger.ProcessingTime(0L))
+                        trigger: Trigger = Trigger.ProcessingTime(0L),
+                        workRoot: String = null,
+                        mirrors: Option[DataFrame] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = detections.sparkSession
+    val work = Option(workRoot).getOrElse(checkpoint + "_snapwork")
+    val stateRoot = s"$work/state"
+    val recentRoot = s"$work/recent"
+    val horizonSec = windows.map(_._2).max
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete(); ()
+    }
+    def versions(dir: java.io.File): Seq[Long] =
+      Option(dir.listFiles()).map(_.toSeq).getOrElse(Nil)
+        .filter(f => f.isDirectory && f.getName.startsWith("v="))
+        .map(_.getName.drop(2).toLong)
     dedupObservations(detections).toDF()
       .writeStream
       .outputMode(OutputMode.Append)
       .trigger(trigger) // reference cadence: ProcessingTime("60 seconds")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(historyRoot)
-        val all = spark.read.parquet(historyRoot)
-        graft.io.Snapshot.write(
-          graft.io.Snapshot.build(all, windows), snapshotPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist()
+        try {
+          // S9 lake append — write-only: the snapshot never reads this
+          batch.write.mode("append").parquet(historyRoot)
+          // 1. fold the batch roll-up into the previous state version
+          val bpc = graft.io.Snapshot.perCamera(batch)
+          val stateDir = new java.io.File(stateRoot)
+          val prev = versions(stateDir).filter(_ < batchId)
+            .sorted.lastOption
+          val merged = prev match {
+            case Some(p) => graft.io.Snapshot.mergePerCamera(
+              spark.read.parquet(s"$stateRoot/v=$p"), bpc)
+            case None => bpc
+          }
+          merged.coalesce(1).write.mode("overwrite")
+            .parquet(s"$stateRoot/v=$batchId")
+          // drop versions older than the merge base (the base survives
+          // so a replay of THIS batch re-merges from it)
+          prev.foreach(p => versions(stateDir).filter(_ < p).foreach(v =>
+            deleteRec(new java.io.File(s"$stateRoot/v=$v"))))
+          // 2. horizon-bounded recent store, idempotent on replay
+          batch.select(col("camera_id"), col("ts"), col("new_count"),
+              col("new_cars"), col("new_motors"))
+            .withColumn("b", lit(batchId))
+            .withColumn("d", to_date(col("ts")))
+            .write.partitionBy("b", "d")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(recentRoot)
+          // 3. retention: a day partition whose entire range is older
+          // than (now − horizon) can never contribute to a window again
+          val state = spark.read.parquet(s"$stateRoot/v=$batchId")
+          val nowEpoch = state.agg(max(col("last_update")))
+            .collect().head.getDouble(0)
+          val cutoffDay = math.floor((nowEpoch - horizonSec) / 86400.0).toLong
+          Option(new java.io.File(recentRoot).listFiles()).toSeq.flatten
+            .filter(f => f.isDirectory && f.getName.startsWith("b="))
+            .foreach { bdir =>
+              Option(bdir.listFiles()).toSeq.flatten
+                .filter(f => f.isDirectory && f.getName.startsWith("d="))
+                .foreach { ddir =>
+                  val day = java.time.LocalDate
+                    .parse(ddir.getName.drop(2)).toEpochDay
+                  if (day + 1 <= cutoffDay) deleteRec(ddir)
+                }
+            }
+          // 4. assemble the doc from state + bounded recent — the same
+          // code path as the batch Snapshot.build
+          val recent = spark.read.parquet(recentRoot).drop("b", "d")
+          val pc = mirrors.map(m => graft.io.Snapshot.applyMirrors(state, m))
+            .getOrElse(state)
+          val winObs = mirrors
+            .map(m => graft.io.Snapshot.withMirroredObs(recent, m))
+            .getOrElse(recent)
+          graft.io.Snapshot.write(
+            graft.io.Snapshot.assemble(pc, winObs, windows), snapshotPath)
+        } finally { batch.unpersist(); () }
       }
       .start()
   }

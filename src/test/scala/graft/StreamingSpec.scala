@@ -154,22 +154,87 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("snapshot sink maintains the full-state doc across micro-batches") {
+  /** The one JSON line a Snapshot.write directory holds. */
+  private def snapJson(dir: String): String = {
+    def files(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(files)
+      else if (f.getName.startsWith("part-") && f.getName.endsWith(".json"))
+        Seq(f) else Nil
+    val parts = files(new java.io.File(dir))
+    assert(parts.length == 1, s"expected one json part in $dir")
+    scala.io.Source.fromFile(parts.head).getLines().mkString("\n")
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete(); ()
+  }
+
+  test("snapshot sink: incremental doc equals the full-history batch build, never reads the lake, prunes the recent store") {
     implicit val sc = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("snapsink").toString
     val mem = MemoryStream[Detection]
+    val windows = Seq("1h" -> 3600L, "24h" -> 86400L)
     val q = Ingest.startSnapshotSink(mem.toDS(), s"$dir/hist",
-      s"$dir/snap", s"$dir/ckpt", Seq("24h" -> 86400L))
+      s"$dir/snap", s"$dir/ckpt", windows)
     try {
-      mem.addData(fixture.filter(_.ts == ts("2024-02-01 10:00:00")): _*)
-      q.processAllAvailable()
-      mem.addData(fixture.filter(_.ts == ts("2024-02-01 10:00:02")): _*)
+      val batch3 = Seq(
+        det("cam1", "2024-02-03 09:00:00", "car", (0L, 0L, 9L, 9L)),
+        det("cam3", "2024-02-03 09:00:01", "motorcycle", (30L, 30L, 40L, 40L)))
+      val batches = Seq(
+        fixture.filter(_.ts == ts("2024-02-01 10:00:00")),
+        fixture.filter(_.ts == ts("2024-02-01 10:00:02")),
+        batch3)
+      var seen = Seq.empty[Detection]
+      batches.zipWithIndex.foreach { case (b, i) =>
+        // before the last batch, DESTROY the history lake: the doc must
+        // still come out right, proving the sink never reads it back
+        if (i == 2) deleteRec(new java.io.File(s"$dir/hist"))
+        mem.addData(b: _*)
+        q.processAllAvailable()
+        seen = seen ++ b
+        val expect = graft.io.Snapshot.build(
+          Ingest.batchObservations(seen.toDS()).toDF(), windows)
+        graft.io.Snapshot.write(expect, s"$dir/expect$i")
+        assert(snapJson(s"$dir/snap") == snapJson(s"$dir/expect$i"),
+          s"batch $i: incremental doc != batch build")
+      }
+      // retention: after the Feb-3 batch, the Feb-1 day partitions are
+      // outside the 24h horizon and must be deleted from the store
+      val days = Option(new java.io.File(s"$dir/ckpt_snapwork/recent")
+        .listFiles()).toSeq.flatten.filter(_.isDirectory)
+        .flatMap(b => Option(b.listFiles()).toSeq.flatten)
+        .map(_.getName).filter(_.startsWith("d="))
+      assert(days.nonEmpty && days.forall(!_.contains("2024-02-01")),
+        s"recent store not pruned: $days")
+    } finally q.stop()
+  }
+
+  test("snapshot sink mirror short-circuit: mirrored camera serves its source's stats") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("snapmirror").toString
+    val mem = MemoryStream[Detection]
+    val windows = Seq("24h" -> 86400L)
+    // cam9 mirrors cam1 and has NO observations of its own (the
+    // reference skips processing entirely in mirror mode)
+    val mirrors = Seq(("cam9", "cam1"), ("cam1", null), ("cam2", null))
+      .toDF("camera_id", "mirror_id")
+    val q = Ingest.startSnapshotSink(mem.toDS(), s"$dir/hist",
+      s"$dir/snap", s"$dir/ckpt", windows, mirrors = Some(mirrors))
+    try {
+      mem.addData(fixture: _*)
       q.processAllAvailable()
       val back = graft.io.Snapshot.readSources(spark, s"$dir/snap")
-        .orderBy("camera_id").collect()
-      assert(back.length == 2)
-      // cam1 accumulated over BOTH batches: 2 new (t1) + 1 new (t2)
-      assert(back(0).getAs[Long]("accumulated_count") == 3L)
+        .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+      assert(back.keySet == Set("cam1", "cam2", "cam9"))
+      assert(back("cam9") == back("cam1"), "mirror must equal its source")
+      assert(back("cam2") != back("cam1"))
+      // and the doc equals the batch build with the same mirrors
+      val expect = graft.io.Snapshot.build(
+        Ingest.batchObservations(fixture.toDS()).toDF(), windows,
+        Some(mirrors))
+      graft.io.Snapshot.write(expect, s"$dir/expect")
+      assert(snapJson(s"$dir/snap") == snapJson(s"$dir/expect"))
     } finally q.stop()
   }
 
