@@ -83,17 +83,22 @@ object Embeddings {
   /** Sign-random-projection LSH signature: `nPlanes` hyperplanes, bit j =
     * 1 iff dot(v, plane_j) >= 0. Returns (id, bucket) where bucket packs
     * the signs into a BIGINT. Same-bucket vectors are ANN candidates.
-    * `dim` is the embedding width (planes are driver-side literals). */
+    * `dim` is the embedding width (planes are driver-side literals).
+    *
+    * Each plane dot runs through the fused QDot codegen kernel on
+    * QUANTIZED vectors and planes (v at 10^4, planes at 10^6 — products
+    * ~10^10·dim stay far inside a long): one tight loop per plane
+    * instead of a zip_with+aggregate lambda chain per element. The sign
+    * boundary moves by at most the quantization noise, which only
+    * relabels near-orthogonal pairs — bucket ids are internal, and the
+    * exact-verify / full-probe paths are invariant to them. */
   def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
                  nPlanes: Int, dim: Int): DataFrame = {
     val v = quantize(col(vecCol))
     // dot(v, plane_j) sign per plane, packed little-endian
     val bucket = (0 until nPlanes).map { j =>
-      val dotJ = aggregate(
-        zip_with(v, typedlit(planeVector(j, dim)),
-          (x, p) => x.cast("double") * p),
-        lit(0.0).cast("double"), (acc, x) => acc + x)
-      when(dotJ >= 0, lit(1L << j)).otherwise(lit(0L))
+      val qp = planeVector(j, dim).map(x => math.floor(x * 1000000).toLong)
+      when(qdot(v, typedlit(qp)) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     df.select(col(idCol), bucket.as("bucket"))
   }
@@ -312,10 +317,14 @@ object Embeddings {
     *
     * Why banded: a single wide band has recall p^nPlanes (p = per-plane
     * collision prob, ≈ 1 − θ/π); at cos 0.99 (θ ≈ 8°) one 8-plane band
-    * catches only ~0.69 of true pairs. OR-ing `bands` narrow bands
-    * lifts recall to 1 − (1 − p^planesPerBand)^bands ≈ 0.999 at the
-    * default 4×4 dial — while keeping each band selective enough that
-    * random pairs rarely collide.
+    * catches only ~0.69 of true pairs. OR-ing `bands` bands lifts
+    * recall to 1 − (1 − p^planesPerBand)^bands ≈ 0.99 at the default
+    * 4×8 dial. Band WIDTH is the selectivity knob: an 8-plane band has
+    * 256 buckets, so a random pair collides in some band with
+    * probability ≈ bands/256 ≈ 1.6% — narrower bands (more recall)
+    * quadratically inflate the candidate set (4-plane bands = 16
+    * buckets ≈ 22% collision, measured ~16× the candidates here); at a
+    * larger corpus, widen the bands and add more of them.
     *
     * Scale shape: band keys are an EXPLODE (bands rows per vector, key
     * = that band's sign bits); candidates come from a hash self-join on
@@ -326,7 +335,7 @@ object Embeddings {
     * the corpus. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          dim: Int, minCos: Double,
-                         planesPerBand: Int = 4, bands: Int = 4): DataFrame = {
+                         planesPerBand: Int = 8, bands: Int = 4): DataFrame = {
     val nPlanes = planesPerBand * bands
     require(nPlanes <= 60, "sign signature must fit a BIGINT")
     val mask = (1L << planesPerBand) - 1

@@ -93,4 +93,25 @@ object Scalars {
       .select(col(key), col(id), col("iou"), col("is_static"))
       .orderBy(col(key), col(id))
   }
+
+  /** Id-generation surface (reference camera ids are `uuid.uuid4()`
+    * strings, app/utils.py:6; generated, never queried). Random ids use
+    * Spark's native `uuid()` — v4-random like the reference, seeded per
+    * partition, nondeterministic across runs by nature. */
+  def randomUuid(): Column = expr("uuid()")
+
+  /** Deterministic name-based UUID (RFC-4122 v3 shape: md5 of the name
+    * with the version nibble forced to '3' and the variant nibble to
+    * '8') — the reproducible-pipeline alternative: same input → same id
+    * on any executor, any run, so backfills and retries never mint
+    * duplicate identities. Pure codegen'd string ops. */
+  def nameUuid(name: Column): Column = {
+    val h = md5(name.cast("string"))
+    concat_ws("-",
+      substring(h, 1, 8),
+      substring(h, 9, 4),
+      concat(lit("3"), substring(h, 14, 3)),
+      concat(lit("8"), substring(h, 18, 3)),
+      substring(h, 21, 12))
+  }
 }

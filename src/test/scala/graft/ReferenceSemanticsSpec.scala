@@ -54,4 +54,30 @@ class ReferenceSemanticsSpec extends SparkSpec {
     assert(d.length == 2)
     assert(d.forall(_.getAs[Long]("bucket_ts") % 86400 == 0))
   }
+
+  test("forPeriod: 7d span filters to the trailing week at 4h buckets (routes.py:98-100)") {
+    // now = max ts (Feb 3 09:00); the Feb 1 rows are within 7d → kept
+    val out = TimeBuckets.forPeriod(rows, "ts", "value", "7d", "dd/MM")
+      .collect()
+    assert(out.map(_.getAs[Long]("n_events")).sum == 3L)
+    assert(out.forall(_.getAs[Long]("bucket_ts") % 14400 == 0))
+    // 30m span: only the last row survives
+    val m30 = TimeBuckets.forPeriod(rows, "ts", "value", "30m").collect()
+    assert(m30.map(_.getAs[Long]("n_events")).sum == 1L)
+  }
+
+  test("uuid surfaces: v4 shape from uuid(), deterministic v3 shape from nameUuid") {
+    val uuidRe =
+      "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$"
+    val r = rows.select(graft.ops.Scalars.randomUuid().as("u"),
+      graft.ops.Scalars.nameUuid(col("user_id")).as("n")).collect()
+    assert(r.forall(_.getAs[String]("u").matches(uuidRe)))
+    assert(r.forall(_.getAs[String]("n").matches(uuidRe)))
+    assert(r.forall(_.getAs[String]("n")(14) == '3')) // version nibble
+    assert(r.map(_.getAs[String]("u")).distinct.length == 3) // random ids unique
+    // name-based: same input → same id, on a fresh plan too
+    val again = rows.select(graft.ops.Scalars.nameUuid(col("user_id")).as("n"))
+      .collect().map(_.getString(0))
+    assert(r.map(_.getAs[String]("n")).sameElements(again))
+  }
 }
