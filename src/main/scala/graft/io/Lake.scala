@@ -77,6 +77,37 @@ object Lake {
       .write.format("parquet").mode(mode).save(root)
   }
 
+  /** Operational compaction for one day partition — the antidote to the
+    * streaming sink's small-files problem (a 2 s micro-batch cadence
+    * writes ~43k files/day/partition; parquet scan cost is dominated by
+    * file count long before data volume at that shape). Rewrites the
+    * partition into `ceil(bytes / targetFileBytes)` files via a staging
+    * directory + atomic swap, so readers never observe a half-compacted
+    * partition, and rows are byte-identical (no ordering guarantees
+    * were ever promised inside a day). Run it on closed (past-day)
+    * partitions from a maintenance job — the streaming writer only ever
+    * appends to TODAY, so compacting yesterday races nothing. */
+  def compactDay(s: SparkSession, root: String, y: Int, m: Int, d: Int,
+                 targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val dir = new java.io.File(s"$root/year=$y/month=$m/day=$d")
+    require(dir.isDirectory, s"no partition at $dir")
+    def files(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(files)
+      else Seq(f)
+    val bytes = files(dir).filter(_.getName.endsWith(".parquet"))
+      .map(_.length()).sum
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+    val staging = new java.io.File(dir.getParentFile, dir.getName + "_compact")
+    s.read.parquet(dir.toString).coalesce(nFiles.toInt)
+      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete(); ()
+    }
+    deleteRec(dir)
+    require(staging.renameTo(dir), s"swap failed for $dir")
+  }
+
   /** Detection-grain CSV sink with the REFERENCE's exact lake schema
     * (app/services/camera.py:54-86): header
     * `timestamp,source_id,source_name,class_id,confidence,bbox`, with

@@ -282,6 +282,21 @@ object Embeddings {
       .write.partitionBy("cell")
       .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
 
+  /** Incremental IVF index maintenance: route NEW vectors into their
+    * cells and append — only the touched cell directories receive
+    * files, the rest of a 100 TB index is untouched. The coarse
+    * quantizer stays FIXED (standard IVF practice: the quantizer is
+    * retrained rarely and offline; recall comes from nProbe, and cell
+    * assignment must stay consistent with the vectors already indexed,
+    * which a fixed model guarantees). Pair with [[Lake.compactDay]]-
+    * style maintenance if high-frequency appends fragment hot cells. */
+  def appendToIvfIndex(model: IvfModel, newVectors: DataFrame,
+                       idCol: String, vecCol: String, path: String): Unit =
+    newVectors.select(col(idCol), quantize(col(vecCol)).as("cv"))
+      .withColumn("cell", cellOfQuantized(model, col("cv")))
+      .write.partitionBy("cell")
+      .mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
+
   /** IVF top-k against a persisted index: identical semantics to
     * [[ivfTopK]] but the corpus side is the partitioned index, so only
     * the probed cells' directories are read (IvfIndexSpec asserts the

@@ -38,4 +38,34 @@ class IvfIndexSpec extends SparkSpec {
         (r.getLong(1), r.getDouble(2))).toSet
     assert(idx == mem)
   }
+
+  test("incremental append routes new vectors to their cells; search equals a full rebuild") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probes = e.filter($"vec_id" < 5)
+    val model = Embeddings.ivfFit(e, "vec_id", "embedding", nLists = 8)
+    val half1 = e.filter($"vec_id" % 2 === 0)
+    val half2 = e.filter($"vec_id" % 2 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_inc").toString
+    Embeddings.writeIvfIndex(model, half1, "vec_id", "embedding", dir)
+    val before = spark.read.parquet(dir).count()
+    Embeddings.appendToIvfIndex(model, half2, "vec_id", "embedding", dir)
+    assert(spark.read.parquet(dir).count() == e.count())
+    assert(before == half1.count())
+    // appended rows landed in the SAME cell layout the full write uses
+    val fullDir = java.nio.file.Files.createTempDirectory("graft_ivf_full")
+      .toString
+    Embeddings.writeIvfIndex(model, e, "vec_id", "embedding", fullDir)
+    def cells(d: String) = spark.read.parquet(d)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells(dir) == cells(fullDir))
+    // and the indexed search over the incrementally-built index matches
+    val full = Embeddings.ivfTopKIndexed(model, spark, fullDir, probes,
+        "vec_id", "embedding", nProbe = 3, k = 5)
+      .collect().map(_.toSeq).toSet
+    val inc = Embeddings.ivfTopKIndexed(model, spark, dir, probes,
+        "vec_id", "embedding", nProbe = 3, k = 5)
+      .collect().map(_.toSeq).toSet
+    assert(inc == full)
+  }
 }

@@ -38,6 +38,29 @@ class LakeCatalogSpec extends SparkSpec {
     assert(out(1).getAs[Long]("total") == 1L)
   }
 
+  test("compactDay: collapses a fragmented day to few files, rows identical, other days untouched") {
+    val root = Files.createTempDirectory("compact").toString
+    val manyRows = (1 to 400).map(i =>
+      (i.toLong, Timestamp.valueOf(f"2024-02-01 10:${i % 60}%02d:00"), s"cam${i % 3}")) ++
+      Seq((9999L, Timestamp.valueOf("2024-02-02 09:00:00"), "cam9"))
+    val df = manyRows.toDF("id", "ts", "cam").repartition(20) // 20 small files/day
+    Lake.writePartitioned(df, "ts", root, mode = SaveMode.Overwrite)
+    def parquets(day: Int) = Option(new java.io.File(
+        s"$root/year=2024/month=2/day=$day").listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".parquet"))
+    val beforeFiles = parquets(1).length
+    assert(beforeFiles > 5, s"fixture should fragment, got $beforeFiles files")
+    val beforeRows = spark.read.parquet(root).orderBy("id")
+      .collect().map(_.toSeq).toSeq
+    val otherDayFiles = parquets(2).map(_.getName).toSet
+    Lake.compactDay(spark, root, 2024, 2, 1)
+    assert(parquets(1).length == 1, s"expected 1 file, got ${parquets(1).length}")
+    assert(parquets(2).map(_.getName).toSet == otherDayFiles) // untouched
+    val afterRows = spark.read.parquet(root).orderBy("id")
+      .collect().map(_.toSeq).toSeq
+    assert(afterRows == beforeRows)
+  }
+
   test("detection CSV lake: reference-shaped write → typed read round-trips") {
     val root = Files.createTempDirectory("detlake").toString
     val det = Seq(
