@@ -89,23 +89,15 @@ object Lake {
     * appends to TODAY, so compacting yesterday races nothing. */
   def compactDay(s: SparkSession, root: String, y: Int, m: Int, d: Int,
                  targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
-    val dir = new java.io.File(s"$root/year=$y/month=$m/day=$d")
-    require(dir.isDirectory, s"no partition at $dir")
-    def files(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(files)
-      else Seq(f)
-    val bytes = files(dir).filter(_.getName.endsWith(".parquet"))
-      .map(_.length()).sum
+    val dir = s"$root/year=$y/month=$m/day=$d"
+    require(Fs.exists(s, dir), s"no partition at $dir")
+    val bytes = Fs.totalBytes(s, dir, _.endsWith(".parquet"))
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
-    val staging = new java.io.File(dir.getParentFile, dir.getName + "_compact")
-    s.read.parquet(dir.toString).coalesce(nFiles.toInt)
-      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    def deleteRec(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
-      f.delete(); ()
-    }
-    deleteRec(dir)
-    require(staging.renameTo(dir), s"swap failed for $dir")
+    val staging = dir + "_compact"
+    s.read.parquet(dir).coalesce(nFiles.toInt)
+      .write.mode(SaveMode.Overwrite).parquet(staging)
+    Fs.delete(s, dir)
+    Fs.rename(s, staging, dir)
   }
 
   /** Detection-grain CSV sink with the REFERENCE's exact lake schema

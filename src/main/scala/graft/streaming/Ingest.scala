@@ -240,14 +240,11 @@ object Ingest {
     val stateRoot = s"$work/state"
     val recentRoot = s"$work/recent"
     val horizonSec = windows.map(_._2).max
-    def deleteRec(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
-      f.delete(); ()
-    }
-    def versions(dir: java.io.File): Seq[Long] =
-      Option(dir.listFiles()).map(_.toSeq).getOrElse(Nil)
-        .filter(f => f.isDirectory && f.getName.startsWith("v="))
-        .map(_.getName.drop(2).toLong)
+    // Hadoop FS, not java.io: the state/recent stores live next to the
+    // checkpoint, which on a real cluster is HDFS/S3, not driver disk
+    def versions(): Seq[Long] =
+      graft.io.Fs.listDirNames(spark, stateRoot)
+        .filter(_.startsWith("v=")).map(_.drop(2).toLong)
     dedupObservations(detections).toDF()
       .writeStream
       .outputMode(OutputMode.Append)
@@ -260,9 +257,7 @@ object Ingest {
           batch.write.mode("append").parquet(historyRoot)
           // 1. fold the batch roll-up into the previous state version
           val bpc = graft.io.Snapshot.perCamera(batch)
-          val stateDir = new java.io.File(stateRoot)
-          val prev = versions(stateDir).filter(_ < batchId)
-            .sorted.lastOption
+          val prev = versions().filter(_ < batchId).sorted.lastOption
           val merged = prev match {
             case Some(p) => graft.io.Snapshot.mergePerCamera(
               spark.read.parquet(s"$stateRoot/v=$p"), bpc)
@@ -272,8 +267,8 @@ object Ingest {
             .parquet(s"$stateRoot/v=$batchId")
           // drop versions older than the merge base (the base survives
           // so a replay of THIS batch re-merges from it)
-          prev.foreach(p => versions(stateDir).filter(_ < p).foreach(v =>
-            deleteRec(new java.io.File(s"$stateRoot/v=$v"))))
+          prev.foreach(p => versions().filter(_ < p).foreach(v =>
+            graft.io.Fs.delete(spark, s"$stateRoot/v=$v")))
           // 2. horizon-bounded recent store, idempotent on replay
           batch.select(col("camera_id"), col("ts"), col("new_count"),
               col("new_cars"), col("new_motors"))
@@ -288,15 +283,14 @@ object Ingest {
           val nowEpoch = state.agg(max(col("last_update")))
             .collect().head.getDouble(0)
           val cutoffDay = math.floor((nowEpoch - horizonSec) / 86400.0).toLong
-          Option(new java.io.File(recentRoot).listFiles()).toSeq.flatten
-            .filter(f => f.isDirectory && f.getName.startsWith("b="))
-            .foreach { bdir =>
-              Option(bdir.listFiles()).toSeq.flatten
-                .filter(f => f.isDirectory && f.getName.startsWith("d="))
-                .foreach { ddir =>
+          graft.io.Fs.listDirNames(spark, recentRoot)
+            .filter(_.startsWith("b=")).foreach { bname =>
+              graft.io.Fs.listDirNames(spark, s"$recentRoot/$bname")
+                .filter(_.startsWith("d=")).foreach { dname =>
                   val day = java.time.LocalDate
-                    .parse(ddir.getName.drop(2)).toEpochDay
-                  if (day + 1 <= cutoffDay) deleteRec(ddir)
+                    .parse(dname.drop(2)).toEpochDay
+                  if (day + 1 <= cutoffDay)
+                    graft.io.Fs.delete(spark, s"$recentRoot/$bname/$dname")
                 }
             }
           // 4. assemble the doc from state + bounded recent — the same
@@ -343,7 +337,7 @@ object Ingest {
           .bandKeys(batch, idCol, textCol, n, k, bands).cache()
         // cross-batch: drop docs colliding with the persisted index
         val priorHits =
-          if (new java.io.File(indexPath).exists())
+          if (graft.io.Fs.exists(spark, indexPath))
             keys.join(spark.read.parquet(indexPath).select("band", "band_h"),
                 Seq("band", "band_h"), "left_semi")
               .select(col(idCol)).distinct()
