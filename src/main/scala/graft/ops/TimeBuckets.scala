@@ -101,6 +101,25 @@ object TimeBuckets {
     history(filtered, tsCol, valueCol, interval, labelFmt)
   }
 
+  /** The production variant of [[forPeriod]]: `now` is a LITERAL epoch
+    * (the API caller's wall clock, routes.py:87), so the span bound is
+    * a plan-time timestamp comparison that predicate pushdown — and
+    * plans.PushdownNanosTs through the TIMESTAMP(NANOS) conversion —
+    * delivers to the parquet footers. The data-max-anchored overload
+    * above cannot prune the scan (its bound is a runtime scalar); at
+    * 100 TB that is the difference between reading 7 days and reading
+    * the lake, so serve charts through THIS one. Equal output whenever
+    * `nowEpoch` equals the data max (pinned in ReferenceSemanticsSpec,
+    * plan-asserted in NanosPushdownSpec). */
+  def forPeriodAt(events: DataFrame, tsCol: String, valueCol: String,
+                  period: String, nowEpoch: Long,
+                  labelFmt: String = "HH:mm"): DataFrame = {
+    val (span, interval) = periods(period)
+    val filtered = events.filter(
+      col(tsCol) >= timestamp_seconds(lit(nowEpoch - span)))
+    history(filtered, tsCol, valueCol, interval, labelFmt)
+  }
+
   /** A8 "custom" period (the drifted `/api/history?period=custom&start_ts`
     * surface, SURVEY §2.11; in-memory impl at reference app/utils.py:
     * 570-612): one full day of day-aligned buckets starting at the

@@ -21,6 +21,16 @@ class NanosPushdownSpec extends SparkSpec {
       s"no pushed upper bound on raw ts:\n$scan")
   }
 
+  test("forPeriodAt's literal span bound reaches the parquet scan") {
+    val q = graft.ops.TimeBuckets.forPeriodAt(
+      Tables.events(spark, dir), "ts", "value", "7d",
+      nowEpoch = java.sql.Timestamp.valueOf("2024-01-30 00:00:00")
+        .getTime / 1000)
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("GreaterThanOrEqual(ts,"),
+      s"forPeriodAt span bound not pushed to the scan:\n$scan")
+  }
+
   test("pushed bounds admit exactly the rows the exact predicate keeps") {
     val all = Tables.events(spark, dir)
       .select(col("event_id"), unix_timestamp(col("ts")).as("es"))

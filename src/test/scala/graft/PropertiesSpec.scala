@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Percentiles, TextDedup, TimeBuckets, Totals, WindowStats}
+import graft.ops.{Percentiles, Synthetic, TextDedup, TimeBuckets, Totals, WindowStats}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalacheck.Gen
@@ -30,6 +30,35 @@ class PropertiesSpec extends AnyFunSuite
     v <- Gen.choose(0, 500)
     k <- Gen.choose(1L, 4L)
   } yield (k, new Timestamp(1706745600000L + off * 1000L), v.toDouble))
+
+  test("property: augmentRescale reproduces reference int-truncation arithmetic for any counts") {
+    val gen = Gen.listOfN(40, for {
+      total <- Gen.choose(0L, 300L)
+      cars <- Gen.choose(0L, 200L)
+      motos <- Gen.choose(0L, 200L)
+      multC <- Gen.choose(0, 300)
+    } yield (total, cars, motos, multC / 100.0))
+    forAll(gen, cases = 3) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((t, c, m, mu), i) => (i.toLong, t, c, m, mu) }
+        .toDF("id", "total", "cars", "motos", "mult")
+      val out = Synthetic.augmentRescale(df, col("mult"), "total",
+        Seq("cars", "motos")).orderBy("id").collect()
+      rows.zip(out).foreach { case ((t, c, m, mu), r) =>
+        val st = (t * mu).toLong // double product, truncated toward zero
+        assert(r.getAs[Long]("scaled_total") == st)
+        val tc = (c + m).toDouble
+        val (ec, em) =
+          if (tc > 0) (((st * c.toDouble) / tc).toLong,
+            ((st * m.toDouble) / tc).toLong)
+          else (c, m)
+        assert(r.getAs[Long]("scaled_cars") == ec)
+        assert(r.getAs[Long]("scaled_motos") == em)
+        // truncation loss only ever shrinks: classes never exceed total
+        if (tc > 0) assert(ec + em <= st)
+      }
+    }
+  }
 
   test("property: bucket sums partition the total flux") {
     forAll(rowGen) { rows =>

@@ -66,6 +66,15 @@ class ReferenceSemanticsSpec extends SparkSpec {
     assert(m30.map(_.getAs[Long]("n_events")).sum == 1L)
   }
 
+  test("forPeriodAt with nowEpoch == data max equals the data-anchored forPeriod") {
+    val nowEpoch = Timestamp.valueOf("2024-02-03 09:00:00").getTime / 1000
+    val anchored = TimeBuckets.forPeriod(rows, "ts", "value", "7d", "dd/MM")
+      .collect().map(_.toSeq)
+    val literal = TimeBuckets.forPeriodAt(rows, "ts", "value", "7d",
+      nowEpoch, "dd/MM").collect().map(_.toSeq)
+    assert(literal.toSeq == anchored.toSeq)
+  }
+
   test("uuid surfaces: v4 shape from uuid(), deterministic v3 shape from nameUuid") {
     val uuidRe =
       "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$"
