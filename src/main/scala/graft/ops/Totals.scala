@@ -40,6 +40,19 @@ object Totals {
         count(lit(1)).as("n_rows"))
   }
 
+  /** A2 production variant: `now` as a LITERAL epoch (the caller's wall
+    * clock), so the trailing bound is a plan-time predicate that
+    * reaches the parquet footers (via plans.PushdownNanosTs for the
+    * nanos lake) — the data-max overload above keeps the oracle
+    * deterministic but its runtime-scalar bound cannot prune the scan.
+    * At 100 TB, serve the API through this one. */
+  def trailingAt(df: DataFrame, tsCol: String, valueCol: String,
+                 seconds: Long, nowEpoch: Long): DataFrame =
+    df.filter(col(tsCol) >= timestamp_seconds(lit(nowEpoch - seconds)))
+      .agg(
+        coalesce(Exact.dsum2(col(valueCol)), lit(0.0)).as("total_value"),
+        count(lit(1)).as("n_rows"))
+
   /** A3 — per-key grouped totals. */
   def byKey(df: DataFrame, keyCol: String, valueCol: String): DataFrame =
     df.groupBy(col(keyCol))

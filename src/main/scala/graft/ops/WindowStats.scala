@@ -40,4 +40,29 @@ object WindowStats {
     }
     withNow.agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Production variant: `now` as a LITERAL epoch. Beyond making the
+    * per-window conditions plan-time, this lets the scan prune to the
+    * LONGEST window (`ts >= now - max(w)` is implied by every
+    * conditional, so it is safe to conjoin as a real filter that
+    * reaches the parquet footers) — the data-max overload must scan
+    * everything to find `now` first. Same single-pass conditional
+    * aggregation on whatever survives the pushdown. */
+  def multiWindowAt(df: DataFrame, tsCol: String, valueCol: String,
+                    windows: Seq[(String, Long)], nowEpoch: Long): DataFrame = {
+    val maxW = windows.map(_._2).max
+    val pruned = df.filter(
+      col(tsCol) >= timestamp_seconds(lit(nowEpoch - maxW)))
+    val eps = unix_timestamp(col(tsCol))
+    val aggs = windows.flatMap { case (label, secs) =>
+      val in = eps >= nowEpoch - secs
+      val winVal = when(in, col(valueCol))
+      Seq(
+        coalesce(Exact.dsum2(winVal), lit(0.0)).as(s"total_$label"),
+        count(when(in, lit(1))).as(s"n_$label"),
+        round(coalesce(Exact.dsum2(winVal), lit(0.0)) /
+          greatest(count(when(in, lit(1))), lit(1L)), 2).as(s"avg_$label"))
+    }
+    pruned.agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -31,6 +31,19 @@ class NanosPushdownSpec extends SparkSpec {
       s"forPeriodAt span bound not pushed to the scan:\n$scan")
   }
 
+  test("trailingAt and multiWindowAt push their literal bounds to the scan") {
+    val nowEpoch = java.sql.Timestamp.valueOf("2024-01-30 00:00:00")
+      .getTime / 1000
+    val t = graft.ops.Totals.trailingAt(Tables.events(spark, dir),
+      "ts", "value", 7L * 86400L, nowEpoch)
+    assert(t.queryExecution.executedPlan.toString
+      .contains("GreaterThanOrEqual(ts,"), "trailingAt bound not pushed")
+    val w = graft.ops.WindowStats.multiWindowAt(Tables.events(spark, dir),
+      "ts", "value", Seq("1h" -> 3600L, "7d" -> 7L * 86400L), nowEpoch)
+    assert(w.queryExecution.executedPlan.toString
+      .contains("GreaterThanOrEqual(ts,"), "multiWindowAt bound not pushed")
+  }
+
   test("pushed bounds admit exactly the rows the exact predicate keeps") {
     val all = Tables.events(spark, dir)
       .select(col("event_id"), unix_timestamp(col("ts")).as("es"))

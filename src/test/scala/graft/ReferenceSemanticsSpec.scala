@@ -75,6 +75,20 @@ class ReferenceSemanticsSpec extends SparkSpec {
     assert(literal.toSeq == anchored.toSeq)
   }
 
+  test("trailingAt / multiWindowAt with nowEpoch == data max equal the anchored forms") {
+    val nowEpoch = Timestamp.valueOf("2024-02-03 09:00:00").getTime / 1000
+    val gap = 7L * 86400L
+    assert(Totals.trailingAt(rows, "ts", "value", gap, nowEpoch)
+      .collect().map(_.toSeq).toSeq ==
+      Totals.trailing(rows, "ts", "value", gap)
+        .collect().map(_.toSeq).toSeq)
+    val ws = Seq("1h" -> 3600L, "7d" -> gap)
+    assert(WindowStats.multiWindowAt(rows, "ts", "value", ws, nowEpoch)
+      .collect().map(_.toSeq).toSeq ==
+      WindowStats.multiWindow(rows, "ts", "value", ws)
+        .collect().map(_.toSeq).toSeq)
+  }
+
   test("uuid surfaces: v4 shape from uuid(), deterministic v3 shape from nameUuid") {
     val uuidRe =
       "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$"
