@@ -210,6 +210,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("snapshot sink survives a restart: state resumes from the checkpoint, totals stay exact") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("snaprestart").toString
+    val mem = MemoryStream[Detection]
+    val windows = Seq("24h" -> 86400L)
+    def start() = Ingest.startSnapshotSink(mem.toDS(), s"$dir/hist",
+      s"$dir/snap", s"$dir/ckpt", windows)
+    val q1 = start()
+    mem.addData(fixture.filter(_.ts == ts("2024-02-01 10:00:00")): _*)
+    q1.processAllAvailable()
+    mem.addData(fixture.filter(_.ts == ts("2024-02-01 10:00:02")): _*)
+    q1.processAllAvailable()
+    q1.stop()
+    // restart from the same checkpoint; a third batch arrives after
+    val q2 = start()
+    try {
+      val b3 = Seq(
+        det("cam1", "2024-02-01 11:00:00", "car", (70L, 70L, 80L, 80L)))
+      mem.addData(b3: _*)
+      q2.processAllAvailable()
+      val expect = graft.io.Snapshot.build(
+        Ingest.batchObservations((fixture ++ b3).toDS()).toDF(), windows)
+      graft.io.Snapshot.write(expect, s"$dir/expect")
+      assert(snapJson(s"$dir/snap") == snapJson(s"$dir/expect"),
+        "post-restart doc must equal the full-history batch build")
+    } finally q2.stop()
+  }
+
   test("snapshot sink mirror short-circuit: mirrored camera serves its source's stats") {
     implicit val sc = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("snapmirror").toString
