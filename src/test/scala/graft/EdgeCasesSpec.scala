@@ -76,6 +76,29 @@ class EdgeCasesSpec extends SparkSpec {
     assert(out.collect().isEmpty)
   }
 
+  test("thresholdsApprox tracks the exact thresholds within sketch tolerance") {
+    val e = Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val exact = graft.ops.Percentiles.thresholds(e, "user_id", "ts", "value")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    val approx = graft.ops.Percentiles
+      .thresholdsApprox(e, "user_id", "ts", "value")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (k, (a50, a75, a90)) =>
+      val (e50, e75, e90) = exact(k)
+      // approx_percentile picks an actual sample value (no interpolation)
+      // — at small n the two estimators differ by at most one step of
+      // the hourly-volume distribution; at high accuracy they stay close
+      def close(a: Double, b: Double) =
+        math.abs(a - b) <= math.max(0.2 * math.max(b.abs, 1.0), 30.0)
+      assert(close(a50, e50) && close(a75, e75) && close(a90, e90),
+        s"key $k: approx ($a50,$a75,$a90) vs exact ($e50,$e75,$e90)")
+    }
+  }
+
   test("approx distinct within 5% of exact on testdata") {
     val e = Tables.events(spark, "/root/testdata/sf0.001")
     val exact = e.select("user_id").distinct().count()

@@ -68,6 +68,41 @@ class LakeBucketingSpec extends SparkSpec {
     }
   }
 
+  test("writeZOrdered keeps per-file min/max tight on BOTH cluster keys") {
+    import spark.implicits._
+    // two independent uniform keys — a single-column sort leaves the
+    // second key's per-file span at ~the full range
+    val df = (0 until 4096)
+      .map(i => (i.toLong, ((i * 2654435761L) % 4096).toLong, i % 7))
+      .toDF("a", "b", "v")
+    def spans(dir: String): (Double, Double) = {
+      val byFile = spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg((max("a") - min("a")).as("sa"), (max("b") - min("b")).as("sb"))
+        .collect()
+      (byFile.map(_.getAs[Long]("sa")).sum.toDouble / byFile.length,
+        byFile.map(_.getAs[Long]("sb")).sum.toDouble / byFile.length)
+    }
+    val zDir = java.nio.file.Files.createTempDirectory("graft_z").toString
+    Lake.writeZOrdered(df, zDir, nFiles = 16, "a", "b")
+    val (za, zb) = spans(zDir)
+    val sDir = java.nio.file.Files.createTempDirectory("graft_s").toString
+    Lake.writeSortedByRange(df, sDir, nFiles = 16, sortCols = Seq("a"))
+    val (sa, sb) = spans(sDir)
+    // single-column sort: a is perfectly clustered, b is not at all
+    assert(sa < 4096 / 8.0 && sb > 4096 / 2.0, s"baseline sa=$sa sb=$sb")
+    // z-order: BOTH keys' file spans are a fraction of the range
+    // (16 files ≈ 4x4 rectangles → span ≈ range/4 on each axis)
+    assert(za < 4096 / 2.0 && zb < 4096 / 2.0, s"z-order za=$za zb=$zb")
+    // and a predicate on the NON-prefix key now skips most files
+    val zTouched = spark.read.parquet(zDir)
+      .filter(col("b") between (100, 200))
+      .select(input_file_name()).distinct().count()
+    assert(zTouched <= 8, s"b-predicate touched $zTouched of 16 z files")
+    // rows survive the layout change
+    assert(spark.read.parquet(zDir).count() == 4096)
+  }
+
   test("bucketed scan exposes the bucket partitioning to the optimizer") {
     import spark.implicits._
     val df = (0 until 100).map(i => (s"k$i", i.toLong)).toDF("camera_id", "v")
