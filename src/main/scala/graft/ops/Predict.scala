@@ -34,9 +34,12 @@ object Predict {
   /** SQLite-%w-compatible day-of-week: 0=Sunday..6=Saturday. */
   def dowCol(ts: Column): Column = (dayofweek(ts) - 1).as("dow")
 
-  /** All-slot prediction: avg over dates of daily hourly sums, for every
-    * (key, dow, hour) present in history. */
-  def hourlyPattern(history: DataFrame, keyCol: String, tsCol: String,
+  /** The (key, dow, hour, date) daily partials — the A4 CTE's inner
+    * grain, and the ADDITIVE unit of the prediction: `hourly_units` is
+    * an exact long fixed-point sum, so partials from different batches
+    * merge by long addition (which is what lets the streaming sink
+    * maintain the pattern incrementally — Ingest.startPatternSink). */
+  def dailyPartials(history: DataFrame, keyCol: String, tsCol: String,
                     valueCol: String): DataFrame =
     history
       .groupBy(
@@ -48,9 +51,35 @@ object Predict {
       // 2-dp values is far inside the long bound); the decimal hop and
       // the one double division happen per SLOT, not per row
       .agg(Exact.unitsSum2(col(valueCol)).as("hourly_units"))
-      .groupBy(col(keyCol), col("dow"), col("hr"))
+
+  /** Slot averages from (merged) daily partials: one row per present
+    * date per slot, so AVG = sum/units over n_dates. */
+  def patternFromDaily(daily: DataFrame, keyCol: String): DataFrame =
+    daily.groupBy(col(keyCol), col("dow"), col("hr"))
       .agg((Exact.unitsToDouble2(sum(col("hourly_units"))) / count(lit(1)))
         .as("predicted_volume"))
+
+  /** All-slot prediction: avg over dates of daily hourly sums, for every
+    * (key, dow, hour) present in history. */
+  def hourlyPattern(history: DataFrame, keyCol: String, tsCol: String,
+                    valueCol: String): DataFrame =
+    patternFromDaily(dailyPartials(history, keyCol, tsCol, valueCol), keyCol)
+
+  /** Merge daily-partial frames (full outer on the slot-date key, long
+    * addition of the exact units) — `patternFromDaily(merge(a, b))`
+    * equals `hourlyPattern(rows(a) ∪ rows(b))` bit-for-bit. */
+  def mergeDailyPartials(keyCol: String)(
+      state: DataFrame, batch: DataFrame): DataFrame = {
+    val keys = Seq(keyCol, "dow", "hr", "d")
+    val s = state.select(keys.map(col) :+
+      col("hourly_units").as("s_u"): _*)
+    val b = batch.select(keys.map(col) :+
+      col("hourly_units").as("b_u"): _*)
+    s.join(b, keys, "full_outer")
+      .select(keys.map(col) :+
+        (coalesce(col("s_u"), lit(0L)) + coalesce(col("b_u"), lit(0L)))
+          .as("hourly_units"): _*)
+  }
 
   /** One (dow, hour) slot for ALL keys — the shape of one
     * `/api/predict_traffic` request, N+1 collapsed to one job. `keys` is

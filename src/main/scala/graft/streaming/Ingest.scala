@@ -240,11 +240,6 @@ object Ingest {
     val stateRoot = s"$work/state"
     val recentRoot = s"$work/recent"
     val horizonSec = windows.map(_._2).max
-    // Hadoop FS, not java.io: the state/recent stores live next to the
-    // checkpoint, which on a real cluster is HDFS/S3, not driver disk
-    def versions(): Seq[Long] =
-      graft.io.Fs.listDirNames(spark, stateRoot)
-        .filter(_.startsWith("v=")).map(_.drop(2).toLong)
     dedupObservations(detections).toDF()
       .writeStream
       .outputMode(OutputMode.Append)
@@ -256,19 +251,11 @@ object Ingest {
           // S9 lake append — write-only: the snapshot never reads this
           batch.write.mode("append").parquet(historyRoot)
           // 1. fold the batch roll-up into the previous state version
-          val bpc = graft.io.Snapshot.perCamera(batch)
-          val prev = versions().filter(_ < batchId).sorted.lastOption
-          val merged = prev match {
-            case Some(p) => graft.io.Snapshot.mergePerCamera(
-              spark.read.parquet(s"$stateRoot/v=$p"), bpc)
-            case None => bpc
-          }
-          merged.coalesce(1).write.mode("overwrite")
-            .parquet(s"$stateRoot/v=$batchId")
-          // drop versions older than the merge base (the base survives
-          // so a replay of THIS batch re-merges from it)
-          prev.foreach(p => versions().filter(_ < p).foreach(v =>
-            graft.io.Fs.delete(spark, s"$stateRoot/v=$v")))
+          // (replay-safe versioned commit — io.VersionedState)
+          val state = graft.io.VersionedState.mergeCommit(
+            spark, stateRoot, batchId,
+            graft.io.Snapshot.perCamera(batch),
+            graft.io.Snapshot.mergePerCamera)
           // 2. horizon-bounded recent store, idempotent on replay
           batch.select(col("camera_id"), col("ts"), col("new_count"),
               col("new_cars"), col("new_motors"))
@@ -279,7 +266,6 @@ object Ingest {
             .mode("overwrite").parquet(recentRoot)
           // 3. retention: a day partition whose entire range is older
           // than (now − horizon) can never contribute to a window again
-          val state = spark.read.parquet(s"$stateRoot/v=$batchId")
           val nowEpoch = state.agg(max(col("last_update")))
             .collect().head.getDouble(0)
           val cutoffDay = math.floor((nowEpoch - horizonSec) / 86400.0).toLong
@@ -307,6 +293,44 @@ object Ingest {
       }
       .start()
   }
+
+  /** Incrementally-maintained prediction pattern — the A4 materialized
+    * view. The reference recomputes its (dow, hour) averages from full
+    * history on every `/api/predict_traffic` request (app/database.py:
+    * 109-145); at 100 TB that read is the product. Here each
+    * micro-batch folds its (key, dow, hr, date) daily partials —
+    * exact long units, additive across batches — into a versioned
+    * state table (io.VersionedState, same replay-safe mechanic as the
+    * snapshot sink), and serving is a tiny groupBy over the partials
+    * via [[readPattern]]: `Predict.patternFromDaily(state)` is
+    * bit-identical to `Predict.hourlyPattern(full history)` at every
+    * point in time (StreamingSpec pins it, including batches that
+    * split a calendar day). The state is the DAILY aggregate —
+    * cameras × 24 × days rows, catalog-calendar scale, not the lake. */
+  def startPatternSink(events: DataFrame, keyCol: String, tsCol: String,
+                       valueCol: String, workRoot: String,
+                       checkpoint: String,
+                       trigger: Trigger = Trigger.ProcessingTime(0L))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.io.VersionedState.mergeCommit(
+          batch.sparkSession, s"$workRoot/pattern", batchId,
+          graft.ops.Predict.dailyPartials(batch, keyCol, tsCol, valueCol),
+          graft.ops.Predict.mergeDailyPartials(keyCol))
+        ()
+      }
+      .start()
+
+  /** Serving read for [[startPatternSink]]: all-slot predictions from
+    * the materialized partials (empty frame before the first commit). */
+  def readPattern(spark: SparkSession, workRoot: String,
+                  keyCol: String): Option[DataFrame] =
+    graft.io.VersionedState.readLatest(spark, s"$workRoot/pattern")
+      .map(daily => graft.ops.Predict.patternFromDaily(daily, keyCol))
 
   /** Incremental NEAR-dup ingest filter: a persisted MinHash band index
     * (parquet at `indexPath`, rows = (doc_id, band, band_h) from

@@ -266,6 +266,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("pattern sink: materialized A4 view equals hourlyPattern over full history at every batch") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("patsink").toString
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val events = mem.toDS().toDF("user_id", "ts", "value")
+    val q = Ingest.startPatternSink(events, "user_id", "ts", "value",
+      s"$dir/work", s"$dir/ckpt")
+    try {
+      // batch 2 continues the SAME (user, day, hour) slot batch 1
+      // started — the cross-batch partial merge must add, not replace
+      val batches = Seq(
+        Seq((1L, ts("2024-02-05 08:10:00"), 5.0),
+          (1L, ts("2024-02-05 08:20:00"), 7.25),
+          (2L, ts("2024-02-05 09:00:00"), 3.0)),
+        Seq((1L, ts("2024-02-05 08:40:00"), 2.5), // same slot as batch 1
+          (1L, ts("2024-02-12 08:15:00"), 11.0)), // same dow, next week
+        Seq((2L, ts("2024-02-06 09:30:00"), 4.0)))
+      var seen = Seq.empty[(Long, Timestamp, Double)]
+      batches.foreach { b =>
+        mem.addData(b: _*)
+        q.processAllAvailable()
+        seen = seen ++ b
+        val expect = ops.Predict.hourlyPattern(
+            seen.toDF("user_id", "ts", "value"), "user_id", "ts", "value")
+          .orderBy("user_id", "dow", "hr").collect().map(_.toSeq).toSeq
+        val got = Ingest.readPattern(spark, s"$dir/work", "user_id").get
+          .orderBy("user_id", "dow", "hr").collect().map(_.toSeq).toSeq
+        assert(got == expect, s"after ${seen.length} events")
+      }
+      // the Monday-8am slot for user 1 now averages two dates:
+      // (5 + 7.25 + 2.5) = 14.75 and 11.0 → 12.875
+      val slot = Ingest.readPattern(spark, s"$dir/work", "user_id").get
+        .filter(col("user_id") === 1L && col("hr") === 8)
+        .collect().head.getAs[Double]("predicted_volume")
+      assert(slot == 12.875)
+    } finally q.stop()
+  }
+
   test("streaming windowed flux emits closed windows in append mode") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Detection]
