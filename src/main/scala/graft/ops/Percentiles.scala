@@ -21,11 +21,36 @@ import graft.util.Exact
   */
 object Percentiles {
 
-  /** Per-key hourly sums → per-key p50/p75/p90/max of hourly volume. */
-  def thresholds(df: DataFrame, keyCol: String, tsCol: String,
-                 valueCol: String): DataFrame =
+  /** The (key, hour_bucket) hourly-volume partials — the A5 grain, as
+    * exact long units so partials from different batches merge by long
+    * addition (the streaming training MV, Ingest.startHourlySink). */
+  def hourlyPartials(df: DataFrame, keyCol: String, tsCol: String,
+                     valueCol: String): DataFrame =
     df.groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("hour_bucket"))
-      .agg(Exact.dsum2(col(valueCol)).as("hourly_volume"))
+      .agg(Exact.unitsSum2(col(valueCol)).as("hourly_units"))
+
+  /** Merge hourly-partial frames (full outer on (key, bucket), long
+    * addition) — fitting from merged partials is bit-identical to
+    * fitting from the concatenated history. */
+  def mergeHourlyPartials(keyCol: String)(
+      state: DataFrame, batch: DataFrame): DataFrame = {
+    val keys = Seq(keyCol, "hour_bucket")
+    val s = state.select(keys.map(col) :+ col("hourly_units").as("s_u"): _*)
+    val b = batch.select(keys.map(col) :+ col("hourly_units").as("b_u"): _*)
+    s.join(b, keys, "full_outer")
+      .select(keys.map(col) :+
+        (coalesce(col("s_u"), lit(0L)) + coalesce(col("b_u"), lit(0L)))
+          .as("hourly_units"): _*)
+  }
+
+  /** Fit p50/p75/p90/max from (merged) hourly partials. The percentile
+    * runs over the AGGREGATE (keys × hours rows), not raw history —
+    * which is why the training path scales: the 100 TB never reaches
+    * the sort. */
+  def thresholdsFromHourly(hourly: DataFrame, keyCol: String): DataFrame =
+    hourly
+      .withColumn("hourly_volume",
+        Exact.unitsToDouble2(col("hourly_units")))
       .groupBy(col(keyCol))
       .agg(
         // one percentile buffer+sort per group, not three: the array
@@ -39,6 +64,11 @@ object Percentiles {
         round(col("_p")(2), 6).as("p90"),
         col("max_volume"))
       .orderBy(keyCol)
+
+  /** Per-key hourly sums → per-key p50/p75/p90/max of hourly volume. */
+  def thresholds(df: DataFrame, keyCol: String, tsCol: String,
+                 valueCol: String): DataFrame =
+    thresholdsFromHourly(hourlyPartials(df, keyCol, tsCol, valueCol), keyCol)
 
   /** Scale path: t-digest/approx variant for interactive 100 TB fitting
     * (NOT oracle-checked — different estimator by design). */

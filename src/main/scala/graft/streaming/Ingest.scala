@@ -332,6 +332,39 @@ object Ingest {
     graft.io.VersionedState.readLatest(spark, s"$workRoot/pattern")
       .map(daily => graft.ops.Predict.patternFromDaily(daily, keyCol))
 
+  /** Incrementally-maintained threshold training input — the A5/A6
+    * materialized view, same mechanic as [[startPatternSink]]: each
+    * batch's (key, hour_bucket) volume partials (exact long units,
+    * additive) fold into a versioned state table; [[readThresholds]]
+    * refits p50/p75/p90/max from the AGGREGATE (keys × hours rows), so
+    * at 100 TB the percentile sort never sees raw history. Refit
+    * cadence is the caller's choice — the state is always current. */
+  def startHourlySink(events: DataFrame, keyCol: String, tsCol: String,
+                      valueCol: String, workRoot: String,
+                      checkpoint: String,
+                      trigger: Trigger = Trigger.ProcessingTime(0L))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.io.VersionedState.mergeCommit(
+          batch.sparkSession, s"$workRoot/hourly", batchId,
+          graft.ops.Percentiles.hourlyPartials(
+            batch, keyCol, tsCol, valueCol),
+          graft.ops.Percentiles.mergeHourlyPartials(keyCol))
+        ()
+      }
+      .start()
+
+  /** Serving read for [[startHourlySink]]: thresholds refit from the
+    * materialized hourly partials (None before the first commit). */
+  def readThresholds(spark: SparkSession, workRoot: String,
+                     keyCol: String): Option[DataFrame] =
+    graft.io.VersionedState.readLatest(spark, s"$workRoot/hourly")
+      .map(h => graft.ops.Percentiles.thresholdsFromHourly(h, keyCol))
+
   /** Incremental NEAR-dup ingest filter: a persisted MinHash band index
     * (parquet at `indexPath`, rows = (doc_id, band, band_h) from
     * ops.TextDedup.bandKeys) suppresses any incoming document whose

@@ -304,6 +304,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hourly sink: thresholds refit from materialized partials equal the batch fit at every batch") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("hoursink").toString
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val events = mem.toDS().toDF("user_id", "ts", "value")
+    val q = Ingest.startHourlySink(events, "user_id", "ts", "value",
+      s"$dir/work", s"$dir/ckpt")
+    try {
+      // batch 2 adds more volume to an hour batch 1 already opened
+      val batches = Seq(
+        Seq((1L, ts("2024-02-05 08:10:00"), 5.0),
+          (1L, ts("2024-02-05 09:20:00"), 9.0),
+          (2L, ts("2024-02-05 08:05:00"), 3.5)),
+        Seq((1L, ts("2024-02-05 08:45:00"), 2.0), // same hour as batch 1
+          (1L, ts("2024-02-05 10:00:00"), 6.0)),
+        Seq((2L, ts("2024-02-05 11:00:00"), 8.25)))
+      var seen = Seq.empty[(Long, Timestamp, Double)]
+      batches.foreach { b =>
+        mem.addData(b: _*)
+        q.processAllAvailable()
+        seen = seen ++ b
+        val expect = ops.Percentiles.thresholds(
+            seen.toDF("user_id", "ts", "value"), "user_id", "ts", "value")
+          .collect().map(_.toSeq).toSeq
+        val got = Ingest.readThresholds(spark, s"$dir/work", "user_id").get
+          .collect().map(_.toSeq).toSeq
+        assert(got == expect, s"after ${seen.length} events")
+      }
+    } finally q.stop()
+  }
+
   test("streaming windowed flux emits closed windows in append mode") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Detection]
