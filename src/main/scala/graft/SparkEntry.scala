@@ -300,6 +300,17 @@ object SparkEntry {
           col("asof_checkpoint_total"))
         .orderBy("event_id")
     }),
+    // ---- deterministic sampling / holdout (training-data pipeline) ----
+    "samp_stratified" -> ((s, dir) =>
+      Sampling.stratified(Tables.documents(s, dir), "lang", "doc_id",
+          Map("en" -> 0.5, "es" -> 0.25), defaultRate = 0.1, seed = "samp")
+        .select("doc_id", "lang").orderBy("doc_id")),
+    "samp_holdout" -> ((s, dir) =>
+      Sampling.withHoldout(ev(s, dir), "event_id", 0.2, "split")
+        .groupBy("is_holdout")
+        .agg(count(lit(1)).as("n"),
+          graft.util.Exact.dsum2(col("value")).as("total_value"))
+        .orderBy("is_holdout")),
     // ---- profiling: per-column summary over events (exact path — the
     // default approx/HLL path is pinned against this in ProfilerSpec) ----
     "prof_events_summary" -> ((s, dir) =>
@@ -976,6 +987,18 @@ object SparkEntry {
         |FROM events e ASOF LEFT JOIN cp
         |  ON e.user_id = cp.user_id AND e.ts >= cp.cts
         |ORDER BY event_id""".stripMargin,
+    "samp_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (CAST(CAST(('0x'||substr(md5('samp:' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 1000000 AS DOUBLE)
+        |       / 1000000.0)
+        |      < CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.25 ELSE 0.1 END
+        |ORDER BY doc_id""".stripMargin,
+    "samp_holdout" ->
+      """SELECT (CAST(CAST(('0x'||substr(md5('split:' || CAST(event_id AS VARCHAR)),1,15)) AS BIGINT) % 1000000 AS DOUBLE)
+        |        / 1000000.0) < 0.2 AS is_holdout,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1 ORDER BY is_holdout""".stripMargin,
     "prof_events_summary" -> {
       def num(c: String, mn: String, mx: String) =
         s"""SELECT '$c' col_name, COUNT(*) n_rows, COUNT($c) n_nonnull,

@@ -76,6 +76,31 @@ class EdgeCasesSpec extends SparkSpec {
     assert(out.collect().isEmpty)
   }
 
+  test("deterministic sampling: train/holdout partition the corpus, membership stable under append") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val all = d.select("doc_id").collect().map(_.getLong(0)).toSet
+    val tr = graft.ops.Sampling.train(d, "doc_id", 0.2, "split")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val ho = graft.ops.Sampling.holdout(d, "doc_id", 0.2, "split")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((tr & ho).isEmpty && (tr | ho) == all)
+    assert(ho.nonEmpty && tr.nonEmpty)
+    // growth stability: the holdout of a GROWN corpus restricted to the
+    // old ids is exactly the old holdout (eval sets never churn)
+    val grown = d.union(d.select(((col("doc_id") + 500000).as("doc_id") +:
+      d.columns.tail.map(col)): _*))
+    val ho2 = graft.ops.Sampling.holdout(grown, "doc_id", 0.2, "split")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((ho2 & all) == ho)
+    // stratified rates land near their targets per stratum
+    val str = graft.ops.Sampling.stratified(d, "lang", "doc_id",
+      Map("en" -> 0.5), defaultRate = 0.1, seed = "samp")
+    val en = d.filter(col("lang") === "en").count().toDouble
+    val enKept = str.filter(col("lang") === "en").count().toDouble
+    assert(math.abs(enKept / en - 0.5) < 0.15,
+      s"en keep rate ${enKept / en}")
+  }
+
   test("thresholdsApprox tracks the exact thresholds within sketch tolerance") {
     val e = Tables.events(spark, "/root/testdata/sf0.001")
       .withColumn("ts", col("ts").cast("timestamp"))
