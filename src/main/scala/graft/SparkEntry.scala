@@ -363,6 +363,10 @@ object SparkEntry {
       TextStats.withFingerprint(Tables.documents(s, dir), "doc_id", "text",
           "fingerprint")
         .orderBy("doc_id")),
+    // ---- sequence packing (concat-and-chunk training blocks) ----
+    "t_pack_sequences" -> ((s, dir) =>
+      TextStats.packSequences(Tables.documents(s, dir), "doc_id", "text",
+        budget = 512L, nBuckets = 8).orderBy("doc_id")),
     // ---- composed curation pipeline: lang + quality + exact dedup ----
     "t_curate" -> ((s, dir) =>
       TextStats.curate(Tables.documents(s, dir), "doc_id", "text",
@@ -1154,6 +1158,19 @@ object SparkEntry {
         |       round(stop_raw, 6) AS stopword_ratio,
         |       round(len_score * (1.0 - punct_raw) * (0.5 + least(stop_raw * 5.0, 0.5)), 6) AS quality_score
         |FROM m ORDER BY doc_id""".stripMargin,
+    "t_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS bucket,
+        |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+        |  FROM t)
+        |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, n_tokens,
+        |       CAST(start_off AS BIGINT) AS start_off,
+        |       CAST(start_off // 512 AS BIGINT) AS pack_id
+        |FROM o ORDER BY doc_id""".stripMargin,
     "t_curate" ->
       """WITH w AS (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') w FROM documents),
         |s AS (SELECT doc_id, text, w,

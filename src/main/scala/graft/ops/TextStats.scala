@@ -167,6 +167,33 @@ object TextStats {
         .cast("long").as("bin_lo"))
       .groupBy("bin_lo").agg(count(lit(1)).as("n_docs"))
 
+  /** GPT-style sequence packing (concat-and-chunk): documents are
+    * concatenated in a deterministic order and cut into fixed
+    * `budget`-token training blocks; a document "belongs" to the block
+    * its first token lands in (documents may straddle block
+    * boundaries — that's standard pretraining packing, not bin
+    * packing). The corpus is first hashed into `nBuckets` independent
+    * streams, so the only sequential structure (the running token
+    * offset) is a per-bucket window cumsum: nBuckets parallel sorted
+    * cumsums over corpus/nBuckets rows each — pick nBuckets ≈ cores ×
+    * a few at scale and no single reducer ever sees the corpus. Every
+    * column is a pure function of (id, text) → exactly reproducible in
+    * the DuckDB oracle. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    budget: Long, nBuckets: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(col(idCol),
+        size(TextDedup.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("bucket", pmod(col(idCol), lit(nBuckets)).cast("long"))
+      .withColumn("start_off",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"start_off div $budget"))
+      .select(col(idCol), col("bucket"), col("n_tokens"),
+        col("start_off"), col("pack_id"))
+  }
+
   /** Document fingerprint: position-weighted rolling hash over tokens —
     * sum over positions of ((pos+1) * (md5Hash60(token) mod 1e6)) mod
     * 2^61-1. Order-sensitive (unlike a bag-of-words hash) and exactly
