@@ -363,6 +363,10 @@ object SparkEntry {
       TextStats.withFingerprint(Tables.documents(s, dir), "doc_id", "text",
           "fingerprint")
         .orderBy("doc_id")),
+    // ---- repetition metrics (Gopher-rule curation filters) ----
+    "t_repetition" -> ((s, dir) =>
+      TextStats.repetitionMetrics(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
     // ---- sequence packing (concat-and-chunk training blocks) ----
     "t_pack_sequences" -> ((s, dir) =>
       TextStats.packSequences(Tables.documents(s, dir), "doc_id", "text",
@@ -1158,6 +1162,21 @@ object SparkEntry {
         |       round(stop_raw, 6) AS stopword_ratio,
         |       round(len_score * (1.0 - punct_raw) * (0.5 + least(stop_raw * 5.0, 0.5)), 6) AS quality_score
         |FROM m ORDER BY doc_id""".stripMargin,
+    "t_repetition" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') w FROM documents),
+        |tok AS (SELECT doc_id, CAST(len(w) AS BIGINT) n_tokens,
+        |          CAST(len(list_distinct(w)) AS BIGINT) n_distinct, w FROM w),
+        |bg AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') g
+        |       FROM w, UNNEST(generate_series(1, greatest(len(w)-1, 0))) AS gs(i)),
+        |bgc AS (SELECT doc_id, g, COUNT(*) c FROM bg GROUP BY 1, 2),
+        |bgm AS (SELECT doc_id, max(c) mx, SUM(c) tot FROM bgc GROUP BY 1)
+        |SELECT t.doc_id AS doc_id, n_tokens,
+        |       round(CASE WHEN n_tokens > 0
+        |             THEN 1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |             ELSE 0.0 END, 6) AS dup_token_frac,
+        |       round(COALESCE(CAST(mx AS DOUBLE) / CAST(tot AS DOUBLE), 0.0), 6) AS top_bigram_frac
+        |FROM tok t LEFT JOIN bgm ON t.doc_id = bgm.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "t_pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id, doc_id % 8 AS bucket,

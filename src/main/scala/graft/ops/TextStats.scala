@@ -167,6 +167,38 @@ object TextStats {
         .cast("long").as("bin_lo"))
       .groupBy("bin_lo").agg(count(lit(1)).as("n_docs"))
 
+  /** Gopher-style repetition metrics — the curation filters that catch
+    * degenerate/templated text exact dedup misses: per document,
+    * `dup_token_frac` = 1 − distinct/total tokens (token-level
+    * repetitiveness) and `top_bigram_frac` = most-frequent-bigram count
+    * / total bigrams (the "fraction of characters in the most common
+    * n-gram" family of Rae et al.'s Gopher rules, at word grain).
+    * Token stats are pure array expressions; the bigram mode is an
+    * explode + per-(doc, bigram) count + per-doc max — shuffle keyed on
+    * (doc, bigram), the same shape as the n-gram stats, linear at any
+    * corpus size. Ratios are single IEEE divisions of exact longs →
+    * oracle-reproducible. */
+  def repetitionMetrics(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val base = df
+      .select(col(idCol), TextDedup.tokens(col(textCol)).as("_w"))
+      .withColumn("n_tokens", size(col("_w")).cast("long"))
+      .withColumn("_nd", size(array_distinct(col("_w"))).cast("long"))
+    val bigramMode = base
+      .select(col(idCol),
+        explode(TextDedup.shingleArray(col("_w"), 2)).as("_g"))
+      .groupBy(col(idCol), col("_g")).agg(count(lit(1)).as("_c"))
+      .groupBy(col(idCol))
+      .agg(max(col("_c")).as("_mx"), sum(col("_c")).as("_tot"))
+    base.join(bigramMode, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        round(when(col("n_tokens") > 0,
+          lit(1.0) - col("_nd").cast("double") / col("n_tokens")
+            .cast("double")).otherwise(lit(0.0)), 6).as("dup_token_frac"),
+        round(coalesce(col("_mx").cast("double") /
+          col("_tot").cast("double"), lit(0.0)), 6).as("top_bigram_frac"))
+  }
+
   /** GPT-style sequence packing (concat-and-chunk): documents are
     * concatenated in a deterministic order and cut into fixed
     * `budget`-token training blocks; a document "belongs" to the block
