@@ -7,11 +7,11 @@ import org.apache.spark.sql.SparkSession
   *    scalar broadcast), j6 (pattern replay IS a cross join, tiny
   *    side), e_ann_bruteforce (the brute-force baseline is a
   *    deliberate corpus × probes scan);
-  *  - SortMergeJoin in the dedup family / e_cosine_neardup / t_curate:
-  *    inverted-index and band-bucket self-joins where BOTH sides are
-  *    large at scale — a shuffle join is the correct physical choice
-  *    (AQE still converts to broadcast at runtime when a side turns
-  *    out small).
+  *  - SortMergeJoin in the dedup family / e_cosine_neardup (banded
+  *    sign-LSH self-join) / t_curate: inverted-index and band-bucket
+  *    self-joins where BOTH sides are large at scale — a shuffle join
+  *    is the correct physical choice (AQE still converts to broadcast
+  *    at runtime when a side turns out small).
   * Anything NEW appearing here deserves a look.
   */
 object AuditAll {

@@ -305,6 +305,13 @@ object SparkEntry {
       Sampling.stratified(Tables.documents(s, dir), "lang", "doc_id",
           Map("en" -> 0.5, "es" -> 0.25), defaultRate = 0.1, seed = "samp")
         .select("doc_id", "lang").orderBy("doc_id")),
+    "samp_mix_sources" -> ((s, dir) =>
+      Sampling.mixSources(
+          Tables.documents(s, dir).select("doc_id", "source"),
+          "source", "doc_id", Map("src0" -> 2.5, "src1" -> 1.0),
+          defaultWeight = 0.5, seed = "mix")
+        .select(col("doc_id"), col("source"), col("copy"))
+        .orderBy("doc_id", "copy")),
     "samp_holdout" -> ((s, dir) =>
       Sampling.withHoldout(ev(s, dir), "event_id", 0.2, "split")
         .groupBy("is_holdout")
@@ -1001,6 +1008,21 @@ object SparkEntry {
         |       / 1000000.0)
         |      < CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.25 ELSE 0.1 END
         |ORDER BY doc_id""".stripMargin,
+    "samp_mix_sources" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 1.0
+        |              ELSE 0.5 END AS w
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, w,
+        |        unnest(generate_series(0, CAST(floor(w) AS BIGINT))) AS copy
+        |      FROM d)
+        |SELECT doc_id, source, CAST(copy AS BIGINT) AS copy
+        |FROM c
+        |WHERE copy < floor(w)
+        |   OR (CAST(CAST(('0x'||substr(md5('mix:' || CAST(doc_id AS VARCHAR) || ':' || CAST(copy AS VARCHAR)),1,15)) AS BIGINT) % 1000000 AS DOUBLE)
+        |       / 1000000.0) < w - floor(w)
+        |ORDER BY doc_id, copy""".stripMargin,
     "samp_holdout" ->
       """SELECT (CAST(CAST(('0x'||substr(md5('split:' || CAST(event_id AS VARCHAR)),1,15)) AS BIGINT) % 1000000 AS DOUBLE)
         |        / 1000000.0) < 0.2 AS is_holdout,

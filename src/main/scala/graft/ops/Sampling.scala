@@ -38,6 +38,29 @@ object Sampling {
       coalesce(m(col(stratumCol)), lit(defaultRate)))
   }
 
+  /** Data mixing with per-source EPOCH weights — the canonical
+    * pretraining recipe step ("2.5 epochs of source A, 0.5 of B"):
+    * weight w yields floor(w) guaranteed copies of every row plus one
+    * extra copy kept with probability frac(w), decided by
+    * u01(seed, id:copy) so the draw is per-(row, copy) deterministic.
+    * Output carries `copy` (0-based) so downstream shuffling/packing
+    * can treat repeats as distinct rows. One explode of at most
+    * ceil(w)+1 candidates per row, one codegen'd filter — no shuffle,
+    * no driver state; 100 TB mixes as a scan. */
+  def mixSources(df: DataFrame, sourceCol: String, idCol: String,
+                 weights: Map[String, Double], defaultWeight: Double,
+                 seed: String): DataFrame = {
+    val m = typedlit(weights)
+    val w = coalesce(m(col(sourceCol)), lit(defaultWeight))
+    df.withColumn("_w", w)
+      .withColumn("copy",
+        explode(sequence(lit(0L), floor(col("_w")).cast("long"))))
+      .filter(col("copy") < floor(col("_w")) ||
+        u(seed, concat_ws(":", col(idCol), col("copy"))) <
+          (col("_w") - floor(col("_w"))))
+      .drop("_w")
+  }
+
   /** Deterministic holdout tag: `is_holdout` = u01(seed, id) < frac.
     * Tagging (not splitting) keeps it one scan; `train`/`holdout`
     * below are the two filtered views. */
