@@ -265,30 +265,37 @@ object Ingest {
             .option("partitionOverwriteMode", "dynamic")
             .mode("overwrite").parquet(recentRoot)
           // 3. retention: a day partition whose entire range is older
-          // than (now − horizon) can never contribute to a window again
-          val nowEpoch = state.agg(max(col("last_update")))
-            .collect().head.getDouble(0)
-          val cutoffDay = math.floor((nowEpoch - horizonSec) / 86400.0).toLong
-          graft.io.Fs.listDirNames(spark, recentRoot)
-            .filter(_.startsWith("b=")).foreach { bname =>
-              graft.io.Fs.listDirNames(spark, s"$recentRoot/$bname")
-                .filter(_.startsWith("d=")).foreach { dname =>
-                  val day = java.time.LocalDate
-                    .parse(dname.drop(2)).toEpochDay
-                  if (day + 1 <= cutoffDay)
-                    graft.io.Fs.delete(spark, s"$recentRoot/$bname/$dname")
-                }
-            }
-          // 4. assemble the doc from state + bounded recent — the same
-          // code path as the batch Snapshot.build
-          val recent = spark.read.parquet(recentRoot).drop("b", "d")
-          val pc = mirrors.map(m => graft.io.Snapshot.applyMirrors(state, m))
-            .getOrElse(state)
-          val winObs = mirrors
-            .map(m => graft.io.Snapshot.withMirroredObs(recent, m))
-            .getOrElse(recent)
-          graft.io.Snapshot.write(
-            graft.io.Snapshot.assemble(pc, winObs, windows), snapshotPath)
+          // than (now − horizon) can never contribute to a window again.
+          // An all-empty stream so far (processing-time triggers DO
+          // deliver empty batches) has no "now" and nothing to prune or
+          // publish — skip those steps without killing the query.
+          val nowRow = state.agg(max(col("last_update"))).collect().head
+          if (!nowRow.isNullAt(0)) {
+            val nowEpoch = nowRow.getDouble(0)
+            val cutoffDay =
+              math.floor((nowEpoch - horizonSec) / 86400.0).toLong
+            graft.io.Fs.listDirNames(spark, recentRoot)
+              .filter(_.startsWith("b=")).foreach { bname =>
+                graft.io.Fs.listDirNames(spark, s"$recentRoot/$bname")
+                  .filter(_.startsWith("d=")).foreach { dname =>
+                    val day = java.time.LocalDate
+                      .parse(dname.drop(2)).toEpochDay
+                    if (day + 1 <= cutoffDay)
+                      graft.io.Fs.delete(spark, s"$recentRoot/$bname/$dname")
+                  }
+              }
+            // 4. assemble the doc from state + bounded recent — the
+            // same code path as the batch Snapshot.build
+            val recent = spark.read.parquet(recentRoot).drop("b", "d")
+            val pc = mirrors
+              .map(m => graft.io.Snapshot.applyMirrors(state, m))
+              .getOrElse(state)
+            val winObs = mirrors
+              .map(m => graft.io.Snapshot.withMirroredObs(recent, m))
+              .getOrElse(recent)
+            graft.io.Snapshot.write(
+              graft.io.Snapshot.assemble(pc, winObs, windows), snapshotPath)
+          }
         } finally { batch.unpersist(); () }
       }
       .start()
