@@ -50,6 +50,8 @@ object Sampling {
   def mixSources(df: DataFrame, sourceCol: String, idCol: String,
                  weights: Map[String, Double], defaultWeight: Double,
                  seed: String): DataFrame = {
+    require(defaultWeight >= 0 && weights.values.forall(_ >= 0),
+      "epoch weights must be non-negative")
     val m = typedlit(weights)
     val w = coalesce(m(col(sourceCol)), lit(defaultWeight))
     df.withColumn("_w", w)

@@ -101,6 +101,27 @@ class EdgeCasesSpec extends SparkSpec {
       s"en keep rate ${enKept / en}")
   }
 
+  test("mixSources: integer weights copy exactly, fractional draw the remainder, zero drops") {
+    import spark.implicits._
+    val d = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c"))
+      .toDF("id", "src")
+    val out = graft.ops.Sampling.mixSources(d, "src", "id",
+        Map("a" -> 2.0, "b" -> 0.5, "c" -> 0.0), defaultWeight = 1.0,
+        seed = "mix")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    // weight 2.0: exactly two copies of every 'a' row, copies 0 and 1
+    assert(out.filter(_._1 == 1L).map(_._2).sorted.sameElements(Array(0L, 1L)))
+    assert(out.filter(_._1 == 2L).map(_._2).sorted.sameElements(Array(0L, 1L)))
+    // weight 0.5: at most one copy; weight 0.0: never kept
+    assert(out.count(_._1 == 3L) <= 1)
+    assert(!out.exists(_._1 == 4L))
+    // determinism: a second run draws the identical multiset
+    val again = graft.ops.Sampling.mixSources(d, "src", "id",
+        Map("a" -> 2.0, "b" -> 0.5, "c" -> 0.0), 1.0, "mix")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.sorted.sameElements(again.sorted))
+  }
+
   test("thresholdsApprox tracks the exact thresholds within sketch tolerance") {
     val e = Tables.events(spark, "/root/testdata/sf0.001")
       .withColumn("ts", col("ts").cast("timestamp"))
