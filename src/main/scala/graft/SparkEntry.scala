@@ -344,6 +344,15 @@ object SparkEntry {
       TextDedup.dedupCorpus(u, "doc_id", "text", 3, 16, 4, 0.8)
         .select(col("doc_id")).orderBy("doc_id")
     }),
+    "dd_clusters" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val pairs = TextDedup.jaccardPairs(d, "doc_id", "text", 3, 0.8)
+      // fixed 4 rounds (single lazy job): seeded near-dup components
+      // are pairs/triples; the oracle's exact closure would fail
+      // loudly if 4 rounds ever under-propagated
+      TextDedup.nearDupClusters(d.select("doc_id"), pairs, "doc_id",
+        rounds = 4).orderBy("doc_id")
+    }),
     "dd_simhash_pairs" -> ((s, dir) =>
       TextDedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
         maxHamming = 10).orderBy("a_id", "b_id")),
@@ -1130,6 +1139,27 @@ object SparkEntry {
         |SELECT doc_id FROM reps
         |WHERE doc_id NOT IN (SELECT doc_id FROM removed)
         |ORDER BY doc_id""".stripMargin,
+    "dd_clusters" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         CAST(('0x'||substr(md5(array_to_string(w[i:i+2], ' ')),1,15)) AS BIGINT) AS sh_h
+        |       FROM t, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS g(i)),
+        |sizes AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) n_common
+        |          FROM sh a JOIN sh b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |p AS (SELECT a_id, b_id FROM inter
+        |      JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+        |      WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.8),
+        |e AS (SELECT a_id AS u, b_id AS v FROM p
+        |      UNION ALL SELECT b_id, a_id FROM p),
+        |reach(u, lbl) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.u, r.lbl FROM e JOIN reach r ON e.v = r.u)
+        |SELECT u AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
     "dd_simhash_pairs" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) t FROM documents),
         |h AS (SELECT doc_id, CAST(('0x'||substr(md5(t),1,15)) AS BIGINT) AS h FROM tok),

@@ -276,6 +276,76 @@ object TextDedup {
     reps.join(removed, Seq(idCol), "left_anti")
   }
 
+  /** Transitive near-dup clusters: connected components over a pair
+    * graph, labeling every id with the MINIMUM id of its component —
+    * the closure `dedupCorpus`'s greedy pass approximates, exposed as
+    * first-class cluster ids (which is what retention policies, "keep
+    * best of cluster" selection, and dedup audits actually consume).
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes the min of its own label and its neighbors' labels; the
+    * label field converges in O(component diameter) rounds, and
+    * near-dup components are shallow by construction (pairs share
+    * content), so the loop is a handful of hash joins keyed on the id,
+    * each a linear shuffle. The driver-side loop only checks a
+    * convergence COUNT per round (no data ever collects), and labels
+    * are locally checkpointed every round via the caller's session
+    * (lineage stays bounded). `maxIter` is a safety valve; convergence
+    * is checked exactly. */
+  def nearDupClusters(ids: DataFrame, pairs: DataFrame, idCol: String,
+                      rounds: Int = 0, maxIter: Int = 20): DataFrame = {
+    // edges carry SELF-LOOPS, so one propagation round is a single
+    // join + min-agg referencing the previous labels exactly ONCE:
+    //   lbl'(u) = min over {u} ∪ neighbors(u) of lbl(·)
+    // A self-union formulation references labels twice per round, which
+    // doubles the plan subtree every round — measured combinatorial
+    // recompute in the lazy mode. With a single-path lineage the
+    // per-round edge subtrees are identical exchanges that ReuseExchange
+    // evaluates once.
+    val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+      .union(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+      .union(ids.select(col(idCol).as("u"), col(idCol).as("v")))
+    def step(e: DataFrame)(labels: DataFrame): DataFrame =
+      e.join(labels.select(col("u").as("v"), col("lbl")), "v")
+        .groupBy("u").agg(min(col("lbl")).as("lbl"))
+    val init = ids.select(col(idCol).as("u"), col(idCol).as("lbl"))
+    val labels =
+      if (rounds > 0) {
+        // fixed-rounds mode: materialize the edge set ONCE (eager local
+        // checkpoint — the pair generation is the expensive subtree and
+        // appears in every round's plan; exchange reuse does not
+        // reliably dedup it under AQE), then chain the rounds lazily
+        // into one job. Correct whenever `rounds` >= the largest
+        // component's diameter, which for near-dup graphs is small by
+        // construction; when unsure, use the converging mode (rounds =
+        // 0). On a multi-node cluster prefer a reliable checkpoint dir
+        // over localCheckpoint for executor-loss resilience.
+        val e = edges.localCheckpoint(true)
+        (1 to rounds).foldLeft(init)((l, _) => step(e)(l))
+      } else {
+        // exact-convergence mode: iterate with a per-round changed
+        // check (a LIMIT 1 existence count, not a collect); caching
+        // each round keeps lineage and recompute bounded
+        val cachedEdges = edges.cache()
+        var cur = init.cache()
+        var iter = 0
+        var converged = false
+        while (!converged && iter < maxIter) {
+          val next = step(cachedEdges)(cur).cache()
+          val changed = next
+            .join(cur.select(col("u"), col("lbl").as("_old")), "u")
+            .filter(col("lbl") =!= col("_old")).limit(1).count()
+          cur.unpersist()
+          cur = next
+          converged = changed == 0
+          iter += 1
+        }
+        cachedEdges.unpersist()
+        cur
+      }
+    labels.select(col("u").as(idCol), col("lbl").as("cluster_id"))
+  }
+
   /** Benchmark-contamination check: for each eval document, how many of
     * its `n`-gram shingles appear anywhere in the training corpus (plus
     * the contamination ratio). The standard pre-training hygiene query —

@@ -99,6 +99,23 @@ class TextDedupSpec extends SparkSpec {
     assert(out(3) == 0L)
   }
 
+  test("nearDupClusters: min-label propagation closes chains, singletons keep own id") {
+    val ids = Seq(1L, 2L, 3L, 4L, 10L, 11L).toDF("doc_id")
+    // chain 1-2-3 (1 and 3 never directly paired: needs 2 rounds),
+    // pair 10-11, singleton 4
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val out = TextDedup.nearDupClusters(ids, pairs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      10L -> 10L, 11L -> 10L))
+    // long chain: diameter 5, still converges inside maxIter
+    val chainIds = (1L to 6L).toDF("doc_id")
+    val chain = (1L to 5L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val c = TextDedup.nearDupClusters(chainIds, chain, "doc_id")
+      .collect().map(r => r.getLong(1)).distinct
+    assert(c.sameElements(Array(1L)))
+  }
+
   test("token counts: ws vs bpe-ish") {
     val d = Seq((1L, "hello world, abcdefgh!")).toDF("doc_id", "text")
     val r = TextStats.qualityMetrics(d, "doc_id", "text").collect().head
