@@ -60,6 +60,36 @@ class PropertiesSpec extends AnyFunSuite
     }
   }
 
+  test("property: nearDupClusters equals driver-side union-find on random graphs") {
+    val gen = for {
+      n <- Gen.choose(5, 18)
+      m <- Gen.choose(0, 25)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(1, n); b <- Gen.choose(1, n)
+      } yield (math.min(a, b).toLong, math.max(a, b).toLong))
+    } yield (n, edges.filter(e => e._1 != e._2).distinct)
+    forAll(gen, cases = 3) { case (n, edges) =>
+      // reference: plain union-find with min-root labels
+      val parent = Array.tabulate(n + 1)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (1 to n).map(i => i.toLong -> find(i).toLong).toMap
+      val ids = (1L to n.toLong).toDF("doc_id")
+      val pairs =
+        if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+        else edges.toDF("a_id", "b_id")
+      // exact-convergence mode (rounds = 0): must handle cycles and
+      // arbitrary diameters
+      val got = graft.ops.TextDedup.nearDupClusters(ids, pairs, "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"n=$n edges=$edges")
+    }
+  }
+
   test("property: bucket sums partition the total flux") {
     forAll(rowGen) { rows =>
       whenever(rows.nonEmpty) {
