@@ -423,6 +423,31 @@ object Ingest {
       }
       .start()
 
+  /** Streaming IVF index maintenance: append each micro-batch of new
+    * embedding rows into the persisted cell-partitioned index
+    * ([[graft.ops.Embeddings.appendToIvfIndex]] — fixed coarse
+    * quantizer, only the touched cells' directories receive files).
+    * The searchable index is therefore continuously current without a
+    * rebuild; searches via `ivfTopKIndexed` pick up new vectors at
+    * their next run. Exactly-once per the checkpoint at the batch
+    * grain (a replayed batch re-appends — run periodic exact-dedup
+    * compaction on the index if the source can replay, or key the
+    * upstream with [[streamingExactDedup]]). */
+  def startIvfAppendSink(model: graft.ops.Embeddings.IvfModel,
+                         vectors: DataFrame, idCol: String, vecCol: String,
+                         indexPath: String, checkpoint: String,
+                         trigger: Trigger = Trigger.ProcessingTime(0L))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Embeddings.appendToIvfIndex(model, batch, idCol, vecCol,
+          indexPath)
+      }
+      .start()
+
   /** End-to-end wiring: detections stream → dedup → parquet history sink
     * (partitioned by date like the reference's lake) + console-able
     * windowed aggs. Returns the started query for the history sink. */

@@ -68,4 +68,32 @@ class IvfIndexSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(inc == full)
   }
+
+  test("streaming IVF append sink keeps the index search-identical to a full rebuild") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probes = e.filter($"vec_id" < 5)
+    val model = Embeddings.ivfFit(e, "vec_id", "embedding", nLists = 8)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_stream")
+    val dir = s"$tmp/index"
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.Ingest.startIvfAppendSink(model,
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      dir, s"$tmp/ckpt")
+    try {
+      val rows = e.select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      mem.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+      val fullDir = s"$tmp/full"
+      Embeddings.writeIvfIndex(model, e, "vec_id", "embedding", fullDir)
+      val full = Embeddings.ivfTopKIndexed(model, spark, fullDir, probes,
+        "vec_id", "embedding", nProbe = 3, k = 5).collect().map(_.toSeq).toSet
+      val streamed = Embeddings.ivfTopKIndexed(model, spark, dir, probes,
+        "vec_id", "embedding", nProbe = 3, k = 5).collect().map(_.toSeq).toSet
+      assert(streamed == full)
+    } finally q.stop()
+  }
 }
