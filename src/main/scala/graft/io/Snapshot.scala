@@ -178,9 +178,19 @@ object Snapshot {
     assemble(pc, winObs, windows)
   }
 
-  /** S8 — write the snapshot (one nested row) as JSON. */
-  def write(snapshot: DataFrame, path: String): Unit =
-    snapshot.coalesce(1).write.mode("overwrite").json(path)
+  /** S8 — write the snapshot (one nested row) as JSON, published via
+    * stage→swap like the reference's tmp→bak→rename (utils.py:494-508,
+    * X9): the slow part (computing + writing the doc) happens in a
+    * staging directory, so a concurrent reader's exposure window is
+    * two renames, not the whole job. */
+  def write(snapshot: DataFrame, path: String): Unit = {
+    val s = snapshot.sparkSession
+    val staging = path + "_tmp"
+    Fs.delete(s, staging)
+    snapshot.coalesce(1).write.mode("overwrite").json(staging)
+    Fs.delete(s, path)
+    Fs.rename(s, staging, path)
+  }
 
   /** S7 — read a snapshot back into per-camera rows, accepting BOTH the
     * v2 nested format and the legacy flat map. Detection mirrors the

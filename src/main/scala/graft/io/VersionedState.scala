@@ -27,7 +27,14 @@ object VersionedState {
       case Some(p) => merge(s.read.parquet(s"$root/v=$p"), update)
       case None => update
     }
-    merged.coalesce(1).write.mode("overwrite").parquet(s"$root/v=$batchId")
+    // stage + rename: a concurrent readLatest must never list a
+    // half-written version directory (the staging name has no "v="
+    // prefix, so it is invisible to the version listing)
+    val staging = s"$root/_staging_$batchId"
+    Fs.delete(s, staging)
+    merged.coalesce(1).write.mode("overwrite").parquet(staging)
+    Fs.delete(s, s"$root/v=$batchId") // replay leftovers
+    Fs.rename(s, staging, s"$root/v=$batchId")
     prev.foreach(p => versions(s, root).filter(_ < p)
       .foreach(v => Fs.delete(s, s"$root/v=$v")))
     s.read.parquet(s"$root/v=$batchId")
