@@ -276,11 +276,20 @@ object Embeddings {
     * pruning (broadcast side = the probed cells) skips every other
     * directory at scan time. */
   def writeIvfIndex(model: IvfModel, corpus: DataFrame, idCol: String,
-                    vecCol: String, path: String): Unit =
+                    vecCol: String, path: String): Unit = {
+    // stage + swap so a rebuild-while-serving search never reads a
+    // half-written index (rebuilds happen on quantizer retrain — rare,
+    // but they race live probes)
+    val s = corpus.sparkSession
+    val staging = path + "_staging"
+    graft.io.Fs.delete(s, staging)
     corpus.select(col(idCol), quantize(col(vecCol)).as("cv"))
       .withColumn("cell", cellOfQuantized(model, col("cv")))
       .write.partitionBy("cell")
-      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
+    graft.io.Fs.delete(s, path)
+    graft.io.Fs.rename(s, staging, path)
+  }
 
   /** Incremental IVF index maintenance: route NEW vectors into their
     * cells and append — only the touched cell directories receive
