@@ -46,6 +46,18 @@ object ScaleProbe {
     time("simhash_pairs") {
       ops.TextDedup.simhashPairs(docs, "doc_id", "text", 10).count()
     }
+    time("pack_sequences") {
+      ops.TextStats.packSequences(docs, "doc_id", "text", 512L, 64).count()
+    }
+    time("repetition_metrics") {
+      ops.TextStats.repetitionMetrics(docs, "doc_id", "text").count()
+    }
+    time("mix_holdout_sample") {
+      // mixing + split tags in one pass (both pure map predicates)
+      ops.Sampling.withHoldout(
+        ops.Sampling.uniform(docs, "doc_id", 0.5, "probe"),
+        "doc_id", 0.2, "split").count()
+    }
     // the raw pairwise path is quadratic on dup clusters BY DESIGN on
     // this multiplied corpus (that's the pathology dedupCorpus fixes);
     // only probe it at small multipliers
