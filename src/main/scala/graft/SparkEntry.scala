@@ -383,6 +383,10 @@ object SparkEntry {
       TextStats.withFingerprint(Tables.documents(s, dir), "doc_id", "text",
           "fingerprint")
         .orderBy("doc_id")),
+    // ---- canonical normalization (pre-hash identity) ----
+    "t_normalize" -> ((s, dir) =>
+      TextStats.withNormalized(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
     // ---- repetition metrics (Gopher-rule curation filters) ----
     "t_repetition" -> ((s, dir) =>
       TextStats.repetitionMetrics(Tables.documents(s, dir), "doc_id", "text")
@@ -1229,6 +1233,15 @@ object SparkEntry {
         |       round(stop_raw, 6) AS stopword_ratio,
         |       round(len_score * (1.0 - punct_raw) * (0.5 + least(stop_raw * 5.0, 0.5)), 6) AS quality_score
         |FROM m ORDER BY doc_id""".stripMargin,
+    "t_normalize" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |         trim(regexp_replace(regexp_replace(lower(text),
+        |           '[\x00-\x1F]', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(norm_text) AS BIGINT) AS n_chars_norm,
+        |       CAST(('0x'||substr(md5(norm_text),1,15)) AS BIGINT) AS norm_hash
+        |FROM n ORDER BY doc_id""".stripMargin,
     "t_repetition" ->
       """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') w FROM documents),
         |tok AS (SELECT doc_id, CAST(len(w) AS BIGINT) n_tokens,

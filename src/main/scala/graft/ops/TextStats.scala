@@ -167,6 +167,27 @@ object TextStats {
         .cast("long").as("bin_lo"))
       .groupBy("bin_lo").agg(count(lit(1)).as("n_docs"))
 
+  /** Canonical text normalization — the pre-hash step dedup pipelines
+    * apply so cosmetic variants (case, runs of whitespace, stray
+    * control characters) collapse to one identity: lowercase, control
+    * chars → space, whitespace runs → one space, trim. Pure codegen'd
+    * string expression; patterns are dialect-neutral (Java regex ==
+    * RE2 here) so the oracle reproduces it byte-for-byte. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[\\x00-\\x1F]", " "), "\\s+", " "))
+
+  /** Normalized identity per document: the canonical text's length and
+    * 60-bit content hash — what exactDedup SHOULD key on when the
+    * corpus carries cosmetic duplicates. */
+  def withNormalized(df: DataFrame, idCol: String,
+                     textCol: String): DataFrame =
+    df.select(col(idCol),
+      normalizeText(col(textCol)).as("norm_text"))
+      .select(col(idCol),
+        length(col("norm_text")).cast("long").as("n_chars_norm"),
+        TextDedup.md5Hash60(col("norm_text")).as("norm_hash"))
+
   /** Gopher-style repetition metrics — the curation filters that catch
     * degenerate/templated text exact dedup misses: per document,
     * `dup_token_frac` = 1 − distinct/total tokens (token-level
