@@ -125,22 +125,24 @@ object Lake {
     * writes ~43k files/day/partition; parquet scan cost is dominated by
     * file count long before data volume at that shape). Rewrites the
     * partition into `ceil(bytes / targetFileBytes)` files via a staging
-    * directory + atomic swap, so readers never observe a half-compacted
-    * partition, and rows are byte-identical (no ordering guarantees
-    * were ever promised inside a day). Run it on closed (past-day)
-    * partitions from a maintenance job — the streaming writer only ever
-    * appends to TODAY, so compacting yesterday races nothing. */
+    * directory + bak-swap publish ([[Fs.publish]]): readers can observe
+    * a missing partition only inside the two-rename window, a crash at
+    * any point leaves a complete copy on disk (live or `_bak`), and
+    * rows are byte-identical (no ordering guarantees were ever promised
+    * inside a day). Run it on closed (past-day) partitions from a
+    * maintenance job — the streaming writer only ever appends to TODAY,
+    * so compacting yesterday races nothing. */
   def compactDay(s: SparkSession, root: String, y: Int, m: Int, d: Int,
                  targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
     val dir = s"$root/year=$y/month=$m/day=$d"
     require(Fs.exists(s, dir), s"no partition at $dir")
     val bytes = Fs.totalBytes(s, dir, _.endsWith(".parquet"))
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
-    val staging = dir + "_compact"
+    // underscore prefix: invisible to partition discovery while staging
+    val staging = s"$root/year=$y/month=$m/_compact_day=$d"
     s.read.parquet(dir).coalesce(nFiles.toInt)
       .write.mode(SaveMode.Overwrite).parquet(staging)
-    Fs.delete(s, dir)
-    Fs.rename(s, staging, dir)
+    Fs.publish(s, staging, dir)
   }
 
   /** Detection-grain CSV sink with the REFERENCE's exact lake schema

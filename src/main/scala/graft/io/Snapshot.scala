@@ -179,17 +179,17 @@ object Snapshot {
   }
 
   /** S8 — write the snapshot (one nested row) as JSON, published via
-    * stage→swap like the reference's tmp→bak→rename (utils.py:494-508,
-    * X9): the slow part (computing + writing the doc) happens in a
-    * staging directory, so a concurrent reader's exposure window is
-    * two renames, not the whole job. */
+    * the reference's tmp→bak→move protocol (utils.py:494-508, X9): the
+    * slow part (computing + writing the doc) happens in a staging
+    * directory, the live doc is renamed aside — never unlinked — and
+    * only then replaced, so a crash at any point leaves a complete doc
+    * on disk ([[Fs.publish]]). */
   def write(snapshot: DataFrame, path: String): Unit = {
     val s = snapshot.sparkSession
     val staging = path + "_tmp"
     Fs.delete(s, staging)
     snapshot.coalesce(1).write.mode("overwrite").json(staging)
-    Fs.delete(s, path)
-    Fs.rename(s, staging, path)
+    Fs.publish(s, staging, path)
   }
 
   /** S7 — read a snapshot back into per-camera rows, accepting BOTH the

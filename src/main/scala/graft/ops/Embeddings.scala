@@ -277,9 +277,10 @@ object Embeddings {
     * directory at scan time. */
   def writeIvfIndex(model: IvfModel, corpus: DataFrame, idCol: String,
                     vecCol: String, path: String): Unit = {
-    // stage + swap so a rebuild-while-serving search never reads a
-    // half-written index (rebuilds happen on quantizer retrain — rare,
-    // but they race live probes)
+    // stage, then bak-swap (Fs.publish) so a rebuild-while-serving
+    // search never reads a half-written index, and a crash mid-publish
+    // leaves the previous index recoverable at path_bak (rebuilds
+    // happen on quantizer retrain — rare, but they race live probes)
     val s = corpus.sparkSession
     val staging = path + "_staging"
     graft.io.Fs.delete(s, staging)
@@ -287,8 +288,7 @@ object Embeddings {
       .withColumn("cell", cellOfQuantized(model, col("cv")))
       .write.partitionBy("cell")
       .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
-    graft.io.Fs.delete(s, path)
-    graft.io.Fs.rename(s, staging, path)
+    graft.io.Fs.publish(s, staging, path)
   }
 
   /** Incremental IVF index maintenance: route NEW vectors into their
