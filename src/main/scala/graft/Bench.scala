@@ -59,7 +59,14 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val totalJobs = results.values.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"jobs":$js,"total_jobs":$totalJobs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"jobs":$js,"total_jobs":$totalJobs,"sf":"$sfDir"}"""
+    println(line)
+    // also persist the full line to a file: captured log tails truncate
+    // a 71-query JSON map, making per-query numbers unparseable from
+    // stdout alone
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

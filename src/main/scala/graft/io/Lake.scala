@@ -148,24 +148,27 @@ object Lake {
   /** Detection-grain CSV sink with the REFERENCE's exact lake schema
     * (app/services/camera.py:54-86): header
     * `timestamp,source_id,source_name,class_id,confidence,bbox`, with
-    * `timestamp` = epoch seconds as double (`time.time()`), confidence
-    * formatted `%.4f`, and bbox stringified like a Python list
-    * `[x1, y1, x2, y2]`. Partitioned by year/month/day like the
-    * reference's `raw/YYYY/MM/DD/` directories. Input: a typed frame
-    * with `tsCol` (timestamp), source_id, source_name, class_id,
-    * confidence (double), x1..y2.
+    * `timestamp` = epoch seconds (`time.time()`) rendered as plain
+    * fixed-point with microsecond precision (`%.6f` — never scientific
+    * notation, fractional seconds preserved; the reference's
+    * `str(float)` shortest-repr can print fewer trailing digits, which
+    * parses identically), confidence formatted `%.4f`, and bbox
+    * stringified like a Python list `[x1, y1, x2, y2]`. Partitioned by
+    * year/month/day like the reference's `raw/YYYY/MM/DD/` directories.
+    * Input: a typed frame with `tsCol` (timestamp), source_id,
+    * source_name, class_id, confidence (double), x1..y2.
     *
     * This is schema-parity glue, not the preferred lake format —
     * [[writePartitioned]] with parquet is the scale path; this sink
-    * exists so reference-side consumers (and [[readDetections]]) see
-    * bit-identical CSV rows. */
+    * exists so reference-side consumers (and [[readDetections]]) can
+    * parse every field of every row identically. */
   def writeDetections(det: DataFrame, tsCol: String, root: String,
                       mode: SaveMode = SaveMode.Append): Unit =
     det
       .withColumn("year", year(col(tsCol)))
       .withColumn("month", month(col(tsCol)))
       .withColumn("day", dayofmonth(col(tsCol)))
-      .withColumn("timestamp", unix_timestamp(col(tsCol)).cast("double"))
+      .withColumn("timestamp", format_string("%.6f", col(tsCol).cast("double")))
       .withColumn("confidence", format_string("%.4f", col("confidence")))
       .withColumn("bbox", concat(lit("["),
         concat_ws(", ", col("x1"), col("y1"), col("x2"), col("y2")),

@@ -194,8 +194,17 @@ object Snapshot {
 
   /** S7 — read a snapshot back into per-camera rows, accepting BOTH the
     * v2 nested format and the legacy flat map. Detection mirrors the
-    * reference: presence of the `sources` key (utils.py:420). */
+    * reference: presence of the `sources` key (utils.py:420).
+    *
+    * Crash-recovery half of the bak-swap protocol: like the reference's
+    * loader, which tries the main file and then `.bak`
+    * (app/utils.py:405-441), the read first heals a crash inside
+    * [[Fs.publish]] — if `path` is missing but `_bak_<leaf>` survives,
+    * the bak is moved back into place before reading, so a crash
+    * between publish's two renames costs nothing but the not-yet-live
+    * update. */
   def readSources(s: SparkSession, path: String): DataFrame = {
+    Fs.recoverPublished(s, path)
     val raw = s.read.option("wholetext", value = true).text(path)
     val v2 = StructType(Seq(
       StructField("sources", MapType(StringType, statsStruct))))

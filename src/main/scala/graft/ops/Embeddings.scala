@@ -313,6 +313,11 @@ object Embeddings {
   def ivfTopKIndexed(model: IvfModel, spark: org.apache.spark.sql.SparkSession,
                      indexPath: String, queries: DataFrame, idCol: String,
                      vecCol: String, nProbe: Int, k: Int): DataFrame = {
+    // heal a crash inside a writeIvfIndex publish (bak-swap, Fs.publish):
+    // if the index path vanished mid-swap, the surviving _bak_ copy is
+    // moved back before serving — the reference loader's main-then-.bak
+    // order (app/utils.py:405-441) applied to the index directory
+    graft.io.Fs.recoverPublished(spark, indexPath)
     val cb = spark.read.parquet(indexPath)
       .select(col(idCol).as("corpus_id"), col("cv"), col("cell"))
     val probeCells = transform(

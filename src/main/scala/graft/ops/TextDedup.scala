@@ -293,7 +293,8 @@ object TextDedup {
     * (lineage stays bounded). `maxIter` is a safety valve; convergence
     * is checked exactly. */
   def nearDupClusters(ids: DataFrame, pairs: DataFrame, idCol: String,
-                      rounds: Int = 0, maxIter: Int = 20): DataFrame = {
+                      rounds: Int = 0, maxIter: Int = 20,
+                      checkpointDir: Option[String] = None): DataFrame = {
     // edges carry SELF-LOOPS, so one propagation round is a single
     // join + min-agg referencing the previous labels exactly ONCE:
     //   lbl'(u) = min over {u} ∪ neighbors(u) of lbl(·)
@@ -318,9 +319,15 @@ object TextDedup {
         // into one job. Correct whenever `rounds` >= the largest
         // component's diameter, which for near-dup graphs is small by
         // construction; when unsure, use the converging mode (rounds =
-        // 0). On a multi-node cluster prefer a reliable checkpoint dir
-        // over localCheckpoint for executor-loss resilience.
-        val e = edges.localCheckpoint(true)
+        // 0). `checkpointDir` selects RELIABLE checkpointing (HDFS/S3):
+        // localCheckpoint stores blocks on executors and loses them on
+        // executor failure, fine on local[n], wrong on a real cluster.
+        val e = checkpointDir match {
+          case Some(dir) =>
+            ids.sparkSession.sparkContext.setCheckpointDir(dir)
+            edges.checkpoint(true)
+          case None => edges.localCheckpoint(true)
+        }
         (1 to rounds).foldLeft(init)((l, _) => step(e)(l))
       } else {
         // exact-convergence mode: iterate with a per-round changed

@@ -86,6 +86,12 @@ object TimeBuckets {
     "7d" -> (604800L, 14400L),
     "30d" -> (2592000L, 86400L))
 
+  /** Resolve a period name, falling back — like the reference's if/elif
+    * dispatch, whose pre-set defaults survive an unrecognized name
+    * (app/routes.py:79-103) — to the 30m span / 60s interval. */
+  def spanInterval(period: String): (Long, Long) =
+    periods.getOrElse(period, (1800L, 60L))
+
   /** A8 by period name: trailing-span filter anchored at the data's max
     * timestamp (deterministic "now", like A2), bucketed at the period's
     * interval. The span filter is a broadcast of one scalar row — at
@@ -93,7 +99,7 @@ object TimeBuckets {
     * the groupBy stays one bucket-keyed shuffle. */
   def forPeriod(events: DataFrame, tsCol: String, valueCol: String,
                 period: String, labelFmt: String = "HH:mm"): DataFrame = {
-    val (span, interval) = periods(period)
+    val (span, interval) = spanInterval(period)
     val now = events.agg(max(unix_timestamp(col(tsCol))).as("_now_ts"))
     val filtered = events.crossJoin(broadcast(now))
       .filter(unix_timestamp(col(tsCol)) >= col("_now_ts") - span)
@@ -114,7 +120,7 @@ object TimeBuckets {
   def forPeriodAt(events: DataFrame, tsCol: String, valueCol: String,
                   period: String, nowEpoch: Long,
                   labelFmt: String = "HH:mm"): DataFrame = {
-    val (span, interval) = periods(period)
+    val (span, interval) = spanInterval(period)
     val filtered = events.filter(
       col(tsCol) >= timestamp_seconds(lit(nowEpoch - span)))
     history(filtered, tsCol, valueCol, interval, labelFmt)

@@ -256,16 +256,23 @@ object Ingest {
             spark, stateRoot, batchId,
             graft.io.Snapshot.perCamera(batch),
             graft.io.Snapshot.mergePerCamera)
-          // 2. horizon-bounded recent store, idempotent on replay
+          // 2. horizon-bounded recent store, idempotent on replay.
+          // Partitioned by EPOCH day — floor(epoch/86400), the same
+          // clock the retention cutoff below uses. A calendar key
+          // (to_date) would be session-timezone-local: west of UTC a
+          // local day holds rows up to |offset| hours past the assumed
+          // UTC day end, and the prune would delete in-horizon rows.
           batch.select(col("camera_id"), col("ts"), col("new_count"),
               col("new_cars"), col("new_motors"))
             .withColumn("b", lit(batchId))
-            .withColumn("d", to_date(col("ts")))
+            .withColumn("d", floor(unix_timestamp(col("ts")) / 86400L))
             .write.partitionBy("b", "d")
             .option("partitionOverwriteMode", "dynamic")
             .mode("overwrite").parquet(recentRoot)
           // 3. retention: a day partition whose entire range is older
-          // than (now − horizon) can never contribute to a window again.
+          // than (now − horizon) can never contribute to a window again
+          // — partition d covers [d*86400, (d+1)*86400), so it is dead
+          // iff (d+1)*86400 <= now − horizon, i.e. d + 1 <= cutoffDay.
           // An all-empty stream so far (processing-time triggers DO
           // deliver empty batches) has no "now" and nothing to prune or
           // publish — skip those steps without killing the query.
@@ -276,13 +283,21 @@ object Ingest {
               math.floor((nowEpoch - horizonSec) / 86400.0).toLong
             graft.io.Fs.listDirNames(spark, recentRoot)
               .filter(_.startsWith("b=")).foreach { bname =>
-                graft.io.Fs.listDirNames(spark, s"$recentRoot/$bname")
+                val bdir = s"$recentRoot/$bname"
+                graft.io.Fs.listDirNames(spark, bdir)
                   .filter(_.startsWith("d=")).foreach { dname =>
-                    val day = java.time.LocalDate
-                      .parse(dname.drop(2)).toEpochDay
+                    val day = dname.drop(2).toLong
                     if (day + 1 <= cutoffDay)
-                      graft.io.Fs.delete(spark, s"$recentRoot/$bname/$dname")
+                      graft.io.Fs.delete(spark, s"$bdir/$dname")
                   }
+                // a batch dir whose last day partition was pruned is
+                // dead weight: left in place it would grow the listing
+                // walk and partition discovery forever (~1.4k dirs/day
+                // at a 60s cadence) — delete it so the directory count
+                // stays bounded by the horizon too
+                if (graft.io.Fs.listDirNames(spark, bdir)
+                      .forall(!_.startsWith("d=")))
+                  graft.io.Fs.delete(spark, bdir)
               }
             // 4. assemble the doc from state + bounded recent — the
             // same code path as the batch Snapshot.build

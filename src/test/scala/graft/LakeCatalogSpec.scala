@@ -64,7 +64,8 @@ class LakeCatalogSpec extends SparkSpec {
   test("detection CSV lake: reference-shaped write → typed read round-trips") {
     val root = Files.createTempDirectory("detlake").toString
     val det = Seq(
-      (Timestamp.valueOf("2024-02-01 10:00:00"), "cam1", "Cam One",
+      // fractional-second fixture: time.time() has sub-second precision
+      (Timestamp.valueOf("2024-02-01 10:00:00.123456"), "cam1", "Cam One",
         "car", 0.87654321, 10L, 20L, 110L, 220L),
       (Timestamp.valueOf("2024-02-02 11:30:00"), "cam2", "Cam Two",
         "motorcycle", 0.5, 0L, 0L, 5L, 7L))
@@ -83,13 +84,19 @@ class LakeCatalogSpec extends SparkSpec {
     }
     assert(csv.contains(
       "timestamp,source_id,source_name,class_id,confidence,bbox"))
-    assert(csv.exists(_.endsWith("cam1,Cam One,car,0.8765,\"[10, 20, 110, 220]\"")),
+    // FULL rows including the timestamp field: plain fixed-point epoch
+    // seconds (no scientific notation), fractional part preserved
+    assert(csv.contains(
+      "1706781600.123456,cam1,Cam One,car,0.8765,\"[10, 20, 110, 220]\""),
+      s"rows were:\n${csv.mkString("\n")}")
+    assert(csv.contains(
+      "1706873400.000000,cam2,Cam Two,motorcycle,0.5000,\"[0, 0, 5, 7]\""),
       s"rows were:\n${csv.mkString("\n")}")
     // typed read-back
     val back = Lake.readDetections(spark, root).orderBy("source_id").collect()
     assert(back.length == 2)
     assert(back(0).getAs[Timestamp]("ts") ==
-      Timestamp.valueOf("2024-02-01 10:00:00"))
+      Timestamp.valueOf("2024-02-01 10:00:00.123456"))
     assert(back(0).getAs[String]("class_id") == "car")
     assert(back(0).getAs[Double]("confidence") == 0.8765) // %.4f rounding
     assert(back(0).getAs[Long]("x1") == 10L &&

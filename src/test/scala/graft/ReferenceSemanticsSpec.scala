@@ -66,6 +66,22 @@ class ReferenceSemanticsSpec extends SparkSpec {
     assert(m30.map(_.getAs[Long]("n_events")).sum == 1L)
   }
 
+  test("forPeriod: unknown period falls back to the 30m/60s default (routes.py:79-103)") {
+    // the reference's if/elif chain leaves its pre-set defaults in
+    // place for unrecognized names — no error, 30m span, 1m buckets
+    assert(TimeBuckets.spanInterval("bogus") == (1800L, 60L))
+    val bogus = TimeBuckets.forPeriod(rows, "ts", "value", "bogus")
+      .collect().map(_.toSeq)
+    val m30 = TimeBuckets.forPeriod(rows, "ts", "value", "30m")
+      .collect().map(_.toSeq)
+    assert(bogus.toSeq == m30.toSeq)
+    val nowEpoch = java.sql.Timestamp.valueOf("2024-02-03 09:00:00")
+      .getTime / 1000
+    val bogusAt = TimeBuckets.forPeriodAt(rows, "ts", "value", "bogus",
+      nowEpoch).collect().map(_.toSeq)
+    assert(bogusAt.toSeq == m30.toSeq)
+  }
+
   test("forPeriodAt with nowEpoch == data max equals the data-anchored forPeriod") {
     val nowEpoch = Timestamp.valueOf("2024-02-03 09:00:00").getTime / 1000
     val anchored = TimeBuckets.forPeriod(rows, "ts", "value", "7d", "dd/MM")

@@ -199,15 +199,63 @@ class StreamingSpec extends SparkSpec {
         assert(snapJson(s"$dir/snap") == snapJson(s"$dir/expect$i"),
           s"batch $i: incremental doc != batch build")
       }
-      // retention: after the Feb-3 batch, the Feb-1 day partitions are
-      // outside the 24h horizon and must be deleted from the store
-      val days = Option(new java.io.File(s"$dir/ckpt_snapwork/recent")
+      // retention: after the Feb-3 batch, the Feb-1 epoch-day
+      // partitions are outside the 24h horizon and must be deleted
+      val feb1 = ts("2024-02-01 00:00:00").getTime / 1000 / 86400
+      val bdirs = Option(new java.io.File(s"$dir/ckpt_snapwork/recent")
         .listFiles()).toSeq.flatten.filter(_.isDirectory)
+        .filter(_.getName.startsWith("b="))
+      val days = bdirs
         .flatMap(b => Option(b.listFiles()).toSeq.flatten)
-        .map(_.getName).filter(_.startsWith("d="))
-      assert(days.nonEmpty && days.forall(!_.contains("2024-02-01")),
+        .map(_.getName).filter(_.startsWith("d=")).map(_.drop(2).toLong)
+      assert(days.nonEmpty && days.forall(_ > feb1),
         s"recent store not pruned: $days")
+      // and the emptied b= batch dirs are gone too (the directory
+      // count is bounded by the horizon, not the stream's lifetime):
+      // 3 batches ran, only the Feb-3 one still holds a day partition
+      assert(bdirs.length == 1,
+        s"emptied batch dirs not deleted: ${bdirs.map(_.getName)}")
     } finally q.stop()
+  }
+
+  test("retention is timezone-safe: west-of-UTC session prunes nothing inside the horizon") {
+    implicit val sc = spark.sqlContext
+    // the partition key and the cutoff must share a clock (epoch days).
+    // Regression scenario for a calendar-day key: under an LA session
+    // TZ, a row at Feb-2 06:00 UTC falls in LOCAL day Feb-1, whose
+    // epoch-day prune fires once now-horizon passes Feb-2 00:00 UTC —
+    // deleting a row still inside the 24h window.
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    val dir = java.nio.file.Files.createTempDirectory("snaptz").toString
+    val mem = MemoryStream[Detection]
+    val windows = Seq("24h" -> 86400L)
+    val q = Ingest.startSnapshotSink(mem.toDS(), s"$dir/hist",
+      s"$dir/snap", s"$dir/ckpt", windows)
+    try {
+      val b1 = Seq(det("cam1", "2024-02-02 06:00:00", "car",
+        (0L, 0L, 10L, 10L)))
+      val b2 = Seq(det("cam2", "2024-02-03 04:00:00", "car",
+        (5L, 5L, 15L, 15L))) // now-horizon = Feb-2 04:00 < cam1's row
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      // cam1's row is 22h old — inside the 24h horizon; it must still
+      // be in the recent store and counted by the incremental doc
+      val recent = spark.read.parquet(s"$dir/ckpt_snapwork/recent")
+      assert(recent.filter(col("camera_id") === "cam1").count() == 1,
+        "in-horizon row was pruned by retention")
+      val expect = graft.io.Snapshot.build(
+        Ingest.batchObservations((b1 ++ b2).toDS()).toDF(), windows)
+      graft.io.Snapshot.write(expect, s"$dir/expect")
+      assert(snapJson(s"$dir/snap") == snapJson(s"$dir/expect"),
+        "incremental doc != batch build under a west-of-UTC session TZ")
+      val w = spark.read.json(s"$dir/snap")
+        .select(col("window_stats.24h.total_volume")).collect().head
+      assert(w.getLong(0) == 2L, s"window undercounted: $w")
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.session.timeZone", prevTz)
+    }
   }
 
   test("snapshot sink survives a restart: state resumes from the checkpoint, totals stay exact") {

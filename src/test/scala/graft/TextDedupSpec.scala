@@ -116,6 +116,29 @@ class TextDedupSpec extends SparkSpec {
     assert(c.sameElements(Array(1L)))
   }
 
+  test("nearDupClusters fixed-rounds with a reliable checkpoint dir matches the default path") {
+    val ids = Seq(1L, 2L, 3L, 4L, 10L, 11L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      10L -> 10L, 11L -> 10L)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cc_ckpt")
+      .toString
+    // executor-loss-resilient mode for real clusters: edges checkpoint
+    // to a durable dir instead of executor-local blocks
+    val out = TextDedup.nearDupClusters(ids, pairs, "doc_id", rounds = 3,
+        checkpointDir = Some(ckpt))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == expect)
+    // the checkpoint actually landed in the durable dir
+    val files = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(ckpt))
+    }
+    assert(files.nonEmpty, "no reliable checkpoint files written")
+  }
+
   test("token counts: ws vs bpe-ish") {
     val d = Seq((1L, "hello world, abcdefgh!")).toDF("doc_id", "text")
     val r = TextStats.qualityMetrics(d, "doc_id", "text").collect().head
