@@ -78,6 +78,47 @@ object ScaleProbe {
         64, 0.99).count()
     }
 
+    // indexed IVF search at scale: build the cell-partitioned index on
+    // the multiplied corpus ONCE, then pin the "a probe reads nProbe
+    // cells of the index, not the index" claim with the scan's actual
+    // files-read counter — the measurement that matters at 100 TB,
+    // where the unpruned scan is the difference between touching a few
+    // directories and listing the lake.
+    val ivfRoot = java.nio.file.Files
+      .createTempDirectory("graft_probe_ivf").toString
+    val ivfDir = s"$ivfRoot/index"
+    val ivfModel = ops.Embeddings.ivfFit(emb, "vec_id", "embedding",
+      nLists = 64)
+    time("ivf_index_build") {
+      ops.Embeddings.writeIvfIndex(ivfModel, emb, "vec_id", "embedding",
+        ivfDir)
+      spark.read.parquet(ivfDir).count()
+    }
+    val ivfQueries = emb.filter(col("vec_id") < 5)
+    val indexed = ops.Embeddings.ivfTopKIndexed(ivfModel, spark, ivfDir,
+      ivfQueries, "vec_id", "embedding", nProbe = 4, k = 10)
+    time("ivf_indexed_topk") { indexed.collect().length.toLong }
+    locally {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      val filesPerCell = walk(new java.io.File(ivfDir))
+        .groupBy(_.getParentFile.getName.stripPrefix("cell=").toInt)
+        .map { case (c, fs) => c -> fs.length }
+      val probed = ops.Embeddings.probeCellsOf(ivfModel, ivfQueries,
+          "vec_id", "embedding", nProbe = 4)
+        .select("cell").distinct().collect().map(_.getInt(0)).toSet
+      val expected = filesPerCell.filter(kv => probed(kv._1)).values.sum
+      val total = filesPerCell.values.sum
+      val read = util.PlanMetrics.filesReadUnder(indexed, ivfDir)
+      println(s"[scaleprobe] ivf_indexed_topk files read: $read of " +
+        s"$total on disk (probed ${probed.size}/${filesPerCell.size} " +
+        s"cells holding $expected files)")
+      assert(read == expected && read < total,
+        s"IVF probe read $read files; probed cells hold $expected of " +
+          s"$total — partition pruning not effective at x$mult")
+    }
+
     val ev = multiplied(Tables.events(spark, dir)
       .withColumn("ts", col("ts").cast("timestamp")), "event_id").cache()
     println(s"[scaleprobe] events x$mult = ${ev.count()}")

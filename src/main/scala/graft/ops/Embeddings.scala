@@ -238,6 +238,20 @@ object Embeddings {
                 idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol), cellOf(model, col(vecCol)).as("cell"))
 
+  /** The `nProbe` nearest cells of each query vector — exactly the
+    * broadcast cell set [[ivfTopK]]/[[ivfTopKIndexed]] join against.
+    * Exposed for diagnostics: measuring how many index partitions a
+    * probe set touches (IvfIndexSpec pins files-read == these cells'
+    * files) and for cache pre-warming. */
+  def probeCellsOf(model: IvfModel, queries: DataFrame, idCol: String,
+                   vecCol: String, nProbe: Int): DataFrame = {
+    val cells = transform(
+      slice(array_sort(array(
+        centroidDistStructs(model, quantize(col(vecCol))): _*)), 1, nProbe),
+      s => s.getField("cell"))
+    queries.select(col(idCol).as("query_id"), explode(cells).as("cell"))
+  }
+
   /** IVF top-k: per query, brute-force cosine within the query's
     * `nProbe` nearest cells only. Probe-cell selection is also a pure
     * expression (sort the centroid-distance array, slice nProbe,
@@ -308,8 +322,18 @@ object Embeddings {
 
   /** IVF top-k against a persisted index: identical semantics to
     * [[ivfTopK]] but the corpus side is the partitioned index, so only
-    * the probed cells' directories are read (IvfIndexSpec asserts the
-    * dynamic-pruning plan and result parity). */
+    * the probed cells' directories are read.
+    *
+    * The pruning is STATIC, not left to dynamic partition pruning: the
+    * distinct probed cell set is collected to the driver (bounded by
+    * nLists — a few thousand ints at most, one narrow job over the
+    * query set) and pushed as a `cell IN (...)` partition filter, so
+    * the index listing skips unprobed directories deterministically.
+    * DPP was measured falling back to a full-index scan on larger
+    * inputs (AQE replaces the pruning subquery with `true` when its
+    * broadcast-reuse heuristic declines — ScaleProbe at 30× read all
+    * 1920 index files); a 100 TB index cannot ride on that heuristic.
+    * IvfIndexSpec pins files-read == probed cells' files. */
   def ivfTopKIndexed(model: IvfModel, spark: org.apache.spark.sql.SparkSession,
                      indexPath: String, queries: DataFrame, idCol: String,
                      vecCol: String, nProbe: Int, k: Int): DataFrame = {
@@ -318,7 +342,10 @@ object Embeddings {
     // moved back before serving — the reference loader's main-then-.bak
     // order (app/utils.py:405-441) applied to the index directory
     graft.io.Fs.recoverPublished(spark, indexPath)
+    val probedCells = probeCellsOf(model, queries, idCol, vecCol, nProbe)
+      .select("cell").distinct().collect().map(_.getInt(0))
     val cb = spark.read.parquet(indexPath)
+      .filter(col("cell").isin(probedCells.toIndexedSeq: _*))
       .select(col(idCol).as("corpus_id"), col("cv"), col("cell"))
     val probeCells = transform(
       slice(array_sort(array(

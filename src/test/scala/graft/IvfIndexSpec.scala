@@ -23,11 +23,16 @@ class IvfIndexSpec extends SparkSpec {
 
     val indexed = Embeddings.ivfTopKIndexed(model, spark, dir, probes,
       "vec_id", "embedding", nProbe = 2, k = 5)
-    // plan: the partition column join must trigger dynamic partition
-    // pruning on the index scan (only probed cells are listed/read)
-    val plan = indexed.queryExecution.executedPlan.toString
-    assert(plan.contains("dynamicpruning"),
-      s"no dynamic partition pruning on the index scan:\n${plan.take(3000)}")
+    // plan: the probed cell set must arrive as a STATIC partition
+    // filter on the index scan (deterministic directory pruning — DPP
+    // is a heuristic and was measured falling back to a full scan)
+    val scanLine = indexed.queryExecution.executedPlan.toString
+      .linesIterator.find(l => l.contains("FileScan") && l.contains(dir))
+      .getOrElse(fail(s"no index FileScan in plan"))
+    assert(scanLine.contains("PartitionFilters: [") &&
+      (scanLine.contains("cell") && (scanLine.contains(" IN ") ||
+        scanLine.contains("INSET"))),
+      s"no static cell partition filter on the index scan:\n$scanLine")
 
     val mem = Embeddings.ivfTopK(model, e, probes, "vec_id", "embedding",
         nProbe = 2, k = 5)
@@ -37,6 +42,26 @@ class IvfIndexSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(3)) ->
         (r.getLong(1), r.getDouble(2))).toSet
     assert(idx == mem)
+
+    // MEASURED pruning, not just plan shape: the scan's files-read
+    // counter must cover only the probed cells' files. Compute the
+    // exact probed cell set (what the query's broadcast side contains)
+    // and the per-cell file counts on disk — files read must equal the
+    // probed cells' files and stay below the full index.
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    val filesPerCell = walk(new java.io.File(dir))
+      .groupBy(f => f.getParentFile.getName.stripPrefix("cell=").toInt)
+      .map { case (c, fs) => c -> fs.length }
+    val probedCells = Embeddings.probeCellsOf(model, probes,
+        "vec_id", "embedding", nProbe = 2)
+      .select("cell").distinct().collect().map(_.getInt(0)).toSet
+    val expected = filesPerCell.filter(kv => probedCells(kv._1)).values.sum
+    val read = graft.util.PlanMetrics.filesReadUnder(indexed, dir)
+    assert(read == expected && read < filesPerCell.values.sum,
+      s"index scan read $read files; probed cells hold $expected of " +
+        s"${filesPerCell.values.sum} — pruning not effective")
   }
 
   test("incremental append routes new vectors to their cells; search equals a full rebuild") {
