@@ -68,10 +68,13 @@ object Fs {
     * store, not this protocol. A stale bak from a previous crash is
     * cleared first so step 1 cannot fail on an existing destination.
     *
-    * The bak is a SIBLING named `_bak_<leaf>`: the leading underscore
-    * keeps it invisible to Spark's partition/file discovery, so
-    * publishing a partition dir inside a live table root never makes a
-    * phantom partition appear mid-swap. */
+    * The bak is a SIBLING named `_bak_<leaf>` with any `=` in the leaf
+    * escaped to `%3D`: discovery's hidden-path filter skips `_`-prefixed
+    * names ONLY when they contain no `=` (a raw `_bak_day=1` would be
+    * inferred as a conflicting partition column and fail every
+    * concurrent read of the table root), so the escape is what actually
+    * keeps a mid-swap bak invisible when publishing a partition dir
+    * inside a live lake. */
   def publish(s: SparkSession, staging: String, path: String): Unit = {
     val bak = bakPath(path)
     delete(s, bak)
@@ -82,8 +85,13 @@ object Fs {
 
   private def bakPath(path: String): String = {
     val p = new Path(path)
-    new Path(p.getParent, "_bak_" + p.getName).toString
+    new Path(p.getParent, "_bak_" + encodeLeaf(p.getName)).toString
   }
+
+  // '=' must not appear in a bak name (see publish); %3D matches how
+  // Spark itself escapes '=' inside partition VALUES
+  private def encodeLeaf(name: String): String = name.replace("=", "%3D")
+  private def decodeLeaf(name: String): String = name.replace("%3D", "=")
 
   /** Recovery for a crash inside [[publish]]: if `path` is missing but
     * its bak survives, move the bak back into place. Returns true if
@@ -92,5 +100,37 @@ object Fs {
     val bak = bakPath(path)
     if (!exists(s, path) && exists(s, bak)) { rename(s, bak, path); true }
     else false
+  }
+
+  /** Recovery sweep over a whole directory tree — for publish targets
+    * that generic readers reach without a single entry point, like the
+    * day partitions [[graft.io.Lake.compactDay]] republishes inside a
+    * lake root (a snapshot or IVF index heals in its reader; a lake is
+    * read by plain `spark.read.parquet(root)`, which cannot). Walks
+    * the tree's DIRECTORIES (catalog-scale: partition dirs, not data
+    * files) and for every `_bak_<leaf>`:
+    *   - main sibling missing → crash between publish's two renames:
+    *     rename the bak back into place (the restored paths are
+    *     returned);
+    *   - main sibling present → crash between rename 2 and the bak
+    *     delete: the bak is stale, delete it.
+    * Run at startup or before maintenance; idempotent either way. */
+  def recoverTree(s: SparkSession, root: String): Seq[String] = {
+    val restored = Seq.newBuilder[String]
+    def sweep(dir: String): Unit = {
+      val names = listDirNames(s, dir)
+      val (baks, plain) = names.partition(_.startsWith("_bak_"))
+      baks.foreach { b =>
+        val main = s"$dir/${decodeLeaf(b.stripPrefix("_bak_"))}"
+        if (!exists(s, main)) { rename(s, s"$dir/$b", main); restored += main }
+        else delete(s, s"$dir/$b")
+      }
+      // recurse into live dirs (incl. just-restored ones — a nested
+      // crash artifact under a restored partition is still healed)
+      (plain ++ baks.map(b => decodeLeaf(b.stripPrefix("_bak_")))).distinct
+        .foreach(n => sweep(s"$dir/$n"))
+    }
+    if (exists(s, root)) sweep(root)
+    restored.result()
   }
 }

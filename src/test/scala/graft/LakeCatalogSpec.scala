@@ -61,6 +61,41 @@ class LakeCatalogSpec extends SparkSpec {
     assert(afterRows == beforeRows)
   }
 
+  test("recoverTree heals a crashed compactDay publish and clears stale baks") {
+    val root = Files.createTempDirectory("compact_rec").toString
+    val rows = (1 to 50).map(i =>
+      (i.toLong, Timestamp.valueOf("2024-02-01 10:00:00"), s"cam${i % 3}")) ++
+      Seq((999L, Timestamp.valueOf("2024-02-02 09:00:00"), "cam9"))
+    Lake.writePartitioned(rows.toDF("id", "ts", "cam"), "ts", root,
+      mode = SaveMode.Overwrite)
+    val before = spark.read.parquet(root).orderBy("id")
+      .collect().map(_.toSeq).toSeq
+    val dayDir = s"$root/year=2024/month=2/day=1"
+    // crash between publish's two renames: the live day partition sits
+    // at its bak name (with '=' escaped — a raw `_bak_day=1` would be
+    // INFERRED as a conflicting partition column and crash every read
+    // of the root, not just miss a day), nothing at the published path.
+    // A plain lake read must still SUCCEED, minus the in-flight day.
+    graft.io.Fs.rename(spark, dayDir,
+      s"$root/year=2024/month=2/_bak_day%3D1")
+    val during = spark.read.parquet(root).count()
+    assert(during == 1L, s"expected only the day-2 row mid-crash, got $during")
+    val restored = graft.io.Fs.recoverTree(spark, root)
+    assert(restored == Seq(dayDir), s"restored=$restored")
+    assert(spark.read.parquet(root).orderBy("id")
+      .collect().map(_.toSeq).toSeq == before)
+    // crash after the swap but before the bak delete: stale bak next
+    // to the live dir is hidden from readers and swept away, data
+    // untouched
+    val stale = s"$root/year=2024/month=2/_bak_day%3D2"
+    graft.io.Fs.fs(spark, stale).mkdirs(new org.apache.hadoop.fs.Path(stale))
+    assert(spark.read.parquet(root).count() == before.length)
+    assert(graft.io.Fs.recoverTree(spark, root).isEmpty)
+    assert(!graft.io.Fs.exists(spark, stale))
+    assert(spark.read.parquet(root).orderBy("id")
+      .collect().map(_.toSeq).toSeq == before)
+  }
+
   test("detection CSV lake: reference-shaped write → typed read round-trips") {
     val root = Files.createTempDirectory("detlake").toString
     val det = Seq(
