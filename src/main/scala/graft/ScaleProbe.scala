@@ -119,6 +119,54 @@ object ScaleProbe {
           s"$total — partition pruning not effective at x$mult")
     }
 
+    // streaming snapshot sink: the incremental-MV claim is that a tick
+    // costs O(batch + catalog + horizon), NOT O(history) — so per-tick
+    // wall time must stay FLAT while accumulated history grows 20x.
+    // Timestamps advance 6h/batch, so day partitions roll out of the
+    // 24h horizon and retention (incl. b= dir deletion) fires mid-run.
+    locally {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_probe_stream").toString
+      val mem = MemoryStream[streaming.Detection]
+      val q = streaming.Ingest.startSnapshotSink(mem.toDS(), s"$tmp/hist",
+        s"$tmp/snap", s"$tmp/ckpt", Seq("1h" -> 3600L, "24h" -> 86400L))
+      val nBatches = 20
+      val rowsPer = 200 * mult
+      val base = java.sql.Timestamp.valueOf("2024-02-01 00:00:00").getTime
+      val ticks = (0 until nBatches).map { i =>
+        val t = base + i.toLong * 6 * 3600 * 1000
+        val rows = (0 until rowsPer).map { r =>
+          streaming.Detection(s"cam${r % 100}",
+            new java.sql.Timestamp(t + (r / 100).toLong * 1000L),
+            if (r % 3 == 0) "motorcycle" else "car", 0.9,
+            (r % 97).toLong * 50, (r % 89).toLong * 50,
+            (r % 97).toLong * 50 + 9, (r % 89).toLong * 50 + 9)
+        }
+        mem.addData(rows: _*)
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        (System.nanoTime() - t0) / 1e9
+      }
+      q.stop()
+      val early = ticks.slice(2, 7).sum / 5  // skip 2 warmup ticks
+      val late = ticks.takeRight(5).sum / 5
+      val bdirs = graft.io.Fs
+        .listDirNames(spark, s"$tmp/ckpt_snapwork/recent")
+        .count(_.startsWith("b="))
+      println(f"[scaleprobe] snapshot_sink tick: early=$early%.2f s " +
+        f"late=$late%.2f s over $nBatches batches x $rowsPer rows " +
+        s"(recent-store b= dirs at end: $bdirs)")
+      assert(late <= early * 2.0 + 0.3,
+        f"tick time grew with history: early=$early%.2f late=$late%.2f")
+      // retention bound: 24h horizon / 6h cadence covers ~5-6 batches;
+      // anything near nBatches means b= dirs are accumulating again
+      assert(bdirs <= 8, s"recent store holds $bdirs batch dirs " +
+        s"after $nBatches batches — retention not bounding the store")
+    }
+
     val ev = multiplied(Tables.events(spark, dir)
       .withColumn("ts", col("ts").cast("timestamp")), "event_id").cache()
     println(s"[scaleprobe] events x$mult = ${ev.count()}")
