@@ -80,6 +80,45 @@ class PublishRecoverySpec extends SparkSpec {
     assert(rows.map(_.getString(0)).toSet == Set("cam1", "cam2"))
   }
 
+  test("crash matrix: every intermediate publish state serves a complete doc after recovery") {
+    // publish(staging, path) = [A] delete stale bak, [B] path -> bak,
+    // [C] staging -> path, [D] delete bak. Simulate a crash after each
+    // step and assert the invariant the protocol promises: after
+    // recoverPublished, `path` holds a COMPLETE doc (the old one before
+    // C, the new one from C on) and a retried/next publish converges.
+    val obs = Ingest.batchObservations(fixture.toDS()).toDF().cache()
+    val oldSnap = Snapshot.build(obs, Seq("1h" -> 3600L))
+    val newSnap = Snapshot.build(obs, Seq("24h" -> 86400L))
+    def camsAt(path: String) = Snapshot.readSources(spark, path)
+      .collect().map(_.getString(0)).toSet
+    val allCams = Set("cam1", "cam2")
+
+    for (crashAfter <- Seq("A", "B", "C", "D")) {
+      val root = tmp(s"graft_pub_matrix_$crashAfter")
+      val path = s"$root/snap"
+      val staging = path + "_tmp"
+      Snapshot.write(oldSnap, path) // live v1
+      newSnap.coalesce(1).write.mode("overwrite").json(staging) // staged v2
+      // replay publish's steps up to the crash point
+      Fs.delete(spark, bakOf(path))                        // A
+      if (crashAfter >= "B") Fs.rename(spark, path, bakOf(path))
+      if (crashAfter >= "C") Fs.rename(spark, staging, path)
+      if (crashAfter >= "D") Fs.delete(spark, bakOf(path))
+      // invariant 1: recovery + read serves a complete doc
+      Fs.recoverPublished(spark, path)
+      assert(camsAt(path) == allCams, s"crash after $crashAfter: unreadable")
+      // invariant 2: the system converges — rerun the publish (restage
+      // if the staging dir was consumed by the crash point) and the NEW
+      // doc is live with no bak left behind
+      if (!Fs.exists(spark, staging))
+        newSnap.coalesce(1).write.mode("overwrite").json(staging)
+      Fs.publish(spark, staging, path)
+      assert(camsAt(path) == allCams)
+      assert(!Fs.exists(spark, bakOf(path)) && !Fs.exists(spark, staging),
+        s"crash after $crashAfter: leftovers after converging publish")
+    }
+  }
+
   test("indexed IVF search heals a crashed index publish") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val probes = e.filter($"vec_id" < 3)
