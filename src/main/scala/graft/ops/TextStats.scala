@@ -194,30 +194,39 @@ object TextStats {
     * repetitiveness) and `top_bigram_frac` = most-frequent-bigram count
     * / total bigrams (the "fraction of characters in the most common
     * n-gram" family of Rae et al.'s Gopher rules, at word grain).
-    * Token stats are pure array expressions; the bigram mode is an
-    * explode + per-(doc, bigram) count + per-doc max — shuffle keyed on
-    * (doc, bigram), the same shape as the n-gram stats, linear at any
-    * corpus size. Ratios are single IEEE divisions of exact longs →
+    * EVERYTHING is a per-row array expression — the bigram mode is a
+    * sort + one linear max-run pass over the doc's own bigrams, not an
+    * explode: the explode/groupBy formulation shuffles ~n_tokens rows
+    * PER DOCUMENT (a 40x row blow-up through the network at 100 TB),
+    * where a map-side pass moves nothing and needs no join back.
+    * Ratios are single IEEE divisions of exact longs →
     * oracle-reproducible. */
   def repetitionMetrics(df: DataFrame, idCol: String,
                         textCol: String): DataFrame = {
-    val base = df
-      .select(col(idCol), TextDedup.tokens(col(textCol)).as("_w"))
+    // max multiplicity of a sorted array = longest run of equal values:
+    // one aggregate pass with (prev, run length, best run) carried in
+    // the accumulator struct
+    def maxRun(sorted: Column): Column = aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, g) => {
+        val run = when(g === acc.getField("prev"),
+          acc.getField("run") + lit(1L)).otherwise(lit(1L))
+        struct(g.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    df.select(col(idCol), TextDedup.tokens(col(textCol)).as("_w"))
       .withColumn("n_tokens", size(col("_w")).cast("long"))
       .withColumn("_nd", size(array_distinct(col("_w"))).cast("long"))
-    val bigramMode = base
-      .select(col(idCol),
-        explode(TextDedup.shingleArray(col("_w"), 2)).as("_g"))
-      .groupBy(col(idCol), col("_g")).agg(count(lit(1)).as("_c"))
-      .groupBy(col(idCol))
-      .agg(max(col("_c")).as("_mx"), sum(col("_c")).as("_tot"))
-    base.join(bigramMode, Seq(idCol), "left")
+      .withColumn("_bg", sort_array(TextDedup.shingleArray(col("_w"), 2)))
       .select(col(idCol), col("n_tokens"),
         round(when(col("n_tokens") > 0,
           lit(1.0) - col("_nd").cast("double") / col("n_tokens")
             .cast("double")).otherwise(lit(0.0)), 6).as("dup_token_frac"),
-        round(coalesce(col("_mx").cast("double") /
-          col("_tot").cast("double"), lit(0.0)), 6).as("top_bigram_frac"))
+        round(coalesce(maxRun(col("_bg")).cast("double") /
+          size(col("_bg")).cast("double"), lit(0.0)), 6)
+          .as("top_bigram_frac"))
   }
 
   /** GPT-style sequence packing (concat-and-chunk): documents are
