@@ -47,11 +47,20 @@ object TextStats {
     * profile ONCE over the materialized array, then argmax over the
     * materialized scores. Identical output to `langId`; one regex pass
     * per row instead of one per (language × reference). */
-  def withLangId(df: DataFrame, textCol: String, outCol: String): DataFrame = {
-    val tokCol = "_lid_w"
+  def withLangId(df: DataFrame, textCol: String, outCol: String): DataFrame =
+    withLangIdFromTokens(
+      df.withColumn("_lid_w", TextDedup.tokens(col(textCol))),
+      "_lid_w", outCol, dropTokens = true)
+
+  /** [[withLangId]] over an ALREADY-materialized token-array column —
+    * lets a pipeline that tokenized for other metrics (curate) reuse
+    * the array instead of running the tokenizer regex a second time. */
+  private[ops] def withLangIdFromTokens(df: DataFrame, tokCol: String,
+                                        outCol: String,
+                                        dropTokens: Boolean = false)
+      : DataFrame = {
     val scoreCols = stopwordProfiles.map { case (l, _) => s"_lid_s_$l" }
-    val tokenized = df.withColumn(tokCol, TextDedup.tokens(col(textCol)))
-    val scored = stopwordProfiles.foldLeft(tokenized) { case (d, (l, p)) =>
+    val scored = stopwordProfiles.foldLeft(df) { case (d, (l, p)) =>
       d.withColumn(s"_lid_s_$l",
         size(filter(col(tokCol), w => w.isin(p.map(lit): _*))).cast("long"))
     }
@@ -61,7 +70,8 @@ object TextStats {
         when(col(s"_lid_s_$l") > 0 && col(s"_lid_s_$l") === best, lit(l))
           .otherwise(acc)
     }
-    scored.withColumn(outCol, pick).drop(tokCol +: scoreCols: _*)
+    scored.withColumn(outCol, pick)
+      .drop((if (dropTokens) Seq(tokCol) else Nil) ++ scoreCols: _*)
   }
 
   /** Whitespace token count. */
@@ -85,28 +95,41 @@ object TextStats {
     * (the reference has no text quality notion; this follows the usual
     * corpus-filtering recipe: penalize very short docs, high punctuation,
     * zero stopwords). */
-  def qualityMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def qualityMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    withQualityMetrics(df.select(col(idCol), col(textCol)), textCol)
+      .select(col(idCol), col("n_chars"), col("n_tokens"),
+        col("n_tokens_ws"), col("n_tokens_bpe"), col("mean_token_len"),
+        col("punct_ratio"), col("stopword_ratio"), col("quality_score"))
+
+  /** [[qualityMetrics]] as an APPENDING transform: every input column
+    * is kept, the metric columns are added, and the materialized token
+    * array stays behind as `_qm_w` — so a curation pipeline can chain
+    * language-ID and dedup keys off the SAME single tokenization and
+    * frame, instead of recombining per-row projections of one input
+    * with a corpus self-join. Callers drop `_qm_w` when done. */
+  private[ops] def withQualityMetrics(df: DataFrame,
+                                      textCol: String): DataFrame = {
     val allStop = stopwordProfiles.flatMap(_._2).distinct
     // Stage 1: tokenize once. Stage 2: every array/regex pass once, as
     // materialized counts (CollapseProject keeps multiply-referenced
     // non-cheap aliases in their own projection, so nothing re-runs).
     // Stage 3: ratios and the composite score — same arithmetic, same
     // order of operations as the one-expression form (oracle parity).
-    val s1 = df.select(col(idCol), col(textCol).as("_t"),
-      TextDedup.tokens(col(textCol)).as("_w"))
-    val s2 = s1.select(col(idCol),
-      length(col("_t")).cast("long").as("_nchars"),
-      size(col("_w")).cast("long").as("_ntok"),
-      tokenCountWs(col("_t")).as("_ntok_ws"),
-      aggregate(col("_w"), lit(0L),
-        (acc, w) => acc + length(w).cast("long")).as("_toklen"),
-      aggregate(col("_w"), lit(0L),
-        (acc, w) => acc + ceil(length(w).cast("double") / 4.0).cast("long"))
-        .as("_bpe_sub"),
-      length(regexp_replace(col("_t"), "[a-zA-Z0-9\\s]+", "")).cast("long")
-        .as("_npunct"),
-      size(filter(col("_w"), w => w.isin(allStop.map(lit): _*))).cast("long")
-        .as("_nstop"))
+    val s1 = df.withColumn("_qm_w", TextDedup.tokens(col(textCol)))
+    val t = col(textCol)
+    val s2 = s1
+      .withColumn("_nchars", length(t).cast("long"))
+      .withColumn("_ntok", size(col("_qm_w")).cast("long"))
+      .withColumn("_ntok_ws", tokenCountWs(t))
+      .withColumn("_toklen", aggregate(col("_qm_w"), lit(0L),
+        (acc, w) => acc + length(w).cast("long")))
+      .withColumn("_bpe_sub", aggregate(col("_qm_w"), lit(0L),
+        (acc, w) => acc + ceil(length(w).cast("double") / 4.0).cast("long")))
+      .withColumn("_npunct",
+        length(regexp_replace(t, "[a-zA-Z0-9\\s]+", "")).cast("long"))
+      .withColumn("_nstop",
+        size(filter(col("_qm_w"), w => w.isin(allStop.map(lit): _*)))
+          .cast("long"))
     val nTok = col("_ntok")
     val meanTokLen = when(nTok > 0,
       col("_toklen").cast("double") / nTok.cast("double")).otherwise(lit(0.0))
@@ -119,15 +142,17 @@ object TextStats {
     val score = round(
       lengthScore * (lit(1.0) - punctRatio) *
         (lit(0.5) + least(stopRatio * 5.0, lit(0.5))), 6)
-    s2.select(col(idCol),
-      col("_nchars").as("n_chars"),
-      nTok.as("n_tokens"),
-      col("_ntok_ws").as("n_tokens_ws"),
-      (col("_bpe_sub") + col("_npunct")).as("n_tokens_bpe"),
-      round(meanTokLen, 6).as("mean_token_len"),
-      round(punctRatio, 6).as("punct_ratio"),
-      round(stopRatio, 6).as("stopword_ratio"),
-      score.as("quality_score"))
+    s2
+      .withColumn("n_chars", col("_nchars"))
+      .withColumn("n_tokens", nTok)
+      .withColumn("n_tokens_ws", col("_ntok_ws"))
+      .withColumn("n_tokens_bpe", col("_bpe_sub") + col("_npunct"))
+      .withColumn("mean_token_len", round(meanTokLen, 6))
+      .withColumn("punct_ratio", round(punctRatio, 6))
+      .withColumn("stopword_ratio", round(stopRatio, 6))
+      .withColumn("quality_score", score)
+      .drop("_nchars", "_ntok", "_ntok_ws", "_toklen", "_bpe_sub",
+        "_npunct", "_nstop")
   }
 
   /** Corpus vocabulary: top-k tokens by frequency (ties broken
@@ -289,8 +314,24 @@ object TextStats {
     * stays separate ([[graft.ops.TextDedup.dedupCorpus]]) — run it
     * after this when near-dup removal is wanted. Returns
     * (id, lang_pred, quality_score, n_tokens) for surviving docs.
-    * Shuffle budget: one hash agg on the content hash + the semi join
-    * back; language/quality are pure maps. */
+    *
+    * Stage order is dedup FIRST, then ONE fused language+quality pass
+    * over the survivors: equal content means equal text, so every
+    * member of a content-hash group passes or fails the lang/quality
+    * filters together, so reorderings that dedup before/after the
+    * filter are output-identical.
+    *
+    * Plan-shape note (measured, not guessed): a "fused" single-pass
+    * variant — quality + language on one projection sharing one token
+    * array — LOOKS cheaper but plans slower: predicate pushdown and
+    * project collapse happily inline the non-codegen token/stopword
+    * expression tree into every reference (29 copies of the tokenizer
+    * regex in the optimized plan), and higher-order functions fall out
+    * of whole-stage codegen so no subexpression elimination saves it.
+    * Keeping language and quality as two NARROW projections joined on
+    * id bounds each expression tree to one evaluation site; the join
+    * is id-keyed on catalog-thin rows and its exchanges are reused
+    * across the two references of `passed` below. */
   def curate(df: DataFrame, idCol: String, textCol: String,
              keepLangs: Seq[String], minQuality: Double): DataFrame = {
     val lang = withLangId(df.select(col(idCol), col(textCol)),
