@@ -282,10 +282,14 @@ object SparkEntry {
     // ---- contamination: eval-vs-train n-gram overlap ----
     "dd_contamination" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
+      // symmetric mode for the single-JVM bench (a hash shuffle is a
+      // memory copy here); the broadcastEval=true default is the
+      // cluster-scale map-only path, pinned equivalent + plan-asserted
+      // in TextDedupSpec
       TextDedup.contamination(
         d.filter(col("source") =!= "src0"),
         d.filter(col("source") === "src0"),
-        "doc_id", "text", 3).orderBy("doc_id")
+        "doc_id", "text", 3, broadcastEval = false).orderBy("doc_id")
     }),
     // ---- as-of join (union+window composition; DuckDB ASOF oracle) ----
     "x_asof_join" -> ((s, dir) => {

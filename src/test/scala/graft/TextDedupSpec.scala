@@ -139,6 +139,65 @@ class TextDedupSpec extends SparkSpec {
     assert(files.nonEmpty, "no reliable checkpoint files written")
   }
 
+  test("contamination counts per-eval-doc shingle overlap with train") {
+    val train = docs(
+      1L -> "a b c d e",        // 3-shingles: abc bcd cde
+      2L -> "x y z w v")
+    val ev = docs(
+      10L -> "a b c d q",       // abc bcd (2 of 3 in train)
+      11L -> "p q r s t")       // none in train
+    val out = TextDedup.contamination(train, ev, "doc_id", "text", 3)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(10L, 11L))
+    assert(out(0).getAs[Long]("n_shingles") == 3L)
+    assert(out(0).getAs[Long]("n_contaminated") == 2L)
+    assert(math.abs(out(0).getAs[Double]("contamination_ratio") - 2.0 / 3) < 1e-12)
+    assert(out(1).getAs[Long]("n_contaminated") == 0L)
+    assert(out(1).getAs[Double]("contamination_ratio") == 0.0)
+  }
+
+  test("contamination: broadcast and shuffle modes return identical rows") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val train = d.filter(col("source") =!= "src0")
+    val ev = d.filter(col("source") === "src0")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(
+      canon(TextDedup.contamination(train, ev, "doc_id", "text", 3,
+        broadcastEval = true)) ==
+      canon(TextDedup.contamination(train, ev, "doc_id", "text", 3,
+        broadcastEval = false)))
+  }
+
+  test("contamination broadcast mode: train scan is map-only up to the semi-join") {
+    // the 100 TB contract: eval hashes broadcast and the train-side hash
+    // stream is filtered BEFORE any exchange — no shuffle keyed by the
+    // train corpus may exist under the semi-join's streamed side
+    import org.apache.spark.sql.catalyst.optimizer.BuildRight
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val d = Tables.documents(spark, "/root/testdata/sf0.001")
+      val q = TextDedup.contamination(
+        d.filter(col("source") =!= "src0"),
+        d.filter(col("source") === "src0"), "doc_id", "text", 3)
+      val semis = q.queryExecution.executedPlan.collect {
+        case b: BroadcastHashJoinExec
+          if b.joinType == LeftSemi && b.buildSide == BuildRight => b
+      }
+      assert(semis.nonEmpty, "expected a broadcast LeftSemi for the train filter")
+      // the train-filter join is the one streaming a raw scan (no
+      // aggregation below); every one of them must be exchange-free
+      semis.foreach { j =>
+        assert(j.left.collect { case s: ShuffleExchangeLike => s }.isEmpty,
+          s"train side shuffles before the broadcast semi-join:\n${j.left}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("token counts: ws vs bpe-ish") {
     val d = Seq((1L, "hello world, abcdefgh!")).toDF("doc_id", "text")
     val r = TextStats.qualityMetrics(d, "doc_id", "text").collect().head
