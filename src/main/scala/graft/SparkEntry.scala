@@ -383,6 +383,14 @@ object SparkEntry {
     "t_length_histogram" -> ((s, dir) =>
       TextStats.lengthHistogram(Tables.documents(s, dir), "text", 50)
         .orderBy("bin_lo")),
+    // ---- keyword extraction: deterministic tf-idf top-k per doc ----
+    "t_tfidf_topk" -> ((s, dir) =>
+      TextStats.tfidfTopK(Tables.documents(s, dir), "doc_id", "text", 3)
+        .orderBy("doc_id", "rnk")),
+    // ---- corpus-unigram quality score (LM-filter stand-in) ----
+    "t_unigram_score" -> ((s, dir) =>
+      TextStats.unigramScore(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
     "t_fingerprint" -> ((s, dir) =>
       TextStats.withFingerprint(Tables.documents(s, dir), "doc_id", "text",
           "fingerprint")
@@ -1324,6 +1332,31 @@ object SparkEntry {
         |        CAST(ROW_NUMBER() OVER (ORDER BY n DESC, ngram) AS INT) rnk
         |      FROM c)
         |SELECT ngram, n, rnk FROM r WHERE rnk <= 30 ORDER BY rnk""".stripMargin,
+    "t_tfidf_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |            FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) df FROM tf GROUP BY 1),
+        |scored AS (SELECT doc_id, term, tf, df,
+        |             CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) AS score
+        |           FROM tf JOIN dfreq USING (term)),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, term) AS INT) rnk FROM scored)
+        |SELECT doc_id, term, tf, df, score, rnk FROM r
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "t_unigram_score" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |            FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) tf FROM tok GROUP BY 1, 2),
+        |cnt AS (SELECT term, CAST(SUM(tf) AS BIGINT) cnt FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) total_tokens FROM cnt),
+        |perdoc AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) n_tokens,
+        |             CAST(SUM(tf * cnt) AS BIGINT) sum_cnt
+        |           FROM tf JOIN cnt USING (term) GROUP BY 1)
+        |SELECT doc_id, n_tokens,
+        |       CAST(sum_cnt AS DOUBLE) /
+        |         CAST(n_tokens * total_tokens AS DOUBLE) AS avg_token_prob
+        |FROM perdoc, tot ORDER BY doc_id""".stripMargin,
     "t_length_histogram" ->
       """SELECT CAST((len(text) // 50) * 50 AS BIGINT) AS bin_lo,
         |       COUNT(*) AS n_docs

@@ -185,6 +185,71 @@ object TextStats {
       .select("ngram", "n", "rnk")
   }
 
+  /** Per-document top-k salient terms by tf-idf, with the DETERMINISTIC
+    * idf variant score = tf / df: log-idf is a transcendental whose last
+    * ulp differs across math libraries (so a cross-engine hash compare
+    * can flicker), while a single IEEE division of two exact longs is
+    * bit-reproducible everywhere — and per document 1/df induces the
+    * same "penalize ubiquitous terms" ordering family. Ties break
+    * lexicographically, so top-k is total-ordered.
+    *
+    * Scale: tf is one linear shuffle on (doc, term); df aggregates the
+    * tf table (one row per distinct (doc, term)) with map-side partial
+    * counts; the tf⋈df join is keyed by term — hot stopwords are the
+    * AQE skew-join case (the df side holds ONE row per term, so the
+    * skewed tf partitions split freely; `Skew.saltedJoin` is the manual
+    * dial if AQE is off). The per-doc top-k is a rank-filter window
+    * that Spark rewrites to WindowGroupLimit (partial per-partition
+    * top-k before the doc shuffle). */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String,
+                k: Int): DataFrame = {
+    val tok = df.select(col(idCol),
+      explode(TextDedup.tokens(col(textCol))).as("term"))
+    val tf = tok.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "term")
+      .withColumn("score", col("tf").cast("double") / col("df").cast("double"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("score"), col("rnk"))
+  }
+
+  /** Corpus-unigram quality score — the deterministic stand-in for the
+    * LM-perplexity filter of CCNet/Gopher-style curation: each document
+    * scores by its mean token CORPUS PROBABILITY, avg_token_prob =
+    * (Σ_tokens count(token)) / (n_tokens · total_tokens). Documents of
+    * common, natural vocabulary score high; rare-token/garbage text
+    * scores low — same signal direction as negated perplexity without a
+    * transcendental (one IEEE division of exact longs; see [[tfidfTopK]]
+    * for why that matters to the oracle). Bound: the weighted sum
+    * Σ tf·cnt ≤ n_tokens · total_tokens must fit a long — at 1e4-token
+    * docs that holds to ~1e14 corpus tokens, and ANSI mode faults
+    * loudly rather than wrapping beyond it.
+    *
+    * Scale: same linear shapes as [[tfidfTopK]] — the weighted sums run
+    * over the (doc, term) tf table, not the raw token stream, and the
+    * one-row totals aggregate broadcasts. Zero-token documents carry no
+    * rows. */
+  def unigramScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol),
+      explode(TextDedup.tokens(col(textCol))).as("term"))
+    val tf = tok.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val cnt = tf.groupBy("term").agg(sum("tf").as("cnt"))
+    val totals = cnt.agg(sum("cnt").as("total_tokens"))
+    val perDoc = tf.join(cnt, "term")
+      .groupBy(col(idCol))
+      .agg(sum("tf").as("n_tokens"),
+        sum(col("tf") * col("cnt")).as("sum_cnt"))
+    perDoc.crossJoin(broadcast(totals))
+      .select(col(idCol), col("n_tokens"),
+        (col("sum_cnt").cast("double") /
+          (col("n_tokens") * col("total_tokens")).cast("double"))
+          .as("avg_token_prob"))
+  }
+
   /** Document-length histogram: counts per `binWidth`-char bin —
     * the distribution check before length-based quality filtering. */
   def lengthHistogram(df: DataFrame, textCol: String, binWidth: Int): DataFrame =

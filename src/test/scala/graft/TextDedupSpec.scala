@@ -198,6 +198,43 @@ class TextDedupSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("tfidfTopK ranks doc-salient terms above ubiquitous ones") {
+    // "common" appears in every doc (df=3) → score 1/3; each doc's
+    // private term has df=1 → score tf/1, so private terms rank first
+    val d = docs(
+      1L -> "common apple apple",
+      2L -> "common banana",
+      3L -> "common cherry")
+    val out = TextStats.tfidfTopK(d, "doc_id", "text", 2)
+      .orderBy("doc_id", "rnk").collect()
+    // doc 1: apple tf=2 df=1 score=2.0, then common tf=1 df=3 score=1/3
+    assert(out(0).getAs[String]("term") == "apple")
+    assert(out(0).getAs[Long]("tf") == 2L)
+    assert(out(0).getAs[Long]("df") == 1L)
+    assert(out(0).getAs[Double]("score") == 2.0)
+    assert(out(1).getAs[String]("term") == "common")
+    assert(out(1).getAs[Double]("score") == 1.0 / 3.0)
+    // ties break lexicographically: banana/cherry before common
+    assert(out(2).getAs[String]("term") == "banana")
+    assert(out(4).getAs[String]("term") == "cherry")
+    // k bounds output: 2 rows per doc
+    assert(out.length == 6)
+  }
+
+  test("unigramScore: natural-vocabulary docs outscore rare-token docs") {
+    // corpus counts: "the" x3, "cat" x2, "zyx" x1; total_tokens = 6
+    val d = docs(
+      1L -> "the the cat",     // (3+3+2)/(3*6) = 8/18
+      2L -> "the cat zyx")     // (3+2+1)/(3*6) = 6/18
+    val out = TextStats.unigramScore(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_tokens") == 3L)
+    assert(out(0).getAs[Double]("avg_token_prob") == 8.0 / 18.0)
+    assert(out(1).getAs[Double]("avg_token_prob") == 6.0 / 18.0)
+    assert(out(0).getAs[Double]("avg_token_prob") >
+      out(1).getAs[Double]("avg_token_prob"))
+  }
+
   test("token counts: ws vs bpe-ish") {
     val d = Seq((1L, "hello world, abcdefgh!")).toDF("doc_id", "text")
     val r = TextStats.qualityMetrics(d, "doc_id", "text").collect().head
