@@ -58,6 +58,12 @@ object ScaleProbe {
         ops.Sampling.uniform(docs, "doc_id", 0.5, "probe"),
         "doc_id", 0.2, "split").count()
     }
+    time("tfidf_topk") {
+      ops.TextStats.tfidfTopK(docs, "doc_id", "text", 3).count()
+    }
+    time("unigram_score") {
+      ops.TextStats.unigramScore(docs, "doc_id", "text").count()
+    }
     // the raw pairwise path is quadratic on dup clusters BY DESIGN on
     // this multiplied corpus (that's the pathology dedupCorpus fixes);
     // only probe it at small multipliers

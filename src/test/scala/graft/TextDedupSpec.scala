@@ -154,6 +154,11 @@ class TextDedupSpec extends SparkSpec {
     assert(math.abs(out(0).getAs[Double]("contamination_ratio") - 2.0 / 3) < 1e-12)
     assert(out(1).getAs[Long]("n_contaminated") == 0L)
     assert(out(1).getAs[Double]("contamination_ratio") == 0.0)
+    // an eval doc shorter than n tokens has no shingles and therefore
+    // no row — it cannot be assessed at this n (pinned semantics)
+    val short = TextDedup.contamination(train, docs(12L -> "a b"),
+      "doc_id", "text", 3).collect()
+    assert(short.isEmpty)
   }
 
   test("contamination: broadcast and shuffle modes return identical rows") {
