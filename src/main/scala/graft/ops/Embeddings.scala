@@ -290,7 +290,8 @@ object Embeddings {
     * pruning (broadcast side = the probed cells) skips every other
     * directory at scan time. */
   def writeIvfIndex(model: IvfModel, corpus: DataFrame, idCol: String,
-                    vecCol: String, path: String): Unit = {
+                    vecCol: String, path: String,
+                    filesPerCell: Int = 1): Unit = {
     // stage, then bak-swap (Fs.publish) so a rebuild-while-serving
     // search never reads a half-written index, and a crash mid-publish
     // leaves the previous index recoverable at path_bak (rebuilds
@@ -298,9 +299,21 @@ object Embeddings {
     val s = corpus.sparkSession
     val staging = path + "_staging"
     graft.io.Fs.delete(s, staging)
-    corpus.select(col(idCol), quantize(col(vecCol)).as("cv"))
+    val routed = corpus.select(col(idCol), quantize(col(vecCol)).as("cv"))
       .withColumn("cell", cellOfQuantized(model, col("cv")))
-      .write.partitionBy("cell")
+    // route by cell before the partitioned write: without it every
+    // upstream task emits a file into every cell it touches, so file
+    // count scales with tasks × cells (measured 1920 files for a
+    // 64-cell index at the 30× probe — a search then opens ~30 files
+    // per probed cell) instead of with the cell layout. filesPerCell
+    // splits giant cells across writers when one file per cell is too
+    // coarse; the build is a rare offline job, so the routing shuffle
+    // is the right trade for a read-optimized layout.
+    val parted =
+      if (filesPerCell <= 1) routed.repartition(col("cell"))
+      else routed.repartition(col("cell"),
+        pmod(hash(col(idCol)), lit(filesPerCell)))
+    parted.write.partitionBy("cell")
       .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
     graft.io.Fs.publish(s, staging, path)
   }
@@ -317,6 +330,9 @@ object Embeddings {
                        idCol: String, vecCol: String, path: String): Unit =
     newVectors.select(col(idCol), quantize(col(vecCol)).as("cv"))
       .withColumn("cell", cellOfQuantized(model, col("cv")))
+      // one file per touched cell per append (vs one per task × cell);
+      // append batches are small, so the routing shuffle is trivial
+      .repartition(col("cell"))
       .write.partitionBy("cell")
       .mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
 
@@ -331,8 +347,9 @@ object Embeddings {
     * the index listing skips unprobed directories deterministically.
     * DPP was measured falling back to a full-index scan on larger
     * inputs (AQE replaces the pruning subquery with `true` when its
-    * broadcast-reuse heuristic declines — ScaleProbe at 30× read all
-    * 1920 index files); a 100 TB index cannot ride on that heuristic.
+    * broadcast-reuse heuristic declines — ScaleProbe at 30× read the
+    * whole index under the pre-static-pruning build); a 100 TB index
+    * cannot ride on that heuristic.
     * IvfIndexSpec pins files-read == probed cells' files. */
   def ivfTopKIndexed(model: IvfModel, spark: org.apache.spark.sql.SparkSession,
                      indexPath: String, queries: DataFrame, idCol: String,
