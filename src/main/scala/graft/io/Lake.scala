@@ -19,16 +19,30 @@ object Lake {
 
   /** S9 — append events into a date-partitioned lake.
     * `maxRecordsPerFile` guards against giant files at scale; dynamic
-    * partition overwrite leaves other dates untouched. */
+    * partition overwrite leaves other dates untouched.
+    *
+    * `routeByDay = true` repartitions on the date columns first, so a
+    * BACKFILL spanning many days writes one task per day instead of
+    * one file per task × day it touches (with `maxRecordsPerFile`
+    * still splitting big days into bounded files). Off by default:
+    * the steady-state producer is the streaming sink, whose per-batch
+    * appends are small and task-local — routing there would add a
+    * shuffle per tick for nothing, and [[compactDay]] is the
+    * small-file antidote on closed partitions either way. */
   def writePartitioned(df: DataFrame, tsCol: String, root: String,
                        format: String = "parquet",
-                       mode: SaveMode = SaveMode.Append): Unit =
-    df.withColumn("year", year(col(tsCol)))
+                       mode: SaveMode = SaveMode.Append,
+                       routeByDay: Boolean = false): Unit = {
+    val dated = df.withColumn("year", year(col(tsCol)))
       .withColumn("month", month(col(tsCol)))
       .withColumn("day", dayofmonth(col(tsCol)))
-      .write.partitionBy("year", "month", "day")
+    val routed =
+      if (routeByDay) dated.repartition(col("year"), col("month"), col("day"))
+      else dated
+    routed.write.partitionBy("year", "month", "day")
       .option("header", "true") // no-op for parquet, reference-shaped for csv
       .format(format).mode(mode).save(root)
+  }
 
   /** S10 — scan one day with partition pruning (no manual paths). The
     * filter lands on partition columns, so Spark lists exactly one

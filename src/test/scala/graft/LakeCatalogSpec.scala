@@ -26,6 +26,27 @@ class LakeCatalogSpec extends SparkSpec {
       s"expected pruned scan, got:\n$plan")
   }
 
+  test("routed backfill writes one file per day partition") {
+    val root = Files.createTempDirectory("lake_routed").toString
+    // 3 days spread over an 8-partition input: the unrouted write would
+    // emit up to 8 files per day; routed collapses to one task per day
+    val rows = (0 until 240).map { i =>
+      (i.toLong, Timestamp.valueOf(f"2024-02-${i % 3 + 1}%02d 10:00:00"), s"cam$i")
+    }
+    val d = rows.toDF("id", "ts", "cam").repartition(8)
+    Lake.writePartitioned(d, "ts", root, mode = SaveMode.Overwrite,
+      routeByDay = true)
+    def filesIn(day: Int): Int = {
+      val dir = new java.io.File(s"$root/year=2024/month=2/day=$day")
+      Option(dir.listFiles()).toSeq.flatten
+        .count(_.getName.endsWith(".parquet"))
+    }
+    (1 to 3).foreach(day => assert(filesIn(day) == 1,
+      s"day $day: expected 1 routed file, found ${filesIn(day)}"))
+    // and the data round-trips
+    assert(Lake.readDay(spark, root, 2024, 2, 2).count() == 80L)
+  }
+
   test("dayStatsPivot counts per class with zero-fill and total") {
     val d = Seq(("a", "car"), ("a", "car"), ("a", "motorcycle"), ("b", "car"))
       .toDF("src", "cls")
