@@ -214,6 +214,56 @@ class PropertiesSpec extends AnyFunSuite
     }
   }
 
+  test("property: unigramScore equals driver-side corpus arithmetic") {
+    forAll(docGen, cases = 3) { docsRaw =>
+      val docs = docsRaw.distinctBy(_._1)
+      whenever(docs.nonEmpty) {
+        val df = docs.toDF("doc_id", "text")
+        val got = graft.ops.TextStats.unigramScore(df, "doc_id", "text")
+          .collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+        val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }
+        val cnt = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val total = cnt.values.sum
+        toks.foreach { case (id, ws) =>
+          val (n, p) = got(id)
+          assert(n == ws.size.toLong)
+          val sumCnt = ws.map(cnt).sum
+          // same IEEE arithmetic as the operator: one exact division
+          assert(p == sumCnt.toDouble / (ws.size.toLong * total).toDouble)
+        }
+        assert(got.keySet == toks.map(_._1).toSet)
+      }
+    }
+  }
+
+  test("property: tfidfTopK equals driver-side ranking for any corpus") {
+    forAll(docGen, cases = 3) { docsRaw =>
+      val docs = docsRaw.distinctBy(_._1)
+      whenever(docs.nonEmpty) {
+        val k = 3
+        val df = docs.toDF("doc_id", "text")
+        val got = graft.ops.TextStats.tfidfTopK(df, "doc_id", "text", k)
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(5)) ->
+            (r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+          .toMap
+        val tf = docs.flatMap { case (id, t) =>
+          t.split(" ").groupBy(identity).map { case (w, a) => (id, w, a.length.toLong) }
+        }
+        val dfreq = tf.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+        val expect = tf.groupBy(_._1).flatMap { case (id, terms) =>
+          terms.map { case (_, w, f) =>
+            (w, f, dfreq(w), f.toDouble / dfreq(w).toDouble)
+          }.sortBy { case (w, _, _, s) => (-s, w) }
+            .take(k).zipWithIndex
+            .map { case (row, i) => (id, i + 1) -> row }
+        }
+        assert(got == expect, s"got $got\nexpected $expect")
+      }
+    }
+  }
+
   test("property: grid range join equals nested-loop range join on random points") {
     val ptsGen = Gen.listOfN(30, for {
       id <- Gen.choose(1L, 100000L)
