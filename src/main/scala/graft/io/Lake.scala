@@ -148,6 +148,14 @@ object Lake {
     * so compacting yesterday races nothing. */
   def compactDay(s: SparkSession, root: String, y: Int, m: Int, d: Int,
                  targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    // heal any crash artifact from a PREVIOUS compaction before making
+    // new ones: a partition left at its _bak_ name (crash between
+    // publish's two renames) is restored, a stale bak next to a live
+    // partition is dropped — so the require below never faults on a
+    // partition that is merely mid-recovery, and generic readers (plain
+    // spark.read.parquet on the root, which cannot heal themselves) see
+    // the tree whole again after the first maintenance pass
+    repair(s, root)
     val dir = s"$root/year=$y/month=$m/day=$d"
     require(Fs.exists(s, dir), s"no partition at $dir")
     val bytes = Fs.totalBytes(s, dir, _.endsWith(".parquet"))
@@ -158,6 +166,16 @@ object Lake {
       .write.mode(SaveMode.Overwrite).parquet(staging)
     Fs.publish(s, staging, dir)
   }
+
+  /** Publish-crash recovery sweep for a lake root ([[Fs.recoverTree]]):
+    * restores partitions stranded at their `_bak_` name by a crash
+    * inside a [[compactDay]] publish and clears stale baks. A snapshot
+    * or IVF index heals inside its own reader; a lake is read by plain
+    * `spark.read.parquet(root)`, which cannot — so run this at startup
+    * or before maintenance ([[compactDay]] calls it first). Idempotent;
+    * walks directories only (catalog-scale). Returns restored paths. */
+  def repair(s: SparkSession, root: String): Seq[String] =
+    Fs.recoverTree(s, root)
 
   /** Detection-grain CSV sink with the REFERENCE's exact lake schema
     * (app/services/camera.py:54-86): header

@@ -47,6 +47,26 @@ class LakeCatalogSpec extends SparkSpec {
     assert(Lake.readDay(spark, root, 2024, 2, 2).count() == 80L)
   }
 
+  test("compactDay heals a partition stranded mid-publish by a prior crash") {
+    val root = Files.createTempDirectory("lake_heal").toString
+    val d = Seq(
+      (1L, Timestamp.valueOf("2024-02-01 10:00:00"), "cam1"),
+      (2L, Timestamp.valueOf("2024-02-02 11:00:00"), "cam2"))
+      .toDF("id", "ts", "cam")
+    Lake.writePartitioned(d, "ts", root, mode = SaveMode.Overwrite)
+    // simulate a crash between publish's two renames on day=1: the live
+    // dir is gone, the full copy sits at its escaped _bak_ sibling
+    val monthDir = new java.io.File(s"$root/year=2024/month=2")
+    assert(new java.io.File(monthDir, "day=1")
+      .renameTo(new java.io.File(monthDir, "_bak_day%3D1")))
+    // compacting ANY day first sweeps the tree: day=1 comes back
+    Lake.compactDay(spark, root, 2024, 2, 2)
+    assert(new java.io.File(monthDir, "day=1").isDirectory)
+    assert(!new java.io.File(monthDir, "_bak_day%3D1").exists)
+    assert(Lake.readDay(spark, root, 2024, 2, 1)
+      .select("id").as[Long].collect().sameElements(Array(1L)))
+  }
+
   test("dayStatsPivot counts per class with zero-fill and total") {
     val d = Seq(("a", "car"), ("a", "car"), ("a", "motorcycle"), ("b", "car"))
       .toDF("src", "cls")
