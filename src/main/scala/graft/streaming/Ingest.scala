@@ -438,6 +438,54 @@ object Ingest {
       }
       .start()
 
+  /** Eval-contamination ingest guard — the streaming half of the
+    * train/eval hygiene check ([[graft.ops.TextDedup.contamination]]):
+    * per micro-batch each incoming document is scored against a FIXED
+    * benchmark corpus (the batch operator with the stream as the
+    * assessed side), and only documents whose contaminated-shingle
+    * ratio stays below `maxRatio` are admitted to `outRoot` — leaked
+    * benchmark text is refused at the door instead of discovered after
+    * a training run. Refused documents land in `quarantineRoot` WITH
+    * their scores for audit. A document too short to carry an
+    * n-shingle cannot be assessed and is admitted (same no-row
+    * semantics as the batch operator, spec-pinned there).
+    *
+    * This guard exists BECAUSE the batch operator's broadcast mode is
+    * map-only on the assessed side: per tick the batch's hashes
+    * broadcast against the benchmark scan — no corpus-keyed shuffle,
+    * which is what a per-minute cadence can afford. foreachBatch makes
+    * score/split/append transactional per micro-batch (exactly-once
+    * under the checkpoint). */
+  def startContaminationFilterSink(docs: DataFrame, idCol: String,
+                                   textCol: String, evalDocs: DataFrame,
+                                   outRoot: String, quarantineRoot: String,
+                                   checkpoint: String, n: Int = 3,
+                                   maxRatio: Double = 0.2,
+                                   trigger: Trigger = Trigger.ProcessingTime(0L))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        try {
+          // roles swapped vs the batch hygiene query: the benchmark is
+          // the "train" probe set, the incoming batch is assessed
+          val refused = graft.ops.TextDedup
+            .contamination(evalDocs, batch, idCol, textCol, n)
+            .filter(col("contamination_ratio") >= maxRatio)
+            .persist()
+          try {
+            batch.join(refused, Seq(idCol), "inner")
+              .write.mode("append").parquet(quarantineRoot)
+            batch.join(refused.select(col(idCol)), Seq(idCol), "left_anti")
+              .write.mode("append").parquet(outRoot)
+          } finally { refused.unpersist(); () }
+        } finally { batch.unpersist(); () }
+      }
+      .start()
+
   /** Streaming IVF index maintenance: append each micro-batch of new
     * embedding rows into the persisted cell-partitioned index
     * ([[graft.ops.Embeddings.appendToIvfIndex]] — fixed coarse

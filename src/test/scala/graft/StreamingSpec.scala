@@ -106,6 +106,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("contamination guard quarantines leaked benchmark text, admits clean and unassessable docs") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_contam")
+    val out = s"$tmp/out"; val qr = s"$tmp/quarantine"; val cp = s"$tmp/cp"
+    val eval_ = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "one two three four five six seven")).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val q = Ingest.startContaminationFilterSink(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", eval_,
+      out, qr, cp, n = 3, maxRatio = 0.5)
+    try {
+      mem.addData(
+        (1L, "alpha beta gamma delta epsilon zeta"), // verbatim leak → refuse
+        (2L, "totally unrelated clean document text here"), // clean → admit
+        (3L, "so short")) // < n tokens: unassessable → admit
+      q.processAllAvailable()
+      // second batch exercises the append path
+      mem.addData(
+        (4L, "one two three four five six seven"), // leak → refuse
+        (5L, "another clean and novel piece of writing"))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(out)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(2L, 3L, 5L), s"kept $kept")
+      val quarantined = spark.read.parquet(qr)
+        .select("doc_id", "contamination_ratio").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(quarantined.keySet == Set(1L, 4L))
+      assert(quarantined.values.forall(_ == 1.0)) // verbatim leaks
+      // parity: the batch operator refuses exactly the same ids
+      val all = Seq(
+        (1L, "alpha beta gamma delta epsilon zeta"),
+        (2L, "totally unrelated clean document text here"),
+        (3L, "so short"),
+        (4L, "one two three four five six seven"),
+        (5L, "another clean and novel piece of writing"))
+        .toDF("doc_id", "text")
+      val batchRefused = graft.ops.TextDedup
+        .contamination(eval_, all, "doc_id", "text", 3)
+        .filter(col("contamination_ratio") >= 0.5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(batchRefused == quarantined.keySet)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup on a static frame equals batch exactDedup survivors") {
     import spark.implicits._
     val docs = Seq(
