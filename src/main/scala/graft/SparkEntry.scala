@@ -452,16 +452,18 @@ object SparkEntry {
           .as("resized_bytes"), col("width").cast("long").as("width"))
         .orderBy("media_id")
     }),
-    // rows-only (no SQL oracle: recall<1 by design; consistency vs brute
-    // force is pinned in ScalaTest instead)
+    // recall-bearing multi-probe path (probeHamming=1): oracled exactly —
+    // the md5-derived planes are data-independent constants replayed as
+    // literals in the generated SQL (lshTopKOracleSql)
     "e_lsh_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      Embeddings.lshTopK(e, e.filter(col("vec_id") < 10),
-        "vec_id", "embedding", nPlanes = 4, dim = 64, k = 5)
-        .orderBy("query_id", "rnk")
+      Embeddings.lshTopKMultiProbe(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", nPlanes = 4, dim = 64, k = 5,
+        probeHamming = 1).orderBy("query_id", "rnk")
     }),
-    // rows-only (KMeans centroid floats vary at ulp level across
-    // partitionings; IVF==bruteforce equivalence is pinned in ScalaTest)
+    // recall-bearing IVF path (nProbe<nLists): oracled exactly — the fit
+    // is integer-exact Lloyd's, replayed as unrolled CTE iterations in
+    // the generated SQL (ivfTopKOracleSql)
     "e_ivf_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val model = Embeddings.ivfFit(e, "vec_id", "embedding", nLists = 16)
@@ -524,6 +526,114 @@ object SparkEntry {
       |      FROM s)
       |SELECT query_id, corpus_id, cosine, rnk
       |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
+  /** Generated oracle for the recall-bearing multi-probe LSH path
+    * (e_lsh_topk). The hyperplanes are md5-derived, data-independent
+    * constants (Embeddings.planeComponent), so their QUANTIZED
+    * components are baked in as BIGINT list literals; bucket assignment
+    * (sign of exact-integer plane dots), the Hamming<=h probe fan-out
+    * (XOR mask literals) and in-bucket cosine ranking are then exact
+    * arithmetic DuckDB reproduces bit-for-bit. */
+  private def lshTopKOracleSql(nPlanes: Int, dim: Int, k: Int,
+                               probeHamming: Int): String = {
+    val planeRows = (0 until nPlanes).map { j =>
+      val qp = (0 until dim).map(i =>
+        math.floor(Embeddings.planeComponent(j, i) * 1000000).toLong)
+      s"(${1L << j}::BIGINT, [${qp.mkString(",")}]::BIGINT[])"
+    }.mkString(",\n  ")
+    val masks = (0 until (1 << nPlanes))
+      .filter(m => Integer.bitCount(m) <= probeHamming)
+      .map(m => s"($m::BIGINT)").mkString(", ")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding,
+       |             x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) qv
+       |           FROM embeddings),
+       |pl(w, p) AS (VALUES
+       |  $planeRows),
+       |b AS (SELECT vec_id,
+       |        CAST(SUM(CASE WHEN list_dot_product(qv, p) >= 0
+       |                      THEN w ELSE 0 END) AS BIGINT) AS bucket
+       |      FROM v, pl GROUP BY vec_id),
+       |cb AS (SELECT v.vec_id corpus_id, v.qv cv, b.bucket
+       |       FROM v JOIN b USING (vec_id)),
+       |qm(m) AS (VALUES $masks),
+       |qb AS (SELECT v.vec_id query_id, v.qv qv2, xor(b.bucket, qm.m) AS bucket
+       |       FROM v JOIN b USING (vec_id), qm WHERE v.vec_id < 10),
+       |s AS (SELECT qb.query_id, cb.corpus_id,
+       |        CAST(list_dot_product(qb.qv2, cb.cv) AS DOUBLE) /
+       |        (sqrt(CAST(list_dot_product(qb.qv2, qb.qv2) AS DOUBLE)) *
+       |         sqrt(CAST(list_dot_product(cb.cv, cb.cv) AS DOUBLE))) AS cosine
+       |      FROM cb JOIN qb USING (bucket) WHERE cb.corpus_id <> qb.query_id),
+       |r AS (SELECT query_id, corpus_id, cosine,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY cosine DESC, corpus_id) AS INT) rnk
+       |      FROM s)
+       |SELECT query_id, corpus_id, cosine, rnk
+       |FROM r WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** Generated oracle for the recall-bearing IVF path (e_ivf_topk).
+    * Replays Embeddings.ivfFit's integer-exact Lloyd's loop as `iters`
+    * unrolled CTE pairs (assign = argmin of -2*dot+|c|^2 with
+    * lowest-cell tie-break; update = truncating integer division, DuckDB
+    * `//` == Java long division), then the nProbe cell fan-out and
+    * in-cell cosine ranking. Every step is exact integer arithmetic on
+    * quantized vectors (products < 2^53, so DOUBLE-carried dots are
+    * still exact), so the oracle matches the Spark result bit-for-bit
+    * WITHOUT the centroids being passed out-of-band — the fit itself is
+    * re-derived from the parquet input by the SQL. */
+  private def ivfTopKOracleSql(nLists: Int, iters: Int, nProbe: Int, k: Int,
+                               dim: Int, sampleCap: Int): String = {
+    val distOrder = (q: String, c: String) =>
+      s"""-2 * CAST(list_dot_product($q, $c.cv) AS DOUBLE)
+         |           + CAST(list_dot_product($c.cv, $c.cv) AS DOUBLE), $c.cell""".stripMargin
+    val sb = new StringBuilder
+    sb ++= s"""WITH v AS (SELECT vec_id, list_transform(embedding,
+              |             x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) qv
+              |           FROM embeddings),
+              |samp AS (SELECT ROW_NUMBER() OVER
+              |           (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS sid, qv
+              |         FROM v QUALIFY sid < $sampleCap),
+              |dims AS (SELECT unnest(generate_series(1, $dim)) AS i),
+              |c0 AS (SELECT sid AS cell, qv AS cv FROM samp WHERE sid < $nLists),
+              |""".stripMargin
+    for (it <- 1 to iters) {
+      val prev = s"c${it - 1}"
+      sb ++= s"""a$it AS (SELECT s.sid, s.qv, c.cell,
+                |         ROW_NUMBER() OVER (PARTITION BY s.sid ORDER BY
+                |           ${distOrder("s.qv", "c")}) AS rn
+                |       FROM samp s, $prev c),
+                |m$it AS (SELECT a.cell, d.i,
+                |         CAST(CAST(SUM(a.qv[d.i]) AS BIGINT) // COUNT(*) AS BIGINT) AS x
+                |       FROM a$it a, dims d WHERE a.rn = 1 GROUP BY a.cell, d.i),
+                |c$it AS MATERIALIZED (SELECT c.cell, COALESCE(n.cv, c.cv) AS cv
+                |       FROM $prev c LEFT JOIN
+                |         (SELECT cell, list(x ORDER BY i) AS cv
+                |          FROM m$it GROUP BY cell) n USING (cell)),
+                |""".stripMargin
+    }
+    sb ++= s"""asg AS (SELECT v.vec_id AS corpus_id, v.qv AS cv, c.cell,
+              |         ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+              |           ${distOrder("v.qv", "c")}) AS rn
+              |       FROM v, c$iters c),
+              |cb AS (SELECT corpus_id, cv, cell FROM asg WHERE rn = 1),
+              |qasg AS (SELECT v.vec_id AS query_id, v.qv AS qv2, c.cell,
+              |         ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+              |           ${distOrder("v.qv", "c")}) AS rn
+              |       FROM v, c$iters c WHERE v.vec_id < 10),
+              |qb AS (SELECT query_id, qv2, cell FROM qasg WHERE rn <= $nProbe),
+              |s AS (SELECT qb.query_id, cb.corpus_id,
+              |        CAST(list_dot_product(qb.qv2, cb.cv) AS DOUBLE) /
+              |        (sqrt(CAST(list_dot_product(qb.qv2, qb.qv2) AS DOUBLE)) *
+              |         sqrt(CAST(list_dot_product(cb.cv, cb.cv) AS DOUBLE))) AS cosine
+              |      FROM cb JOIN qb USING (cell) WHERE cb.corpus_id <> qb.query_id),
+              |r AS (SELECT query_id, corpus_id, cosine,
+              |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              |          ORDER BY cosine DESC, corpus_id) AS INT) rnk
+              |      FROM s)
+              |SELECT query_id, corpus_id, cosine, rnk
+              |FROM r WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+    sb.toString
+  }
 
   def oracleSql: Map[String, String] = Map(
     "s1_range_scan" ->
@@ -1396,6 +1506,12 @@ object SparkEntry {
     // by construction (full probe coverage) — same oracle
     "e_ivf_exact" -> annTop5Sql,
     "e_lsh_exact" -> annTop5Sql,
+    // recall-bearing variants: generated oracles re-derive the bucket /
+    // cell structure (plane literals; replayed integer-exact k-means)
+    "e_lsh_topk" -> lshTopKOracleSql(nPlanes = 4, dim = 64, k = 5,
+      probeHamming = 1),
+    "e_ivf_topk" -> ivfTopKOracleSql(nLists = 16, iters = 10, nProbe = 4,
+      k = 5, dim = 64, sampleCap = 4096),
     "e_cosine_neardup" ->
       """WITH u AS (SELECT vec_id,
         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) emb

@@ -69,7 +69,7 @@ object Embeddings {
     * driver (same md5 → same value as the column-expression form, but
     * the row path multiplies against literals instead of running md5
     * per element per row). Reproducible in any engine — no RNG state. */
-  private[ops] def planeComponent(j: Int, i: Int): Double = {
+  private[graft] def planeComponent(j: Int, i: Int): Double = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(s"plane:$j:$i".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
@@ -146,8 +146,12 @@ object Embeddings {
   }
 
   /** IVF coarse-quantizer model: a small centroid table, broadcast as
-    * expression literals on both the corpus and query side. */
-  final case class IvfModel(centroids: Array[Array[Double]])
+    * expression literals on both the corpus and query side. Centroids
+    * are QUANTIZED longs (same floor(x*10^4) domain as the vectors), so
+    * every model-dependent computation downstream is exact integer
+    * arithmetic — which is what lets a SQL oracle reproduce the fit
+    * bit-for-bit (see SparkEntry's generated e_ivf_topk oracle). */
+  final case class IvfModel(centroids: Array[Array[Long]])
 
   /** IVF (inverted-file) ANN index fit: a deterministic k-means coarse
     * quantizer partitions the corpus into `nLists` cells; a query scans
@@ -164,27 +168,35 @@ object Embeddings {
     * driver — a few ms for ≤4096 × dim points, replacing a 10-job
     * distributed-KMeans loop whose per-iteration scheduling dominated
     * the fit. Init = first nLists sample points; empty cells keep
-    * their previous centroid; all arithmetic is fixed-order → the
-    * model is bit-reproducible. */
+    * their previous centroid.
+    *
+    * The ENTIRE fit is exact integer arithmetic on quantized vectors:
+    * distances are long sums of squared diffs (order-independent),
+    * centroid updates are truncating integer division (`sum / count`,
+    * Java semantics == DuckDB `//`), ties break to the lowest cell.
+    * Rounding centroids to the 10^-4 grid each iteration costs nothing
+    * (recall comes from nProbe, not centroid optimality) and makes the
+    * model reproducible to the bit in ANY engine — no float summation
+    * order, no libm. The e_ivf_topk DuckDB oracle replays this loop. */
   def ivfFit(corpus: DataFrame, idCol: String, vecCol: String,
              nLists: Int, iters: Int = 10, sampleCap: Int = 4096): IvfModel = {
-    val sample: Array[Array[Double]] = corpus
-      .select(col(vecCol).cast("array<double>").as("v"),
+    val sample: Array[Array[Long]] = corpus
+      .select(quantize(col(vecCol)).as("v"),
         md5(col(idCol).cast("string")).as("h"))
       .orderBy("h").limit(sampleCap)
-      .collect().map(_.getSeq[Double](0).toArray)
+      .collect().map(_.getSeq[Long](0).toArray)
     require(sample.length >= nLists, s"need >= $nLists sample vectors")
     val dim = sample.head.length
     var centers = sample.take(nLists).map(_.clone())
     var it = 0
     while (it < iters) {
-      val sums = Array.fill(nLists)(new Array[Double](dim))
+      val sums = Array.fill(nLists)(new Array[Long](dim))
       val counts = new Array[Long](nLists)
       sample.foreach { p =>
-        var best = 0; var bestD = Double.MaxValue
+        var best = 0; var bestD = Long.MaxValue
         var j = 0
         while (j < nLists) {
-          var d = 0.0; var i = 0
+          var d = 0L; var i = 0
           while (i < dim) { val t = p(i) - centers(j)(i); d += t * t; i += 1 }
           if (d < bestD) { bestD = d; best = j }
           j += 1
@@ -202,12 +214,9 @@ object Embeddings {
     IvfModel(centers)
   }
 
-  /** Quantized centroids with their squared norms (exact longs). */
+  /** Centroids with their squared norms (exact longs). */
   private def qCentroids(model: IvfModel): Array[(Array[Long], Long)] =
-    model.centroids.map { c =>
-      val q = c.map(x => math.floor(x * 10000).toLong)
-      (q, q.map(v => v * v).sum)
-    }
+    model.centroids.map { q => (q, q.map(v => v * v).sum) }
 
   /** Centroid-distance (score, cell) structs over QUANTIZED vectors —
     * a pure map expression (no join, no row blowup: the 100 TB corpus
