@@ -412,6 +412,39 @@ object TextDedup {
           col("n_shingles").cast("double")).as("contamination_ratio"))
   }
 
+  /** Distinct shingle-hash set of a benchmark corpus — the reusable
+    * probe side of [[contaminationAgainst]]. Precompute (and persist)
+    * this ONCE when the benchmark is fixed and many corpora / many
+    * micro-batches are scored against it; the benchmark is then never
+    * re-tokenized per probe. */
+  def benchmarkHashSet(docs: DataFrame, textCol: String, n: Int): DataFrame =
+    docs.select(tokens(col(textCol)).as("w"))
+      .select(explode(transform(shingleArray(col("w"), n),
+        s => md5Hash60(s))).as("sh_h"))
+      .distinct()
+
+  /** Contamination scores of `docs` probed against a PRE-BUILT distinct
+    * shingle-hash set (`sh_h` column, e.g. [[benchmarkHashSet]] output).
+    * Row-identical to `contamination(bench, docs, ...)`: that form
+    * semi-joins doc shingles against (bench-hashes ∩ doc-hashes), and a
+    * semi-join against the intersection equals a semi-join against the
+    * full bench set — restricting the probe side to the assessed side's
+    * own hashes cannot change membership. Pass a `broadcast()`-hinted
+    * set when it is benchmark-sized; leave unhinted to let a
+    * corpus-sized set shuffle. */
+  def contaminationAgainst(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int, hashSet: DataFrame): DataFrame = {
+    val sh = shingleHashes(docs, idCol, textCol, n)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+    val hits = sh.join(hashSet.select("sh_h"), Seq("sh_h"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_contaminated"))
+    sizes.join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_contaminated"), lit(0L)).cast("double") /
+          col("n_shingles").cast("double")).as("contamination_ratio"))
+  }
+
   /** SimHash: 60-bit signature from token hashes. Bit b of the signature
     * is 1 iff the sum over tokens of (+1 if bit b of md5Hash60(token) else
     * -1), weighted by token frequency, is positive. Returns (id, simhash).

@@ -450,41 +450,82 @@ object Ingest {
     * n-shingle cannot be assessed and is admitted (same no-row
     * semantics as the batch operator, spec-pinned there).
     *
-    * This guard exists BECAUSE the batch operator's broadcast mode is
-    * map-only on the assessed side: per tick the batch's hashes
-    * broadcast against the benchmark scan — no corpus-keyed shuffle,
-    * which is what a per-minute cadence can afford. foreachBatch makes
-    * score/split/append transactional per micro-batch (exactly-once
-    * under the checkpoint). */
+    * The benchmark is FIXED for the life of the sink, so its distinct
+    * shingle-hash set is built and persisted ONCE at sink start
+    * ([[graft.ops.TextDedup.benchmarkHashSet]]) and every micro-batch
+    * probes that materialized set ([[graft.ops.TextDedup
+    * .contaminationAgainst]], row-identical to the role-swapped batch
+    * operator — equivalence argued there and spec-pinned). The benchmark
+    * is never re-tokenized per tick, and — unlike the earlier
+    * batch-hashes-broadcast formulation — nothing about the PLAN depends
+    * on the micro-batch's size, so a post-downtime catch-up batch cannot
+    * blow a driver-side broadcast. `broadcastBench` (default true: a
+    * benchmark hash set is small) controls whether the probe set is
+    * broadcast-hinted or left to shuffle.
+    *
+    * Idempotence: each batch writes `b=<batchId>` subdirectories with
+    * overwrite, so a crash-replayed batch REWRITES its own directories
+    * instead of appending duplicates — exactly-once at the batch grain
+    * under the checkpoint (readers of `outRoot`/`quarantineRoot` see a
+    * `b` partition column carrying ingest-batch provenance). Duplicate
+    * `idCol` values within one micro-batch are scored as ONE logical
+    * document (the union of their shingles) and admitted or refused
+    * atomically — [[graft.ops.TextDedup.contaminationAgainst]] grades
+    * per id, not per row. The persisted probe set is released when the
+    * query terminates (listener-hooked). */
   def startContaminationFilterSink(docs: DataFrame, idCol: String,
                                    textCol: String, evalDocs: DataFrame,
                                    outRoot: String, quarantineRoot: String,
                                    checkpoint: String, n: Int = 3,
                                    maxRatio: Double = 0.2,
-                                   trigger: Trigger = Trigger.ProcessingTime(0L))
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
+                                   trigger: Trigger = Trigger.ProcessingTime(0L),
+                                   broadcastBench: Boolean = true)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    val benchHashes = graft.ops.TextDedup
+      .benchmarkHashSet(evalDocs, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    benchHashes.count() // materialize before the first trigger fires
+    val probe = if (broadcastBench) broadcast(benchHashes) else benchHashes
+    val query = docs.writeStream
       .outputMode(OutputMode.Append)
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.persist()
         try {
-          // roles swapped vs the batch hygiene query: the benchmark is
-          // the "train" probe set, the incoming batch is assessed
           val refused = graft.ops.TextDedup
-            .contamination(evalDocs, batch, idCol, textCol, n)
+            .contaminationAgainst(batch, idCol, textCol, n, probe)
             .filter(col("contamination_ratio") >= maxRatio)
             .persist()
           try {
             batch.join(refused, Seq(idCol), "inner")
-              .write.mode("append").parquet(quarantineRoot)
+              .write.mode("overwrite").parquet(s"$quarantineRoot/b=$batchId")
             batch.join(refused.select(col(idCol)), Seq(idCol), "left_anti")
-              .write.mode("append").parquet(outRoot)
+              .write.mode("overwrite").parquet(s"$outRoot/b=$batchId")
           } finally { refused.unpersist(); () }
         } finally { batch.unpersist(); () }
       }
       .start()
+    val qid = query.id
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryTerminatedEvent): Unit =
+          if (e.id == qid) {
+            benchHashes.unpersist()
+            spark.streams.removeListener(this)
+          }
+      })
+    query
+  }
 
   /** Streaming IVF index maintenance: append each micro-batch of new
     * embedding rows into the persisted cell-partitioned index

@@ -150,6 +150,45 @@ class StreamingSpec extends SparkSpec {
         .filter(col("contamination_ratio") >= 0.5)
         .select("doc_id").collect().map(_.getLong(0)).toSet
       assert(batchRefused == quarantined.keySet)
+      // replay-safe layout: each micro-batch owns a b=<batchId> dir it
+      // would overwrite (not append) on a crash replay
+      val outDirs = new java.io.File(out).listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+      assert(outDirs == Set("b=0", "b=1"), s"got $outDirs")
+      // and the b partition column carries ingest-batch provenance
+      val perBatch = spark.read.parquet(out)
+        .groupBy(col("b").cast("long").as("b")).count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(perBatch == Map(0L -> 2L, 1L -> 1L), s"got $perBatch")
+    } finally q.stop()
+  }
+
+  test("contamination guard grades duplicate ids as one logical doc, atomically") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_contam_dup")
+    val out = s"$tmp/out"; val qr = s"$tmp/quarantine"; val cp = s"$tmp/cp"
+    val eval_ = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val q = Ingest.startContaminationFilterSink(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", eval_,
+      out, qr, cp, n = 3, maxRatio = 0.5)
+    try {
+      // id 7 appears twice: one leaked row + one clean row of the same
+      // shingle count → union ratio 0.5 >= maxRatio → BOTH rows refused
+      mem.addData(
+        (7L, "alpha beta gamma delta epsilon zeta"),
+        (7L, "clean novel words nothing shared here"),
+        (8L, "entirely unrelated admissible document text"))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(out)
+        .select("doc_id").collect().map(_.getLong(0))
+      assert(kept.toSeq == Seq(8L), s"kept ${kept.toSeq}")
+      val quarantined = spark.read.parquet(qr)
+        .select("doc_id").collect().map(_.getLong(0))
+      assert(quarantined.length == 2 && quarantined.toSet == Set(7L),
+        s"quarantined ${quarantined.toSeq}")
     } finally q.stop()
   }
 

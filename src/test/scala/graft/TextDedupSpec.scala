@@ -203,6 +203,50 @@ class TextDedupSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("contaminationAgainst a prebuilt hash set equals the role-swapped operator") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val bench = d.filter(col("source") === "src0")
+    val assessed = d.filter(col("source") =!= "src0")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val probe = TextDedup.benchmarkHashSet(bench, "text", 3)
+    assert(
+      canon(TextDedup.contaminationAgainst(assessed, "doc_id", "text", 3,
+        probe)) ==
+      canon(TextDedup.contamination(bench, assessed, "doc_id", "text", 3)))
+  }
+
+  test("contaminationAgainst a persisted probe set reads the cache, not the benchmark") {
+    // the streaming-guard contract: once benchmarkHashSet is persisted,
+    // a per-batch score must probe the materialized set — the benchmark
+    // corpus itself may not be re-tokenized in the per-batch plan. The
+    // benchmark here is a LOCAL relation, so any leak of it into the
+    // plan would surface as a LocalTableScan; the assessed side reads
+    // parquet, so the two sources are distinguishable by node type.
+    import org.apache.spark.sql.execution.LocalTableScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val bench = docs(
+      100L -> "alpha beta gamma delta epsilon zeta",
+      101L -> "one two three four five six seven")
+    val assessed = Tables.documents(spark, "/root/testdata/sf0.001")
+    val probe = TextDedup.benchmarkHashSet(bench, "text", 3).persist()
+    try {
+      probe.count()
+      val q = TextDedup.contaminationAgainst(assessed, "doc_id", "text", 3,
+        org.apache.spark.sql.functions.broadcast(probe))
+      val plan = q.queryExecution.executedPlan
+      assert(plan.collect { case s: InMemoryTableScanExec => s }.nonEmpty,
+        s"no cache scan in per-batch plan:\n$plan")
+      assert(plan.collect { case s: LocalTableScanExec => s }.isEmpty,
+        s"benchmark local relation leaked into the per-batch plan:\n$plan")
+    } finally {
+      probe.unpersist()
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("tfidfTopK ranks doc-salient terms above ubiquitous ones") {
     // "common" appears in every doc (df=3) → score 1/3; each doc's
     // private term has df=1 → score tf/1, so private terms rank first
