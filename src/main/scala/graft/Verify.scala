@@ -9,6 +9,14 @@ object Verify {
     // subset for fast iteration; the driver passes none (all queries)
     val Array(sfDir, outDir) = args.take(2)
     val only = args.drop(2).toSet
+    // fail fast on typos: a misspelled name would otherwise produce an
+    // empty dump with exit code 0 and read as a silently-passing run
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"[verify] unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+      sys.exit(2)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

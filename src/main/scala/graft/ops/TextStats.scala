@@ -224,10 +224,15 @@ object TextStats {
     * common, natural vocabulary score high; rare-token/garbage text
     * scores low — same signal direction as negated perplexity without a
     * transcendental (one IEEE division of exact longs; see [[tfidfTopK]]
-    * for why that matters to the oracle). Bound: the weighted sum
-    * Σ tf·cnt ≤ n_tokens · total_tokens must fit a long — at 1e4-token
-    * docs that holds to ~1e14 corpus tokens, and ANSI mode faults
-    * loudly rather than wrapping beyond it.
+    * for why that matters to the oracle). Bound: the numerator
+    * Σ tf·cnt must fit a long — at 1e4-token docs that holds to ~1e14
+    * corpus tokens, and ANSI mode faults loudly rather than wrapping
+    * beyond it. The denominator n_tokens · total_tokens is routed
+    * through decimal(38,0) — a full long×long product always fits 38
+    * digits — so it can NEVER wrap, even in a session running with
+    * ansi.enabled=false; below 2^53 the decimal→double rounding is
+    * value-identical to the previous long-product path (and to the
+    * DuckDB oracle's BIGINT product).
     *
     * Scale: same linear shapes as [[tfidfTopK]] — the weighted sums run
     * over the (doc, term) tf table, not the raw token stream, and the
@@ -246,7 +251,8 @@ object TextStats {
     perDoc.crossJoin(broadcast(totals))
       .select(col(idCol), col("n_tokens"),
         (col("sum_cnt").cast("double") /
-          (col("n_tokens") * col("total_tokens")).cast("double"))
+          (col("n_tokens").cast("decimal(19,0)") *
+            col("total_tokens").cast("decimal(19,0)")).cast("double"))
           .as("avg_token_prob"))
   }
 
