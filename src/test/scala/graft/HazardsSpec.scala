@@ -77,9 +77,9 @@ class HazardsSpec extends SparkSpec {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"oracles without queries: ${os -- qs}")
-    // rows-only queries are the deliberate exceptions
-    assert((qs -- os) == Set("e_lsh_topk", "e_ivf_topk"),
-      s"unexpected rows-only: ${qs -- os}")
+    // every query is fully oracled since round 6 (e_lsh_topk/e_ivf_topk
+    // were the last rows-only exceptions; both now have generated SQL)
+    assert((qs -- os).isEmpty, s"unexpected rows-only: ${qs -- os}")
   }
 
   test("numpy-style percentile thresholds agree with manual interpolation") {

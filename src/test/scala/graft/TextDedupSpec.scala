@@ -69,6 +69,21 @@ class TextDedupSpec extends SparkSpec {
       r.getAs[Long]("b_id") == 2L && r.getAs[Long]("hamming") == 0L))
   }
 
+  test("simhashSignatures is a pure projection — no shuffle in the plan") {
+    // the 100 TB contract for the map-side rewrite: signatures fold
+    // per-row over the token array; nothing about the corpus shuffles
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val d = Tables.documents(spark, "/root/testdata/sf0.001")
+      val plan = TextDedup.simhashSignatures(d, "doc_id", "text")
+        .queryExecution.executedPlan
+      assert(plan.collect { case s: ShuffleExchangeLike => s }.isEmpty,
+        s"simhashSignatures shuffles:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("simhash signature is 60-bit non-negative") {
     val d = Tables.documents(spark, "/root/testdata/sf0.001")
     val sigs = TextDedup.simhashSignatures(d, "doc_id", "text")
@@ -282,6 +297,38 @@ class TextDedupSpec extends SparkSpec {
     assert(out(1).getAs[Double]("avg_token_prob") == 6.0 / 18.0)
     assert(out(0).getAs[Double]("avg_token_prob") >
       out(1).getAs[Double]("avg_token_prob"))
+  }
+
+  test("dedup operators release their internal caches after the result's first action") {
+    // the cache-hygiene contract: every .cache() a dedup operator takes
+    // internally is gone once the caller's first action completes — a
+    // long-lived session running many dedup jobs must not accumulate
+    // storage. Release rides a one-shot QueryExecutionListener (zero
+    // extra jobs — an eager materialization here measured 3x job counts
+    // under AQE), so it lands asynchronously: poll to the baseline.
+    val sc = spark.sparkContext
+    def persisted: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    val base = persisted
+    def awaitBaseline(what: String): Unit = {
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (persisted.diff(base).nonEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(persisted.diff(base).isEmpty,
+        s"$what left persisted RDDs behind: ids ${persisted.diff(base)}")
+    }
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    TextDedup.jaccardPairs(d, "doc_id", "text", 3, 0.8).count()
+    awaitBaseline("jaccardPairs")
+    TextDedup.minhashLshPairs(d, "doc_id", "text", 3, 16, 4, 0.8).count()
+    awaitBaseline("minhashLshPairs")
+    TextDedup.dedupCorpus(d, "doc_id", "text", 3, 16, 4, 0.8).count()
+    awaitBaseline("dedupCorpus")
+    TextDedup.simhashPairs(d, "doc_id", "text", 10).count()
+    awaitBaseline("simhashPairs")
+    val ids = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    TextDedup.nearDupClusters(ids, pairs, "doc_id").count()
+    awaitBaseline("nearDupClusters (converging mode)")
   }
 
   test("token counts: ws vs bpe-ish") {
