@@ -65,11 +65,32 @@ object ScaleProbe {
       ops.TextStats.unigramScore(docs, "doc_id", "text").count()
     }
     // the raw pairwise path is quadratic on dup clusters BY DESIGN on
-    // this multiplied corpus (that's the pathology dedupCorpus fixes);
-    // only probe it at small multipliers
-    if (mult <= 15) time("jaccard_guarded") {
-      ops.TextDedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8,
-        maxShingleDocFreq = Some(500L)).count()
+    // this multiplied corpus (every doc has mult-1 exact copies, so the
+    // TRUE answer contains mult*(mult-1)/2 pairs per doc — that's the
+    // pathology dedupCorpus's exact-first stage fixes); probe it up to
+    // 30x with the hot-key guard on, and audit how many candidate
+    // pairs prefix filtering emits vs the naive inverted-index
+    // co-occurrence join (sum over shingles of C(df,2)) it replaces
+    if (mult <= 30) {
+      var truePairs = 0L
+      time("jaccard_guarded") {
+        truePairs = ops.TextDedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8,
+          maxShingleDocFreq = Some(500L)).count()
+        truePairs
+      }
+      val sh = ops.Skew.dropHotKeys(
+        ops.TextDedup.shingleHashes(docs, "doc_id", "text", 3), "sh_h", 500L)
+      val candidates = ops.TextDedup.prefixCandidates(sh, "doc_id", 0.8).count()
+      val naive = sh.groupBy("sh_h").count()
+        .agg(sum(expr("(count * (count - 1)) div 2"))).first().getLong(0)
+      println(s"[scaleprobe] jaccard candidate audit at x$mult: " +
+        s"prefix candidates=$candidates vs naive co-occurrence=$naive " +
+        s"(${if (naive > 0) "%.1f%%".format(100.0 * candidates / naive) else "-"}); " +
+        s"true pairs=$truePairs")
+      assert(candidates >= truePairs,
+        "prefix filtering lost qualifying pairs — prefix lemma violated")
+      assert(candidates * 4 <= naive || naive < 100000,
+        s"prefix filtering ineffective: $candidates candidates vs $naive naive")
     }
 
     val emb = multiplied(Tables.embeddings(spark, dir)

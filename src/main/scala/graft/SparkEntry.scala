@@ -322,6 +322,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           graft.util.Exact.dsum2(col("value")).as("total_value"))
         .orderBy("is_holdout")),
+    // ---- skew toolkit: salted rewrites on a pathologically hot key
+    // (5 event types across the whole fact table). The salted forms
+    // must be HASH-IDENTICAL to the plain group-by / join the oracle
+    // runs — proving the rewrite is free to apply when AQE's skew
+    // handling can't (first shuffle of an agg; broadcast-ineligible
+    // dims). Exactness comes from the split-word long partials
+    // (Exact.splitCols2) that survive the extra salt fan-in. ----
+    "skew_salted_totals" -> ((s, dir) =>
+      Skew.saltedSum(ev(s, dir), "event_type", "value",
+          saltCol = col("event_id"), n = 8)
+        .orderBy("event_type")),
+    "skew_salted_join" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val dim = e.groupBy(col("event_type"))
+        .agg((graft.util.Exact.dsum2(col("value")) / count(col("value")))
+          .as("type_avg"))
+      Skew.saltedJoin(e.select(col("event_id"), col("event_type"),
+          col("value")), dim, "event_type",
+          saltCol = col("event_id"), n = 8)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("type_avg"))
+        .orderBy("event_id")
+    }),
     // ---- profiling: per-column summary over events (exact path — the
     // default approx/HLL path is pinned against this in ProfilerSpec) ----
     "prof_events_summary" -> ((s, dir) =>
@@ -1168,6 +1191,20 @@ object SparkEntry {
         |       COUNT(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1 ORDER BY is_holdout""".stripMargin,
+    "skew_salted_totals" ->
+      """SELECT event_type,
+        |       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value,
+        |       COUNT(*) AS n_rows
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "skew_salted_join" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |         CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE)
+        |           / COUNT(value) AS type_avg
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.value, d.type_avg
+        |FROM events e JOIN d USING (event_type)
+        |ORDER BY event_id""".stripMargin,
     "prof_events_summary" -> {
       def num(c: String, mn: String, mx: String) =
         s"""SELECT '$c' col_name, COUNT(*) n_rows, COUNT($c) n_nonnull,

@@ -18,10 +18,16 @@ object Verify {
       sys.exit(2)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_TZ: session-timezone override for the non-UTC sweep
+    // (run the whole dump under e.g. America/Los_Angeles and diff
+    // against a UTC run to audit which queries carry session-TZ
+    // semantics — see HazardsSpec's TZ-sweep pin). The driver gate
+    // always runs the UTC default.
+    val tz = sys.env.getOrElse("SPARK_GRAFT_TZ", "UTC")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.session.timeZone", tz)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

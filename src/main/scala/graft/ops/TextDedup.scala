@@ -88,6 +88,17 @@ object TextDedup {
           transform(shingleArray(col("w"), n), s => md5Hash60(s))))
           .as("sh_h"))
 
+  /** The same distinct per-doc shingle hashes as [[shingleHashes]], kept
+    * as ONE ARRAY ROW per document — the representation exact
+    * verification wants (set intersection per candidate pair), also a
+    * pure projection. */
+  def shingleHashSets(df: DataFrame, idCol: String, textCol: String,
+                      n: Int): DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("w"))
+      .select(col(idCol),
+        array_distinct(transform(shingleArray(col("w"), n),
+          s => md5Hash60(s))).as("sh_set"))
+
   /** Exact dedup: group by full-content hash, keep the smallest id as the
     * canonical representative. One shuffle on a 60-bit key; the text
     * itself never shuffles (only hash + id). */
@@ -142,54 +153,37 @@ object TextDedup {
   }
 
   /** Exact Jaccard verification driven by the CANDIDATE PAIR list:
-    * fan each (a, b) pair out over a's shingles, semi-join b's side on
-    * (b_id, sh_h), count matches per pair, attach set sizes. Work is
-    * O(Σ_pairs |shingles(a)|) — proportional to the verification
-    * actually requested. The earlier inverted-index self-join over
-    * candidate DOCS was quadratic on hot shingles (a boilerplate
-    * shingle shared by all candidate docs emits every co-occurrence
-    * pair before the cand filter: measured 28M intermediate rows for
-    * 238 surviving pairs at the 30x probe; this form emits ~57k).
-    * Pairs with zero overlap (LSH false positives) survive to the
-    * jaccard filter with n_common = 0.
+    * join each (a, b) pair to the two documents' shingle-hash SETS
+    * (one array row per doc, [[shingleHashSets]]) and intersect the
+    * arrays map-side. Work is O(Σ_pairs (|A| + |B|)) compute and
+    * O(candidate docs + candidate pairs) shuffle — both proportional
+    * to the verification actually requested, with NO fan-out:
+    * the earlier row-level forms either re-joined the inverted index
+    * with itself (quadratic on hot shingles: 28M intermediate rows for
+    * 238 surviving pairs at the 30x probe) or fanned each pair over
+    * one side's shingle rows (O(Σ_pairs |A|) ROWS through a sort-merge
+    * join — measured 672 s / 48 GB heap at the 30x probe's 2.4M dense
+    * pairs, where the fan is 240M rows). Set rows are doc-sized, the
+    * intersection is a codegen'd hash-set probe, and pairs with zero
+    * overlap (LSH false positives) survive with n_common = 0.
     *
-    * Deliberately NO caching of the shared subtrees (`cand` is read
-    * twice, the candidate slice three times): identical exchange
-    * subtrees are deduplicated by Spark's exchange reuse (AQE stage
-    * cache / ReuseExchange), which serves repeats from shuffle files
-    * without block-manager storage — at 100 TB, persisting a
-    * corpus-scale inverted index is itself a hazard, and on local[32]
-    * each cache materialization is an extra stage barrier (the cached
-    * form measured +1–3 s per dd query; reuse is spec-pinned). */
-  private[graft] def verifyPairs(cand: DataFrame, shIn: DataFrame,
-                                 idCol: String): DataFrame = {
-    // restrict the index to each side's candidate docs before anything
-    // else — the verify joins then run on candidate slices, not the
-    // corpus (the slice semi-joins broadcast the pair-scale id lists,
-    // so slicing is a map-only pass over the index)
-    val shA = shIn.join(cand.select(col("a_id").as(idCol)).distinct(),
-      Seq(idCol), "left_semi")
-    val shB = shIn.join(cand.select(col("b_id").as(idCol)).distinct(),
-      Seq(idCol), "left_semi")
-    // fan each pair over a's shingles (inner join keeps every pair:
-    // a_id comes from the index, so it always has >=1 shingle), then
-    // LEFT-join a presence marker from b's side — one aggregation then
-    // yields BOTH n_common (marker count) and a's set size (row
-    // count), so zero-overlap LSH false positives survive to the
-    // jaccard filter with n_common = 0 and nothing re-joins `cand`.
-    val fan = cand
-      .join(shA.select(col(idCol).as("a_id"), col("sh_h")), Seq("a_id"))
-      .join(shB.select(col(idCol).as("b_id"), col("sh_h"),
-        lit(1L).as("_m")), Seq("b_id", "sh_h"), "left")
-    val scored = fan.groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("a_sz"), count(col("_m")).as("n_common"))
-    val sizes = shB.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    scored
-      .join(sizes.select(col(idCol).as("b_id"), col("sz").as("b_sz")), "b_id")
+    * Deliberately NO caching of the shared subtrees: identical
+    * exchange subtrees dedup through Spark's exchange reuse (AQE stage
+    * cache / ReuseExchange), served from shuffle files without
+    * block-manager storage — at 100 TB, persisting a corpus-scale
+    * index is itself a hazard, and on local[32] each cache
+    * materialization is an extra stage barrier (the cached form
+    * measured +1–3 s per dd query). */
+  private[graft] def verifyPairs(cand: DataFrame, sets: DataFrame,
+                                 idCol: String): DataFrame =
+    cand
+      .join(sets.select(col(idCol).as("a_id"), col("sh_set").as("_a")), "a_id")
+      .join(sets.select(col(idCol).as("b_id"), col("sh_set").as("_b")), "b_id")
+      .withColumn("n_common",
+        size(array_intersect(col("_a"), col("_b"))).cast("long"))
       .withColumn("jaccard",
         col("n_common").cast("double") /
-          (col("a_sz") + col("b_sz") - col("n_common")).cast("double"))
-  }
+          (size(col("_a")) + size(col("_b")) - col("n_common")).cast("double"))
 
   /** Exact n-gram Jaccard near-dup pairs via PREFIX FILTERING (the
     * AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al. WWW'08):
@@ -211,8 +205,27 @@ object TextDedup {
     // stop-shingle guard (Skew.dropHotKeys): optional hard cap for
     // adversarial corpora; biases jaccard slightly low. Off by default —
     // prefix filtering already keeps hot shingles out of the join.
-    val guarded = maxShingleDocFreq.fold(sh0)(Skew.dropHotKeys(sh0, "sh_h", _))
-    val sh = guarded
+    // When the guard is on, VERIFICATION must see the guarded sets too
+    // (jaccard over the surviving shingles only), so the sets re-group
+    // from the guarded index; unguarded, they are a pure projection.
+    val sh = maxShingleDocFreq.fold(sh0)(Skew.dropHotKeys(sh0, "sh_h", _))
+    val sets = maxShingleDocFreq match {
+      case None => shingleHashSets(df, idCol, textCol, n)
+      case Some(_) => sh.groupBy(col(idCol))
+        .agg(collect_list(col("sh_h")).as("sh_set"))
+    }
+    verifyPairs(prefixCandidates(sh, idCol, minJ), sets, idCol)
+      .filter(col("jaccard") >= minJ)
+      .select("a_id", "b_id", "n_common", "jaccard")
+  }
+
+  /** PPJoin candidate generation over an inverted index — exposed
+    * separately so ScaleProbe can audit the candidate count against
+    * the naive co-occurrence count. Emits distinct (a_id, b_id),
+    * a < b, superset of all pairs with jaccard >= minJ (prefix
+    * lemma + length-ratio filter; see [[jaccardPairs]]). */
+  private[graft] def prefixCandidates(sh: DataFrame, idCol: String,
+                                      minJ: Double): DataFrame = {
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("_df"), col("sh_h"))
     val wSz = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
@@ -232,16 +245,13 @@ object TextDedup {
     // length-ratio filter: J >= t forces min_sz/max_sz >= t. Division is
     // correctly rounded and J_exact <= ratio_exact, so by monotonicity of
     // rounding this never rejects a pair the final jaccard filter keeps.
-    val cand = prefix.as("x").join(prefix.as("y"),
+    prefix.as("x").join(prefix.as("y"),
         col("x.sh_h") === col("y.sh_h") &&
           col(s"x.$idCol") < col(s"y.$idCol") &&
           col("x._sz") / col("y._sz") >= minJ &&
           col("y._sz") / col("x._sz") >= minJ)
       .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
       .distinct()
-    verifyPairs(cand, sh, idCol)
-      .filter(col("jaccard") >= minJ)
-      .select("a_id", "b_id", "n_common", "jaccard")
   }
 
   /** MinHash signature: k hash functions h_i(s) = (a_i*h + b_i) mod P
@@ -304,10 +314,11 @@ object TextDedup {
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
       .distinct()
-    // exact-verify ONLY the candidates, pair-driven: LSH already did
-    // the pruning, so verification fans each pair over one side's
-    // shingles instead of re-joining the inverted index with itself
-    verifyPairs(cand, sh, idCol)
+    // exact-verify ONLY the candidates: LSH already did the pruning,
+    // so verification joins each pair to the two docs' shingle sets
+    // and intersects map-side (see verifyPairs) instead of re-joining
+    // the inverted index with itself
+    verifyPairs(cand, shingleHashSets(df, idCol, textCol, n), idCol)
       .filter(col("jaccard") >= minJ)
       .select("a_id", "b_id", "jaccard")
   }
