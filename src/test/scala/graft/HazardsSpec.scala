@@ -82,6 +82,36 @@ class HazardsSpec extends SparkSpec {
     assert((qs -- os).isEmpty, s"unexpected rows-only: ${qs -- os}")
   }
 
+  test("session-TZ sweep: wall-clock outputs follow the session time zone, instant-derived outputs don't") {
+    // Full sweep (graft.Verify under SPARK_GRAFT_TZ=America/Los_Angeles
+    // vs UTC at sf0.001, 2026-08): 65/75 queries bit-identical; the 10
+    // that differ are exactly the wall-clock family — a4_predict_pattern,
+    // a8_history_* (3), a9_pivot_day_stats, f_datetime_family,
+    // j4_predict_slot_rules, j6_replay_pattern, s1_range_scan,
+    // syn_diurnal_series — whose hour/day/dow derivations interpret
+    // instants in the session TZ (Spark's documented date_trunc/hour/
+    // dayofweek semantics, and the reference's own localtime behavior,
+    // app.py's strftime over local time). This test pins one
+    // representative of each class so a future operator can't silently
+    // join the wrong class. The driver gate always runs UTC.
+    val dir = "/root/testdata/sf0.001"
+    def canon(name: String) =
+      SparkEntry.queries(name)(spark, dir).collect().map(_.toSeq).toSeq
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    val utcTotals = canon("a1_totals_global")     // instant-derived only
+    val utcDedup = canon("dd_exact_dedup")        // no time at all
+    val utcBuckets = canon("a8_history_buckets_15m") // wall-clock buckets
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      assert(canon("a1_totals_global") == utcTotals,
+        "instant-derived totals must not move with the session TZ")
+      assert(canon("dd_exact_dedup") == utcDedup,
+        "text ops must not move with the session TZ")
+      assert(canon("a8_history_buckets_15m") != utcBuckets,
+        "wall-clock buckets are DEFINED in session-local time and must shift")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("numpy-style percentile thresholds agree with manual interpolation") {
     // hourly volumes 10,20,30,40 → p50=25, p75=32.5, p90=37 (numpy linear)
     val rows = (0 until 4).map { h =>
