@@ -39,8 +39,6 @@ object TextDedup {
     * — identical values, so oracles are unaffected. */
   def md5Hash60(s: Column): Column = graft.functions.Md5Hash60.md5hash60(s)
 
-  private val P = 1000000007L // hash-family modulus (fits products in Long)
-
   /** Array of `n`-word shingle strings for a token array. Built as a
     * zip_with chain over n shifted slices — O(n·len) per document. The
     * naive `transform(sequence, i => slice(w, i, n))` is O(len²) per doc
@@ -255,18 +253,22 @@ object TextDedup {
   }
 
   /** MinHash signature: k hash functions h_i(s) = (a_i*h + b_i) mod P
-    * over the doc's shingle-hash set, computed as k `min` aggregates in
-    * ONE groupBy (no k-way row explosion — at sf0.1 this is ~16× less
-    * shuffle than the explode formulation). Output: (id, mh0..mh{k-1}). */
-  def minhashSignatures(sh: DataFrame, idCol: String, k: Int): DataFrame = {
-    val hh = (col("sh_h") % P).as("hh")
-    val aggs = (0 until k).map { i =>
-      min((lit(i * 2L + 1) * col("hh") + lit(i * 17L + 91)) % P).as(s"mh$i")
-    }
-    sh.select(col(idCol), hh)
-      .groupBy(col(idCol))
-      .agg(aggs.head, aggs.tail: _*)
-  }
+    * over the doc's shingle-hash set — a PURE PROJECTION via the fused
+    * codegen kernel [[graft.functions.MinHashK]] over the per-doc set
+    * array (one k×|set| loop per row, no corpus-wide groupBy shuffle;
+    * the earlier k-min-aggregates formulation re-shuffled the whole
+    * exploded index just to fold it back per doc). Values are
+    * identical — same hash family, modulus, exact long arithmetic
+    * (spec-pinned against the declarative form). Docs with zero
+    * shingles have no signature (filtered, matching the old
+    * no-rows-per-empty-group behavior). Input: [[shingleHashSets]]
+    * output. Output: (id, mh0..mh{k-1}). */
+  def minhashSignatures(sets: DataFrame, idCol: String, k: Int): DataFrame =
+    sets.filter(size(col("sh_set")) > 0)
+      .select(col(idCol),
+        graft.functions.MinHashK.minhashK(col("sh_set"), k).as("_mh"))
+      .select(col(idCol) +:
+        (0 until k).map(i => element_at(col("_mh"), i + 1).as(s"mh$i")): _*)
 
   /** One row per (doc, band): the LSH bucket keys of a document —
     * `k` minhashes in `bands` bands of k/bands rows, the band key being
@@ -275,9 +277,9 @@ object TextDedup {
     * rows). */
   def bandKeys(df: DataFrame, idCol: String, textCol: String,
                n: Int, k: Int, bands: Int): DataFrame = {
-    val sh = shingleHashes(df, idCol, textCol, n)
     val rows = k / bands
-    val sig = minhashSignatures(sh, idCol, k)
+    val sig = minhashSignatures(shingleHashSets(df, idCol, textCol, n),
+      idCol, k)
     val bandStructs = (0 until bands).map { b =>
       struct((0 until rows).map(r => col(s"mh${b * rows + r}").as(s"v$r")): _*)
     }
@@ -299,9 +301,15 @@ object TextDedup {
     * Candidates are then exact-verified (jaccard >= minJ). */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int, k: Int, bands: Int, minJ: Double): DataFrame = {
-    val sh = shingleHashes(df, idCol, textCol, n)
+    val sets = shingleHashSets(df, idCol, textCol, n)
     val rows = k / bands
-    val sig = minhashSignatures(sh, idCol, k)
+    // anchor the signature table behind ONE exchange before the banded
+    // self-join: both join sides (and AQE's broadcast build, if chosen)
+    // then replay the same shuffle stage instead of re-running the
+    // tokenize+md5+minhash map work per side. The anchored payload is
+    // (id, k longs) — ~10× smaller than the exploded index the old
+    // groupBy-signatures formulation shuffled for the same anchoring.
+    val sig = minhashSignatures(sets, idCol, k).repartition(col(idCol))
     // one row per (doc, band); the band key is the band's minhash tuple
     val bandStructs = (0 until bands).map { b =>
       struct((0 until rows).map(r => col(s"mh${b * rows + r}").as(s"v$r")): _*)
@@ -318,7 +326,7 @@ object TextDedup {
     // so verification joins each pair to the two docs' shingle sets
     // and intersects map-side (see verifyPairs) instead of re-joining
     // the inverted index with itself
-    verifyPairs(cand, shingleHashSets(df, idCol, textCol, n), idCol)
+    verifyPairs(cand, sets, idCol)
       .filter(col("jaccard") >= minJ)
       .select("a_id", "b_id", "jaccard")
   }

@@ -48,6 +48,45 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("MinHashK fused kernel matches the declarative k-min-aggregates signature") {
+    // the codegen kernel must be value-identical to the groupBy
+    // formulation it replaced (hash family h_i(s) = ((2i+1)(s mod P) +
+    // (17i+91)) mod P, k min aggregates over the exploded index)
+    val P = graft.functions.MinHashK.P
+    val k = 16
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val fused = TextDedup.minhashSignatures(
+        TextDedup.shingleHashSets(d, "doc_id", "text", 3), "doc_id", k)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val sh = TextDedup.shingleHashes(d, "doc_id", "text", 3)
+    val hh = (col("sh_h") % P).as("hh")
+    val aggs = (0 until k).map { i =>
+      min((lit(i * 2L + 1) * col("hh") + lit(i * 17L + 91)) % P).as(s"mh$i")
+    }
+    val ref = sh.select(col("doc_id"), hh).groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(fused.nonEmpty && fused == ref)
+  }
+
+  test("minhash signatures and band keys are shuffle-free projections") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val d = Tables.documents(spark, "/root/testdata/sf0.001")
+      Seq(
+        TextDedup.minhashSignatures(
+          TextDedup.shingleHashSets(d, "doc_id", "text", 3), "doc_id", 16),
+        TextDedup.bandKeys(d, "doc_id", "text", 3, 16, 4)
+      ).foreach { q =>
+        val plan = q.queryExecution.executedPlan
+        assert(plan.collect { case s: ShuffleExchangeLike => s }.isEmpty,
+          s"expected a pure projection:\n$plan")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("minhashLshPairs achieves full recall on high-jaccard pairs") {
     // LSH (16 sigs, 4 bands) must find everything jaccardPairs finds at
     // J>=0.9 (theoretical recall at 0.9 with r=4: 1-(1-0.9^4)^4 ≈ 0.98;
