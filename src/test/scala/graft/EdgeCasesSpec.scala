@@ -192,6 +192,47 @@ class EdgeCasesSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("fused kernel null/empty contracts: SimHash60 and MinHashK") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // null array → null (UnaryExpression contract); null ELEMENTS are
+    // skipped; empty array → all-zero votes → signature 0
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("toks", ArrayType(StringType, containsNull = true))))
+    val rows = Seq(
+      Row(1L, null),
+      Row(2L, Seq.empty[String]),
+      Row(3L, Seq("alpha", null, "alpha")),
+      Row(4L, Seq("alpha", "alpha")))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    val sim = df.select(col("id"),
+        graft.functions.SimHash60.simhash60(col("toks")).as("s"))
+      .orderBy("id").collect()
+    assert(sim(0).isNullAt(1))
+    assert(sim(1).getLong(1) == 0L)
+    // null elements vote on nothing: rows 3 and 4 agree
+    assert(sim(2).getLong(1) == sim(3).getLong(1))
+
+    val hs = df.select(col("id"),
+      transform(col("toks"), t => TextDedup.md5Hash60(t)).as("hs"))
+    val mh = hs.select(col("id"),
+        graft.functions.MinHashK.minhashK(col("hs"), 4).as("m"))
+      .orderBy("id").collect()
+    assert(mh(0).isNullAt(1))
+    // empty set → MaxValue sentinels (callers filter zero-shingle docs)
+    assert(mh(1).getSeq[Long](1).forall(_ == Long.MaxValue))
+    assert(mh(2).getSeq[Long](1) == mh(3).getSeq[Long](1))
+    // single-element set: signature is the hash family applied to it
+    val h = df.filter(col("id") === 4L)
+      .select(TextDedup.md5Hash60(lit("alpha"))).collect().head.getLong(0)
+    val p = graft.functions.MinHashK.P
+    val expect = (0 until 4).map(i =>
+      ((2L * i + 1) * (h % p) + (17L * i + 91)) % p)
+    assert(mh(3).getSeq[Long](1) == expect)
+  }
+
   test("s1 range scan with an empty time window yields no rows") {
     val out = SparkEntry.queries("s1_range_scan")(spark, "/root/testdata/sf0.001")
     assert(out.filter(col("ts_epoch") < 0).count() == 0)
