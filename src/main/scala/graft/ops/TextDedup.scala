@@ -562,7 +562,11 @@ object TextDedup {
     * exact Hamming-distance filter <= maxHamming. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int): DataFrame = {
-    val sig = simhashSignatures(df, idCol, textCol)
+    // anchor the (id, simhash) table behind one tiny exchange so both
+    // sides of the banded self-join replay the same shuffle stage
+    // instead of re-running tokenize+md5 per side (same pattern as
+    // minhashLshPairs' signature anchor)
+    val sig = simhashSignatures(df, idCol, textCol).repartition(col(idCol))
     val banded = sig.select(col(idCol), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("chunk",
