@@ -291,6 +291,18 @@ object SparkEntry {
         d.filter(col("source") === "src0"),
         "doc_id", "text", 3, broadcastEval = false).orderBy("doc_id")
     }),
+    // ---- contamination, bloom-guarded: compact broadcast bloom prunes
+    // the assessed hash stream map-side, exact semi-join confirms —
+    // row-identical to the exact path by the no-false-negatives
+    // property, which is exactly what the shared oracle checks ----
+    "dd_contamination_bloom" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val bench = TextDedup.benchmarkHashSet(
+        d.filter(col("source") =!= "src0"), "text", 3)
+      TextDedup.contaminationBloomGuarded(
+        d.filter(col("source") === "src0"), "doc_id", "text", 3,
+        bench, expectedItems = 200000L, fpp = 0.01).orderBy("doc_id")
+    }),
     // ---- as-of join (union+window composition; DuckDB ASOF oracle) ----
     "x_asof_join" -> ((s, dir) => {
       val e = ev(s, dir)
@@ -1133,6 +1145,29 @@ object SparkEntry {
         |       CAST(max(eps) AS BIGINT) session_end,
         |       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) total_value
         |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+    // the bloom-guarded path is row-identical to the exact operator
+    // (bloom pre-filter has no false negatives; exact semi-join removes
+    // its false positives), so it shares the exact oracle SQL
+    "dd_contamination_bloom" ->
+      """WITH tr AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') w
+        |            FROM documents WHERE source <> 'src0'),
+        |ev AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') w
+        |       FROM documents WHERE source = 'src0'),
+        |tsh AS (SELECT DISTINCT
+        |          CAST(('0x'||substr(md5(array_to_string(w[i:i+2], ' ')),1,15)) AS BIGINT) AS sh_h
+        |        FROM tr, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS g(i)),
+        |esh AS (SELECT DISTINCT doc_id,
+        |          CAST(('0x'||substr(md5(array_to_string(w[i:i+2], ' ')),1,15)) AS BIGINT) AS sh_h
+        |        FROM ev, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS g(i)),
+        |sizes AS (SELECT doc_id, COUNT(*) n_shingles FROM esh GROUP BY 1),
+        |hits AS (SELECT doc_id, COUNT(*) n_contaminated
+        |         FROM esh WHERE sh_h IN (SELECT sh_h FROM tsh) GROUP BY 1)
+        |SELECT s.doc_id AS doc_id, s.n_shingles,
+        |       COALESCE(h.n_contaminated, 0) AS n_contaminated,
+        |       CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) /
+        |         CAST(s.n_shingles AS DOUBLE) AS contamination_ratio
+        |FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "dd_contamination" ->
       """WITH tr AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') w
         |            FROM documents WHERE source <> 'src0'),

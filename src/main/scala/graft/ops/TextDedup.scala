@@ -534,6 +534,46 @@ object TextDedup {
           col("n_shingles").cast("double")).as("contamination_ratio"))
   }
 
+  /** Contamination with a BLOOM-GUARDED probe — the shape for a
+    * benchmark too large to broadcast exactly: a compact BloomFilter of
+    * the benchmark's shingle hashes broadcasts instead (an fpp=1%
+    * filter is ~1.2 bytes/item vs 8+ for the exact set), the assessed
+    * corpus's hash stream is pruned MAP-SIDE by `mightContainLong`
+    * (codegen, [[graft.functions.BloomMightContainLong]]), and only
+    * the tiny surviving slice reaches the exact semi-join that
+    * confirms membership. Because a bloom filter has NO false
+    * negatives, the pre-filter drops nothing the exact join would
+    * keep, and the exact join removes the fpp-bounded false positives
+    * — so output is ROW-IDENTICAL to [[contaminationAgainst]] (and
+    * oracle-verified as such), while the shuffle into the semi-join
+    * shrinks from the corpus's full hash stream to ~(true hits +
+    * fpp · stream). The filter builds with ONE pass over the
+    * benchmark set (`stat.bloomFilter`, a driver-collected sketch —
+    * benchmark-scale by contract, same bound as the broadcast mode).
+    *
+    * `expectedItems`/`fpp` size the filter; they affect only the
+    * pre-filter's selectivity, never the result. */
+  def contaminationBloomGuarded(docs: DataFrame, idCol: String,
+                                textCol: String, n: Int,
+                                benchHashes: DataFrame,
+                                expectedItems: Long,
+                                fpp: Double): DataFrame = {
+    val bloom = benchHashes.stat.bloomFilter("sh_h", expectedItems, fpp)
+    val bc = docs.sparkSession.sparkContext.broadcast(bloom)
+    val sh = shingleHashes(docs, idCol, textCol, n)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+    val candidates = sh.filter(
+      graft.functions.BloomMightContainLong.mightContain(col("sh_h"), bc))
+    val hits = candidates
+      .join(benchHashes.select("sh_h"), Seq("sh_h"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_contaminated"))
+    sizes.join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_contaminated"), lit(0L)).cast("double") /
+          col("n_shingles").cast("double")).as("contamination_ratio"))
+  }
+
   /** SimHash: 60-bit signature from token hashes. Bit b of the signature
     * is 1 iff the sum over tokens of (+1 if bit b of md5Hash60(token) else
     * -1), weighted by token frequency, is positive. Returns (id, simhash).

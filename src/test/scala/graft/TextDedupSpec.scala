@@ -280,6 +280,41 @@ class TextDedupSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("bloom-guarded contamination is row-identical to the exact path and pre-filters map-side") {
+    // no-false-negatives: the bloom pre-filter may only ADD candidates
+    // the exact semi-join then removes, so rows must match exactly —
+    // for any filter sizing, including a deliberately undersized one
+    // (high fpp → many false positives, all confirmed away)
+    import org.apache.spark.sql.execution.FilterExec
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val bench = TextDedup.benchmarkHashSet(
+      d.filter(col("source") =!= "src0"), "text", 3)
+    val assessed = d.filter(col("source") === "src0")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val exact = canon(TextDedup.contaminationAgainst(
+      assessed, "doc_id", "text", 3, bench))
+    Seq((200000L, 0.01), (100L, 0.5)).foreach { case (items, fpp) =>
+      val guarded = TextDedup.contaminationBloomGuarded(
+        assessed, "doc_id", "text", 3, bench, items, fpp)
+      assert(canon(guarded) == exact, s"items=$items fpp=$fpp")
+    }
+    // the probe is a real map-side Filter in the physical plan
+    // (AQE off for the plan walk, as in the sibling plan asserts)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = TextDedup.contaminationBloomGuarded(
+          assessed, "doc_id", "text", 3, bench, 200000L, 0.01)
+        .queryExecution.executedPlan
+      val blooms = plan.collect {
+        case f: FilterExec
+          if f.condition.toString.contains("bloom_might_contain_long") => f
+      }
+      assert(blooms.nonEmpty, s"no bloom pre-filter in plan:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("contaminationAgainst a prebuilt hash set equals the role-swapped operator") {
     val d = Tables.documents(spark, "/root/testdata/sf0.001")
     val bench = d.filter(col("source") === "src0")
