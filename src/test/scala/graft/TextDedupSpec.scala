@@ -87,6 +87,32 @@ class TextDedupSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("banded self-joins reuse the signature exchange — one map pass over the corpus") {
+    // the anchor contract: the tokenize+md5+signature map work sits
+    // under ONE exchange that both self-join sides (and the verify
+    // path's set joins, where shapes allow) replay — visible statically
+    // as a ReusedExchange in the non-AQE plan (AQE's stage cache does
+    // the same at runtime)
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val d = Tables.documents(spark, "/root/testdata/sf0.001")
+      Seq(
+        "minhashLshPairs" ->
+          TextDedup.minhashLshPairs(d, "doc_id", "text", 3, 16, 4, 0.8),
+        "simhashPairs" ->
+          TextDedup.simhashPairs(d, "doc_id", "text", 10)
+      ).foreach { case (name, q) =>
+        val reused = q.queryExecution.executedPlan.collect {
+          case r: ReusedExchangeExec => r
+        }
+        assert(reused.nonEmpty,
+          s"$name: no ReusedExchange — self-join sides recompute the corpus map work")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("minhashLshPairs achieves full recall on high-jaccard pairs") {
     // LSH (16 sigs, 4 bands) must find everything jaccardPairs finds at
     // J>=0.9 (theoretical recall at 0.9 with r=4: 1-(1-0.9^4)^4 ≈ 0.98;
