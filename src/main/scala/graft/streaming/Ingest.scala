@@ -396,10 +396,19 @@ object Ingest {
     * accepts LSH's false-positive rate in exchange for one
     * hash-equi-join per batch against an index that is ~bands rows per
     * admitted doc, never the text). Within-batch near-dups collapse by
-    * keeping the smallest id per colliding bucket. Surviving docs
-    * append to `outRoot`; their band keys append to the index.
-    * foreachBatch makes the read-index/filter/append cycle transactional
-    * per micro-batch (exactly-once under the checkpoint). */
+    * keeping the smallest id per colliding bucket. Surviving docs land
+    * under `outRoot`; their band keys under the index.
+    * foreachBatch makes the read-index/filter/write cycle transactional
+    * per micro-batch (exactly-once under the checkpoint).
+    *
+    * Idempotence: each batch OVERWRITES its own `b=<batchId>`
+    * subdirectory in both the out root and the index (same layout as
+    * the contamination guard) — a crash replay rewrites the same dirs
+    * instead of appending duplicate rows/keys. The per-batch index
+    * read at the root sees `b=` as a partition column; replayed
+    * batches re-read the index as of their own completed
+    * predecessors, so the filter decision is reproduced, not
+    * double-counted. */
   def startNearDupFilterSink(docs: DataFrame, idCol: String,
                              textCol: String, outRoot: String,
                              indexPath: String, checkpoint: String,
@@ -410,31 +419,45 @@ object Ingest {
       .outputMode(OutputMode.Append)
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val keys = graft.ops.TextDedup
           .bandKeys(batch, idCol, textCol, n, k, bands).cache()
-        // cross-batch: drop docs colliding with the persisted index
-        val priorHits =
-          if (graft.io.Fs.exists(spark, indexPath))
-            keys.join(spark.read.parquet(indexPath).select("band", "band_h"),
-                Seq("band", "band_h"), "left_semi")
-              .select(col(idCol)).distinct()
-          else spark.emptyDataFrame.withColumn(idCol, lit(0L)).limit(0)
-        // within-batch: keep the smallest id per colliding bucket
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("band", "band_h").orderBy(col(idCol))
-        val batchDups = keys
-          .withColumn("_keep", min(col(idCol)).over(w))
-          .filter(col(idCol) =!= col("_keep"))
-          .select(col(idCol)).distinct()
-        val dropIds = priorHits.union(batchDups).distinct()
-        val kept = batch.join(dropIds, Seq(idCol), "left_anti")
-        kept.write.mode("append").parquet(outRoot)
-        keys.join(dropIds, Seq(idCol), "left_anti")
-          .write.mode("append").parquet(indexPath)
-        keys.unpersist()
-        ()
+        try {
+          // cross-batch: drop docs colliding with the persisted index —
+          // PRIOR batches' b= dirs only, enumerated explicitly: on
+          // replay this batch's own stale dir must not suppress its own
+          // docs, and a half-written current dir (crash mid-write, only
+          // _temporary inside) must not break schema inference. A dir
+          // is prior only if its batch committed, so prior dirs always
+          // hold readable committed files.
+          val priorDirs =
+            (if (graft.io.Fs.exists(spark, indexPath))
+               graft.io.Fs.listDirNames(spark, indexPath)
+             else Seq.empty)
+              .filter(_.startsWith("b="))
+              .filter(_.stripPrefix("b=").toLong < batchId)
+          val priorHits =
+            if (priorDirs.nonEmpty)
+              keys.join(spark.read.option("basePath", indexPath)
+                  .parquet(priorDirs.map(d => s"$indexPath/$d"): _*)
+                  .select("band", "band_h"),
+                  Seq("band", "band_h"), "left_semi")
+                .select(col(idCol)).distinct()
+            else spark.emptyDataFrame.withColumn(idCol, lit(0L)).limit(0)
+          // within-batch: keep the smallest id per colliding bucket
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("band", "band_h").orderBy(col(idCol))
+          val batchDups = keys
+            .withColumn("_keep", min(col(idCol)).over(w))
+            .filter(col(idCol) =!= col("_keep"))
+            .select(col(idCol)).distinct()
+          val dropIds = priorHits.union(batchDups).distinct()
+          batch.join(dropIds, Seq(idCol), "left_anti")
+            .write.mode("overwrite").parquet(s"$outRoot/b=$batchId")
+          keys.join(dropIds, Seq(idCol), "left_anti")
+            .write.mode("overwrite").parquet(s"$indexPath/b=$batchId")
+        } finally { keys.unpersist(); () }
       }
       .start()
 

@@ -103,6 +103,19 @@ class StreamingSpec extends SparkSpec {
       val indexed = spark.read.parquet(idx)
         .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
       assert(indexed == Set(1L, 2L, 4L, 6L))
+      // replay-safe layout: each micro-batch owns a b=<batchId> dir it
+      // would overwrite (not append) on a crash replay — in BOTH the
+      // admitted-doc root and the band index
+      Seq(out, idx).foreach { root =>
+        val dirs = new java.io.File(root).listFiles()
+          .filter(_.isDirectory).map(_.getName).toSet
+        assert(dirs == Set("b=0", "b=1"), s"$root layout: $dirs")
+      }
+      // provenance: the b partition column carries the ingest batch
+      val perBatch = spark.read.parquet(out)
+        .groupBy(col("b").cast("long").as("b")).count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(perBatch == Map(0L -> 2L, 1L -> 2L), s"got $perBatch")
     } finally q.stop()
   }
 
