@@ -129,8 +129,14 @@ object ScaleProbe {
       def walk(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
         else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      // files live under cell=<c>/b=<tag>/ — climb to the cell ancestor
+      def cellOf(f: java.io.File): Int = {
+        var d = f.getParentFile
+        while (d != null && !d.getName.startsWith("cell=")) d = d.getParentFile
+        d.getName.stripPrefix("cell=").toInt
+      }
       val filesPerCell = walk(new java.io.File(ivfDir))
-        .groupBy(_.getParentFile.getName.stripPrefix("cell=").toInt)
+        .groupBy(cellOf)
         .map { case (c, fs) => c -> fs.length }
       val probed = ops.Embeddings.probeCellsOf(ivfModel, ivfQueries,
           "vec_id", "embedding", nProbe = 4)

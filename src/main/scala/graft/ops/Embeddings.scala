@@ -322,7 +322,12 @@ object Embeddings {
       if (filesPerCell <= 1) routed.repartition(col("cell"))
       else routed.repartition(col("cell"),
         pmod(hash(col(idCol)), lit(filesPerCell)))
-    parted.write.partitionBy("cell")
+    // two-level layout cell=<c>/b=<tag>: the base build owns b=-1;
+    // streaming appends own b=<batchId> (see appendToIvfIndex) so a
+    // crash replay overwrites its own subpartitions instead of
+    // appending duplicate vectors. Readers prune on `cell` (first
+    // level) exactly as before and ignore `b`.
+    parted.withColumn("b", lit(-1L)).write.partitionBy("cell", "b")
       .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
     graft.io.Fs.publish(s, staging, path)
   }
@@ -334,16 +339,36 @@ object Embeddings {
     * retrained rarely and offline; recall comes from nProbe, and cell
     * assignment must stay consistent with the vectors already indexed,
     * which a fixed model guarantees). Pair with [[Lake.compactDay]]-
-    * style maintenance if high-frequency appends fragment hot cells. */
+    * style maintenance if high-frequency appends fragment hot cells.
+    *
+    * `batchTag`: replay idempotence for streaming callers. With
+    * Some(batchId), the append DYNAMICALLY OVERWRITES its own
+    * (cell, b=batchId) subpartitions — re-running the same batch after
+    * a crash rewrites the same directories instead of duplicating
+    * vectors (same contract as the ingest sinks' b=<batchId> layout);
+    * other batches' and the base build's (b=-1) partitions are
+    * untouched. With None (one-shot batch appends), plain append under
+    * b=-1, matching the build. */
   def appendToIvfIndex(model: IvfModel, newVectors: DataFrame,
-                       idCol: String, vecCol: String, path: String): Unit =
-    newVectors.select(col(idCol), quantize(col(vecCol)).as("cv"))
+                       idCol: String, vecCol: String, path: String,
+                       batchTag: Option[Long] = None): Unit = {
+    val routed = newVectors
+      .select(col(idCol), quantize(col(vecCol)).as("cv"))
       .withColumn("cell", cellOfQuantized(model, col("cv")))
       // one file per touched cell per append (vs one per task × cell);
       // append batches are small, so the routing shuffle is trivial
       .repartition(col("cell"))
-      .write.partitionBy("cell")
-      .mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
+      .withColumn("b", lit(batchTag.getOrElse(-1L)))
+    batchTag match {
+      case Some(_) =>
+        routed.write.partitionBy("cell", "b")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+      case None =>
+        routed.write.partitionBy("cell", "b")
+          .mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
+    }
+  }
 
   /** IVF top-k against a persisted index: identical semantics to
     * [[ivfTopK]] but the corpus side is the partitioned index, so only

@@ -248,8 +248,10 @@ object Ingest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.persist()
         try {
-          // S9 lake append — write-only: the snapshot never reads this
-          batch.write.mode("append").parquet(historyRoot)
+          // S9 lake append — write-only: the snapshot never reads this.
+          // Each batch owns a b=<batchId> dir it overwrites, so a crash
+          // replay can't double detections in the long-term record
+          batch.write.mode("overwrite").parquet(s"$historyRoot/b=$batchId")
           // 1. fold the batch roll-up into the previous state version
           // (replay-safe versioned commit — io.VersionedState)
           val state = graft.io.VersionedState.mergeCommit(
@@ -557,9 +559,11 @@ object Ingest {
     * The searchable index is therefore continuously current without a
     * rebuild; searches via `ivfTopKIndexed` pick up new vectors at
     * their next run. Exactly-once per the checkpoint at the batch
-    * grain (a replayed batch re-appends — run periodic exact-dedup
-    * compaction on the index if the source can replay, or key the
-    * upstream with [[streamingExactDedup]]). */
+    * grain. Replay-idempotent: each batch owns its (cell, b=batchId)
+    * subpartitions and OVERWRITES them dynamically on replay
+    * ([[graft.ops.Embeddings.appendToIvfIndex]]'s batchTag mode) — a
+    * crash-restart rewrites the same directories instead of appending
+    * duplicate vectors. */
   def startIvfAppendSink(model: graft.ops.Embeddings.IvfModel,
                          vectors: DataFrame, idCol: String, vecCol: String,
                          indexPath: String, checkpoint: String,
@@ -569,9 +573,9 @@ object Ingest {
       .outputMode(OutputMode.Append)
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.ops.Embeddings.appendToIvfIndex(model, batch, idCol, vecCol,
-          indexPath)
+          indexPath, batchTag = Some(batchId))
       }
       .start()
 

@@ -51,8 +51,14 @@ class IvfIndexSpec extends SparkSpec {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
       else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    // files live under cell=<c>/b=<tag>/ — climb to the cell ancestor
+    def cellOf(f: java.io.File): Int = {
+      var d = f.getParentFile
+      while (d != null && !d.getName.startsWith("cell=")) d = d.getParentFile
+      d.getName.stripPrefix("cell=").toInt
+    }
     val filesPerCell = walk(new java.io.File(dir))
-      .groupBy(f => f.getParentFile.getName.stripPrefix("cell=").toInt)
+      .groupBy(cellOf)
       .map { case (c, fs) => c -> fs.length }
     val probedCells = Embeddings.probeCellsOf(model, probes,
         "vec_id", "embedding", nProbe = 2)
@@ -92,6 +98,28 @@ class IvfIndexSpec extends SparkSpec {
         "vec_id", "embedding", nProbe = 3, k = 5)
       .collect().map(_.toSeq).toSet
     assert(inc == full)
+  }
+
+  test("tagged append is replay-idempotent: re-running a batch never duplicates vectors") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val model = Embeddings.ivfFit(e, "vec_id", "embedding", nLists = 8)
+    val base = e.filter($"vec_id" % 2 === 0)
+    val batch = e.filter($"vec_id" % 2 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_replay")
+      .toString
+    Embeddings.writeIvfIndex(model, base, "vec_id", "embedding", dir)
+    Embeddings.appendToIvfIndex(model, batch, "vec_id", "embedding", dir,
+      batchTag = Some(7L))
+    val once = spark.read.parquet(dir).count()
+    // crash replay: the SAME batch id runs again — must overwrite its
+    // own (cell, b=7) subpartitions, not append on top of them
+    Embeddings.appendToIvfIndex(model, batch, "vec_id", "embedding", dir,
+      batchTag = Some(7L))
+    assert(spark.read.parquet(dir).count() == once)
+    assert(once == e.count())
+    // the base build's b=-1 partitions survived the dynamic overwrite
+    assert(spark.read.parquet(dir)
+      .filter(col("b").cast("long") === -1L).count() == base.count())
   }
 
   test("streaming IVF append sink keeps the index search-identical to a full rebuild") {
