@@ -368,19 +368,27 @@ object SparkEntry {
         col("text")))
       TextDedup.exactDedup(u, "doc_id", "text").orderBy("keep_id")
     }),
+    // restrictSets = false in the benched entries: the library default
+    // (candidate-restricted set table, the 100 TB mode) adds semi-join
+    // stage barriers that roughly double these queries on local[32],
+    // where the corpus-wide shuffle it removes is a memory copy —
+    // same local-vs-scale pin as contamination's broadcastEval;
+    // row-identity of the two modes is spec-pinned in TextDedupSpec
     "dd_jaccard_pairs" -> ((s, dir) =>
       TextDedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-        3, 0.8).orderBy("a_id", "b_id")),
+        3, 0.8, restrictSets = false).orderBy("a_id", "b_id")),
     "dd_minhash_lsh" -> ((s, dir) =>
       TextDedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
-        n = 3, k = 16, bands = 4, minJ = 0.8).orderBy("a_id", "b_id")),
+        n = 3, k = 16, bands = 4, minJ = 0.8, restrictSets = false)
+        .orderBy("a_id", "b_id")),
     "dd_corpus_dedup" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       // self-union: every doc duplicated → exact stage must halve it,
       // near-dup stage then removes the seeded near-duplicates
       val u = d.union(d.select((col("doc_id") + 100000).as("doc_id"),
         col("text")))
-      TextDedup.dedupCorpus(u, "doc_id", "text", 3, 16, 4, 0.8)
+      TextDedup.dedupCorpus(u, "doc_id", "text", 3, 16, 4, 0.8,
+          restrictSets = false)
         .select(col("doc_id")).orderBy("doc_id")
     }),
     "dd_clusters" -> ((s, dir) => {
@@ -389,7 +397,7 @@ object SparkEntry {
       // exact-verified at J>=0.8 either way, and the oracle reproduces
       // the minhash pipeline bit-exactly)
       val pairs = TextDedup.minhashLshPairs(d, "doc_id", "text",
-        n = 3, k = 16, bands = 4, minJ = 0.8)
+        n = 3, k = 16, bands = 4, minJ = 0.8, restrictSets = false)
       // fixed 4 rounds (single lazy job): seeded near-dup components
       // are pairs/triples; the oracle's exact closure would fail
       // loudly if 4 rounds ever under-propagated

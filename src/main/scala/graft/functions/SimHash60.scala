@@ -28,7 +28,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * Null contract: null array → null (UnaryExpression default); null
   * ELEMENTS are skipped entirely (they vote on nothing and don't count
   * toward n) — the tokenizer never produces them; the guard keeps the
-  * expression total.
+  * expression total. NOTE this differs from the explode formulation it
+  * replaced, where a null token's null hash fell through
+  * when().otherwise(-1) and voted -1 on EVERY bit (e.g.
+  * ["alpha", null] → nonzero signature here, 0 there): the
+  * "bit-identical to the explode form" equivalence holds only for
+  * null-free arrays (tokenizer output), which is what the equivalence
+  * spec exercises.
   */
 case class SimHash60(child: Expression) extends UnaryExpression {
 

@@ -113,6 +113,44 @@ class TextDedupSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("verifyPairs set restriction (scale default) is row-identical and semi-joins the set table") {
+    // the 100 TB contract: with restrictSets (the library default) the
+    // corpus-wide shingle-set table is cut to candidate-pair ids by a
+    // LeftSemi join BEFORE the two pair joins, so only candidate docs'
+    // sets ever shuffle; restrictSets = false (the benched local mode)
+    // skips the semi join. Both modes must return identical rows —
+    // the pair joins are inner on candidate ids, so the restriction
+    // can never change the output.
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("a_id", "b_id").collect().toSeq
+    val scaleJ = TextDedup.jaccardPairs(d, "doc_id", "text", 3, 0.8)
+    assert(canon(scaleJ) == canon(TextDedup.jaccardPairs(
+      d, "doc_id", "text", 3, 0.8, restrictSets = false)))
+    assert(canon(TextDedup.minhashLshPairs(d, "doc_id", "text", 3, 16, 4, 0.8))
+      == canon(TextDedup.minhashLshPairs(d, "doc_id", "text", 3, 16, 4, 0.8,
+        restrictSets = false)))
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = TextDedup.jaccardPairs(d, "doc_id", "text", 3, 0.8)
+        .queryExecution.executedPlan
+      val semis = plan.collect {
+        case j: BaseJoinExec if j.joinType == LeftSemi => j
+      }
+      assert(semis.nonEmpty,
+        s"scale mode: no LeftSemi set restriction in the plan:\n$plan")
+      val plainPlan = TextDedup.jaccardPairs(d, "doc_id", "text", 3, 0.8,
+          restrictSets = false)
+        .queryExecution.executedPlan
+      assert(plainPlan.collect {
+        case j: BaseJoinExec if j.joinType == LeftSemi => j
+      }.isEmpty, "local mode must not pay the semi-join barriers")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("minhashLshPairs achieves full recall on high-jaccard pairs") {
     // LSH (16 sigs, 4 bands) must find everything jaccardPairs finds at
     // J>=0.9 (theoretical recall at 0.9 with r=4: 1-(1-0.9^4)^4 ≈ 0.98;
@@ -452,6 +490,36 @@ class TextDedupSpec extends SparkSpec {
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
     TextDedup.nearDupClusters(ids, pairs, "doc_id").count()
     awaitBaseline("nearDupClusters (converging mode)")
+  }
+
+  test("cluster label cache survives unrelated actions, releases on result consumption") {
+    // scoping contract of the listener release: the cache backs the
+    // RESULT, so only an action whose plan contains the result (or its
+    // cached frames) may release it — a concurrent unrelated action on
+    // the session (streaming foreachBatch work, parallel queries) must
+    // NOT evict the label cache before the caller consumes it.
+    val sc = spark.sparkContext
+    def persisted: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    val base = persisted
+    val ids = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    val res = TextDedup.nearDupClusters(ids, pairs, "doc_id")
+    assert(persisted.diff(base).nonEmpty,
+      "expected the final label cache to be alive before consumption")
+    // unrelated actions — give a (wrongly) triggered async release
+    // ample time to land before checking the cache survived
+    (1 to 3).foreach(_ => spark.range(10).count())
+    Thread.sleep(500)
+    assert(persisted.diff(base).nonEmpty,
+      "an unrelated action released the label cache early")
+    // consumption THROUGH A TRANSFORMATION (not the raw frame) must
+    // still match — the release keys on plan containment, not identity
+    res.filter(col("cluster_id") === 1L).count()
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    while (persisted.diff(base).nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(persisted.diff(base).isEmpty,
+      s"label cache not released after consumption: ids ${persisted.diff(base)}")
   }
 
   test("token counts: ws vs bpe-ish") {
