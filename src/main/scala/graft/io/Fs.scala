@@ -24,6 +24,21 @@ object Fs {
     else f.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
   }
 
+  /** Names of child FILES of `path` (empty if missing). */
+  def listFileNames(s: SparkSession, path: String): Seq[String] = {
+    val f = fs(s, path); val p = new Path(path)
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).toSeq.filter(_.isFile).map(_.getPath.getName)
+  }
+
+  /** Create an empty marker file (atomic create; parents made as
+    * needed). Overwrites nothing: creating an already-present marker
+    * is a no-op. */
+  def touch(s: SparkSession, path: String): Unit = {
+    val f = fs(s, path); val p = new Path(path)
+    if (!f.exists(p)) { f.create(p, false).close() }
+  }
+
   /** Total length of files under `path` whose name passes `keep`. */
   def totalBytes(s: SparkSession, path: String,
                  keep: String => Boolean): Long = {

@@ -338,8 +338,10 @@ object Embeddings {
     * quantizer stays FIXED (standard IVF practice: the quantizer is
     * retrained rarely and offline; recall comes from nProbe, and cell
     * assignment must stay consistent with the vectors already indexed,
-    * which a fixed model guarantees). Pair with [[Lake.compactDay]]-
-    * style maintenance if high-frequency appends fragment hot cells.
+    * which a fixed model guarantees). Pair with [[compactIvfIndex]]
+    * when high-frequency appends fragment hot cells — it folds the
+    * accumulated `(cell, b=batchId)` tag dirs into one base tag per
+    * cell without rewriting the b=-1 build.
     *
     * `batchTag`: replay idempotence for streaming callers. With
     * Some(batchId), the append DYNAMICALLY OVERWRITES its own
@@ -370,6 +372,98 @@ object Embeddings {
     }
   }
 
+  /** Watermark of the last [[compactIvfIndex]] fold: the highest id
+    * among `_w_<id>` marker files at the index root; -1 before any
+    * compaction. Markers are underscore-prefixed (invisible to
+    * partition discovery) and CREATED, never rewritten — the newest
+    * one wins, so a crash can never leave the watermark in a
+    * half-updated state (the window a single rewritten marker file
+    * would have between delete and recreate). */
+  def ivfWatermark(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Long =
+    graft.io.Fs.listFileNames(spark, path)
+      .filter(_.startsWith("_w_"))
+      .flatMap(_.stripPrefix("_w_").toLongOption)
+      .maxOption.getOrElse(-1L)
+
+  /** Row filter selecting the index's LIVE content under watermark `w`:
+    * the base build (b = -1, which also holds one-shot appends), the
+    * compacted fold base (b = -(w+2)), and the uncompacted streaming
+    * tail (b > w). Stale partitions a crashed [[compactIvfIndex]] or a
+    * post-compaction replay left behind are excluded, so every crash
+    * window reads each vector exactly once. Degenerates to
+    * all-partitions when w = -1 (never compacted: -(w+2) = -1 and
+    * b > -1 covers every tag). A pure partition-column predicate, so
+    * it prunes directories, not rows. */
+  private def liveIvfRows(w: Long): Column =
+    col("b") === lit(-1L) || col("b") === lit(-(w + 2L)) ||
+      col("b") > lit(w)
+
+  /** Fold the streaming `(cell, b=batchId)` subpartitions with
+    * id in (watermark, upTo] — plus the previous fold's base — into a
+    * single new base tag `b=-(newW+2)` per touched cell, bounding the
+    * per-cell directory count a long-running [[appendToIvfIndex]]
+    * stream accumulates (one dir per micro-batch per touched cell).
+    * The base build's b=-1 partitions are never rewritten (they are
+    * the bulk of a 100 TB index; folding them would make maintenance
+    * cost proportional to the corpus instead of to the appends).
+    *
+    * Protocol (fold → marker → sweep), each step safe to die after:
+    * the folded rows are written under the new tag by a dynamic
+    * partition overwrite (re-runnable — same tag, same partitions);
+    * the `_w_<newW>` marker then ATOMICALLY advances the watermark
+    * (readers ignore the new tag until it lands, and ignore the folded
+    * sources once it does — see [[liveIvfRows]]); the superseded
+    * source dirs and older markers are swept last, and a missed sweep
+    * is retried by the next compaction. `upTo` must stay at or below
+    * the appending stream's last checkpointed batch, same bound (and
+    * same reasoning) as [[graft.io.Batches.compact]]. Returns true iff
+    * a fold happened. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String, upTo: Long): Boolean = {
+    import org.apache.spark.sql.SaveMode
+    val io = graft.io.Fs
+    if (!io.exists(spark, path)) return false
+    io.recoverPublished(spark, path) // heal a crashed build publish
+    val w = ivfWatermark(spark, path)
+    val cellDirs = io.listDirNames(spark, path).filter(_.startsWith("cell="))
+    val tagsByCell = cellDirs.map(c =>
+      c -> io.listDirNames(spark, s"$path/$c")
+        .flatMap(n => if (n.startsWith("b=")) n.stripPrefix("b=").toLongOption
+                      else None))
+    // sweep stale partitions first: folded sources a crashed sweep left
+    // behind (0 <= t <= w) and fold bases superseded by a newer
+    // watermark (t <= -2, encoded watermark < w)
+    tagsByCell.foreach { case (c, tags) =>
+      tags.filter(t => (t >= 0L && t <= w) || (t <= -2L && -t - 2L < w))
+        .foreach(t => io.delete(spark, s"$path/$c/b=$t"))
+    }
+    val candidates = tagsByCell.flatMap(_._2).distinct
+      .filter(t => t >= 0L && t > w && t <= upTo)
+    if (candidates.isEmpty) return false
+    val newW = candidates.max
+    val foldTags = (if (w >= 0L) Seq(-(w + 2L)) else Nil) ++ candidates
+    spark.read.parquet(path)
+      .filter(col("b").isin(foldTags: _*))
+      .drop("b").withColumn("b", lit(-(newW + 2L)))
+      // one file per touched cell (same routing as appendToIvfIndex:
+      // the fold is append-scale, not corpus-scale)
+      .repartition(col("cell"))
+      .write.partitionBy("cell", "b")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite).parquet(path)
+    io.touch(spark, s"$path/_w_$newW") // the atomic watermark advance
+    tagsByCell.foreach { case (c, tags) =>
+      tags.filter(foldTags.contains)
+        .foreach(t => io.delete(spark, s"$path/$c/b=$t"))
+    }
+    io.listFileNames(spark, path)
+      .filter(n => n.startsWith("_w_") &&
+        n.stripPrefix("_w_").toLongOption.exists(_ < newW))
+      .foreach(n => io.delete(spark, s"$path/$n"))
+    true
+  }
+
   /** IVF top-k against a persisted index: identical semantics to
     * [[ivfTopK]] but the corpus side is the partitioned index, so only
     * the probed cells' directories are read.
@@ -397,6 +491,9 @@ object Embeddings {
       .select("cell").distinct().collect().map(_.getInt(0))
     val cb = spark.read.parquet(indexPath)
       .filter(col("cell").isin(probedCells.toIndexedSeq: _*))
+      // exclude partitions superseded by a fold ([[compactIvfIndex]]):
+      // static partition predicate, prunes dirs like the cell filter
+      .filter(liveIvfRows(ivfWatermark(spark, indexPath)))
       .select(col(idCol).as("corpus_id"), col("cv"), col("cell"))
     val probeCells = transform(
       slice(array_sort(array(

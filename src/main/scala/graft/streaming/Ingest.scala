@@ -250,7 +250,9 @@ object Ingest {
         try {
           // S9 lake append — write-only: the snapshot never reads this.
           // Each batch owns a b=<batchId> dir it overwrites, so a crash
-          // replay can't double detections in the long-term record
+          // replay can't double detections in the long-term record;
+          // fold the accumulating dirs periodically with
+          // graft.io.Batches.compact (upTo <= last committed batch)
           batch.write.mode("overwrite").parquet(s"$historyRoot/b=$batchId")
           // 1. fold the batch roll-up into the previous state version
           // (replay-safe versioned commit — io.VersionedState)
@@ -407,15 +409,35 @@ object Ingest {
     * subdirectory in both the out root and the index (same layout as
     * the contamination guard) — a crash replay rewrites the same dirs
     * instead of appending duplicate rows/keys. The per-batch index
-    * read at the root sees `b=` as a partition column; replayed
-    * batches re-read the index as of their own completed
-    * predecessors, so the filter decision is reproduced, not
-    * double-counted. */
+    * read sees only COMMITTED PRIOR content ([[graft.io.Batches.read]]
+    * with `below = batchId`): on replay this batch's own stale dir
+    * must not suppress its own docs, and a half-written current dir
+    * must not break schema inference. Replayed batches therefore
+    * re-read the index as of their own completed predecessors, so the
+    * filter decision is reproduced, not double-counted.
+    *
+    * Maintenance: `compactEvery > 0` folds the index's committed prior
+    * batch dirs into a compacted base every that-many batches
+    * ([[graft.io.Batches.compact]] with the safe `upTo = batchId - 1`
+    * bound), keeping the per-trigger listing and read path-list
+    * O(compactEvery) instead of O(completed batches) over the stream's
+    * life. The OUT root is write-only here and keeps full per-batch
+    * provenance; compact it on its own schedule via
+    * [[graft.io.Batches.compact]] (provenance collapses into the base
+    * tag — an audit-retention choice, so not made implicitly).
+    *
+    * Layout break (pre-round-7 deployments): an index written by the
+    * old FLAT append layout (parquet files directly at the root) is
+    * NOT silently ignored — previously admitted docs would be
+    * forgotten and near-dups of them re-admitted. [[graft.io.Batches
+    * .requireBatchLayout]] fails the batch fast; migrate the flat
+    * files into a `b=` dir first. */
   def startNearDupFilterSink(docs: DataFrame, idCol: String,
                              textCol: String, outRoot: String,
                              indexPath: String, checkpoint: String,
                              n: Int = 3, k: Int = 16, bands: Int = 4,
-                             trigger: Trigger = Trigger.ProcessingTime(0L))
+                             trigger: Trigger = Trigger.ProcessingTime(0L),
+                             compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append)
@@ -426,27 +448,24 @@ object Ingest {
         val keys = graft.ops.TextDedup
           .bandKeys(batch, idCol, textCol, n, k, bands).cache()
         try {
+          // bound the prior-dir enumeration BEFORE reading it: folding
+          // only batches <= batchId - 1 (committed by definition once
+          // this batch runs) can neither race a replay nor change what
+          // a replayed batch reads — the base holds exactly the dirs
+          // the replay would have enumerated
+          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+            graft.io.Batches.compact(spark, indexPath, upTo = batchId - 1)
           // cross-batch: drop docs colliding with the persisted index —
-          // PRIOR batches' b= dirs only, enumerated explicitly: on
-          // replay this batch's own stale dir must not suppress its own
-          // docs, and a half-written current dir (crash mid-write, only
-          // _temporary inside) must not break schema inference. A dir
-          // is prior only if its batch committed, so prior dirs always
-          // hold readable committed files.
-          val priorDirs =
-            (if (graft.io.Fs.exists(spark, indexPath))
-               graft.io.Fs.listDirNames(spark, indexPath)
-             else Seq.empty)
-              .filter(_.startsWith("b="))
-              .filter(_.stripPrefix("b=").toLong < batchId)
-          val priorHits =
-            if (priorDirs.nonEmpty)
-              keys.join(spark.read.option("basePath", indexPath)
-                  .parquet(priorDirs.map(d => s"$indexPath/$d"): _*)
-                  .select("band", "band_h"),
+          // compacted base + committed prior b= dirs (fails fast on a
+          // pre-b= flat layout rather than forgetting its admissions)
+          val priorHits = graft.io.Batches
+            .read(spark, indexPath, below = Some(batchId)) match {
+            case Some(idx) =>
+              keys.join(idx.select("band", "band_h"),
                   Seq("band", "band_h"), "left_semi")
                 .select(col(idCol)).distinct()
-            else spark.emptyDataFrame.withColumn(idCol, lit(0L)).limit(0)
+            case None => spark.emptyDataFrame.withColumn(idCol, lit(0L)).limit(0)
+          }
           // within-batch: keep the smallest id per colliding bucket
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy("band", "band_h").orderBy(col(idCol))
@@ -497,7 +516,9 @@ object Ingest {
     * document (the union of their shingles) and admitted or refused
     * atomically — [[graft.ops.TextDedup.contaminationAgainst]] grades
     * per id, not per row. The persisted probe set is released when the
-    * query terminates (listener-hooked). */
+    * query terminates (listener-hooked). Long streams: fold the
+    * accumulating `b=` dirs under both roots periodically with
+    * [[graft.io.Batches.compact]] (upTo <= last committed batch). */
   def startContaminationFilterSink(docs: DataFrame, idCol: String,
                                    textCol: String, evalDocs: DataFrame,
                                    outRoot: String, quarantineRoot: String,

@@ -1,0 +1,87 @@
+package graft
+
+import graft.io.{Batches, Fs}
+import org.apache.spark.sql.functions._
+
+/** Maintenance for the streaming sinks' `b=<batchId>` layouts:
+  * watermark-named compacted base, exactly-once reads through every
+  * crash window, and the pre-layout fail-fast. */
+class BatchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString + "/sink"
+
+  private def writeBatch(root: String, id: Long, rows: Seq[Long]): Unit =
+    rows.toDF("v").coalesce(1).write.mode("overwrite")
+      .parquet(s"$root/b=$id")
+
+  /** (value, b-tag-it-was-read-under) pairs of the live layout. */
+  private def readAll(root: String,
+                      below: Option[Long] = None): Set[(Long, Long)] =
+    Batches.read(spark, root, below)
+      .map(_.select(col("v"), col("b").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+      .getOrElse(Set.empty)
+
+  test("compact folds committed batches into a watermark-named base; readers see base + tail") {
+    val root = newRoot("graft_batches")
+    assert(Batches.read(spark, root).isEmpty)
+    assert(!Batches.compact(spark, root, upTo = 10L)) // nothing to fold
+    (0L to 4L).foreach(id => writeBatch(root, id, Seq(id * 10, id * 10 + 1)))
+    val values = readAll(root).map(_._1)
+    assert(values.size == 10)
+
+    assert(Batches.compact(spark, root, upTo = 2L))
+    assert(Batches.watermark(spark, root) == 2L)
+    assert(Fs.listDirNames(spark, root).toSet == Set("b=-4", "b=3", "b=4"),
+      "base encodes the fold watermark in its name; tail dirs survive")
+    // every value exactly once; base rows carry the base tag, tail
+    // rows their ingest batch id (provenance preserved until folded)
+    assert(readAll(root) ==
+      (0L to 2L).flatMap(id => Seq((id * 10, -4L), (id * 10 + 1, -4L))).toSet
+        ++ Seq((30L, 3L), (31L, 3L), (40L, 4L), (41L, 4L)))
+
+    assert(!Batches.compact(spark, root, upTo = 2L),
+      "re-running with the same bound folds nothing (idempotent)")
+    assert(Batches.compact(spark, root, upTo = 99L))
+    assert(Fs.listDirNames(spark, root).toSet == Set("b=-6"))
+    assert(readAll(root).map(_._1) == values)
+  }
+
+  test("crash artifacts — superseded base, folded leftovers, staging — are invisible and swept") {
+    val root = newRoot("graft_batches_crash")
+    (0L to 3L).foreach(id => writeBatch(root, id, Seq(id)))
+    assert(Batches.compact(spark, root, upTo = 2L)) // base b=-4, tail b=3
+    // simulate every leftover a crash inside compact can leave:
+    writeBatch(root, -3L, Seq(991L)) // base superseded by b=-4's fold
+    writeBatch(root, 1L, Seq(992L))  // folded batch dir (or a replay of it)
+    Seq(993L).toDF("v").write.parquet(s"$root/_compact_b") // dead staging
+    val live = readAll(root)
+    assert(live == Set((0L, -4L), (1L, -4L), (2L, -4L), (3L, 3L)),
+      s"stale artifacts leaked into a read: $live")
+    // a fold with nothing new still sweeps the leftovers
+    assert(!Batches.compact(spark, root, upTo = 2L))
+    assert(Fs.listDirNames(spark, root).toSet == Set("b=-4", "b=3"))
+  }
+
+  test("below excludes the reader's own batch; an over-eager fold faults instead of self-suppressing") {
+    val root = newRoot("graft_batches_below")
+    (0L to 2L).foreach(id => writeBatch(root, id, Seq(id)))
+    assert(readAll(root, below = Some(2L)).map(_._1) == Set(0L, 1L),
+      "a sink reading its own store must not see its current batch")
+    assert(Batches.compact(spark, root, upTo = 2L))
+    // the fold went past batch 2's frontier — a batch-2 replay would
+    // now read its own output from the base; fail loudly instead
+    intercept[IllegalArgumentException](readAll(root, below = Some(2L)))
+    assert(readAll(root, below = Some(3L)).map(_._1) == Set(0L, 1L, 2L))
+  }
+
+  test("requireBatchLayout fails fast on pre-layout flat parquet at the root") {
+    val root = newRoot("graft_batches_flat")
+    Seq(1L, 2L).toDF("v").write.parquet(root) // old flat-append layout
+    val e = intercept[IllegalArgumentException](Batches.read(spark, root))
+    assert(e.getMessage.contains("b=<batchId>"))
+    intercept[IllegalArgumentException](Batches.compact(spark, root, 0L))
+  }
+}

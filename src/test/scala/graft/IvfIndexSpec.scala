@@ -149,4 +149,52 @@ class IvfIndexSpec extends SparkSpec {
       assert(streamed == full)
     } finally q.stop()
   }
+
+  test("IVF batch compaction folds append tags, leaves the base build, survives crash leftovers") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probes = e.filter($"vec_id" < 5)
+    val model = Embeddings.ivfFit(e, "vec_id", "embedding", nLists = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_compact")
+      .toString
+    val Seq(base, a1, a2, a3) = (0 to 3).map(i => e.filter($"vec_id" % 4 === i))
+    Embeddings.writeIvfIndex(model, base, "vec_id", "embedding", dir)
+    Seq(0L -> a1, 1L -> a2, 2L -> a3).foreach { case (tag, b) =>
+      Embeddings.appendToIvfIndex(model, b, "vec_id", "embedding", dir,
+        batchTag = Some(tag))
+    }
+    def topk() = Embeddings.ivfTopKIndexed(model, spark, dir, probes,
+      "vec_id", "embedding", nProbe = 3, k = 5).collect().map(_.toSeq).toSet
+    val before = topk()
+
+    assert(Embeddings.compactIvfIndex(spark, dir, upTo = 1L))
+    assert(Embeddings.ivfWatermark(spark, dir) == 1L)
+    val tags = spark.read.parquet(dir)
+      .select(col("b").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(tags == Set(-1L, -3L, 2L), // build base, fold of {0,1}, tail
+      s"partition tags after fold: $tags")
+    assert(spark.read.parquet(dir).count() == e.count(),
+      "fold lost or duplicated vectors")
+    assert(topk() == before, "search changed across the fold")
+
+    // crash leftovers: a post-fold replay re-creates an already-folded
+    // tag — readers must ignore it, the next compaction sweeps it
+    Embeddings.appendToIvfIndex(model, a2, "vec_id", "embedding", dir,
+      batchTag = Some(1L))
+    assert(topk() == before,
+      "replayed folded batch double-counted by the reader")
+    assert(!Embeddings.compactIvfIndex(spark, dir, upTo = 1L)) // sweep only
+    assert(spark.read.parquet(dir)
+      .select(col("b").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet == Set(-1L, -3L, 2L))
+
+    // fold the rest: the previous fold base collapses into the new one
+    assert(Embeddings.compactIvfIndex(spark, dir, upTo = 99L))
+    assert(Embeddings.ivfWatermark(spark, dir) == 2L)
+    assert(spark.read.parquet(dir)
+      .select(col("b").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet == Set(-1L, -4L))
+    assert(topk() == before)
+    assert(spark.read.parquet(dir).count() == e.count())
+  }
 }

@@ -119,6 +119,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("near-dup sink auto-compaction bounds the index layout without changing admissions") {
+    // the unbounded-growth hazard: a long-running stream accumulates
+    // one index dir per micro-batch AND re-enumerates all of them per
+    // trigger. compactEvery folds committed prior batches into the
+    // watermark-named base — admissions must be IDENTICAL to the
+    // uncompacted run (the base holds exactly the dirs a batch would
+    // have enumerated), while the dir count stays O(compactEvery).
+    implicit val sc = spark.sqlContext
+    val batches: Seq[Seq[(Long, String)]] = Seq(
+      Seq(1L -> "the quick brown fox jumps over the lazy dog today",
+          2L -> "completely different words describing another topic entirely here"),
+      Seq(3L -> "the quick brown fox jumps over the lazy dog today", // dup of 1
+          4L -> "some brand new content that matches only its own twin text"),
+      Seq(5L -> "some brand new content that matches only its own twin text", // dup of 4
+          6L -> "yet another unrelated document with fresh vocabulary inside"),
+      Seq(7L -> "yet another unrelated document with fresh vocabulary inside", // dup of 6
+          8L -> "final novel sentence carrying vocabulary seen nowhere previously done")
+    )
+    def run(compactEvery: Int, tag: String): (Set[Long], Set[String]) = {
+      val tmp = java.nio.file.Files.createTempDirectory(tag)
+      val out = s"$tmp/out"; val idx = s"$tmp/idx"; val cp = s"$tmp/cp"
+      val mem = MemoryStream[(Long, String)]
+      val q = Ingest.startNearDupFilterSink(mem.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", out, idx, cp, compactEvery = compactEvery)
+      try {
+        batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      } finally q.stop()
+      val kept = spark.read.parquet(out)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val idxDirs = new java.io.File(idx).listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+      (kept, idxDirs)
+    }
+    val (keptPlain, dirsPlain) = run(0, "graft_nd_plain")
+    val (keptComp, dirsComp) = run(2, "graft_nd_comp")
+    assert(keptPlain == Set(1L, 2L, 4L, 6L, 8L), s"baseline kept $keptPlain")
+    assert(keptComp == keptPlain,
+      s"compaction changed admissions: $keptComp vs $keptPlain")
+    assert(dirsPlain == Set("b=0", "b=1", "b=2", "b=3"))
+    // batch 2 folded {0,1} -> base b=-3 (w=1); batches 2,3 are the tail
+    assert(dirsComp == Set("b=-3", "b=2", "b=3"),
+      s"compacted index layout: $dirsComp")
+  }
+
   test("contamination guard quarantines leaked benchmark text, admits clean and unassessable docs") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
