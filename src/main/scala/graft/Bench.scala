@@ -59,14 +59,16 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val totalJobs = results.values.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"jobs":$js,"total_jobs":$totalJobs,"sf":"$sfDir"}"""
-    println(line)
-    // also persist the full line to a file: captured log tails truncate
-    // a 71-query JSON map, making per-query numbers unparseable from
-    // stdout alone
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"jobs":$js,"total_jobs":$totalJobs,"sf":"$sfDir"}"""
+    // the full per-query map lives ONLY in the file artifact: a
+    // 76-query single-line JSON overflows captured-log tails, leaving
+    // the driver-side artifact unparseable (round-7 BENCH_r07.json had
+    // "parsed": null). Stdout gets a SHORT line that always survives
+    // tail capture, printed LAST (after spark.stop()'s shutdown noise).
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (line + "\n").getBytes("UTF-8"))
+      (full + "\n").getBytes("UTF-8"))
     spark.stop()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"total_jobs":$totalJobs,"sf":"$sfDir","per_query":"BENCH_FULL.json"}""")
   }
 }

@@ -81,7 +81,15 @@ object SparkEntry {
     "a7_window_stats" -> ((s, dir) =>
       WindowStats.multiWindow(ev(s, dir), "ts", "value",
         Seq("1h" -> 3600L, "5h" -> 18000L, "24h" -> 86400L, "7d" -> 604800L))),
-    // ---- A5/A6: hourly volumes → exact percentile thresholds ----
+    // ---- A5: per-key hourly sums (the grain A6 fits from) ----
+    "a5_hourly_sums" -> ((s, dir) =>
+      Percentiles.hourlyPartials(ev(s, dir), "user_id", "ts", "value")
+        .select(col("user_id"),
+          unix_timestamp(col("hour_bucket")).as("hour_ts"),
+          graft.util.Exact.unitsToDouble2(col("hourly_units"))
+            .as("hourly_volume"))
+        .orderBy("user_id", "hour_ts")),
+    // ---- A6: hourly volumes → exact percentile thresholds ----
     "a6_thresholds" -> ((s, dir) =>
       Percentiles.thresholds(ev(s, dir), "user_id", "ts", "value")),
     // ---- A4/J4: prediction pattern (two-level agg, all slots) ----
@@ -780,6 +788,11 @@ object SparkEntry {
          |$cols
          |FROM events, m GROUP BY m.now_ts""".stripMargin
     },
+    "a5_hourly_sums" ->
+      """SELECT user_id,
+        |       CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_ts,
+        |       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS hourly_volume
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, hour_ts""".stripMargin,
     "a6_thresholds" ->
       """WITH hourly AS (
         |  SELECT user_id, date_trunc('hour', ts) AS h,

@@ -16,13 +16,24 @@ import org.apache.spark.sql.types._
   *    count_distinct they don't force an Expand (row copy per distinct
   *    agg). This is the 100 TB path: the shuffle carries one sketch per
   *    column per partition, never a value set.
-  *  - `exact = true`: exact count_distinct, one aggregation job per
-  *    column, unioned. Deliberately NOT a single wide aggregation:
-  *    multiple exact count_distincts in one agg plan through an Expand
-  *    (measured 5× slower here), while the per-column jobs each scan ONE
-  *    column, so with columnar pruning the union's total I/O is about
-  *    one full-table read anyway; the extra cost is only n_cols job
-  *    schedulings. Kept as the oracle-verifiable path.
+  *  - `exact = true`: exact distincts in TWO passes — one wide
+  *    aggregation for every non-distinct stat (no count_distinct in
+  *    the plan, so no Expand), plus one unpivot job that
+  *    distinct-counts ALL columns at once: explode each row into
+  *    (col_name, canonical string) pairs and count distinct values per
+  *    column name. A single distinct-aggregate plans as a plain
+  *    two-phase aggregate — the Expand (row copy per distinct agg,
+  *    measured 5× slower) only appears when MULTIPLE count_distincts
+  *    share one aggregation, which is exactly what the unpivot avoids.
+  *    The per-partition partial distinct collapses repeated values
+  *    before the shuffle, so wire cost is bounded by the per-column
+  *    value cardinality, not the row count. Replaces the earlier
+  *    one-job-per-column union: 14 → 6 jobs and one table scan instead
+  *    of n_cols column scans on the benched events profile (measured
+  *    0.38 → 0.72 s locally — the ×n_cols explode costs more in one
+  *    JVM than the tiny per-column jobs it replaces, but at cluster
+  *    scale the scan count and job schedulings are what dominate).
+  *    Kept as the oracle-verifiable path.
   */
 object Profiler {
 
@@ -56,20 +67,69 @@ object Profiler {
   def summary(df: DataFrame, exact: Boolean = false,
               rsd: Double = 0.05): DataFrame =
     if (exact) {
-      val perCol = df.schema.fields.map { f =>
+      // pass 1: every non-distinct stat in ONE wide agg — a single
+      // scan, and with no count_distinct in the plan, no Expand
+      val aggs = df.schema.fields.flatMap { f =>
         val c = col(f.name)
         val (minNum, maxNum, minStr, maxStr) = typedMinMax(f)
-        df.agg(
-          count(lit(1)).as("n_rows"),
-          count(c).as("n_nonnull"),
-          count_distinct(c).as("n_distinct"),
-          minNum.as("min_num"), maxNum.as("max_num"),
-          minStr.as("min_str"), maxStr.as("max_str"))
-          .select(lit(f.name).as("col_name"), col("n_rows"),
-            col("n_nonnull"), col("n_distinct"), col("min_num"),
-            col("max_num"), col("min_str"), col("max_str"))
+        Seq(count(c).as(s"_nn_${f.name}"),
+          minNum.as(s"_mn_${f.name}"), maxNum.as(s"_mx_${f.name}"),
+          minStr.as(s"_ms_${f.name}"), maxStr.as(s"_xs_${f.name}"))
+      }.toSeq
+      val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      val stats = one.select(explode(array(df.schema.fields.map { f =>
+        struct(lit(f.name).as("col_name"), col("n_rows"),
+          col(s"_nn_${f.name}").as("n_nonnull"),
+          col(s"_mn_${f.name}").as("min_num"),
+          col(s"_mx_${f.name}").as("max_num"),
+          col(s"_ms_${f.name}").as("min_str"),
+          col(s"_xs_${f.name}").as("max_str"))
+      }.toIndexedSeq: _*)).as("r")).select("r.*")
+      // pass 2: ALL columns' exact distincts in ONE job — unpivot each
+      // row into (col_name, value) pairs where the value is a NATIVE
+      // typed slot struct (one field per source type family — no
+      // per-value string rendering): distinct structs ≡ distinct
+      // values because exactly one slot is populated per column and
+      // each embedding is injective (longs as-is, timestamps at
+      // microsecond grain, doubles with -0.0 normalized to 0.0 the way
+      // numeric aggregation equates them). Then one distinct-count per
+      // column name: a SINGLE distinct aggregate plans as a plain
+      // two-phase agg whose per-partition partial collapses repeated
+      // values before the shuffle. Null source values yield a null
+      // pair, dropped like count_distinct drops them.
+      val kvs = df.schema.fields.map { f =>
+        val c = col(f.name)
+        def slot(l: Column, d: Column, s: Column) =
+          struct(l.as("l"), d.as("d"), s.as("s"))
+        val nl = lit(null).cast("long"); val nd = lit(null).cast("double")
+        val ns = lit(null).cast("string")
+        val v = f.dataType match {
+          case _: TimestampType => slot(unix_micros(c), nd, ns)
+          case DoubleType | FloatType =>
+            slot(nl, when(c === lit(0), lit(0.0)).otherwise(c.cast("double")),
+              ns)
+          case ByteType | ShortType | IntegerType | LongType =>
+            slot(c.cast("long"), nd, ns)
+          case _: StringType => slot(nl, nd, c)
+          // exotic types (decimal, binary, nested): canonical string
+          // render — correct everywhere, just off the fast path
+          case _ => slot(nl, nd, c.cast("string"))
+        }
+        struct(lit(f.name).as("col_name"),
+          when(c.isNotNull, v).as("v"))
       }
-      perCol.reduce(_ union _)
+      val distincts = df
+        .select(explode(array(kvs.toIndexedSeq: _*)).as("kv"))
+        .select(col("kv.col_name"), col("kv.v"))
+        .filter(col("v").isNotNull)
+        .groupBy("col_name")
+        .agg(count_distinct(col("v")).as("n_distinct"))
+      // n_cols-row join: broadcast, left (an all-null column has no
+      // pairs → distinct count 0, matching count_distinct)
+      stats.join(broadcast(distincts), Seq("col_name"), "left")
+        .select(col("col_name"), col("n_rows"), col("n_nonnull"),
+          coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+          col("min_num"), col("max_num"), col("min_str"), col("max_str"))
     } else {
       // one wide agg (single scan), then unpivot the per-column slots
       // into rows — the explode is over n_cols structs on ONE row

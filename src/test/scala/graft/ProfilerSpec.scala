@@ -42,4 +42,15 @@ class ProfilerSpec extends SparkSpec {
     assert(!plan.contains("Expand"), "approx path must not Expand")
     assert(!plan.contains("Union"), "approx path must be one aggregation")
   }
+
+  test("exact summary plans two passes: no Expand, no per-column union") {
+    // the two-pass exact shape: a wide non-distinct agg plus ONE
+    // unpivot distinct job — a single distinct aggregate never plans
+    // an Expand (that's the multi-count_distinct penalty), and the
+    // per-column union of the old form is gone
+    val plan = Profiler.summary(events, exact = true)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), "exact path must not Expand")
+    assert(!plan.contains("Union"), "exact path must not union per-column jobs")
+  }
 }
