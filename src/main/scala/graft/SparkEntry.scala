@@ -23,6 +23,31 @@ object SparkEntry {
   private def ev(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir).withColumn("ts", col("ts").cast("timestamp"))
 
+  /** Deterministic PII seeding for the t_pii_* queries: the synthetic
+    * documents carry no personal identifiers, so detection on the raw
+    * corpus would be an all-zeros (trivially matching) oracle. Append
+    * doc_id-derived identifiers — an email every 3rd doc, a 3-3-4
+    * phone every 5th, a dashed 3-2-4 id every 7th, a dotted-quad IPv4
+    * every 11th — with the IDENTICAL construction in the oracle SQL,
+    * so counts and redacted text are meaningfully hash-verified. */
+  private def piiSeeded(d: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    def s3(m: Int) = lpad(pmod(id, lit(m)).cast("string"), 3, "0")
+    def s4(m: Int) = lpad(pmod(id, lit(m)).cast("string"), 4, "0")
+    d.select(id, concat(
+      col("text"),
+      when(pmod(id, lit(3)) === 0, concat(lit(" contact user"),
+        id.cast("string"), lit("@example.com now"))).otherwise(lit("")),
+      when(pmod(id, lit(5)) === 0, concat(lit(" call 555-"), s3(1000),
+        lit("-"), s4(10000))).otherwise(lit("")),
+      when(pmod(id, lit(7)) === 0, concat(lit(" id 123-45-"), s4(10000)))
+        .otherwise(lit("")),
+      when(pmod(id, lit(11)) === 0, concat(lit(" from 10.0."),
+        pmod(id, lit(256)).cast("string"), lit("."),
+        pmod(id * 7, lit(256)).cast("string"))).otherwise(lit(""))
+    ).as("text"))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full prediction pipeline: all-camera slot prediction + threshold
     * rules engine (SURVEY §3.2) — the reference's N+1 collapsed to one job. */
@@ -462,6 +487,16 @@ object SparkEntry {
     "t_curate" -> ((s, dir) =>
       TextStats.curate(Tables.documents(s, dir), "doc_id", "text",
         Seq("en", "es"), 0.7).orderBy("doc_id")),
+    // ---- PII scrub: detection counts + typed-placeholder redaction.
+    // The synthetic corpus carries no PII, so both sides append
+    // identifiers DERIVED FROM doc_id (same construction in the oracle
+    // SQL) — detection is non-trivial and hash-verified ----
+    "t_pii_stats" -> ((s, dir) =>
+      TextStats.piiStats(piiSeeded(Tables.documents(s, dir)),
+        "doc_id", "text").orderBy("doc_id")),
+    "t_pii_redact" -> ((s, dir) =>
+      TextStats.piiRedact(piiSeeded(Tables.documents(s, dir)),
+        "doc_id", "text").orderBy("doc_id")),
     // ---- training-data pipeline: embedding similarity ----
     "e_ann_bruteforce" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -585,6 +620,18 @@ object SparkEntry {
     * (sign of exact-integer plane dots), the Hamming<=h probe fan-out
     * (XOR mask literals) and in-bucket cosine ranking are then exact
     * arithmetic DuckDB reproduces bit-for-bit. */
+  /** The oracle-side twin of [[piiSeeded]] — byte-identical seeded text. */
+  private val piiSeededSql: String =
+    """WITH seeded AS (
+      |  SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+      |    CASE WHEN doc_id % 7 = 0 THEN ' id 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+      |    CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END
+      |    AS text
+      |  FROM documents)
+      |""".stripMargin
+
   private def lshTopKOracleSql(nPlanes: Int, dim: Int, k: Int,
                                probeHamming: Int): String = {
     val planeRows = (0 until nPlanes).map { j =>
@@ -1519,6 +1566,28 @@ object SparkEntry {
         |      GROUP BY h)
         |SELECT doc_id, lang_pred, quality_score, n_tokens
         |FROM f JOIN k ON f.doc_id = k.keep_id ORDER BY doc_id""".stripMargin,
+    "t_pii_stats" ->
+      (piiSeededSql +
+        """SELECT doc_id,
+          |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+          |  CAST(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ids,
+          |  CAST(len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phones,
+          |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+          |  CAST(CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+          |            + len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b'))
+          |            + len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))
+          |            + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) > 0
+          |       THEN 1 ELSE 0 END AS BIGINT) AS has_pii
+          |FROM seeded ORDER BY doc_id""".stripMargin),
+    "t_pii_redact" ->
+      (piiSeededSql +
+        """SELECT doc_id,
+          |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+          |    '\b\d{3}-\d{2}-\d{4}\b', '[ID]', 'g'),
+          |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g'),
+          |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS redacted
+          |FROM seeded ORDER BY doc_id""".stripMargin),
     "t_vocab_topk" ->
       """WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) token FROM documents),
         |c AS (SELECT token, COUNT(*) n FROM tok GROUP BY 1),

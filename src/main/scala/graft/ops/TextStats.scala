@@ -284,6 +284,53 @@ object TextStats {
         length(col("norm_text")).cast("long").as("n_chars_norm"),
         TextDedup.md5Hash60(col("norm_text")).as("norm_hash"))
 
+  /** PII surface patterns — the pre-training privacy scrub every
+    * training-data pipeline runs before text leaves curation (the
+    * hygiene sibling of [[graft.ops.TextDedup.contamination]]: that
+    * one keeps eval text OUT of train, this one keeps personal
+    * identifiers out of everything). A deliberately conservative,
+    * dialect-neutral regex subset (no lookaround, no backreferences,
+    * ASCII classes only) so Java's engine and the DuckDB oracle's RE2
+    * match identically: emails, dashed 3-2-4 id numbers (kept apart
+    * from phones by group shape), 3-3-4 phones, dotted-quad IPv4.
+    * (name, pattern, redaction placeholder), in REDACTION ORDER:
+    * emails first — their local parts may embed digit runs the
+    * number patterns would otherwise see; placeholders themselves
+    * contain no digits, so later patterns can't match across an
+    * earlier replacement. */
+  private[ops] val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("emails", """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""",
+      "[EMAIL]"),
+    ("ids", """\b\d{3}-\d{2}-\d{4}\b""", "[ID]"),
+    ("phones", """\b\d{3}[-.]\d{3}[-.]\d{4}\b""", "[PHONE]"),
+    ("ipv4", """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""", "[IP]"))
+
+  /** Per-document PII counts (each pattern counted independently on
+    * the ORIGINAL text — the patterns are mutually exclusive by
+    * construction) plus a has_pii 0/1 flag. A pure projection of
+    * codegen'd regexp_extract_all calls: no shuffle, input
+    * partitioning survives, and at 100 TB the scan is the whole
+    * job — exactly what a scrub pass should cost. */
+  def piiStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = piiPatterns.map { case (name, pat, _) =>
+      size(regexp_extract_all(col(textCol), lit(pat), lit(0)))
+        .cast("long").as(s"n_$name")
+    }
+    df.select(col(idCol) +: counts: _*)
+      .withColumn("has_pii",
+        (piiPatterns.map(p => col(s"n_${p._1}")).reduce(_ + _) > 0L)
+          .cast("long"))
+  }
+
+  /** Redacted copy of the text: every PII match replaced by its typed
+    * placeholder, in [[piiPatterns]] order. Same pure-projection
+    * shape as [[piiStats]]. */
+  def piiRedact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      piiPatterns.foldLeft(col(textCol)) { case (c, (_, pat, repl)) =>
+        regexp_replace(c, lit(pat), lit(repl))
+      }.as("redacted"))
+
   /** Gopher-style repetition metrics — the curation filters that catch
     * degenerate/templated text exact dedup misses: per document,
     * `dup_token_frac` = 1 − distinct/total tokens (token-level

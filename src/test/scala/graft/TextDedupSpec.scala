@@ -522,6 +522,36 @@ class TextDedupSpec extends SparkSpec {
       s"label cache not released after consumption: ids ${persisted.diff(base)}")
   }
 
+  test("PII scrub: per-pattern exclusive counts, typed-placeholder redaction") {
+    val d = Seq(
+      (1L, "reach me at jo.doe+x@mail-host.co or 555-123-4567, server 10.0.0.1"),
+      (2L, "ssn 123-45-6789 vs phone 123-456-7890 vs dotted 1.2.3.4"),
+      (3L, "no identifiers here at all"),
+      (4L, "two mails a@b.io and c@d.org")
+    ).toDF("doc_id", "text")
+    val stats = TextStats.piiStats(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(stats(1L) == ((1L, 0L, 1L, 1L, 1L)))
+    // the 3-2-4 id and the 3-3-4 phone shapes must NOT cross-match
+    assert(stats(2L) == ((0L, 1L, 1L, 1L, 1L)))
+    assert(stats(3L) == ((0L, 0L, 0L, 0L, 0L)))
+    assert(stats(4L) == ((2L, 0L, 0L, 0L, 1L)))
+    val red = TextStats.piiRedact(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(red(1L) == "reach me at [EMAIL] or [PHONE], server [IP]")
+    assert(red(2L) == "ssn [ID] vs phone [PHONE] vs dotted [IP]")
+    assert(red(3L) == "no identifiers here at all")
+    assert(red(4L) == "two mails [EMAIL] and [EMAIL]")
+    // pure projection: the scrub is a map-side scan, nothing shuffles
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val plan = TextStats.piiStats(d, "doc_id", "text")
+      .queryExecution.executedPlan
+    assert(plan.collect { case s: ShuffleExchangeLike => s }.isEmpty,
+      s"piiStats must be a pure projection:\n$plan")
+  }
+
   test("token counts: ws vs bpe-ish") {
     val d = Seq((1L, "hello world, abcdefgh!")).toDF("doc_id", "text")
     val r = TextStats.qualityMetrics(d, "doc_id", "text").collect().head
