@@ -305,31 +305,49 @@ object TextStats {
     ("phones", """\b\d{3}[-.]\d{3}[-.]\d{4}\b""", "[PHONE]"),
     ("ipv4", """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""", "[IP]"))
 
+  /** Total PII matches in `text` across all patterns — the column-level
+    * building block ([[piiStats]] per-pattern counts, the streaming
+    * scrub sink's routing predicate). Codegen'd, shuffle-free. */
+  def piiMatchCount(text: Column): Column =
+    piiPatterns.map { case (_, pat, _) =>
+      size(regexp_extract_all(text, lit(pat), lit(0)))
+    }.reduce(_ + _).cast("long")
+
+  /** `text` with every PII match replaced by its typed placeholder, in
+    * [[piiPatterns]] order. Codegen'd, shuffle-free. */
+  def piiRedacted(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (_, pat, repl)) =>
+      regexp_replace(c, lit(pat), lit(repl))
+    }
+
   /** Per-document PII counts (each pattern counted independently on
     * the ORIGINAL text — the patterns are mutually exclusive by
     * construction) plus a has_pii 0/1 flag. A pure projection of
     * codegen'd regexp_extract_all calls: no shuffle, input
     * partitioning survives, and at 100 TB the scan is the whole
     * job — exactly what a scrub pass should cost. */
-  def piiStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val counts = piiPatterns.map { case (name, pat, _) =>
-      size(regexp_extract_all(col(textCol), lit(pat), lit(0)))
-        .cast("long").as(s"n_$name")
-    }
-    df.select(col(idCol) +: counts: _*)
-      .withColumn("has_pii",
-        (piiPatterns.map(p => col(s"n_${p._1}")).reduce(_ + _) > 0L)
+  def piiStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    withPiiStats(df, textCol).select(col(idCol) +:
+      (piiPatterns.map(p => col(s"n_${p._1}")) :+ col("has_pii")): _*)
+
+  /** [[piiStats]]'s columns APPENDED to the input row (still a pure
+    * projection) — for callers that route on the counts and keep the
+    * document, like the streaming scrub sink's quarantine record. */
+  def withPiiStats(df: DataFrame, textCol: String): DataFrame = {
+    val withCounts = piiPatterns.foldLeft(df) { case (d, (name, pat, _)) =>
+      d.withColumn(s"n_$name",
+        size(regexp_extract_all(col(textCol), lit(pat), lit(0)))
           .cast("long"))
+    }
+    withCounts.withColumn("has_pii",
+      (piiPatterns.map(p => col(s"n_${p._1}")).reduce(_ + _) > 0L)
+        .cast("long"))
   }
 
-  /** Redacted copy of the text: every PII match replaced by its typed
-    * placeholder, in [[piiPatterns]] order. Same pure-projection
+  /** Redacted copy of the text: (id, redacted). Same pure-projection
     * shape as [[piiStats]]. */
   def piiRedact(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol),
-      piiPatterns.foldLeft(col(textCol)) { case (c, (_, pat, repl)) =>
-        regexp_replace(c, lit(pat), lit(repl))
-      }.as("redacted"))
+    df.select(col(idCol), piiRedacted(col(textCol)).as("redacted"))
 
   /** Gopher-style repetition metrics — the curation filters that catch
     * degenerate/templated text exact dedup misses: per document,

@@ -573,6 +573,47 @@ object Ingest {
     query
   }
 
+  /** PII scrub at the ingest door — the streaming half of
+    * [[graft.ops.TextStats.piiStats]]/[[graft.ops.TextStats.piiRedact]]
+    * (the privacy sibling of the contamination guard): every admitted
+    * document lands under `outRoot` with its text REDACTED (typed
+    * placeholders — identifiers never reach the training store), and
+    * documents that carried PII are additionally recorded under
+    * `quarantineRoot` with their ORIGINAL text and per-pattern counts,
+    * for audit and recall handling. Both writes are pure projections
+    * of the micro-batch (codegen'd regexes, no shuffle, no driver
+    * round-trip) — at 100 TB of ingest the scan is the whole cost.
+    *
+    * Idempotence: the standard `b=<batchId>` overwrite layout on both
+    * roots (crash replay rewrites the same dirs); fold the
+    * accumulating dirs with [[graft.io.Batches.compact]]. */
+  def startPiiScrubSink(docs: DataFrame, textCol: String,
+                        outRoot: String, quarantineRoot: String,
+                        checkpoint: String,
+                        trigger: Trigger = Trigger.ProcessingTime(0L))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist()
+        try {
+          import graft.ops.TextStats
+          // audit record FIRST (original text + counts for carriers) —
+          // if the batch dies between the two writes, a replay
+          // rewrites both dirs, so order only affects what a
+          // mid-crash window can observe, and quarantine-without-out
+          // is the safe side (never redaction-less text in out)
+          TextStats.withPiiStats(batch, textCol)
+            .filter(col("has_pii") > 0L)
+            .write.mode("overwrite").parquet(s"$quarantineRoot/b=$batchId")
+          batch.withColumn(textCol, TextStats.piiRedacted(col(textCol)))
+            .write.mode("overwrite").parquet(s"$outRoot/b=$batchId")
+        } finally { batch.unpersist(); () }
+      }
+      .start()
+
   /** Streaming IVF index maintenance: append each micro-batch of new
     * embedding rows into the persisted cell-partitioned index
     * ([[graft.ops.Embeddings.appendToIvfIndex]] — fixed coarse

@@ -163,6 +163,47 @@ class StreamingSpec extends SparkSpec {
       s"compacted index layout: $dirsComp")
   }
 
+  test("PII scrub sink redacts admitted text, quarantines originals with counts") {
+    implicit val sc = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pii")
+    val out = s"$tmp/out"; val qr = s"$tmp/quarantine"; val cp = s"$tmp/cp"
+    val mem = MemoryStream[(Long, String)]
+    val q = Ingest.startPiiScrubSink(mem.toDF().toDF("doc_id", "text"),
+      "text", out, qr, cp)
+    try {
+      mem.addData(
+        (1L, "clean document with no identifiers"),
+        (2L, "mail me at who@example.org thanks"))
+      q.processAllAvailable()
+      mem.addData(
+        (3L, "call 555-123-4567 or ping 10.0.0.7"),
+        (4L, "another clean one"))
+      q.processAllAvailable()
+      // out: EVERY doc admitted, identifiers replaced in place
+      val admitted = spark.read.parquet(out)
+        .select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(admitted.keySet == Set(1L, 2L, 3L, 4L))
+      assert(admitted(2L) == "mail me at [EMAIL] thanks")
+      assert(admitted(3L) == "call [PHONE] or ping [IP]")
+      assert(admitted(1L) == "clean document with no identifiers")
+      // quarantine: only carriers, ORIGINAL text + per-pattern counts
+      val quarantined = spark.read.parquet(qr)
+        .select("doc_id", "text", "n_emails", "n_phones", "n_ipv4")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(quarantined.keySet == Set(2L, 3L))
+      assert(quarantined(2L) == (("mail me at who@example.org thanks", 1L, 0L, 0L)))
+      assert(quarantined(3L) == (("call 555-123-4567 or ping 10.0.0.7", 0L, 1L, 1L)))
+      // replay-idempotent layout on both roots
+      Seq(out, qr).foreach { root =>
+        val dirs = new java.io.File(root).listFiles()
+          .filter(_.isDirectory).map(_.getName).toSet
+        assert(dirs == Set("b=0", "b=1"), s"$root layout: $dirs")
+      }
+    } finally q.stop()
+  }
+
   test("contamination guard quarantines leaked benchmark text, admits clean and unassessable docs") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
