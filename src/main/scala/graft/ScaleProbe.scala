@@ -7,11 +7,17 @@ import org.apache.spark.sql.functions._
   * synthetically multiplied from the test data (id-shifted unions), to
   * catch quadratic blowups that sf0.1 alone would hide. Not part of the
   * driver contract — run manually:
-  *   sbt "runMain graft.ScaleProbe [multiplier]"
+  *   sbt "runMain graft.ScaleProbe [multiplier] [section]"
+  * With a second arg, only that section runs (so one family can probe
+  * at a multiplier the full sweep can't afford): text | jaccard |
+  * contamination | ann | snapshot | ndsink | ndaudit | events.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val mult = if (args.nonEmpty) args(0).toInt else 20
+    val only: Option[String] = args.lift(1)
+    def section(name: String)(body: => Unit): Unit =
+      if (only.forall(_ == name)) body
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -33,10 +39,14 @@ object ScaleProbe {
       println(f"[scaleprobe] $name%-28s rows=$n%10d  ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
 
-    val docs = multiplied(Tables.documents(spark, dir)
-      .select("doc_id", "text"), "doc_id").cache()
-    println(s"[scaleprobe] documents x$mult = ${docs.count()}")
+    lazy val docs = {
+      val d = multiplied(Tables.documents(spark, dir)
+        .select("doc_id", "text"), "doc_id").cache()
+      println(s"[scaleprobe] documents x$mult = ${d.count()}")
+      d
+    }
 
+    section("text") {
     time("exact_dedup") {
       ops.TextDedup.exactDedup(docs, "doc_id", "text").count()
     }
@@ -64,6 +74,9 @@ object ScaleProbe {
     time("unigram_score") {
       ops.TextStats.unigramScore(docs, "doc_id", "text").count()
     }
+    }
+
+    section("jaccard") {
     // the raw pairwise path is quadratic on dup clusters BY DESIGN on
     // this multiplied corpus (every doc has mult-1 exact copies, so the
     // TRUE answer contains mult*(mult-1)/2 pairs per doc — that's the
@@ -92,7 +105,78 @@ object ScaleProbe {
       assert(candidates * 4 <= naive || naive < 100000,
         s"prefix filtering ineffective: $candidates candidates vs $naive naive")
     }
+    }
 
+    section("contamination") {
+    // contamination at a benchmark too big to broadcast EXACTLY — the
+    // bloom-guarded path's reason to exist. The benchmark is the even-id
+    // half of the base docs (so the assessed corpus is ~half
+    // contaminated) plus mult-1 token-salted copies of all of them
+    // (salting every token makes each copy's shingles DISTINCT — an
+    // id-shifted union would collapse to the base set under distinct()
+    // and measure nothing). Compare the exact-broadcast probe against
+    // the bloom-guarded one on: what the driver ships (broadcast
+    // payload vs bloom bits), what survives to the exact semi-join
+    // (full hash stream vs bloom candidates), bytes shuffled, wall
+    // time — and assert the outputs are row-identical (a bloom has no
+    // false negatives; the exact confirm removes its false positives).
+    locally {
+      val baseDocs = Tables.documents(spark, dir).select("doc_id", "text")
+      // assessed corpus: even-id docs verbatim (truly contaminated) +
+      // odd-id docs with every token salted "q" (shingles guaranteed
+      // outside the benchmark — the synthetic fixture's docs share so
+      // much vocabulary that an unsalted odd half is ~fully covered by
+      // the even half's shingles, and the pre-filter would correctly
+      // prune nothing)
+      val assessed = baseDocs.filter(col("doc_id") % 2 === 0).union(
+        baseDocs.filter(col("doc_id") % 2 === 1).select(col("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", "$1q").as("text")))
+      val bench = (1 until mult).map { i =>
+        baseDocs.filter(col("doc_id") % 2 === 0).select(
+          (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"$$1s$i").as("text"))
+      }.foldLeft(baseDocs.filter(col("doc_id") % 2 === 0))(_ union _)
+      val benchHashes = ops.TextDedup.benchmarkHashSet(bench, "text", 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nBench = benchHashes.count()
+      val streamRows = ops.TextDedup
+        .shingleHashes(assessed, "doc_id", "text", 3).count()
+      val bloom = benchHashes.stat.bloomFilter("sh_h", nBench, 0.01)
+      val candRows = ops.TextDedup
+        .shingleHashes(assessed, "doc_id", "text", 3)
+        .filter(graft.functions.BloomMightContainLong.mightContain(
+          col("sh_h"), spark.sparkContext.broadcast(bloom))).count()
+      // collect() so the metrics land on THESE frames' executions
+      // (count() runs its own plan and leaves the frame's metrics empty)
+      val exact = ops.TextDedup.contaminationAgainst(
+        assessed, "doc_id", "text", 3, broadcast(benchHashes))
+      time("contamination_exact_bcast") { exact.collect().length.toLong }
+      val exactBcastBytes = util.PlanMetrics.metricSum(exact, "dataSize")
+      val exactShuffle = util.PlanMetrics
+        .metricSum(exact, "shuffleBytesWritten")
+      val guarded = ops.TextDedup.contaminationBloomGuarded(
+        assessed, "doc_id", "text", 3, benchHashes, nBench, 0.01)
+      time("contamination_bloom") { guarded.collect().length.toLong }
+      val guardShuffle = util.PlanMetrics
+        .metricSum(guarded, "shuffleBytesWritten")
+      println(f"[scaleprobe] contamination x$mult benchmark: " +
+        f"$nBench%d bench hashes (exact broadcast ${exactBcastBytes / 1048576.0}%.1f MB " +
+        f"vs bloom ${bloom.bitSize() / 8 / 1048576.0}%.1f MB); " +
+        f"semi-join input $streamRows%d hash rows exact vs $candRows%d " +
+        f"bloom candidates (${100.0 * candRows / streamRows}%.1f%%); " +
+        f"shuffle ${exactShuffle / 1048576.0}%.2f MB exact vs " +
+        f"${guardShuffle / 1048576.0}%.2f MB bloom")
+      assert(exact.exceptAll(guarded).count() == 0 &&
+        guarded.exceptAll(exact).count() == 0,
+        "bloom-guarded contamination diverged from the exact-broadcast path")
+      // the pre-filter must prune the non-contaminated half (minus fp)
+      assert(candRows < streamRows,
+        s"bloom pre-filter pruned nothing: $candRows of $streamRows")
+      benchHashes.unpersist()
+    }
+    }
+
+    section("ann") {
     val emb = multiplied(Tables.embeddings(spark, dir)
       .select("vec_id", "embedding"), "vec_id").cache()
     println(s"[scaleprobe] embeddings x$mult = ${emb.count()}")
@@ -151,7 +235,9 @@ object ScaleProbe {
         s"IVF probe read $read files; probed cells hold $expected of " +
           s"$total — partition pruning not effective at x$mult")
     }
+    }
 
+    section("snapshot") {
     // streaming snapshot sink: the incremental-MV claim is that a tick
     // costs O(batch + catalog + horizon), NOT O(history) — so per-tick
     // wall time must stay FLAT while accumulated history grows 20x.
@@ -199,7 +285,106 @@ object ScaleProbe {
       assert(bdirs <= 8, s"recent store holds $bdirs batch dirs " +
         s"after $nBatches batches — retention not bounding the store")
     }
+    }
 
+    section("ndsink") {
+    // streaming near-dup sink over MANY batches: the per-trigger cost
+    // must stay FLAT over the stream's life. Without compaction the
+    // index accumulates one b= dir per micro-batch and every trigger
+    // enumerates and reads ALL of them (O(completed batches) listing);
+    // with compactEvery=10 the listing is bounded and per-batch wall
+    // time must not trend up. Unique synthetic texts per doc: the index
+    // grows by ~every admitted doc, the worst case for the read path.
+    locally {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val nB = 200; val rowsPer = 20
+      def run(compactEvery: Int): (Seq[Double], Int) = {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_probe_nd").toString
+        val mem = MemoryStream[(Long, String)]
+        val q = streaming.Ingest.startNearDupFilterSink(
+          mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+          s"$tmp/out", s"$tmp/idx", s"$tmp/cp",
+          compactEvery = compactEvery)
+        val times = try {
+          (0 until nB).map { b =>
+            val rows = (0 until rowsPer).map { r =>
+              val id = b.toLong * 1000 + r
+              id -> (s"probe document $id carrying tokens a${id * 7 % 9973} " +
+                s"b${id * 13 % 9973} c${id * 17 % 9973} d${id * 19 % 9973} " +
+                s"e${id * 23 % 9973} tail$id")
+            }
+            mem.addData(rows: _*)
+            val t0 = System.nanoTime()
+            q.processAllAvailable()
+            (System.nanoTime() - t0) / 1e9
+          }
+        } finally q.stop()
+        val dirs = io.Fs.listDirNames(spark, s"$tmp/idx")
+          .count(_.startsWith("b="))
+        (times, dirs)
+      }
+      val (tPlain, dPlain) = run(0)
+      val (tComp, dComp) = run(10)
+      def win(s: Seq[Double], from: Int, until: Int) =
+        s.slice(from, until).sum / (until - from)
+      val (pe, pl) = (win(tPlain, 5, 25), win(tPlain, nB - 20, nB))
+      val (ce, cl) = (win(tComp, 5, 25), win(tComp, nB - 20, nB))
+      println(f"[scaleprobe] neardup_sink $nB batches x $rowsPer docs: " +
+        f"uncompacted early=$pe%.3f s late=$pl%.3f s ($dPlain index dirs); " +
+        f"compactEvery=10 early=$ce%.3f s late=$cl%.3f s ($dComp index dirs)")
+      assert(dComp <= 12,
+        s"compaction not bounding the index layout: $dComp dirs")
+      assert(cl <= ce * 2.0 + 0.3,
+        f"compacted per-batch time grew with stream age: early=$ce%.3f late=$cl%.3f")
+    }
+    }
+
+    section("ndaudit") {
+    // streaming near-dup RECALL audit at sf scale: stream the real
+    // documents through the sink, then measure the false-drop rate —
+    // dropped docs with NO true near-dup partner (jaccard >= 0.8)
+    // anywhere in the corpus are band-collision accidents, the price of
+    // the sink's no-exact-verify design.
+    locally {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val baseDocs = Tables.documents(spark, dir).select("doc_id", "text")
+      val rows = baseDocs.collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toSeq
+      // two banding operating points: the r=4 default fires with
+      // ~10% probability even at jaccard 0.4, so a low-overlap corpus
+      // pays real false drops; r=8 (k=32) cuts the low-similarity
+      // collision rate ~40x while keeping true-dup recall — the lever
+      // a deployment turns when the audit's rate is too high
+      Seq((16, 4), (32, 4)).foreach { case (k, bands) =>
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_probe_nd_audit").toString
+        val mem = MemoryStream[(Long, String)]
+        val q = streaming.Ingest.startNearDupFilterSink(
+          mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+          s"$tmp/out", s"$tmp/idx", s"$tmp/cp", k = k, bands = bands)
+        try rows.grouped(math.max(1, rows.size / 10)).foreach { chunk =>
+          mem.addData(chunk: _*); q.processAllAvailable()
+        } finally q.stop()
+        val audit = streaming.Ingest.nearDupDropAudit(
+          baseDocs, s"$tmp/out", "doc_id", "text", 3, 0.8).cache()
+        val dropped = audit.count()
+        val falseDrops = audit.filter(col("has_near_dup") === 0L).count()
+        audit.unpersist()
+        println(f"[scaleprobe] neardup_sink recall audit k=$k bands=$bands: " +
+          f"${rows.size} docs streamed, $dropped dropped, " +
+          f"$falseDrops false drops at τ=0.8 (" +
+          f"${if (dropped > 0) 100.0 * falseDrops / dropped else 0.0}%.1f%% of drops, " +
+          f"${100.0 * falseDrops / rows.size}%.2f%% of corpus)")
+      }
+    }
+    }
+
+    section("events") {
     val ev = multiplied(Tables.events(spark, dir)
       .withColumn("ts", col("ts").cast("timestamp")), "event_id").cache()
     println(s"[scaleprobe] events x$mult = ${ev.count()}")
@@ -208,6 +393,7 @@ object ScaleProbe {
     }
     time("predict_pattern") {
       ops.Predict.hourlyPattern(ev, "user_id", "ts", "value").count()
+    }
     }
     spark.stop()
   }

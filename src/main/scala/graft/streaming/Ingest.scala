@@ -482,6 +482,42 @@ object Ingest {
       }
       .start()
 
+  /** Offline recall audit for [[startNearDupFilterSink]]: the sink
+    * drops a document on a bare band collision — no exact verify — so
+    * it knowingly accepts LSH's false-positive rate in exchange for a
+    * single equi-join per batch. This query measures that rate after
+    * the fact: for every document of `input` that the sink did NOT
+    * admit (absent from `outRoot`), was the drop JUSTIFIED — does the
+    * document have at least one true near-duplicate (jaccard >=
+    * `minJaccard` via [[graft.ops.TextDedup.jaccardPairs]], the exact
+    * prefix-filtered path) anywhere in the corpus? A dropped document
+    * with NO qualifying partner is a false drop: a band-collision
+    * accident that cost a unique document.
+    *
+    * Returns one row per dropped doc: (idCol, has_near_dup 0/1);
+    * `1 - avg(has_near_dup)` is the false-drop rate. Run it offline on
+    * a sample of the ingested corpus — the jaccardPairs truth pass is
+    * the expensive half (prefix-filtered, but still corpus×corpus
+    * candidate generation), which is exactly why the sink itself
+    * doesn't exact-verify per batch. */
+  def nearDupDropAudit(input: DataFrame, outRoot: String, idCol: String,
+                       textCol: String, n: Int = 3,
+                       minJaccard: Double = 0.8): DataFrame = {
+    val spark = input.sparkSession
+    val admitted = graft.io.Batches.read(spark, outRoot)
+      .map(_.select(col(idCol)))
+      .getOrElse(input.select(col(idCol)).limit(0))
+    val dropped = input.join(admitted, Seq(idCol), "left_anti")
+    val pairs = graft.ops.TextDedup
+      .jaccardPairs(input, idCol, textCol, n, minJaccard)
+    val partnered = pairs.select(col("a_id").as(idCol))
+      .union(pairs.select(col("b_id").as(idCol))).distinct()
+      .withColumn("_p", lit(1L))
+    dropped.select(col(idCol))
+      .join(partnered, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("_p"), lit(0L)).as("has_near_dup"))
+  }
+
   /** Eval-contamination ingest guard — the streaming half of the
     * train/eval hygiene check ([[graft.ops.TextDedup.contamination]]):
     * per micro-batch each incoming document is scored against a FIXED

@@ -163,6 +163,43 @@ class StreamingSpec extends SparkSpec {
       s"compacted index layout: $dirsComp")
   }
 
+  test("near-dup drop audit separates justified drops from band-collision false drops") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val batches: Seq[Seq[(Long, String)]] = Seq(
+      Seq(1L -> "the quick brown fox jumps over the lazy dog today",
+          2L -> "completely different words describing another topic entirely here"),
+      Seq(3L -> "the quick brown fox jumps over the lazy dog today", // dup of 1
+          4L -> "some brand new content that matches only its own twin text"),
+      Seq(5L -> "some brand new content that matches only its own twin text", // dup of 4
+          6L -> "yet another unrelated document with fresh vocabulary inside"),
+      Seq(7L -> "yet another unrelated document with fresh vocabulary inside", // dup of 6
+          8L -> "final novel sentence carrying vocabulary seen nowhere previously done")
+    )
+    val input = batches.flatten.toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nd_audit")
+    val out = s"$tmp/out"; val idx = s"$tmp/idx"; val cp = s"$tmp/cp"
+    val mem = MemoryStream[(Long, String)]
+    val q = Ingest.startNearDupFilterSink(mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", out, idx, cp)
+    try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    // the real sink's drops on this fixture are all true near-dups
+    val audited = Ingest.nearDupDropAudit(input, out, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(audited == Map(3L -> 1L, 5L -> 1L, 7L -> 1L),
+      s"sink drops misclassified: $audited")
+    // synthetic out root missing doc 8 (unique — no qualifying partner):
+    // the audit must flag 8 as a FALSE drop, the rest as justified
+    val out2 = s"$tmp/out2"
+    input.filter($"doc_id".isin(1L, 2L, 4L, 6L))
+      .write.parquet(s"$out2/b=0")
+    val audited2 = Ingest.nearDupDropAudit(input, out2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(audited2 == Map(3L -> 1L, 5L -> 1L, 7L -> 1L, 8L -> 0L),
+      s"false drop not flagged: $audited2")
+  }
+
   test("PII scrub sink redacts admitted text, quarantines originals with counts") {
     implicit val sc = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft_pii")
