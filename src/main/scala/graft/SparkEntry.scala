@@ -514,6 +514,17 @@ object SparkEntry {
       Embeddings.cosineNearDupPairs(u, "vec_id", "embedding",
         dim = 64, minCos = 0.99).orderBy("a_id", "b_id")
     }),
+    "e_semantic_dedup" -> ((s, dir) => {
+      // same seeded-twin fixture as e_cosine_neardup: every original's
+      // +0.005-shifted twin (cosine ≈ 0.9992) must be dropped, every
+      // original (the smaller id of its pair) must survive
+      val e0 = Tables.embeddings(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val u = e0.union(e0.select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.005)).as("embedding")))
+      Embeddings.semanticDedup(u, "vec_id", "embedding",
+        dim = 64, minCos = 0.99).select("vec_id").orderBy("vec_id")
+    }),
     // ---- multimodal plumbing (stubbed codec; Spark-side shape real) ----
     "mm_feature_extract" -> ((s, dir) => {
       val m = Multimodal.fromText(Tables.documents(s, dir), "doc_id", "text",
@@ -1693,6 +1704,23 @@ object SparkEntry {
         |      (sqrt(CAST(list_dot_product(a.qv, a.qv) AS DOUBLE)) *
         |       sqrt(CAST(list_dot_product(b.qv, b.qv) AS DOUBLE))) >= 0.99
         |ORDER BY a_id, b_id""".stripMargin,
+    "e_semantic_dedup" ->
+      """WITH u AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) emb
+        |           FROM embeddings
+        |           UNION ALL
+        |           SELECT vec_id + 100000,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.005)
+        |           FROM embeddings),
+        |v AS (SELECT vec_id, list_transform(emb,
+        |        x -> CAST(floor(x * 10000) AS BIGINT)) qv FROM u)
+        |SELECT vec_id FROM v
+        |WHERE vec_id NOT IN (
+        |  SELECT b.vec_id FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |  WHERE CAST(list_dot_product(a.qv, b.qv) AS DOUBLE) /
+        |        (sqrt(CAST(list_dot_product(a.qv, a.qv) AS DOUBLE)) *
+        |         sqrt(CAST(list_dot_product(b.qv, b.qv) AS DOUBLE))) >= 0.99)
+        |ORDER BY vec_id""".stripMargin,
     "f_rules_density_status" ->
       """SELECT CASE WHEN value <= 10 THEN 'LANCAR'
         |            WHEN value <= 25 THEN 'PADAT LANCAR'

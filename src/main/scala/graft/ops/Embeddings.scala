@@ -567,4 +567,30 @@ object Embeddings {
       .filter(col("cosine") >= minCos)
       .distinct()
   }
+
+  /** Semantic dedup over an embedding column (the SemDeDup recipe:
+    * Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication" — keep one exemplar per
+    * group of embedding-near-duplicates): a vector survives iff NO
+    * smaller-id vector lies within `minCos` of it. The pairwise
+    * dominance rule, deterministic and order-free — on a chain
+    * a~b, b~c, !(a~c) it drops BOTH b and c (each has a smaller-id
+    * near-dup), where a keep-set-aware greedy scan would re-admit c;
+    * that sequential scan is inherently order-dependent, and for
+    * near-dup graphs (cliques in practice — near-duplication is
+    * ~transitive at high minCos) the two rules coincide.
+    *
+    * Scale shape: the drop set derives from [[cosineNearDupPairs]]
+    * (banded sign-LSH candidates, exact quantized-integer verify —
+    * nothing all-pairs), so it is pair-scale; the final keep filter is
+    * one left_anti hash join of the corpus against it. Returns the
+    * surviving input rows unchanged. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    dim: Int, minCos: Double,
+                    planesPerBand: Int = 8, bands: Int = 4): DataFrame = {
+    val dominated = cosineNearDupPairs(df, idCol, vecCol, dim, minCos,
+      planesPerBand, bands)
+      .select(col("b_id").as(idCol)).distinct()
+    df.join(dominated, Seq(idCol), "left_anti")
+  }
 }

@@ -155,4 +155,27 @@ class EmbeddingsSpec extends SparkSpec {
     val recall = found.size.toDouble / truth.size
     assert(recall >= 0.95, s"recall $recall (${found.size}/${truth.size})")
   }
+
+  test("semanticDedup keeps smallest-id exemplars, drops all dominated vectors") {
+    // 1 and its exact twin 2 (drop 2); 3 alone; chain via angles in the
+    // first two coords: 10 at 0°, 11 at 7° (cos≈0.9925 ≥ 0.99 of 10),
+    // 12 at 14° (cos≈0.9925 of 11, but cos≈0.970 < 0.99 of 10) — the
+    // pairwise dominance rule drops BOTH 11 and 12 (each has a
+    // smaller-id near-dup), documented chain behavior
+    def ang(deg: Double): Seq[Float] = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, math.sin(r).toFloat, 0f)
+    }
+    val d = vecs(1L -> Seq(0.3f, -0.2f, 0.9f), 2L -> Seq(0.3f, -0.2f, 0.9f),
+      3L -> Seq(-0.5f, 0.1f, 0.2f),
+      10L -> ang(0), 11L -> ang(7), 12L -> ang(14))
+    val kept = Embeddings.semanticDedup(d, "vec_id", "embedding", 3, 0.99)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 10L), s"kept $kept")
+    // survivors carry their input rows unchanged (schema + values)
+    val row = Embeddings.semanticDedup(d, "vec_id", "embedding", 3, 0.99)
+      .filter(col("vec_id") === 3L).collect()
+    assert(row.head.getAs[scala.collection.Seq[Float]]("embedding").toSeq ==
+      Seq(-0.5f, 0.1f, 0.2f))
+  }
 }
