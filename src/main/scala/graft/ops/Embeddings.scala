@@ -546,19 +546,8 @@ object Embeddings {
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          dim: Int, minCos: Double,
                          planesPerBand: Int = 8, bands: Int = 4): DataFrame = {
-    val nPlanes = planesPerBand * bands
-    require(nPlanes <= 60, "sign signature must fit a BIGINT")
-    val mask = (1L << planesPerBand) - 1
-    val sig = df.join(lshBuckets(df, idCol, vecCol, nPlanes, dim), idCol)
-      .select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"),
-        col("bucket"))
-    val bandRows = sig.select(col("id"), col("qv"),
-      explode(array((0 until bands).map(b => struct(
-        lit(b).as("band"),
-        shiftrightunsigned(col("bucket"), b * planesPerBand)
-          .bitwiseAND(lit(mask)).as("key"))): _*)).as("bk"))
-      .select(col("id"), col("qv"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
+    val bandRows = signBandKeys(df, idCol, vecCol, dim, planesPerBand, bands)
+      .withColumnRenamed(idCol, "id")
     bandRows.as("x").join(bandRows.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))
@@ -566,6 +555,28 @@ object Embeddings {
         qcosine(col("x.qv"), col("y.qv")).as("cosine"))
       .filter(col("cosine") >= minCos)
       .distinct()
+  }
+
+  /** One row per (vector, band): the sign-LSH band bucket keys of a
+    * vector plus its quantized form (`qv`) for exact verification —
+    * shared by [[cosineNearDupPairs]] and the streaming embedding
+    * near-dup sink (whose persisted index stores these rows; the
+    * quantized vector rides along because a band key alone cannot
+    * justify a drop — see the sink's scaladoc). */
+  def signBandKeys(df: DataFrame, idCol: String, vecCol: String,
+                   dim: Int, planesPerBand: Int, bands: Int): DataFrame = {
+    val nPlanes = planesPerBand * bands
+    require(nPlanes <= 60, "sign signature must fit a BIGINT")
+    val mask = (1L << planesPerBand) - 1
+    val sig = df.join(lshBuckets(df, idCol, vecCol, nPlanes, dim), idCol)
+      .select(col(idCol), quantize(col(vecCol)).as("qv"), col("bucket"))
+    sig.select(col(idCol), col("qv"),
+      explode(array((0 until bands).map(b => struct(
+        lit(b).as("band"),
+        shiftrightunsigned(col("bucket"), b * planesPerBand)
+          .bitwiseAND(lit(mask)).as("key"))): _*)).as("bk"))
+      .select(col(idCol), col("qv"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
   /** Semantic dedup over an embedding column (the SemDeDup recipe:

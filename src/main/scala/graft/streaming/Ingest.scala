@@ -518,6 +518,78 @@ object Ingest {
       .select(col(idCol), coalesce(col("_p"), lit(0L)).as("has_near_dup"))
   }
 
+  /** Incremental EMBEDDING near-dup ingest filter — the vector sibling
+    * of [[startNearDupFilterSink]] (and the streaming half of
+    * [[graft.ops.Embeddings.semanticDedup]]): a persisted sign-LSH band
+    * index suppresses any incoming vector within `minCos` of an
+    * already-admitted one, and within a batch the smaller id of any
+    * qualifying pair wins (the same pairwise dominance rule as the
+    * batch operator).
+    *
+    * Unlike the text sink, a band collision alone NEVER justifies a
+    * drop here: sign-LSH band keys live in a 2^planesPerBand domain
+    * (256 at the default 8), so bucket occupancy saturates as the
+    * admitted set grows — at scale every bucket is inhabited and a
+    * bare-collision rule would converge on dropping EVERYTHING. The
+    * index therefore stores each admitted vector's quantized form
+    * (`qv`) alongside its band keys, and every collision is
+    * exact-verified (integer-quantized cosine, the fused
+    * [[graft.functions.QDot]] kernel) before it drops anything — so
+    * false drops are impossible; LSH recall misses only ever ADMIT a
+    * near-dup (the at-rest [[graft.ops.Embeddings.semanticDedup]]
+    * catches those later). The per-batch cost stays band-bucketed:
+    * collision candidates join on (band, key), never all-pairs.
+    *
+    * Idempotence + maintenance: the standard `b=<batchId>` overwrite
+    * layout on both roots, committed-prior reads, and in-sink
+    * `compactEvery` folding — same contract as the text sink. */
+  def startEmbeddingNearDupFilterSink(vecs: DataFrame, idCol: String,
+                                      vecCol: String, outRoot: String,
+                                      indexPath: String, checkpoint: String,
+                                      dim: Int, minCos: Double = 0.99,
+                                      planesPerBand: Int = 8, bands: Int = 4,
+                                      trigger: Trigger = Trigger.ProcessingTime(0L),
+                                      compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val keys = graft.ops.Embeddings
+          .signBandKeys(batch, idCol, vecCol, dim, planesPerBand, bands)
+          .cache()
+        try {
+          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+            graft.io.Batches.compact(spark, indexPath, upTo = batchId - 1)
+          val priorHits = graft.io.Batches
+            .read(spark, indexPath, below = Some(batchId)) match {
+            case Some(idx) =>
+              keys.join(
+                  idx.select(col("band"), col("key"), col("qv").as("_iqv")),
+                  Seq("band", "key"))
+                .filter(graft.ops.Embeddings
+                  .qcosine(col("qv"), col("_iqv")) >= minCos)
+                .select(col(idCol)).distinct()
+            case None => batch.select(col(idCol)).limit(0)
+          }
+          val batchDominated = keys.as("x").join(keys.as("y"),
+              col("x.band") === col("y.band") &&
+                col("x.key") === col("y.key") &&
+                col(s"x.$idCol") < col(s"y.$idCol"))
+            .filter(graft.ops.Embeddings
+              .qcosine(col("x.qv"), col("y.qv")) >= minCos)
+            .select(col(s"y.$idCol").as(idCol)).distinct()
+          val dropIds = priorHits.union(batchDominated).distinct()
+          batch.join(dropIds, Seq(idCol), "left_anti")
+            .write.mode("overwrite").parquet(s"$outRoot/b=$batchId")
+          keys.join(dropIds, Seq(idCol), "left_anti")
+            .write.mode("overwrite").parquet(s"$indexPath/b=$batchId")
+        } finally { keys.unpersist(); () }
+      }
+      .start()
+
   /** Eval-contamination ingest guard — the streaming half of the
     * train/eval hygiene check ([[graft.ops.TextDedup.contamination]]):
     * per micro-batch each incoming document is scored against a FIXED

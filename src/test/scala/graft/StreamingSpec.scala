@@ -200,6 +200,50 @@ class StreamingSpec extends SparkSpec {
       s"false drop not flagged: $audited2")
   }
 
+  test("embedding near-dup sink exact-verifies band collisions before dropping") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    // 1: base; 2: orthogonal-ish to 1; batch B: 3 = exact twin of 1
+    // (drop), 4 = same-orthant low-cosine neighbor of 1 (band-collides
+    // by construction — verified below — but cosine ≈ 0.962 < 0.99, so
+    // exact verify must ADMIT it); batch C: 5 = near twin of 4 (drop),
+    // 6 within-batch twin of 5's... 6 = twin of 2 (drop via index)
+    val v1 = Seq(1.0, 1.0, 1.0)
+    val v2 = Seq(-1.0, 1.0, 0.1)
+    val v4 = Seq(1.0, 1.0, 0.5)
+    val batches: Seq[Seq[(Long, Seq[Double])]] = Seq(
+      Seq(1L -> v1, 2L -> v2),
+      Seq(3L -> v1, 4L -> v4),
+      Seq(5L -> v4.map(_ + 0.001), 6L -> v2)
+    )
+    val all = batches.flatten.toDF("vec_id", "embedding")
+    // fixture self-check: (1,4) must share at least one band key, or
+    // this test would pass without exercising the exact-verify branch
+    val keys = ops.Embeddings.signBandKeys(
+      all.filter($"vec_id".isin(1L, 4L)), "vec_id", "embedding",
+      dim = 3, planesPerBand = 8, bands = 4)
+    val shared = keys.groupBy("band", "key")
+      .count().filter($"count" === 2).count()
+    assert(shared > 0, "fixture: (1,4) never band-collide — pick a closer pair")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_emb_nd")
+    val out = s"$tmp/out"; val idx = s"$tmp/idx"; val cp = s"$tmp/cp"
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = Ingest.startEmbeddingNearDupFilterSink(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      out, idx, cp, dim = 3, minCos = 0.99)
+    try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    val kept = spark.read.parquet(out)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 4L), s"kept $kept")
+    // replay-idempotent layout; index rows carry qv for verification
+    val dirs = new java.io.File(idx).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("b=0", "b=1", "b=2"), s"index layout: $dirs")
+    val idxCols = spark.read.parquet(idx).columns.toSet
+    assert(Set("vec_id", "qv", "band", "key").subsetOf(idxCols), s"$idxCols")
+  }
+
   test("PII scrub sink redacts admitted text, quarantines originals with counts") {
     implicit val sc = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft_pii")
