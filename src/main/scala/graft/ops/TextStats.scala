@@ -256,6 +256,52 @@ object TextStats {
           .as("avg_token_prob"))
   }
 
+  /** Per-batch corpus term counts `(term, cnt)` — the additive partial
+    * for the streaming unigram-stats MV
+    * ([[graft.streaming.Ingest.startUnigramSink]]). Long counts are
+    * exact and associative, so partials merged in any batch order equal
+    * the full-corpus counts bit-for-bit. */
+  def unigramPartials(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextDedup.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+
+  /** State merge for [[unigramPartials]]: full-outer per-term sum. */
+  def mergeUnigramPartials(state: DataFrame, batch: DataFrame): DataFrame =
+    state.select(col("term"), col("cnt").as("_s"))
+      .join(batch.select(col("term"), col("cnt").as("_b")),
+        Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("_s"), lit(0L)) + coalesce(col("_b"), lit(0L)))
+          .as("cnt"))
+
+  /** [[unigramScore]] against PRE-BUILT corpus term counts (`(term,
+    * cnt)` — e.g. the streaming MV state): for docs that are part of
+    * the counted corpus the output is identical to
+    * `unigramScore(corpus)` (every term present, same exact integer
+    * sums, same division shape — spec-pinned bit-equal); terms absent
+    * from `counts` (new docs scored against an older corpus model)
+    * contribute probability 0, the standard OOV floor. At 100 TB this
+    * is the point of the MV: scoring a new slice costs one pass over
+    * the SLICE plus a vocab-scale join, never a corpus rescan. */
+  def unigramScoreAgainst(df: DataFrame, idCol: String, textCol: String,
+                          counts: DataFrame): DataFrame = {
+    val tok = df.select(col(idCol),
+      explode(TextDedup.tokens(col(textCol))).as("term"))
+    val tf = tok.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val totals = counts.agg(sum("cnt").as("total_tokens"))
+    val perDoc = tf.join(counts.select(col("term"), col("cnt")),
+        Seq("term"), "left")
+      .groupBy(col(idCol))
+      .agg(sum("tf").as("n_tokens"),
+        sum(col("tf") * coalesce(col("cnt"), lit(0L))).as("sum_cnt"))
+    perDoc.crossJoin(broadcast(totals))
+      .select(col(idCol), col("n_tokens"),
+        (col("sum_cnt").cast("double") /
+          (col("n_tokens").cast("decimal(19,0)") *
+            col("total_tokens").cast("decimal(19,0)")).cast("double"))
+          .as("avg_token_prob"))
+  }
+
   /** Document-length histogram: counts per `binWidth`-char bin —
     * the distribution check before length-based quality filtering. */
   def lengthHistogram(df: DataFrame, textCol: String, binWidth: Int): DataFrame =

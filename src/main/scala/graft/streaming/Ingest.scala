@@ -391,6 +391,39 @@ object Ingest {
     graft.io.VersionedState.readLatest(spark, s"$workRoot/hourly")
       .map(h => graft.ops.Percentiles.thresholdsFromHourly(h, keyCol))
 
+  /** Incrementally-maintained corpus unigram statistics — the
+    * LM-quality filter's corpus model as a streaming MV, same mechanic
+    * as [[startPatternSink]]: each micro-batch's `(term, cnt)` partials
+    * ([[graft.ops.TextStats.unigramPartials]] — exact longs, additive
+    * in any batch order) fold into a versioned state table. Serving:
+    * [[readUnigramCounts]] + [[graft.ops.TextStats.unigramScoreAgainst]]
+    * scores any doc slice against the current model — bit-identical to
+    * `unigramScore` over the full ingested corpus (StreamingSpec pins
+    * it), without ever rescanning that corpus. The state is
+    * VOCAB-scale (one row per distinct term), not corpus-scale. */
+  def startUnigramSink(docs: DataFrame, textCol: String, workRoot: String,
+                       checkpoint: String,
+                       trigger: Trigger = Trigger.ProcessingTime(0L))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.io.VersionedState.mergeCommit(
+          batch.sparkSession, s"$workRoot/unigram", batchId,
+          graft.ops.TextStats.unigramPartials(batch, textCol),
+          graft.ops.TextStats.mergeUnigramPartials)
+        ()
+      }
+      .start()
+
+  /** Serving read for [[startUnigramSink]]: the current `(term, cnt)`
+    * corpus model (None before the first commit). */
+  def readUnigramCounts(spark: SparkSession,
+                        workRoot: String): Option[DataFrame] =
+    graft.io.VersionedState.readLatest(spark, s"$workRoot/unigram")
+
   /** Incremental NEAR-dup ingest filter: a persisted MinHash band index
     * (parquet at `indexPath`, rows = (doc_id, band, band_h) from
     * ops.TextDedup.bandKeys) suppresses any incoming document whose

@@ -200,6 +200,46 @@ class StreamingSpec extends SparkSpec {
       s"false drop not flagged: $audited2")
   }
 
+  test("unigram MV: streamed state scores bit-identically to the batch operator") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val batches: Seq[Seq[(Long, String)]] = Seq(
+      Seq(1L -> "alpha beta gamma alpha", 2L -> "beta beta delta"),
+      Seq(3L -> "gamma gamma alpha epsilon"),
+      Seq(4L -> "delta alpha beta beta zeta")
+    )
+    val all = batches.flatten.toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_unigram")
+    val mem = MemoryStream[(Long, String)]
+    val q = Ingest.startUnigramSink(mem.toDF().toDF("doc_id", "text"),
+      "text", s"$tmp/work", s"$tmp/cp")
+    try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    val counts = Ingest.readUnigramCounts(spark, s"$tmp/work").get
+    // state == full-corpus counts, exactly
+    val expectCounts = ops.TextStats.unigramPartials(all, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gotCounts = counts.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotCounts == expectCounts)
+    // scoring the ingested corpus against the MV state ≡ the batch
+    // operator over that corpus, bit-for-bit (same integer sums, same
+    // division shape)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_tokens", "avg_token_prob").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows(ops.TextStats.unigramScoreAgainst(all, "doc_id", "text",
+      counts)) == rows(ops.TextStats.unigramScore(all, "doc_id", "text")))
+    // OOV: a new doc's unseen terms contribute probability 0
+    val nd = Seq(9L -> "alpha omega omega").toDF("doc_id", "text")
+    val scored = ops.TextStats.unigramScoreAgainst(nd, "doc_id", "text",
+      counts).collect().head
+    val total = expectCounts.values.sum
+    assert(scored.getLong(1) == 3L)
+    assert(scored.getDouble(2) ==
+      (1.0 * expectCounts("alpha")) / (3.0 * total))
+  }
+
   test("embedding near-dup sink exact-verifies band collisions before dropping") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
