@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   *   sbt "runMain graft.ScaleProbe [multiplier] [section]"
   * With a second arg, only that section runs (so one family can probe
   * at a multiplier the full sweep can't afford): text | jaccard |
-  * contamination | ann | snapshot | ndsink | ndaudit | events.
+  * contamination | ann | snapshot | ndsink | ndaudit | embsink |
+  * events.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -340,6 +341,62 @@ object ScaleProbe {
       assert(cl <= ce * 2.0 + 0.3,
         f"compacted per-batch time grew with stream age: early=$ce%.3f late=$cl%.3f")
     }
+    }
+
+    // embedding near-dup sink: the exact-verify design is immune to
+    // false drops, but its per-trigger COST is governed by band-bucket
+    // occupancy — at 2^8 keys per band the buckets saturate as the
+    // admitted set grows and the verify-join fan-out trends O(admitted)
+    // per batch; at 2^15 keys occupancy stays sparse and the cost flat.
+    // Deterministically-seeded random unit vectors (worst case: nothing
+    // is a near-dup, everything is admitted, the index only grows).
+    section("embsink") {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val nB = 100; val rowsPer = 50; val d = 16
+      def run(planesPerBand: Int): (Seq[Double], Long, Long) = {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_probe_emb").toString
+        val rnd = new scala.util.Random(42)
+        def mkRows(b: Int) = (0 until rowsPer).map { r =>
+          (b.toLong * 1000 + r, Seq.fill(d)(rnd.nextGaussian()))
+        }
+        val mem = MemoryStream[(Long, Seq[Double])]
+        val q = streaming.Ingest.startEmbeddingNearDupFilterSink(
+          mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+          s"$tmp/out", s"$tmp/idx", s"$tmp/cp", dim = d,
+          planesPerBand = planesPerBand, compactEvery = 10)
+        val times = try {
+          (0 until nB).map { b =>
+            mem.addData(mkRows(b): _*)
+            val t0 = System.nanoTime()
+            q.processAllAvailable()
+            (System.nanoTime() - t0) / 1e9
+          }
+        } finally q.stop()
+        // the quantity that grows with the admitted set: how many
+        // (batch-row, index-row) collisions the NEXT batch's verify
+        // join would have to exact-score
+        val idx = io.Batches.read(spark, s"$tmp/idx", None).get
+        val probe = ops.Embeddings.signBandKeys(
+          mkRows(nB).toDF("vec_id", "embedding"),
+          "vec_id", "embedding", d, planesPerBand, 4)
+        val fanOut = probe.join(
+          idx.select(col("band"), col("key")), Seq("band", "key")).count()
+        val admitted = spark.read.parquet(s"$tmp/out").count()
+        (times, fanOut, admitted)
+      }
+      def win(s: Seq[Double], from: Int, until: Int) =
+        s.slice(from, until).sum / (until - from)
+      Seq(8, 15).foreach { ppb =>
+        val (t, fanOut, admitted) = run(ppb)
+        println(f"[scaleprobe] embsink $nB batches x $rowsPer vecs " +
+          f"planesPerBand=$ppb: early=${win(t, 5, 25)}%.3f s " +
+          f"late=${win(t, nB - 20, nB)}%.3f s per batch; " +
+          f"$admitted admitted, next-batch verify fan-out=$fanOut " +
+          f"(${fanOut.toDouble / rowsPer}%.0f exact cosines per new vector)")
+      }
     }
 
     section("ndaudit") {
