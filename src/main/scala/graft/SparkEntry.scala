@@ -367,6 +367,11 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           graft.util.Exact.dsum2(col("value")).as("total_value"))
         .orderBy("is_holdout")),
+    "samp_shuffle_shards" -> ((s, dir) =>
+      Sampling.shuffleShards(Tables.documents(s, dir), "doc_id",
+          nShards = 4, seed = "ord")
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("shard", "pos")),
     // ---- skew toolkit: salted rewrites on a pathologically hot key
     // (5 event types across the whole fact table). The salted forms
     // must be HASH-IDENTICAL to the plain group-by / join the oracle
@@ -400,6 +405,18 @@ object SparkEntry {
       val u = d.union(d.select((col("doc_id") + 100000).as("doc_id"),
         col("text")))
       TextDedup.exactDedup(u, "doc_id", "text").orderBy("keep_id")
+    }),
+    "dd_keep_best" -> ((s, dir) => {
+      // cosmetic duplicates planted in-query (whitespace-only mangling:
+      // identical normalized text, longer raw text) — keep-best must
+      // pick every wrapped copy over its shorter original, the opposite
+      // of exactDedup's min-id policy
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val u = d.union(d.select((col("doc_id") + 100000).as("doc_id"),
+        concat(lit("\t "), col("text"), lit("  ")).as("text")))
+      TextDedup.exactDedupKeepBest(u, "doc_id", "text")
+        .select(col("doc_id"), col("n_chars"), col("norm_hash"))
+        .orderBy("doc_id")
     }),
     // restrictSets = false in the benched entries: the library default
     // (candidate-restricted set table, the 100 TB mode) adds semi-join
@@ -1305,6 +1322,15 @@ object SparkEntry {
         |       COUNT(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1 ORDER BY is_holdout""".stripMargin,
+    "samp_shuffle_shards" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         CAST(('0x'||substr(md5('ord:' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) AS ord
+        |  FROM documents)
+        |SELECT doc_id, ord % 4 AS shard,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY ord % 4
+        |                               ORDER BY ord, doc_id) - 1 AS BIGINT) AS pos
+        |FROM h ORDER BY shard, pos""".stripMargin,
     "skew_salted_totals" ->
       """SELECT event_type,
         |       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value,
@@ -1348,6 +1374,24 @@ object SparkEntry {
         |SELECT CAST(('0x'||substr(md5(text),1,15)) AS BIGINT) AS content_hash,
         |       min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM u GROUP BY text ORDER BY keep_id""".stripMargin,
+    "dd_keep_best" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, chr(9) || ' ' || text || '  ' FROM documents),
+        |n AS (
+        |  SELECT doc_id, text,
+        |         trim(regexp_replace(regexp_replace(lower(text),
+        |           '[\x00-\x1F]', ' ', 'g'), '\s+', ' ', 'g')) AS nt
+        |  FROM u),
+        |r AS (
+        |  SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars,
+        |         CAST(('0x'||substr(md5(nt),1,15)) AS BIGINT) AS norm_hash,
+        |         ROW_NUMBER() OVER (PARTITION BY nt
+        |                            ORDER BY len(text) DESC, doc_id) AS rn
+        |  FROM n)
+        |SELECT doc_id, n_chars, norm_hash FROM r WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
     "dd_jaccard_pairs" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') w FROM documents),
         |sh AS (SELECT DISTINCT doc_id,

@@ -77,4 +77,54 @@ object Sampling {
   def holdout(df: DataFrame, idCol: String, frac: Double,
               seed: String): DataFrame =
     df.filter(u(seed, col(idCol)) < frac)
+
+  /** Deterministic GLOBAL shuffle + sharding — the export step between
+    * curation and the trainer: training wants documents in a fixed
+    * pseudo-random order split into equal shards, and wants the same
+    * order on every rerun. The order key is `md5Hash60(seed:id)` — a
+    * pure row function, so the permutation is reproducible across
+    * runs, engines and cluster sizes (a `rand()`/`repartition` shuffle
+    * is none of these), and uniform regardless of id distribution —
+    * adjacent source documents land in unrelated shards/positions, so
+    * a training batch never sees a source-correlated run. Adds
+    * `ord` (the key), `shard` = ord % nShards (equal-sized in
+    * expectation: ord is uniform on 2^60), and `pos` (0-based dense
+    * rank within the shard by (ord, id) — id breaks 60-bit ties).
+    *
+    * Cost: computing ord/shard is a codegen'd projection; `pos` is one
+    * hash exchange on `shard` + a per-shard sort — the SAME layout the
+    * sharded write needs anyway, so the ordering is free at export
+    * time ([[writeShuffledShards]] reuses it). `pos` is dense within a
+    * SNAPSHOT of the corpus: appending documents keeps every existing
+    * row's (shard, relative order) but renumbers `pos` after the
+    * insertion points — positions are manifest coordinates, not stable
+    * ids (membership/order stability comes from `ord`, which never
+    * changes). At 100 TB size nShards so a shard fits a task:
+    * the per-shard sort is the only super-linear term. */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int,
+                    seed: String): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("ord"), col(idCol))
+    df.withColumn("ord",
+        TextDedup.md5Hash60(concat(lit(seed), lit(":"),
+          col(idCol).cast("string"))))
+      .withColumn("shard", pmod(col("ord"), lit(nShards.toLong)))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+  }
+
+  /** Write the shuffled corpus as `shard=<k>/` parquet, rows in
+    * training order within each shard file. `repartition(nShards,
+    * shard)` routes each shard to exactly one task (a task may own
+    * several shards, a shard never splits), `sortWithinPartitions`
+    * puts the task's rows in (shard, ord) order, and `partitionBy`
+    * splits the task output per shard preserving row order — so the
+    * file order IS the `pos` order and the trainer streams shards
+    * sequentially with zero further shuffling. */
+  def writeShuffledShards(df: DataFrame, idCol: String, nShards: Int,
+                          seed: String, path: String): Unit =
+    shuffleShards(df, idCol, nShards, seed)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("ord"), col(idCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
 }

@@ -105,6 +105,37 @@ object TextDedup {
       .groupBy("content_hash")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Exact dedup on the NORMALIZED identity, keeping the BEST raw
+    * document per group — the canonical-selection policy real corpora
+    * need: cosmetic duplicates (case, control chars, whitespace runs —
+    * [[graft.ops.TextStats.normalizeText]]) hash identically, but the
+    * raw variants differ and min-id is an arbitrary pick; this keeps
+    * the LONGEST raw text (ties to the smallest id), i.e. the copy
+    * that lost the least to whatever mangling created the variants.
+    * Returns the surviving rows (all input columns) plus `norm_hash`
+    * and `n_chars`.
+    *
+    * One shuffle, same key size as [[exactDedup]] (a 60-bit hash), but
+    * the survivor row must ride: `max_by` over a (n_chars, -id) order
+    * struct partial-aggregates map-side, so each map task ships AT
+    * MOST ONE candidate row per norm key it saw — no per-group sort, no
+    * window, and the reduce side only compares candidates. Requires
+    * non-negative ids (the -id tie-break would overflow at
+    * Long.MinValue). */
+  def exactDedupKeepBest(df: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
+    val slim = df
+      .withColumn("norm_hash",
+        md5Hash60(TextStats.normalizeText(col(textCol))))
+      .withColumn("n_chars", length(col(textCol)).cast("long"))
+    val carried = slim.columns.filter(_ != "norm_hash")
+    slim.groupBy("norm_hash")
+      .agg(max_by(struct(carried.map(col): _*),
+        struct(col("n_chars"), col(idCol) * -1L)).as("_best"))
+      .select(col("norm_hash") +:
+        carried.map(c => col(s"_best.`$c`").as(c)): _*)
+  }
+
   /** Deterministic cache release for the ITERATIVE operators (the only
     * ones that genuinely need .cache(): frames consumed by repeated
     * separate actions, like [[nearDupClusters]]' convergence loop),

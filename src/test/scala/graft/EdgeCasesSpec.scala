@@ -101,6 +101,51 @@ class EdgeCasesSpec extends SparkSpec {
       s"en keep rate ${enKept / en}")
   }
 
+  test("shuffleShards: a deterministic permutation in equal shards with dense positions") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = graft.ops.Sampling.shuffleShards(d, "doc_id", 4, "ord")
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == d.count())
+    // every shard present, sizes within 2x of each other (uniform hash)
+    val sizes = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(sizes.keySet == Set(0L, 1L, 2L, 3L))
+    assert(sizes.values.max <= 2 * sizes.values.min, s"skewed: $sizes")
+    // positions are dense 0..n-1 per shard
+    sizes.foreach { case (sh, n) =>
+      assert(out.filter(_._2 == sh).map(_._3).sorted
+        .sameElements(0L until n.toLong))
+    }
+    // the permutation decorrelates id order: the first shard-0 position
+    // is not simply the smallest doc_id (would indicate id-ordered)
+    val byPos = out.filter(_._2 == 0L).sortBy(_._3).map(_._1)
+    assert(!byPos.sameElements(byPos.sorted))
+    // rerun is bit-identical (pure function of seed and id)
+    val again = graft.ops.Sampling.shuffleShards(d, "doc_id", 4, "ord")
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.sorted.sameElements(again.sorted))
+  }
+
+  test("writeShuffledShards: one file per shard, file row order IS the training order") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_shards").toString
+    graft.ops.Sampling.writeShuffledShards(d, "doc_id", 4, "ord", tmp)
+    val expect = graft.ops.Sampling.shuffleShards(d, "doc_id", 4, "ord")
+    (0 until 4).foreach { sh =>
+      val dir = new java.io.File(s"$tmp/shard=$sh")
+      val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"shard $sh split across ${files.length} files")
+      // single-file read preserves row order → must equal pos order
+      val got = spark.read.parquet(files.head.getPath)
+        .select("doc_id").collect().map(_.getLong(0))
+      val want = expect.filter(col("shard") === sh).orderBy("pos")
+        .select("doc_id").collect().map(_.getLong(0))
+      assert(got.sameElements(want), s"shard $sh order differs")
+    }
+  }
+
   test("mixSources: integer weights copy exactly, fractional draw the remainder, zero drops") {
     import spark.implicits._
     val d = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c"))

@@ -20,6 +20,33 @@ class TextDedupSpec extends SparkSpec {
     assert(out(1).getAs[Long]("n_copies") == 1L)
   }
 
+  test("exactDedupKeepBest: normalized identity, longest raw survivor, min-id ties, columns carried") {
+    val d = Seq(
+      (1L, "a b c", "s0"),        // shortest variant of group 1
+      (2L, "  A  b\tC ", "s1"),   // same normalized text, longer raw
+      (3L, "A B C", "s2"),        // same normalized, len 5 — ties id 1
+      (4L, "x y z", "s3"))        // singleton group
+      .toDF("doc_id", "text", "source")
+    val out = TextDedup.exactDedupKeepBest(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.length == 2)
+    // group {1,2,3}: doc 2's raw text is longest (9 chars) — it wins
+    // over the min-id policy that plain exactDedup would apply
+    assert(out(0).getAs[Long]("doc_id") == 2L)
+    assert(out(0).getAs[Long]("n_chars") == 9L)
+    assert(out(0).getAs[String]("source") == "s1") // input columns ride
+    assert(out(1).getAs[Long]("doc_id") == 4L)
+    // tie-break: drop doc 2, docs 1 and 3 both have n_chars 5 → min id
+    val tied = TextDedup.exactDedupKeepBest(
+      d.filter($"doc_id" =!= 2L), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(tied.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 4L))
+    // norm_hash equals the normalized-identity hash withNormalized emits
+    val nh = TextStats.withNormalized(d, "doc_id", "text")
+      .filter($"doc_id" === 2L).collect().head.getAs[Long]("norm_hash")
+    assert(out(0).getAs[Long]("norm_hash") == nh)
+  }
+
   test("jaccardPairs finds near-dups and scores them exactly") {
     // doc 1 and 2 share 4 of their 3-gram shingles; doc 3 is unrelated
     val d = docs(
