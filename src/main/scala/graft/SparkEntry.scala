@@ -470,6 +470,18 @@ object SparkEntry {
     "t_vocab_topk" -> ((s, dir) =>
       TextStats.vocabTopK(Tables.documents(s, dir), "text", 50)
         .orderBy("rnk")),
+    // ---- tokenizer family: vocab application + BPE round-1 stats ----
+    "t_token_ids" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      TextStats.tokenIds(d, "doc_id", "text",
+          TextStats.vocabIdMap(d, "text", 100))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          col("ids_fp"))
+        .orderBy("doc_id")
+    }),
+    "t_bpe_top_pairs" -> ((s, dir) =>
+      TextStats.bpeTopPairs(Tables.documents(s, dir), "text", 20)
+        .orderBy("rnk")),
     "t_ngram_topk" -> ((s, dir) =>
       TextStats.ngramTopK(Tables.documents(s, dir), "text", 2, 30)
         .orderBy("rnk")),
@@ -1650,6 +1662,36 @@ object SparkEntry {
         |        CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS INT) rnk
         |      FROM c)
         |SELECT token, n, rnk FROM r WHERE rnk <= 50 ORDER BY rnk""".stripMargin,
+    "t_token_ids" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') w FROM documents),
+        |c AS (SELECT token, COUNT(*) n
+        |      FROM (SELECT unnest(w) token FROM tok) GROUP BY 1),
+        |v AS (SELECT token, id FROM (
+        |        SELECT token, ROW_NUMBER() OVER (ORDER BY n DESC, token) id FROM c)
+        |      WHERE id <= 100),
+        |x AS (SELECT doc_id, unnest(w) tok, generate_subscripts(w, 1) p FROM tok),
+        |j AS (SELECT x.doc_id,
+        |             string_agg(CAST(COALESCE(v.id, -1) AS VARCHAR), ',' ORDER BY x.p) s,
+        |             COUNT(*) n_tokens,
+        |             SUM(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) n_oov
+        |      FROM x LEFT JOIN v ON v.token = x.tok GROUP BY x.doc_id)
+        |SELECT t.doc_id,
+        |       CAST(COALESCE(j.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |       CAST(COALESCE(j.n_oov, 0) AS BIGINT) AS n_oov,
+        |       CAST(('0x'||substr(md5(COALESCE(j.s, '')),1,15)) AS BIGINT) AS ids_fp
+        |FROM tok t LEFT JOIN j ON j.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+    "t_bpe_top_pairs" ->
+      """WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) word FROM documents),
+        |wf AS (SELECT word, COUNT(*) cnt FROM tok GROUP BY 1),
+        |p AS (SELECT substr(word, i, 1) AS l, substr(word, i + 1, 1) AS r,
+        |             CAST(SUM(cnt) AS BIGINT) AS n
+        |      FROM wf, UNNEST(generate_series(1, len(word) - 1)) AS gs(i)
+        |      WHERE len(word) >= 2 GROUP BY 1, 2),
+        |rk AS (SELECT l, r, n,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY n DESC, l, r) AS INT) AS rnk
+        |       FROM p)
+        |SELECT rnk, l, r, n FROM rk WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
     "t_ngram_topk" ->
       """WITH t AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') w FROM documents),
         |g AS (SELECT array_to_string(w[i:i+1], ' ') AS ngram

@@ -530,4 +530,139 @@ object TextStats {
       .select(col(idCol), col("lang_pred"), col("quality_score"),
         col("n_tokens"))
   }
+
+  // ---- tokenizer family: vocab application + BPE merge training ----
+
+  /** Corpus word-frequency table — THE size reduction every
+    * tokenizer-training pass leans on: one scan of the corpus collapses
+    * 100 TB of text into a vocabulary-scale (word, cnt) table, and all
+    * the iterative work downstream ([[bpeMerges]]) runs on that table,
+    * never the corpus again. */
+  def wordFrequencies(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextDedup.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Top-k vocabulary as a driver-side (term -> id) map, id = 1-based
+    * frequency rank (count desc, term asc — [[vocabTopK]]'s order).
+    * The collect is BOUNDED at k rows by construction (TakeOrdered
+    * prunes per-partition before anything reaches the driver). */
+  def vocabIdMap(df: DataFrame, textCol: String,
+                 k: Int): Map[String, Long] =
+    vocabTopK(df, textCol, k).collect()
+      .map(r => r.getString(0) -> r.getInt(2).toLong).toMap
+
+  /** Tokenizer APPLICATION: map each document's tokens to ids from a
+    * fixed bounded vocabulary; OOV tokens map to -1. The vocab rides as
+    * a broadcast map literal, so this is a PURE PROJECTION — no join,
+    * no shuffle, input partitioning survives; tokenizing 100 TB is an
+    * embarrassingly parallel scan (the same shape real pipelines use:
+    * the vocab is trainer-fixed and tiny next to the corpus). Adds
+    * `token_ids`, `n_tokens`, `n_oov`, and `ids_fp` — a 60-bit content
+    * hash of the id SEQUENCE (order-sensitive), the cheap equality
+    * witness for "same tokenization" across engines and runs. The
+    * lambda lookups are interpreted (higher-order functions leave
+    * whole-stage codegen) — fine for a projection this thin; a hot
+    * 100 TB deployment would lift the map lookup into a codegen
+    * Expression like [[graft.functions.Md5Hash60]]. */
+  def tokenIds(df: DataFrame, idCol: String, textCol: String,
+               vocab: Map[String, Long]): DataFrame = {
+    val m = typedlit(vocab)
+    df.withColumn("token_ids",
+        transform(TextDedup.tokens(col(textCol)),
+          t => coalesce(element_at(m, t), lit(-1L))))
+      .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+      .withColumn("n_oov",
+        size(filter(col("token_ids"), x => x === -1L)).cast("long"))
+      .withColumn("ids_fp", TextDedup.md5Hash60(
+        concat_ws(",", transform(col("token_ids"), x => x.cast("string")))))
+  }
+
+  /** Adjacent symbol-pair counts over a (cnt, syms) word table — one
+    * BPE training round's statistics: every adjacent (syms[i],
+    * syms[i+1]) weighted by the word's corpus count. Pairs never cross
+    * word boundaries (the standard word-internal BPE regime). */
+  def bpePairCounts(wf: DataFrame): DataFrame =
+    wf.filter(size(col("syms")) >= 2)
+      .select(col("cnt"), explode(transform(
+        sequence(lit(1), size(col("syms")) - 1),
+        i => struct(element_at(col("syms"), i).as("l"),
+          element_at(col("syms"), i + 1).as("r")))).as("p"))
+      .select(col("cnt"), col("p.l").as("l"), col("p.r").as("r"))
+      .groupBy("l", "r").agg(sum(col("cnt")).as("n"))
+
+  /** Round-1 BPE statistics with a deterministic rank — the oracled
+    * window into the trainer: top-k character pairs by weighted count
+    * (ties by pair lexicographically), TakeOrdered-pruned before the
+    * rank window like [[vocabTopK]]. */
+  def bpeTopPairs(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val pc = bpePairCounts(wordFrequencies(df, textCol)
+      .withColumn("syms", split(col("word"), "")))
+    val top = pc.orderBy(col("n").desc, col("l"), col("r")).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("l"), col("r"))
+    top.withColumn("rnk", row_number().over(w).cast("int"))
+      .select("rnk", "l", "r", "n")
+  }
+
+  /** Left-to-right non-overlapping merge of adjacent (l, r) into l||r —
+    * one BPE merge applied to a symbol array. A sequential fold by
+    * nature (after a merge the NEW symbol is the candidate left of the
+    * next pair: merging (a,a) on "aaaa" yields [aa,aa], not [aa,a,a]),
+    * hence `aggregate`, not a positional transform. A just-merged
+    * symbol can never falsely re-merge as `l` in the same pass: that
+    * would need l||r == l, impossible for nonempty r. */
+  private def mergeAdjacent(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, s) => when(
+        size(acc) > 0 && element_at(acc, -1) === lit(l) && s === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1),
+          array(concat(element_at(acc, -1), s))))
+        .otherwise(concat(acc, array(s))))
+
+  /** BPE merge TRAINING: learn `nMerges` merge rules from the corpus —
+    * the missing trainer half of the tokenizer family ([[tokenIds]]
+    * being the apply half). Classic regime: symbols start as single
+    * characters inside [a-z0-9]+ words (no cross-word pairs, no
+    * end-of-word marker), each round merges the globally most frequent
+    * adjacent pair (ties broken lexicographically, so the merge table
+    * is deterministic), stops early when no pair remains.
+    *
+    * Scale shape: the corpus is scanned ONCE into the vocab-scale
+    * word-frequency table; every round then runs on that table —
+    * explode-count-argmax (one shuffle on 2-char keys, one bounded
+    * 1-row collect) plus a map-side merge rewrite. The per-round
+    * frame is cached and the previous round released as soon as the
+    * next materializes (the sanctioned iterative-loop cache pattern,
+    * same as nearDupClusters' convergence loop — NOT localCheckpoint,
+    * which explodes job counts under AQE). Returns the merge table
+    * (rnk, left, right, n) — nMerges rows, driver-bounded by
+    * construction. */
+  def bpeMerges(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var wf = wordFrequencies(df, textCol)
+      .withColumn("syms", split(col("word"), "")).cache()
+    wf.count()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var rank = 1
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      val top = bpePairCounts(wf)
+        .orderBy(col("n").desc, col("l"), col("r")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, n) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank, l, r, n))
+        val next = wf
+          .withColumn("syms", mergeAdjacent(col("syms"), l, r)).cache()
+        next.count()
+        wf.unpersist()
+        wf = next
+        rank += 1
+      }
+    }
+    wf.unpersist()
+    merges.toSeq.toDF("rnk", "left", "right", "n")
+  }
 }

@@ -579,6 +579,48 @@ class TextDedupSpec extends SparkSpec {
       s"piiStats must be a pure projection:\n$plan")
   }
 
+  test("bpeMerges learns deterministic merge rules; merge is left-to-right non-overlapping") {
+    val d = Seq((1L, "aab aab"), (2L, "aab ab")).toDF("doc_id", "text")
+    // wf: aab x3, ab x1 → round 1 pairs (a,a):3, (a,b):4 → merge (a,b)
+    // round 2: aab=[a,ab], ab=[ab] → (a,ab):3 → merge (a,ab)
+    // round 3: no pairs left → early stop
+    val m = TextStats.bpeMerges(d, "text", 10).orderBy("rnk").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m.toSeq == Seq((1, "a", "b", 4L), (2, "a", "ab", 3L)))
+    // non-overlap: merging (a,a) on "aaaa" gives [aa,aa] → round 2
+    // merges (aa,aa), not (aa,a)
+    val q = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val m2 = TextStats.bpeMerges(q, "text", 2).orderBy("rnk").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m2.toSeq == Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
+    // round-1 statistics agree with the oracled bpeTopPairs view
+    val tp = TextStats.bpeTopPairs(d, "text", 2).orderBy("rnk").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    assert(tp.head == ("a", "b", 4L))
+  }
+
+  test("tokenIds: vocab lookup is a shuffle-free projection, OOV maps to -1, fp is order-sensitive") {
+    val d = Seq((1L, "red blue red"), (2L, "blue red red"), (3L, ""))
+      .toDF("doc_id", "text")
+    val vocab = Map("red" -> 1L, "blue" -> 2L)
+    val out = TextStats.tokenIds(d, "doc_id", "text", vocab)
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"),
+      "tokenIds must stay a pure projection")
+    val rows = out.orderBy("doc_id").collect()
+    assert(rows(0).getSeq[Long](rows(0).fieldIndex("token_ids")) ==
+      Seq(1L, 2L, 1L))
+    assert(rows(0).getAs[Long]("n_oov") == 0L)
+    // same multiset, different order → different fingerprint
+    assert(rows(0).getAs[Long]("ids_fp") != rows(1).getAs[Long]("ids_fp"))
+    // empty text: zero tokens, fingerprint of the empty sequence
+    assert(rows(2).getAs[Long]("n_tokens") == 0L)
+    val oov = TextStats.tokenIds(
+      Seq((1L, "red qux")).toDF("doc_id", "text"), "doc_id", "text", vocab)
+      .collect().head
+    assert(oov.getSeq[Long](oov.fieldIndex("token_ids")) == Seq(1L, -1L))
+    assert(oov.getAs[Long]("n_oov") == 1L)
+  }
+
   test("token counts: ws vs bpe-ish") {
     val d = Seq((1L, "hello world, abcdefgh!")).toDF("doc_id", "text")
     val r = TextStats.qualityMetrics(d, "doc_id", "text").collect().head
