@@ -427,6 +427,20 @@ object SparkEntry {
     "dd_jaccard_pairs" -> ((s, dir) =>
       TextDedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
         3, 0.8, restrictSets = false).orderBy("a_id", "b_id")),
+    "dd_containment_pairs" -> ((s, dir) => {
+      // asymmetric dedup demands asymmetric test data: plant a
+      // token-truncated HALF of every doc (fully contained in its
+      // original, Jaccard ≈ 0.5 — invisible to jaccardPairs at 0.8)
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val toks = TextDedup.tokens(col("text"))
+      val u = d.union(d.select((col("doc_id") + 100000).as("doc_id"),
+        concat_ws(" ",
+          slice(toks, lit(1), (size(toks) / lit(2)).cast("int")))
+          .as("text")))
+      TextDedup.containmentPairs(u, "doc_id", "text", n = 3, minC = 0.9,
+          restrictSets = false)
+        .orderBy("a_id", "b_id")
+    }),
     "dd_minhash_lsh" -> ((s, dir) =>
       TextDedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
         n = 3, k = 16, bands = 4, minJ = 0.8, restrictSets = false)
@@ -1417,6 +1431,23 @@ object SparkEntry {
         |       CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) AS jaccard
         |FROM inter JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
         |WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin,
+    "dd_containment_pairs" ->
+      """WITH base AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') w FROM documents),
+        |u AS (SELECT doc_id, w FROM base
+        |      UNION ALL
+        |      SELECT doc_id + 100000, w[1:len(w)//2] FROM base),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         CAST(('0x'||substr(md5(array_to_string(w[i:i+2], ' ')),1,15)) AS BIGINT) AS sh_h
+        |       FROM u, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS g(i)),
+        |sizes AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) n_common
+        |          FROM sh a JOIN sh b ON a.sh_h = b.sh_h AND a.doc_id <> b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT a_id, b_id, n_common,
+        |       CAST(n_common AS DOUBLE) / CAST(sa.sz AS DOUBLE) AS containment
+        |FROM inter JOIN sizes sa ON a_id = sa.doc_id
+        |WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz AS DOUBLE) >= 0.9
         |ORDER BY a_id, b_id""".stripMargin,
     "dd_minhash_lsh" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') w FROM documents),

@@ -333,6 +333,77 @@ object TextDedup {
       .distinct()
   }
 
+  /** Exact n-gram CONTAINMENT near-dup pairs — the ASYMMETRIC sibling
+    * of [[jaccardPairs]] for subset duplication (quotes, truncations,
+    * chunk re-posts): containment(a in b) = |A∩B| / |A| is high when a
+    * is mostly inside b even though their Jaccard is low (a 100-token
+    * excerpt of a 10k-token doc has J ≈ 0.01 and slips every
+    * symmetric-threshold dedup). Emits DIRECTED pairs (a_id, b_id,
+    * n_common, containment), a ≠ b, containment ≥ minC.
+    *
+    * Candidate generation is the ONE-SIDED prefix lemma: if
+    * |A∩B| ≥ ceil(minC·|A|), then among A's rarity-ordered first
+    * |A| − ceil(minC·|A|) + 1 shingles at least one is in B
+    * (pigeonhole over the same global order as [[prefixCandidates]]),
+    * so joining A-prefixes against the FULL index of container
+    * candidates misses nothing — output is exactly the quadratic
+    * all-pairs result. The container side must index every shingle
+    * (nothing bounds |B| from above), so unlike the symmetric join the
+    * full inverted index is in play: the hot-boilerplate-shingle
+    * hazard returns on that side, and `maxShingleDocFreq` is the
+    * documented guard for adversarial corpora (biases containment
+    * slightly low, same trade as in [[jaccardPairs]]). The size filter
+    * |B| ≥ minC·|A| (containment ≥ minC forces |B| ≥ |A∩B| ≥
+    * minC·|A|) prunes the one cheap direction; correctly-rounded
+    * division makes it conservative, never unsound (containment ≤
+    * |B|/|A| under shared divisor, monotone under rounding). */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, minC: Double,
+                       maxShingleDocFreq: Option[Long] = None,
+                       restrictSets: Boolean = true): DataFrame = {
+    val sh0 = shingleHashes(df, idCol, textCol, n)
+    val sh = maxShingleDocFreq.fold(sh0)(Skew.dropHotKeys(sh0, "sh_h", _))
+    val sets = maxShingleDocFreq match {
+      case None => shingleHashSets(df, idCol, textCol, n)
+      case Some(_) => sh.groupBy(col(idCol))
+        .agg(collect_list(col("sh_h")).as("sh_set"))
+    }
+    verifyPairs(containmentCandidates(sh, idCol, minC), sets, idCol,
+        restrictSets)
+      .withColumn("containment",
+        col("n_common").cast("double") / size(col("_a")).cast("double"))
+      .filter(col("containment") >= minC)
+      .select("a_id", "b_id", "n_common", "containment")
+  }
+
+  /** One-sided prefix candidates for [[containmentPairs]]: contained
+    * side contributes its rarity-ordered prefix, container side its
+    * full shingle set; both derive from ONE ranked frame so the window
+    * stage's exchange is reused across the self-join (the
+    * [[prefixCandidates]] precedent). Superset of all directed pairs
+    * with containment ≥ minC. */
+  private[graft] def containmentCandidates(sh: DataFrame, idCol: String,
+                                           minC: Double): DataFrame = {
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("_df"), col("sh_h"))
+    val wSz = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    val wFreq = org.apache.spark.sql.expressions.Window.partitionBy(col("sh_h"))
+    val ranked = sh.withColumn("_df", count(lit(1)).over(wFreq))
+      .withColumn("_rk", row_number().over(wDoc))
+      .withColumn("_sz", count(lit(1)).over(wSz))
+      .withColumn("_pfx",
+        col("_sz") - ceil(lit(minC) * col("_sz") - lit(1e-9)) + 1)
+    val prefix = ranked.filter(col("_rk") <= col("_pfx"))
+      .select(col(idCol), col("sh_h"), col("_sz"))
+    val full = ranked.select(col(idCol), col("sh_h"), col("_sz"))
+    prefix.as("x").join(full.as("y"),
+        col("x.sh_h") === col("y.sh_h") &&
+          col(s"x.$idCol") =!= col(s"y.$idCol") &&
+          col("y._sz") / col("x._sz") >= minC)
+      .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
+      .distinct()
+  }
+
   /** MinHash signature: k hash functions h_i(s) = (a_i*h + b_i) mod P
     * over the doc's shingle-hash set — a PURE PROJECTION via the fused
     * codegen kernel [[graft.functions.MinHashK]] over the per-doc set

@@ -62,6 +62,27 @@ class TextDedupSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("jaccard") - 0.6) < 1e-12)
   }
 
+  test("containmentPairs: directed subset detection where jaccard is blind") {
+    val big = (1 to 40).map(i => s"w$i").mkString(" ")
+    val excerpt = (1 to 12).map(i => s"w$i").mkString(" ")
+    val d = docs(1L -> big, 2L -> excerpt, 3L -> "unrelated text here")
+    // excerpt ⊂ big: containment(2 → 1) = 1.0, but J = 10/38 ≈ 0.26
+    val c = TextDedup.containmentPairs(d, "doc_id", "text", 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Double]("containment")))
+    assert(c.toSeq == Seq((2L, 1L, 1.0)), s"got ${c.toSeq}")
+    // the symmetric op misses it at the same bar
+    assert(TextDedup.jaccardPairs(d, "doc_id", "text", 3, 0.9)
+      .collect().isEmpty)
+    // candidate generation is exact: the one-sided prefix join finds
+    // the pair even when the shared shingles are the corpus-commonest
+    // (prefix = rarest-first would not hold them on the contained side
+    // alone — the full container index does)
+    val guard = TextDedup.containmentPairs(d, "doc_id", "text", 3, 0.9,
+      restrictSets = false).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(guard.toSeq == Seq((2L, 1L)))
+  }
+
   test("jaccard dedup output is a subset of input pairs (property)") {
     val d = Tables.documents(spark, "/root/testdata/sf0.001")
     val ids = d.select("doc_id").as[Long].collect().toSet
