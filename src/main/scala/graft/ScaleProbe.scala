@@ -105,6 +105,26 @@ object ScaleProbe {
         "prefix filtering lost qualifying pairs — prefix lemma violated")
       assert(candidates * 4 <= naive || naive < 100000,
         s"prefix filtering ineffective: $candidates candidates vs $naive naive")
+      // containment audit: the one-sided variant keeps only the
+      // contained side's prefix but must index the container side in
+      // full, so its candidate reduction is bounded by the prefix
+      // fraction (~1-minC) rather than the two-sided product — measure
+      // the actual ratio and that the lemma holds (no true pair lost)
+      var trueCont = 0L
+      time("containment_guarded") {
+        trueCont = ops.TextDedup.containmentPairs(docs, "doc_id", "text",
+          3, 0.9, maxShingleDocFreq = Some(500L)).count()
+        trueCont
+      }
+      val contCand = ops.TextDedup.containmentCandidates(sh, "doc_id", 0.9)
+        .count()
+      val naiveDir = naive * 2 // directed co-occurrence pairs
+      println(s"[scaleprobe] containment candidate audit at x$mult: " +
+        s"one-sided candidates=$contCand vs naive directed=$naiveDir " +
+        s"(${if (naiveDir > 0) "%.1f%%".format(100.0 * contCand / naiveDir) else "-"}); " +
+        s"true directed pairs=$trueCont")
+      assert(contCand >= trueCont,
+        "one-sided prefix lost qualifying pairs — containment lemma violated")
     }
     }
 
