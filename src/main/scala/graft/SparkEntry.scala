@@ -546,6 +546,11 @@ object SparkEntry {
       Embeddings.bruteForceTopK(e, e.filter(col("vec_id") < 10),
         "vec_id", "embedding", 5).orderBy("query_id", "rnk")
     }),
+    "e_int8_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Embeddings.int8TopK(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5).orderBy("query_id", "rnk")
+    }),
     "e_cosine_neardup" -> ((s, dir) => {
       // fixture seeds NON-identical near-dups: each vector's twin is
       // shifted by +0.005 per component (cosine ≈ 0.9992, not 1), so
@@ -1792,6 +1797,33 @@ object SparkEntry {
         |       CAST(least(octet_length(encode(text)), 64) AS BIGINT) AS width
         |FROM documents ORDER BY media_id""".stripMargin,
     "e_ann_bruteforce" -> annTop5Sql,
+    "e_int8_topk" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding,
+        |             x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) qv
+        |           FROM embeddings),
+        |w AS (SELECT vec_id, qv,
+        |        list_aggregate(list_transform(qv, x -> abs(x)), 'max') s
+        |      FROM v),
+        |z AS (SELECT vec_id,
+        |        CASE WHEN s = 0
+        |          THEN list_transform(qv, x -> CAST(0 AS BIGINT))
+        |          ELSE list_transform(qv, x ->
+        |            CAST(floor(127.0 * abs(x) / s + 0.5) *
+        |                 (CASE WHEN x < 0 THEN -1.0 ELSE 1.0 END) AS BIGINT))
+        |        END q8
+        |      FROM w),
+        |q AS (SELECT vec_id query_id, q8 FROM z WHERE vec_id < 10),
+        |sc AS (SELECT q.query_id, c.vec_id corpus_id,
+        |         CAST(list_dot_product(q.q8, c.q8) AS DOUBLE) /
+        |         (sqrt(CAST(list_dot_product(q.q8, q.q8) AS DOUBLE)) *
+        |          sqrt(CAST(list_dot_product(c.q8, c.q8) AS DOUBLE))) AS cosine_q
+        |       FROM q JOIN z c ON c.vec_id <> q.query_id),
+        |r AS (SELECT query_id, corpus_id, cosine_q,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |          ORDER BY cosine_q DESC, corpus_id) AS INT) rnk
+        |      FROM sc)
+        |SELECT query_id, corpus_id, cosine_q, rnk
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     // exact-mode ANN variants produce IDENTICAL results to brute force
     // by construction (full probe coverage) — same oracle
     "e_ivf_exact" -> annTop5Sql,

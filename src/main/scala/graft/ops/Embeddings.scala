@@ -64,6 +64,58 @@ object Embeddings {
         col("rnk").cast("int").as("rnk"))
   }
 
+  /** Symmetric per-vector INT8 quantization — the ANN memory path: a
+    * 100 TB embedding store at float32 is 4× the bytes of int8 codes,
+    * and brute-force/IVF scan cost is memory-bandwidth-bound, so the
+    * codes ARE the speedup. Per vector: s = max|v_i| over the exact
+    * fixed-point domain ([[quantize]]), q_i = round-half-away-from-zero
+    * of 127·v_i/s, so q_i ∈ [-127, 127] (spec-pinned) — a real
+    * deployment stores `array<byte>`; this keeps long arrays for the
+    * [[qdot]] kernel. The rounding runs in double arithmetic on
+    * exactly-representable integers with a fixed operation order, so
+    * DuckDB reproduces every code bit-for-bit. COSINE over int8 codes
+    * needs no dequantization: the two scale factors cancel, so ranking
+    * is [[qcosine]] on the codes themselves — only the quantization
+    * noise (≲1/254 per component) moves a score. Zero vectors code to
+    * all-zero (s = 0 guard). */
+  def int8Quantized(df: DataFrame, idCol: String,
+                    vecCol: String): DataFrame =
+    df.select(col(idCol), quantize(col(vecCol)).as("_qv"))
+      .withColumn("s", array_max(transform(col("_qv"), x => abs(x))))
+      .withColumn("q8",
+        when(col("s") === 0L, transform(col("_qv"), _ => lit(0L)))
+          .otherwise(transform(col("_qv"), x =>
+            (floor(lit(127.0) * abs(x).cast("double") /
+              col("s").cast("double") + lit(0.5)) *
+              when(x < 0L, lit(-1.0)).otherwise(lit(1.0))).cast("long"))))
+      .drop("_qv")
+
+  /** Brute-force cosine top-k over INT8 codes — same plan shape as
+    * [[bruteForceTopK]] (broadcast queries × one corpus scan, windowed
+    * rank, vec_id tie-break) but each dot runs on 8-bit-domain values:
+    * the scan reads a quarter of the bytes and the [[qdot]] loop's
+    * multiplies never leave small-int range. Scores are `cosine_q`
+    * (quantized-domain cosine) — an approximation of the float cosine,
+    * ranked deterministically; recall vs the exact path is the
+    * spec-measured dial. */
+  def int8TopK(corpus: DataFrame, queries: DataFrame,
+               idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = int8Quantized(corpus, idCol, vecCol)
+      .select(col(idCol).as("corpus_id"), col("q8").as("cq"))
+    val q = int8Quantized(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("q8").as("qq"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("cosine_q", qcosine(col("qq"), col("cq")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cosine_q").desc, col("corpus_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cosine_q"),
+        col("rnk").cast("int").as("rnk"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane j,
     * dim i): md5-derived value mapped to [-1, 1). Computed ONCE on the
     * driver (same md5 → same value as the column-expression form, but
