@@ -256,6 +256,37 @@ object TextStats {
           .as("avg_token_prob"))
   }
 
+  /** Bigram typicality score — [[unigramScore]]'s exact-rational form
+    * over 2-gram EVENTS: mean corpus-probability of the document's
+    * adjacent token pairs. The signal unigram scoring cannot see is
+    * word ORDER — shuffled-word spam and template-stitched text reuse
+    * perfectly common words in bigrams the corpus has never produced,
+    * so they score low here while sailing through the unigram filter.
+    * Same determinism discipline: every aggregate is an exact long
+    * (conditional-probability means were rejected — summing
+    * per-bigram fractions with differing denominators is
+    * float-addition-order-dependent under shuffle), one final double
+    * division, one-row totals broadcast. Documents with fewer than two
+    * tokens carry no bigrams and emit no row. */
+  def bigramScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val grams = df.select(col(idCol),
+      explode(TextDedup.shingleArray(
+        TextDedup.tokens(col(textCol)), 2)).as("bg"))
+    val tf = grams.groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("tf"))
+    val cnt = tf.groupBy("bg").agg(sum("tf").as("cnt"))
+    val totals = cnt.agg(sum("cnt").as("total_bigrams"))
+    val perDoc = tf.join(cnt, "bg")
+      .groupBy(col(idCol))
+      .agg(sum("tf").as("n_bigrams"),
+        sum(col("tf") * col("cnt")).as("sum_cnt"))
+    perDoc.crossJoin(broadcast(totals))
+      .select(col(idCol), col("n_bigrams"),
+        (col("sum_cnt").cast("double") /
+          (col("n_bigrams").cast("decimal(19,0)") *
+            col("total_bigrams").cast("decimal(19,0)")).cast("double"))
+          .as("avg_bigram_prob"))
+  }
+
   /** Per-batch corpus term counts `(term, cnt)` — the additive partial
     * for the streaming unigram-stats MV
     * ([[graft.streaming.Ingest.startUnigramSink]]). Long counts are

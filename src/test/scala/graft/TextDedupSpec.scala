@@ -600,6 +600,22 @@ class TextDedupSpec extends SparkSpec {
       s"piiStats must be a pure projection:\n$plan")
   }
 
+  test("bigramScore penalizes shuffled word order that unigramScore cannot see") {
+    // docs 1-4: the same natural sentence; doc 5: identical WORDS,
+    // scrambled order → identical unigram distribution, alien bigrams
+    val natural = "the quick brown fox jumps over the lazy dog"
+    val shuffled = "dog the over fox lazy quick the jumps brown"
+    val d = ((1L to 4L).map(_ -> natural) :+ (5L -> shuffled))
+      .toDF("doc_id", "text")
+    val uni = TextStats.unigramScore(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(uni(5L) == uni(1L), "unigram is order-blind by construction")
+    val bi = TextStats.bigramScore(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(bi(5L) < bi(1L) / 2,
+      s"shuffled doc must score far below natural: ${bi(5L)} vs ${bi(1L)}")
+  }
+
   test("bpeMerges learns deterministic merge rules; merge is left-to-right non-overlapping") {
     val d = Seq((1L, "aab aab"), (2L, "aab ab")).toDF("doc_id", "text")
     // wf: aab x3, ab x1 → round 1 pairs (a,a):3, (a,b):4 → merge (a,b)
