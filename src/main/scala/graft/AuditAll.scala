@@ -4,10 +4,10 @@ import org.apache.spark.sql.SparkSession
 /** Dev plan-audit sweep: flags join shapes worth eyeballing across the
   * whole query suite. Expected (deliberate) flags as of round 2:
   *  - BroadcastNestedLoop in a2/a7/a8_history_period (one-row max-ts
-  *    scalar broadcast), t_unigram_score (one-row total_tokens scalar
-  *    broadcast), j6 (pattern replay IS a cross join, tiny side),
-  *    e_ann_bruteforce (the brute-force baseline is a deliberate
-  *    corpus × probes scan);
+  *    scalar broadcast), t_unigram_score / t_bigram_score (one-row
+  *    totals scalar broadcast), j6 (pattern replay IS a cross join,
+  *    tiny side), e_ann_bruteforce / e_int8_topk (the brute-force
+  *    baselines are deliberate corpus × probes scans);
   *  - SortMergeJoin in the dedup family / e_cosine_neardup (banded
   *    sign-LSH self-join) / t_curate: inverted-index and band-bucket
   *    self-joins where BOTH sides are large at scale — a shuffle join

@@ -333,6 +333,43 @@ object TextStats {
           .as("avg_token_prob"))
   }
 
+  /** Bigram analog of [[unigramPartials]]: per-batch `(term, cnt)`
+    * where term is the space-joined adjacent token pair. Same additive
+    * long counts, same column names — [[mergeUnigramPartials]] merges
+    * these unchanged, and the state is bigram-VOCAB-scale. */
+  def bigramPartials(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextDedup.shingleArray(
+        TextDedup.tokens(col(textCol)), 2)).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+
+  /** [[bigramScore]] against PRE-BUILT corpus bigram counts — the
+    * serving half of the streaming bigram MV, with the same contract
+    * as [[unigramScoreAgainst]]: identical output to
+    * `bigramScore(corpus)` for docs inside the counted corpus
+    * (spec-pinned bit-equal), probability-0 floor for bigrams the
+    * model has never seen, one pass over the slice plus a vocab-scale
+    * join — never a corpus rescan. */
+  def bigramScoreAgainst(df: DataFrame, idCol: String, textCol: String,
+                         counts: DataFrame): DataFrame = {
+    val grams = df.select(col(idCol),
+      explode(TextDedup.shingleArray(
+        TextDedup.tokens(col(textCol)), 2)).as("term"))
+    val tf = grams.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val totals = counts.agg(sum("cnt").as("total_bigrams"))
+    val perDoc = tf.join(counts.select(col("term"), col("cnt")),
+        Seq("term"), "left")
+      .groupBy(col(idCol))
+      .agg(sum("tf").as("n_bigrams"),
+        sum(col("tf") * coalesce(col("cnt"), lit(0L))).as("sum_cnt"))
+    perDoc.crossJoin(broadcast(totals))
+      .select(col(idCol), col("n_bigrams"),
+        (col("sum_cnt").cast("double") /
+          (col("n_bigrams").cast("decimal(19,0)") *
+            col("total_bigrams").cast("decimal(19,0)")).cast("double"))
+          .as("avg_bigram_prob"))
+  }
+
   /** Document-length histogram: counts per `binWidth`-char bin —
     * the distribution check before length-based quality filtering. */
   def lengthHistogram(df: DataFrame, textCol: String, binWidth: Int): DataFrame =

@@ -424,6 +424,35 @@ object Ingest {
                         workRoot: String): Option[DataFrame] =
     graft.io.VersionedState.readLatest(spark, s"$workRoot/unigram")
 
+  /** Streaming corpus BIGRAM-stats MV — [[startUnigramSink]] for
+    * 2-gram events (same additive-partial + versioned-state-merge
+    * machinery, bigram-vocab-scale state): keeps the order-sensitive
+    * [[graft.ops.TextStats.bigramScore]] model current without corpus
+    * rescans; serve via [[readBigramCounts]] +
+    * [[graft.ops.TextStats.bigramScoreAgainst]] (bit-equal to the
+    * batch score, spec-pinned). */
+  def startBigramSink(docs: DataFrame, textCol: String, workRoot: String,
+                      checkpoint: String,
+                      trigger: Trigger = Trigger.ProcessingTime(0L))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.io.VersionedState.mergeCommit(
+          batch.sparkSession, s"$workRoot/bigram", batchId,
+          graft.ops.TextStats.bigramPartials(batch, textCol),
+          graft.ops.TextStats.mergeUnigramPartials)
+        ()
+      }
+      .start()
+
+  /** Serving read for [[startBigramSink]]. */
+  def readBigramCounts(spark: SparkSession,
+                       workRoot: String): Option[DataFrame] =
+    graft.io.VersionedState.readLatest(spark, s"$workRoot/bigram")
+
   /** Incremental NEAR-dup ingest filter: a persisted MinHash band index
     * (parquet at `indexPath`, rows = (doc_id, band, band_h) from
     * ops.TextDedup.bandKeys) suppresses any incoming document whose

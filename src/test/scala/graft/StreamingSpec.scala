@@ -240,6 +240,36 @@ class StreamingSpec extends SparkSpec {
       (1.0 * expectCounts("alpha")) / (3.0 * total))
   }
 
+  test("bigram MV: streamed state scores bit-identically to the batch operator") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val batches: Seq[Seq[(Long, String)]] = Seq(
+      Seq(1L -> "alpha beta gamma alpha", 2L -> "beta beta delta"),
+      Seq(3L -> "gamma gamma alpha epsilon"))
+    val all = batches.flatten.toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bigram")
+    val mem = MemoryStream[(Long, String)]
+    val q = Ingest.startBigramSink(mem.toDF().toDF("doc_id", "text"),
+      "text", s"$tmp/work", s"$tmp/cp")
+    try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    val counts = Ingest.readBigramCounts(spark, s"$tmp/work").get
+    val expectCounts = ops.TextStats.bigramPartials(all, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap == expectCounts)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_bigrams", "avg_bigram_prob").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows(ops.TextStats.bigramScoreAgainst(all, "doc_id", "text",
+      counts)) == rows(ops.TextStats.bigramScore(all, "doc_id", "text")))
+    // unseen word ORDER scores 0 even when both words are in-model
+    val nd = Seq(9L -> "beta alpha").toDF("doc_id", "text")
+    val scored = ops.TextStats.bigramScoreAgainst(nd, "doc_id", "text",
+      counts).collect().head
+    assert(scored.getLong(1) == 1L && scored.getDouble(2) == 0.0)
+  }
+
   test("embedding near-dup sink exact-verifies band collisions before dropping") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
