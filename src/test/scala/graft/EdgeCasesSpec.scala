@@ -146,6 +146,36 @@ class EdgeCasesSpec extends SparkSpec {
     }
   }
 
+  test("curateToShards: stage composition preserves stage semantics end-to-end") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_pipeline").toString
+    val out = graft.ops.Pipelines.curateToShards(d, "doc_id", "text",
+      keepLangs = Seq("en", "es"), minQuality = 0.1,
+      n = 3, k = 16, bands = 4, minJ = 0.8,
+      nShards = 4, seed = "ord", outPath = Some(tmp))
+    val rows = out.select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.length < d.count(),
+      "pipeline must drop something and keep something")
+    // survivors == curate ∘ dedupCorpus run independently
+    val curated = graft.ops.TextStats.curate(d, "doc_id", "text",
+      Seq("en", "es"), 0.1).select("doc_id")
+    val expect = graft.ops.TextDedup.dedupCorpus(
+      d.select(col("doc_id"), col("text"))
+        .join(curated, Seq("doc_id"), "left_semi"),
+      "doc_id", "text", 3, 16, 4, 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_._1).toSet == expect)
+    // positions dense per shard over the FINAL survivor set
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.sameElements(0L until rs.length.toLong))
+    }
+    // the written export exists with the shard layout
+    assert((0 until 4).exists(sh =>
+      new java.io.File(s"$tmp/shard=$sh").exists()))
+  }
+
   test("mixSources: integer weights copy exactly, fractional draw the remainder, zero drops") {
     import spark.implicits._
     val d = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c"))
