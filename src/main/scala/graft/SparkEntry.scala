@@ -349,6 +349,31 @@ object SparkEntry {
           col("asof_checkpoint_total"))
         .orderBy("event_id")
     }),
+    "x_asof_fwd" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val cp = e.groupBy(col("user_id"),
+          date_trunc("hour", col("ts")).as("ts"))
+        .agg(graft.util.Exact.dsum2(col("value")).as("checkpoint_total"))
+      val left = e.select("event_id", "user_id", "ts", "value")
+      AsOf.asofForward(left, cp, "user_id", "ts", Seq("checkpoint_total"))
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("ts_epoch"), col("value"),
+          col("asof_checkpoint_total"))
+        .orderBy("event_id")
+    }),
+    "x_asof_nearest" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val cp = e.groupBy(col("user_id"),
+          date_trunc("hour", col("ts")).as("ts"))
+        .agg(graft.util.Exact.dsum2(col("value")).as("checkpoint_total"))
+      val left = e.select("event_id", "user_id", "ts", "value")
+      AsOf.asofNearest(left, cp, "user_id", "ts", tolerance = 1800.0,
+          Seq("checkpoint_total"))
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("ts_epoch"), col("value"),
+          col("asof_checkpoint_total"), col("asof_dist"))
+        .orderBy("event_id")
+    }),
     // ---- deterministic sampling / holdout (training-data pipeline) ----
     "samp_stratified" -> ((s, dir) =>
       Sampling.stratified(Tables.documents(s, dir), "lang", "doc_id",
@@ -1329,6 +1354,42 @@ object SparkEntry {
         |FROM events e ASOF LEFT JOIN cp
         |  ON e.user_id = cp.user_id AND e.ts >= cp.cts
         |ORDER BY event_id""".stripMargin,
+    "x_asof_fwd" ->
+      """WITH cp AS (
+        |  SELECT user_id, date_trunc('hour', ts) cts,
+        |         CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) checkpoint_total
+        |  FROM events GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id,
+        |       CAST(floor(epoch(e.ts)) AS BIGINT) ts_epoch, e.value,
+        |       cp.checkpoint_total AS asof_checkpoint_total
+        |FROM events e ASOF LEFT JOIN cp
+        |  ON e.user_id = cp.user_id AND e.ts <= cp.cts
+        |ORDER BY event_id""".stripMargin,
+    "x_asof_nearest" ->
+      """WITH cp AS (
+        |  SELECT user_id, date_trunc('hour', ts) cts,
+        |         CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) checkpoint_total
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT e.event_id, e.user_id, e.ts, e.value,
+        |             cp.cts bts, cp.checkpoint_total bv
+        |      FROM events e ASOF LEFT JOIN cp
+        |        ON e.user_id = cp.user_id AND e.ts >= cp.cts),
+        |f AS (SELECT e.event_id, cp.cts fts, cp.checkpoint_total fv
+        |      FROM events e ASOF LEFT JOIN cp
+        |        ON e.user_id = cp.user_id AND e.ts <= cp.cts),
+        |j AS (SELECT b.*, f.fts, f.fv,
+        |             epoch(b.ts) - epoch(b.bts) AS db,
+        |             epoch(f.fts) - epoch(b.ts) AS df,
+        |             (b.bts IS NOT NULL AND epoch(b.ts) - epoch(b.bts) <= 1800) AS okb,
+        |             (f.fts IS NOT NULL AND epoch(f.fts) - epoch(b.ts) <= 1800) AS okf
+        |      FROM b JOIN f USING (event_id))
+        |SELECT event_id, user_id,
+        |       CAST(floor(epoch(ts)) AS BIGINT) ts_epoch, value,
+        |       CASE WHEN okb AND (NOT okf OR db <= df) THEN bv
+        |            WHEN okf THEN fv ELSE NULL END AS asof_checkpoint_total,
+        |       CASE WHEN okb AND (NOT okf OR db <= df) THEN db
+        |            WHEN okf THEN df ELSE NULL END AS asof_dist
+        |FROM j ORDER BY event_id""".stripMargin,
     "samp_stratified" ->
       """SELECT doc_id, lang FROM documents
         |WHERE (CAST(CAST(('0x'||substr(md5('samp:' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 1000000 AS DOUBLE)
