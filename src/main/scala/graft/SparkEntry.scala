@@ -422,6 +422,12 @@ object SparkEntry {
     }),
     // ---- profiling: per-column summary over events (exact path — the
     // default approx/HLL path is pinned against this in ProfilerSpec) ----
+    "prof_events_drift" -> ((s, dir) => {
+      val e = ev(s, dir)
+      Profiler.drift(e.filter(pmod(col("event_id"), lit(2)) === 0),
+          e.filter(pmod(col("event_id"), lit(2)) === 1), exact = true)
+        .orderBy("col_name")
+    }),
     "prof_events_summary" -> ((s, dir) =>
       Profiler.summary(ev(s, dir), exact = true).orderBy("col_name")),
     // ---- training-data pipeline: dedup family over documents ----
@@ -1440,6 +1446,42 @@ object SparkEntry {
         |SELECT e.event_id, e.event_type, e.value, d.type_avg
         |FROM events e JOIN d USING (event_type)
         |ORDER BY event_id""".stripMargin,
+    "prof_events_drift" -> {
+      def halfCols(w: String) = {
+        def num(c: String, mn: String, mx: String) =
+          s"""SELECT '$c' col_name, COUNT(*) n_rows, COUNT($c) n_nonnull,
+             |COUNT(DISTINCT $c) n_distinct,
+             |CAST($mn AS DOUBLE) min_num, CAST($mx AS DOUBLE) max_num
+             |FROM events WHERE $w""".stripMargin
+        def str(c: String) =
+          s"""SELECT '$c' col_name, COUNT(*) n_rows, COUNT($c) n_nonnull,
+             |COUNT(DISTINCT $c) n_distinct,
+             |CAST(NULL AS DOUBLE) min_num, CAST(NULL AS DOUBLE) max_num
+             |FROM events WHERE $w""".stripMargin
+        Seq(
+          num("event_id", "min(event_id)", "max(event_id)"),
+          num("ts", "floor(epoch(min(ts)))", "floor(epoch(max(ts)))"),
+          num("user_id", "min(user_id)", "max(user_id)"),
+          str("event_type"),
+          num("value", "min(value)", "max(value)"),
+          str("props")).mkString("", "\nUNION ALL\n", "")
+      }
+      s"""WITH a AS (${halfCols("event_id % 2 = 0")}),
+         |b AS (${halfCols("event_id % 2 = 1")})
+         |SELECT a.col_name,
+         |       a.n_rows n_rows_a, a.n_nonnull n_nonnull_a,
+         |       a.n_distinct n_distinct_a, a.min_num min_num_a,
+         |       a.max_num max_num_a,
+         |       b.n_rows n_rows_b, b.n_nonnull n_nonnull_b,
+         |       b.n_distinct n_distinct_b, b.min_num min_num_b,
+         |       b.max_num max_num_b,
+         |       CAST(a.n_rows - a.n_nonnull AS DOUBLE) / CAST(a.n_rows AS DOUBLE) null_rate_a,
+         |       CAST(b.n_rows - b.n_nonnull AS DOUBLE) / CAST(b.n_rows AS DOUBLE) null_rate_b,
+         |       CAST(b.n_rows - b.n_nonnull AS DOUBLE) / CAST(b.n_rows AS DOUBLE)
+         |         - CAST(a.n_rows - a.n_nonnull AS DOUBLE) / CAST(a.n_rows AS DOUBLE) null_rate_shift
+         |FROM a JOIN b USING (col_name)
+         |ORDER BY col_name""".stripMargin
+    },
     "prof_events_summary" -> {
       def num(c: String, mn: String, mx: String) =
         s"""SELECT '$c' col_name, COUNT(*) n_rows, COUNT($c) n_nonnull,

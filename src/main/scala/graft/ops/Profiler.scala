@@ -160,4 +160,35 @@ object Profiler {
   def approxDistinct(df: DataFrame, colName: String,
                      rsd: Double = 0.05): Long =
     df.agg(approx_count_distinct(col(colName), rsd)).collect().head.getLong(0)
+
+  /** Profile DRIFT between two snapshots of the same schema (yesterday
+    * vs today, upstream vs downstream of a pipeline change) — the
+    * monitoring op that turns the profiler into a data-quality gate:
+    * per column, both sides' counts / distincts / numeric ranges plus
+    * null rates and the null-rate shift. Costs two [[summary]] runs
+    * (each side's scans) and an n_cols-row join — nothing here adds a
+    * corpus-scale stage, so drifting 100 TB against 100 TB is exactly
+    * two profile passes. Divisions are long-to-double on exact counts
+    * (engine-identical); `exact = true` (the oracled mode) makes every
+    * figure reproducible; the default approx mode is the one-scan
+    * monitoring path. String min/max are profile detail, not drift
+    * signal, and are dropped here. */
+  def drift(a: DataFrame, b: DataFrame,
+            exact: Boolean = true): DataFrame = {
+    def side(df: DataFrame, tag: String) =
+      summary(df, exact).select(col("col_name"),
+        col("n_rows").as(s"n_rows_$tag"),
+        col("n_nonnull").as(s"n_nonnull_$tag"),
+        col("n_distinct").as(s"n_distinct_$tag"),
+        col("min_num").as(s"min_num_$tag"),
+        col("max_num").as(s"max_num_$tag"))
+    def nullRate(tag: String) =
+      (col(s"n_rows_$tag") - col(s"n_nonnull_$tag")).cast("double") /
+        col(s"n_rows_$tag").cast("double")
+    side(a, "a").join(side(b, "b"), Seq("col_name"), "full_outer")
+      .withColumn("null_rate_a", nullRate("a"))
+      .withColumn("null_rate_b", nullRate("b"))
+      .withColumn("null_rate_shift",
+        col("null_rate_b") - col("null_rate_a"))
+  }
 }

@@ -53,4 +53,23 @@ class ProfilerSpec extends SparkSpec {
     assert(!plan.contains("Expand"), "exact path must not Expand")
     assert(!plan.contains("Union"), "exact path must not union per-column jobs")
   }
+
+  test("drift: planted null injection and range expansion surface per column; identical sides are flat") {
+    import spark.implicits._
+    val a = Seq((1L, Some(10.0)), (2L, Some(20.0)), (3L, Some(30.0)),
+      (4L, Some(40.0))).toDF("id", "v")
+    val b = Seq((5L, Some(15.0)), (6L, None), (7L, None),
+      (8L, Some(99.0))).toDF("id", "v")
+    val d = graft.ops.Profiler.drift(a, b).orderBy("col_name").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val v = d("v")
+    assert(v.getAs[Double]("null_rate_a") == 0.0)
+    assert(v.getAs[Double]("null_rate_b") == 0.5)
+    assert(v.getAs[Double]("null_rate_shift") == 0.5)
+    assert(v.getAs[Double]("max_num_b") == 99.0 &&
+      v.getAs[Double]("max_num_a") == 40.0)
+    // identical snapshots → zero shift everywhere
+    val flat = graft.ops.Profiler.drift(a, a).collect()
+    assert(flat.forall(_.getAs[Double]("null_rate_shift") == 0.0))
+  }
 }
