@@ -75,6 +75,19 @@ object ScaleProbe {
     time("unigram_score") {
       ops.TextStats.unigramScore(docs, "doc_id", "text").count()
     }
+    time("bigram_score") {
+      ops.TextStats.bigramScore(docs, "doc_id", "text").count()
+    }
+    time("keep_best_dedup") {
+      ops.TextDedup.exactDedupKeepBest(docs, "doc_id", "text").count()
+    }
+    time("token_ids_vocab100") {
+      ops.TextStats.tokenIds(docs, "doc_id", "text",
+        ops.TextStats.vocabIdMap(docs, "text", 100)).count()
+    }
+    time("shuffle_shards") {
+      ops.Sampling.shuffleShards(docs, "doc_id", 64, "probe").count()
+    }
     }
 
     section("jaccard") {
