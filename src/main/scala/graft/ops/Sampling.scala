@@ -63,6 +63,75 @@ object Sampling {
       .drop("_w")
   }
 
+  /** Temperature-based source resampling — the multilingual-pretraining
+    * recipe (mT5/XLM-R style): sample sources with probability
+    * q_s ∝ p_s^alpha where p_s = n_s/N is the source's corpus share.
+    * alpha < 1 flattens the distribution (upweights rare sources
+    * relative to their share), alpha = 1 is proportional (no change),
+    * alpha > 1 sharpens toward head sources. `budgetFrac` sets the
+    * target output size as a fraction of the corpus; the per-source
+    * keep rate is min(1, budget * q_s / n_s) — capped at 1 because
+    * this operator only DOWN-samples deterministically (use
+    * [[mixSources]] with epoch weights > 1 to upsample).
+    *
+    * Plan shape: one partial-agg count of the (low-cardinality) source
+    * column, rate arithmetic on that tiny frame, then a broadcast hash
+    * join back to the corpus and a codegen'd u01 filter — the 100 TB
+    * pass over the fact table is a map-only scan; the only shuffle
+    * moves one row per source. Membership is a pure function of
+    * (seed, id, the source histogram), so the draw is reproducible
+    * and engine-independent for a fixed corpus snapshot. */
+  def temperature(df: DataFrame, sourceCol: String, idCol: String,
+                  alpha: Double, budgetFrac: Double,
+                  seed: String): DataFrame = {
+    require(alpha > 0, "alpha must be positive")
+    require(budgetFrac > 0, "budgetFrac must be positive")
+    val counts = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).cast("double").as("_n"))
+    val total = counts.agg(sum("_n").as("_tot"),
+      sum(pow(col("_n"), alpha)).as("_z"))
+    val rates = counts.crossJoin(broadcast(total))
+      .withColumn("_rate",
+        least(lit(1.0),
+          lit(budgetFrac) * col("_tot") * pow(col("_n"), alpha)
+            / (col("_z") * col("_n"))))
+      .select(col(sourceCol), col("_rate"))
+    df.join(broadcast(rates), sourceCol)
+      .filter(u(seed, col(idCol)) < col("_rate"))
+      .drop("_rate")
+  }
+
+  /** Per-source quota cap — the "domain cap" curation step (à la C4 /
+    * RefinedWeb): keep at most `cap` documents per source, retaining
+    * the best by `scoreCol` descending (ties broken by `idCol`
+    * ascending, so the kept set is deterministic).
+    *
+    * Scale design: a naive `row_number() OVER (PARTITION BY source)`
+    * sorts EVERY source — at 100 TB that is a full shuffle of the
+    * corpus and a single-task sort of the hottest domain. Instead the
+    * plan is two-path: a partial-agg count finds the (few) over-cap
+    * sources; under-cap sources pass through with a broadcast anti
+    * join (map-only — for a web corpus this is the long tail, i.e.
+    * most of the bytes); only rows of over-cap sources are shuffled
+    * and ranked. The residual hazard is one pathologically hot domain
+    * sorting in one task — acceptable while `cap` (and hence the
+    * retained prefix) fits a task; beyond that, pre-filter with an
+    * approximate per-source score threshold before ranking. */
+  def sourceCap(df: DataFrame, sourceCol: String, scoreCol: String,
+                idCol: String, cap: Int): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val over = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > cap).select(col(sourceCol))
+    val under = df.join(broadcast(over), Seq(sourceCol), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val capped = df.join(broadcast(over), Seq(sourceCol), "left_semi")
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= cap).drop("_rn")
+    under.unionByName(capped)
+  }
+
   /** Deterministic holdout tag: `is_holdout` = u01(seed, id) < frac.
     * Tagging (not splitting) keeps it one scan; `train`/`holdout`
     * below are the two filtered views. */
