@@ -30,5 +30,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32g: the 90-query bench suite at sf0.1 GC-thrashes an 8g heap —
+  // round-8 driver run showed 30-40x blowups on allocation-heavy
+  // queries (mm_frame_sample 0.2s->7.7s) that vanish with headroom.
+  // The box has 125 GiB; local[32] runs driver+executors in one JVM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

@@ -23,6 +23,15 @@ object SparkEntry {
   private def ev(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir).withColumn("ts", col("ts").cast("timestamp"))
 
+  /** Skewed synthetic domain for samp_temperature / samp_source_cap:
+    * 'd'||floor(sqrt(doc_id)) (bucket g holds ~2g+1 docs), NULL for
+    * every 7th doc. sqrt is IEEE-correctly-rounded in both engines, so
+    * the oracle reproduces the grouping bit-exactly. */
+  private val sampDom: org.apache.spark.sql.Column =
+    when(pmod(col("doc_id"), lit(7)) === 0, lit(null).cast("string"))
+      .otherwise(concat(lit("d"),
+        floor(sqrt(col("doc_id").cast("double"))).cast("string")))
+
   /** Deterministic PII seeding for the t_pii_* queries: the synthetic
     * documents carry no personal identifiers, so detection on the raw
     * corpus would be an all-zeros (trivially matching) oracle. Append
@@ -397,6 +406,24 @@ object SparkEntry {
           nShards = 4, seed = "ord")
         .select(col("doc_id"), col("shard"), col("pos"))
         .orderBy("shard", "pos")),
+    // Skewed synthetic domain for the two source-shaping ops: group
+    // sizes grow linearly (floor(sqrt(doc_id)) buckets), every 7th doc
+    // gets a NULL domain — exercising both the waterfilling cap (rare
+    // domains saturate at rate 1) and the NULL-is-a-source policy
+    // (the NULL group is large enough that sourceCap must rank it).
+    "samp_temperature" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("dom", sampDom)
+      Sampling.temperature(d, "dom", "doc_id", alpha = 0.5,
+          budgetFrac = 0.5, seed = "temp")
+        .select("doc_id", "dom").orderBy("doc_id")
+    }),
+    "samp_source_cap" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+        .withColumn("dom", sampDom)
+      Sampling.sourceCap(d, "dom", "n_chars", "doc_id", cap = 10)
+        .select("doc_id", "dom", "n_chars").orderBy("doc_id")
+    }),
     // ---- skew toolkit: salted rewrites on a pathologically hot key
     // (5 event types across the whole fact table). The salted forms
     // must be HASH-IDENTICAL to the plain group-by / join the oracle
@@ -1423,6 +1450,58 @@ object SparkEntry {
         |       COUNT(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1 ORDER BY is_holdout""".stripMargin,
+    "samp_temperature" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 7 = 0 THEN NULL
+        |              ELSE 'd' || CAST(CAST(FLOOR(sqrt(CAST(doc_id AS DOUBLE))) AS BIGINT) AS VARCHAR)
+        |         END AS dom
+        |  FROM documents),
+        |c AS (SELECT dom, COUNT(*) AS n,
+        |        CAST(FLOOR(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000.0) AS BIGINT) AS pa
+        |      FROM d GROUP BY dom),
+        |t AS (SELECT SUM(n) AS nn, SUM(pa) AS z FROM c),
+        |s AS (SELECT dom, n, pa, z,
+        |        CAST(0.5 AS DOUBLE) * CAST(nn AS DOUBLE) AS b,
+        |        SUM(n)  OVER w AS cn,
+        |        SUM(pa) OVER w AS cpa
+        |      FROM c, t
+        |      WINDOW w AS (ORDER BY CAST(n AS DOUBLE)/CAST(pa AS DOUBLE) ASC,
+        |                            n ASC, dom ASC NULLS FIRST
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s2 AS (SELECT *,
+        |         CAST(cn AS DOUBLE)
+        |           + CAST(n AS DOUBLE) * CAST(z - cpa AS DOUBLE)
+        |             / CAST(pa AS DOUBLE) <= b AS sat
+        |       FROM s),
+        |l AS (SELECT COALESCE(MAX(CASE WHEN sat THEN cn  END), 0) AS cnp,
+        |             COALESCE(MAX(CASE WHEN sat THEN cpa END), 0) AS cpap
+        |      FROM s2),
+        |r AS (SELECT dom,
+        |        CASE WHEN sat THEN CAST(1.0 AS DOUBLE)
+        |             ELSE LEAST(CAST(1.0 AS DOUBLE),
+        |               (b - CAST(cnp AS DOUBLE)) * CAST(pa AS DOUBLE)
+        |                 / (CAST(z - cpap AS DOUBLE) * CAST(n AS DOUBLE)))
+        |        END AS rate
+        |      FROM s2, l)
+        |SELECT d.doc_id, d.dom
+        |FROM d JOIN r ON d.dom IS NOT DISTINCT FROM r.dom
+        |WHERE (CAST(CAST(('0x'||substr(md5('temp:' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 1000000 AS DOUBLE)
+        |       / 1000000.0) < rate
+        |ORDER BY doc_id""".stripMargin,
+    "samp_source_cap" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |         CASE WHEN doc_id % 7 = 0 THEN NULL
+        |              ELSE 'd' || CAST(CAST(FLOOR(sqrt(CAST(doc_id AS DOUBLE))) AS BIGINT) AS VARCHAR)
+        |         END AS dom
+        |  FROM documents),
+        |r AS (SELECT doc_id, dom, n_chars,
+        |        ROW_NUMBER() OVER (PARTITION BY dom
+        |                           ORDER BY n_chars DESC, doc_id) AS rn
+        |      FROM d)
+        |SELECT doc_id, dom, n_chars FROM r WHERE rn <= 10
+        |ORDER BY doc_id""".stripMargin,
     "samp_shuffle_shards" ->
       """WITH h AS (
         |  SELECT doc_id,

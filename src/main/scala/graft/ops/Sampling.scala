@@ -69,36 +69,86 @@ object Sampling {
     * alpha < 1 flattens the distribution (upweights rare sources
     * relative to their share), alpha = 1 is proportional (no change),
     * alpha > 1 sharpens toward head sources. `budgetFrac` sets the
-    * target output size as a fraction of the corpus; the per-source
-    * keep rate is min(1, budget * q_s / n_s) — capped at 1 because
-    * this operator only DOWN-samples deterministically (use
-    * [[mixSources]] with epoch weights > 1 to upsample).
+    * target output size B = budgetFrac*N; this operator only
+    * DOWN-samples deterministically (use [[mixSources]] with epoch
+    * weights > 1 to upsample).
+    *
+    * WATERFILLING: the naive rate min(1, B*q_s/n_s) under-delivers
+    * whenever the cap binds for flattened rare sources — their surplus
+    * budget is lost. Instead the exact fixed point is solved
+    * declaratively: rates are r_s = min(1, λ*q_s/n_s) with λ chosen so
+    * Σ r_s*n_s = B when B ≤ N. Sources saturate (r=1) in increasing
+    * order of t_s = n_s/q_s, so the saturated set is a prefix of the
+    * t-ordering; a row k is saturated iff the budget consumed at
+    * λ = t_k, i.e. Cn_k + t_k*(1 − Cq_k), is ≤ B (Cn/Cq = cumulative
+    * n/q through row k). One window over the per-source histogram —
+    * a tiny frame — finds the prefix; no driver collect, no iteration.
+    *
+    * NULL policy (whole file): a NULL source is a source like any
+    * other — it is counted as its own group and joined back null-safely
+    * (`<=>`), so NULL rows are temperature-sampled at the NULL group's
+    * rate rather than silently dropped (inner equi-join) while still
+    * inflating N and Z.
+    *
+    * Engine-exact determinism: every aggregate feeding a rate is a
+    * LONG (group counts, and n^alpha quantized to micro-units via
+    * floor(n^alpha * 1e6)) — long sums are exact and order-free, so
+    * the rates are bit-identical across partitionings, reruns, and
+    * engines (the DuckDB oracle reproduces them: the remaining
+    * arithmetic is IEEE +,−,×,÷ on exactly-representable longs, all
+    * correctly rounded). alpha = 0.5 uses `sqrt` rather than `pow`
+    * (IEEE requires sqrt correctly rounded; pow may be off by 1 ulp,
+    * which flips the quantization floor at perfect squares).
     *
     * Plan shape: one partial-agg count of the (low-cardinality) source
-    * column, rate arithmetic on that tiny frame, then a broadcast hash
+    * column, waterfilling on that tiny frame, then a broadcast hash
     * join back to the corpus and a codegen'd u01 filter — the 100 TB
     * pass over the fact table is a map-only scan; the only shuffle
-    * moves one row per source. Membership is a pure function of
-    * (seed, id, the source histogram), so the draw is reproducible
-    * and engine-independent for a fixed corpus snapshot. */
+    * moves one row per source. Quantized n^alpha assumes
+    * n^alpha * 1e6 < 2^63 — holds for any real corpus at alpha ≤ 1;
+    * for alpha > 1 keep n_s below ~10^12. */
   def temperature(df: DataFrame, sourceCol: String, idCol: String,
                   alpha: Double, budgetFrac: Double,
                   seed: String): DataFrame = {
     require(alpha > 0, "alpha must be positive")
     require(budgetFrac > 0, "budgetFrac must be positive")
+    val nDbl = col("_n").cast("double")
+    val paDbl = if (alpha == 0.5) sqrt(nDbl) else pow(nDbl, alpha)
     val counts = df.groupBy(col(sourceCol))
-      .agg(count(lit(1)).cast("double").as("_n"))
-    val total = counts.agg(sum("_n").as("_tot"),
-      sum(pow(col("_n"), alpha)).as("_z"))
-    val rates = counts.crossJoin(broadcast(total))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_pa", floor(paDbl * 1e6))
+    val total = counts.agg(sum("_n").as("_totn"), sum("_pa").as("_totz"))
+    // saturation order: ascending t_s = n_s * Z / pa_s; Z is constant,
+    // so order by the double ratio n/pa (ties: n, then source — the
+    // predicate below is provably constant within a tie group, so tie
+    // order never changes the result; it is pinned for determinism).
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy((col("_n").cast("double") / col("_pa").cast("double")).asc,
+        col("_n").asc, col(sourceCol).asc_nulls_first)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val enriched = counts.crossJoin(broadcast(total))
+      .withColumn("_B", lit(budgetFrac) * col("_totn").cast("double"))
+      .withColumn("_cn", sum("_n").over(w))
+      .withColumn("_cpa", sum("_pa").over(w))
+      .withColumn("_sat",
+        col("_cn").cast("double") +
+          col("_n").cast("double") * (col("_totz") - col("_cpa")).cast("double")
+            / col("_pa").cast("double") <= col("_B"))
+    // λ's prefix sums = cumulative at the LAST saturated row (0 if none)
+    val lam = enriched.agg(
+      coalesce(max(when(col("_sat"), col("_cn"))), lit(0L)).as("_cnp"),
+      coalesce(max(when(col("_sat"), col("_cpa"))), lit(0L)).as("_cpap"))
+    val rates = enriched.crossJoin(broadcast(lam))
       .withColumn("_rate",
-        least(lit(1.0),
-          lit(budgetFrac) * col("_tot") * pow(col("_n"), alpha)
-            / (col("_z") * col("_n"))))
-      .select(col(sourceCol), col("_rate"))
-    df.join(broadcast(rates), sourceCol)
+        when(col("_sat"), lit(1.0)).otherwise(least(lit(1.0),
+          (col("_B") - col("_cnp").cast("double")) * col("_pa").cast("double")
+            / ((col("_totz") - col("_cpap")).cast("double")
+              * col("_n").cast("double")))))
+      .select(col(sourceCol).as("_src"), col("_rate"))
+    df.join(broadcast(rates), col(sourceCol) <=> col("_src"))
       .filter(u(seed, col(idCol)) < col("_rate"))
-      .drop("_rate")
+      .drop("_src", "_rate")
   }
 
   /** Per-source quota cap — the "domain cap" curation step (à la C4 /
@@ -109,24 +159,38 @@ object Sampling {
     * Scale design: a naive `row_number() OVER (PARTITION BY source)`
     * sorts EVERY source — at 100 TB that is a full shuffle of the
     * corpus and a single-task sort of the hottest domain. Instead the
-    * plan is two-path: a partial-agg count finds the (few) over-cap
-    * sources; under-cap sources pass through with a broadcast anti
-    * join (map-only — for a web corpus this is the long tail, i.e.
-    * most of the bytes); only rows of over-cap sources are shuffled
-    * and ranked. The residual hazard is one pathologically hot domain
-    * sorting in one task — acceptable while `cap` (and hence the
-    * retained prefix) fits a task; beyond that, pre-filter with an
-    * approximate per-source score threshold before ranking. */
+    * plan is two-path: a partial-agg count finds the over-cap sources;
+    * under-cap sources pass through with an anti join (for a web
+    * corpus this is the long tail, i.e. most of the bytes); only rows
+    * of over-cap sources are shuffled and ranked. The over-cap side
+    * carries NO broadcast hint on purpose: its cardinality is
+    * data-dependent (a small cap on a high-cardinality corpus makes it
+    * huge), so the choice is left to AQE, which sees the post-agg size
+    * at runtime and picks broadcast when it fits
+    * `spark.sql.autoBroadcastJoinThreshold` and a shuffle join when it
+    * doesn't — no driver OOM from a hinted over-broadcast, no extra
+    * guard job re-scanning the corpus to count. The residual hazard is
+    * one pathologically hot domain sorting in one task — acceptable
+    * while `cap` (and hence the retained prefix) fits a task; beyond
+    * that, pre-filter with an approximate per-source score threshold
+    * before ranking.
+    *
+    * NULL policy (see [[temperature]]): a NULL source is a source like
+    * any other. Both joins are null-safe (`<=>`), so a NULL source
+    * with more than `cap` rows is ranked and capped like any other
+    * group instead of slipping through the anti join uncapped. */
   def sourceCap(df: DataFrame, sourceCol: String, scoreCol: String,
                 idCol: String, cap: Int): DataFrame = {
     require(cap > 0, "cap must be positive")
     val over = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("_n"))
-      .filter(col("_n") > cap).select(col(sourceCol))
-    val under = df.join(broadcast(over), Seq(sourceCol), "left_anti")
+      .filter(col("_n") > cap).select(col(sourceCol).as("_over_src"))
+    val under = df.join(over, col(sourceCol) <=> col("_over_src"),
+      "left_anti")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(sourceCol))
       .orderBy(col(scoreCol).desc, col(idCol))
-    val capped = df.join(broadcast(over), Seq(sourceCol), "left_semi")
+    val capped = df.join(over, col(sourceCol) <=> col("_over_src"),
+      "left_semi")
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= cap).drop("_rn")
     under.unionByName(capped)

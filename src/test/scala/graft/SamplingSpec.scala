@@ -1,0 +1,143 @@
+package graft
+
+import graft.ops.Sampling
+import org.apache.spark.sql.functions._
+
+/** Source-shaping ops: temperature resampling (waterfilled rates) and
+  * per-source caps. Pins the round-8 advice items: NULL-source policy
+  * (NULL is a source like any other — capped and sampled, not leaked
+  * or dropped), budget delivery under binding caps (waterfilling), and
+  * rerun/partition-layout determinism of the kept sets. */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // skewed corpus: source s_k holds 100*(k+1) docs (k=0..4), 120
+  // NULL-source docs, and six rare sources (5..50 docs) whose
+  // flattened (alpha=0.3) rates exceed 1 at budgetFrac=0.5 — the
+  // min(1,·) cap binds hard (naive non-waterfilled rates fall ~135
+  // rows short of budget, >7 sigma) so waterfilling is genuinely
+  // exercised. N=1775. score = id % 97 for cap tests.
+  private val rare = Map("rare5" -> 5L, "rare10" -> 10L, "rare20" -> 20L,
+    "rare30" -> 30L, "rare40" -> 40L, "rare50" -> 50L)
+  private val srcSizes = Map("s_0" -> 100L, "s_1" -> 200L, "s_2" -> 300L,
+    "s_3" -> 400L, "s_4" -> 500L, "NULL" -> 120L) ++ rare
+  private def corpus = {
+    val rows = (0 until 5).flatMap { k =>
+      val start = k * 10000
+      (0 until 100 * (k + 1)).map(i => (start + i.toLong, s"s_$k"))
+    } ++ (0 until 120).map(i => (90000 + i.toLong, null: String)) ++
+      rare.toSeq.sortBy(_._1).zipWithIndex.flatMap { case ((src, c), j) =>
+        (0L until c).map(i => (95000 + 1000L * j + i, src))
+      }
+    rows.toDF("id", "src").withColumn("score", pmod(col("id"), lit(97)))
+  }
+
+  test("temperature: per-source realized rates match the waterfilled " +
+    "min(1, lambda*q/n) fixed point and the budget is delivered") {
+    val n = srcSizes
+    val budgetFrac = 0.5
+    val alpha = 0.3
+    val bigN = n.values.sum
+    val budget = budgetFrac * bigN
+    // reference waterfilling computed independently (iterative, not the
+    // window-prefix form used by the operator)
+    val q = n.map { case (s, c) => s -> math.pow(c.toDouble, alpha) }
+    val z = q.values.sum
+    var sat = Set.empty[String]
+    var lambda = 0.0
+    var changed = true
+    while (changed) {
+      val qUnsat = q.filterNot(kv => sat(kv._1)).values.sum / z
+      val nSat = n.filter(kv => sat(kv._1)).values.sum
+      lambda = (budget - nSat) / qUnsat
+      val newSat = n.keySet.filter(s => lambda * (q(s) / z) / n(s) >= 1.0)
+      changed = newSat != sat; sat = newSat
+    }
+    val expRate = n.map { case (s, c) =>
+      s -> math.min(1.0, lambda * (q(s) / z) / c) }
+
+    val out = Sampling.temperature(corpus, "src", "id", alpha, budgetFrac,
+      "tspec")
+    val kept = out.groupBy(coalesce(col("src"), lit("NULL")).as("s"))
+      .agg(count(lit(1)).as("k")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every source present in the output — including NULL (old inner
+    // equi-join dropped NULL sources entirely)
+    assert(kept.keySet == n.keySet)
+    n.foreach { case (s, c) =>
+      val realized = kept(s).toDouble / c
+      // u01 is uniform on a 1e6 grid; with 100..500 draws per source a
+      // 3-sigma band is ~0.15 at worst — use a loose but meaningful tol
+      val tol = 3.0 * math.sqrt(expRate(s) * (1 - expRate(s)) / c) + 0.01
+      assert(math.abs(realized - expRate(s)) <= tol,
+        s"$s realized $realized vs expected ${expRate(s)} (tol $tol)")
+    }
+    // saturated sources are kept verbatim — rate exactly 1, not approx
+    sat.foreach(s => assert(kept(s) == n(s), s"saturated $s must keep all"))
+    // budget delivered in expectation (waterfilling): realized total
+    // within 3 sigma of B (sigma from the Poisson-binomial variance of
+    // the waterfilled rates) — the naive non-waterfilled rates fall
+    // short by the saturated sources' surplus, far outside this band
+    val total = kept.values.sum.toDouble
+    val sd = math.sqrt(n.map { case (s, c) =>
+      c * expRate(s) * (1 - expRate(s)) }.sum)
+    val band = 3 * sd + n.size // + quantization slack
+    assert(math.abs(total - budget) <= band,
+      s"realized $total vs budget $budget (band $band)")
+    val naiveTotal = n.map { case (s, c) =>
+      math.min(1.0, budget * (q(s) / z) / c) * c }.sum
+    assert(naiveTotal < budget - band,
+      "test corpus must make the cap bind, else waterfilling is untested")
+  }
+
+  test("temperature: kept id set is identical across reruns and " +
+    "partition layouts") {
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      Sampling.temperature(df, "src", "id", 0.3, 0.5, "tspec")
+        .select("id").as[Long].collect().sorted.toSeq
+    val a = ids(corpus)
+    val b = ids(corpus.repartition(17, col("score")))
+    val c = ids(corpus.repartition(1))
+    assert(a == b && b == c && a.nonEmpty)
+  }
+
+  test("sourceCap: keeps exactly min(n_s, cap) rows per source — NULL " +
+    "included — retaining the top-cap by (score desc, id asc)") {
+    // cap=110 puts the 120-row NULL group OVER the cap: the round-8
+    // advice bug let NULL rows bypass the anti/semi joins entirely and
+    // pass through uncapped
+    val cap = 110
+    val out = Sampling.sourceCap(corpus, "src", "score", "id", cap)
+    val keptBySrc = out.groupBy(coalesce(col("src"), lit("NULL")).as("s"))
+      .agg(count(lit(1)).as("k")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = srcSizes
+    n.foreach { case (s, c) =>
+      assert(keptBySrc(s) == math.min(c, cap.toLong),
+        s"$s kept ${keptBySrc(s)} want ${math.min(c, cap.toLong)}")
+    }
+    // kept set is exactly the window-ranked top-cap (oracle form)
+    val expect = corpus
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+          .orderBy(col("score").desc, col("id"))))
+      .filter(col("_rn") <= cap).select("id").as[Long].collect().sorted.toSeq
+    val got = out.select("id").as[Long].collect().sorted.toSeq
+    assert(got == expect)
+  }
+
+  test("sourceCap: rerun determinism and under-cap passthrough") {
+    val cap = 150
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      Sampling.sourceCap(df, "src", "score", "id", cap)
+        .select("id").as[Long].collect().sorted.toSeq
+    val a = ids(corpus)
+    val b = ids(corpus.repartition(13, col("id")))
+    assert(a == b)
+    // under-cap sources (s_0 n=100, NULL n=120) pass through untouched
+    val out = Sampling.sourceCap(corpus, "src", "score", "id", cap)
+    val s0 = out.filter(col("src") === "s_0").select("id").as[Long]
+      .collect().sorted.toSeq
+    assert(s0 == (0L until 100L).toSeq)
+  }
+}
