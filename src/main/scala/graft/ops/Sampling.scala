@@ -117,29 +117,40 @@ object Sampling {
     val counts = df.groupBy(col(sourceCol))
       .agg(count(lit(1)).as("_n"))
       .withColumn("_pa", floor(paDbl * 1e6))
-    val total = counts.agg(sum("_n").as("_totn"), sum("_pa").as("_totz"))
-    // saturation order: ascending t_s = n_s * Z / pa_s; Z is constant,
+    // The whole waterfill is window arithmetic over the single-partition
+    // histogram — scalar totals, cumulative sums, and the saturated
+    // prefix all ride ONE sort of the tiny frame, so the rate table
+    // costs zero joins and one job to broadcast (a crossJoin(broadcast)
+    // formulation spends a scheduler round-trip per materialized scalar
+    // frame). The deliberate global window is safe: the frame is one
+    // row per SOURCE, not per document.
+    //
+    // Saturation order: ascending t_s = n_s * Z / pa_s; Z is constant,
     // so order by the double ratio n/pa (ties: n, then source — the
     // predicate below is provably constant within a tie group, so tie
     // order never changes the result; it is pinned for determinism).
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy((col("_n").cast("double") / col("_pa").cast("double")).asc,
-        col("_n").asc, col(sourceCol).asc_nulls_first)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val enriched = counts.crossJoin(broadcast(total))
+    val W = org.apache.spark.sql.expressions.Window
+    val ord = W.orderBy(
+      (col("_n").cast("double") / col("_pa").cast("double")).asc,
+      col("_n").asc, col(sourceCol).asc_nulls_first)
+    val cum = ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+    val all = ord.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val enriched = counts
+      .withColumn("_totn", sum("_n").over(all))
+      .withColumn("_totz", sum("_pa").over(all))
       .withColumn("_B", lit(budgetFrac) * col("_totn").cast("double"))
-      .withColumn("_cn", sum("_n").over(w))
-      .withColumn("_cpa", sum("_pa").over(w))
+      .withColumn("_cn", sum("_n").over(cum))
+      .withColumn("_cpa", sum("_pa").over(cum))
       .withColumn("_sat",
         col("_cn").cast("double") +
           col("_n").cast("double") * (col("_totz") - col("_cpa")).cast("double")
             / col("_pa").cast("double") <= col("_B"))
     // λ's prefix sums = cumulative at the LAST saturated row (0 if none)
-    val lam = enriched.agg(
-      coalesce(max(when(col("_sat"), col("_cn"))), lit(0L)).as("_cnp"),
-      coalesce(max(when(col("_sat"), col("_cpa"))), lit(0L)).as("_cpap"))
-    val rates = enriched.crossJoin(broadcast(lam))
+    val rates = enriched
+      .withColumn("_cnp",
+        coalesce(max(when(col("_sat"), col("_cn"))).over(all), lit(0L)))
+      .withColumn("_cpap",
+        coalesce(max(when(col("_sat"), col("_cpa"))).over(all), lit(0L)))
       .withColumn("_rate",
         when(col("_sat"), lit(1.0)).otherwise(least(lit(1.0),
           (col("_B") - col("_cnp").cast("double")) * col("_pa").cast("double")
