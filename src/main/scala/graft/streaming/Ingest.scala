@@ -48,6 +48,19 @@ object Ingest {
   val cocoClassMap: Map[Int, String] =
     Map(1 -> "motorcycle", 2 -> "car", 3 -> "motorcycle", 5 -> "car", 7 -> "car")
 
+  /** In-sink maintenance for the `b=<batchId>` layouts: on the
+    * `every`-batch cadence, fold each root's committed batch dirs
+    * (`upTo = batchId - 1` — committed by definition once this batch
+    * runs, see [[graft.io.Batches.compact]]'s safe-fold bound) into its
+    * compacted base. Keeps a long-running stream's dir count O(every)
+    * per root instead of O(stream lifetime); `every = 0` disables
+    * (external maintenance cadence instead). */
+  private def maybeCompact(spark: SparkSession, every: Int, batchId: Long,
+                           roots: String*): Unit =
+    if (every > 0 && batchId > 0 && batchId % every == 0)
+      roots.foreach(r =>
+        graft.io.Batches.compact(spark, r, upTo = batchId - 1))
+
   /** Column-level COCO mapping for use before typed conversion. */
   def mapCocoClass(classId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val m = typedlit(cocoClassMap.map { case (k, v) => (k.toString, v) })
@@ -233,7 +246,8 @@ object Ingest {
                         windows: Seq[(String, Long)],
                         trigger: Trigger = Trigger.ProcessingTime(0L),
                         workRoot: String = null,
-                        mirrors: Option[DataFrame] = None)
+                        mirrors: Option[DataFrame] = None,
+                        compactHistoryEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = detections.sparkSession
     val work = Option(workRoot).getOrElse(checkpoint + "_snapwork")
@@ -251,9 +265,11 @@ object Ingest {
           // S9 lake append — write-only: the snapshot never reads this.
           // Each batch owns a b=<batchId> dir it overwrites, so a crash
           // replay can't double detections in the long-term record;
-          // fold the accumulating dirs periodically with
-          // graft.io.Batches.compact (upTo <= last committed batch)
+          // compactHistoryEvery folds the accumulating dirs in-sink
+          // (or fold externally with graft.io.Batches.compact,
+          // upTo <= last committed batch)
           batch.write.mode("overwrite").parquet(s"$historyRoot/b=$batchId")
+          maybeCompact(spark, compactHistoryEvery, batchId, historyRoot)
           // 1. fold the batch roll-up into the previous state version
           // (replay-safe versioned commit — io.VersionedState)
           val state = graft.io.VersionedState.mergeCommit(
@@ -514,9 +530,10 @@ object Ingest {
           // only batches <= batchId - 1 (committed by definition once
           // this batch runs) can neither race a replay nor change what
           // a replayed batch reads — the base holds exactly the dirs
-          // the replay would have enumerated
-          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-            graft.io.Batches.compact(spark, indexPath, upTo = batchId - 1)
+          // the replay would have enumerated. outRoot folds on the
+          // same cadence: write-only here, but its dir count (and any
+          // downstream consumer's listing) grows per batch all the same
+          maybeCompact(spark, compactEvery, batchId, indexPath, outRoot)
           // cross-batch: drop docs colliding with the persisted index —
           // compacted base + committed prior b= dirs (fails fast on a
           // pre-b= flat layout rather than forgetting its admissions)
@@ -635,8 +652,7 @@ object Ingest {
           .signBandKeys(batch, idCol, vecCol, dim, planesPerBand, bands)
           .cache()
         try {
-          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-            graft.io.Batches.compact(spark, indexPath, upTo = batchId - 1)
+          maybeCompact(spark, compactEvery, batchId, indexPath, outRoot)
           val priorHits = graft.io.Batches
             .read(spark, indexPath, below = Some(batchId)) match {
             case Some(idx) =>
@@ -698,16 +714,18 @@ object Ingest {
     * document (the union of their shingles) and admitted or refused
     * atomically — [[graft.ops.TextDedup.contaminationAgainst]] grades
     * per id, not per row. The persisted probe set is released when the
-    * query terminates (listener-hooked). Long streams: fold the
-    * accumulating `b=` dirs under both roots periodically with
-    * [[graft.io.Batches.compact]] (upTo <= last committed batch). */
+    * query terminates (listener-hooked). Long streams: `compactEvery`
+    * folds the accumulating `b=` dirs under both roots in-sink (0 =
+    * fold externally with [[graft.io.Batches.compact]],
+    * upTo <= last committed batch). */
   def startContaminationFilterSink(docs: DataFrame, idCol: String,
                                    textCol: String, evalDocs: DataFrame,
                                    outRoot: String, quarantineRoot: String,
                                    checkpoint: String, n: Int = 3,
                                    maxRatio: Double = 0.2,
                                    trigger: Trigger = Trigger.ProcessingTime(0L),
-                                   broadcastBench: Boolean = true)
+                                   broadcastBench: Boolean = true,
+                                   compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = docs.sparkSession
     val benchHashes = graft.ops.TextDedup
@@ -722,6 +740,8 @@ object Ingest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.persist()
         try {
+          maybeCompact(batch.sparkSession, compactEvery, batchId,
+            outRoot, quarantineRoot)
           val refused = graft.ops.TextDedup
             .contaminationAgainst(batch, idCol, textCol, n, probe)
             .filter(col("contamination_ratio") >= maxRatio)
@@ -767,12 +787,14 @@ object Ingest {
     * round-trip) — at 100 TB of ingest the scan is the whole cost.
     *
     * Idempotence: the standard `b=<batchId>` overwrite layout on both
-    * roots (crash replay rewrites the same dirs); fold the
-    * accumulating dirs with [[graft.io.Batches.compact]]. */
+    * roots (crash replay rewrites the same dirs); `compactEvery` folds
+    * the accumulating dirs in-sink (0 = fold externally with
+    * [[graft.io.Batches.compact]]). */
   def startPiiScrubSink(docs: DataFrame, textCol: String,
                         outRoot: String, quarantineRoot: String,
                         checkpoint: String,
-                        trigger: Trigger = Trigger.ProcessingTime(0L))
+                        trigger: Trigger = Trigger.ProcessingTime(0L),
+                        compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append)
@@ -782,6 +804,8 @@ object Ingest {
         batch.persist()
         try {
           import graft.ops.TextStats
+          maybeCompact(batch.sparkSession, compactEvery, batchId,
+            outRoot, quarantineRoot)
           // audit record FIRST (original text + counts for carriers) —
           // if the batch dies between the two writes, a replay
           // rewrites both dirs, so order only affects what a

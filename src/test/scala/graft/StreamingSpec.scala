@@ -809,4 +809,67 @@ class StreamingSpec extends SparkSpec {
     assert(out.sameElements(Array(Some("motorcycle"), Some("car"),
       Some("motorcycle"), Some("car"), Some("car"), None)))
   }
+
+  test("in-sink compaction folds write-only b= roots without changing content") {
+    implicit val sc = spark.sqlContext
+    // PII sink over 6 batches: with compactEvery=2 both roots fold to
+    // base + short tail, and admitted/quarantined content is identical
+    // to the uncompacted run (the fold only rearranges committed dirs)
+    def runPii(every: Int, tag: String)
+        : (Map[Long, String], Set[Long], Set[String], Set[String]) = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_piic$tag").toString
+      val mem = MemoryStream[(Long, String)]
+      val q = Ingest.startPiiScrubSink(mem.toDF().toDF("doc_id", "text"),
+        "text", s"$tmp/out", s"$tmp/qr", s"$tmp/cp", compactEvery = every)
+      try (0 until 6).foreach { b =>
+        mem.addData(
+          (b * 10L, s"doc $b mail b$b@example.com"),
+          (b * 10L + 1, s"clean $b"))
+        q.processAllAvailable()
+      } finally q.stop()
+      def dirsOf(root: String) = new java.io.File(root).listFiles()
+        .filter(_.isDirectory).map(_.getName)
+        .filter(_.startsWith("b=")).toSet
+      val admitted = spark.read.parquet(s"$tmp/out")
+        .select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val quarantined = spark.read.parquet(s"$tmp/qr")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      (admitted, quarantined, dirsOf(s"$tmp/out"), dirsOf(s"$tmp/qr"))
+    }
+    val (aPlain, qPlain, doPlain, dqPlain) = runPii(0, "p")
+    val (aComp, qComp, doComp, dqComp) = runPii(2, "c")
+    assert(aComp == aPlain && qComp == qPlain,
+      "compaction changed sink content")
+    assert(doPlain.size == 6 && dqPlain.size == 6) // one dir per batch
+    // every=2 over batches 0..5: folds at b=2 (0,1) and b=4 (<=3) ->
+    // base b=-5 + tail b=4, b=5 on each root
+    assert(doComp == Set("b=-5", "b=4", "b=5"), s"out layout: $doComp")
+    assert(dqComp == Set("b=-5", "b=4", "b=5"), s"qr layout: $dqComp")
+
+    // snapshot sink's history lake folds on compactHistoryEvery
+    val dir = java.nio.file.Files.createTempDirectory("snapcomp").toString
+    val mem = MemoryStream[Detection]
+    val q = Ingest.startSnapshotSink(mem.toDS(), s"$dir/hist",
+      s"$dir/snap", s"$dir/ckpt", Seq("1h" -> 3600L),
+      compactHistoryEvery = 2)
+    val batch3 = Seq(
+      det("cam1", "2024-02-01 10:00:04", "car", (70L, 0L, 80L, 9L)))
+    val batches = Seq(
+      fixture.filter(_.ts == ts("2024-02-01 10:00:00")),
+      fixture.filter(_.ts == ts("2024-02-01 10:00:02")),
+      batch3)
+    try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    val hDirs = new java.io.File(s"$dir/hist").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    // fold fired at batch 2 with upTo=1 -> base watermark 1 (b=-3)
+    assert(hDirs == Set("b=-3", "b=2"), s"history layout: $hDirs")
+    // folded lake still holds every observation the batch path produces
+    val lakeRows = spark.read.parquet(s"$dir/hist").count()
+    val expect = Ingest.batchObservations(
+      (fixture ++ batch3).toDS()).count()
+    assert(lakeRows == expect, s"lake $lakeRows vs batch $expect")
+  }
 }
