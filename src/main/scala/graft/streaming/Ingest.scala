@@ -831,17 +831,24 @@ object Ingest {
     * subpartitions and OVERWRITES them dynamically on replay
     * ([[graft.ops.Embeddings.appendToIvfIndex]]'s batchTag mode) — a
     * crash-restart rewrites the same directories instead of appending
-    * duplicate vectors. */
+    * duplicate vectors. `compactEvery` folds the accumulating per-cell
+    * `b=` subpartitions in-sink via
+    * [[graft.ops.Embeddings.compactIvfIndex]] (same safe bound as the
+    * other sinks; 0 = external maintenance). */
   def startIvfAppendSink(model: graft.ops.Embeddings.IvfModel,
                          vectors: DataFrame, idCol: String, vecCol: String,
                          indexPath: String, checkpoint: String,
-                         trigger: Trigger = Trigger.ProcessingTime(0L))
+                         trigger: Trigger = Trigger.ProcessingTime(0L),
+                         compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     vectors.writeStream
       .outputMode(OutputMode.Append)
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          graft.ops.Embeddings.compactIvfIndex(batch.sparkSession,
+            indexPath, upTo = batchId - 1)
         graft.ops.Embeddings.appendToIvfIndex(model, batch, idCol, vecCol,
           indexPath, batchTag = Some(batchId))
       }

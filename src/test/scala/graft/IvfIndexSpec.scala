@@ -150,6 +150,41 @@ class IvfIndexSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming IVF append sink with compactEvery folds tags in-sink, stays search-identical") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probes = e.filter($"vec_id" < 5)
+    val model = Embeddings.ivfFit(e, "vec_id", "embedding", nLists = 8)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_sc")
+    val dir = s"$tmp/index"
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.Ingest.startIvfAppendSink(model,
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      dir, s"$tmp/ckpt", compactEvery = 2)
+    try {
+      val rows = e.select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      rows.grouped(math.max(1, rows.length / 5)).foreach { b =>
+        mem.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      val fullDir = s"$tmp/full"
+      Embeddings.writeIvfIndex(model, e, "vec_id", "embedding", fullDir)
+      val full = Embeddings.ivfTopKIndexed(model, spark, fullDir, probes,
+        "vec_id", "embedding", nProbe = 3, k = 5).collect().map(_.toSeq).toSet
+      val streamed = Embeddings.ivfTopKIndexed(model, spark, dir, probes,
+        "vec_id", "embedding", nProbe = 3, k = 5).collect().map(_.toSeq).toSet
+      assert(streamed == full)
+      // folded layout: per-cell tags are the compacted base plus the
+      // short uncompacted tail, never one dir per completed batch
+      val tags = spark.read.parquet(dir)
+        .select($"b".cast("long")).distinct().collect()
+        .map(_.getLong(0)).toSet
+      assert(tags.count(_ >= 0L) <= 3, s"uncompacted tail too long: $tags")
+      assert(tags.exists(_ <= -2L), s"no compacted base tag in: $tags")
+    } finally q.stop()
+  }
+
   test("IVF batch compaction folds append tags, leaves the base build, survives crash leftovers") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val probes = e.filter($"vec_id" < 5)
