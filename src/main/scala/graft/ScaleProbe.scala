@@ -9,9 +9,9 @@ import org.apache.spark.sql.functions._
   * driver contract — run manually:
   *   sbt "runMain graft.ScaleProbe [multiplier] [section]"
   * With a second arg, only that section runs (so one family can probe
-  * at a multiplier the full sweep can't afford): text | jaccard |
-  * contamination | ann | snapshot | ndsink | ndaudit | embsink |
-  * events.
+  * at a multiplier the full sweep can't afford): text | sampling |
+  * jaccard | contamination | ann | snapshot | ndsink | ndaudit |
+  * embsink | events.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -88,6 +88,41 @@ object ScaleProbe {
     time("shuffle_shards") {
       ops.Sampling.shuffleShards(docs, "doc_id", 64, "probe").count()
     }
+    }
+
+    section("sampling") {
+    // source-shaping at scale: temperature's waterfill frame stays
+    // source-cardinality-sized (the corpus pass is a map-only filter),
+    // and sourceCap's ranked path shuffles ONLY over-cap sources' rows.
+    // The id-shifted multiply makes dom sizes pathological on purpose:
+    // sqrt is flat at 1e7, so each shifted copy collapses its 5k ids
+    // into a couple of huge domains (the over-cap ranked path), while
+    // the base copy spreads across ~70 small ones (the anti-join
+    // passthrough) — both paths carry real weight.
+    val dd = multiplied(Tables.documents(spark, dir)
+      .select("doc_id", "n_chars"), "doc_id")
+      .withColumn("dom",
+        when(pmod(col("doc_id"), lit(7)) === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("d"),
+            floor(sqrt(col("doc_id").cast("double"))).cast("string"))))
+      .cache()
+    println(s"[scaleprobe] documents x$mult = ${dd.count()}")
+    time("temperature_a05") {
+      ops.Sampling.temperature(dd, "dom", "doc_id", 0.5, 0.5, "probe")
+        .count()
+    }
+    time("temperature_a03") {
+      ops.Sampling.temperature(dd, "dom", "doc_id", 0.3, 0.3, "probe")
+        .count()
+    }
+    time("source_cap") {
+      ops.Sampling.sourceCap(dd, "dom", "n_chars", "doc_id", 200).count()
+    }
+    time("mix_sources") {
+      ops.Sampling.mixSources(dd, "dom", "doc_id",
+        Map("d3162" -> 2.5), defaultWeight = 0.5, seed = "probe").count()
+    }
+    dd.unpersist()
     }
 
     section("jaccard") {
