@@ -174,9 +174,16 @@ object Profiler {
     * monitoring path. String min/max are profile detail, not drift
     * signal, and are dropped here. */
   def drift(a: DataFrame, b: DataFrame,
-            exact: Boolean = true): DataFrame = {
-    def side(df: DataFrame, tag: String) =
-      summary(df, exact).select(col("col_name"),
+            exact: Boolean = true): DataFrame =
+    driftFromProfiles(summary(a, exact), summary(b, exact))
+
+  /** [[drift]] over two ALREADY-COMPUTED profiles in [[summary]]'s
+    * schema — the form that composes with materialized profiles: a
+    * streamed [[profileFromPartials]] view against a batch baseline
+    * costs an n_cols-row join, zero corpus scans. */
+  def driftFromProfiles(pa: DataFrame, pb: DataFrame): DataFrame = {
+    def side(p: DataFrame, tag: String) =
+      p.select(col("col_name"),
         col("n_rows").as(s"n_rows_$tag"),
         col("n_nonnull").as(s"n_nonnull_$tag"),
         col("n_distinct").as(s"n_distinct_$tag"),
@@ -185,10 +192,95 @@ object Profiler {
     def nullRate(tag: String) =
       (col(s"n_rows_$tag") - col(s"n_nonnull_$tag")).cast("double") /
         col(s"n_rows_$tag").cast("double")
-    side(a, "a").join(side(b, "b"), Seq("col_name"), "full_outer")
+    side(pa, "a").join(side(pb, "b"), Seq("col_name"), "full_outer")
       .withColumn("null_rate_a", nullRate("a"))
       .withColumn("null_rate_b", nullRate("b"))
       .withColumn("null_rate_shift",
         col("null_rate_b") - col("null_rate_a"))
   }
+
+  // ---- mergeable profile partials (the streaming-MV / multi-slice
+  // form: profile each slice once, fold partials, finalize) ----
+
+  /** Injective sketch embedding per type family — the same canonical
+    * slots as the exact unpivot above, rendered to the types
+    * `hll_sketch_agg` accepts (long/string): ints/timestamps as longs,
+    * doubles with -0.0 normalized then stringified, everything else a
+    * canonical string. Nulls are skipped by the sketch like
+    * count_distinct skips them. */
+  private def sketchInput(f: StructField): Column = {
+    val c = col(f.name)
+    f.dataType match {
+      case _: TimestampType => unix_micros(c)
+      case DoubleType | FloatType =>
+        when(c === lit(0), lit(0.0)).otherwise(c.cast("double"))
+          .cast("string")
+      case ByteType | ShortType | IntegerType | LongType => c.cast("long")
+      case _: StringType => c
+      case _ => c.cast("string")
+    }
+  }
+
+  /** One data slice → one MERGEABLE profile row per column: exact
+    * counts and typed min/max (all additive / lattice-mergeable) plus
+    * a DataSketches HLL sketch of the column's distinct values. One
+    * wide aggregation = one scan of the slice, same shape as
+    * [[summary]]'s approx path — but where approx_count_distinct
+    * finalizes into a number on the spot, the sketch BINARY survives,
+    * so partials from different slices (micro-batches, corpus shards,
+    * per-day partitions) fold with [[mergeProfilePartials]] without
+    * rescanning anything. Every non-distinct stat (counts, min/max)
+    * is EXACT under any fold order; the distinct ESTIMATE may shift a
+    * little with fold structure (the union gadget's mode transitions,
+    * and the single-pass HIP estimator that a union legitimately
+    * discards, are not fold-invariant) but always carries the
+    * sketch's error bound, and a FIXED fold order — e.g. a stream's
+    * batch sequence — reproduces identically on replay (ProfilerSpec
+    * pins exactness + tolerance across fold shapes). This is the
+    * 100 TB monitoring path: profile each ingest batch once, keep one
+    * n_cols-row state table current forever. */
+  def profilePartials(df: DataFrame): DataFrame = {
+    val aggs = df.schema.fields.flatMap { f =>
+      val c = col(f.name)
+      val (minNum, maxNum, minStr, maxStr) = typedMinMax(f)
+      Seq(count(c).as(s"_nn_${f.name}"),
+        hll_sketch_agg(sketchInput(f)).as(s"_sk_${f.name}"),
+        minNum.as(s"_mn_${f.name}"), maxNum.as(s"_mx_${f.name}"),
+        minStr.as(s"_ms_${f.name}"), maxStr.as(s"_xs_${f.name}"))
+    }.toSeq
+    val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val rows = df.schema.fields.map { f =>
+      struct(lit(f.name).as("col_name"), col("n_rows"),
+        col(s"_nn_${f.name}").as("n_nonnull"),
+        col(s"_mn_${f.name}").as("min_num"),
+        col(s"_mx_${f.name}").as("max_num"),
+        col(s"_ms_${f.name}").as("min_str"),
+        col(s"_xs_${f.name}").as("max_str"),
+        col(s"_sk_${f.name}").as("sketch"))
+    }.toIndexedSeq
+    one.select(explode(array(rows: _*)).as("r")).select("r.*")
+  }
+
+  /** Fold two partial profiles: counts add, min/max lattice-merge,
+    * sketches union (register-wise max — order-insensitive). Null
+    * slots (string columns' numeric mins, empty slices' sketches) are
+    * skipped by the aggregates, matching the single-pass semantics. */
+  def mergeProfilePartials(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("col_name").agg(
+      sum("n_rows").as("n_rows"),
+      sum("n_nonnull").as("n_nonnull"),
+      min("min_num").as("min_num"),
+      max("max_num").as("max_num"),
+      min("min_str").as("min_str"),
+      max("max_str").as("max_str"),
+      hll_union_agg(col("sketch")).as("sketch"))
+
+  /** Finalize a (merged) partial profile into [[summary]]'s schema:
+    * the sketch becomes the distinct estimate (0 for an all-null
+    * column whose sketch never saw a value). */
+  def profileFromPartials(partials: DataFrame): DataFrame =
+    partials.select(col("col_name"), col("n_rows"), col("n_nonnull"),
+      coalesce(hll_sketch_estimate(col("sketch")), lit(0L))
+        .as("n_distinct"),
+      col("min_num"), col("max_num"), col("min_str"), col("max_str"))
 }

@@ -469,6 +469,45 @@ object Ingest {
                        workRoot: String): Option[DataFrame] =
     graft.io.VersionedState.readLatest(spark, s"$workRoot/bigram")
 
+  /** Streaming COLUMN-PROFILE MV — the data-quality monitor as a
+    * materialized view (same versioned-state mechanic as the
+    * unigram/bigram/pattern sinks): each micro-batch is profiled once
+    * ([[graft.ops.Profiler.profilePartials]] — exact counts + typed
+    * min/max + a mergeable DataSketches HLL sketch per column) and
+    * folded into an n_cols-row state table. Serving:
+    * [[readProfile]] finalizes the state into [[graft.ops.Profiler.summary]]'s
+    * schema — bit-identical to single-pass-profiling the full ingested
+    * corpus (register-wise sketch union is order-insensitive;
+    * StreamingSpec pins it) without ever rescanning that corpus, and
+    * [[graft.ops.Profiler.driftFromProfiles]] gates it against any
+    * baseline profile with an n_cols-row join. At 100 TB of ingest
+    * this keeps a continuously-current profile for the cost of one
+    * wide aggregation per micro-batch. */
+  def startProfileSink(rows: DataFrame, workRoot: String,
+                       checkpoint: String,
+                       trigger: Trigger = Trigger.ProcessingTime(0L))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.io.VersionedState.mergeCommit(
+          batch.sparkSession, s"$workRoot/profile", batchId,
+          graft.ops.Profiler.profilePartials(batch),
+          graft.ops.Profiler.mergeProfilePartials)
+        ()
+      }
+      .start()
+
+  /** Serving read for [[startProfileSink]]: the current profile in
+    * [[graft.ops.Profiler.summary]]'s schema (None before the first
+    * commit). */
+  def readProfile(spark: SparkSession,
+                  workRoot: String): Option[DataFrame] =
+    graft.io.VersionedState.readLatest(spark, s"$workRoot/profile")
+      .map(graft.ops.Profiler.profileFromPartials)
+
   /** Incremental NEAR-dup ingest filter: a persisted MinHash band index
     * (parquet at `indexPath`, rows = (doc_id, band, band_h) from
     * ops.TextDedup.bandKeys) suppresses any incoming document whose

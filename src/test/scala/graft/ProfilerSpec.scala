@@ -72,4 +72,58 @@ class ProfilerSpec extends SparkSpec {
     val flat = graft.ops.Profiler.drift(a, a).collect()
     assert(flat.forall(_.getAs[Double]("null_rate_shift") == 0.0))
   }
+
+  test("mergeable partials: exact stats survive any fold order, " +
+    "estimates stay in-tolerance of the exact summary") {
+    // three disjoint slices (plus an EMPTY one — a processing-time
+    // trigger delivers empty batches) folded in two different orders
+    val slices = Seq(
+      events.filter(pmod(col("event_id"), lit(3)) === 0),
+      events.filter(pmod(col("event_id"), lit(3)) === 1),
+      events.filter(pmod(col("event_id"), lit(3)) === 2),
+      events.limit(0))
+    val parts = slices.map(Profiler.profilePartials)
+    val leftFold = parts.reduceLeft(Profiler.mergeProfilePartials)
+    val rightFold = parts.reduceRight(Profiler.mergeProfilePartials)
+    // EVERY fold shape (left, right, single-shot) must agree exactly
+    // on the exact stats; the sketch ESTIMATE may wobble with fold
+    // structure (the union gadget's internal mode transitions and the
+    // single-pass HIP estimator are not fold-invariant) but each
+    // estimate independently carries the sketch's error bound — pin
+    // all of them against the exact distincts.
+    val exact = Profiler.summary(events, exact = true)
+      .orderBy("col_name").collect()
+    Seq("leftFold" -> leftFold, "rightFold" -> rightFold,
+        "single" -> Profiler.profilePartials(events)).foreach {
+      case (tag, partial) =>
+        val merged = Profiler.profileFromPartials(partial)
+          .orderBy("col_name").collect()
+        exact.zip(merged).foreach { case (e, m) =>
+          assert(e.getString(0) == m.getString(0))
+          assert(e.getLong(1) == m.getLong(1),
+            s"$tag n_rows ${e.getString(0)}")
+          assert(e.getLong(2) == m.getLong(2),
+            s"$tag n_nonnull ${e.getString(0)}")
+          (4 to 7).foreach { i =>
+            assert(e.get(i) == m.get(i),
+              s"$tag col ${e.getString(0)} slot $i")
+          }
+          val ed = e.getLong(3).toDouble; val md = m.getLong(3).toDouble
+          assert(math.abs(md - ed) <= math.max(ed * 0.15, 2.0),
+            s"$tag n_distinct ${e.getString(0)}: exact=$ed sketch=$md")
+        }
+    }
+  }
+
+  test("driftFromProfiles over materialized profiles equals drift over " +
+    "the frames") {
+    val a = events.filter(pmod(col("event_id"), lit(2)) === 0)
+    val b = events.filter(pmod(col("event_id"), lit(2)) === 1)
+    val direct = Profiler.drift(a, b, exact = true)
+      .orderBy("col_name").collect().map(_.toSeq).toSeq
+    val composed = Profiler.driftFromProfiles(
+        Profiler.summary(a, exact = true), Profiler.summary(b, exact = true))
+      .orderBy("col_name").collect().map(_.toSeq).toSeq
+    assert(direct == composed)
+  }
 }

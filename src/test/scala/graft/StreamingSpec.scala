@@ -872,4 +872,47 @@ class StreamingSpec extends SparkSpec {
       (fixture ++ batch3).toDS()).count()
     assert(lakeRows == expect, s"lake $lakeRows vs batch $expect")
   }
+
+  test("streaming profile MV: serving equals the batch fold of the same " +
+    "slices, exact stats match the exact summary") {
+    implicit val sc = spark.sqlContext
+    import graft.ops.Profiler
+    val tmp = java.nio.file.Files.createTempDirectory("graft_prof").toString
+    val mem = MemoryStream[(Long, String, Double)]
+    val q = Ingest.startProfileSink(mem.toDF().toDF("id", "cat", "v"),
+      s"$tmp/work", s"$tmp/cp")
+    val slices = Seq(
+      (0 until 40).map(i => (i.toLong, if (i % 5 == 0) null else s"c${i % 7}",
+        i * 1.5)),
+      (40 until 70).map(i => (i.toLong, s"c${i % 7}", i * 1.5)),
+      (70 until 100).map(i => (i.toLong, null: String, -0.0)))
+    try slices.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    val served = Ingest.readProfile(spark, s"$tmp/work").get
+      .orderBy("col_name").collect().map(_.toSeq).toSeq
+    // the MV folds state left-to-right in batch order; reproduce that
+    // fold in batch and expect EXACT equality (same inputs, same
+    // union structure — replay determinism is the contract)
+    val dfs = slices.map(_.toDF("id", "cat", "v"))
+    val folded = dfs.map(Profiler.profilePartials)
+      .reduceLeft(Profiler.mergeProfilePartials)
+    val expect = Profiler.profileFromPartials(folded)
+      .orderBy("col_name").collect().map(_.toSeq).toSeq
+    assert(served == expect, "served profile != batch fold of the slices")
+    // and the exact stats agree with the exact summary of everything
+    val all = dfs.reduce(_ unionByName _)
+    val exact = Profiler.summary(all, exact = true)
+      .orderBy("col_name").collect()
+    served.zip(exact).foreach { case (m, e) =>
+      assert(m(0) == e.getString(0))
+      assert(m(1) == e.getLong(1) && m(2) == e.getLong(2),
+        s"counts for ${e.getString(0)}")
+      (4 to 7).foreach(i => assert(m(i) == e.get(i),
+        s"slot $i for ${e.getString(0)}"))
+      val md = m(3).asInstanceOf[Long].toDouble
+      val ed = e.getLong(3).toDouble
+      assert(math.abs(md - ed) <= math.max(ed * 0.15, 2.0),
+        s"n_distinct ${e.getString(0)}: exact=$ed sketch=$md")
+    }
+  }
 }
