@@ -464,6 +464,23 @@ object SparkEntry {
         col("text")))
       TextDedup.exactDedup(u, "doc_id", "text").orderBy("keep_id")
     }),
+    // C4-style global line dedup: derive lines from the flat synthetic
+    // text (' the ' -> newline, identical left-to-right replacement in
+    // both engines), plant full-copy and prefix-copy duplicates via
+    // shifted ids — copies collapse to empty / nearly-empty docs while
+    // originals keep their first-occurrence lines
+    "dd_line_dedup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        regexp_replace(col("text"), " the ", "\n").as("text"))
+      val u = d
+        .union(d.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        .union(d.select((col("doc_id") + 200000).as("doc_id"),
+          substring(col("text"), 1, 120).as("text")))
+      TextDedup.dedupLines(u, "doc_id", "text")
+        .select(col("doc_id"), col("text"),
+          length(col("text")).cast("long").as("n_chars_kept"))
+        .orderBy("doc_id")
+    }),
     "dd_keep_best" -> ((s, dir) => {
       // cosmetic duplicates planted in-query (whitespace-only mangling:
       // identical normalized text, longer raw text) — keep-best must
@@ -1590,6 +1607,28 @@ object SparkEntry {
         |SELECT CAST(('0x'||substr(md5(text),1,15)) AS BIGINT) AS content_hash,
         |       min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM u GROUP BY text ORDER BY keep_id""".stripMargin,
+    "dd_line_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, replace(text, ' the ', chr(10)) AS text
+        |  FROM documents),
+        |u AS (SELECT doc_id, text FROM d
+        |      UNION ALL SELECT doc_id + 100000, text FROM d
+        |      UNION ALL SELECT doc_id + 200000, substring(text, 1, 120)
+        |                 FROM d),
+        |s AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM u),
+        |l AS (SELECT doc_id, g.i - 1 AS pos, parts[g.i] AS line
+        |      FROM s, UNNEST(generate_series(1, array_length(parts)))
+        |             AS g(i)),
+        |k AS (SELECT doc_id, pos, line,
+        |        ROW_NUMBER() OVER (PARTITION BY md5(line)
+        |                           ORDER BY doc_id, pos) AS rn
+        |      FROM l),
+        |r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        |      FROM k WHERE rn = 1 GROUP BY doc_id)
+        |SELECT u.doc_id, COALESCE(r.text, '') AS text,
+        |       CAST(length(COALESCE(r.text, '')) AS BIGINT) AS n_chars_kept
+        |FROM u LEFT JOIN r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "dd_keep_best" ->
       """WITH u AS (
         |  SELECT doc_id, text FROM documents

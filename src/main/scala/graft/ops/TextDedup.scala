@@ -785,4 +785,54 @@ object TextDedup {
       .filter(col("hamming") <= maxHamming)
       .select("a_id", "b_id", "hamming")
   }
+
+  /** C4-style GLOBAL line dedup — the curation step that strips
+    * boilerplate repeated across a web corpus (navigation bars, cookie
+    * banners, licence footers): every distinct line keeps exactly its
+    * FIRST occurrence in the corpus — first by (idCol, line position),
+    * a total order, so the kept set is deterministic — and every later
+    * repeat (across documents AND within one) is dropped from its
+    * document; documents reassemble in original line order (a document
+    * whose every line was dropped survives as an empty string — the
+    * caller decides whether to discard it).
+    *
+    * Scale shape: posexplode is a bounded per-row expansion; the only
+    * corpus-scale movement is ONE hash-partitioned shuffle of
+    * (md5(line), id, pos) keyed by the line's 128-bit md5 — 16 bytes
+    * however long the line is, and collision-safe at any realistic
+    * line count (a 60-bit key would collide ~10^5 times on 10^12
+    * lines; 128 bits won't) — plus the reassembly exchange on idCol.
+    * `row_number` per hash never materializes a group larger than a
+    * line's global repeat count. `minChars` exempts shorter lines from
+    * dedup entirely (they keep every occurrence — the knob for corpora
+    * where short lines are structure, not boilerplate); 0 dedups all.
+    *
+    * Reference anchor: generalizes the reference's per-camera
+    * IOU static-box suppression (app/services/camera.py:239-256 — drop
+    * re-seen content, keep first sighting) from frames to corpora. */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+                 sep: String = "\n", minChars: Int = 0): DataFrame = {
+    val lines = df
+      .select(col(idCol),
+        posexplode(split(coalesce(col(textCol), lit("")),
+          java.util.regex.Pattern.quote(sep))) // literal sep, not regex
+          .as(Seq("pos", "line")))
+    val exempt = lines.filter(length(col("line")) < minChars)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("line").cast("binary")))
+      .orderBy(col(idCol), col("pos"))
+    val kept = lines.filter(length(col("line")) >= minChars)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+      .unionByName(exempt)
+    val reassembled = kept.groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), sep).as("_text"))
+    // left join back: a doc that lost every line stays, empty
+    df.drop(textCol)
+      .join(reassembled, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col("_text"), lit("")))
+      .drop("_text")
+  }
 }

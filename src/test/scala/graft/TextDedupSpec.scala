@@ -666,4 +666,35 @@ class TextDedupSpec extends SparkSpec {
     // bpe-ish: ceil(5/4)+ceil(5/4)+ceil(8/4) = 2+2+2 = 6 subwords + 2 punct
     assert(r.getAs[Long]("n_tokens_bpe") == 8L)
   }
+
+  test("dedupLines: global first-occurrence wins, within-doc repeats " +
+    "drop, minChars exempts, emptied docs survive") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha\nshared line\nalpha"),        // within-doc repeat of alpha
+      (2L, "shared line\nbeta\nok"),            // cross-doc repeat of shared
+      (3L, "shared line"),                        // collapses to empty
+      (4L, "ok\ngamma")                          // 'ok' repeats doc 2's
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextDedup.dedupLines(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "alpha\nshared line") // second alpha dropped
+    assert(out(2L) == "beta\nok")           // shared line kept by doc 1
+    assert(out(3L) == "")                   // all lines dropped, doc stays
+    assert(out(4L) == "gamma")              // 'ok' kept by doc 2
+    // minChars: lines shorter than the bound keep EVERY occurrence
+    val exempt = graft.ops.TextDedup.dedupLines(docs, "doc_id", "text",
+        minChars = 6)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(exempt(1L) == "alpha\nshared line\nalpha") // alpha (5) exempt
+    assert(exempt(4L) == "ok\ngamma")                  // both exempt
+    // determinism across partition layouts
+    val a = graft.ops.TextDedup.dedupLines(docs.repartition(7), "doc_id",
+      "text").orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = graft.ops.TextDedup.dedupLines(docs.repartition(1), "doc_id",
+      "text").orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
 }
