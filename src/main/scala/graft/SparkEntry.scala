@@ -411,6 +411,22 @@ object SparkEntry {
     // gets a NULL domain — exercising both the waterfilling cap (rare
     // domains saturate at rate 1) and the NULL-is-a-source policy
     // (the NULL group is large enough that sourceCap must rank it).
+    // model-based quality scoring: a pseudo-model whose per-term
+    // micro-weights derive from md5 (reproducible in the oracle) over
+    // the corpus vocabulary; real use passes trained fasttext-style
+    // weights. Exact long sums -> engine-identical scores.
+    "t_linear_score" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val weights = d
+        .select(explode(TextDedup.tokens(col("text"))).as("term"))
+        .distinct()
+        .withColumn("w_micro",
+          pmod(TextDedup.md5Hash60(col("term")), lit(2000001L))
+            - lit(1000000L))
+      TextStats.linearScore(d, "doc_id", "text", weights,
+          biasMicro = 250000L)
+        .orderBy("doc_id")
+    }),
     "samp_temperature" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"))
         .withColumn("dom", sampDom)
@@ -1467,6 +1483,23 @@ object SparkEntry {
         |       COUNT(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1 ORDER BY is_holdout""".stripMargin,
+    "t_linear_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |w AS (SELECT term,
+        |        (CAST(('0x'||substr(md5(term),1,15)) AS BIGINT) % 2000001)
+        |          - 1000000 AS w_micro
+        |      FROM (SELECT DISTINCT term FROM tok)),
+        |s AS (SELECT t.doc_id, COUNT(t.term) AS n_tokens,
+        |        COALESCE(SUM(w.w_micro), 0) AS s
+        |      FROM tok t LEFT JOIN w USING (term) GROUP BY t.doc_id)
+        |SELECT d.doc_id,
+        |       CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |       CAST(COALESCE(s.s, 0) + 250000 AS BIGINT) AS score_micro,
+        |       CAST(COALESCE(s.s, 0) + 250000 AS DOUBLE) / 1000000.0 AS score
+        |FROM documents d LEFT JOIN s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "samp_temperature" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -733,4 +733,37 @@ object TextStats {
     wf.unpersist()
     merges.toSeq.toDF("rnk", "left", "right", "n")
   }
+
+  /** Model-based quality scoring — the fasttext/CCNet-style linear
+    * classifier inference step of a curation pipeline, at corpus
+    * scale: score(doc) = bias + Σ over TOKEN OCCURRENCES of w(token)
+    * (a bag-of-words linear model; repeats count once per occurrence,
+    * out-of-vocabulary tokens weigh 0). The model arrives as a
+    * `(term, w_micro)` DataFrame with weights in integer MICRO-units:
+    * the per-document sum is then an exact LONG — order-free across
+    * any partitioning and bit-identical in the DuckDB oracle — and one
+    * final correctly-rounded division surfaces the double score.
+    * (Summing double weights directly would make the score depend on
+    * Spark's partition-order reduction; a sigmoid is deliberately NOT
+    * applied here — exp is not correctly-rounded IEEE, so engines may
+    * disagree by an ulp; monotone thresholding doesn't need it.)
+    *
+    * Plan: token explode (bounded per-row expansion) → equi-join the
+    * vocab-scale weights table (AQE broadcasts a real model's few
+    * million rows; a corpus-scale join would shuffle on the 8-byte-ish
+    * term anyway) → one partial-agg groupBy(id). Empty documents keep
+    * a row (explode_outer) scoring exactly the bias. */
+  def linearScore(df: DataFrame, idCol: String, textCol: String,
+                  weights: DataFrame, biasMicro: Long = 0L): DataFrame = {
+    val tok = df.select(col(idCol),
+      explode_outer(TextDedup.tokens(col(textCol))).as("term"))
+    tok.join(weights.select(col("term"), col("w_micro")), Seq("term"),
+        "left")
+      .groupBy(col(idCol))
+      .agg(count(col("term")).as("n_tokens"),
+        coalesce(sum(coalesce(col("w_micro"), lit(0L))), lit(0L)).as("_s"))
+      .select(col(idCol), col("n_tokens"),
+        (col("_s") + lit(biasMicro)).as("score_micro"),
+        ((col("_s") + lit(biasMicro)).cast("double") / 1e6).as("score"))
+  }
 }

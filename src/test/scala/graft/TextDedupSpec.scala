@@ -697,4 +697,30 @@ class TextDedupSpec extends SparkSpec {
       "text").orderBy("doc_id").collect().map(_.toSeq).toSeq
     assert(a == b)
   }
+
+  test("linearScore: occurrence-weighted exact sums, OOV is 0, empty " +
+    "doc scores the bias") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "good good bad"),   // 2*w(good) + w(bad)
+      (2L, "novel words"),     // all OOV -> bias only
+      (3L, "")                 // no tokens -> bias only, row kept
+    ).toDF("doc_id", "text")
+    val weights = Seq(("good", 500000L), ("bad", -250000L))
+      .toDF("term", "w_micro")
+    val out = graft.ops.TextStats.linearScore(docs, "doc_id", "text",
+        weights, biasMicro = 100000L)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L) == ((3L, 2L * 500000L - 250000L + 100000L, 0.85)))
+    assert(out(2L) == ((2L, 100000L, 0.1)))
+    assert(out(3L) == ((0L, 100000L, 0.1)))
+    // partition-layout determinism of the exact long path
+    val a = graft.ops.TextStats.linearScore(docs.repartition(5), "doc_id",
+      "text", weights).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = graft.ops.TextStats.linearScore(docs, "doc_id", "text",
+      weights).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
 }
