@@ -88,6 +88,23 @@ object ScaleProbe {
     time("shuffle_shards") {
       ops.Sampling.shuffleShards(docs, "doc_id", 64, "probe").count()
     }
+    time("line_dedup") {
+      // multiplied corpus = every line repeated mult times: the worst
+      // case for the first-occurrence window (hot hash groups of size
+      // mult), linear in corpus size
+      ops.TextDedup.dedupLines(
+        docs.withColumn("text",
+          regexp_replace(col("text"), " the ", "\n")),
+        "doc_id", "text").count()
+    }
+    time("linear_score") {
+      val w = docs.select(explode(ops.TextDedup.tokens(col("text")))
+          .as("term")).distinct()
+        .withColumn("w_micro",
+          pmod(ops.TextDedup.md5Hash60(col("term")), lit(2000001L))
+            - lit(1000000L))
+      ops.TextStats.linearScore(docs, "doc_id", "text", w).count()
+    }
     }
 
     section("sampling") {
