@@ -600,6 +600,83 @@ object Ingest {
       }
       .start()
 
+  /** Streaming LINE dedup at the ingest door — the incremental form of
+    * [[graft.ops.TextDedup.dedupLines]] (C4-style boilerplate
+    * stripping): a persisted index of admitted line hashes (parquet at
+    * `indexPath`, 16-byte md5 hex per distinct line ever admitted)
+    * suppresses every line already seen in ANY earlier batch; within a
+    * batch the first occurrence by (idCol, position) wins, exactly the
+    * batch rule. Admitted documents land under `outRoot` reassembled
+    * in original line order (a document whose every line was seen
+    * before survives as an empty string — the caller decides).
+    *
+    * Equivalence: when document ids arrive in increasing order across
+    * batches (an ingest stream's natural key order), the admitted
+    * corpus is IDENTICAL to running the batch [[graft.ops.TextDedup.dedupLines]]
+    * over the concatenated input (StreamingSpec pins it) — the
+    * streaming order (batch, then (id, pos)) then coincides with the
+    * batch total order.
+    *
+    * Cost: per trigger, one shuffle of the batch's lines keyed by the
+    * 16-byte hash, one anti join against the index (AQE broadcasts
+    * while the index is small, shuffles when it isn't), one
+    * reassembly exchange — all batch-sized except the index probe.
+    * The index grows by distinct-new-lines only. Standard `b=` layout
+    * on both roots: replay rewrites its own dirs, committed-prior
+    * reads, in-sink `compactEvery` folding. */
+  def startLineDedupSink(docs: DataFrame, idCol: String, textCol: String,
+                         outRoot: String, indexPath: String,
+                         checkpoint: String, sep: String = "\n",
+                         minChars: Int = 0,
+                         trigger: Trigger = Trigger.ProcessingTime(0L),
+                         compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val lines = batch.select(col(idCol),
+          posexplode(split(coalesce(col(textCol), lit("")),
+            java.util.regex.Pattern.quote(sep))).as(Seq("pos", "line")))
+          .persist()
+        try {
+          maybeCompact(spark, compactEvery, batchId, indexPath, outRoot)
+          val cand = lines.filter(length(col("line")) >= minChars)
+            .withColumn("_h", md5(col("line").cast("binary")))
+          val exempt = lines.filter(length(col("line")) < minChars)
+            .withColumn("_h", lit(null).cast("string"))
+          // within-batch first occurrence of each hash...
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("_h").orderBy(col(idCol), col("pos"))
+          val firstInBatch = cand
+            .withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") === 1).drop("_rn")
+          // ...minus hashes any COMMITTED prior batch admitted
+          val priorHashes = graft.io.Batches
+            .read(spark, indexPath, below = Some(batchId)) match {
+            case Some(idx) => idx.select(col("_h"))
+            case None => cand.select(col("_h")).limit(0)
+          }
+          val admitted = firstInBatch
+            .join(priorHashes, Seq("_h"), "left_anti")
+          val kept = admitted.unionByName(exempt)
+          val reassembled = kept.groupBy(col(idCol))
+            .agg(array_join(transform(
+              array_sort(collect_list(struct(col("pos"), col("line")))),
+              x => x.getField("line")), sep).as("_text"))
+          batch.drop(textCol)
+            .join(reassembled, Seq(idCol), "left")
+            .withColumn(textCol, coalesce(col("_text"), lit("")))
+            .drop("_text")
+            .write.mode("overwrite").parquet(s"$outRoot/b=$batchId")
+          admitted.select(col("_h")).distinct()
+            .write.mode("overwrite").parquet(s"$indexPath/b=$batchId")
+        } finally { lines.unpersist(); () }
+      }
+      .start()
+
   /** Offline recall audit for [[startNearDupFilterSink]]: the sink
     * drops a document on a bare band collision — no exact verify — so
     * it knowingly accepts LSH's false-positive rate in exchange for a

@@ -915,4 +915,43 @@ class StreamingSpec extends SparkSpec {
         s"n_distinct ${e.getString(0)}: exact=$ed sketch=$md")
     }
   }
+
+  test("streaming line dedup equals batch dedupLines over the " +
+    "concatenated corpus; replay-idempotent layout on both roots") {
+    implicit val sc = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ld").toString
+    val out = s"$tmp/out"; val idx = s"$tmp/idx"; val cp = s"$tmp/cp"
+    val mem = MemoryStream[(Long, String)]
+    val q = Ingest.startLineDedupSink(mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", out, idx, cp)
+    // increasing ids across batches -> streaming order == batch order
+    val batches = Seq(
+      Seq(1L -> "alpha\nshared line\nalpha", 2L -> "shared line\nbeta"),
+      Seq(3L -> "shared line",                 4L -> "beta\ngamma"),
+      Seq(5L -> "gamma\ndelta\nalpha",       6L -> "delta"))
+    try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val all = batches.flatten.toDF("doc_id", "text")
+    val batchForm = graft.ops.TextDedup.dedupLines(all, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed == batchForm, s"streamed $streamed vs $batchForm")
+    // sanity on the semantics: later repeats gone, emptied doc kept
+    assert(streamed(3L) == "" && streamed(6L) == "")
+    assert(streamed(5L) == "delta")
+    // standard b= layout on both roots; index holds one hash per
+    // distinct admitted line
+    Seq(out, idx).foreach { root =>
+      val dirs = new java.io.File(root).listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+      assert(dirs == Set("b=0", "b=1", "b=2"), s"$root layout: $dirs")
+    }
+    val nHashes = spark.read.parquet(idx).select("_h").distinct().count()
+    val nLines = spark.read.parquet(idx).count()
+    // 5 distinct lines: alpha, "shared line", beta, gamma, delta
+    assert(nHashes == nLines && nHashes == 5L,
+      s"index: $nLines rows, $nHashes distinct (want 5 distinct lines)")
+  }
 }
