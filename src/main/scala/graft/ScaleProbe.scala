@@ -10,8 +10,8 @@ import org.apache.spark.sql.functions._
   *   sbt "runMain graft.ScaleProbe [multiplier] [section]"
   * With a second arg, only that section runs (so one family can probe
   * at a multiplier the full sweep can't afford): text | sampling |
-  * jaccard | contamination | ann | snapshot | ndsink | ndaudit |
-  * embsink | events.
+  * jaccard | contamination | ann | snapshot | ndsink | ldsink |
+  * ndaudit | embsink | events.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -370,6 +370,50 @@ object ScaleProbe {
       // anything near nBatches means b= dirs are accumulating again
       assert(bdirs <= 8, s"recent store holds $bdirs batch dirs " +
         s"after $nBatches batches — retention not bounding the store")
+    }
+    }
+
+    section("ldsink") {
+    // streaming line-dedup sink over MANY batches: per-trigger cost
+    // must stay flat while the line-hash index grows by every novel
+    // line. Docs carry a mix of fresh lines (index growth) and lines
+    // repeated from earlier batches (the suppression path).
+    locally {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val nB = 120; val rowsPer = 20
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_probe_ld").toString
+      val mem = MemoryStream[(Long, String)]
+      val q = streaming.Ingest.startLineDedupSink(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        s"$tmp/out", s"$tmp/idx", s"$tmp/cp", compactEvery = 10)
+      val times = try {
+        (0 until nB).map { b =>
+          val rows = (0 until rowsPer).map { r =>
+            val id = b.toLong * 1000 + r
+            // 3 fresh lines + 1 line repeated from the previous batch
+            val prev = math.max(0, id - 1000)
+            id -> (s"fresh $id a\nfresh $id b\nfresh $id c\n" +
+              s"fresh $prev a")
+          }
+          mem.addData(rows: _*)
+          val t0 = System.nanoTime()
+          q.processAllAvailable()
+          (System.nanoTime() - t0) / 1e9
+        }
+      } finally q.stop()
+      def win(s: Seq[Double], from: Int, until: Int) =
+        s.slice(from, until).sum / (until - from)
+      val (e, l) = (win(times, 5, 25), win(times, nB - 20, nB))
+      val dirs = io.Fs.listDirNames(spark, s"$tmp/idx")
+        .count(_.startsWith("b="))
+      println(f"[scaleprobe] linededup_sink $nB batches x $rowsPer docs: " +
+        f"early=$e%.3f s late=$l%.3f s per batch ($dirs index dirs)")
+      assert(dirs <= 12, s"compaction not bounding the index: $dirs dirs")
+      assert(l <= e * 2.0 + 0.3,
+        f"per-batch time grew with stream age: early=$e%.3f late=$l%.3f")
     }
     }
 
