@@ -48,4 +48,58 @@ object Pipelines {
     }
     sharded
   }
+
+  /** The FULL pretraining-corpus recipe, stage order load-bearing:
+    *
+    *  1. global line dedup FIRST ([[TextDedup.dedupLines]]) —
+    *     boilerplate inflates quality/model scores and near-dup
+    *     signatures, so strip it before anything measures the text;
+    *  2. heuristic curation ([[TextStats.curate]]: language, quality,
+    *     exact dedup) on the cleaned text;
+    *  3. model-based scoring ([[TextStats.linearScore]] with the
+    *     caller's weights) and threshold — runs AFTER curation so the
+    *     model prices only docs that survived the cheap filters;
+    *  4. near-dup removal ([[TextDedup.dedupCorpus]], banded LSH);
+    *  5. temperature rebalance ([[Sampling.temperature]]) over the
+    *     surviving source mix — sampling is LAST of the filters so the
+    *     realized mixture reflects what actually survived;
+    *  6. deterministic shard assignment ([[Sampling.shuffleShards]]).
+    *
+    * Each stage is the library's oracled/spec-pinned op; the
+    * composition adds narrow semi joins only (scale shapes unchanged:
+    * no stage collects, no stage goes all-pairs). Output: surviving
+    * (id, text, source, score fields) + (ord, shard, pos). */
+  def pretrainRecipe(docs: DataFrame, idCol: String, textCol: String,
+                     sourceCol: String,
+                     keepLangs: Seq[String], minQuality: Double,
+                     weights: DataFrame, minScoreMicro: Long,
+                     n: Int, k: Int, bands: Int, minJ: Double,
+                     alpha: Double, budgetFrac: Double,
+                     nShards: Int, seed: String): DataFrame = {
+    val deboiler = TextDedup.dedupLines(
+      docs.select(col(idCol), col(textCol), col(sourceCol)),
+      idCol, textCol)
+    val curated = TextStats.curate(deboiler, idCol, textCol,
+      keepLangs, minQuality)
+    val curatedDocs = deboiler
+      .join(curated.select(col(idCol)), Seq(idCol), "left_semi")
+    val scored = TextStats.linearScore(curatedDocs, idCol, textCol,
+        weights)
+      .filter(col("score_micro") >= minScoreMicro)
+    val modelKept = curatedDocs
+      .join(scored.select(col(idCol)), Seq(idCol), "left_semi")
+    val survivors = TextDedup.dedupCorpus(
+      modelKept.select(col(idCol), col(textCol)), idCol, textCol,
+      n, k, bands, minJ)
+    val rebalanced = Sampling.temperature(
+      modelKept.join(survivors.select(col(idCol)), Seq(idCol),
+        "left_semi"),
+      sourceCol, idCol, alpha, budgetFrac, s"$seed:temp")
+    val enriched = rebalanced
+      .join(curated.select(col(idCol), col("lang_pred"),
+        col("quality_score"), col("n_tokens")), Seq(idCol))
+      .join(scored.select(col(idCol), col("score_micro"),
+        col("score")), Seq(idCol))
+    Sampling.shuffleShards(enriched, idCol, nShards, seed)
+  }
 }

@@ -176,6 +176,50 @@ class EdgeCasesSpec extends SparkSpec {
       new java.io.File(s"$tmp/shard=$sh").exists()))
   }
 
+  test("pretrainRecipe: every stage's effect is visible end-to-end and " +
+    "equals the stages run independently") {
+    import spark.implicits._
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("src", concat(lit("s"), pmod(col("doc_id"), lit(3))))
+    // neutral model: every term weighs +1000 micro, so score_micro =
+    // 1000 * n_tokens and the threshold is a min-token filter — lets
+    // the model stage bite deterministically without trained weights
+    val w = d.select(explode(graft.ops.TextDedup.tokens(col("text")))
+        .as("term")).distinct()
+      .withColumn("w_micro", lit(1000L))
+    val out = graft.ops.Pipelines.pretrainRecipe(d, "doc_id", "text",
+      "src", keepLangs = Seq("en", "es"), minQuality = 0.1,
+      weights = w, minScoreMicro = 20000L, // >= 20 tokens
+      n = 3, k = 16, bands = 4, minJ = 0.8,
+      alpha = 0.5, budgetFrac = 0.9, nShards = 4, seed = "pp")
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.nonEmpty && kept.size < d.count())
+    // reproduce independently, stage by stage
+    val db = graft.ops.TextDedup.dedupLines(
+      d.select(col("doc_id"), col("text"), col("src")), "doc_id", "text")
+    val cur = graft.ops.TextStats.curate(db, "doc_id", "text",
+      Seq("en", "es"), 0.1).select("doc_id")
+    val cd = db.join(cur, Seq("doc_id"), "left_semi")
+    val sc = graft.ops.TextStats.linearScore(cd, "doc_id", "text", w)
+      .filter(col("score_micro") >= 20000L).select("doc_id")
+    val mk = cd.join(sc, Seq("doc_id"), "left_semi")
+    val sv = graft.ops.TextDedup.dedupCorpus(
+      mk.select(col("doc_id"), col("text")), "doc_id", "text",
+      3, 16, 4, 0.8).select("doc_id")
+    val rb = graft.ops.Sampling.temperature(
+      mk.join(sv, Seq("doc_id"), "left_semi"), "src", "doc_id",
+      0.5, 0.9, "pp:temp")
+    assert(kept == rb.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // the model threshold actually bit: some curated doc died on it
+    assert(sc.count() < cur.count())
+    // positions dense per shard over the final survivor set
+    val rows = out.select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.sameElements(0L until rs.length.toLong))
+    }
+  }
+
   test("mixSources: integer weights copy exactly, fractional draw the remainder, zero drops") {
     import spark.implicits._
     val d = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c"))
