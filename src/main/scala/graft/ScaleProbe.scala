@@ -105,6 +105,20 @@ object ScaleProbe {
             - lit(1000000L))
       ops.TextStats.linearScore(docs, "doc_id", "text", w).count()
     }
+    time("pretrain_recipe") {
+      // the six-stage composition end-to-end: cost should track its
+      // dominant stage (dedupCorpus), not multiply across stages
+      val w = docs.select(explode(ops.TextDedup.tokens(col("text")))
+          .as("term")).distinct().withColumn("w_micro", lit(1000L))
+      ops.Pipelines.pretrainRecipe(
+        docs.withColumn("src", concat(lit("s"), pmod(col("doc_id"), lit(3)))),
+        "doc_id", "text", "src",
+        keepLangs = Seq("en", "es"), minQuality = 0.1,
+        weights = w, minScoreMicro = 20000L,
+        n = 3, k = 16, bands = 4, minJ = 0.8,
+        alpha = 0.5, budgetFrac = 0.9, nShards = 16, seed = "probe")
+        .count()
+    }
     }
 
     section("sampling") {

@@ -76,24 +76,49 @@ object Pipelines {
                      n: Int, k: Int, bands: Int, minJ: Double,
                      alpha: Double, budgetFrac: Double,
                      nShards: Int, seed: String): DataFrame = {
+    // Stage boundaries CUT LOGICAL LINEAGE (eager localCheckpoint, so
+    // this composition runs its stages when called). Plain persist()
+    // is NOT enough here: caching bounds executor recompute but every
+    // downstream ACTION still drags the full logical plan through
+    // analysis and — worse — AQE's per-stage re-optimization loop,
+    // whose cost grows with plan depth (constraint propagation over
+    // the dedup family's self-join/explode lineage). Measured on the
+    // x10 probe: a count over a fully-CACHED 4k-row stage output
+    // burned ~18 s of pure driver time (0.03 s of executor time, two
+    // stages) per action; with the lineage cut it is 0.1 s, and the
+    // whole recipe collapsed 544 s -> ~30 s (≈ the sum of its
+    // stages). localCheckpoint ties the frames to this application's
+    // executors — the right trade inside a terminal pipeline whose
+    // result is written once; a cross-job boundary should write
+    // parquet instead. (The round-6 lesson — localCheckpoint HURT the
+    // per-query dd ops — is the same curve from the other side: for a
+    // single-action query the materialization barrier costs more than
+    // one optimizer pass saves; for a multi-stage multi-action
+    // composition the optimizer passes dominate.)
     val deboiler = TextDedup.dedupLines(
       docs.select(col(idCol), col(textCol), col(sourceCol)),
-      idCol, textCol)
+      idCol, textCol).localCheckpoint()
     val curated = TextStats.curate(deboiler, idCol, textCol,
-      keepLangs, minQuality)
+      keepLangs, minQuality).localCheckpoint()
     val curatedDocs = deboiler
       .join(curated.select(col(idCol)), Seq(idCol), "left_semi")
     val scored = TextStats.linearScore(curatedDocs, idCol, textCol,
         weights)
       .filter(col("score_micro") >= minScoreMicro)
+      .localCheckpoint()
     val modelKept = curatedDocs
       .join(scored.select(col(idCol)), Seq(idCol), "left_semi")
+      .localCheckpoint()
     val survivors = TextDedup.dedupCorpus(
       modelKept.select(col(idCol), col(textCol)), idCol, textCol,
       n, k, bands, minJ)
-    val rebalanced = Sampling.temperature(
-      modelKept.join(survivors.select(col(idCol)), Seq(idCol),
-        "left_semi"),
+    // checkpointed: temperature reads its input TWICE (the histogram
+    // that becomes the broadcast rate table, then the probe side) and
+    // this input's lineage contains the whole dedupCorpus chain
+    val rebalInput = modelKept
+      .join(survivors.select(col(idCol)), Seq(idCol), "left_semi")
+      .localCheckpoint()
+    val rebalanced = Sampling.temperature(rebalInput,
       sourceCol, idCol, alpha, budgetFrac, s"$seed:temp")
     val enriched = rebalanced
       .join(curated.select(col(idCol), col("lang_pred"),

@@ -168,38 +168,12 @@ object TextDedup {
     * shared subtrees without caches; if an unrelated action runs
     * first, the caches are released early and the result computes
     * them lazily inline. */
+  // canonicalized-plan listener release, extracted to
+  // graft.util.CacheRelease for reuse by Pipelines: caches live until
+  // the caller's first action over the result, then unpersist
   private def releaseAfterFirstAction(result: DataFrame,
-                                      caches: Seq[DataFrame]): DataFrame = {
-    val lm = result.sparkSession.listenerManager
-    // canonicalized analyzed plans of the frames whose consumption
-    // signals "the caller has read the result": the result itself and
-    // the cached frames it is built from. An execution releases the
-    // caches iff its analyzed plan contains one of them as a subtree
-    // (canonicalization makes the match exprId-insensitive, so a
-    // re-analyzed copy inside a caller-side transformation still hits).
-    val watched = (result +: caches).map(_.queryExecution.analyzed.canonicalized)
-    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
-      private val once = new java.util.concurrent.atomic.AtomicBoolean(false)
-      private def touchesResult(
-          qe: org.apache.spark.sql.execution.QueryExecution): Boolean =
-        // fail OPEN on any plan-inspection surprise: releasing early
-        // degrades to a recompute; never releasing leaks storage
-        try qe.analyzed.exists(n => watched.exists(_ == n.canonicalized))
-        catch { case scala.util.control.NonFatal(_) => true }
-      private def release(): Unit = if (once.compareAndSet(false, true)) {
-        caches.foreach(_.unpersist())
-        lm.unregister(this)
-      }
-      override def onSuccess(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution,
-          durationNs: Long): Unit = if (touchesResult(qe)) release()
-      override def onFailure(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution,
-          exception: Exception): Unit = if (touchesResult(qe)) release()
-    }
-    lm.register(listener)
-    result
-  }
+                                      caches: Seq[DataFrame]): DataFrame =
+    graft.util.CacheRelease.releaseAfterFirstAction(result, caches)
 
   /** Exact Jaccard verification driven by the CANDIDATE PAIR list:
     * join each (a, b) pair to the two documents' shingle-hash SETS
