@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * With a second arg, only that section runs (so one family can probe
   * at a multiplier the full sweep can't afford): text | sampling |
   * jaccard | contamination | ann | snapshot | ndsink | ldsink |
-  * ndaudit | embsink | events.
+  * linehot | ndaudit | embsink | events.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -384,6 +384,41 @@ object ScaleProbe {
       // anything near nBatches means b= dirs are accumulating again
       assert(bdirs <= 8, s"recent store holds $bdirs batch dirs " +
         s"after $nBatches batches — retention not bounding the store")
+    }
+    }
+
+    section("linehot") {
+    // hot-key probe for dedupLines: the motivating workload is ONE
+    // boilerplate line (cookie banner / nav bar) repeated once per
+    // document corpus-wide — at mult=30 that is a single md5 key with
+    // ~150k repeats. The win condition is a FLAT task-time profile:
+    // the min(struct) winner rule partial-aggregates map-side, so the
+    // hot key reaches the reducer as one row per map partition; the
+    // old row_number window funneled the whole repeat group into one
+    // task's sort. Assert max task time stays within a small factor of
+    // the median across every stage of the job.
+    locally {
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+      val durs = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val listener = new SparkListener {
+        override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+          durs.add(te.taskInfo.duration); ()
+        }
+      }
+      val boiler = docs.withColumn("text",
+        concat(lit("This site uses cookies. ACCEPT | DECLINE\n"),
+          coalesce(col("text"), lit(""))))
+      spark.sparkContext.addSparkListener(listener)
+      try time("dedup_lines_hotkey") {
+        ops.TextDedup.dedupLines(boiler, "doc_id", "text").count()
+      } finally spark.sparkContext.removeSparkListener(listener)
+      import scala.jdk.CollectionConverters._
+      val d = durs.asScala.toSeq.sorted
+      val (p50, mx) = (d(d.size / 2), d.last)
+      println(s"[scaleprobe] dedup_lines_hotkey tasks=${d.size} " +
+        s"p50=${p50}ms max=${mx}ms")
+      assert(mx <= p50 * 10 + 2000,
+        s"hot-line task skew: p50=${p50}ms max=${mx}ms")
     }
     }
 

@@ -771,13 +771,21 @@ object TextDedup {
     * caller decides whether to discard it).
     *
     * Scale shape: posexplode is a bounded per-row expansion; the only
-    * corpus-scale movement is ONE hash-partitioned shuffle of
-    * (md5(line), id, pos) keyed by the line's 128-bit md5 — 16 bytes
+    * corpus-scale movement is ONE hash-partitioned shuffle keyed by
+    * the line's 128-bit md5 (`unhex`'d to a true 16-byte binary key,
     * however long the line is, and collision-safe at any realistic
-    * line count (a 60-bit key would collide ~10^5 times on 10^12
+    * line count — a 60-bit key would collide ~10^5 times on 10^12
     * lines; 128 bits won't) — plus the reassembly exchange on idCol.
-    * `row_number` per hash never materializes a group larger than a
-    * line's global repeat count. `minChars` exempts shorter lines from
+    * The winner per hash is `min(struct(id, pos, line))` — a partial-
+    * aggregable (map-side-combinable) reduction, NOT a window: the
+    * motivating workload is boilerplate repeated millions-to-billions
+    * of times corpus-wide, and a `row_number` window would sort that
+    * hottest line's entire global repeat group in one task, while the
+    * min-struct combiner collapses it to one row per map partition
+    * before the shuffle. All rows of a hash group share the same line
+    * text (md5 collision-safe as above), so the struct carries the
+    * winner's text out of the aggregation — no join back is needed.
+    * `minChars` exempts shorter lines from
     * dedup entirely (they keep every occurrence — the knob for corpora
     * where short lines are structure, not boilerplate); 0 dedups all.
     *
@@ -792,12 +800,12 @@ object TextDedup {
           java.util.regex.Pattern.quote(sep))) // literal sep, not regex
           .as(Seq("pos", "line")))
     val exempt = lines.filter(length(col("line")) < minChars)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(md5(col("line").cast("binary")))
-      .orderBy(col(idCol), col("pos"))
     val kept = lines.filter(length(col("line")) >= minChars)
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn")
+      .groupBy(unhex(md5(col("line").cast("binary"))).as("_lh"))
+      .agg(min(struct(col(idCol), col("pos"), col("line"))).as("_w"))
+      .select(col("_w").getField(idCol).as(idCol),
+        col("_w").getField("pos").as("pos"),
+        col("_w").getField("line").as("line"))
       .unionByName(exempt)
     val reassembled = kept.groupBy(col(idCol))
       .agg(array_join(

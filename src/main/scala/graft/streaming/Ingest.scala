@@ -603,9 +603,13 @@ object Ingest {
   /** Streaming LINE dedup at the ingest door — the incremental form of
     * [[graft.ops.TextDedup.dedupLines]] (C4-style boilerplate
     * stripping): a persisted index of admitted line hashes (parquet at
-    * `indexPath`, 16-byte md5 hex per distinct line ever admitted)
+    * `indexPath`, one 16-byte binary md5 per distinct line ever
+    * admitted)
     * suppresses every line already seen in ANY earlier batch; within a
-    * batch the first occurrence by (idCol, position) wins, exactly the
+    * batch the first occurrence by (idCol, position) wins via the same
+    * partial-aggregable `min(struct(id, pos, line))` reduction as the
+    * batch op — map-side-combinable, so a boilerplate line repeated
+    * across the whole batch never funnels into one task — exactly the
     * batch rule. Admitted documents land under `outRoot` reassembled
     * in original line order (a document whose every line was seen
     * before survives as an empty string — the caller decides).
@@ -644,15 +648,19 @@ object Ingest {
         try {
           maybeCompact(spark, compactEvery, batchId, indexPath, outRoot)
           val cand = lines.filter(length(col("line")) >= minChars)
-            .withColumn("_h", md5(col("line").cast("binary")))
+            .withColumn("_h", unhex(md5(col("line").cast("binary"))))
           val exempt = lines.filter(length(col("line")) < minChars)
-            .withColumn("_h", lit(null).cast("string"))
-          // within-batch first occurrence of each hash...
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy("_h").orderBy(col(idCol), col("pos"))
+            .withColumn("_h", lit(null).cast("binary"))
+          // within-batch first occurrence of each hash — min(struct) is
+          // partial-aggregable; all rows of a hash group share the same
+          // line text, so the struct carries the winner's text out
           val firstInBatch = cand
-            .withColumn("_rn", row_number().over(w))
-            .filter(col("_rn") === 1).drop("_rn")
+            .groupBy(col("_h"))
+            .agg(min(struct(col(idCol), col("pos"), col("line"))).as("_w"))
+            .select(col("_h"),
+              col("_w").getField(idCol).as(idCol),
+              col("_w").getField("pos").as("pos"),
+              col("_w").getField("line").as("line"))
           // ...minus hashes any COMMITTED prior batch admitted
           val priorHashes = graft.io.Batches
             .read(spark, indexPath, below = Some(batchId)) match {

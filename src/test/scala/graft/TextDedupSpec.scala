@@ -698,6 +698,21 @@ class TextDedupSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("dedupLines plan: winner rule is a partial-aggregable reduction " +
+    "(no window on the line hash)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a\nb"), (2L, "a\nc")).toDF("doc_id", "text")
+    val plan = graft.ops.TextDedup.dedupLines(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // a row_number window over md5(line) would single-task-sort a hot
+    // boilerplate line's entire global repeat group; the min(struct)
+    // rule must show as HashAggregate pairs (partial + final), never
+    // as a Window/Sort on the hash
+    assert(!plan.contains("Window"), s"WindowExec in dedupLines plan:\n$plan")
+    assert(plan.contains("partial_min") || plan.contains("HashAggregate"),
+      s"no partial aggregation in dedupLines plan:\n$plan")
+  }
+
   test("linearScore: occurrence-weighted exact sums, OOV is 0, empty " +
     "doc scores the bias") {
     import spark.implicits._
