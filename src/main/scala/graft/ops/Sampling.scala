@@ -71,7 +71,10 @@ object Sampling {
     * alpha > 1 sharpens toward head sources. `budgetFrac` sets the
     * target output size B = budgetFrac*N; this operator only
     * DOWN-samples deterministically (use [[mixSources]] with epoch
-    * weights > 1 to upsample).
+    * weights > 1 to upsample), so it requires budgetFrac ≤ 1 — the
+    * waterfill derivation assumes B ≤ N, and a budget the input cannot
+    * deliver would otherwise silently degenerate to keep-everything
+    * instead of telling the caller their budget needs upsampling.
     *
     * WATERFILLING: the naive rate min(1, B*q_s/n_s) under-delivers
     * whenever the cap binds for flattened rare sources — their surplus
@@ -112,6 +115,9 @@ object Sampling {
                   seed: String): DataFrame = {
     require(alpha > 0, "alpha must be positive")
     require(budgetFrac > 0, "budgetFrac must be positive")
+    require(budgetFrac <= 1,
+      "budgetFrac must be <= 1: temperature only down-samples (B <= N); " +
+        "use mixSources with epoch weights > 1 to upsample")
     val nDbl = col("_n").cast("double")
     val paDbl = if (alpha == 0.5) sqrt(nDbl) else pow(nDbl, alpha)
     val counts = df.groupBy(col(sourceCol))

@@ -55,6 +55,18 @@ object Ingest {
     * compacted base. Keeps a long-running stream's dir count O(every)
     * per root instead of O(stream lifetime); `every = 0` disables
     * (external maintenance cadence instead). */
+  /** In-sink `b=` dir folding. CONSUMER CONTRACT for every root this
+    * touches: compaction renames a new base over the old one and only
+    * then deletes the superseded dirs, so there is a crash window
+    * (post-rename, pre-delete) in which a plain
+    * `spark.read.parquet(root)` double-reads rows that are in both the
+    * new base and a not-yet-deleted dir. [[graft.io.Batches.read]]'s
+    * live-dirs rule resolves that window correctly — downstream
+    * consumers of any self-compacting root MUST read through it (and
+    * lose per-batch `b=` provenance on folded batches); callers whose
+    * consumers read plain parquet should pass `compactEvery = 0` and
+    * fold externally at a quiet moment. Each public sink's
+    * `compactEvery` doc repeats this. */
   private def maybeCompact(spark: SparkSession, every: Int, batchId: Long,
                            roots: String*): Unit =
     if (every > 0 && batchId > 0 && batchId % every == 0)
@@ -476,9 +488,14 @@ object Ingest {
     * min/max + a mergeable DataSketches HLL sketch per column) and
     * folded into an n_cols-row state table. Serving:
     * [[readProfile]] finalizes the state into [[graft.ops.Profiler.summary]]'s
-    * schema — bit-identical to single-pass-profiling the full ingested
-    * corpus (register-wise sketch union is order-insensitive;
-    * StreamingSpec pins it) without ever rescanning that corpus, and
+    * schema: the EXACT stats (counts, null counts, typed min/max) are
+    * bit-identical to single-pass-profiling the full ingested corpus;
+    * the distinct-count column is an HLL union estimate — within the
+    * sketch's error bound of the single-pass estimate and
+    * deterministic for a fixed fold order, but NOT fold-invariant
+    * (union mode transitions discard the HIP estimator; ProfilerSpec
+    * pins the tolerance, StreamingSpec the determinism) — all without
+    * ever rescanning that corpus, and
     * [[graft.ops.Profiler.driftFromProfiles]] gates it against any
     * baseline profile with an n_cols-row join. At 100 TB of ingest
     * this keeps a continuously-current profile for the cost of one
@@ -538,10 +555,14 @@ object Ingest {
     * ([[graft.io.Batches.compact]] with the safe `upTo = batchId - 1`
     * bound), keeping the per-trigger listing and read path-list
     * O(compactEvery) instead of O(completed batches) over the stream's
-    * life. The OUT root is write-only here and keeps full per-batch
-    * provenance; compact it on its own schedule via
-    * [[graft.io.Batches.compact]] (provenance collapses into the base
-    * tag — an audit-retention choice, so not made implicitly).
+    * life. The OUT root folds on the same cadence — write-only here,
+    * but its dir count grows per batch all the same. Folding collapses
+    * per-batch `b=` provenance into the base tag, and consumers of a
+    * self-compacting root MUST read it via [[graft.io.Batches.read]]
+    * (plain `spark.read.parquet` can double-read a superseded base in
+    * the fold's crash window — see [[maybeCompact]]); keep
+    * `compactEvery = 0` when downstream reads plain parquet or needs
+    * full provenance, and fold externally instead.
     *
     * Layout break (pre-round-7 deployments): an index written by the
     * old FLAT append layout (parquet files directly at the root) is
@@ -627,7 +648,10 @@ object Ingest {
     * reassembly exchange — all batch-sized except the index probe.
     * The index grows by distinct-new-lines only. Standard `b=` layout
     * on both roots: replay rewrites its own dirs, committed-prior
-    * reads, in-sink `compactEvery` folding. */
+    * reads, in-sink `compactEvery` folding (consumers of a
+    * self-compacting root must read via [[graft.io.Batches.read]], or
+    * keep `compactEvery = 0` for plain-parquet readers — see
+    * [[maybeCompact]]). */
   def startLineDedupSink(docs: DataFrame, idCol: String, textCol: String,
                          outRoot: String, indexPath: String,
                          checkpoint: String, sep: String = "\n",
@@ -757,7 +781,10 @@ object Ingest {
     *
     * Idempotence + maintenance: the standard `b=<batchId>` overwrite
     * layout on both roots, committed-prior reads, and in-sink
-    * `compactEvery` folding — same contract as the text sink. */
+    * `compactEvery` folding — same contract as the text sink,
+    * including its consumer rule: read self-compacting roots via
+    * [[graft.io.Batches.read]], or keep `compactEvery = 0` for
+    * plain-parquet readers (see [[maybeCompact]]). */
   def startEmbeddingNearDupFilterSink(vecs: DataFrame, idCol: String,
                                       vecCol: String, outRoot: String,
                                       indexPath: String, checkpoint: String,
@@ -841,7 +868,9 @@ object Ingest {
     * query terminates (listener-hooked). Long streams: `compactEvery`
     * folds the accumulating `b=` dirs under both roots in-sink (0 =
     * fold externally with [[graft.io.Batches.compact]],
-    * upTo <= last committed batch). */
+    * upTo <= last committed batch); consumers of a self-compacting
+    * root must read via [[graft.io.Batches.read]] — see
+    * [[maybeCompact]]. */
   def startContaminationFilterSink(docs: DataFrame, idCol: String,
                                    textCol: String, evalDocs: DataFrame,
                                    outRoot: String, quarantineRoot: String,
@@ -913,7 +942,9 @@ object Ingest {
     * Idempotence: the standard `b=<batchId>` overwrite layout on both
     * roots (crash replay rewrites the same dirs); `compactEvery` folds
     * the accumulating dirs in-sink (0 = fold externally with
-    * [[graft.io.Batches.compact]]). */
+    * [[graft.io.Batches.compact]]); consumers of a self-compacting
+    * root must read via [[graft.io.Batches.read]] — see
+    * [[maybeCompact]]. */
   def startPiiScrubSink(docs: DataFrame, textCol: String,
                         outRoot: String, quarantineRoot: String,
                         checkpoint: String,
@@ -958,7 +989,8 @@ object Ingest {
     * duplicate vectors. `compactEvery` folds the accumulating per-cell
     * `b=` subpartitions in-sink via
     * [[graft.ops.Embeddings.compactIvfIndex]] (same safe bound as the
-    * other sinks; 0 = external maintenance). */
+    * other sinks; 0 = external maintenance; index reads go through
+    * `ivfTopKIndexed`, which already handles the folded layout). */
   def startIvfAppendSink(model: graft.ops.Embeddings.IvfModel,
                          vectors: DataFrame, idCol: String, vecCol: String,
                          indexPath: String, checkpoint: String,

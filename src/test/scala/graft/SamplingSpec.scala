@@ -101,6 +101,16 @@ class SamplingSpec extends SparkSpec {
     assert(a == b && b == c && a.nonEmpty)
   }
 
+  test("temperature: budgetFrac > 1 is rejected, not a silent no-op") {
+    // the waterfill derivation assumes B <= N; a budget the input
+    // cannot deliver used to saturate every source and return the
+    // input unchanged instead of signaling the caller
+    val e = intercept[IllegalArgumentException] {
+      Sampling.temperature(corpus, "src", "id", 0.5, 1.5, "tspec")
+    }
+    assert(e.getMessage.contains("budgetFrac"))
+  }
+
   test("sourceCap: keeps exactly min(n_s, cap) rows per source — NULL " +
     "included — retaining the top-cap by (score desc, id asc)") {
     // cap=110 puts the 120-row NULL group OVER the cap: the round-8
