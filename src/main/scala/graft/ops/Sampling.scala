@@ -186,11 +186,26 @@ object Sampling {
     * at runtime and picks broadcast when it fits
     * `spark.sql.autoBroadcastJoinThreshold` and a shuffle join when it
     * doesn't — no driver OOM from a hinted over-broadcast, no extra
-    * guard job re-scanning the corpus to count. The residual hazard is
-    * one pathologically hot domain sorting in one task — acceptable
-    * while `cap` (and hence the retained prefix) fits a task; beyond
-    * that, pre-filter with an approximate per-source score threshold
-    * before ranking.
+    * guard job re-scanning the corpus to count.
+    *
+    * Hot-domain pre-filter: a hot source (think one domain holding
+    * half a web crawl) must NOT sort its full row set in the ranking
+    * window's single task. Before ranking, the per-source score
+    * THRESHOLD is derived exactly from the (source, score) level
+    * histogram — a partial-aggregable count per distinct score value,
+    * so the hot source reaches the histogram window as one row per
+    * score LEVEL, not per document. Levels whose preceding cumulative
+    * count is < cap are the only ones that can contain a rank ≤ cap;
+    * a null-safe semi join keeps just the rows at those levels, so the
+    * final ranking window sorts at most cap + (ties at the threshold
+    * level) − 1 rows per source — O(cap) per task. (An exact
+    * `percentile` would find the same threshold, but its percentage
+    * argument must be foldable in Spark, so it cannot vary per source;
+    * the histogram prefix is the same computation done per-group.)
+    * Residuals, both degenerate-input-shaped: a CONTINUOUS score makes
+    * the level histogram as big as the source (quantize scores first
+    * if so), and a CONSTANT score makes everything tie at the
+    * threshold (any exact method must then rank the full group).
     *
     * NULL policy (see [[temperature]]): a NULL source is a source like
     * any other. Both joins are null-safe (`<=>`), so a NULL source
@@ -203,12 +218,27 @@ object Sampling {
       .filter(col("_n") > cap).select(col(sourceCol).as("_over_src"))
     val under = df.join(over, col(sourceCol) <=> col("_over_src"),
       "left_anti")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(sourceCol))
-      .orderBy(col(scoreCol).desc, col(idCol))
-    val capped = df.join(over, col(sourceCol) <=> col("_over_src"),
+    val overRows = df.join(over, col(sourceCol) <=> col("_over_src"),
       "left_semi")
-      .withColumn("_rn", row_number().over(w))
+    // exact per-source threshold from the score-LEVEL histogram: a
+    // level can hold a rank <= cap iff strictly fewer than cap rows
+    // rank above it. One row per distinct (source, score) — the hot
+    // domain is histogram-collapsed before any window sees it.
+    val W = org.apache.spark.sql.expressions.Window
+    val wh = W.partitionBy(col(sourceCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val keptLevels = overRows
+      .groupBy(col(sourceCol), col(scoreCol)).agg(count(lit(1)).as("_c"))
+      .withColumn("_above", coalesce(
+        sum(col("_c")).over(W.partitionBy(col(sourceCol))
+          .orderBy(col(scoreCol).desc)
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("_above") < cap)
+      .select(col(sourceCol).as("_t_src"), col(scoreCol).as("_t_score"))
+    val capped = overRows
+      .join(keptLevels, col(sourceCol) <=> col("_t_src") &&
+        col(scoreCol) <=> col("_t_score"), "left_semi")
+      .withColumn("_rn", row_number().over(wh))
       .filter(col("_rn") <= cap).drop("_rn")
     under.unionByName(capped)
   }

@@ -136,6 +136,51 @@ class SamplingSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("sourceCap: a hot domain holding 50% of the corpus never funnels " +
+    "its full row set into one task's sort") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    // hot source = 20k rows (half the corpus), long tail of 200 sources
+    val hotN = 20000
+    val cap = 100
+    val rows = (0 until hotN).map(i => (i.toLong, "hot")) ++
+      (0 until hotN).map(i => (100000L + i, s"s_${i % 200}"))
+    val df = rows.toDF("id", "src")
+      .withColumn("score", pmod(col("id"), lit(97)))
+    // correctness first: kept set == the naive full-window oracle
+    val got = Sampling.sourceCap(df, "src", "score", "id", cap)
+      .select("id").as[Long].collect().sorted.toSeq
+    val expect = df.withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+          .orderBy(col("score").desc, col("id"))))
+      .filter(col("_rn") <= cap).select("id").as[Long].collect().sorted.toSeq
+    assert(got == expect)
+    // scale shape: with the level-histogram pre-filter, no task in any
+    // stage shuffle-reads anywhere near the hot source's 20k rows —
+    // the ranking window sees only cap + ties-at-threshold candidates
+    // (here <= 100 + ceil(20000/97) = 307) and the histogram window
+    // one row per (source, score) level. Bound well below hotN: a
+    // regression to full-group ranking reads 20k rows in one task.
+    val maxRead = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          maxRead.getAndUpdate(v => math.max(v,
+            m.shuffleReadMetrics.recordsRead)); ()
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Sampling.sourceCap(df.repartition(32), "src", "score", "id", cap)
+        .count()
+      Thread.sleep(500) // let the listener bus drain
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(maxRead.get() > 0, "listener saw no shuffle reads")
+    assert(maxRead.get() < hotN / 2,
+      s"hot-domain funneling: a task shuffle-read ${maxRead.get()} rows")
+  }
+
   test("sourceCap: rerun determinism and under-cap passthrough") {
     val cap = 150
     def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
