@@ -440,6 +440,53 @@ object SparkEntry {
       Sampling.sourceCap(d, "dom", "n_chars", "doc_id", cap = 10)
         .select("doc_id", "dom", "n_chars").orderBy("doc_id")
     }),
+    // ---- composed pipelines oracled END-TO-END (not just per stage):
+    // the full pretraining recipe and the minimal curate-to-shards
+    // recipe, each replayed as one DuckDB CTE chain. Inputs seed work
+    // for every stage: ' the ' -> newline makes multi-line text for
+    // line dedup, the +100000 full copies collapse to empty docs
+    // (line dedup) / die in exact dedup (minimal recipe), the +200000
+    // prefix copies exercise near-dup removal, and the skewed sampDom
+    // domain drives the temperature waterfill. The pseudo-model
+    // weights are the t_linear_score md5 construction over the RAW
+    // corpus vocabulary; threshold -5,000,000 micro sits near the
+    // score median so the model gate visibly bites. ----
+    "pipe_pretrain_recipe" -> ((s, dir) => {
+      val d0 = Tables.documents(s, dir).select(col("doc_id"),
+        regexp_replace(col("text"), " the ", "\n").as("text"))
+      val u = d0
+        .union(d0.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        .union(d0.select((col("doc_id") + 200000).as("doc_id"),
+          substring(col("text"), 1, 120).as("text")))
+        .withColumn("dom", sampDom)
+      val weights = Tables.documents(s, dir)
+        .select(explode(TextDedup.tokens(col("text"))).as("term")).distinct()
+        .withColumn("w_micro",
+          pmod(TextDedup.md5Hash60(col("term")), lit(2000001L))
+            - lit(1000000L))
+      Pipelines.pretrainRecipe(u, "doc_id", "text", "dom",
+          keepLangs = Seq("en", "es"), minQuality = 0.5,
+          weights = weights, minScoreMicro = -5000000L,
+          n = 3, k = 16, bands = 4, minJ = 0.8,
+          alpha = 0.5, budgetFrac = 0.5, nShards = 4, seed = "pipe")
+        .select(col("doc_id"), col("dom"), col("lang_pred"),
+          col("quality_score"), col("n_tokens"), col("score_micro"),
+          col("shard"), col("pos"),
+          length(col("text")).cast("long").as("n_chars_kept"))
+        .orderBy("doc_id")
+    }),
+    "pipe_curate_shards" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val u = d.union(
+        d.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      Pipelines.curateToShards(u, "doc_id", "text",
+          keepLangs = Seq("en", "es"), minQuality = 0.7,
+          n = 3, k = 16, bands = 4, minJ = 0.8, nShards = 4,
+          seed = "pipe")
+        .select(col("doc_id"), col("lang_pred"), col("quality_score"),
+          col("n_tokens"), col("shard"), col("pos"))
+        .orderBy("doc_id")
+    }),
     // ---- skew toolkit: salted rewrites on a pathologically hot key
     // (5 event types across the whole fact table). The salted forms
     // must be HASH-IDENTICAL to the plain group-by / join the oracle
@@ -1561,6 +1608,246 @@ object SparkEntry {
         |       CAST(ROW_NUMBER() OVER (PARTITION BY ord % 4
         |                               ORDER BY ord, doc_id) - 1 AS BIGINT) AS pos
         |FROM h ORDER BY shard, pos""".stripMargin,
+    // End-to-end replay of Pipelines.pretrainRecipe: line dedup ->
+    // curate -> model score -> LSH near-dup -> temperature -> shards,
+    // each stage the same CTE form its per-stage oracle uses. Ratio
+    // divisions are guarded (CASE len > 0) because line dedup emits
+    // empty docs — matching the Spark guards.
+    "pipe_pretrain_recipe" ->
+      """WITH d0 AS (
+        |  SELECT doc_id, replace(text, ' the ', chr(10)) AS text
+        |  FROM documents),
+        |u AS (SELECT doc_id, text FROM d0
+        |      UNION ALL SELECT doc_id + 100000, text FROM d0
+        |      UNION ALL SELECT doc_id + 200000, substring(text, 1, 120)
+        |                 FROM d0),
+        |ud AS (SELECT doc_id, text,
+        |         CASE WHEN doc_id % 7 = 0 THEN NULL
+        |              ELSE 'd' || CAST(CAST(FLOOR(sqrt(CAST(doc_id AS DOUBLE))) AS BIGINT) AS VARCHAR)
+        |         END AS dom
+        |       FROM u),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM ud),
+        |ll AS (SELECT doc_id, g.i - 1 AS pos, parts[g.i] AS line
+        |       FROM ls, UNNEST(generate_series(1, array_length(parts)))
+        |              AS g(i)),
+        |lk AS (SELECT doc_id, pos, line,
+        |         ROW_NUMBER() OVER (PARTITION BY md5(line)
+        |                            ORDER BY doc_id, pos) AS rn
+        |       FROM ll),
+        |lr AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        |       FROM lk WHERE rn = 1 GROUP BY doc_id),
+        |cln AS (SELECT ud.doc_id, COALESCE(lr.text, '') AS text, ud.dom
+        |        FROM ud LEFT JOIN lr USING (doc_id)),
+        |cw AS (SELECT doc_id, text, dom,
+        |         regexp_extract_all(lower(text), '[a-z0-9]+') w
+        |       FROM cln),
+        |cs AS (SELECT doc_id, text, dom, w,
+        |        CAST(len(list_filter(w, x -> x IN ('the','a','of','and','is'))) AS BIGINT) s_en,
+        |        CAST(len(list_filter(w, x -> x IN ('el','la','de','los','es'))) AS BIGINT) s_es,
+        |        CAST(len(list_filter(w, x -> x IN ('der','die','das','und','ist'))) AS BIGINT) s_de,
+        |        CAST(len(list_filter(w, x -> x IN ('le','la','les','des','est'))) AS BIGINT) s_fr
+        |      FROM cw),
+        |cl AS (SELECT doc_id, text, dom, w,
+        |        CASE WHEN s_en > 0 AND s_en = best THEN 'en'
+        |             WHEN s_es > 0 AND s_es = best THEN 'es'
+        |             WHEN s_de > 0 AND s_de = best THEN 'de'
+        |             WHEN s_fr > 0 AND s_fr = best THEN 'fr'
+        |             ELSE 'und' END AS lang_pred
+        |      FROM (SELECT *, greatest(s_en, s_es, s_de, s_fr) best FROM cs)),
+        |cm AS (SELECT doc_id, text, dom, lang_pred,
+        |        CAST(len(w) AS BIGINT) n_tokens,
+        |        CASE WHEN len(text) > 0
+        |             THEN CAST(len(regexp_replace(text, '[a-zA-Z0-9\s]+', '', 'g')) AS DOUBLE)
+        |                    / CAST(len(text) AS DOUBLE)
+        |             ELSE 0.0 END punct_raw,
+        |        CASE WHEN len(w) > 0
+        |             THEN CAST(len(list_filter(w, x -> x IN ('the','a','of','and','is','el','la','de','los','es',
+        |                    'der','die','das','und','ist','le','les','des','est'))) AS DOUBLE)
+        |                    / CAST(len(w) AS DOUBLE)
+        |             ELSE 0.0 END stop_raw,
+        |        least(CAST(len(w) AS DOUBLE) / 20.0, 1.0) len_score
+        |      FROM cl),
+        |cp AS (SELECT doc_id, text, dom, lang_pred, n_tokens,
+        |        round(len_score * (1.0 - punct_raw) * (0.5 + least(stop_raw * 5.0, 0.5)), 6)
+        |          AS quality_score
+        |      FROM cm),
+        |cf AS (SELECT * FROM cp
+        |       WHERE lang_pred IN ('en', 'es') AND quality_score >= 0.5),
+        |ck AS (SELECT min(doc_id) AS keep_id
+        |       FROM (SELECT doc_id, CAST(('0x'||substr(md5(text),1,15)) AS BIGINT) h FROM cf)
+        |       GROUP BY h),
+        |cur AS (SELECT cf.doc_id, cf.text, cf.dom, cf.lang_pred,
+        |               cf.quality_score, cf.n_tokens
+        |        FROM cf JOIN ck ON cf.doc_id = ck.keep_id),
+        |wt AS (SELECT term,
+        |         (CAST(('0x'||substr(md5(term),1,15)) AS BIGINT) % 2000001)
+        |           - 1000000 AS w_micro
+        |       FROM (SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |             FROM documents)),
+        |tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |        FROM cur),
+        |sc AS (SELECT c.doc_id,
+        |         CAST(COALESCE(t.s, 0) AS BIGINT) AS score_micro
+        |       FROM cur c LEFT JOIN (
+        |         SELECT tok.doc_id, SUM(COALESCE(wt.w_micro, 0)) AS s
+        |         FROM tok LEFT JOIN wt USING (term)
+        |         GROUP BY tok.doc_id) t USING (doc_id)),
+        |mk AS (SELECT cur.* FROM cur JOIN sc USING (doc_id)
+        |       WHERE sc.score_micro >= -5000000),
+        |reps AS (SELECT min(doc_id) AS doc_id, any_value(text) AS text
+        |         FROM mk GROUP BY text),
+        |t2 AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') w FROM reps),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         CAST(('0x'||substr(md5(array_to_string(w[i:i+2], ' ')),1,15)) AS BIGINT) AS sh_h
+        |       FROM t2, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS g(i)),
+        |hh AS (SELECT doc_id, sh_h % 1000000007 AS hh FROM sh),
+        |sig AS (SELECT doc_id, i, min(((i*2+1) * hh + (i*17+91)) % 1000000007) AS minhash
+        |        FROM hh, UNNEST(generate_series(0, 15)) AS g(i) GROUP BY 1, 2),
+        |banded AS (SELECT doc_id, CAST(i // 4 AS INT) AS band,
+        |                  array_to_string(list_sort(list(
+        |                    lpad(CAST(i AS VARCHAR),2,'0') || '=' || CAST(minhash AS VARCHAR))), ':') AS band_key
+        |           FROM sig GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.doc_id a_id, y.doc_id b_id
+        |         FROM banded x JOIN banded y
+        |           ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+        |sizes AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) n_common
+        |          FROM sh a JOIN sh b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |removed AS (
+        |  SELECT DISTINCT c.b_id AS doc_id
+        |  FROM cand c JOIN inter i ON c.a_id = i.a_id AND c.b_id = i.b_id
+        |  JOIN sizes sa ON c.a_id = sa.doc_id JOIN sizes sb ON c.b_id = sb.doc_id
+        |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.8),
+        |surv AS (SELECT doc_id FROM reps
+        |         WHERE doc_id NOT IN (SELECT doc_id FROM removed)),
+        |rin AS (SELECT mk.doc_id, mk.dom FROM mk JOIN surv USING (doc_id)),
+        |c2 AS (SELECT dom, COUNT(*) AS n,
+        |        CAST(FLOOR(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000.0) AS BIGINT) AS pa
+        |      FROM rin GROUP BY dom),
+        |t3 AS (SELECT SUM(n) AS nn, SUM(pa) AS z FROM c2),
+        |s3 AS (SELECT dom, n, pa, z,
+        |        CAST(0.5 AS DOUBLE) * CAST(nn AS DOUBLE) AS b,
+        |        SUM(n)  OVER w AS cn,
+        |        SUM(pa) OVER w AS cpa
+        |      FROM c2, t3
+        |      WINDOW w AS (ORDER BY CAST(n AS DOUBLE)/CAST(pa AS DOUBLE) ASC,
+        |                            n ASC, dom ASC NULLS FIRST
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s4 AS (SELECT *,
+        |         CAST(cn AS DOUBLE)
+        |           + CAST(n AS DOUBLE) * CAST(z - cpa AS DOUBLE)
+        |             / CAST(pa AS DOUBLE) <= b AS sat
+        |       FROM s3),
+        |l3 AS (SELECT COALESCE(MAX(CASE WHEN sat THEN cn  END), 0) AS cnp,
+        |             COALESCE(MAX(CASE WHEN sat THEN cpa END), 0) AS cpap
+        |      FROM s4),
+        |r3 AS (SELECT dom,
+        |        CASE WHEN sat THEN CAST(1.0 AS DOUBLE)
+        |             ELSE LEAST(CAST(1.0 AS DOUBLE),
+        |               (b - CAST(cnp AS DOUBLE)) * CAST(pa AS DOUBLE)
+        |                 / (CAST(z - cpap AS DOUBLE) * CAST(n AS DOUBLE)))
+        |        END AS rate
+        |      FROM s4, l3),
+        |reb AS (SELECT rin.doc_id, rin.dom
+        |        FROM rin JOIN r3 ON rin.dom IS NOT DISTINCT FROM r3.dom
+        |        WHERE (CAST(CAST(('0x'||substr(md5('pipe:temp:' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 1000000 AS DOUBLE)
+        |               / 1000000.0) < rate),
+        |en AS (SELECT reb.doc_id, reb.dom, cur.lang_pred, cur.quality_score,
+        |              cur.n_tokens, sc.score_micro,
+        |              CAST(length(cur.text) AS BIGINT) AS n_chars_kept
+        |       FROM reb JOIN cur USING (doc_id) JOIN sc USING (doc_id)),
+        |h2 AS (SELECT en.*,
+        |         CAST(('0x'||substr(md5('pipe:' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) AS ord
+        |       FROM en)
+        |SELECT doc_id, dom, lang_pred, quality_score, n_tokens, score_micro,
+        |       ord % 4 AS shard,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY ord % 4
+        |                               ORDER BY ord, doc_id) - 1 AS BIGINT) AS pos,
+        |       n_chars_kept
+        |FROM h2 ORDER BY doc_id""".stripMargin,
+    // End-to-end replay of Pipelines.curateToShards (the minimal
+    // recipe): curate -> LSH near-dup -> shards on the raw text.
+    "pipe_curate_shards" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents),
+        |cw AS (SELECT doc_id, text,
+        |         regexp_extract_all(lower(text), '[a-z0-9]+') w
+        |       FROM u),
+        |cs AS (SELECT doc_id, text, w,
+        |        CAST(len(list_filter(w, x -> x IN ('the','a','of','and','is'))) AS BIGINT) s_en,
+        |        CAST(len(list_filter(w, x -> x IN ('el','la','de','los','es'))) AS BIGINT) s_es,
+        |        CAST(len(list_filter(w, x -> x IN ('der','die','das','und','ist'))) AS BIGINT) s_de,
+        |        CAST(len(list_filter(w, x -> x IN ('le','la','les','des','est'))) AS BIGINT) s_fr
+        |      FROM cw),
+        |cl AS (SELECT doc_id, text, w,
+        |        CASE WHEN s_en > 0 AND s_en = best THEN 'en'
+        |             WHEN s_es > 0 AND s_es = best THEN 'es'
+        |             WHEN s_de > 0 AND s_de = best THEN 'de'
+        |             WHEN s_fr > 0 AND s_fr = best THEN 'fr'
+        |             ELSE 'und' END AS lang_pred
+        |      FROM (SELECT *, greatest(s_en, s_es, s_de, s_fr) best FROM cs)),
+        |cm AS (SELECT doc_id, text, lang_pred,
+        |        CAST(len(w) AS BIGINT) n_tokens,
+        |        CASE WHEN len(text) > 0
+        |             THEN CAST(len(regexp_replace(text, '[a-zA-Z0-9\s]+', '', 'g')) AS DOUBLE)
+        |                    / CAST(len(text) AS DOUBLE)
+        |             ELSE 0.0 END punct_raw,
+        |        CASE WHEN len(w) > 0
+        |             THEN CAST(len(list_filter(w, x -> x IN ('the','a','of','and','is','el','la','de','los','es',
+        |                    'der','die','das','und','ist','le','les','des','est'))) AS DOUBLE)
+        |                    / CAST(len(w) AS DOUBLE)
+        |             ELSE 0.0 END stop_raw,
+        |        least(CAST(len(w) AS DOUBLE) / 20.0, 1.0) len_score
+        |      FROM cl),
+        |cp AS (SELECT doc_id, text, lang_pred, n_tokens,
+        |        round(len_score * (1.0 - punct_raw) * (0.5 + least(stop_raw * 5.0, 0.5)), 6)
+        |          AS quality_score
+        |      FROM cm),
+        |cf AS (SELECT * FROM cp
+        |       WHERE lang_pred IN ('en', 'es') AND quality_score >= 0.7),
+        |ck AS (SELECT min(doc_id) AS keep_id
+        |       FROM (SELECT doc_id, CAST(('0x'||substr(md5(text),1,15)) AS BIGINT) h FROM cf)
+        |       GROUP BY h),
+        |cur AS (SELECT cf.doc_id, cf.text, cf.lang_pred,
+        |               cf.quality_score, cf.n_tokens
+        |        FROM cf JOIN ck ON cf.doc_id = ck.keep_id),
+        |t2 AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') w FROM cur),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         CAST(('0x'||substr(md5(array_to_string(w[i:i+2], ' ')),1,15)) AS BIGINT) AS sh_h
+        |       FROM t2, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS g(i)),
+        |hh AS (SELECT doc_id, sh_h % 1000000007 AS hh FROM sh),
+        |sig AS (SELECT doc_id, i, min(((i*2+1) * hh + (i*17+91)) % 1000000007) AS minhash
+        |        FROM hh, UNNEST(generate_series(0, 15)) AS g(i) GROUP BY 1, 2),
+        |banded AS (SELECT doc_id, CAST(i // 4 AS INT) AS band,
+        |                  array_to_string(list_sort(list(
+        |                    lpad(CAST(i AS VARCHAR),2,'0') || '=' || CAST(minhash AS VARCHAR))), ':') AS band_key
+        |           FROM sig GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.doc_id a_id, y.doc_id b_id
+        |         FROM banded x JOIN banded y
+        |           ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+        |sizes AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) n_common
+        |          FROM sh a JOIN sh b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |removed AS (
+        |  SELECT DISTINCT c.b_id AS doc_id
+        |  FROM cand c JOIN inter i ON c.a_id = i.a_id AND c.b_id = i.b_id
+        |  JOIN sizes sa ON c.a_id = sa.doc_id JOIN sizes sb ON c.b_id = sb.doc_id
+        |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.8),
+        |surv AS (SELECT doc_id FROM cur
+        |         WHERE doc_id NOT IN (SELECT doc_id FROM removed)),
+        |en AS (SELECT c.doc_id, c.lang_pred, c.quality_score, c.n_tokens
+        |       FROM cur c JOIN surv USING (doc_id)),
+        |h2 AS (SELECT en.*,
+        |         CAST(('0x'||substr(md5('pipe:' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) AS ord
+        |       FROM en)
+        |SELECT doc_id, lang_pred, quality_score, n_tokens,
+        |       ord % 4 AS shard,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY ord % 4
+        |                               ORDER BY ord, doc_id) - 1 AS BIGINT) AS pos
+        |FROM h2 ORDER BY doc_id""".stripMargin,
     "skew_salted_totals" ->
       """SELECT event_type,
         |       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value,

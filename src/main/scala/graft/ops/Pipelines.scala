@@ -19,10 +19,17 @@ import org.apache.spark.sql.functions._
   */
 object Pipelines {
 
-  /** Curate `docs` (language + quality + exact dedup), remove LSH
-    * near-dups ([[TextDedup.dedupCorpus]]'s banded pipeline over the
-    * survivors), and assign the deterministic training order
-    * ([[Sampling.shuffleShards]]). Returns the export frame: surviving
+  /** The MINIMAL recipe — [[pretrainRecipe]] without its line-dedup,
+    * model-scoring, and temperature-rebalance stages: curate `docs`
+    * (language + quality + exact dedup), remove LSH near-dups
+    * ([[TextDedup.dedupCorpus]]'s banded pipeline over the survivors),
+    * and assign the deterministic training order
+    * ([[Sampling.shuffleShards]]). Use it when there is no trained
+    * scoring model and no source column to rebalance on — a fine-tune
+    * corpus pulled from one source, say; reach for [[pretrainRecipe]]
+    * for a web-scale pretraining mix. Both compositions are oracled
+    * end-to-end (`pipe_curate_shards` / `pipe_pretrain_recipe`).
+    * Returns the export frame: surviving
     * (id, text, lang_pred, quality_score, n_tokens) + (ord, shard,
     * pos). Write it with [[Sampling.writeShuffledShards]]'s layout by
     * passing `outPath` — or leave None and materialize it yourself. */
@@ -31,15 +38,21 @@ object Pipelines {
                      n: Int, k: Int, bands: Int, minJ: Double,
                      nShards: Int, seed: String,
                      outPath: Option[String] = None): DataFrame = {
+    // stage boundaries cut logical lineage, exactly as in
+    // [[pretrainRecipe]] (see the discussion there): without the cuts
+    // AQE re-optimizes the whole accumulated plan per stage and the
+    // composition measured 93 s vs 13 s at sf0.1 for identical output
     val curated = TextStats.curate(docs, idCol, textCol,
-      keepLangs, minQuality)
+      keepLangs, minQuality).localCheckpoint()
     val curatedDocs = docs.select(col(idCol), col(textCol))
       .join(curated.select(col(idCol)), Seq(idCol), "left_semi")
+      .localCheckpoint()
     val survivors = TextDedup.dedupCorpus(curatedDocs, idCol, textCol,
       n, k, bands, minJ)
     val enriched = survivors.join(
       curated.select(col(idCol), col("lang_pred"),
         col("quality_score"), col("n_tokens")), Seq(idCol))
+      .localCheckpoint()
     val sharded = Sampling.shuffleShards(enriched, idCol, nShards, seed)
     outPath.foreach { p =>
       sharded.repartition(nShards, col("shard"))
