@@ -286,6 +286,19 @@ object SparkEntry {
     "f_profile_classifier" -> ((s, dir) =>
       Profiles.distribution(Tables.documents(s, dir), "text", "lang",
         profileRules, "DEFAULT")),
+    // WMO weather-code banding (dashboard.html:541-546): synthetic
+    // codes 0..99 from doc_id cover every band incl. the implicit
+    // fall-through (83..94 -> Cloudy)
+    "f_weather_bands" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("code", pmod(col("doc_id"), lit(100L)))
+      d.withColumn("w_desc", Scalars.weatherDesc(col("code")))
+        .withColumn("w_icon", Scalars.weatherIcon(col("code")))
+        .groupBy("w_desc", "w_icon")
+        .agg(count(lit(1)).as("n"), min(col("code")).as("min_code"),
+          max(col("code")).as("max_code"))
+        .orderBy("w_desc")
+    }),
     // ---- A12: totals + percentage shares (guarded ratios) ----
     "a12_shares" -> ((s, dir) =>
       ev(s, dir).groupBy("event_type")
@@ -1299,6 +1312,27 @@ object SparkEntry {
         |  FROM events)
         |SELECT event_type, event_id, value, rnk
         |FROM ranked WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin,
+    "f_weather_bands" ->
+      """WITH d AS (SELECT doc_id, doc_id % 100 AS code FROM documents),
+        |b AS (SELECT code,
+        |        CASE WHEN code = 0 THEN 'Cerah'
+        |             WHEN code <= 3 THEN 'Berawan'
+        |             WHEN code <= 48 THEN 'Berkabut'
+        |             WHEN code <= 67 THEN 'Hujan'
+        |             WHEN code <= 82 THEN 'Hujan Ringan'
+        |             WHEN code >= 95 THEN 'Badai Petir'
+        |             ELSE 'Cloudy' END AS w_desc,
+        |        CASE WHEN code = 0 THEN '☀️'
+        |             WHEN code <= 3 THEN '⛅'
+        |             WHEN code <= 48 THEN '🌫️'
+        |             WHEN code <= 67 THEN '🌧️'
+        |             WHEN code <= 82 THEN '🌦️'
+        |             WHEN code >= 95 THEN '⛈️'
+        |             ELSE '☁️' END AS w_icon
+        |      FROM d)
+        |SELECT w_desc, w_icon, COUNT(*) AS n,
+        |       MIN(code) AS min_code, MAX(code) AS max_code
+        |FROM b GROUP BY w_desc, w_icon ORDER BY w_desc""".stripMargin,
     "f_datetime_family" ->
       """SELECT event_id,
         |       CAST(dayofweek(ts) AS BIGINT) AS dow,

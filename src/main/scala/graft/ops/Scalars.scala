@@ -114,4 +114,30 @@ object Scalars {
       concat(lit("8"), substring(h, 18, 3)),
       substring(h, 21, 12))
   }
+
+  /** WMO weather-code banding (dashboard.html:541-546): the dashboard's
+    * if-chain over open-meteo WW codes, order-preserved — 0 exact, then
+    * upper-bound bands (<=3, <=48, <=67, <=82), then the >=95 storm
+    * band, with the chain's implicit fall-through ("Cloudy", codes
+    * 83..94) as the otherwise. A pure codegen'd `when` chain: at
+    * 100 TB this is a map-only projection, joinable against any fact
+    * table without a dimension lookup. */
+  def weatherDesc(code: Column): Column =
+    when(code === 0, "Cerah")
+      .when(code <= 3, "Berawan")
+      .when(code <= 48, "Berkabut")
+      .when(code <= 67, "Hujan")
+      .when(code <= 82, "Hujan Ringan")
+      .when(code >= 95, "Badai Petir")
+      .otherwise("Cloudy")
+
+  /** The icon half of [[weatherDesc]] — same chain, same bands. */
+  def weatherIcon(code: Column): Column =
+    when(code === 0, "☀️")
+      .when(code <= 3, "⛅")
+      .when(code <= 48, "🌫️")
+      .when(code <= 67, "🌧️")
+      .when(code <= 82, "🌦️")
+      .when(code >= 95, "⛈️")
+      .otherwise("☁️")
 }
