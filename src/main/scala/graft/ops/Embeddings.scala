@@ -231,12 +231,20 @@ object Embeddings {
     * model reproducible to the bit in ANY engine — no float summation
     * order, no libm. The e_ivf_topk DuckDB oracle replays this loop. */
   def ivfFit(corpus: DataFrame, idCol: String, vecCol: String,
-             nLists: Int, iters: Int = 10, sampleCap: Int = 4096): IvfModel = {
-    val sample: Array[Array[Long]] = corpus
-      .select(quantize(col(vecCol)).as("v"),
-        md5(col(idCol).cast("string")).as("h"))
-      .orderBy("h").limit(sampleCap)
-      .collect().map(_.getSeq[Long](0).toArray)
+             nLists: Int, iters: Int = 10, sampleCap: Int = 4096): IvfModel =
+    fitQuantizedSample(
+      corpus
+        .select(quantize(col(vecCol)).as("v"),
+          md5(col(idCol).cast("string")).as("h"))
+        .orderBy("h").limit(sampleCap)
+        .collect().map(_.getSeq[Long](0).toArray),
+      nLists, iters)
+
+  /** The driver-side Lloyd's loop of [[ivfFit]], shared with
+    * [[refitIvfIndex]] (whose sample is already in the quantized
+    * domain). Exact integer arithmetic throughout — see [[ivfFit]]. */
+  private def fitQuantizedSample(sample: Array[Array[Long]],
+                                 nLists: Int, iters: Int): IvfModel = {
     require(sample.length >= nLists, s"need >= $nLists sample vectors")
     val dim = sample.head.length
     var centers = sample.take(nLists).map(_.clone())
@@ -514,6 +522,72 @@ object Embeddings {
         n.stripPrefix("_w_").toLongOption.exists(_ < newW))
       .foreach(n => io.delete(spark, s"$path/$n"))
     true
+  }
+
+  /** Offline IVF quantizer maintenance — the answer to centroid DRIFT:
+    * [[appendToIvfIndex]] (and [[graft.streaming.Ingest.startIvfAppendSink]])
+    * route new vectors through a FIXED quantizer, so when the ingest
+    * distribution shifts, the shifted mass piles into the few nearest
+    * stale cells — probes of those cells scan an ever-growing fraction
+    * of the index (and, when the drifted region spans more cells than
+    * `nProbe`, recall decays too). This job re-fits the coarse
+    * quantizer on the index's CURRENT content and rebuilds the layout:
+    *
+    *  1. read the live rows (watermark-aware: base + fold + tail —
+    *     exactly what a search sees);
+    *  2. re-fit on a bounded sample in md5(id) order (same rationale
+    *     and same exact-integer Lloyd's loop as [[ivfFit]]);
+    *  3. re-route EVERY live vector through the new model and write a
+    *     fresh single-base index to a staging dir;
+    *  4. bak-swap publish ([[graft.io.Fs.publish]], the
+    *     [[writeIvfIndex]] protocol) — a concurrent search never reads
+    *     a half-built index, and a crash mid-swap is healed by the
+    *     reader's `recoverPublished`.
+    *
+    * The rebuild is a full rewrite of the index — unlike
+    * [[compactIvfIndex]]'s append-scale fold — which is exactly the
+    * standard IVF trade: retrain rarely, offline, when drift has
+    * been measured (IvfIndexSpec's drift case shows the hot cell
+    * holding 50% of the index re-balancing to ~1/nLists).
+    *
+    * Serving/append handoff: searches and appends must switch to the
+    * RETURNED model — cell assignment under the old model no longer
+    * matches the published layout. Stop a running append sink at a
+    * committed checkpoint before refitting and restart it with the new
+    * model: a batch replayed from BEFORE the refit would re-add rows
+    * the rebuild already folded into the new base (its dynamic
+    * `(cell, b=batchId)` overwrite no longer owns those rows' dirs) —
+    * the same committed-boundary rule as [[graft.io.Batches.compact]]'s
+    * `upTo`. */
+  def refitIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                    path: String, idCol: String, nLists: Int,
+                    iters: Int = 10, sampleCap: Int = 4096,
+                    filesPerCell: Int = 1): IvfModel = {
+    import org.apache.spark.sql.SaveMode
+    graft.io.Fs.recoverPublished(spark, path)
+    val live = spark.read.parquet(path)
+      .filter(liveIvfRows(ivfWatermark(spark, path)))
+      .select(col(idCol), col("cv"))
+    val sample = live
+      .select(col("cv"), md5(col(idCol).cast("string")).as("h"))
+      .orderBy("h").limit(sampleCap)
+      .collect().map(_.getSeq[Long](0).toArray)
+    val model = fitQuantizedSample(sample, nLists, iters)
+    val staging = path + "_staging"
+    graft.io.Fs.delete(spark, staging)
+    val routed = live.withColumn("cell", cellOfQuantized(model, col("cv")))
+    val parted =
+      if (filesPerCell <= 1) routed.repartition(col("cell"))
+      else routed.repartition(col("cell"),
+        pmod(hash(col(idCol)), lit(filesPerCell)))
+    // the staging write CONSUMES the old index (live reads it) before
+    // publish touches the path; the new index is a clean single-base
+    // build — b=-1 everywhere, no watermark markers (a fresh stream
+    // starts its b= tags from scratch)
+    parted.withColumn("b", lit(-1L)).write.partitionBy("cell", "b")
+      .mode(SaveMode.Overwrite).parquet(staging)
+    graft.io.Fs.publish(spark, staging, path)
+    model
   }
 
   /** IVF top-k against a persisted index: identical semantics to

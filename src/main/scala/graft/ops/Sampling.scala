@@ -112,7 +112,24 @@ object Sampling {
     * for alpha > 1 keep n_s below ~10^12. */
   def temperature(df: DataFrame, sourceCol: String, idCol: String,
                   alpha: Double, budgetFrac: Double,
-                  seed: String): DataFrame = {
+                  seed: String): DataFrame =
+    applyTemperatureRates(df,
+      temperatureRates(
+        df.groupBy(col(sourceCol)).agg(count(lit(1)).as("_n")),
+        sourceCol, "_n", alpha, budgetFrac),
+      sourceCol, idCol, seed)
+
+  /** The waterfill HALF of [[temperature]], factored so a caller with
+    * an already-maintained source histogram — notably the streaming
+    * MV ([[graft.streaming.Ingest.startSourceCountSink]], whose state
+    * is exact additive long counts) — can derive the CURRENT rate
+    * table without rescanning the corpus. `hist` is one row per source
+    * (`sourceCol`, `nCol` = long count); returns (`sourceCol`, `rate`).
+    * Same exact-arithmetic waterfill as [[temperature]] — feeding the
+    * full corpus's histogram through here is bit-identical to the
+    * one-call form. */
+  def temperatureRates(hist: DataFrame, sourceCol: String, nCol: String,
+                       alpha: Double, budgetFrac: Double): DataFrame = {
     require(alpha > 0, "alpha must be positive")
     require(budgetFrac > 0, "budgetFrac must be positive")
     require(budgetFrac <= 1,
@@ -120,8 +137,8 @@ object Sampling {
         "use mixSources with epoch weights > 1 to upsample")
     val nDbl = col("_n").cast("double")
     val paDbl = if (alpha == 0.5) sqrt(nDbl) else pow(nDbl, alpha)
-    val counts = df.groupBy(col(sourceCol))
-      .agg(count(lit(1)).as("_n"))
+    val counts = hist
+      .select(col(sourceCol), col(nCol).cast("long").as("_n"))
       .withColumn("_pa", floor(paDbl * 1e6))
     // The whole waterfill is window arithmetic over the single-partition
     // histogram — scalar totals, cumulative sums, and the saturated
@@ -152,7 +169,7 @@ object Sampling {
           col("_n").cast("double") * (col("_totz") - col("_cpa")).cast("double")
             / col("_pa").cast("double") <= col("_B"))
     // λ's prefix sums = cumulative at the LAST saturated row (0 if none)
-    val rates = enriched
+    enriched
       .withColumn("_cnp",
         coalesce(max(when(col("_sat"), col("_cn"))).over(all), lit(0L)))
       .withColumn("_cpap",
@@ -162,8 +179,21 @@ object Sampling {
           (col("_B") - col("_cnp").cast("double")) * col("_pa").cast("double")
             / ((col("_totz") - col("_cpap")).cast("double")
               * col("_n").cast("double")))))
-      .select(col(sourceCol).as("_src"), col("_rate"))
-    df.join(broadcast(rates), col(sourceCol) <=> col("_src"))
+      .select(col(sourceCol), col("_rate").as("rate"))
+  }
+
+  /** The sampling HALF of [[temperature]]: keep rows with
+    * u01(seed, id) < their source's rate. `rates` is
+    * [[temperatureRates]]' (`sourceCol`, `rate`) table — broadcast
+    * (one row per source), null-safe on the source key, so the 100 TB
+    * pass stays a map-only scan. Deterministic in (seed, id): the same
+    * rate table always keeps the same id set. */
+  def applyTemperatureRates(df: DataFrame, rates: DataFrame,
+                            sourceCol: String, idCol: String,
+                            seed: String): DataFrame = {
+    val r = rates.select(col(sourceCol).as("_src"),
+      col("rate").as("_rate"))
+    df.join(broadcast(r), col(sourceCol) <=> col("_src"))
       .filter(u(seed, col(idCol)) < col("_rate"))
       .drop("_src", "_rate")
   }

@@ -525,6 +525,50 @@ object Ingest {
     graft.io.VersionedState.readLatest(spark, s"$workRoot/profile")
       .map(graft.ops.Profiler.profileFromPartials)
 
+  /** Streaming SOURCE-HISTOGRAM MV — the state behind a continuously
+    * current temperature-rebalance rate table (the batch recipe's
+    * rebalance stage, [[graft.ops.Sampling.temperature]], made
+    * streaming-consumable): each micro-batch's per-source counts —
+    * exact additive longs, so fold order cannot change the state —
+    * merge into a sources-scale versioned table (one row per source,
+    * same mechanic as the profile/unigram MVs). Serving:
+    * [[readTemperatureRates]] runs the exact waterfill
+    * ([[graft.ops.Sampling.temperatureRates]]) over the tiny state
+    * frame, so a downstream sampler
+    * ([[graft.ops.Sampling.applyTemperatureRates]]) consumes rates
+    * that reflect EVERYTHING ingested so far — bit-identical to
+    * running batch `temperature` over the full ingested corpus
+    * (StreamingSpec pins the kept-id-set equality) without rescanning
+    * it. At 100 TB of ingest the per-trigger cost is one partial-agg
+    * count of the batch plus a sources-scale merge. */
+  def startSourceCountSink(rows: DataFrame, sourceCol: String,
+                           workRoot: String, checkpoint: String,
+                           trigger: Trigger = Trigger.ProcessingTime(0L))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.io.VersionedState.mergeCommit(
+          batch.sparkSession, s"$workRoot/sourcecounts", batchId,
+          batch.groupBy(col(sourceCol)).agg(count(lit(1)).as("_n")),
+          (a, b) => a.unionByName(b).groupBy(col(sourceCol))
+            .agg(sum(col("_n")).as("_n")))
+        ()
+      }
+      .start()
+
+  /** Serving read for [[startSourceCountSink]]: the CURRENT waterfill
+    * rate table (`sourceCol`, `rate`), None before the first commit.
+    * Feed it to [[graft.ops.Sampling.applyTemperatureRates]]. */
+  def readTemperatureRates(spark: SparkSession, workRoot: String,
+                           sourceCol: String, alpha: Double,
+                           budgetFrac: Double): Option[DataFrame] =
+    graft.io.VersionedState.readLatest(spark, s"$workRoot/sourcecounts")
+      .map(h => graft.ops.Sampling.temperatureRates(
+        h, sourceCol, "_n", alpha, budgetFrac))
+
   /** Incremental NEAR-dup ingest filter: a persisted MinHash band index
     * (parquet at `indexPath`, rows = (doc_id, band, band_h) from
     * ops.TextDedup.bandKeys) suppresses any incoming document whose

@@ -232,4 +232,90 @@ class IvfIndexSpec extends SparkSpec {
     assert(topk() == before)
     assert(spark.read.parquet(dir).count() == e.count())
   }
+
+  test("refitIvfIndex: a drifted append stream re-balances under the " +
+    "re-fit quantizer; content survives and recall does not regress") {
+    import spark.implicits._
+    // deterministic hash jitter so the clusters have internal structure
+    def jit(id: Long, d: Int): Double =
+      (((id * 2654435761L + d * 40503L) % 1000 + 1000) % 1000) / 10000.0 - 0.05
+    // initial distribution: 4 one-hot corners of the positive orthant
+    def vecA(id: Long): Seq[Double] = {
+      val c = (id % 4).toInt
+      (0 until 4).map(d => (if (d == c) 1.0 else 0.0) + jit(id, d))
+    }
+    // drifted distribution: 4 sub-clusters in the negative orthant — a
+    // region no initial centroid is near, with enough internal
+    // structure that a re-fit can spend several centroids on it
+    def vecB(id: Long): Seq[Double] = {
+      val c = (id % 4).toInt
+      (0 until 4).map(d => (if (d == c) -1.5 else -0.5) + jit(id, d))
+    }
+    val a = (0L until 1000L).map(i => (i, vecA(i))).toDF("vec_id", "embedding")
+    // drift DOMINANT: 4x the initial corpus arrives from the new
+    // region, the realistic "the ingest mix moved" shape
+    val b = (10000L until 14000L).map(i => (i, vecB(i)))
+      .toDF("vec_id", "embedding")
+    val model = Embeddings.ivfFit(a, "vec_id", "embedding", nLists = 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_refit").toString
+    Embeddings.writeIvfIndex(model, a, "vec_id", "embedding", dir)
+    Embeddings.appendToIvfIndex(model, b, "vec_id", "embedding", dir)
+
+    def cellSizes(): Map[Int, Long] = spark.read.parquet(dir)
+      .groupBy("cell").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // the fixed quantizer funnels the drifted region into its nearest
+    // STALE cells: the hottest holds several times the balanced share
+    // (2000 rows / 8 lists = 250)
+    val before = cellSizes()
+    assert(before.values.max >= 1500L,
+      s"expected a drift-bloated hot cell, got $before")
+
+    val queries = (20000L until 20005L).map(i => (i, vecB(i)))
+      .toDF("vec_id", "embedding")
+    val full = a.unionByName(b)
+    val truth = Embeddings
+      .bruteForceTopK(full, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(m: Embeddings.IvfModel): Double = {
+      val got = Embeddings.ivfTopKIndexed(m, spark, dir, queries,
+          "vec_id", "embedding", nProbe = 2, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (truth & got).size.toDouble / truth.size
+    }
+    // MEAN rows a query's nProbe=2 probe must scan under model m
+    def probedRows(m: Embeddings.IvfModel, sizes: Map[Int, Long]): Double = {
+      val per = Embeddings
+        .probeCellsOf(m, queries, "vec_id", "embedding", nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1)))
+        .groupBy(_._1)
+        .map { case (_, cs) => cs.map(c => sizes.getOrElse(c._2, 0L)).sum }
+      per.sum.toDouble / per.size
+    }
+    val rBefore = recall(model)
+    val scanBefore = probedRows(model, before)
+
+    val model2 = Embeddings.refitIvfIndex(spark, dir, "vec_id", nLists = 8)
+
+    // every vector survived the rebuild, exactly once
+    assert(spark.read.parquet(dir).select("vec_id").as[Long]
+      .collect().sorted.toSeq ==
+      ((0L until 1000L) ++ (10000L until 14000L)).toSeq)
+    // balance restored: the re-fit spends centroids where the data is.
+    // fair share is 2000/8 = 250; the stale layout blows past 2x fair
+    // share, the re-fit layout stays within it
+    val after = cellSizes()
+    val fair = 5000L / 8
+    assert(before.values.max > 2 * fair && after.values.max <= 2 * fair,
+      s"refit did not re-balance: before=$before after=$after")
+    // probes of the drifted region scan a fraction of the old hot cell
+    val scanAfter = probedRows(model2, after)
+    assert(scanAfter <= scanBefore * 0.6,
+      s"probe scan cost did not drop: $scanBefore -> $scanAfter")
+    val rAfter = recall(model2)
+    assert(rAfter >= rBefore,
+      s"recall regressed across refit: $rBefore -> $rAfter")
+    assert(rAfter >= 0.8, s"recall after refit too low: $rAfter")
+  }
 }

@@ -240,6 +240,45 @@ class StreamingSpec extends SparkSpec {
       (1.0 * expectCounts("alpha")) / (3.0 * total))
   }
 
+  test("source-count MV: served temperature rates keep the identical " +
+    "id set to batch temperature over the full ingested corpus") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    // skewed sources incl. NULL, spread across batches so every merge
+    // path runs (new source, existing source, NULL group)
+    val batches: Seq[Seq[(Long, String)]] = Seq(
+      (0L until 200L).map(i => i -> "web"),
+      (200L until 260L).map(i => i -> "wiki") ++
+        (260L until 270L).map(i => i -> (null: String)),
+      (270L until 470L).map(i => i -> "web") ++
+        (470L until 480L).map(i => i -> "books")
+    )
+    val all = batches.flatten.toDF("id", "src")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_srcmv")
+    val mem = MemoryStream[(Long, String)]
+    val q = Ingest.startSourceCountSink(mem.toDF().toDF("id", "src"),
+      "src", s"$tmp/work", s"$tmp/cp")
+    try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    // state == full-corpus histogram, exactly (additive long counts)
+    val hist = io.VersionedState
+      .readLatest(spark, s"$tmp/work/sourcecounts").get
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(hist == Map(Some("web") -> 400L, Some("wiki") -> 60L,
+      None -> 10L, Some("books") -> 10L))
+    // serving the MV rates through applyTemperatureRates ≡ the batch
+    // operator over the concatenated corpus — identical kept ids
+    val rates = Ingest.readTemperatureRates(spark, s"$tmp/work",
+      "src", alpha = 0.5, budgetFrac = 0.5).get
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("id").as[Long].collect().toSet
+    val streamed = ids(ops.Sampling.applyTemperatureRates(
+      all, rates, "src", "id", "mvtemp"))
+    val batch = ids(ops.Sampling.temperature(
+      all, "src", "id", 0.5, 0.5, "mvtemp"))
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("bigram MV: streamed state scores bit-identically to the batch operator") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
