@@ -97,6 +97,14 @@ object ScaleProbe {
           regexp_replace(col("text"), " the ", "\n")),
         "doc_id", "text").count()
     }
+    time("dup_span_stats") {
+      // multiplied corpus = every shingle corpus-frequency x mult: the
+      // doc-freq agg and 1:1 join back must stay linear, no hot key
+      ops.TextDedup.dupSpanStats(docs, "doc_id", "text", 3).count()
+    }
+    time("chunk_documents") {
+      ops.TextStats.chunkDocuments(docs, "doc_id", "text", 64, 48).count()
+    }
     time("linear_score") {
       val w = docs.select(explode(ops.TextDedup.tokens(col("text")))
           .as("term")).distinct()

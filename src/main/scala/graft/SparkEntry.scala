@@ -19,6 +19,13 @@ import graft.ops._
   */
 object SparkEntry {
 
+  /** The reference's auxiliary toll-gate wide CSV (read-only input;
+    * generator at scripts/syntetic.py:20-29). Overridable for
+    * environments where the reference checkout lives elsewhere. */
+  private val tollCsvPath: String =
+    sys.env.getOrElse("GRAFT_TOLL_CSV",
+      "/root/reference/data/data_tol_500.csv")
+
   /** events with ts normalized to session-TZ (UTC) TimestampType. */
   private def ev(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir).withColumn("ts", col("ts").cast("timestamp"))
@@ -87,6 +94,13 @@ object SparkEntry {
           unix_timestamp(col("ts")).as("ts_epoch"),
           col("event_type"), col("value"))
         .orderBy("ts_epoch", "event_id")),
+    // ---- Aux source: toll-gate wide CSV (scripts/syntetic.py:20-29) —
+    // unpivot to the long (gate, arrival) grain, summarize headways.
+    // Reads the reference's own data file (the one input that is not
+    // driver-generated parquet); the oracle reads the identical file. ----
+    "s_toll_headways" -> ((s, _) =>
+      graft.io.Toll.headwayStats(
+        graft.io.Toll.readWideArrivals(s, tollCsvPath))),
     // ---- A8: time-bucketed history (the /api/history chart query) ----
     "a8_history_buckets_15m" -> ((s, dir) =>
       TimeBuckets.history(ev(s, dir), "ts", "value", 900, "HH:mm")),
@@ -557,6 +571,16 @@ object SparkEntry {
           length(col("text")).cast("long").as("n_chars_kept"))
         .orderBy("doc_id")
     }),
+    // ExactSubstr-style duplication profile: the synthetic corpus draws
+    // from a small vocabulary, so cross-document 3-gram repeats occur
+    // naturally — no planting needed for a meaningful dup_frac spread
+    "dd_dup_spans" -> ((s, dir) =>
+      TextDedup.dupSpanStats(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", n = 3)
+        .select(col("doc_id"), col("n_shingles"), col("n_dup"),
+          col("dup_frac"))
+        .orderBy("doc_id")),
     "dd_keep_best" -> ((s, dir) => {
       // cosmetic duplicates planted in-query (whitespace-only mangling:
       // identical normalized text, longer raw text) — keep-best must
@@ -680,6 +704,12 @@ object SparkEntry {
     "t_pack_sequences" -> ((s, dir) =>
       TextStats.packSequences(Tables.documents(s, dir), "doc_id", "text",
         budget = 512L, nBuckets = 8).orderBy("doc_id")),
+    // ---- RAG/training chunking: sliding token windows, map-only ----
+    "t_chunk_docs" -> ((s, dir) =>
+      TextStats.chunkDocuments(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", size = 32, stride = 24)
+        .orderBy("doc_id", "chunk_idx")),
     // ---- composed curation pipeline: lang + quality + exact dedup ----
     "t_curate" -> ((s, dir) =>
       TextStats.curate(Tables.documents(s, dir), "doc_id", "text",
@@ -956,6 +986,29 @@ object SparkEntry {
         |  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
         |  AND ts <  TIMESTAMP '2024-01-17 00:00:00'
         |ORDER BY ts_epoch, event_id""".stripMargin,
+    "s_toll_headways" ->
+      s"""WITH w AS (SELECT * FROM read_csv('$tollCsvPath',
+        |              header=true, all_varchar=true)),
+        |l AS (
+        |  SELECT 'Tol Jakarta-Cikampek' AS gate,
+        |         "Tol Jakarta-Cikampek" AS a FROM w
+        |  UNION ALL SELECT 'Tol Tangerang-Merak',
+        |         "Tol Tangerang-Merak" FROM w
+        |  UNION ALL SELECT 'Tol Kunciran-Serpong',
+        |         "Tol Kunciran-Serpong" FROM w),
+        |p AS (SELECT gate,
+        |        CAST(floor(epoch(strptime(a, '%d/%m/%Y %H:%M:%S')))
+        |          AS BIGINT) AS e
+        |      FROM l WHERE a IS NOT NULL)
+        |SELECT gate,
+        |       CAST(count(*) AS BIGINT) AS n_arrivals,
+        |       min(e) AS first_epoch,
+        |       max(e) AS last_epoch,
+        |       CASE WHEN count(*) > 1
+        |            THEN CAST(max(e) - min(e) AS DOUBLE)
+        |                 / CAST(count(*) - 1 AS DOUBLE) END
+        |         AS mean_headway_sec
+        |FROM p GROUP BY gate ORDER BY gate""".stripMargin,
     "a8_history_buckets_15m" ->
       """WITH b AS (
         |  SELECT CAST(floor(epoch(ts)/900)*900 AS BIGINT) AS bucket_ts,
@@ -2001,6 +2054,19 @@ object SparkEntry {
         |  FROM n)
         |SELECT doc_id, n_chars, norm_hash FROM r WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
+    "dd_dup_spans" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         CAST(('0x'||substr(md5(array_to_string(w[i:i+2], ' ')),1,15)) AS BIGINT) AS sh_h
+        |       FROM t, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS g(i)),
+        |f AS (SELECT sh_h, count(*) AS c FROM sh GROUP BY 1)
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_shingles,
+        |       CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |       CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / CAST(count(*) AS DOUBLE) AS dup_frac
+        |FROM sh JOIN f USING (sh_h)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dd_jaccard_pairs" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') w FROM documents),
         |sh AS (SELECT DISTINCT doc_id,
@@ -2213,6 +2279,15 @@ object SparkEntry {
         |       CAST(start_off AS BIGINT) AS start_off,
         |       CAST(start_off // 512 AS BIGINT) AS pack_id
         |FROM o ORDER BY doc_id""".stripMargin,
+    "t_chunk_docs" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') w FROM documents),
+        |n AS (SELECT doc_id, w, len(w) AS nt FROM t WHERE len(w) > 0)
+        |SELECT doc_id,
+        |       CAST(i // 24 AS BIGINT) AS chunk_idx,
+        |       CAST(least(32, nt - i) AS BIGINT) AS n_tokens,
+        |       array_to_string(w[i+1:i+32], ' ') AS chunk
+        |FROM n, UNNEST(generate_series(0, ((nt-1)//24)*24, 24)) AS g(i)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     "t_curate" ->
       """WITH w AS (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') w FROM documents),
         |s AS (SELECT doc_id, text, w,

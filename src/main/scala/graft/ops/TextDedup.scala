@@ -817,4 +817,44 @@ object TextDedup {
       .withColumn(textCol, coalesce(col("_text"), lit("")))
       .drop("_text")
   }
+
+  /** Substring-level duplication profile — the ExactSubstr idea of
+    * "Deduplicating Training Data Makes Language Models Better" (Lee et
+    * al., 2021) at word-shingle granularity: for each document, the
+    * fraction of its DISTINCT n-word shingles that also occur in at
+    * least one other document. Line dedup catches whole boilerplate
+    * lines; this catches content-level copying that crosses line
+    * boundaries (quoted paragraphs, templated prose), and its
+    * `dup_frac` is the standard filter signal ("drop docs that are
+    * mostly substrings of the rest of the corpus").
+    *
+    * Shape: shingle hashes (60-bit md5, distinct per doc) → doc
+    * frequency by hash (map-side-combinable count — a boilerplate
+    * shingle in 10^9 docs never materializes as a group) → a
+    * co-partitioned 1:1 join back on the hash (each (doc, shingle) row
+    * matches exactly one freq row, so no fan-out) → per-doc counts.
+    * Three shuffles, all hash-partitioned, no window, no hot key.
+    */
+  def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3): DataFrame = {
+    val sh = shingleHashes(df, idCol, textCol, n) // (id, sh_h) distinct
+    val docFreq = sh.groupBy("sh_h").agg(count(lit(1)).as("_df"))
+    sh.join(docFreq, "sh_h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("_df") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        col("n_dup").cast("double") / col("n_shingles").cast("double"))
+  }
+
+  /** Keep only documents whose duplicated-shingle fraction is at most
+    * `maxDupFrac`. Docs with no n-shingles (shorter than n words) carry
+    * no duplication evidence and are kept. Left-semi join on the id —
+    * the stats never widen the kept rows. */
+  def dropDuplicatedDocs(df: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, maxDupFrac: Double = 0.5): DataFrame = {
+    val offenders = dupSpanStats(df, idCol, textCol, n)
+      .filter(col("dup_frac") > maxDupFrac)
+    df.join(offenders.select(col(idCol)), Seq(idCol), "left_anti")
+  }
 }

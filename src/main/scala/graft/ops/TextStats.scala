@@ -531,6 +531,37 @@ object TextStats {
         col("start_off"), col("pack_id"))
   }
 
+  /** RAG/training chunking: cut each document's token stream into
+    * sliding windows of `size` tokens advancing by `stride` (overlap =
+    * size − stride). Chunk starts are every stride-th offset below the
+    * token count, so trailing chunks may be shorter than `size`; docs
+    * with no tokens yield no chunks. Output grain is (id, chunk_idx)
+    * with the chunk re-joined as text and its token count.
+    *
+    * Pure per-row expansion: tokenize → `sequence` of starts →
+    * `posexplode` → `slice` — one Generate inside the scan stage, no
+    * shuffle, no state. At 100 TB this chunker is a map-only pass whose
+    * output partitioning inherits the input's; the bounded expansion
+    * factor is ~len/stride per document. */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    val toks = TextDedup.tokens(col(textCol))
+    df.select(col(idCol), toks.as("_w"))
+      .withColumn("_n", org.apache.spark.sql.functions.size(col("_w")))
+      .where(col("_n") > 0)
+      .select(col(idCol), col("_w"), col("_n"),
+        posexplode(sequence(lit(0),
+          (col("_n") - 1).divide(stride).cast("int") * stride,
+          lit(stride))).as(Seq("chunk_idx", "_start")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        least(lit(size), col("_n") - col("_start")).cast("long")
+          .as("n_tokens"),
+        array_join(slice(col("_w"), col("_start") + 1, lit(size)), " ")
+          .as("chunk"))
+  }
+
   /** Document fingerprint: position-weighted rolling hash over tokens —
     * sum over positions of ((pos+1) * (md5Hash60(token) mod 1e6)) mod
     * 2^61-1. Order-sensitive (unlike a bag-of-words hash) and exactly

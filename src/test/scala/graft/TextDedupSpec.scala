@@ -738,4 +738,52 @@ class TextDedupSpec extends SparkSpec {
       weights).orderBy("doc_id").collect().map(_.toSeq).toSeq
     assert(a == b)
   }
+
+  test("dupSpanStats: duplicated-shingle fraction per document") {
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon", // 3 shingles, all unique
+      2L -> "one two three four five six",    // shares nothing
+      3L -> "one two three four seven eight") // shares 2 of its 4 shingles
+    val out = TextDedup.dupSpanStats(d, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((3L, 0L, 0.0)))
+    // docs 2/3 share "one two three" and "two three four"
+    assert(out(2L) == ((4L, 2L, 0.5)))
+    assert(out(3L) == ((4L, 2L, 0.5)))
+  }
+
+  test("dupSpanStats counts DISTINCT shingles; short docs yield no row") {
+    val d = docs(
+      1L -> "a b a b a b",  // shingles {aba, bab} each repeated in-doc
+      2L -> "x y")          // shorter than n -> no shingles, no row
+    val out = TextDedup.dupSpanStats(d, "doc_id", "text", n = 3).collect()
+    assert(out.length == 1)
+    val r = out.head
+    // distinct per doc: 2 shingles, neither appears in another doc
+    assert(r.getLong(1) == 2L && r.getLong(2) == 0L)
+  }
+
+  test("dropDuplicatedDocs removes mostly-copied docs, keeps shingle-free docs") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over a sleeping cat", // 4/7 dup
+      3L -> "quick brown fox jumps",                          // wholly contained
+      4L -> "zz")                                             // no shingles
+    val kept = TextDedup.dropDuplicatedDocs(d, "doc_id", "text",
+        n = 3, maxDupFrac = 0.9)
+      .select("doc_id").as[Long].collect().sorted
+    // doc 3: every shingle also in doc 1 -> dup_frac 1.0 -> dropped;
+    // docs 1/2 under the bar; doc 4 has no evidence -> kept
+    assert(kept.toSeq == Seq(1L, 2L, 4L))
+  }
+
+  test("dupSpanStats plan: no window, aggregation-only movement") {
+    val d = docs(1L -> "a b c d", 2L -> "a b c e")
+    val plan = TextDedup.dupSpanStats(d, "doc_id", "text", n = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"))
+    assert(plan.contains("HashAggregate"))
+  }
 }
