@@ -25,6 +25,12 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same rationale as Bench: the default 100-entry codegen cache
+      // thrashes under AQE's many small stages on the multi-stage dedup
+      // pipelines — each eviction serializes 32 tasks behind a janino
+      // recompile and runs fresh (unJITed) generated classes, measured
+      // 344 s vs 36 s warm for the same x30 dedupCorpus call
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

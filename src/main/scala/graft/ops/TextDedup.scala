@@ -483,12 +483,27 @@ object TextDedup {
     // the cluster-sized partition count; no-op when already there.
     val shufflePartitions =
       df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // CACHE the survivor set: the exact-collapse subtree (corpus-wide
+    // hash groupBy + semi join) is referenced by the signature path,
+    // the shingle-set table, candidate restriction, AND the final anti
+    // join — and exchange reuse does NOT dedup those references: each
+    // consumer re-keys the survivors differently, so there is no shared
+    // exchange boundary at `reps` and every reference re-executes the
+    // collapse (measured at the x30 probe: the LSH stage alone runs
+    // 24.7 s on the lazy survivor plan vs 2.9 s materialized). The
+    // cache releases on the CALLER's first action over the result
+    // (listener pattern, see CacheRelease) — no storage outlives the
+    // call; survivors are cluster-scale (post-collapse), not
+    // corpus-scale, the same size class the pipeline-level stage cuts
+    // in ops.Pipelines already persist.
     val reps = df.join(keep, Seq(idCol), "left_semi")
       .coalesce(shufflePartitions)
+      .cache()
     val pairs = minhashLshPairs(reps, idCol, textCol, n, k, bands, minJ,
       restrictSets)
     val removed = pairs.select(col("b_id").as(idCol)).distinct()
-    reps.join(removed, Seq(idCol), "left_anti")
+    releaseAfterFirstAction(
+      reps.join(removed, Seq(idCol), "left_anti"), Seq(reps))
   }
 
   /** Transitive near-dup clusters: connected components over a pair
