@@ -9,10 +9,12 @@ import org.apache.spark.sql.SparkSession
   *    tiny side), e_ann_bruteforce / e_int8_topk (the brute-force
   *    baselines are deliberate corpus × probes scans);
   *  - SortMergeJoin in the dedup family / e_cosine_neardup (banded
-  *    sign-LSH self-join) / t_curate: inverted-index and band-bucket
-  *    self-joins where BOTH sides are large at scale — a shuffle join
-  *    is the correct physical choice (AQE still converts to broadcast
-  *    at runtime when a side turns out small).
+  *    sign-LSH self-join) / t_curate / pipe_pretrain_recipe (contains
+  *    dedupCorpus) / prof_events_drift (two profile snapshots joined —
+  *    n_cols rows, AQE broadcasts at runtime): inverted-index and
+  *    band-bucket self-joins where BOTH sides are large at scale — a
+  *    shuffle join is the correct physical choice (AQE still converts
+  *    to broadcast at runtime when a side turns out small).
   * Anything NEW appearing here deserves a look.
   */
 object AuditAll {

@@ -872,4 +872,43 @@ object TextDedup {
       .filter(col("dup_frac") > maxDupFrac)
     df.join(offenders.select(col(idCol)), Seq(idCol), "left_anti")
   }
+
+  /** Per-batch shingle doc-frequency partials: `(sh_h, df)` where `df`
+    * counts documents containing the shingle (distinct per doc via
+    * [[shingleHashes]]). ADDITIVE across batches of an append-only
+    * corpus — each doc arrives once, so summing partials equals the
+    * doc frequency over everything ingested. The streaming-MV input
+    * (see `streaming.Ingest.startShingleFreqSink`). */
+  def shingleFreqPartials(df: DataFrame, idCol: String, textCol: String,
+                          n: Int): DataFrame =
+    shingleHashes(df, idCol, textCol, n)
+      .groupBy("sh_h").agg(count(lit(1)).as("df"))
+
+  /** Fold a batch's partials into the accumulated state — exact long
+    * sums, associative and commutative. State stays shingle-vocabulary
+    * scale (one row per distinct shingle hash). */
+  def mergeShingleFreqPartials(state: DataFrame,
+                               batch: DataFrame): DataFrame =
+    state.unionByName(batch).groupBy("sh_h").agg(sum(col("df")).as("df"))
+
+  /** [[dupSpanStats]] of a doc slice scored against a PRE-BUILT corpus
+    * doc-frequency table (e.g. the streaming MV state): when the
+    * slice's docs are part of the corpus the table summarizes, their
+    * own contribution is inside `df`, so "occurs in another doc" is
+    * `df > 1` — identical semantics (and rows, spec-pinned) to running
+    * the batch operator over the full corpus, without rescanning it.
+    * A shingle absent from the table (a not-yet-folded doc) scores as
+    * unique — the conservative direction for a dup filter. */
+  def dupSpanStatsAgainst(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int, freq: DataFrame): DataFrame = {
+    val sh = shingleHashes(docs, idCol, textCol, n)
+    sh.join(freq.select(col("sh_h"), col("df").as("_df")),
+        Seq("sh_h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(coalesce(col("_df"), lit(1L)) > 1, 1L).otherwise(0L))
+          .as("n_dup"))
+      .withColumn("dup_frac",
+        col("n_dup").cast("double") / col("n_shingles").cast("double"))
+  }
 }

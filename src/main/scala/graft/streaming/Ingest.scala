@@ -452,6 +452,40 @@ object Ingest {
                         workRoot: String): Option[DataFrame] =
     graft.io.VersionedState.readLatest(spark, s"$workRoot/unigram")
 
+  /** Streaming shingle doc-frequency MV — the ExactSubstr duplication
+    * profile's corpus statistic as an incrementally-maintained state
+    * table (same additive-partial machinery as [[startUnigramSink]]):
+    * each micro-batch's `(sh_h, df)` partials
+    * ([[graft.ops.TextDedup.shingleFreqPartials]] — docs counted once,
+    * exact longs) fold into versioned state. Serving:
+    * [[readShingleFreq]] + [[graft.ops.TextDedup.dupSpanStatsAgainst]]
+    * scores any ingested slice's duplicated-span fraction against the
+    * WHOLE corpus history — row-identical to batch `dupSpanStats` over
+    * everything ingested (StreamingSpec pins it) with no corpus
+    * rescan. State is shingle-vocabulary scale. */
+  def startShingleFreqSink(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int, workRoot: String, checkpoint: String,
+                           trigger: Trigger = Trigger.ProcessingTime(0L))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.io.VersionedState.mergeCommit(
+          batch.sparkSession, s"$workRoot/shinglefreq", batchId,
+          graft.ops.TextDedup.shingleFreqPartials(batch, idCol, textCol, n),
+          graft.ops.TextDedup.mergeShingleFreqPartials)
+        ()
+      }
+      .start()
+
+  /** Serving read for [[startShingleFreqSink]]: the current `(sh_h,
+    * df)` corpus doc-frequency table (None before the first commit). */
+  def readShingleFreq(spark: SparkSession,
+                      workRoot: String): Option[DataFrame] =
+    graft.io.VersionedState.readLatest(spark, s"$workRoot/shinglefreq")
+
   /** Streaming corpus BIGRAM-stats MV — [[startUnigramSink]] for
     * 2-gram events (same additive-partial + versioned-state-merge
     * machinery, bigram-vocab-scale state): keeps the order-sensitive

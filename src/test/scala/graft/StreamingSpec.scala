@@ -200,6 +200,52 @@ class StreamingSpec extends SparkSpec {
       s"false drop not flagged: $audited2")
   }
 
+  test("shingle-freq MV: streamed dup-span stats equal the batch operator " +
+    "over the full ingested corpus") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    // cross-batch duplication: doc 3 (batch 2) shares its whole text
+    // with doc 1 (batch 1); doc 4 is unique — the MV must see ACROSS
+    // batch boundaries, which per-batch dupSpanStats cannot
+    val batches: Seq[Seq[(Long, String)]] = Seq(
+      Seq(1L -> "one two three four five", 2L -> "six seven eight nine"),
+      Seq(3L -> "one two three four five"),
+      Seq(4L -> "ten eleven twelve thirteen")
+    )
+    val all = batches.flatten.toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_shfreq")
+    val mem = MemoryStream[(Long, String)]
+    val q = Ingest.startShingleFreqSink(mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", 3, s"$tmp/work", s"$tmp/cp")
+    try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    val freq = Ingest.readShingleFreq(spark, s"$tmp/work").get
+    // state == full-corpus doc frequencies, exactly
+    val expectFreq = ops.TextDedup
+      .shingleFreqPartials(all, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotFreq = freq.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotFreq == expectFreq)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_shingles", "n_dup", "dup_frac").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // served slice scoring ≡ the batch operator over everything ingested
+    assert(rows(ops.TextDedup.dupSpanStatsAgainst(all, "doc_id", "text",
+        3, freq)) == rows(ops.TextDedup.dupSpanStats(all, "doc_id", "text", 3)))
+    // the cross-batch pair is what the MV buys: docs 1 and 3 read fully
+    // duplicated even though neither batch saw both
+    val served = rows(ops.TextDedup.dupSpanStatsAgainst(all, "doc_id",
+      "text", 3, freq)).map(t => t._1 -> t._4).toMap
+    assert(served(1L) == 1.0 && served(3L) == 1.0 && served(4L) == 0.0)
+    // a not-yet-folded doc: unseen shingles score unique (conservative)
+    val fresh = Seq(9L -> "brand new words entirely").toDF("doc_id", "text")
+    val f = rows(ops.TextDedup.dupSpanStatsAgainst(fresh, "doc_id",
+      "text", 3, freq)).head
+    assert(f._3 == 0L && f._4 == 0.0)
+  }
+
   test("unigram MV: streamed state scores bit-identically to the batch operator") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
