@@ -31,6 +31,12 @@ object ScaleProbe {
       // recompile and runs fresh (unJITed) generated classes, measured
       // 344 s vs 36 s warm for the same x30 dedupCorpus call
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // the pathological pairwise fixtures (78M-pair simhash at x30)
+      // can push a full-GC pause past the 120 s executor-heartbeat
+      // default in one JVM; a timed-out "executor" zombifies the
+      // local scheduler and poisons every number after it (observed:
+      // 0.2 s ops reading 8 s). Probes prefer surviving the pause.
+      .config("spark.network.timeout", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -118,6 +124,16 @@ object ScaleProbe {
           pmod(ops.TextDedup.md5Hash60(col("term")), lit(2000001L))
             - lit(1000000L))
       ops.TextStats.linearScore(docs, "doc_id", "text", w).count()
+    }
+    time("quality_model_train") {
+      // full train->export->serve loop on the multiplied corpus:
+      // synthetic labels from content (docs containing 'the'), LR fit
+      // over a 200-term vocab, weights exported and served exactly
+      val labeled = docs.withColumn("label",
+        array_contains(ops.TextDedup.tokens(col("text")), "the")
+          .cast("double"))
+      ml.QualityModel.trainAndScore(labeled, docs, "doc_id", "text",
+        "label", vocabSize = 200).count()
     }
     time("pretrain_recipe") {
       // the six-stage composition end-to-end: cost should track its
