@@ -64,6 +64,27 @@ object Embeddings {
         col("rnk").cast("int").as("rnk"))
   }
 
+  /** ANN evaluation: recall of an approximate top-k frame against the
+    * exact one — the quality dial every approximate path (LSH, IVF,
+    * int8) is tuned by. Both inputs are (query_id, corpus_id, ...)
+    * rank frames ([[bruteForceTopK]] / [[lshTopK]] / [[ivfTopK]]
+    * output shape). Per query: |approx ∩ exact| / |exact|. One
+    * semi-join on the pair key + two aggregations — everything is
+    * top-k-scale (queries × k rows); the corpus never moves. */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val e = exact.select(col("query_id"), col("corpus_id"))
+    val hits = e.join(
+        approx.select(col("query_id"), col("corpus_id")),
+        Seq("query_id", "corpus_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    e.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_exact").cast("double")).as("recall"))
+  }
+
   /** Symmetric per-vector INT8 quantization — the ANN memory path: a
     * 100 TB embedding store at float32 is 4× the bytes of int8 codes,
     * and brute-force/IVF scan cost is memory-bandwidth-bound, so the

@@ -202,4 +202,31 @@ class EmbeddingsSpec extends SparkSpec {
     assert(row.head.getAs[scala.collection.Seq[Float]]("embedding").toSeq ==
       Seq(-0.5f, 0.1f, 0.2f))
   }
+
+  test("recallAtK: exact-vs-exact is 1.0, misses counted per query, " +
+    "queries with zero hits still appear") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val queries = e.filter(col("vec_id") < 5)
+    val exact = Embeddings.bruteForceTopK(e, queries,
+      "vec_id", "embedding", 5)
+    // self-recall: identical frames recall 1.0 everywhere
+    val self = Embeddings.recallAtK(exact, exact).collect()
+    assert(self.nonEmpty && self.forall(_.getDouble(3) == 1.0))
+    assert(self.forall(r => r.getLong(1) == 5L && r.getLong(2) == 5L))
+    // LSH full-probe radius equals brute force -> recall 1.0 (the
+    // e_lsh_exact oracle identity, restated through the evaluator)
+    val lshFull = Embeddings.lshTopKMultiProbe(e, queries,
+      "vec_id", "embedding", nPlanes = 4, dim = 64, k = 5,
+      probeHamming = 4)
+    val r1 = Embeddings.recallAtK(lshFull, exact).collect()
+    assert(r1.forall(_.getDouble(3) == 1.0))
+    // a degenerate approx frame (one query's rows dropped entirely)
+    // still yields a row for that query, with recall 0
+    val crippled = exact.filter(col("query_id") =!= 0L)
+    val r0 = Embeddings.recallAtK(crippled, exact).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(r0(0L) == 0.0)
+    assert(r0.filterKeys(_ != 0L).values.forall(_ == 1.0))
+  }
 }
