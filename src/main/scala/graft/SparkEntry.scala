@@ -616,6 +616,21 @@ object SparkEntry {
           restrictSets = false)
         .orderBy("a_id", "b_id")
     }),
+    // the dup-span FILTER: planted half-copies (dup_frac 1.0) must be
+    // dropped, originals (~0.5 from the shared half) survive at 0.8
+    "dd_dup_filter" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val toks = TextDedup.tokens(col("text"))
+      val u = d.union(d.select((col("doc_id") + 100000).as("doc_id"),
+        concat_ws(" ",
+          slice(toks, lit(1), (size(toks) / lit(2)).cast("int")))
+          .as("text")))
+      TextDedup.dropDuplicatedDocs(u, "doc_id", "text", n = 3,
+          maxDupFrac = 0.8)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    }),
     "dd_minhash_lsh" -> ((s, dir) =>
       TextDedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
         n = 3, k = 16, bands = 4, minJ = 0.8, restrictSets = false)
@@ -2067,6 +2082,25 @@ object SparkEntry {
         |         / CAST(count(*) AS DOUBLE) AS dup_frac
         |FROM sh JOIN f USING (sh_h)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dd_dup_filter" ->
+      """WITH base AS (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') w FROM documents),
+        |u AS (SELECT doc_id, text, w FROM base
+        |      UNION ALL
+        |      SELECT doc_id + 100000,
+        |             array_to_string(w[1:len(w)//2], ' '),
+        |             w[1:len(w)//2] FROM base),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         CAST(('0x'||substr(md5(array_to_string(w[i:i+2], ' ')),1,15)) AS BIGINT) AS sh_h
+        |       FROM u, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS g(i)),
+        |f AS (SELECT sh_h, count(*) AS c FROM sh GROUP BY 1),
+        |stats AS (SELECT doc_id,
+        |            CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |              / CAST(count(*) AS DOUBLE) AS dup_frac
+        |          FROM sh JOIN f USING (sh_h) GROUP BY doc_id)
+        |SELECT u.doc_id, CAST(length(u.text) AS BIGINT) AS n_chars
+        |FROM u
+        |WHERE u.doc_id NOT IN (SELECT doc_id FROM stats WHERE dup_frac > 0.8)
+        |ORDER BY u.doc_id""".stripMargin,
     "dd_jaccard_pairs" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') w FROM documents),
         |sh AS (SELECT DISTINCT doc_id,
