@@ -288,4 +288,55 @@ class PropertiesSpec extends AnyFunSuite
       }
     }
   }
+
+  private val shortDocGen = Gen.listOfN(12, for {
+    id <- Gen.choose(1L, 1000L)
+    words <- Gen.listOf(Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff"))
+  } yield (id, words.mkString(" ")))
+
+  test("property: stride==size chunking tiles every token back, any doc") {
+    forAll(shortDocGen, cases = 3) { docsRaw =>
+      val docs = docsRaw.distinctBy(_._1)
+      whenever(docs.nonEmpty) {
+        val df = docs.toDF("doc_id", "text")
+        val chunks = graft.ops.TextStats
+          .chunkDocuments(df, "doc_id", "text", 4, 4)
+          .orderBy("doc_id", "chunk_idx").collect()
+        val rejoined = chunks.groupBy(_.getLong(0)).view
+          .mapValues(_.sortBy(_.getLong(1)).map(_.getString(3)).mkString(" "))
+          .toMap
+        docs.foreach { case (id, text) =>
+          val toks = text.split("\\s+").filter(_.nonEmpty).mkString(" ")
+          assert(rejoined.getOrElse(id, "") == toks)
+        }
+        // every chunk's token count is consistent with its text
+        chunks.foreach { r =>
+          val n = r.getString(3).split(" ").count(_.nonEmpty)
+          assert(r.getLong(2) == n && n <= 4)
+        }
+      }
+    }
+  }
+
+  test("property: dupSpanStats bounds and symmetry of shared shingles") {
+    forAll(shortDocGen, cases = 3) { docsRaw =>
+      val docs = docsRaw.distinctBy(_._1)
+      whenever(docs.nonEmpty) {
+        val df = docs.toDF("doc_id", "text")
+        val st = graft.ops.TextDedup.dupSpanStats(df, "doc_id", "text", 2)
+          .collect()
+        st.foreach { r =>
+          assert(r.getLong(2) >= 0L && r.getLong(2) <= r.getLong(1))
+          assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+        }
+        // exact duplicate texts must read fully duplicated (frac 1.0)
+        val byText = docs.groupBy(_._2).filter { case (t, g) =>
+          g.size >= 2 && t.split("\\s+").count(_.nonEmpty) >= 2 }
+        val frac = st.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+        byText.values.flatten.foreach { case (id, _) =>
+          assert(frac(id) == 1.0)
+        }
+      }
+    }
+  }
 }
