@@ -805,6 +805,19 @@ object SparkEntry {
         "vec_id", "embedding", nPlanes = 4, dim = 64, k = 5,
         probeHamming = 1).orderBy("query_id", "rnk")
     }),
+    // recall evaluation of the 1-probe LSH path against brute force —
+    // rows-only (both inputs are individually oracled; the evaluator
+    // itself is pinned by EmbeddingsSpec incl. the full-probe ≡ 1.0
+    // identity). Driver-visible so the ANN quality dial runs per round.
+    "e_recall_lsh" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      Embeddings.recallAtK(
+        Embeddings.lshTopKMultiProbe(e, q, "vec_id", "embedding",
+          nPlanes = 4, dim = 64, k = 5, probeHamming = 1),
+        Embeddings.bruteForceTopK(e, q, "vec_id", "embedding", 5))
+        .orderBy("query_id")
+    }),
     // recall-bearing IVF path (nProbe<nLists): oracled exactly — the fit
     // is integer-exact Lloyd's, replayed as unrolled CTE iterations in
     // the generated SQL (ivfTopKOracleSql)
@@ -2533,6 +2546,29 @@ object SparkEntry {
     // cell structure (plane literals; replayed integer-exact k-means)
     "e_lsh_topk" -> lshTopKOracleSql(nPlanes = 4, dim = 64, k = 5,
       probeHamming = 1),
+    // recall evaluator: composes the two component oracles as CTEs —
+    // per-query |approx ∩ exact| / |exact| of the 1-probe LSH path
+    "e_recall_lsh" ->
+      s"""WITH exact AS (
+         |${annTop5Sql}
+         |), approx AS (
+         |${lshTopKOracleSql(nPlanes = 4, dim = 64, k = 5,
+             probeHamming = 1)}
+         |),
+         |sizes AS (SELECT query_id, count(*) AS n_exact
+         |          FROM exact GROUP BY 1),
+         |hits AS (SELECT e.query_id, count(*) AS n_hit
+         |         FROM exact e JOIN approx a
+         |           ON e.query_id = a.query_id
+         |          AND e.corpus_id = a.corpus_id
+         |         GROUP BY 1)
+         |SELECT s.query_id,
+         |       CAST(s.n_exact AS BIGINT) AS n_exact,
+         |       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |       CAST(coalesce(h.n_hit, 0) AS DOUBLE)
+         |         / CAST(s.n_exact AS DOUBLE) AS recall
+         |FROM sizes s LEFT JOIN hits h USING (query_id)
+         |ORDER BY s.query_id""".stripMargin,
     "e_ivf_topk" -> ivfTopKOracleSql(nLists = 16, iters = 10, nProbe = 4,
       k = 5, dim = 64, sampleCap = 4096),
     "e_cosine_neardup" ->
