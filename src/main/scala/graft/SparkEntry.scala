@@ -2331,6 +2331,7 @@ object SparkEntry {
         |n AS (SELECT doc_id, w, len(w) AS nt FROM t WHERE len(w) > 0)
         |SELECT doc_id,
         |       CAST(i // 24 AS BIGINT) AS chunk_idx,
+        |       CAST(i AS BIGINT) AS start_token,
         |       CAST(least(32, nt - i) AS BIGINT) AS n_tokens,
         |       array_to_string(w[i+1:i+32], ' ') AS chunk
         |FROM n, UNNEST(generate_series(0, ((nt-1)//24)*24, 24)) AS g(i)

@@ -556,6 +556,9 @@ object TextStats {
           (col("_n") - 1).divide(stride).cast("int") * stride,
           lit(stride))).as(Seq("chunk_idx", "_start")))
       .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("_start").cast("long").as("start_token"), // provenance: the
+        // chunk's 0-based token offset in the source doc (RAG
+        // attribution / span reconstruction without re-tokenizing)
         least(lit(size), col("_n") - col("_start")).cast("long")
           .as("n_tokens"),
         array_join(slice(col("_w"), col("_start") + 1, lit(size)), " ")

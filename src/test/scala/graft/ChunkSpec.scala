@@ -18,20 +18,20 @@ class ChunkSpec extends SparkSpec {
       .orderBy("chunk_idx").collect()
     assert(out.length == 4)
     assert(out.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L, 3L))
-    assert(out(0).getString(3) == "t0 t1 t2 t3")
-    assert(out(1).getString(3) == "t3 t4 t5 t6")
-    assert(out(2).getString(3) == "t6 t7 t8 t9")
+    assert(out(0).getString(4) == "t0 t1 t2 t3")
+    assert(out(1).getString(4) == "t3 t4 t5 t6")
+    assert(out(2).getString(4) == "t6 t7 t8 t9")
     // trailing chunk truncates: one token left at start 9
-    assert(out(3).getString(3) == "t9" && out(3).getLong(2) == 1L)
-    assert(out.take(3).forall(_.getLong(2) == 4L))
+    assert(out(3).getString(4) == "t9" && out(3).getLong(3) == 1L)
+    assert(out.take(3).forall(_.getLong(3) == 4L))
   }
 
   test("doc shorter than size yields one full-doc chunk; empty doc none") {
     val d = docs(1L -> "a b", 2L -> "", 3L -> "   ")
     val out = TextStats.chunkDocuments(d, "doc_id", "text", 8, 8).collect()
     assert(out.length == 1)
-    assert(out.head.getLong(0) == 1L && out.head.getString(3) == "a b")
-    assert(out.head.getLong(2) == 2L)
+    assert(out.head.getLong(0) == 1L && out.head.getString(4) == "a b")
+    assert(out.head.getLong(3) == 2L)
   }
 
   test("stride == size tiles without overlap and covers every token") {
@@ -39,8 +39,8 @@ class ChunkSpec extends SparkSpec {
     val out = TextStats.chunkDocuments(d, "doc_id", "text", 5, 5)
       .orderBy("chunk_idx").collect()
     assert(out.length == 4) // 5+5+5+2
-    assert(out.map(_.getLong(2)).sum == 17L)
-    val rejoined = out.map(_.getString(3)).mkString(" ")
+    assert(out.map(_.getLong(3)).sum == 17L)
+    val rejoined = out.map(_.getString(4)).mkString(" ")
     assert(rejoined == (0 until 17).map(i => s"w$i").mkString(" "))
   }
 

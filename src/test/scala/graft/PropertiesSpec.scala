@@ -303,7 +303,7 @@ class PropertiesSpec extends AnyFunSuite
           .chunkDocuments(df, "doc_id", "text", 4, 4)
           .orderBy("doc_id", "chunk_idx").collect()
         val rejoined = chunks.groupBy(_.getLong(0)).view
-          .mapValues(_.sortBy(_.getLong(1)).map(_.getString(3)).mkString(" "))
+          .mapValues(_.sortBy(_.getLong(1)).map(_.getString(4)).mkString(" "))
           .toMap
         docs.foreach { case (id, text) =>
           val toks = text.split("\\s+").filter(_.nonEmpty).mkString(" ")
@@ -311,8 +311,10 @@ class PropertiesSpec extends AnyFunSuite
         }
         // every chunk's token count is consistent with its text
         chunks.foreach { r =>
-          val n = r.getString(3).split(" ").count(_.nonEmpty)
-          assert(r.getLong(2) == n && n <= 4)
+          val n = r.getString(4).split(" ").count(_.nonEmpty)
+          assert(r.getLong(3) == n && n <= 4)
+          // start_token == chunk_idx * stride under this tiling
+          assert(r.getLong(2) == r.getLong(1) * 4)
         }
       }
     }
