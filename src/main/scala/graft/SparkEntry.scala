@@ -818,6 +818,20 @@ object SparkEntry {
         Embeddings.bruteForceTopK(e, q, "vec_id", "embedding", 5))
         .orderBy("query_id")
     }),
+    // recall evaluation of the 4-probe IVF path against brute force —
+    // the IVF sibling of e_recall_lsh: same evaluator, oracle composed
+    // from the two component oracles (annTop5Sql + the replayed
+    // integer-exact k-means of ivfTopKOracleSql)
+    "e_recall_ivf" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      val model = Embeddings.ivfFit(e, "vec_id", "embedding", nLists = 16)
+      Embeddings.recallAtK(
+        Embeddings.ivfTopK(model, e, q, "vec_id", "embedding",
+          nProbe = 4, k = 5),
+        Embeddings.bruteForceTopK(e, q, "vec_id", "embedding", 5))
+        .orderBy("query_id")
+    }),
     // recall-bearing IVF path (nProbe<nLists): oracled exactly — the fit
     // is integer-exact Lloyd's, replayed as unrolled CTE iterations in
     // the generated SQL (ivfTopKOracleSql)
@@ -2572,6 +2586,29 @@ object SparkEntry {
          |ORDER BY s.query_id""".stripMargin,
     "e_ivf_topk" -> ivfTopKOracleSql(nLists = 16, iters = 10, nProbe = 4,
       k = 5, dim = 64, sampleCap = 4096),
+    // IVF recall evaluator: the same CTE composition as e_recall_lsh,
+    // with the approx side the replayed-k-means IVF oracle
+    "e_recall_ivf" ->
+      s"""WITH exact AS (
+         |${annTop5Sql}
+         |), approx AS (
+         |${ivfTopKOracleSql(nLists = 16, iters = 10, nProbe = 4,
+             k = 5, dim = 64, sampleCap = 4096)}
+         |),
+         |sizes AS (SELECT query_id, count(*) AS n_exact
+         |          FROM exact GROUP BY 1),
+         |hits AS (SELECT e.query_id, count(*) AS n_hit
+         |         FROM exact e JOIN approx a
+         |           ON e.query_id = a.query_id
+         |          AND e.corpus_id = a.corpus_id
+         |         GROUP BY 1)
+         |SELECT s.query_id,
+         |       CAST(s.n_exact AS BIGINT) AS n_exact,
+         |       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |       CAST(coalesce(h.n_hit, 0) AS DOUBLE)
+         |         / CAST(s.n_exact AS DOUBLE) AS recall
+         |FROM sizes s LEFT JOIN hits h USING (query_id)
+         |ORDER BY s.query_id""".stripMargin,
     "e_cosine_neardup" ->
       """WITH u AS (SELECT vec_id,
         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) emb

@@ -30,7 +30,11 @@ object Toll {
     */
   def readWideArrivals(s: SparkSession, path: String): DataFrame = {
     val wide = s.read.option("header", value = true).csv(path)
-    val cols: Array[Column] = wide.columns.map(col)
+    // backtick-quote each header name: col() parses '.' as nested-field
+    // access, so a gate named "Tol X. Y" would fail resolution even
+    // though the CSV read succeeded (embedded backticks escape as ``)
+    val cols: Array[Column] = wide.columns.map(c =>
+      col(s"`${c.replace("`", "``")}`"))
     wide
       .unpivot(Array.empty[Column], cols, "gate", "arrival_str")
       .select(col("gate"), // try_: ANSI-safe NULL on malformed cells

@@ -38,10 +38,19 @@ object QualityModel {
 
   /** Bag-of-words featurization over a FIXED vocabulary: tokenize with
     * the family-wide tokenizer and count against the vocab — a pure
-    * projection (CountVectorizerModel does no fitting). */
+    * projection (CountVectorizerModel does no fitting). Pre-existing
+    * `_toks`/`features` columns are dropped first (they are this
+    * stage's working/output names; carrying an input column by either
+    * name would make `transform` throw a duplicate-column error), and
+    * an empty vocabulary is rejected up front with a clear message
+    * (CountVectorizerModel's own failure on it is unhelpful). */
   def featurize(df: DataFrame, idCol: String, textCol: String,
                 vocab: Array[String]): DataFrame = {
-    val toks = df.withColumn("_toks", TextDedup.tokens(col(textCol)))
+    require(vocab.nonEmpty,
+      "featurize needs a non-empty vocabulary — the labeled set was " +
+        "too small/empty for vocabulary(); check the training input")
+    val toks = df.drop("_toks", "features")
+      .withColumn("_toks", TextDedup.tokens(col(textCol)))
     new CountVectorizerModel(vocab)
       .setInputCol("_toks").setOutputCol("features")
       .transform(toks)
