@@ -453,46 +453,68 @@ object ScaleProbe {
     }
 
     section("ldsink") {
-    // streaming line-dedup sink over MANY batches: per-trigger cost
-    // must stay flat while the line-hash index grows by every novel
-    // line. Docs carry a mix of fresh lines (index growth) and lines
-    // repeated from earlier batches (the suppression path).
+    // streaming line-dedup sink over MANY batches AGAINST A LARGE
+    // SEEDED INDEX: batch 0 admits mult x 10_000 distinct lines, then
+    // ~100 small batches (mostly fresh lines + boilerplate repeats)
+    // measure the per-trigger cost curve. The round-10 finding: the
+    // unguarded form anti-joins every batch against the FULL cumulative
+    // index, so per-batch cost carries corpus history; the bloom guard
+    // must keep it tracking batch size (flat curve) while the index
+    // keeps growing.
     locally {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx = spark.sqlContext
       import spark.implicits._
-      val nB = 120; val rowsPer = 20
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_probe_ld").toString
-      val mem = MemoryStream[(Long, String)]
-      val q = streaming.Ingest.startLineDedupSink(
-        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
-        s"$tmp/out", s"$tmp/idx", s"$tmp/cp", compactEvery = 10)
-      val times = try {
-        (0 until nB).map { b =>
-          val rows = (0 until rowsPer).map { r =>
-            val id = b.toLong * 1000 + r
-            // 3 fresh lines + 1 line repeated from the previous batch
-            val prev = math.max(0, id - 1000)
-            id -> (s"fresh $id a\nfresh $id b\nfresh $id c\n" +
-              s"fresh $prev a")
-          }
-          mem.addData(rows: _*)
-          val t0 = System.nanoTime()
+      val nB = 100; val rowsPer = 10; val linesPer = 20
+      val seedDocs = mult * 100 // x 20 lines = mult x 2000 seed lines
+      def run(guard: Boolean): (Seq[Double], Long) = {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_probe_ld").toString
+        val mem = MemoryStream[(Long, String)]
+        val q = streaming.Ingest.startLineDedupSink(
+          mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+          s"$tmp/out", s"$tmp/idx", s"$tmp/cp", compactEvery = 10,
+          bloomGuard = guard, expectedLines = 10000000L, fpp = 0.001,
+          prefixParts = 256)
+        val times = try {
+          // seed batch: the corpus-history bulk of the index
+          mem.addData((0 until seedDocs).map { d =>
+            d.toLong -> (0 until linesPer)
+              .map(l => s"seed line $d $l").mkString("\n")
+          }: _*)
           q.processAllAvailable()
-          (System.nanoTime() - t0) / 1e9
-        }
-      } finally q.stop()
+          (1 to nB).map { b =>
+            val rows = (0 until rowsPer).map { r =>
+              val id = b.toLong * 1000000 + r
+              // mostly fresh lines (index growth) + 2 repeats: one
+              // seed boilerplate, one from the previous batch
+              id -> ((0 until linesPer - 2)
+                .map(l => s"fresh $id $l").mkString("\n") +
+                s"\nseed line ${r % seedDocs} 0" +
+                s"\nfresh ${math.max(1, b - 1).toLong * 1000000 + r} 0")
+            }
+            mem.addData(rows: _*)
+            val t0 = System.nanoTime()
+            q.processAllAvailable()
+            (System.nanoTime() - t0) / 1e9
+          }
+        } finally q.stop()
+        val idxRows = spark.read.parquet(s"$tmp/idx").count()
+        (times, idxRows)
+      }
       def win(s: Seq[Double], from: Int, until: Int) =
         s.slice(from, until).sum / (until - from)
-      val (e, l) = (win(times, 5, 25), win(times, nB - 20, nB))
-      val dirs = io.Fs.listDirNames(spark, s"$tmp/idx")
-        .count(_.startsWith("b="))
-      println(f"[scaleprobe] linededup_sink $nB batches x $rowsPer docs: " +
-        f"early=$e%.3f s late=$l%.3f s per batch ($dirs index dirs)")
-      assert(dirs <= 12, s"compaction not bounding the index: $dirs dirs")
-      assert(l <= e * 2.0 + 0.3,
-        f"per-batch time grew with stream age: early=$e%.3f late=$l%.3f")
+      val (tG, nG) = run(guard = true)
+      val (tU, nU) = run(guard = false)
+      val (ge, gl) = (win(tG, 5, 25), win(tG, nB - 20, nB))
+      val (ue, ul) = (win(tU, 5, 25), win(tU, nB - 20, nB))
+      println(f"[scaleprobe] linededup_sink $nB batches x $rowsPer docs " +
+        f"on a ${nG}%d-line index: guarded early=$ge%.3f s late=$gl%.3f s; " +
+        f"unguarded early=$ue%.3f s late=$ul%.3f s (index rows $nG/$nU)")
+      assert(nG == nU, s"guard changed the admitted set: $nG vs $nU")
+      assert(gl <= ge * 1.5 + 0.3,
+        f"guarded per-batch time grew with stream age: " +
+          f"early=$ge%.3f late=$gl%.3f")
     }
     }
 

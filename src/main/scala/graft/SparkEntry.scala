@@ -581,6 +581,13 @@ object SparkEntry {
         .select(col("doc_id"), col("n_shingles"), col("n_dup"),
           col("dup_frac"))
         .orderBy("doc_id")),
+    // ExactSubstr span REMOVAL: cut every duplicated 3-gram span, keep
+    // the documents — the cleaned token stream plus kept/removed counts
+    "dd_span_removal" -> ((s, dir) =>
+      TextDedup.removeDupSpans(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", n = 3)
+        .orderBy("doc_id")),
     "dd_keep_best" -> ((s, dir) => {
       // cosmetic duplicates planted in-query (whitespace-only mangling:
       // identical normalized text, longer raw text) — keep-best must
@@ -685,6 +692,12 @@ object SparkEntry {
     }),
     "t_bpe_top_pairs" -> ((s, dir) =>
       TextStats.bpeTopPairs(Tables.documents(s, dir), "text", 20)
+        .orderBy("rnk")),
+    // iterative BPE merge TRAINING (3 rounds of count -> argmax ->
+    // apply-merge -> recount) — the trainer loop itself, oracled by
+    // replaying each round's greedy merge positionally (bpeMergesOracleSql)
+    "t_bpe_merges" -> ((s, dir) =>
+      TextStats.bpeMerges(Tables.documents(s, dir), "text", 3)
         .orderBy("rnk")),
     "t_bigram_score" -> ((s, dir) =>
       TextStats.bigramScore(Tables.documents(s, dir), "doc_id", "text")
@@ -1015,6 +1028,59 @@ object SparkEntry {
               |      FROM s)
               |SELECT query_id, corpus_id, cosine, rnk
               |FROM r WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+    sb.toString
+  }
+
+  /** Generated oracle for the iterative BPE trainer (t_bpe_merges):
+    * each round is the already-oracled pair count (t_bpe_top_pairs'
+    * CTE) plus a POSITIONAL replay of the left-to-right non-overlapping
+    * merge. Greedy non-overlap is a sequential fold in Spark
+    * ([[graft.ops.TextStats]].mergeAdjacent), but over positions it is
+    * run-alternation: merge position i iff (syms[i], syms[i+1]) is the
+    * best pair AND i sits at an ODD offset inside its maximal run of
+    * consecutive matches (two adjacent matches force l = r, and the
+    * greedy pass takes every other one) — a gaps-and-islands window,
+    * exact in any engine. */
+  private def bpeMergesOracleSql(nMerges: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) word FROM documents),
+             |wf1 AS (SELECT word, CAST(COUNT(*) AS BIGINT) cnt,
+             |          list_transform(generate_series(1, len(word)), i -> word[i:i]) syms
+             |        FROM tok GROUP BY word),
+             |""".stripMargin
+    for (r <- 1 to nMerges) {
+      val bestSep = if (r < nMerges) "," else ""
+      sb ++= s"""p$r AS (SELECT syms[i] AS l, syms[i+1] AS r, CAST(SUM(cnt) AS BIGINT) AS n
+                |       FROM wf$r, UNNEST(generate_series(1, len(syms) - 1)) AS g(i)
+                |       WHERE len(syms) >= 2 GROUP BY 1, 2),
+                |best$r AS (SELECT l, r, n FROM p$r ORDER BY n DESC, l, r LIMIT 1)$bestSep
+                |""".stripMargin
+      if (r < nMerges)
+        sb ++= s"""pos$r AS (SELECT w.word, w.cnt, w.syms, g.i,
+                  |       COALESCE(g.i < len(w.syms) AND w.syms[g.i] = b.l
+                  |                AND w.syms[g.i+1] = b.r, FALSE) AS mt
+                  |     FROM wf$r w, best$r b,
+                  |          UNNEST(generate_series(1, len(w.syms))) AS g(i)),
+                  |isl$r AS (SELECT *, i - ROW_NUMBER()
+                  |            OVER (PARTITION BY word, mt ORDER BY i) AS isl
+                  |     FROM pos$r),
+                  |mrg$r AS (SELECT *, mt AND (ROW_NUMBER()
+                  |            OVER (PARTITION BY word, mt, isl ORDER BY i) % 2 = 1) AS inm
+                  |     FROM isl$r),
+                  |sel$r AS (SELECT word, cnt, i,
+                  |       CASE WHEN inm THEN syms[i] || syms[i+1]
+                  |            WHEN COALESCE(lag(inm) OVER (PARTITION BY word
+                  |              ORDER BY i), FALSE) THEN NULL
+                  |            ELSE syms[i] END AS sym
+                  |     FROM mrg$r),
+                  |wf${r + 1} AS (SELECT word, cnt,
+                  |         list(sym ORDER BY i) FILTER (WHERE sym IS NOT NULL) AS syms
+                  |       FROM sel$r GROUP BY word, cnt),
+                  |""".stripMargin
+    }
+    sb ++= (1 to nMerges).map(r =>
+        s"""SELECT CAST($r AS INTEGER) rnk, l AS "left", r AS "right", n FROM best$r""")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY rnk")
     sb.toString
   }
 
@@ -2128,6 +2194,36 @@ object SparkEntry {
         |FROM u
         |WHERE u.doc_id NOT IN (SELECT doc_id FROM stats WHERE dup_frac > 0.8)
         |ORDER BY u.doc_id""".stripMargin,
+    // span removal replayed positionally: duplicated 0-based starts
+    // (count(DISTINCT doc_id) — the Spark side's distinct-per-doc df),
+    // then a per-token covered test and an ordered re-join. The oracle
+    // affords the quadratic EXISTS the Spark side's interval algebra
+    // avoids — same rows either way.
+    "dd_span_removal" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') w FROM documents),
+        |sh AS (SELECT doc_id, i - 1 AS s,
+        |         CAST(('0x'||substr(md5(array_to_string(w[i:i+2], ' ')),1,15)) AS BIGINT) AS sh_h
+        |       FROM t, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS g(i)),
+        |f AS (SELECT sh_h, count(DISTINCT doc_id) AS df FROM sh GROUP BY 1),
+        |dup AS (SELECT DISTINCT doc_id, s FROM sh JOIN f USING (sh_h) WHERE df > 1),
+        |tok AS (SELECT doc_id, i - 1 AS p, w[i] AS tk
+        |        FROM t, UNNEST(generate_series(1, len(w))) AS g(i)),
+        |keep AS (SELECT doc_id, p, tk,
+        |           NOT EXISTS (SELECT 1 FROM dup d WHERE d.doc_id = tok.doc_id
+        |                       AND d.s <= tok.p AND tok.p < d.s + 3) AS kept
+        |         FROM tok),
+        |agg AS (SELECT doc_id,
+        |          coalesce(string_agg(tk, ' ' ORDER BY p)
+        |            FILTER (WHERE kept), '') AS text,
+        |          CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_tokens_kept,
+        |          CAST(count(*) FILTER (WHERE NOT kept) AS BIGINT) AS n_tokens_removed
+        |        FROM keep GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |       coalesce(a.text, '') AS text,
+        |       coalesce(a.n_tokens_kept, 0) AS n_tokens_kept,
+        |       coalesce(a.n_tokens_removed, 0) AS n_tokens_removed
+        |FROM t LEFT JOIN agg a USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
     "dd_jaccard_pairs" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') w FROM documents),
         |sh AS (SELECT DISTINCT doc_id,
@@ -2443,6 +2539,7 @@ object SparkEntry {
         |         CAST(ROW_NUMBER() OVER (ORDER BY n DESC, l, r) AS INT) AS rnk
         |       FROM p)
         |SELECT rnk, l, r, n FROM rk WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+    "t_bpe_merges" -> bpeMergesOracleSql(3),
     "t_ngram_topk" ->
       """WITH t AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') w FROM documents),
         |g AS (SELECT array_to_string(w[i:i+1], ' ') AS ngram

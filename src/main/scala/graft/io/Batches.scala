@@ -119,9 +119,19 @@ object Batches {
     * Also sweeps stale artifacts of earlier crashes (superseded bases,
     * batch dirs at or below the watermark, leftover staging). Returns
     * true iff a fold happened (false: nothing new to fold — the sweep
-    * still runs). See the object doc for the `upTo` bound. */
+    * still runs). See the object doc for the `upTo` bound.
+    *
+    * `partitionBy`: sub-partition columns each batch dir carries UNDER
+    * its `b=` dir (the line-dedup index's hash-prefix `p=` layout) —
+    * the fold preserves them in the new base so partition-pruned
+    * probes keep pruning after compaction. The pre-write shuffle is
+    * then a repartition BY those columns (each partition value lands
+    * in ~one task's files) instead of a bare coalesce, which would
+    * scatter every value across every task and write
+    * nFiles × nValues tiny files. */
   def compact(s: SparkSession, root: String, upTo: Long,
-              targetFileBytes: Long = 128L * 1024 * 1024): Boolean = {
+              targetFileBytes: Long = 128L * 1024 * 1024,
+              partitionBy: Seq[String] = Nil): Boolean = {
     if (!Fs.exists(s, root)) return false
     requireBatchLayout(s, root)
     val staging = s"$root/_compact_b"
@@ -141,10 +151,15 @@ object Batches {
     val bytes = paths
       .map(p => Fs.totalBytes(s, p, _.endsWith(".parquet"))).sum
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
-    s.read.option("basePath", root).parquet(paths: _*)
+    val base = s.read.option("basePath", root).parquet(paths: _*)
       .drop("b") // the new base dir's name carries the provenance tag
-      .coalesce(nFiles.toInt)
-      .write.mode(SaveMode.Overwrite).parquet(staging)
+    val shaped =
+      if (partitionBy.isEmpty) base.coalesce(nFiles.toInt)
+      else base.repartition(nFiles.toInt,
+        partitionBy.map(org.apache.spark.sql.functions.col): _*)
+    val w0 = shaped.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.isEmpty) w0 else w0.partitionBy(partitionBy: _*))
+      .parquet(staging)
     Fs.rename(s, staging, s"$root/b=${-(newW + 2L)}") // atomic publish
     paths.foreach(Fs.delete(s, _))
     true

@@ -873,6 +873,88 @@ object TextDedup {
     df.join(offenders.select(col(idCol)), Seq(idCol), "left_anti")
   }
 
+  /** Span-level substring REMOVAL — the actual ExactSubstr semantics of
+    * Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    * Models Better") at word-shingle granularity, completing the
+    * profile/filter pair above: instead of dropping whole documents,
+    * CUT every duplicated n-token span and keep the rest. A token is
+    * removed iff it lies inside at least one n-shingle whose corpus
+    * doc-frequency is > 1 (occurs in some OTHER document — the same
+    * dup definition as [[dupSpanStats]]); the surviving tokens
+    * reassemble in original order. One deliberate difference from the
+    * paper (documented, not hidden): duplicated spans are removed from
+    * EVERY occurrence, not all-but-one — the df>1 rule has no
+    * canonical owner, and for boilerplate (the dominant case) removing
+    * all copies is the desired outcome. Output text is the kept-token
+    * stream joined by single spaces (token-normalized, the same
+    * convention as [[graft.ops.TextStats.chunkDocuments]] chunks);
+    * docs shorter than n tokens carry no dup evidence and survive
+    * whole (as their token stream).
+    *
+    * Scale shape: shingle positions are a bounded per-row explode; doc
+    * frequency is the map-side-combinable count over the DISTINCT
+    * per-doc index ([[shingleHashes]], a pure projection); the
+    * position→frequency equi-join is keyed by `sh_h` (a corpus-hot
+    * boilerplate shingle funnels its positions into one shuffle
+    * partition, which AQE's skew-join split handles — the frequency
+    * side is one row per key, so replicating it across splits is
+    * trivially correct); duplicated starts collapse per doc
+    * (doc-bounded arrays); and the cut itself is map-side interval
+    * algebra — sorted starts fold into merged [lo, hi) intervals in
+    * O(starts), the complement segments slice the token array in
+    * O(len) — never the O(len · starts) per-token containment scan.
+    * No window, no all-pairs, nothing collects. */
+  def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3): DataFrame = {
+    // duplicated 0-based span starts per doc, sorted
+    val pos = df.select(col(idCol), tokens(col(textCol)).as("w"))
+      .select(col(idCol),
+        posexplode(transform(shingleArray(col("w"), n),
+          s => md5Hash60(s))).as(Seq("_p", "sh_h")))
+      .select(col(idCol), col("_p").cast("long").as("_p"), col("sh_h"))
+    val docFreq = shingleHashes(df, idCol, textCol, n)
+      .groupBy("sh_h").agg(count(lit(1)).as("_df"))
+    val dupStarts = pos.join(docFreq.filter(col("_df") > 1),
+        Seq("sh_h"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("_p"))).as("_starts"))
+    // map-side cut: merge overlapping [s, s+n) intervals, slice the
+    // complement segments out of the token array, reassemble
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("_w"))
+      .join(dupStarts, Seq(idCol), "left")
+      .withColumn("_starts",
+        coalesce(col("_starts"), array().cast("array<long>")))
+    val merged = aggregate(
+      col("_starts"),
+      array().cast("array<struct<lo:bigint,hi:bigint>>"),
+      (acc, s) => when(
+        size(acc) > 0 && s <= element_at(acc, -1).getField("hi"),
+        concat(slice(acc, lit(1), size(acc) - 1),
+          array(struct(element_at(acc, -1).getField("lo").as("lo"),
+            greatest(element_at(acc, -1).getField("hi"), s + lit(n))
+              .as("hi")))))
+        .otherwise(concat(acc,
+          array(struct(s.as("lo"), (s + lit(n)).as("hi"))))))
+    val len = size(col("_w")).cast("long")
+    val staged = toks.withColumn("_iv", merged)
+      // kept segments = complement of the merged intervals in [0, len):
+      // gap k runs from interval (k-1)'s hi (or 0) to interval k's lo
+      // (or len) — zip the shifted boundary arrays
+      .withColumn("_segs", zip_with(
+        concat(array(lit(0L)), transform(col("_iv"), m => m.getField("hi"))),
+        concat(transform(col("_iv"), m => m.getField("lo")), array(len)),
+        (a, b) => struct(a.as("lo"), b.as("hi"))))
+      .withColumn("_kept", flatten(transform(
+        filter(col("_segs"), g => g.getField("hi") > g.getField("lo")),
+        g => slice(col("_w"), g.getField("lo") + 1,
+          g.getField("hi") - g.getField("lo")))))
+    staged.select(col(idCol),
+      array_join(col("_kept"), " ").as(textCol),
+      size(col("_kept")).cast("long").as("n_tokens_kept"),
+      (size(col("_w")) - size(col("_kept"))).cast("long")
+        .as("n_tokens_removed"))
+  }
+
   /** Per-batch shingle doc-frequency partials: `(sh_h, df)` where `df`
     * counts documents containing the shingle (distinct per doc via
     * [[shingleHashes]]). ADDITIVE across batches of an append-only

@@ -699,6 +699,144 @@ object Ingest {
       }
       .start()
 
+  /** First 60 bits of a 16-byte md5 digest as a non-negative BIGINT —
+    * the bloom/prefix key of the line-dedup guard, derived from the
+    * already-computed 128-bit line hash (no second digest): equal
+    * `_h` ⇒ equal `_h64`, so bloom membership and prefix routing are
+    * consistent with the exact 128-bit identity by construction. */
+  private[graft] def h64FromMd5(h: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    conv(substring(hex(h), 1, 15), 16, 10).cast("long")
+
+  private def bloomToBytes(
+      bf: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  private def bloomFromBytes(
+      b: Array[Byte]): org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(b))
+
+  /** The guard's cumulative bloom over every admitted line's `_h64`,
+    * as of batches strictly below `below` (the same committed-prior
+    * bound as the index read — a crash replay must not see its own
+    * half-committed bloom). None before the first commit. */
+  private[graft] def readLineBloom(spark: SparkSession, indexPath: String,
+                                   below: Long)
+      : Option[org.apache.spark.util.sketch.BloomFilter] =
+    graft.io.VersionedState
+      .readLatestBefore(spark, s"$indexPath/_bloom", below)
+      .map(df => bloomFromBytes(df.collect()(0).getAs[Array[Byte]](0)))
+
+  /** Fold this batch's admitted-hash bloom into the cumulative filter
+    * (replay-safe versioned merge — the VersionedState mechanic; bloom
+    * union is idempotent for re-added elements, so a replayed batch
+    * cannot corrupt membership). Both filters must share sizing
+    * (`expectedLines`/`fpp` fixed for the index's life — resizing
+    * requires [[rebuildLineDedupGuard]]). */
+  private def commitLineBloom(spark: SparkSession, indexPath: String,
+      batchId: Long,
+      batchBloom: org.apache.spark.util.sketch.BloomFilter): Unit = {
+    import spark.implicits._
+    graft.io.VersionedState.mergeCommit(
+      spark, s"$indexPath/_bloom", batchId,
+      Seq(bloomToBytes(batchBloom)).toDF("bloom"),
+      (prev, upd) => {
+        val m = bloomFromBytes(prev.collect()(0).getAs[Array[Byte]](0))
+        m.mergeInPlace(bloomFromBytes(upd.collect()(0).getAs[Array[Byte]](0)))
+        Seq(bloomToBytes(m)).toDF("bloom")
+      })
+    ()
+  }
+
+  /** Guarded cross-batch admission for the line-dedup sink: of this
+    * batch's distinct-line winners (`firstInBatch`: one row per `_h`
+    * carrying `_h64` and the prefix partition `p`), the rows whose
+    * line no COMMITTED prior batch admitted. Exposed for the spec's
+    * files-read assertion. The two-tier probe:
+    *
+    *   1. bloom front (no false negatives): a bloom-NEGATIVE line is
+    *      definitely new — admitted map-side without touching the
+    *      index at all;
+    *   2. the bloom-POSITIVE residue (true repeats + fpp·batch) is
+    *      exact-verified against the index, whose read is PRUNED to
+    *      the `p=` partitions hosting the residue's prefixes (a
+    *      bounded ≤ prefixParts-row collect builds the pruning
+    *      predicate; equal lines share `p` by construction, so no
+    *      qualifying index row is ever outside the pruned set).
+    *
+    * Output is row-identical to the unguarded full-index anti-join
+    * (StreamingSpec pins parity): the bloom only short-circuits
+    * definite negatives and the pruning only removes partitions that
+    * cannot hold a probe's hash. */
+  private[graft] def lineDedupAdmit(spark: SparkSession, indexPath: String,
+      batchId: Long, firstInBatch: DataFrame,
+      bloom: Option[org.apache.spark.util.sketch.BloomFilter]): DataFrame =
+    (bloom, graft.io.Batches.read(spark, indexPath,
+        below = Some(batchId))) match {
+      case (_, None) => firstInBatch // nothing admitted yet
+      case (None, Some(_)) =>
+        throw new IllegalStateException(
+          s"$indexPath holds admitted batches but no _bloom state: the " +
+            "bloom guard cannot certify definitely-new lines (a missing " +
+            "hash would re-admit its line). Run rebuildLineDedupGuard " +
+            "once (stream stopped) to migrate an unguarded index, or " +
+            "start the sink with bloomGuard = false")
+      case (Some(bf), Some(idx)) =>
+        val bc = spark.sparkContext.broadcast(bf)
+        val hit = graft.functions.BloomMightContainLong
+          .mightContain(col("_h64"), bc)
+        val negatives = firstInBatch.filter(!hit)
+        val positives = firstInBatch.filter(hit)
+        val pset = positives.select(col("p")).distinct()
+          .collect().map(_.getInt(0)) // bounded at prefixParts rows
+        if (pset.isEmpty) firstInBatch
+        else {
+          val pruned = idx.filter(col("p").isin(pset.map(Int.box): _*))
+          negatives.unionByName(
+            positives.join(pruned.select(col("_h")), Seq("_h"), "left_anti"))
+        }
+    }
+
+  /** One-time migration of a pre-guard line-dedup index to the guarded
+    * layout: rewrites the live index content as a single compacted base
+    * partitioned by the hash prefix `p`, and commits the full bloom
+    * over every admitted hash. Run with the stream STOPPED (the bloom
+    * version is committed as the index's current high-water batch id,
+    * so the next batch — necessarily a higher id — sees it). No-op on
+    * an empty index. */
+  def rebuildLineDedupGuard(spark: SparkSession, indexPath: String,
+                            expectedLines: Long, fpp: Double,
+                            prefixParts: Int): Unit = {
+    val dirs = graft.io.Batches.liveDirs(spark, indexPath)
+    if (dirs.isEmpty) return
+    val ids = dirs.map(_.split("/b=").last.toLong)
+    val highWater = // max folded-or-live batch id (base encodes -(w+2))
+      ids.map(id => if (id <= -2L) -id - 2L else id).max
+    val rows = spark.read.option("basePath", indexPath)
+      .parquet(dirs: _*)
+      .select(col("_h")).distinct()
+      .withColumn("_h64", h64FromMd5(col("_h")))
+      .withColumn("p", pmod(col("_h64"), lit(prefixParts)).cast("int"))
+      .persist()
+    try {
+      val staging = s"$indexPath/_rebuild"
+      graft.io.Fs.delete(spark, staging)
+      rows.select(col("p"), col("_h"))
+        .repartition(col("p"))
+        .write.partitionBy("p").mode("overwrite").parquet(staging)
+      val bloom = rows.stat.bloomFilter("_h64", expectedLines, fpp)
+      graft.io.Fs.delete(spark, s"$indexPath/_bloom") // resize-safe
+      commitLineBloom(spark, indexPath, highWater, bloom)
+      graft.io.Fs.rename(spark, staging,
+        s"$indexPath/b=${-(highWater + 2L)}")
+      dirs.foreach(graft.io.Fs.delete(spark, _))
+    } finally { rows.unpersist(); () }
+  }
+
   /** Streaming LINE dedup at the ingest door — the incremental form of
     * [[graft.ops.TextDedup.dedupLines]] (C4-style boilerplate
     * stripping): a persisted index of admitted line hashes (parquet at
@@ -720,22 +858,58 @@ object Ingest {
     * streaming order (batch, then (id, pos)) then coincides with the
     * batch total order.
     *
+    * THE SCALE HAZARD this sink must answer (and the unguarded form
+    * does not): the admitted-hash index grows with CORPUS HISTORY —
+    * ~10^9–10^10 distinct lines × 16 bytes at 100 TB — and a bare
+    * per-batch anti-join scans and shuffles that whole index every
+    * trigger, so per-batch cost grows linearly with everything ever
+    * ingested. `bloomGuard = true` (the default) bounds the probe by
+    * BATCH content instead ([[lineDedupAdmit]]):
+    *
+    *   - a broadcast bloom over every admitted `_h64` (maintained
+    *     incrementally through replay-safe versioned merges — never
+    *     rebuilt from the index) admits definitely-new lines map-side:
+    *     the index is not even read for them;
+    *   - the residue (true repeats + fpp·batch false positives) is
+    *     exact-verified against an index laid out in `p=` hash-prefix
+    *     partitions, read PRUNED to the residue's own prefixes — on
+    *     the growth path (mostly-new batches) that is a handful of
+    *     partitions, and the files-read metric is spec-pinned.
+    *
+    * Output is row-identical with the guard on or off (spec-pinned);
+    * false drops are impossible (bloom negatives are exact, positives
+    * are exact-verified). Dials: `expectedLines`/`fpp` size the bloom
+    * (~14 bits/line at 0.1% — a 10^10-line horizon is ~17 GB, so the
+    * broadcast bound, not correctness, caps the horizon; past it the
+    * fpp degrades and the guard gracefully approaches the unguarded
+    * cost); `prefixParts` trades partition-pruning resolution against
+    * per-batch file counts (size it a few × the expected per-batch
+    * positive-line count; `compactEvery` folds the small files). A
+    * boilerplate-saturated batch (positives in every prefix) degrades
+    * to the unguarded full-index probe for that batch — a cost
+    * ceiling, never a correctness edge. Sizing is fixed for the
+    * index's life; resizing = [[rebuildLineDedupGuard]] (also the
+    * migration path for a pre-guard index, which the guarded sink
+    * refuses to run on rather than silently re-admitting its lines).
+    *
     * Cost: per trigger, one shuffle of the batch's lines keyed by the
-    * 16-byte hash, one anti join against the index (AQE broadcasts
-    * while the index is small, shuffles when it isn't), one
-    * reassembly exchange — all batch-sized except the index probe.
-    * The index grows by distinct-new-lines only. Standard `b=` layout
-    * on both roots: replay rewrites its own dirs, committed-prior
-    * reads, in-sink `compactEvery` folding (consumers of a
-    * self-compacting root must read via [[graft.io.Batches.read]], or
-    * keep `compactEvery = 0` for plain-parquet readers — see
-    * [[maybeCompact]]). */
+    * 16-byte hash, the guarded probe above, one reassembly exchange —
+    * all batch-sized. The index grows by distinct-new-lines only.
+    * Standard `b=` layout on both roots: replay rewrites its own dirs,
+    * committed-prior reads, in-sink `compactEvery` folding preserving
+    * the `p=` sub-layout (consumers of a self-compacting root must
+    * read via [[graft.io.Batches.read]], or keep `compactEvery = 0`
+    * for plain-parquet readers — see [[maybeCompact]]). */
   def startLineDedupSink(docs: DataFrame, idCol: String, textCol: String,
                          outRoot: String, indexPath: String,
                          checkpoint: String, sep: String = "\n",
                          minChars: Int = 0,
                          trigger: Trigger = Trigger.ProcessingTime(0L),
-                         compactEvery: Int = 0)
+                         compactEvery: Int = 0,
+                         bloomGuard: Boolean = true,
+                         expectedLines: Long = 10000000L,
+                         fpp: Double = 0.001,
+                         prefixParts: Int = 256)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append)
@@ -747,8 +921,13 @@ object Ingest {
           posexplode(split(coalesce(col(textCol), lit("")),
             java.util.regex.Pattern.quote(sep))).as(Seq("pos", "line")))
           .persist()
+        var admitted: DataFrame = null
         try {
-          maybeCompact(spark, compactEvery, batchId, indexPath, outRoot)
+          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+            graft.io.Batches.compact(spark, indexPath, upTo = batchId - 1,
+              partitionBy = if (bloomGuard) Seq("p") else Nil)
+            graft.io.Batches.compact(spark, outRoot, upTo = batchId - 1)
+          }
           val cand = lines.filter(length(col("line")) >= minChars)
             .withColumn("_h", unhex(md5(col("line").cast("binary"))))
           val exempt = lines.filter(length(col("line")) < minChars)
@@ -763,15 +942,24 @@ object Ingest {
               col("_w").getField(idCol).as(idCol),
               col("_w").getField("pos").as("pos"),
               col("_w").getField("line").as("line"))
-          // ...minus hashes any COMMITTED prior batch admitted
-          val priorHashes = graft.io.Batches
-            .read(spark, indexPath, below = Some(batchId)) match {
-            case Some(idx) => idx.select(col("_h"))
-            case None => cand.select(col("_h")).limit(0)
-          }
-          val admitted = firstInBatch
-            .join(priorHashes, Seq("_h"), "left_anti")
-          val kept = admitted.unionByName(exempt)
+          // ...minus lines any COMMITTED prior batch admitted
+          admitted = (if (bloomGuard) {
+            val withKeys = firstInBatch
+              .withColumn("_h64", h64FromMd5(col("_h")))
+              .withColumn("p",
+                pmod(col("_h64"), lit(prefixParts)).cast("int"))
+            lineDedupAdmit(spark, indexPath, batchId, withKeys,
+              readLineBloom(spark, indexPath, below = batchId))
+          } else {
+            val priorHashes = graft.io.Batches
+              .read(spark, indexPath, below = Some(batchId)) match {
+              case Some(idx) => idx.select(col("_h"))
+              case None => cand.select(col("_h")).limit(0)
+            }
+            firstInBatch.join(priorHashes, Seq("_h"), "left_anti")
+          }).persist()
+          val kept = admitted.select(col("_h"), col(idCol), col("pos"),
+            col("line")).unionByName(exempt)
           val reassembled = kept.groupBy(col(idCol))
             .agg(array_join(transform(
               array_sort(collect_list(struct(col("pos"), col("line")))),
@@ -781,9 +969,28 @@ object Ingest {
             .withColumn(textCol, coalesce(col("_text"), lit("")))
             .drop("_text")
             .write.mode("overwrite").parquet(s"$outRoot/b=$batchId")
-          admitted.select(col("_h")).distinct()
-            .write.mode("overwrite").parquet(s"$indexPath/b=$batchId")
-        } finally { lines.unpersist(); () }
+          if (bloomGuard) {
+            // repartition BY p first: a partitioned write otherwise emits
+            // one file per (task, p-value) — up to tasks × prefixParts
+            // tiny files per batch dir; keyed, it is one file per touched
+            // prefix (compactEvery folds those)
+            admitted.select(col("p"), col("_h"))
+              .repartition(col("p"))
+              .write.partitionBy("p")
+              .mode("overwrite").parquet(s"$indexPath/b=$batchId")
+            // bloom LAST: committed only once the index rows it
+            // certifies are on disk (any crash before here replays the
+            // whole batch against the previous bloom + index)
+            commitLineBloom(spark, indexPath, batchId,
+              admitted.stat.bloomFilter("_h64", expectedLines, fpp))
+          } else
+            admitted.select(col("_h")).distinct()
+              .write.mode("overwrite").parquet(s"$indexPath/b=$batchId")
+        } finally {
+          if (admitted != null) admitted.unpersist()
+          lines.unpersist()
+          ()
+        }
       }
       .start()
 

@@ -60,6 +60,57 @@ class QualityModelSpec extends SparkSpec {
     assert(manual == scored)
   }
 
+  test("trained weights drive pretrainRecipe end-to-end: train -> export " +
+    "-> recipe consumes them unchanged") {
+    import graft.ops.{Pipelines, TextDedup}
+    // unlabeled corpus with a source column; the trained classifier must
+    // gate it inside the recipe exactly as standalone serving does
+    val corpus = (0 until 30).map { i =>
+      val text =
+        if (i % 2 == 0)
+          s"this is excellent wonderful prose item$i with several plain words"
+        else
+          s"this is terrible awful prose item$i with several plain words"
+      (1000L + i, text, if (i % 3 == 0) "web" else "books")
+    }.toDF("doc_id", "text", "dom")
+    val vocab = QualityModel.vocabulary(labeled, "text", 20)
+    val model = QualityModel.fit(labeled, "doc_id", "text", "label", vocab)
+    val w = QualityModel.exportWeights(spark, model, vocab)
+    // the recipe's model stage is linearScore(weights) with NO bias —
+    // mirror it standalone on the same docs (texts are single unique
+    // lines, so the recipe's line-dedup stage is an identity here)
+    val standalone = TextStats.linearScore(
+        corpus.select("doc_id", "text"), "doc_id", "text", w)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val good = (0 until 30).filter(_ % 2 == 0).map(1000L + _).toSet
+    val minGood = good.map(standalone).min
+    val maxBad = (standalone.keySet -- good).map(standalone).max
+    assert(minGood > maxBad, "fixture: classes must separate")
+    val threshold = (minGood + maxBad) / 2
+    // neutralize every stage after the model gate: pass-all language +
+    // quality, minJ high enough that distinct texts never near-dup,
+    // temperature at alpha=1/budget=1 (keep-all waterfill)
+    val langs = TextStats.withLangId(corpus, "text", "lang_pred")
+      .select("lang_pred").distinct().as[String].collect().toSeq
+    val out = Pipelines.pretrainRecipe(corpus, "doc_id", "text", "dom",
+        keepLangs = langs, minQuality = 0.0,
+        weights = w, minScoreMicro = threshold,
+        n = 3, k = 16, bands = 4, minJ = 0.99,
+        alpha = 1.0, budgetFrac = 1.0, nShards = 2, seed = "qm")
+      .select("doc_id", "score_micro").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the model stage selected exactly the trained-positive class...
+    assert(out.keySet == good,
+      s"recipe survivors ${out.keySet.toSeq.sorted} != trained-good class")
+    // ...and the recipe's served score IS the exported-weight score,
+    // bit for bit (weights consumed unchanged through the composition)
+    out.foreach { case (id, s) => assert(s == standalone(id), s"doc $id") }
+    // guard the fixture premise the identity-line-dedup claim rests on
+    assert(TextDedup.dedupLines(corpus.select("doc_id", "text"),
+      "doc_id", "text").select("text").as[String].collect().toSet ==
+      corpus.select("text").as[String].collect().toSet)
+  }
+
   test("served scores are layout-invariant even though training floats") {
     val vocab = QualityModel.vocabulary(labeled, "text", 20)
     val model = QualityModel.fit(labeled, "doc_id", "text", "label", vocab)

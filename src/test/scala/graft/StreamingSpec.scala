@@ -1026,11 +1026,13 @@ class StreamingSpec extends SparkSpec {
     // sanity on the semantics: later repeats gone, emptied doc kept
     assert(streamed(3L) == "" && streamed(6L) == "")
     assert(streamed(5L) == "delta")
-    // standard b= layout on both roots; index holds one hash per
-    // distinct admitted line
+    // standard b= layout on both roots (the guarded index additionally
+    // carries its underscore-hidden _bloom state dir); index holds one
+    // hash per distinct admitted line
     Seq(out, idx).foreach { root =>
       val dirs = new java.io.File(root).listFiles()
-        .filter(_.isDirectory).map(_.getName).toSet
+        .filter(_.isDirectory).map(_.getName)
+        .filterNot(_.startsWith("_")).toSet
       assert(dirs == Set("b=0", "b=1", "b=2"), s"$root layout: $dirs")
     }
     val nHashes = spark.read.parquet(idx).select("_h").distinct().count()
@@ -1038,5 +1040,75 @@ class StreamingSpec extends SparkSpec {
     // 5 distinct lines: alpha, "shared line", beta, gamma, delta
     assert(nHashes == nLines && nHashes == 5L,
       s"index: $nLines rows, $nHashes distinct (want 5 distinct lines)")
+  }
+
+  test("line-dedup bloom guard: admitted corpus and index identical " +
+    "with guard on/off; the guarded probe is partition-pruned") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ldg").toString
+    // ~40 docs per batch: mostly new lines plus boilerplate repeated in
+    // every batch and cross-batch repeats of earlier content
+    val batches = (0 until 3).map { b =>
+      (0 until 40).map { i =>
+        val id = (b * 100 + i).toLong
+        val lines = Seq(s"unique line $b $i a", s"unique line $b $i b",
+          "boilerplate footer", s"shared ${i % 7}") ++
+          (if (b > 0) Seq(s"unique line ${b - 1} $i a") else Nil)
+        id -> lines.mkString("\n")
+      }
+    }
+    def run(sub: String, guard: Boolean): (Map[Long, String], Set[Seq[Byte]]) = {
+      val out = s"$tmp/$sub/out"; val idx = s"$tmp/$sub/idx"
+      val mem = MemoryStream[(Long, String)]
+      val q = Ingest.startLineDedupSink(mem.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", out, idx, s"$tmp/$sub/cp",
+        bloomGuard = guard, expectedLines = 10000L, fpp = 0.01,
+        prefixParts = 16)
+      try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+      val docs = spark.read.parquet(out).select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val hashes = spark.read.parquet(idx).select("_h").collect()
+        .map(_.getAs[Array[Byte]](0).toSeq).toSet
+      (docs, hashes)
+    }
+    val (gDocs, gHashes) = run("guarded", guard = true)
+    val (uDocs, uHashes) = run("plain", guard = false)
+    assert(gDocs == uDocs, "admitted corpus differs between modes")
+    assert(gHashes == uHashes, "admitted hash set differs between modes")
+    // ...and equals the batch operator over the concatenated corpus
+    val all = batches.flatten.toDF("doc_id", "text")
+    val batchForm = graft.ops.TextDedup.dedupLines(all, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gDocs == batchForm)
+
+    // partition pruning: probe ONE already-admitted line against the
+    // guarded index — the exact-verify must read only that line's p=
+    // partition's files, not the whole index
+    val idx = s"$tmp/guarded/idx"
+    val probeLine = "boilerplate footer"
+    val fib = Seq((3L, 0)).toDF("doc_id", "pos")
+      .withColumn("line", lit(probeLine))
+      .withColumn("_h", unhex(md5(col("line").cast("binary"))))
+      .withColumn("_h64", Ingest.h64FromMd5(col("_h")))
+      .withColumn("p", pmod(col("_h64"), lit(16)).cast("int"))
+    val bloom = Ingest.readLineBloom(spark, idx, below = 100L)
+    assert(bloom.isDefined, "guarded index must carry bloom state")
+    val admitted = Ingest.lineDedupAdmit(spark, idx, 100L, fib, bloom)
+    assert(admitted.count() == 0L, "already-admitted line must not re-admit")
+    val probeP = fib.select("p").head.getInt(0)
+    def parquetFiles(dir: java.io.File): Seq[java.io.File] =
+      if (!dir.exists) Nil
+      else dir.listFiles.toSeq.flatMap(f =>
+        if (f.isDirectory) parquetFiles(f)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil)
+    val allFiles = parquetFiles(new java.io.File(idx))
+      .filterNot(_.getPath.contains("_bloom"))
+    val inProbePart = allFiles.count(_.getPath.contains(s"/p=$probeP/"))
+    val read = graft.util.PlanMetrics.filesReadUnder(admitted.toDF(), idx)
+    assert(read <= inProbePart && read < allFiles.size,
+      s"probe read $read files; partition p=$probeP holds $inProbePart " +
+        s"of ${allFiles.size} total — expected a pruned read")
   }
 }

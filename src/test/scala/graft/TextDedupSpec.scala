@@ -786,4 +786,84 @@ class TextDedupSpec extends SparkSpec {
     assert(!plan.contains("Window"))
     assert(plan.contains("HashAggregate"))
   }
+
+  test("removeDupSpans cuts every duplicated span from every occurrence," +
+    " keeps the rest in order") {
+    val d = docs(
+      1L -> "intro alpha beta gamma delta tail one",
+      2L -> "other alpha beta gamma delta coda two",
+      3L -> "x y",  // shorter than n: survives whole
+      4L -> "")     // no tokens: survives empty
+    val out = TextDedup.removeDupSpans(d, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // shared shingles "alpha beta gamma" / "beta gamma delta" cover
+    // token positions [1, 5) in BOTH docs
+    assert(out(1L) == (("intro tail one", 3L, 4L)))
+    assert(out(2L) == (("other coda two", 3L, 4L)))
+    assert(out(3L) == (("x y", 2L, 0L)))
+    assert(out(4L) == (("", 0L, 0L)))
+  }
+
+  test("removeDupSpans property: matches a reference implementation on " +
+    "a small-vocab corpus (kept subsequence, dup spans fully cut)") {
+    val n = 3
+    val vocab = Vector("red", "blue", "green", "fox", "dog", "cat",
+      "runs", "jumps", "sleeps", "fast")
+    val corpus = (0 until 40).map { i =>
+      val len = 4 + (i * 7) % 9
+      val mid = (0 until len)
+        .map(j => vocab(((i * 13 + j * j * 5 + j) % vocab.size)))
+      // unique bracketing tokens force PARTIAL cuts: the shared middle
+      // is duplicated across docs, the brackets never are
+      i.toLong -> (s"u$i" +: mid :+ s"v$i").mkString(" ")
+    }.toMap
+    def ref(all: Map[Long, String]): Map[Long, (String, Long, Long)] = {
+      val toks = all.map { case (k, v) =>
+        k -> "[a-z0-9]+".r.findAllIn(v.toLowerCase).toVector }
+      val shOf = toks.map { case (k, w) =>
+        k -> (0 to w.length - n).map(i => w.slice(i, i + n).mkString(" ")) }
+      val df = shOf.values.toSeq.flatMap(_.distinct)
+        .groupBy(identity).map { case (s, v) => s -> v.size }
+      toks.map { case (k, w) =>
+        val covered = shOf(k).zipWithIndex
+          .collect { case (s, i) if df(s) > 1 => i }
+          .flatMap(s => s until s + n).toSet
+        val kept = w.zipWithIndex.collect { case (t, i) if !covered(i) => t }
+        k -> ((kept.mkString(" "), kept.size.toLong,
+          (w.size - kept.size).toLong))
+      }
+    }
+    val expected = ref(corpus)
+    // the corpus must actually exercise removal for the test to mean much
+    assert(expected.values.exists(_._3 > 0), "fixture removes nothing")
+    assert(expected.values.exists(v => v._2 > 0 && v._3 > 0),
+      "fixture has no partial cut")
+    val out = TextDedup.removeDupSpans(docs(corpus.toSeq: _*),
+        "doc_id", "text", n)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out == expected)
+    // and the subsequence property explicitly: kept tokens appear in the
+    // input in order
+    out.foreach { case (k, (text, _, _)) =>
+      val w = "[a-z0-9]+".r.findAllIn(corpus(k).toLowerCase).toVector
+      val kept = if (text.isEmpty) Vector.empty else text.split(" ").toVector
+      var i = 0
+      kept.foreach { t =>
+        val j = w.indexOf(t, i)
+        assert(j >= 0, s"doc $k: kept token '$t' not a subsequence match")
+        i = j + 1
+      }
+    }
+  }
+
+  test("removeDupSpans plan: no window, interval algebra stays map-side") {
+    val d = docs(1L -> "a b c d", 2L -> "a b c e")
+    val plan = TextDedup.removeDupSpans(d, "doc_id", "text", n = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"))
+  }
 }
