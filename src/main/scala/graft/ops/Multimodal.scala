@@ -89,6 +89,72 @@ object Multimodal {
     }
   }
 
+  /** REAL codec for the one format that needs no external library:
+    * JPEG structural metadata parsed straight from payload bytes —
+    * proof that the [[StubCodec]] seam takes a genuine decoder without
+    * touching the plumbing. Walks the marker stream (SOI, then
+    * length-prefixed segments, skipping 0xFF fill bytes and the
+    * standalone RST/TEM markers) to the first start-of-frame (SOF0–15
+    * minus DHT/JPG/DAC) and reads the frame header's height, width,
+    * and component count. Pure byte arithmetic: no ImageIO, no JNI —
+    * and total (malformed/truncated payloads return None, never
+    * throw), which is the contract a 100 TB ingest needs from any
+    * per-row decoder. */
+  object JpegCodec {
+    /** (width, height, nComponents) of the first frame, or None if the
+      * payload is not a parseable JPEG. */
+    def dimensions(payload: Array[Byte]): Option[(Int, Int, Int)] = {
+      def u8(i: Int): Int = payload(i) & 0xff
+      def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+      if (payload.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) return None
+      var i = 2
+      while (i + 3 < payload.length) {
+        // marker alignment: skip fill bytes (spec allows 0xFF padding)
+        if (u8(i) != 0xff) return None
+        var m = u8(i + 1)
+        while (m == 0xff && i + 2 < payload.length) { i += 1; m = u8(i + 1) }
+        m match {
+          case 0xd8 | 0x01 => i += 2 // SOI / TEM: standalone
+          case x if x >= 0xd0 && x <= 0xd7 => i += 2 // RSTn: standalone
+          case 0xd9 => return None // EOI before any SOF
+          case sof if sof >= 0xc0 && sof <= 0xcf &&
+              sof != 0xc4 && sof != 0xc8 && sof != 0xcc =>
+            // SOFn: [len16, precision8, height16, width16, nComp8]
+            if (i + 9 >= payload.length || u16(i + 2) < 8) return None
+            val h = u16(i + 5); val w = u16(i + 7)
+            return if (w > 0 && h > 0) Some((w, h, u8(i + 9))) else None
+          case _ =>
+            val len = u16(i + 2)
+            if (len < 2) return None
+            i += 2 + len
+        }
+      }
+      None
+    }
+  }
+
+  /** Image-metadata probe — the first REAL decode stage behind the
+    * seam: for image rows whose payload parses as JPEG, the width /
+    * height come from the actual frame header (is_jpeg = true);
+    * anything else keeps its carried metadata. Same per-partition
+    * execution shape as [[extractFeatures]] — a pure projection, no
+    * shuffle, payloads never leave the executors. */
+  def probeImageMeta(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val dims = if (r.modality == "image") JpegCodec.dimensions(r.payload)
+          else None
+        (r.media_id, r.modality,
+          dims.map(_._1).getOrElse(r.width),
+          dims.map(_._2).getOrElse(r.height),
+          dims.map(_._3).getOrElse(0),
+          dims.isDefined, r.payload.length.toLong)
+      }
+    }.toDF("media_id", "modality", "width", "height", "n_components",
+      "is_jpeg", "n_bytes")
+  }
+
   /** Decode + feature-extract over partitions: codec state initializes
     * once per partition (the expensive part with a real codec), rows
     * stream through in batches. */

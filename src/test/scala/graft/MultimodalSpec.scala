@@ -51,4 +51,49 @@ class MultimodalSpec extends SparkSpec {
     val idx = frames.select("frame_idx").distinct().as[Int].collect()
     assert(idx.forall(_ % 2 == 0))
   }
+
+  // hand-assembled minimal JPEG: SOI, APP0/JFIF, a fill byte before the
+  // SOF marker (spec-legal 0xFF padding), SOF0 with height=7 width=5
+  // and 3 components, EOI — a REAL bitstream header, no image library
+  private def tinyJpeg(sof: Int = 0xc0, h: Int = 7, w: Int = 5): Array[Byte] = {
+    val app0 = Array(0xff, 0xe0, 0x00, 0x10, 'J', 'F', 'I', 'F', 0x00,
+      0x01, 0x01, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00)
+    val sofSeg = Array(0xff, 0xff, sof, 0x00, 0x11, 0x08, // fill + marker
+      (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff, 0x03,
+      0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01)
+    (Array(0xff, 0xd8) ++ app0 ++ sofSeg ++ Array(0xff, 0xd9))
+      .map(_.toByte)
+  }
+
+  test("JpegCodec parses real SOF headers; malformed payloads return None") {
+    import Multimodal.JpegCodec
+    assert(JpegCodec.dimensions(tinyJpeg()) == Some((5, 7, 3)))
+    // progressive (SOF2) and large dimensions
+    assert(JpegCodec.dimensions(tinyJpeg(sof = 0xc2, h = 1080, w = 1920))
+      == Some((1920, 1080, 3)))
+    // not a JPEG / truncated mid-segment / empty: total, never throws
+    assert(JpegCodec.dimensions("plain text".getBytes("UTF-8")).isEmpty)
+    assert(JpegCodec.dimensions(tinyJpeg().take(8)).isEmpty)
+    assert(JpegCodec.dimensions(Array.empty[Byte]).isEmpty)
+    // EOI before any SOF (no frame header present)
+    assert(JpegCodec.dimensions(
+      Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)).isEmpty)
+  }
+
+  test("probeImageMeta: real JPEG payloads get parsed dimensions, others " +
+    "keep carried metadata") {
+    val rows = Seq(
+      MediaRow(1L, "image", tinyJpeg(), width = 999, height = 999,
+        sample_rate = 0, n_frames = 1),
+      MediaRow(2L, "image", "not an image".getBytes("UTF-8"),
+        width = 12, height = 1, sample_rate = 0, n_frames = 1),
+      MediaRow(3L, "video", tinyJpeg(), width = 30, height = 40,
+        sample_rate = 0, n_frames = 9)).toDS()
+    val out = Multimodal.probeImageMeta(rows).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getInt(3), r.getBoolean(5))))
+      .toMap
+    assert(out(1L) == ((5, 7, true)))    // parsed from the bitstream
+    assert(out(2L) == ((12, 1, false)))  // carried metadata kept
+    assert(out(3L) == ((30, 40, false))) // non-image modality untouched
+  }
 }
