@@ -474,7 +474,10 @@ object ScaleProbe {
         val q = streaming.Ingest.startLineDedupSink(
           mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
           s"$tmp/out", s"$tmp/idx", s"$tmp/cp", compactEvery = 10,
-          bloomGuard = guard, expectedLines = 10000000L, fpp = 0.001,
+          // bloom sized ~10x the probe's line horizon — the documented
+          // sizing contract (a filter sized for an unreachable corpus
+          // only buys dead IO per commit)
+          bloomGuard = guard, expectedLines = 1000000L, fpp = 0.001,
           prefixParts = 256)
         val times = try {
           // seed batch: the corpus-history bulk of the index

@@ -39,6 +39,23 @@ object Fs {
     if (!f.exists(p)) { f.create(p, false).close() }
   }
 
+  /** Write `bytes` as a single file at `path` (overwrites; parents made
+    * as needed). Driver-side, for small state blobs — never data. */
+  def writeBytes(s: SparkSession, path: String, bytes: Array[Byte]): Unit = {
+    val out = fs(s, path).create(new Path(path), true)
+    try out.write(bytes) finally out.close()
+  }
+
+  /** Read a whole file as bytes. */
+  def readBytes(s: SparkSession, path: String): Array[Byte] = {
+    val f = fs(s, path); val p = new Path(path)
+    val len = f.getFileStatus(p).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = f.open(p)
+    try in.readFully(0L, buf) finally in.close()
+    buf
+  }
+
   /** Total length of files under `path` whose name passes `keep`. */
   def totalBytes(s: SparkSession, path: String,
                  keep: String => Boolean): Long = {

@@ -708,18 +708,6 @@ object Ingest {
       : org.apache.spark.sql.Column =
     conv(substring(hex(h), 1, 15), 16, 10).cast("long")
 
-  private def bloomToBytes(
-      bf: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream()
-    bf.writeTo(bos)
-    bos.toByteArray
-  }
-
-  private def bloomFromBytes(
-      b: Array[Byte]): org.apache.spark.util.sketch.BloomFilter =
-    org.apache.spark.util.sketch.BloomFilter.readFrom(
-      new java.io.ByteArrayInputStream(b))
-
   /** The guard's cumulative bloom over every admitted line's `_h64`,
     * as of batches strictly below `below` (the same committed-prior
     * bound as the index read — a crash replay must not see its own
@@ -727,30 +715,9 @@ object Ingest {
   private[graft] def readLineBloom(spark: SparkSession, indexPath: String,
                                    below: Long)
       : Option[org.apache.spark.util.sketch.BloomFilter] =
-    graft.io.VersionedState
-      .readLatestBefore(spark, s"$indexPath/_bloom", below)
-      .map(df => bloomFromBytes(df.collect()(0).getAs[Array[Byte]](0)))
-
-  /** Fold this batch's admitted-hash bloom into the cumulative filter
-    * (replay-safe versioned merge — the VersionedState mechanic; bloom
-    * union is idempotent for re-added elements, so a replayed batch
-    * cannot corrupt membership). Both filters must share sizing
-    * (`expectedLines`/`fpp` fixed for the index's life — resizing
-    * requires [[rebuildLineDedupGuard]]). */
-  private def commitLineBloom(spark: SparkSession, indexPath: String,
-      batchId: Long,
-      batchBloom: org.apache.spark.util.sketch.BloomFilter): Unit = {
-    import spark.implicits._
-    graft.io.VersionedState.mergeCommit(
-      spark, s"$indexPath/_bloom", batchId,
-      Seq(bloomToBytes(batchBloom)).toDF("bloom"),
-      (prev, upd) => {
-        val m = bloomFromBytes(prev.collect()(0).getAs[Array[Byte]](0))
-        m.mergeInPlace(bloomFromBytes(upd.collect()(0).getAs[Array[Byte]](0)))
-        Seq(bloomToBytes(m)).toDF("bloom")
-      })
-    ()
-  }
+    graft.io.BloomState
+      .latestVersionBefore(spark, s"$indexPath/_bloom", below)
+      .map(v => graft.io.BloomState.read(spark, s"$indexPath/_bloom", v))
 
   /** Guarded cross-batch admission for the line-dedup sink: of this
     * batch's distinct-line winners (`firstInBatch`: one row per `_h`
@@ -828,9 +795,13 @@ object Ingest {
       rows.select(col("p"), col("_h"))
         .repartition(col("p"))
         .write.partitionBy("p").mode("overwrite").parquet(staging)
+      // one-off full-index bloom build: stat.bloomFilter's per-partition
+      // full-size filters are fine in an offline job (the per-batch path
+      // inserts incrementally instead — see the sink)
       val bloom = rows.stat.bloomFilter("_h64", expectedLines, fpp)
       graft.io.Fs.delete(spark, s"$indexPath/_bloom") // resize-safe
-      commitLineBloom(spark, indexPath, highWater, bloom)
+      graft.io.BloomState.commit(spark, s"$indexPath/_bloom",
+        highWater, bloom)
       graft.io.Fs.rename(spark, staging,
         s"$indexPath/b=${-(highWater + 2L)}")
       dirs.foreach(graft.io.Fs.delete(spark, _))
@@ -910,7 +881,12 @@ object Ingest {
                          expectedLines: Long = 10000000L,
                          fpp: Double = 0.001,
                          prefixParts: Int = 256)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // cross-trigger bloom cache (valid only when its version is still
+    // the latest committed below the current batch — checked per
+    // trigger against the cheap file listing, so restarts and replays
+    // fall back to a fresh read, never a stale filter)
+    var bloomCache: (Long, org.apache.spark.util.sketch.BloomFilter) = null
     docs.writeStream
       .outputMode(OutputMode.Append)
       .trigger(trigger)
@@ -943,13 +919,25 @@ object Ingest {
               col("_w").getField("pos").as("pos"),
               col("_w").getField("line").as("line"))
           // ...minus lines any COMMITTED prior batch admitted
+          val bloomRoot = s"$indexPath/_bloom"
+          val prevBloom: Option[org.apache.spark.util.sketch.BloomFilter] =
+            if (!bloomGuard) None
+            else graft.io.BloomState
+              .latestVersionBefore(spark, bloomRoot, below = batchId)
+              .map { v =>
+                if (bloomCache != null && bloomCache._1 == v) bloomCache._2
+                else {
+                  val b = graft.io.BloomState.read(spark, bloomRoot, v)
+                  bloomCache = (v, b)
+                  b
+                }
+              }
           admitted = (if (bloomGuard) {
             val withKeys = firstInBatch
               .withColumn("_h64", h64FromMd5(col("_h")))
               .withColumn("p",
                 pmod(col("_h64"), lit(prefixParts)).cast("int"))
-            lineDedupAdmit(spark, indexPath, batchId, withKeys,
-              readLineBloom(spark, indexPath, below = batchId))
+            lineDedupAdmit(spark, indexPath, batchId, withKeys, prevBloom)
           } else {
             val priorHashes = graft.io.Batches
               .read(spark, indexPath, below = Some(batchId)) match {
@@ -980,9 +968,27 @@ object Ingest {
               .mode("overwrite").parquet(s"$indexPath/b=$batchId")
             // bloom LAST: committed only once the index rows it
             // certifies are on disk (any crash before here replays the
-            // whole batch against the previous bloom + index)
-            commitLineBloom(spark, indexPath, batchId,
-              admitted.stat.bloomFilter("_h64", expectedLines, fpp))
+            // whole batch against the previous bloom + index). Built
+            // INCREMENTALLY on the driver — the batch's admitted
+            // hashes collect (8 bytes per distinct new line, the same
+            // order as the coordination traffic the batch already
+            // pays) and insert into a COPY of the previous filter; a
+            // distributed stat.bloomFilter would allocate a full-size
+            // filter per partition and merge all of them, measured at
+            // multi-second per-batch overhead for megabyte filters.
+            // The copy keeps the cached previous filter untouched if
+            // this batch dies mid-commit.
+            val newHashes = admitted.select(col("_h64"))
+              .collect().map(_.getLong(0))
+            val nb = prevBloom match {
+              case Some(pb) => graft.io.BloomState
+                .fromBytes(graft.io.BloomState.toBytes(pb))
+              case None => org.apache.spark.util.sketch.BloomFilter
+                .create(expectedLines, fpp)
+            }
+            newHashes.foreach(nb.putLong)
+            graft.io.BloomState.commit(spark, bloomRoot, batchId, nb)
+            bloomCache = (batchId, nb)
           } else
             admitted.select(col("_h")).distinct()
               .write.mode("overwrite").parquet(s"$indexPath/b=$batchId")
@@ -993,6 +999,7 @@ object Ingest {
         }
       }
       .start()
+  }
 
   /** Offline recall audit for [[startNearDupFilterSink]]: the sink
     * drops a document on a bare band collision — no exact verify — so
