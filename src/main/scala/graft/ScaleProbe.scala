@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   *   sbt "runMain graft.ScaleProbe [multiplier] [section]"
   * With a second arg, only that section runs (so one family can probe
   * at a multiplier the full sweep can't afford): text | sampling |
-  * jaccard | contamination | ann | snapshot | ndsink | ldsink |
+  * jaccard | contamination | ann | snapshot | ndsink | ldsink | ldprobe |
   * linehot | ndaudit | embsink | events.
   */
 object ScaleProbe {
@@ -502,7 +502,11 @@ object ScaleProbe {
             (System.nanoTime() - t0) / 1e9
           }
         } finally q.stop()
-        val idxRows = spark.read.parquet(s"$tmp/idx").count()
+        // layout-aware read: the guarded index mixes flat tails with a
+        // p=-partitioned base (plain parquet read conflicts)
+        val idxRows = streaming.Ingest
+          .readLineIndex(spark, s"$tmp/idx")
+          .map(_.count()).getOrElse(0L)
         (times, idxRows)
       }
       def win(s: Seq[Double], from: Int, until: Int) =
@@ -518,6 +522,61 @@ object ScaleProbe {
       assert(gl <= ge * 1.5 + 0.3,
         f"guarded per-batch time grew with stream age: " +
           f"early=$ge%.3f late=$gl%.3f")
+    }
+    }
+
+    section("ldprobe") {
+    // the guard's scale claim, isolated: per-batch PROBE cost against
+    // fabricated indexes of 1M / 3M / 10M admitted lines (built
+    // offline via rebuildLineDedupGuard — base + bloom, the steady
+    // state of a long-running sink). A fixed 200-line batch (half
+    // repeats, half fresh) probes each: the unguarded anti-join must
+    // scan the whole index (cost grows with corpus history); the
+    // guarded path reads only the bloom-positive residue's pruned
+    // base partitions (cost tracks batch content). The bloom itself
+    // is read once (the sink caches it across triggers).
+    locally {
+      val batchLines = 200
+      for (m <- Seq(1, 3, 10)) {
+        val tmp = java.nio.file.Files
+          .createTempDirectory(s"graft_probe_lp$m").toString
+        val idx = s"$tmp/idx"
+        spark.range(m * 1000000L)
+          .select(unhex(md5(concat(lit("line"), col("id")))).as("_h"))
+          .write.parquet(s"$idx/b=0")
+        streaming.Ingest.rebuildLineDedupGuard(spark, idx,
+          expectedLines = 20000000L, fpp = 0.001, prefixParts = 256)
+        val bloom = streaming.Ingest.readLineBloom(spark, idx, below = 1L)
+        val fib = spark.range(batchLines.toLong)
+          .select(col("id").as("doc_id"),
+            when(col("id") < batchLines / 2,
+              concat(lit("line"), col("id")))
+              .otherwise(concat(lit("fresh"), col("id"))).as("line"))
+          .withColumn("pos", lit(0))
+          .withColumn("_h", unhex(md5(col("line").cast("binary"))))
+          .withColumn("_h64", streaming.Ingest.h64FromMd5(col("_h")))
+          .withColumn("p", pmod(col("_h64"), lit(256)).cast("int"))
+        def bestOf(k: Int)(body: => Long): Double =
+          (1 to k).map { _ =>
+            val t0 = System.nanoTime(); body
+            (System.nanoTime() - t0) / 1e9
+          }.min
+        val admitted = streaming.Ingest
+          .lineDedupAdmit(spark, idx, 1L, fib, bloom)
+        // collect(), not count(): metrics live on THIS queryExecution
+        // (count() builds its own aggregate plan and leaves these unfilled)
+        val nAdm = admitted.collect().length
+        val filesRead = util.PlanMetrics.filesReadUnder(admitted, idx)
+        val g = bestOf(3)(streaming.Ingest
+          .lineDedupAdmit(spark, idx, 1L, fib, bloom).count())
+        val u = bestOf(3)(fib.join(
+            streaming.Ingest.readLineIndex(spark, idx).get,
+            Seq("_h"), "left_anti").count())
+        println(f"[scaleprobe] ldprobe index=${m}M lines: " +
+          f"guarded=$g%.2f s ($filesRead base files read, " +
+          f"$nAdm admitted) unguarded=$u%.2f s")
+        assert(nAdm == batchLines / 2, s"admitted $nAdm")
+      }
     }
     }
 

@@ -121,17 +121,24 @@ object Batches {
     * true iff a fold happened (false: nothing new to fold — the sweep
     * still runs). See the object doc for the `upTo` bound.
     *
-    * `partitionBy`: sub-partition columns each batch dir carries UNDER
-    * its `b=` dir (the line-dedup index's hash-prefix `p=` layout) —
-    * the fold preserves them in the new base so partition-pruned
-    * probes keep pruning after compaction. The pre-write shuffle is
-    * then a repartition BY those columns (each partition value lands
-    * in ~one task's files) instead of a bare coalesce, which would
-    * scatter every value across every task and write
+    * `partitionBy` + `deriveTail`: the PREFIX-PARTITIONED-BASE layout
+    * (the line-dedup guard's index): batch tail dirs stay flat —
+    * batch-scale, written and read whole, zero per-trigger layout
+    * overhead — and only the compacted base (the corpus-history bulk)
+    * carries `partitionBy` subdirectories, so partition-pruned probes
+    * skip most of history while the fold is the only code paying the
+    * many-directories write. `deriveTail` recomputes the partition
+    * columns for flat tail rows (they are derivable — e.g. the hash
+    * prefix from the stored hash — so the tail never stores them);
+    * the old base already carries them as partition columns. The
+    * pre-write shuffle is a repartition BY those columns (each value
+    * lands in ~one task's files) instead of a bare coalesce, which
+    * would scatter every value across every task and write
     * nFiles × nValues tiny files. */
   def compact(s: SparkSession, root: String, upTo: Long,
               targetFileBytes: Long = 128L * 1024 * 1024,
-              partitionBy: Seq[String] = Nil): Boolean = {
+              partitionBy: Seq[String] = Nil,
+              deriveTail: DataFrame => DataFrame = identity): Boolean = {
     if (!Fs.exists(s, root)) return false
     requireBatchLayout(s, root)
     val staging = s"$root/_compact_b"
@@ -151,12 +158,23 @@ object Batches {
     val bytes = paths
       .map(p => Fs.totalBytes(s, p, _.endsWith(".parquet"))).sum
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
-    val base = s.read.option("basePath", root).parquet(paths: _*)
-      .drop("b") // the new base dir's name carries the provenance tag
     val shaped =
-      if (partitionBy.isEmpty) base.coalesce(nFiles.toInt)
-      else base.repartition(nFiles.toInt,
-        partitionBy.map(org.apache.spark.sql.functions.col): _*)
+      if (partitionBy.isEmpty)
+        s.read.option("basePath", root).parquet(paths: _*)
+          .drop("b") // the new base dir's name carries the provenance tag
+          .coalesce(nFiles.toInt)
+      else {
+        // mixed read: the old base carries partitionBy as partition
+        // dirs, flat tails re-derive them (see scaladoc)
+        val oldBase = if (w >= 0L)
+          Seq(s.read.parquet(s"$root/b=${-(w + 2L)}")) else Nil
+        val tails = candidates.sorted
+          .map(id => deriveTail(s.read.parquet(s"$root/b=$id")))
+        (oldBase ++ tails)
+          .reduce(_.unionByName(_))
+          .repartition(nFiles.toInt,
+            partitionBy.map(org.apache.spark.sql.functions.col): _*)
+      }
     val w0 = shaped.write.mode(SaveMode.Overwrite)
     (if (partitionBy.isEmpty) w0 else w0.partitionBy(partitionBy: _*))
       .parquet(staging)

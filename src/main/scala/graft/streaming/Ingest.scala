@@ -729,11 +729,15 @@ object Ingest {
     *      definitely new — admitted map-side without touching the
     *      index at all;
     *   2. the bloom-POSITIVE residue (true repeats + fpp·batch) is
-    *      exact-verified against the index, whose read is PRUNED to
-    *      the `p=` partitions hosting the residue's prefixes (a
-    *      bounded ≤ prefixParts-row collect builds the pruning
-    *      predicate; equal lines share `p` by construction, so no
-    *      qualifying index row is ever outside the pruned set).
+    *      exact-verified against the COMPACTED BASE — the
+    *      corpus-history bulk, laid out in `p=` hash-prefix
+    *      partitions and read PRUNED to the residue's own prefixes (a
+    *      bounded ≤ prefixParts-row collect builds the predicate;
+    *      equal lines share `p` by construction, so no qualifying row
+    *      is ever outside the pruned set) — plus the uncompacted TAIL
+    *      dirs, which are batch-scale by the compaction contract and
+    *      read whole (keeping per-trigger writes flat and cheap; only
+    *      the fold ever pays the many-directories layout).
     *
     * Output is row-identical to the unguarded full-index anti-join
     * (StreamingSpec pins parity): the bloom only short-circuits
@@ -741,18 +745,22 @@ object Ingest {
     * cannot hold a probe's hash. */
   private[graft] def lineDedupAdmit(spark: SparkSession, indexPath: String,
       batchId: Long, firstInBatch: DataFrame,
-      bloom: Option[org.apache.spark.util.sketch.BloomFilter]): DataFrame =
-    (bloom, graft.io.Batches.read(spark, indexPath,
-        below = Some(batchId))) match {
-      case (_, None) => firstInBatch // nothing admitted yet
-      case (None, Some(_)) =>
+      bloom: Option[org.apache.spark.util.sketch.BloomFilter]): DataFrame = {
+    graft.io.Batches.requireBatchLayout(spark, indexPath)
+    val dirs = graft.io.Batches.liveDirs(spark, indexPath,
+      below = Some(batchId))
+    (bloom, dirs) match {
+      case (_, Nil) => firstInBatch // nothing admitted yet
+      case (None, _) =>
         throw new IllegalStateException(
           s"$indexPath holds admitted batches but no _bloom state: the " +
             "bloom guard cannot certify definitely-new lines (a missing " +
             "hash would re-admit its line). Run rebuildLineDedupGuard " +
             "once (stream stopped) to migrate an unguarded index, or " +
             "start the sink with bloomGuard = false")
-      case (Some(bf), Some(idx)) =>
+      case (Some(bf), _) =>
+        val (baseDirs, tailDirs) =
+          dirs.partition(_.substring(indexPath.length).contains("b=-"))
         val bc = spark.sparkContext.broadcast(bf)
         val hit = graft.functions.BloomMightContainLong
           .mightContain(col("_h64"), bc)
@@ -762,11 +770,34 @@ object Ingest {
           .collect().map(_.getInt(0)) // bounded at prefixParts rows
         if (pset.isEmpty) firstInBatch
         else {
-          val pruned = idx.filter(col("p").isin(pset.map(Int.box): _*))
+          val prior = (baseDirs.map(d =>
+              spark.read.parquet(d)
+                .filter(col("p").isin(pset.map(Int.box): _*))
+                .select(col("_h"))) ++
+            tailDirs.map(d => spark.read.parquet(d).select(col("_h"))))
+            .reduce(_.unionByName(_))
           negatives.unionByName(
-            positives.join(pruned.select(col("_h")), Seq("_h"), "left_anti"))
+            positives.join(prior, Seq("_h"), "left_anti"))
         }
     }
+  }
+
+  /** Layout-aware consumer read of the guarded line index's live
+    * content — one `_h` row per admitted line. The guarded layout is
+    * MIXED (flat batch tails + a `p=`-partitioned compacted base), so
+    * a plain `spark.read.parquet(root)` — and [[graft.io.Batches.read]],
+    * which unifies dirs under one basePath — fail on conflicting
+    * partition columns; this is the read every consumer (and external
+    * maintenance) must use instead. */
+  def readLineIndex(spark: SparkSession, indexPath: String,
+                    below: Option[Long] = None): Option[DataFrame] = {
+    graft.io.Batches.requireBatchLayout(spark, indexPath)
+    val dirs = graft.io.Batches.liveDirs(spark, indexPath, below)
+    if (dirs.isEmpty) None
+    else Some(dirs
+      .map(d => spark.read.parquet(d).select(col("_h")))
+      .reduce(_.unionByName(_)))
+  }
 
   /** One-time migration of a pre-guard line-dedup index to the guarded
     * layout: rewrites the live index content as a single compacted base
@@ -842,10 +873,13 @@ object Ingest {
     *     rebuilt from the index) admits definitely-new lines map-side:
     *     the index is not even read for them;
     *   - the residue (true repeats + fpp·batch false positives) is
-    *     exact-verified against an index laid out in `p=` hash-prefix
-    *     partitions, read PRUNED to the residue's own prefixes — on
-    *     the growth path (mostly-new batches) that is a handful of
-    *     partitions, and the files-read metric is spec-pinned.
+    *     exact-verified against the COMPACTED BASE — the corpus-history
+    *     bulk, laid out in `p=` hash-prefix partitions at fold time and
+    *     read PRUNED to the residue's own prefixes (files-read is
+    *     spec-pinned) — plus the flat uncompacted tail dirs, which the
+    *     compaction contract keeps batch-scale. Per-trigger index
+    *     WRITES stay flat and identical to the unguarded layout; only
+    *     the fold ever pays the many-directories base.
     *
     * Output is row-identical with the guard on or off (spec-pinned);
     * false drops are impossible (bloom negatives are exact, positives
@@ -853,15 +887,16 @@ object Ingest {
     * (~14 bits/line at 0.1% — a 10^10-line horizon is ~17 GB, so the
     * broadcast bound, not correctness, caps the horizon; past it the
     * fpp degrades and the guard gracefully approaches the unguarded
-    * cost); `prefixParts` trades partition-pruning resolution against
-    * per-batch file counts (size it a few × the expected per-batch
-    * positive-line count; `compactEvery` folds the small files). A
-    * boilerplate-saturated batch (positives in every prefix) degrades
-    * to the unguarded full-index probe for that batch — a cost
-    * ceiling, never a correctness edge. Sizing is fixed for the
-    * index's life; resizing = [[rebuildLineDedupGuard]] (also the
-    * migration path for a pre-guard index, which the guarded sink
-    * refuses to run on rather than silently re-admitting its lines).
+    * cost); `prefixParts` trades base partition-pruning resolution
+    * against the fold's directory count (size it a few × the expected
+    * per-batch positive-line count); `compactEvery` bounds the
+    * read-whole tail. A boilerplate-saturated batch (positives in
+    * every prefix) degrades to the unguarded full-index probe for
+    * that batch — a cost ceiling, never a correctness edge. Sizing is
+    * fixed for the index's life; resizing = [[rebuildLineDedupGuard]]
+    * (also the migration path for a pre-guard index, which the
+    * guarded sink refuses to run on rather than silently re-admitting
+    * its lines).
     *
     * Cost: per trigger, one shuffle of the batch's lines keyed by the
     * 16-byte hash, the guarded probe above, one reassembly exchange —
@@ -900,8 +935,13 @@ object Ingest {
         var admitted: DataFrame = null
         try {
           if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
-            graft.io.Batches.compact(spark, indexPath, upTo = batchId - 1,
-              partitionBy = if (bloomGuard) Seq("p") else Nil)
+            if (bloomGuard)
+              graft.io.Batches.compact(spark, indexPath, upTo = batchId - 1,
+                partitionBy = Seq("p"),
+                deriveTail = df => df.withColumn("p",
+                  pmod(h64FromMd5(col("_h")), lit(prefixParts)).cast("int")))
+            else
+              graft.io.Batches.compact(spark, indexPath, upTo = batchId - 1)
             graft.io.Batches.compact(spark, outRoot, upTo = batchId - 1)
           }
           val cand = lines.filter(length(col("line")) >= minChars)
@@ -958,14 +998,11 @@ object Ingest {
             .drop("_text")
             .write.mode("overwrite").parquet(s"$outRoot/b=$batchId")
           if (bloomGuard) {
-            // repartition BY p first: a partitioned write otherwise emits
-            // one file per (task, p-value) — up to tasks × prefixParts
-            // tiny files per batch dir; keyed, it is one file per touched
-            // prefix (compactEvery folds those)
-            admitted.select(col("p"), col("_h"))
-              .repartition(col("p"))
-              .write.partitionBy("p")
-              .mode("overwrite").parquet(s"$indexPath/b=$batchId")
+            // tail dirs are FLAT — identical layout to the unguarded
+            // sink (batch-scale, read whole by the probe); only the
+            // compaction fold pays the p= many-directories layout
+            admitted.select(col("_h"))
+              .write.mode("overwrite").parquet(s"$indexPath/b=$batchId")
             // bloom LAST: committed only once the index rows it
             // certifies are on disk (any crash before here replays the
             // whole batch against the previous bloom + index). Built

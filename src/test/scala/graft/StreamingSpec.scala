@@ -1083,10 +1083,15 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(gDocs == batchForm)
 
-    // partition pruning: probe ONE already-admitted line against the
-    // guarded index — the exact-verify must read only that line's p=
-    // partition's files, not the whole index
+    // partition pruning: fold the guarded index into its p= base
+    // (stream stopped, upTo = last committed batch), then probe ONE
+    // already-admitted line — the exact-verify must read only that
+    // line's p= partition's files, not the whole base
     val idx = s"$tmp/guarded/idx"
+    graft.io.Batches.compact(spark, idx, upTo = 2L,
+      partitionBy = Seq("p"),
+      deriveTail = df => df.withColumn("p",
+        pmod(Ingest.h64FromMd5(col("_h")), lit(16)).cast("int")))
     val probeLine = "boilerplate footer"
     val fib = Seq((3L, 0)).toDF("doc_id", "pos")
       .withColumn("line", lit(probeLine))
@@ -1096,7 +1101,11 @@ class StreamingSpec extends SparkSpec {
     val bloom = Ingest.readLineBloom(spark, idx, below = 100L)
     assert(bloom.isDefined, "guarded index must carry bloom state")
     val admitted = Ingest.lineDedupAdmit(spark, idx, 100L, fib, bloom)
-    assert(admitted.count() == 0L, "already-admitted line must not re-admit")
+    // collect(), not count(): the files-read metric lives on THIS
+    // queryExecution (count() builds its own plan, leaving it 0 and
+    // the pruning assertion below vacuous)
+    assert(admitted.collect().isEmpty,
+      "already-admitted line must not re-admit")
     val probeP = fib.select("p").head.getInt(0)
     def parquetFiles(dir: java.io.File): Seq[java.io.File] =
       if (!dir.exists) Nil
@@ -1107,8 +1116,8 @@ class StreamingSpec extends SparkSpec {
       .filterNot(_.getPath.contains("_bloom"))
     val inProbePart = allFiles.count(_.getPath.contains(s"/p=$probeP/"))
     val read = graft.util.PlanMetrics.filesReadUnder(admitted.toDF(), idx)
-    assert(read <= inProbePart && read < allFiles.size,
+    assert(read >= 1 && read <= inProbePart && read < allFiles.size,
       s"probe read $read files; partition p=$probeP holds $inProbePart " +
-        s"of ${allFiles.size} total — expected a pruned read")
+        s"of ${allFiles.size} total — expected a non-vacuous pruned read")
   }
 }
