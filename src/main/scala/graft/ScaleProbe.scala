@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   *   sbt "runMain graft.ScaleProbe [multiplier] [section]"
   * With a second arg, only that section runs (so one family can probe
   * at a multiplier the full sweep can't afford): text | sampling |
-  * jaccard | contamination | ann | snapshot | ndsink | ldsink | ldprobe |
+  * jaccard | contamination | ann | snapshot | ndsink | ndprobe | ldsink | ldprobe |
   * linehot | ndaudit | embsink | events.
   */
 object ScaleProbe {
@@ -576,6 +576,61 @@ object ScaleProbe {
           f"guarded=$g%.2f s ($filesRead base files read, " +
           f"$nAdm admitted) unguarded=$u%.2f s")
         assert(nAdm == batchLines / 2, s"admitted $nAdm")
+      }
+    }
+    }
+
+    section("ndprobe") {
+    // growth curve of the near-dup filter sink's cumulative band index
+    // (the round-10 "measure first" item): per-batch collision probe
+    // cost against fabricated indexes of 1M / 3M / 10M admitted docs
+    // (4 band rows each — the index grows 4 rows/doc vs the line
+    // index's tens-to-hundreds, so the bend arrives ~2 orders later
+    // in corpus terms). Fixed 20-doc batch, half colliding.
+    locally {
+      for (m <- Seq(1, 3, 10)) {
+        val tmp = java.nio.file.Files
+          .createTempDirectory(s"graft_probe_np$m").toString
+        val idx = s"$tmp/idx"
+        spark.range(m * 1000000L)
+          .select(col("id"), explode(sequence(lit(0), lit(3))).as("band"))
+          .select(col("band"),
+            ops.TextDedup.md5Hash60(
+              concat(col("id"), lit("b"), col("band"))).as("band_h"))
+          .write.parquet(s"$idx/b=0")
+        val keys = spark.range(20L)
+          .select(col("id").as("doc_id"),
+            explode(sequence(lit(0), lit(3))).as("band"))
+          .select(col("doc_id"), col("band"),
+            ops.TextDedup.md5Hash60(concat(
+              when(col("doc_id") < 10, col("doc_id"))
+                .otherwise(col("doc_id") + 900000000L),
+              lit("b"), col("band"))).as("band_h"))
+        def bestOf(k: Int)(body: => Long): Double =
+          (1 to k).map { _ =>
+            val t0 = System.nanoTime(); body
+            (System.nanoTime() - t0) / 1e9
+          }.min
+        val tu = bestOf(3) {
+          val prior = io.Batches.read(spark, idx).get
+          keys.join(prior.select("band", "band_h"),
+              Seq("band", "band_h"), "left_semi")
+            .select(col("doc_id")).distinct().count()
+        }
+        // guard the same index in place (offline rebuild: p= base +
+        // full bloom), then measure the guarded collision probe with
+        // the bloom in hand (the sink's cached steady state)
+        streaming.Ingest.rebuildNearDupGuard(spark, idx,
+          expectedKeys = m * 8000000L, fpp = 0.001, prefixParts = 256)
+        val bv = io.BloomState
+          .latestVersionBefore(spark, s"$idx/_bloom", 1L).get
+        val bloom = Some(io.BloomState.read(spark, s"$idx/_bloom", bv))
+        val tg = bestOf(3)(streaming.Ingest
+          .nearDupPriorHits(spark, idx, 1L, keys, "doc_id", bloom, 256)
+          .count())
+        println(f"[scaleprobe] ndprobe index=${m}M docs " +
+          f"(${m * 4}M band rows): per-batch collision probe " +
+          f"unguarded=$tu%.2f s guarded=$tg%.2f s")
       }
     }
     }

@@ -653,8 +653,14 @@ object Ingest {
                              indexPath: String, checkpoint: String,
                              n: Int = 3, k: Int = 16, bands: Int = 4,
                              trigger: Trigger = Trigger.ProcessingTime(0L),
-                             compactEvery: Int = 0)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+                             compactEvery: Int = 0,
+                             bloomGuard: Boolean = true,
+                             expectedKeys: Long = 40000000L,
+                             fpp: Double = 0.001,
+                             prefixParts: Int = 256)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // cross-trigger bloom cache — same contract as the line sink's
+    var bloomCache: (Long, org.apache.spark.util.sketch.BloomFilter) = null
     docs.writeStream
       .outputMode(OutputMode.Append)
       .trigger(trigger)
@@ -671,18 +677,46 @@ object Ingest {
           // the replay would have enumerated. outRoot folds on the
           // same cadence: write-only here, but its dir count (and any
           // downstream consumer's listing) grows per batch all the same
-          maybeCompact(spark, compactEvery, batchId, indexPath, outRoot)
-          // cross-batch: drop docs colliding with the persisted index —
-          // compacted base + committed prior b= dirs (fails fast on a
-          // pre-b= flat layout rather than forgetting its admissions)
-          val priorHits = graft.io.Batches
-            .read(spark, indexPath, below = Some(batchId)) match {
-            case Some(idx) =>
-              keys.join(idx.select("band", "band_h"),
-                  Seq("band", "band_h"), "left_semi")
-                .select(col(idCol)).distinct()
-            case None => spark.emptyDataFrame.withColumn(idCol, lit(0L)).limit(0)
+          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+            if (bloomGuard)
+              graft.io.Batches.compact(spark, indexPath, upTo = batchId - 1,
+                partitionBy = Seq("p"),
+                deriveTail = df => df.withColumn("p",
+                  pmod(col("band_h"), lit(prefixParts)).cast("int")))
+            else
+              graft.io.Batches.compact(spark, indexPath, upTo = batchId - 1)
+            graft.io.Batches.compact(spark, outRoot, upTo = batchId - 1)
           }
+          val bloomRoot = s"$indexPath/_bloom"
+          val prevBloom: Option[org.apache.spark.util.sketch.BloomFilter] =
+            if (!bloomGuard) None
+            else graft.io.BloomState
+              .latestVersionBefore(spark, bloomRoot, below = batchId)
+              .map { v =>
+                if (bloomCache != null && bloomCache._1 == v) bloomCache._2
+                else {
+                  val b = graft.io.BloomState.read(spark, bloomRoot, v)
+                  bloomCache = (v, b)
+                  b
+                }
+              }
+          // cross-batch: drop docs colliding with the persisted index —
+          // guarded: bloom-negative keys provably collide with nothing,
+          // the residue probes the p=-pruned base + flat tails;
+          // unguarded: the full-index semi-join (fails fast on a
+          // pre-b= flat layout rather than forgetting its admissions)
+          val priorHits =
+            if (bloomGuard)
+              nearDupPriorHits(spark, indexPath, batchId, keys, idCol,
+                prevBloom, prefixParts)
+            else graft.io.Batches
+              .read(spark, indexPath, below = Some(batchId)) match {
+              case Some(idx) =>
+                keys.join(idx.select("band", "band_h"),
+                    Seq("band", "band_h"), "left_semi")
+                  .select(col(idCol)).distinct()
+              case None => keys.select(col(idCol)).limit(0)
+            }
           // within-batch: keep the smallest id per colliding bucket
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy("band", "band_h").orderBy(col(idCol))
@@ -693,11 +727,29 @@ object Ingest {
           val dropIds = priorHits.union(batchDups).distinct()
           batch.join(dropIds, Seq(idCol), "left_anti")
             .write.mode("overwrite").parquet(s"$outRoot/b=$batchId")
-          keys.join(dropIds, Seq(idCol), "left_anti")
+          val admittedKeys = keys.join(dropIds, Seq(idCol), "left_anti")
+          admittedKeys
             .write.mode("overwrite").parquet(s"$indexPath/b=$batchId")
+          if (bloomGuard) {
+            // bloom LAST, built incrementally on the driver from the
+            // admitted band hashes (bands-per-doc × batch docs longs) —
+            // same rationale and crash story as the line sink
+            val hs = admittedKeys.select(col("band_h"))
+              .collect().map(_.getLong(0))
+            val nb = prevBloom match {
+              case Some(pb) => graft.io.BloomState
+                .fromBytes(graft.io.BloomState.toBytes(pb))
+              case None => org.apache.spark.util.sketch.BloomFilter
+                .create(expectedKeys, fpp)
+            }
+            hs.foreach(nb.putLong)
+            graft.io.BloomState.commit(spark, bloomRoot, batchId, nb)
+            bloomCache = (batchId, nb)
+          }
         } finally { keys.unpersist(); () }
       }
       .start()
+  }
 
   /** First 60 bits of a 16-byte md5 digest as a non-negative BIGINT —
     * the bloom/prefix key of the line-dedup guard, derived from the
@@ -759,8 +811,6 @@ object Ingest {
             "once (stream stopped) to migrate an unguarded index, or " +
             "start the sink with bloomGuard = false")
       case (Some(bf), _) =>
-        val (baseDirs, tailDirs) =
-          dirs.partition(_.substring(indexPath.length).contains("b=-"))
         val bc = spark.sparkContext.broadcast(bf)
         val hit = graft.functions.BloomMightContainLong
           .mightContain(col("_h64"), bc)
@@ -770,16 +820,28 @@ object Ingest {
           .collect().map(_.getInt(0)) // bounded at prefixParts rows
         if (pset.isEmpty) firstInBatch
         else {
-          val prior = (baseDirs.map(d =>
-              spark.read.parquet(d)
-                .filter(col("p").isin(pset.map(Int.box): _*))
-                .select(col("_h"))) ++
-            tailDirs.map(d => spark.read.parquet(d).select(col("_h"))))
-            .reduce(_.unionByName(_))
+          val prior = prunedIndexRead(spark, dirs, indexPath, pset,
+            Seq("_h"))
           negatives.unionByName(
             positives.join(prior, Seq("_h"), "left_anti"))
         }
     }
+  }
+
+  /** Live content of a guarded index (flat tails + `p=`-partitioned
+    * base), with the BASE read pruned to the `pset` prefixes — the
+    * shared probe read of the guarded filter sinks. Tails are
+    * batch-scale by the compaction contract and read whole. */
+  private def prunedIndexRead(spark: SparkSession, dirs: Seq[String],
+                              indexPath: String, pset: Array[Int],
+                              cols: Seq[String]): DataFrame = {
+    val (baseDirs, tailDirs) =
+      dirs.partition(_.substring(indexPath.length).contains("b=-"))
+    (baseDirs.map(d => spark.read.parquet(d)
+        .filter(col("p").isin(pset.map(Int.box): _*))
+        .select(cols.map(col): _*)) ++
+      tailDirs.map(d => spark.read.parquet(d).select(cols.map(col): _*)))
+      .reduce(_.unionByName(_))
   }
 
   /** Layout-aware consumer read of the guarded line index's live
@@ -799,44 +861,120 @@ object Ingest {
       .reduce(_.unionByName(_)))
   }
 
-  /** One-time migration of a pre-guard line-dedup index to the guarded
-    * layout: rewrites the live index content as a single compacted base
-    * partitioned by the hash prefix `p`, and commits the full bloom
-    * over every admitted hash. Run with the stream STOPPED (the bloom
-    * version is committed as the index's current high-water batch id,
-    * so the next batch — necessarily a higher id — sees it). No-op on
-    * an empty index. */
-  def rebuildLineDedupGuard(spark: SparkSession, indexPath: String,
-                            expectedLines: Long, fpp: Double,
-                            prefixParts: Int): Unit = {
+  /** Shared one-time guard (re)build: rewrite an index's live content
+    * as a single compacted base partitioned by `p` (added by
+    * `withPrefix`), and commit the full bloom over `bloomCol`. Run
+    * with the stream STOPPED (the bloom version is committed as the
+    * index's current high-water batch id, so the next batch —
+    * necessarily a higher id — sees it). No-op on an empty index. */
+  private def rebuildGuardedBase(spark: SparkSession, indexPath: String,
+      prep: DataFrame => DataFrame,
+      bloomKeys: DataFrame => DataFrame,
+      expectedItems: Long, fpp: Double): Unit = {
     val dirs = graft.io.Batches.liveDirs(spark, indexPath)
     if (dirs.isEmpty) return
     val ids = dirs.map(_.split("/b=").last.toLong)
     val highWater = // max folded-or-live batch id (base encodes -(w+2))
       ids.map(id => if (id <= -2L) -id - 2L else id).max
-    val rows = spark.read.option("basePath", indexPath)
-      .parquet(dirs: _*)
-      .select(col("_h")).distinct()
-      .withColumn("_h64", h64FromMd5(col("_h")))
-      .withColumn("p", pmod(col("_h64"), lit(prefixParts)).cast("int"))
+    // prep: live rows → STORAGE rows + the `p` column (re-derived, so
+    // a resize rebuild of an already-guarded index just re-buckets);
+    // storage must keep the tails' schema — the next compaction unions
+    // base and tails by name
+    val rows = prep(dirs
+        .map(d => spark.read.parquet(d).drop("p"))
+        .reduce(_.unionByName(_)))
       .persist()
     try {
       val staging = s"$indexPath/_rebuild"
       graft.io.Fs.delete(spark, staging)
-      rows.select(col("p"), col("_h"))
-        .repartition(col("p"))
+      rows.repartition(col("p"))
         .write.partitionBy("p").mode("overwrite").parquet(staging)
       // one-off full-index bloom build: stat.bloomFilter's per-partition
       // full-size filters are fine in an offline job (the per-batch path
-      // inserts incrementally instead — see the sink)
-      val bloom = rows.stat.bloomFilter("_h64", expectedLines, fpp)
-      graft.io.Fs.delete(spark, s"$indexPath/_bloom") // resize-safe
+      // inserts incrementally instead — see the sinks)
+      val bloom = bloomKeys(rows).stat.bloomFilter("k", expectedItems, fpp)
+      graft.io.Fs.delete(spark, s"$indexPath/_bloom")
       graft.io.BloomState.commit(spark, s"$indexPath/_bloom",
         highWater, bloom)
       graft.io.Fs.rename(spark, staging,
         s"$indexPath/b=${-(highWater + 2L)}")
       dirs.foreach(graft.io.Fs.delete(spark, _))
     } finally { rows.unpersist(); () }
+  }
+
+  /** One-time migration of a pre-guard line-dedup index to the guarded
+    * layout (also the resize path — sizing is fixed between rebuilds).
+    * See [[rebuildGuardedBase]] for the protocol. */
+  def rebuildLineDedupGuard(spark: SparkSession, indexPath: String,
+                            expectedLines: Long, fpp: Double,
+                            prefixParts: Int): Unit =
+    rebuildGuardedBase(spark, indexPath,
+      df => df.select(col("_h")).distinct()
+        .withColumn("p",
+          pmod(h64FromMd5(col("_h")), lit(prefixParts)).cast("int")),
+      rows => rows.select(h64FromMd5(col("_h")).as("k")),
+      expectedLines, fpp)
+
+  /** One-time migration of a pre-guard NEAR-DUP band index to the
+    * guarded layout (or resize). See [[rebuildGuardedBase]]. */
+  def rebuildNearDupGuard(spark: SparkSession, indexPath: String,
+                          expectedKeys: Long, fpp: Double,
+                          prefixParts: Int): Unit =
+    rebuildGuardedBase(spark, indexPath,
+      df => df.withColumn("p",
+        pmod(col("band_h"), lit(prefixParts)).cast("int")),
+      rows => rows.select(col("band_h").as("k")),
+      expectedKeys, fpp)
+
+  /** Guarded cross-batch collision probe for the near-dup filter sink:
+    * ids of `keys` rows (this batch's band keys, carrying `idCol`,
+    * `band`, `band_h`) that collide with any COMMITTED prior batch's
+    * admitted keys. Same two-tier shape as [[lineDedupAdmit]]: a
+    * bloom-NEGATIVE band key provably collides with nothing (admit
+    * without touching the index); the positive residue semi-joins the
+    * `p=`-pruned base plus the flat batch-scale tails. Identical hit
+    * set to the unguarded full-index semi-join (spec-pinned). */
+  private[graft] def nearDupPriorHits(spark: SparkSession,
+      indexPath: String, batchId: Long, keys: DataFrame, idCol: String,
+      bloom: Option[org.apache.spark.util.sketch.BloomFilter],
+      prefixParts: Int): DataFrame = {
+    graft.io.Batches.requireBatchLayout(spark, indexPath)
+    val dirs = graft.io.Batches.liveDirs(spark, indexPath,
+      below = Some(batchId))
+    (bloom, dirs) match {
+      case (_, Nil) => keys.select(col(idCol)).limit(0)
+      case (None, _) =>
+        throw new IllegalStateException(
+          s"$indexPath holds admitted batches but no _bloom state: the " +
+            "guard cannot certify collision-free keys. Run " +
+            "rebuildNearDupGuard once (stream stopped) to migrate an " +
+            "unguarded index, or start the sink with bloomGuard = false")
+      case (Some(bf), _) =>
+        val bc = spark.sparkContext.broadcast(bf)
+        val positives = keys.filter(graft.functions.BloomMightContainLong
+            .mightContain(col("band_h"), bc))
+          .withColumn("p",
+            pmod(col("band_h"), lit(prefixParts)).cast("int"))
+        val pset = positives.select(col("p")).distinct()
+          .collect().map(_.getInt(0))
+        if (pset.isEmpty) keys.select(col(idCol)).limit(0)
+        else positives.join(
+            prunedIndexRead(spark, dirs, indexPath, pset,
+              Seq("band", "band_h")),
+            Seq("band", "band_h"), "left_semi")
+          .select(col(idCol)).distinct()
+    }
+  }
+
+  /** Layout-aware consumer read of the guarded near-dup index
+    * (mixed flat tails + `p=` base — plain parquet reads conflict). */
+  def readNearDupIndex(spark: SparkSession, indexPath: String,
+                       below: Option[Long] = None): Option[DataFrame] = {
+    graft.io.Batches.requireBatchLayout(spark, indexPath)
+    val dirs = graft.io.Batches.liveDirs(spark, indexPath, below)
+    if (dirs.isEmpty) None
+    else Some(dirs.map(d => spark.read.parquet(d).drop("p"))
+      .reduce(_.unionByName(_)))
   }
 
   /** Streaming LINE dedup at the ingest door — the incremental form of

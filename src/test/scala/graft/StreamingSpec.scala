@@ -108,7 +108,8 @@ class StreamingSpec extends SparkSpec {
       // admitted-doc root and the band index
       Seq(out, idx).foreach { root =>
         val dirs = new java.io.File(root).listFiles()
-          .filter(_.isDirectory).map(_.getName).toSet
+          .filter(_.isDirectory).map(_.getName)
+          .filterNot(_.startsWith("_")).toSet
         assert(dirs == Set("b=0", "b=1"), s"$root layout: $dirs")
       }
       // provenance: the b partition column carries the ingest batch
@@ -149,7 +150,8 @@ class StreamingSpec extends SparkSpec {
       val kept = spark.read.parquet(out)
         .select("doc_id").collect().map(_.getLong(0)).toSet
       val idxDirs = new java.io.File(idx).listFiles()
-        .filter(_.isDirectory).map(_.getName).toSet
+        .filter(_.isDirectory).map(_.getName)
+        .filterNot(_.startsWith("_")).toSet
       (kept, idxDirs)
     }
     val (keptPlain, dirsPlain) = run(0, "graft_nd_plain")
@@ -161,6 +163,80 @@ class StreamingSpec extends SparkSpec {
     // batch 2 folded {0,1} -> base b=-3 (w=1); batches 2,3 are the tail
     assert(dirsComp == Set("b=-3", "b=2", "b=3"),
       s"compacted index layout: $dirsComp")
+  }
+
+  test("near-dup guard: admitted corpus and index identical with guard " +
+    "on/off; the guarded collision probe is partition-pruned") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ndg").toString
+    // novel docs + cross-batch dups + within-batch dups, several batches
+    val batches = (0 until 3).map { b =>
+      (0 until 20).map { i =>
+        val id = (b * 100 + i).toLong
+        val text =
+          if (i % 5 == 4 && b > 0) // dup of the previous batch's i-th doc
+            s"probe document b${b - 1} i$i carrying tokens alpha beta gamma delta"
+          else if (i % 5 == 4)
+            s"probe document b$b i$i carrying tokens alpha beta gamma delta"
+          else
+            s"unique document b$b i$i with tokens t${b * 31 + i} u${i * 7} v${b + i}"
+        id -> text
+      }
+    }
+    def run(sub: String, guard: Boolean): (Set[Long], Set[Long]) = {
+      val out = s"$tmp/$sub/out"; val idx = s"$tmp/$sub/idx"
+      val mem = MemoryStream[(Long, String)]
+      val q = Ingest.startNearDupFilterSink(mem.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", out, idx, s"$tmp/$sub/cp",
+        bloomGuard = guard, expectedKeys = 10000L, fpp = 0.01,
+        prefixParts = 16)
+      try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+      val kept = spark.read.parquet(out).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      val indexed = Ingest.readNearDupIndex(spark, idx).get
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      (kept, indexed)
+    }
+    val (gKept, gIdx) = run("guarded", guard = true)
+    val (uKept, uIdx) = run("plain", guard = false)
+    assert(gKept == uKept, "admitted corpus differs between modes")
+    assert(gIdx == uIdx, "indexed doc set differs between modes")
+    assert(gKept.nonEmpty && gKept.size < batches.flatten.size,
+      "fixture must both admit and drop")
+
+    // pruning: fold the guarded index, probe one already-admitted doc's
+    // band keys — the collision check must read only those keys' p=
+    // partitions of the base (non-vacuous files-read)
+    val idx = s"$tmp/guarded/idx"
+    graft.io.Batches.compact(spark, idx, upTo = 2L,
+      partitionBy = Seq("p"),
+      deriveTail = df => df.withColumn("p",
+        pmod(col("band_h"), lit(16)).cast("int")))
+    val probeDoc = batches.head.head // admitted in batch 0
+    val keys = graft.ops.TextDedup.bandKeys(
+      Seq(probeDoc).toDF("doc_id", "text"), "doc_id", "text", 3, 16, 4)
+    val bloomV = graft.io.BloomState
+      .latestVersionBefore(spark, s"$idx/_bloom", 100L)
+    assert(bloomV.isDefined, "guarded index must carry bloom state")
+    val bloom = Some(graft.io.BloomState.read(spark, s"$idx/_bloom",
+      bloomV.get))
+    val hits = Ingest.nearDupPriorHits(spark, idx, 100L, keys, "doc_id",
+      bloom, 16)
+    assert(hits.collect().map(_.getLong(0)).toSet == Set(probeDoc._1),
+      "admitted doc's keys must collide with its own index entry")
+    val read = graft.util.PlanMetrics.filesReadUnder(hits, idx)
+    def parquetFiles(dir: java.io.File): Seq[java.io.File] =
+      if (!dir.exists) Nil
+      else dir.listFiles.toSeq.flatMap(f =>
+        if (f.isDirectory) parquetFiles(f)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil)
+    val allFiles = parquetFiles(new java.io.File(idx))
+      .filterNot(_.getPath.contains("_bloom"))
+    assert(read >= 1 && read < allFiles.size,
+      s"probe read $read of ${allFiles.size} files — expected a " +
+        "non-vacuous pruned read")
   }
 
   test("near-dup drop audit separates justified drops from band-collision false drops") {
