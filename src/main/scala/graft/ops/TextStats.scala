@@ -654,30 +654,30 @@ object TextStats {
       .map(r => r.getString(0) -> r.getInt(2).toLong).toMap
 
   /** Tokenizer APPLICATION: map each document's tokens to ids from a
-    * fixed bounded vocabulary; OOV tokens map to -1. The vocab rides as
-    * a broadcast map literal, so this is a PURE PROJECTION — no join,
-    * no shuffle, input partitioning survives; tokenizing 100 TB is an
-    * embarrassingly parallel scan (the same shape real pipelines use:
-    * the vocab is trainer-fixed and tiny next to the corpus). Adds
-    * `token_ids`, `n_tokens`, `n_oov`, and `ids_fp` — a 60-bit content
-    * hash of the id SEQUENCE (order-sensitive), the cheap equality
-    * witness for "same tokenization" across engines and runs. The
-    * lambda lookups are interpreted (higher-order functions leave
-    * whole-stage codegen) — fine for a projection this thin; a hot
-    * 100 TB deployment would lift the map lookup into a codegen
-    * Expression like [[graft.functions.Md5Hash60]]. */
+    * fixed bounded vocabulary; OOV tokens map to -1. A PURE PROJECTION
+    * — no join, no shuffle, input partitioning survives; tokenizing
+    * 100 TB is an embarrassingly parallel scan (the same shape real
+    * pipelines use: the vocab is trainer-fixed and tiny next to the
+    * corpus). Adds `token_ids`, `n_tokens`, `n_oov`, and `ids_fp` — a
+    * 60-bit content hash of the id SEQUENCE (order-sensitive), the
+    * cheap equality witness for "same tokenization" across engines and
+    * runs. The lookup is the fused codegen kernel
+    * [[graft.functions.VocabIds]] (value-identical to the declarative
+    * broadcast-map-literal form, spec-pinned): the vocab rides one
+    * Broadcast handle instead of a per-task plan literal, and the
+    * per-token probe runs on UTF8String bytes inside whole-stage
+    * codegen instead of an interpreted higher-order lambda — the lift
+    * the earlier scaladoc promised for a hot 100 TB deployment. */
   def tokenIds(df: DataFrame, idCol: String, textCol: String,
-               vocab: Map[String, Long]): DataFrame = {
-    val m = typedlit(vocab)
+               vocab: Map[String, Long]): DataFrame =
     df.withColumn("token_ids",
-        transform(TextDedup.tokens(col(textCol)),
-          t => coalesce(element_at(m, t), lit(-1L))))
+        graft.functions.VocabIds.vocabIds(
+          TextDedup.tokens(col(textCol)), df.sparkSession, vocab))
       .withColumn("n_tokens", size(col("token_ids")).cast("long"))
       .withColumn("n_oov",
         size(filter(col("token_ids"), x => x === -1L)).cast("long"))
       .withColumn("ids_fp", TextDedup.md5Hash60(
         concat_ws(",", transform(col("token_ids"), x => x.cast("string")))))
-  }
 
   /** Adjacent symbol-pair counts over a (cnt, syms) word table — one
     * BPE training round's statistics: every adjacent (syms[i],

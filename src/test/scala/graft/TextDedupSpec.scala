@@ -656,6 +656,17 @@ class TextDedupSpec extends SparkSpec {
       .collect().head
     assert(oov.getSeq[Long](oov.fieldIndex("token_ids")) == Seq(1L, -1L))
     assert(oov.getAs[Long]("n_oov") == 1L)
+    // the fused VocabIds kernel is value-identical to the declarative
+    // broadcast-map-literal form it replaced (incl. OOV and empty docs)
+    val m = typedlit(vocab)
+    val declarative = d.select(col("doc_id"),
+        transform(graft.ops.TextDedup.tokens(col("text")),
+          t => coalesce(element_at(m, t), lit(-1L))).as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val fused = TextStats.tokenIds(d, "doc_id", "text", vocab)
+      .select(col("doc_id"), col("token_ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fused == declarative)
   }
 
   test("token counts: ws vs bpe-ish") {
