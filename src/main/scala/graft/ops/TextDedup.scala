@@ -906,22 +906,52 @@ object TextDedup {
     * No window, no all-pairs, nothing collects. */
   def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
                      n: Int = 3): DataFrame = {
-    // duplicated 0-based span starts per doc, sorted
-    val pos = df.select(col(idCol), tokens(col(textCol)).as("w"))
+    val docFreq = shingleHashes(df, idCol, textCol, n)
+      .groupBy("sh_h").agg(count(lit(1)).as("_df"))
+    cutSpans(df, idCol, textCol, n,
+      dupStarts(df, idCol, textCol, n,
+        docFreq.filter(col("_df") > 1).select(col("sh_h"))))
+  }
+
+  /** [[removeDupSpans]] against a PRE-BUILT corpus doc-frequency table
+    * (e.g. the streaming shingle-DF MV,
+    * [[graft.streaming.Ingest]].readShingleFreq) — the span-cutting
+    * sibling of [[dupSpanStatsAgainst]], with the same membership
+    * semantics: when the slice's docs are inside the corpus the table
+    * summarizes, `df > 1` means "occurs in another document", so the
+    * cut set is row-identical to running the batch operator over the
+    * full corpus (spec-pinned); a shingle absent from the table scores
+    * unique and its span survives — the conservative direction. Lets
+    * an ingest pipeline cut boilerplate spans per micro-batch without
+    * ever rescanning corpus history. */
+  def removeDupSpansAgainst(docs: DataFrame, idCol: String,
+                            textCol: String, n: Int,
+                            freq: DataFrame): DataFrame =
+    cutSpans(docs, idCol, textCol, n,
+      dupStarts(docs, idCol, textCol, n,
+        freq.filter(col("df") > 1).select(col("sh_h"))))
+
+  /** Sorted 0-based duplicated-span starts per doc: positions whose
+    * shingle hash is in `dupHashes` (semi join — the hot-shingle fan
+    * rides AQE skew splits; see [[removeDupSpans]]'s scaladoc). */
+  private def dupStarts(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, dupHashes: DataFrame): DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("w"))
       .select(col(idCol),
         posexplode(transform(shingleArray(col("w"), n),
           s => md5Hash60(s))).as(Seq("_p", "sh_h")))
       .select(col(idCol), col("_p").cast("long").as("_p"), col("sh_h"))
-    val docFreq = shingleHashes(df, idCol, textCol, n)
-      .groupBy("sh_h").agg(count(lit(1)).as("_df"))
-    val dupStarts = pos.join(docFreq.filter(col("_df") > 1),
-        Seq("sh_h"), "left_semi")
+      .join(dupHashes, Seq("sh_h"), "left_semi")
       .groupBy(col(idCol))
       .agg(sort_array(collect_set(col("_p"))).as("_starts"))
-    // map-side cut: merge overlapping [s, s+n) intervals, slice the
-    // complement segments out of the token array, reassemble
+
+  /** The map-side cut shared by the batch and against-MV forms: merge
+    * overlapping [s, s+n) intervals, slice the complement segments out
+    * of the token array, reassemble. */
+  private def cutSpans(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, starts: DataFrame): DataFrame = {
     val toks = df.select(col(idCol), tokens(col(textCol)).as("_w"))
-      .join(dupStarts, Seq(idCol), "left")
+      .join(starts, Seq(idCol), "left")
       .withColumn("_starts",
         coalesce(col("_starts"), array().cast("array<long>")))
     val merged = aggregate(

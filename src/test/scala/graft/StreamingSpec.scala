@@ -320,6 +320,17 @@ class StreamingSpec extends SparkSpec {
     val f = rows(ops.TextDedup.dupSpanStatsAgainst(fresh, "doc_id",
       "text", 3, freq)).head
     assert(f._3 == 0L && f._4 == 0.0)
+    // span REMOVAL against the MV ≡ the batch operator over everything
+    // ingested (same membership rule), and the fresh doc survives whole
+    def cutRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(cutRows(ops.TextDedup.removeDupSpansAgainst(all, "doc_id",
+        "text", 3, freq)) ==
+      cutRows(ops.TextDedup.removeDupSpans(all, "doc_id", "text", 3)))
+    val fc = cutRows(ops.TextDedup.removeDupSpansAgainst(fresh, "doc_id",
+      "text", 3, freq)).head
+    assert(fc._2 == "brand new words entirely" && fc._4 == 0L)
   }
 
   test("unigram MV: streamed state scores bit-identically to the batch operator") {
