@@ -7,7 +7,9 @@ import org.apache.spark.sql.SparkSession
   *    scalar broadcast), t_unigram_score / t_bigram_score (one-row
   *    totals scalar broadcast), j6 (pattern replay IS a cross join,
   *    tiny side), e_ann_bruteforce / e_int8_topk (the brute-force
-  *    baselines are deliberate corpus × probes scans);
+  *    baselines are deliberate corpus × probes scans), and the
+  *    e_recall_* evaluators (they contain the brute-force component;
+  *    their own recall join is top-k-scale and AQE-broadcast at run);
   *  - SortMergeJoin in the dedup family / e_cosine_neardup (banded
   *    sign-LSH self-join) / t_curate / pipe_pretrain_recipe (contains
   *    dedupCorpus) / prof_events_drift (two profile snapshots joined —

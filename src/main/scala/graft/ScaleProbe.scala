@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   *   sbt "runMain graft.ScaleProbe [multiplier] [section]"
   * With a second arg, only that section runs (so one family can probe
   * at a multiplier the full sweep can't afford): text | sampling |
-  * jaccard | contamination | ann | snapshot | ndsink | ndprobe | ldsink | ldprobe |
+  * jaccard | contamination | ann | snapshot | ndsink | ndprobe | ldsink | ldprobe | span |
   * linehot | ndaudit | embsink | events.
   */
 object ScaleProbe {
@@ -114,6 +114,16 @@ object ScaleProbe {
       // doc-freq agg and 1:1 join back must stay linear, no hot key
       ops.TextDedup.dupSpanStats(docs, "doc_id", "text", 3).count()
     }
+    time("remove_dup_spans") {
+      // multiplied corpus = EVERY doc fully duplicated (worst case:
+      // every position is a dup start, the interval merge collapses a
+      // doc-length starts array per doc) — must stay linear. The
+      // filter references the computed cut: a bare count() lets the
+      // optimizer ELIMINATE the unique-keyed left join and measure
+      // nothing but the cached scan
+      ops.TextDedup.removeDupSpans(docs, "doc_id", "text", 3)
+        .filter(col("n_tokens_kept") >= 0L).count()
+    }
     time("chunk_documents") {
       ops.TextStats.chunkDocuments(docs, "doc_id", "text", 64, 48).count()
     }
@@ -148,6 +158,19 @@ object ScaleProbe {
         n = 3, k = 16, bands = 4, minJ = 0.8,
         alpha = 0.5, budgetFrac = 0.9, nShards = 16, seed = "probe")
         .count()
+    }
+    }
+
+    section("span") {
+    // the substring-duplication family in a CLEAN session (the full
+    // text sweep runs these after simhash's 78M-pair fixture, whose
+    // heap residue swings them 2-5x — see the bench-variance notes)
+    time("dup_span_stats") {
+      ops.TextDedup.dupSpanStats(docs, "doc_id", "text", 3).count()
+    }
+    time("remove_dup_spans") {
+      ops.TextDedup.removeDupSpans(docs, "doc_id", "text", 3)
+        .filter(col("n_tokens_kept") >= 0L).count()
     }
     }
 
