@@ -699,6 +699,14 @@ object SparkEntry {
     "t_bpe_merges" -> ((s, dir) =>
       TextStats.bpeMerges(Tables.documents(s, dir), "text", 3)
         .orderBy("rnk")),
+    // the encoder half: train 3 merges, then encode the corpus with
+    // them — per-doc subword counts and an order-sensitive stream hash
+    "t_bpe_encode" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val m = TextStats.bpeMerges(d, "text", 3).orderBy("rnk").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextStats.bpeEncode(d, "doc_id", "text", m).orderBy("doc_id")
+    }),
     "t_bigram_score" -> ((s, dir) =>
       TextStats.bigramScore(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
@@ -1041,7 +1049,14 @@ object SparkEntry {
     * consecutive matches (two adjacent matches force l = r, and the
     * greedy pass takes every other one) — a gaps-and-islands window,
     * exact in any engine. */
-  private def bpeMergesOracleSql(nMerges: Int): String = {
+  /** The shared CTE chain: wf1 (char symbols) then, per round r,
+    * pair counts → argmax → positional greedy-merge application into
+    * wf{r+1} (so wf{nMerges+1} is the fully-encoded vocabulary).
+    * Ends WITHOUT a trailing comma; callers append their own CTEs
+    * (",\nname AS (...)") and final select. Unreferenced CTEs are
+    * pruned by the engine, so the merges query sharing this chain
+    * costs nothing extra. */
+  private def bpeChainSql(nMerges: Int): String = {
     val sb = new StringBuilder
     sb ++= """WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) word FROM documents),
              |wf1 AS (SELECT word, CAST(COUNT(*) AS BIGINT) cnt,
@@ -1049,40 +1064,69 @@ object SparkEntry {
              |        FROM tok GROUP BY word),
              |""".stripMargin
     for (r <- 1 to nMerges) {
-      val bestSep = if (r < nMerges) "," else ""
+      val tail = if (r < nMerges) "," else ""
       sb ++= s"""p$r AS (SELECT syms[i] AS l, syms[i+1] AS r, CAST(SUM(cnt) AS BIGINT) AS n
                 |       FROM wf$r, UNNEST(generate_series(1, len(syms) - 1)) AS g(i)
                 |       WHERE len(syms) >= 2 GROUP BY 1, 2),
-                |best$r AS (SELECT l, r, n FROM p$r ORDER BY n DESC, l, r LIMIT 1)$bestSep
+                |best$r AS (SELECT l, r, n FROM p$r ORDER BY n DESC, l, r LIMIT 1),
+                |pos$r AS (SELECT w.word, w.cnt, w.syms, g.i,
+                |       COALESCE(g.i < len(w.syms) AND w.syms[g.i] = b.l
+                |                AND w.syms[g.i+1] = b.r, FALSE) AS mt
+                |     FROM wf$r w, best$r b,
+                |          UNNEST(generate_series(1, len(w.syms))) AS g(i)),
+                |isl$r AS (SELECT *, i - ROW_NUMBER()
+                |            OVER (PARTITION BY word, mt ORDER BY i) AS isl
+                |     FROM pos$r),
+                |mrg$r AS (SELECT *, mt AND (ROW_NUMBER()
+                |            OVER (PARTITION BY word, mt, isl ORDER BY i) % 2 = 1) AS inm
+                |     FROM isl$r),
+                |sel$r AS (SELECT word, cnt, i,
+                |       CASE WHEN inm THEN syms[i] || syms[i+1]
+                |            WHEN COALESCE(lag(inm) OVER (PARTITION BY word
+                |              ORDER BY i), FALSE) THEN NULL
+                |            ELSE syms[i] END AS sym
+                |     FROM mrg$r),
+                |wf${r + 1} AS (SELECT word, cnt,
+                |         list(sym ORDER BY i) FILTER (WHERE sym IS NOT NULL) AS syms
+                |       FROM sel$r GROUP BY word, cnt)$tail
                 |""".stripMargin
-      if (r < nMerges)
-        sb ++= s"""pos$r AS (SELECT w.word, w.cnt, w.syms, g.i,
-                  |       COALESCE(g.i < len(w.syms) AND w.syms[g.i] = b.l
-                  |                AND w.syms[g.i+1] = b.r, FALSE) AS mt
-                  |     FROM wf$r w, best$r b,
-                  |          UNNEST(generate_series(1, len(w.syms))) AS g(i)),
-                  |isl$r AS (SELECT *, i - ROW_NUMBER()
-                  |            OVER (PARTITION BY word, mt ORDER BY i) AS isl
-                  |     FROM pos$r),
-                  |mrg$r AS (SELECT *, mt AND (ROW_NUMBER()
-                  |            OVER (PARTITION BY word, mt, isl ORDER BY i) % 2 = 1) AS inm
-                  |     FROM isl$r),
-                  |sel$r AS (SELECT word, cnt, i,
-                  |       CASE WHEN inm THEN syms[i] || syms[i+1]
-                  |            WHEN COALESCE(lag(inm) OVER (PARTITION BY word
-                  |              ORDER BY i), FALSE) THEN NULL
-                  |            ELSE syms[i] END AS sym
-                  |     FROM mrg$r),
-                  |wf${r + 1} AS (SELECT word, cnt,
-                  |         list(sym ORDER BY i) FILTER (WHERE sym IS NOT NULL) AS syms
-                  |       FROM sel$r GROUP BY word, cnt),
-                  |""".stripMargin
     }
-    sb ++= (1 to nMerges).map(r =>
-        s"""SELECT CAST($r AS INTEGER) rnk, l AS "left", r AS "right", n FROM best$r""")
-      .mkString("", "\nUNION ALL\n", "\nORDER BY rnk")
     sb.toString
   }
+
+  private def bpeMergesOracleSql(nMerges: Int): String =
+    bpeChainSql(nMerges) + (1 to nMerges).map(r =>
+        s"""SELECT CAST($r AS INTEGER) rnk, l AS "left", r AS "right", n FROM best$r""")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY rnk")
+
+  /** Generated oracle for the BPE ENCODER (t_bpe_encode): the trainer
+    * chain's final vocabulary state wf{n+1} IS the encoding of every
+    * corpus word under the n learned merges, so encoding = an ordered
+    * token→syms join plus a per-doc order-sensitive stream hash. */
+  private def bpeEncodeOracleSql(nMerges: Int): String =
+    bpeChainSql(nMerges) +
+      s""",
+         |tokd AS (SELECT doc_id, g.i AS pos, w[g.i] AS word
+         |         FROM (SELECT doc_id,
+         |                 regexp_extract_all(lower(text), '[a-z0-9]+') w
+         |               FROM documents),
+         |              UNNEST(generate_series(1, len(w))) AS g(i)),
+         |enc AS (SELECT t.doc_id, t.pos, f.syms
+         |        FROM tokd t JOIN wf${nMerges + 1} f USING (word)),
+         |agg AS (SELECT doc_id,
+         |          CAST(count(*) AS BIGINT) AS n_tokens,
+         |          CAST(sum(len(syms)) AS BIGINT) AS n_subwords,
+         |          string_agg(array_to_string(syms, ' '), ' '
+         |            ORDER BY pos) AS stream
+         |        FROM enc GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |       coalesce(a.n_tokens, 0) AS n_tokens,
+         |       coalesce(a.n_subwords, 0) AS n_subwords,
+         |       CAST(('0x'||substr(md5(coalesce(a.stream, '')),1,15))
+         |         AS BIGINT) AS subwords_fp
+         |FROM (SELECT DISTINCT doc_id FROM documents) d
+         |LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "s1_range_scan" ->
@@ -2540,6 +2584,7 @@ object SparkEntry {
         |       FROM p)
         |SELECT rnk, l, r, n FROM rk WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
     "t_bpe_merges" -> bpeMergesOracleSql(3),
+    "t_bpe_encode" -> bpeEncodeOracleSql(3),
     "t_ngram_topk" ->
       """WITH t AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') w FROM documents),
         |g AS (SELECT array_to_string(w[i:i+1], ' ') AS ngram

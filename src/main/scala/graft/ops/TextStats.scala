@@ -768,6 +768,42 @@ object TextStats {
     merges.toSeq.toDF("rnk", "left", "right", "n")
   }
 
+  /** BPE ENCODING — the apply half of the trainer loop: tokenize each
+    * document, split every token into character symbols, apply the
+    * learned merge rules IN RANK ORDER (each one the same
+    * left-to-right non-overlapping [[mergeAdjacent]] the trainer
+    * used — so encoding the training corpus reproduces the trainer's
+    * final symbol state, spec-pinned), and flatten to the document's
+    * subword stream. Output per doc: `n_tokens`, `n_subwords`, and
+    * `subwords_fp` — the 60-bit order-sensitive hash of the
+    * space-joined stream, the cross-engine equality witness (same
+    * convention as [[tokenIds]]' `ids_fp`).
+    *
+    * A pure projection: the merge table rides the expression tree (a
+    * trained table is tens-of-thousands of rules; THIS form is the
+    * reference semantics and is what the oracle replays — a hot
+    * 100 TB encoder would fuse the rank-ordered merge loop into a
+    * codegen kernel exactly like [[graft.functions.VocabIds]] replaced
+    * tokenIds' lambda, trading the per-rule nested `transform`s for
+    * one greedy pass). No join, no shuffle; empty docs keep a row
+    * with the empty-stream fingerprint. */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    val perTok = transform(TextDedup.tokens(col(textCol)),
+      t => split(t, ""))
+    val mergedTok = merges.foldLeft(perTok) { case (acc, (l, r)) =>
+      transform(acc, syms => mergeAdjacent(syms, l, r))
+    }
+    df.select(col(idCol), mergedTok.as("_st"))
+      .select(col(idCol),
+        size(col("_st")).cast("long").as("n_tokens"),
+        aggregate(col("_st"), lit(0L),
+          (acc, s) => acc + size(s).cast("long")).as("n_subwords"),
+        TextDedup.md5Hash60(
+          array_join(transform(col("_st"), s => array_join(s, " ")), " "))
+          .as("subwords_fp"))
+  }
+
   /** Model-based quality scoring — the fasttext/CCNet-style linear
     * classifier inference step of a curation pipeline, at corpus
     * scale: score(doc) = bias + Σ over TOKEN OCCURRENCES of w(token)

@@ -636,6 +636,32 @@ class TextDedupSpec extends SparkSpec {
     assert(tp.head == ("a", "b", 4L))
   }
 
+  test("bpeEncode applies learned merges in rank order (incl. partial " +
+    "merges on unseen words); empty docs keep the empty-stream fp") {
+    val train = Seq((1L, "aab aab"), (2L, "aab ab")).toDF("doc_id", "text")
+    val m = TextStats.bpeMerges(train, "text", 10).orderBy("rnk").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(m == Seq(("a", "b"), ("a", "ab"))) // the trainer spec's rules
+    def fp(s: String): Long = spark.range(1)
+      .select(TextDedup.md5Hash60(lit(s))).head.getLong(0)
+    // encode a DIFFERENT frame: "aabb" was never trained on — rule 1
+    // merges its (a,b), rule 2 then merges (a,ab) -> [aab, b]
+    val enc = TextStats.bpeEncode(
+        Seq((1L, "aab aab"), (2L, "aab ab"), (3L, ""), (4L, "aabb"))
+          .toDF("doc_id", "text"), "doc_id", "text", m)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(enc(1L) == ((2L, 2L, fp("aab aab")))) // both words fully merged
+    assert(enc(2L) == ((2L, 2L, fp("aab ab"))))  // "ab" stops at rule 1
+    assert(enc(3L) == ((0L, 0L, fp(""))))
+    assert(enc(4L) == ((1L, 2L, fp("aab b"))))
+    // no shuffle: encoding is a pure projection
+    val plan = TextStats.bpeEncode(train, "doc_id", "text", m)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "bpeEncode must stay a projection")
+  }
+
   test("tokenIds: vocab lookup is a shuffle-free projection, OOV maps to -1, fp is order-sensitive") {
     val d = Seq((1L, "red blue red"), (2L, "blue red red"), (3L, ""))
       .toDF("doc_id", "text")
