@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   *   sbt "runMain graft.ScaleProbe [multiplier] [section]"
   * With a second arg, only that section runs (so one family can probe
   * at a multiplier the full sweep can't afford): text | sampling |
-  * jaccard | contamination | ann | snapshot | ndsink | ndprobe | ldsink | ldprobe | span |
+  * jaccard | contamination | ann | snapshot | ndsink | ndprobe | ldsink | ldprobe | embprobe | span |
   * linehot | ndaudit | embsink | events.
   */
 object ScaleProbe {
@@ -158,6 +158,55 @@ object ScaleProbe {
         n = 3, k = 16, bands = 4, minJ = 0.8,
         alpha = 0.5, budgetFrac = 0.9, nShards = 16, seed = "probe")
         .count()
+    }
+    }
+
+    section("embprobe") {
+    // growth curve of the EMBEDDING near-dup sink's cumulative band
+    // index (the last "measure first" item): per-batch collision+verify
+    // cost against fabricated indexes of 100k / 300k / 1M admitted
+    // vectors (4 band rows each, 64-dim quantized payloads). Unlike the
+    // text sinks there is no bloom to front this: the 2^8-per-band key
+    // domain saturates by design, so every batch key collides and the
+    // cost driver is the per-key bucket population (index/1024 rows
+    // verified per colliding key) — expected to grow linearly with the
+    // admitted count; the mitigation dial is planesPerBand (see the
+    // embsink section), not a membership filter.
+    locally {
+      def qvOf(idc: org.apache.spark.sql.Column) =
+        transform(sequence(lit(1), lit(64)),
+          j => pmod(idc * 31L + j.cast("long") * 17L, lit(201L)) - 100L)
+      def keysOf(base: DataFrame) = base
+        .select(col("id").as("vec_id"), qvOf(col("id")).as("qv"),
+          explode(sequence(lit(0), lit(3))).as("band"))
+        .withColumn("key",
+          pmod(col("vec_id") * (col("band") * 2L + 7L), lit(256L)))
+      for (m <- Seq(100000L, 300000L, 1000000L)) {
+        val tmp = java.nio.file.Files
+          .createTempDirectory(s"graft_probe_ep$m").toString
+        val idx = s"$tmp/idx"
+        keysOf(spark.range(m).toDF()).write.parquet(s"$idx/b=0")
+        // 50-vector batch: half repeats of admitted vectors (exact qv
+        // match -> verified drop), half fresh
+        val batch = keysOf(spark.range(50L).toDF()
+          .select(when(col("id") < 25, col("id"))
+            .otherwise(col("id") + 1000000000L).as("id")))
+        def bestOf(k: Int)(body: => Long): Double =
+          (1 to k).map { _ =>
+            val t0 = System.nanoTime(); body
+            (System.nanoTime() - t0) / 1e9
+          }.min
+        val t = bestOf(3) {
+          val idxDf = io.Batches.read(spark, idx).get
+          batch.as("x").join(
+              idxDf.select(col("band"), col("key"), col("qv").as("_iqv")),
+              Seq("band", "key"))
+            .filter(ops.Embeddings.qcosine(col("qv"), col("_iqv")) >= 0.99)
+            .select(col("vec_id")).distinct().count()
+        }
+        println(f"[scaleprobe] embprobe index=${m / 1000}k vectors " +
+          f"(${m * 4 / 1000}k band rows): per-batch collision+verify $t%.2f s")
+      }
     }
     }
 
