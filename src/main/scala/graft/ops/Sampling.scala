@@ -38,6 +38,37 @@ object Sampling {
       coalesce(m(col(stratumCol)), lit(defaultRate)))
   }
 
+  /** CLUSTER-BALANCED (diversity) sampling over an embedding column —
+    * the SemDeDup/DSIR-adjacent recipe step: assign every vector to
+    * its k-means cell ([[Embeddings.ivfAssign]] under the caller's
+    * integer-exact [[Embeddings.ivfFit]] model — deterministic, so the
+    * whole draw is engine-reproducible) and Bernoulli-keep each row at
+    * rate `min(1, perCell / |cell|)` — dense regions (big clusters)
+    * down-weight toward an expected `perCell` rows per cell, sparse
+    * regions survive whole, which is exactly the "sample the tails,
+    * thin the blob" shape diversity sampling wants. Returns kept
+    * (idCol, cell).
+    *
+    * Scale shape: cell assignment is a pure projection (broadcast
+    * centroid distances, [[graft.functions.QDot]] kernel); the
+    * per-cell histogram is one map-side-combinable count over k cells;
+    * the rate table broadcasts (k rows) and the keep decision is the
+    * deterministic u01 predicate — two map scans of the vectors, one
+    * k-row aggregate, no corpus shuffle. */
+  def clusterBalancedSample(model: Embeddings.IvfModel, vecs: DataFrame,
+                            idCol: String, vecCol: String,
+                            perCell: Long, seed: String): DataFrame = {
+    require(perCell > 0, s"perCell must be positive, got $perCell")
+    val assigned = Embeddings.ivfAssign(model, vecs, idCol, vecCol)
+    val rates = assigned.groupBy("cell").agg(count(lit(1)).as("_n"))
+      .withColumn("_rate", least(lit(1.0),
+        lit(perCell.toDouble) / col("_n").cast("double")))
+    assigned.join(broadcast(rates.select(col("cell"), col("_rate"))),
+        "cell")
+      .filter(u(seed, col(idCol)) < col("_rate"))
+      .select(col(idCol), col("cell"))
+  }
+
   /** Data mixing with per-source EPOCH weights — the canonical
     * pretraining recipe step ("2.5 epochs of source A, 0.5 of B"):
     * weight w yields floor(w) guaranteed copies of every row plus one
