@@ -467,6 +467,17 @@ object SparkEntry {
       Sampling.sourceCap(d, "dom", "n_chars", "doc_id", cap = 10)
         .select("doc_id", "dom", "n_chars").orderBy("doc_id")
     }),
+    // cluster-balanced diversity sampling over the embedding corpus:
+    // thin dense k-means cells toward an expected perCell rows each,
+    // keep sparse cells whole. Fit, assignment and draw are all
+    // integer-exact / seeded-hash deterministic, so the oracle replays
+    // the entire pipeline (Lloyd's loop included) bit-for-bit.
+    "samp_cluster_balanced" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val model = Embeddings.ivfFit(e, "vec_id", "embedding", nLists = 16)
+      Sampling.clusterBalancedSample(model, e, "vec_id", "embedding",
+        perCell = 20L, seed = "cbal").orderBy("vec_id")
+    }),
     // ---- composed pipelines oracled END-TO-END (not just per stage):
     // the full pretraining recipe and the minimal curate-to-shards
     // recipe, each replayed as one DuckDB CTE chain. Inputs seed work
@@ -985,11 +996,20 @@ object SparkEntry {
     * still exact), so the oracle matches the Spark result bit-for-bit
     * WITHOUT the centroids being passed out-of-band — the fit itself is
     * re-derived from the parquet input by the SQL. */
-  private def ivfTopKOracleSql(nLists: Int, iters: Int, nProbe: Int, k: Int,
-                               dim: Int, sampleCap: Int): String = {
-    val distOrder = (q: String, c: String) =>
-      s"""-2 * CAST(list_dot_product($q, $c.cv) AS DOUBLE)
-         |           + CAST(list_dot_product($c.cv, $c.cv) AS DOUBLE), $c.cell""".stripMargin
+  /** Lexicographic centroid-distance ordering key shared by every CTE
+    * that replays an ivf assignment: squared L2 minus the per-row
+    * constant ‖q‖² (same argmin), ties to the lowest cell. */
+  private def ivfDistOrder(q: String, c: String): String =
+    s"""-2 * CAST(list_dot_product($q, $c.cv) AS DOUBLE)
+       |           + CAST(list_dot_product($c.cv, $c.cv) AS DOUBLE), $c.cell""".stripMargin
+
+  /** Shared WITH-prefix replaying Embeddings.ivfFit's integer-exact
+    * Lloyd's loop over the embeddings table as `iters` unrolled CTE
+    * pairs — ends with `c$iters` holding the fitted centroids; callers
+    * append their own assignment CTEs (see ivfTopKOracleSql /
+    * clusterBalancedOracleSql). */
+  private def ivfFitCtesSql(nLists: Int, iters: Int, dim: Int,
+                            sampleCap: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH v AS (SELECT vec_id, list_transform(embedding,
               |             x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) qv
@@ -1004,7 +1024,7 @@ object SparkEntry {
       val prev = s"c${it - 1}"
       sb ++= s"""a$it AS (SELECT s.sid, s.qv, c.cell,
                 |         ROW_NUMBER() OVER (PARTITION BY s.sid ORDER BY
-                |           ${distOrder("s.qv", "c")}) AS rn
+                |           ${ivfDistOrder("s.qv", "c")}) AS rn
                 |       FROM samp s, $prev c),
                 |m$it AS (SELECT a.cell, d.i,
                 |         CAST(CAST(SUM(a.qv[d.i]) AS BIGINT) // COUNT(*) AS BIGINT) AS x
@@ -1015,6 +1035,14 @@ object SparkEntry {
                 |          FROM m$it GROUP BY cell) n USING (cell)),
                 |""".stripMargin
     }
+    sb.toString
+  }
+
+  private def ivfTopKOracleSql(nLists: Int, iters: Int, nProbe: Int, k: Int,
+                               dim: Int, sampleCap: Int): String = {
+    val distOrder = (q: String, c: String) => ivfDistOrder(q, c)
+    val sb = new StringBuilder
+    sb ++= ivfFitCtesSql(nLists, iters, dim, sampleCap)
     sb ++= s"""asg AS (SELECT v.vec_id AS corpus_id, v.qv AS cv, c.cell,
               |         ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
               |           ${distOrder("v.qv", "c")}) AS rn
@@ -1036,6 +1064,31 @@ object SparkEntry {
               |      FROM s)
               |SELECT query_id, corpus_id, cosine, rnk
               |FROM r WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+    sb.toString
+  }
+
+  /** Generated oracle for samp_cluster_balanced: the replayed ivfFit
+    * assignment (shared Lloyd's prefix), per-cell counts, keep rate
+    * min(1, perCell/n), and the deterministic u01 predicate — every
+    * step exact integer / seeded-hash arithmetic, so DuckDB reproduces
+    * the entire diversity draw bit-for-bit. */
+  private def clusterBalancedOracleSql(nLists: Int, iters: Int, dim: Int,
+                                       sampleCap: Int, perCell: Long,
+                                       seed: String): String = {
+    val sb = new StringBuilder
+    sb ++= ivfFitCtesSql(nLists, iters, dim, sampleCap)
+    sb ++= s"""asg AS (SELECT v.vec_id, c.cell,
+              |         ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+              |           ${ivfDistOrder("v.qv", "c")}) AS rn
+              |       FROM v, c$iters c),
+              |cb AS (SELECT vec_id, cell FROM asg WHERE rn = 1),
+              |n AS (SELECT cell, COUNT(*) AS cn FROM cb GROUP BY cell)
+              |SELECT cb.vec_id, CAST(cb.cell AS INT) AS cell
+              |FROM cb JOIN n USING (cell)
+              |WHERE (CAST(CAST(('0x'||substr(md5('$seed:' || CAST(cb.vec_id AS VARCHAR)),1,15)) AS BIGINT) % 1000000 AS DOUBLE)
+              |       / 1000000.0)
+              |      < LEAST(1.0, CAST($perCell AS DOUBLE) / CAST(n.cn AS DOUBLE))
+              |ORDER BY cb.vec_id""".stripMargin
     sb.toString
   }
 
@@ -2728,6 +2781,8 @@ object SparkEntry {
          |ORDER BY s.query_id""".stripMargin,
     "e_ivf_topk" -> ivfTopKOracleSql(nLists = 16, iters = 10, nProbe = 4,
       k = 5, dim = 64, sampleCap = 4096),
+    "samp_cluster_balanced" -> clusterBalancedOracleSql(nLists = 16,
+      iters = 10, dim = 64, sampleCap = 4096, perCell = 20L, seed = "cbal"),
     // IVF recall evaluator: the same CTE composition as e_recall_lsh,
     // with the approx side the replayed-k-means IVF oracle
     "e_recall_ivf" ->

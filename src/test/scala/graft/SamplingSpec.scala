@@ -195,4 +195,66 @@ class SamplingSpec extends SparkSpec {
       .collect().sorted.toSeq
     assert(s0 == (0L until 100L).toSeq)
   }
+
+  /** Driver-side replay of Synthetic.u01 (first 60 md5 bits mod 1e6). */
+  private def u01Driver(seed: String, id: Long): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s"$seed:$id".getBytes("UTF-8"))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    ((h >>> 4) % 1000000L).toDouble / 1000000.0
+  }
+
+  test("clusterBalancedSample: dense cells thin toward perCell, small " +
+    "cells survive whole, and the draw is exactly the u01 gate over " +
+    "the ivfAssign cells") {
+    import graft.ops.Embeddings
+    val dim = 4
+    def pt(center: Double, i: Long): Seq[Float] =
+      Seq.tabulate(dim)(d => (center + ((i * (d + 3)) % 7) * 0.01).toFloat)
+    // one dense blob (200 pts) + two small far-away clusters (8 + 5)
+    val rows =
+      (0L until 200L).map(i => (i, pt(100.0, i))) ++
+        (0L until 8L).map(i => (1000L + i, pt(-50.0, i))) ++
+        (0L until 5L).map(i => (2000L + i, pt(0.0, i)))
+    val df = rows.toDF("vec_id", "embedding")
+    val model = Embeddings.ivfFit(df, "vec_id", "embedding",
+      nLists = 3, iters = 5)
+    val perCell = 20L
+    val kept = Sampling.clusterBalancedSample(
+      model, df, "vec_id", "embedding", perCell, "cb")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    // every kept row carries its true ivfAssign cell
+    val asg = Embeddings.ivfAssign(model, df, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    kept.foreach { case (id, c) => assert(asg(id) == c) }
+    // the kept set is exactly the independent driver-side replay of
+    // the gate: u01(seed,id) < min(1, perCell/|cell|)
+    val counts = asg.values.groupBy(identity).map { case (c, v) =>
+      c -> v.size.toLong
+    }
+    val expect = asg.filter { case (id, c) =>
+      u01Driver("cb", id) < math.min(1.0, perCell.toDouble / counts(c))
+    }.keySet
+    assert(kept.map(_._1).toSet == expect)
+    // cells at or under perCell keep every row (rate clamps to 1)
+    val keptByCell =
+      kept.groupBy(_._2).map { case (c, v) => c -> v.size.toLong }
+    counts.filter(_._2 <= perCell).foreach { case (c, n) =>
+      assert(keptByCell.getOrElse(c, 0L) == n,
+        s"small cell $c lost rows: kept ${keptByCell.getOrElse(c, 0L)} of $n")
+    }
+    // the dense blob's cells (>2x perCell) visibly thin
+    assert(counts.exists(_._2 > 2 * perCell), "fixture lost its dense blob")
+    counts.filter(_._2 > 2 * perCell).foreach { case (c, n) =>
+      assert(keptByCell.getOrElse(c, 0L) < n, s"dense cell $c did not thin")
+    }
+    // rerun + partition-layout determinism
+    val again = Sampling.clusterBalancedSample(
+      model, df.repartition(7, col("vec_id")), "vec_id", "embedding",
+      perCell, "cb")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    assert(again == kept)
+  }
 }
