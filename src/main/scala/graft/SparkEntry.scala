@@ -747,6 +747,22 @@ object SparkEntry {
     "t_repetition" -> ((s, dir) =>
       TextStats.repetitionMetrics(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
+    // full Gopher rule filter over a deterministically seeded corpus
+    // (the synthetic docs carry no '#'/bullets/ellipses/numerals, so
+    // doc_id-keyed seeding — the piiSeeded pattern — makes every rule
+    // fire visibly; thresholds sit near corpus medians so keep is mixed)
+    "t_gopher_rules" -> ((s, dir) =>
+      TextStats.gopherRules(gopherSeeded(Tables.documents(s, dir)),
+        "doc_id", "text", minWords = 30L, maxWords = 100000L,
+        minMeanLen = 3.0, maxMeanLen = 6.0, maxSymbolRatio = 0.05,
+        maxBulletFrac = 0.5, maxEllipsisFrac = 0.3, minAlphaFrac = 0.8,
+        minStopHits = 1L).orderBy("doc_id")),
+    // full Gopher repetition family: ' the '->newline makes multi-line
+    // text (the pipe_* precedent) and doc_id-keyed seeds add duplicate
+    // lines and a repeated phrase so every signal is exercised
+    "t_gopher_repetition" -> ((s, dir) =>
+      TextStats.gopherRepetition(gopherRepSeeded(Tables.documents(s, dir)),
+        "doc_id", "text", dupN = 5).orderBy("doc_id")),
     // ---- sequence packing (concat-and-chunk training blocks) ----
     "t_pack_sequences" -> ((s, dir) =>
       TextStats.packSequences(Tables.documents(s, dir), "doc_id", "text",
@@ -938,6 +954,42 @@ object SparkEntry {
     * (XOR mask literals) and in-bucket cosine ranking are then exact
     * arithmetic DuckDB reproduces bit-for-bit. */
   /** The oracle-side twin of [[piiSeeded]] — byte-identical seeded text. */
+  /** doc_id-keyed seeding for the Gopher rule filter — the piiSeeded
+    * pattern: symbols/ellipses (%4), bullet lines (%6), ellipsis-ended
+    * lines (%9), numeral-only words (%10), very long words (%13). */
+  private def gopherSeeded(d: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    d.select(id, concat(
+      col("text"),
+      when(pmod(id, lit(4)) === 0, lit(" ## # see more...")).otherwise(lit("")),
+      when(pmod(id, lit(6)) === 0,
+        lit("\n- first item\n- second item")).otherwise(lit("")),
+      when(pmod(id, lit(9)) === 0,
+        lit("\nread on...\nmore...")).otherwise(lit("")),
+      when(pmod(id, lit(10)) === 0,
+        lit(" 404 500 1234 42 0 9 77 12 63 8 21 5")).otherwise(lit("")),
+      when(pmod(id, lit(13)) === 0,
+        lit(" hyperparameterization internationalization" +
+          " counterrevolutionaries electroencephalography"))
+        .otherwise(lit(""))
+    ).as("text"))
+  }
+
+  /** Seeding for the Gopher repetition family: ' the ' -> newline makes
+    * multi-line text, %7 appends a duplicated line pair, %8 a repeated
+    * phrase (within-doc duplicated 5-grams). */
+  private def gopherRepSeeded(d: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    d.select(id, concat(
+      regexp_replace(col("text"), " the ", "\n"),
+      when(pmod(id, lit(7)) === 0,
+        lit("\nsubscribe now\nsubscribe now")).otherwise(lit("")),
+      when(pmod(id, lit(8)) === 0,
+        lit(" big data lake big data lake big data lake"))
+        .otherwise(lit(""))
+    ).as("text"))
+  }
+
   private val piiSeededSql: String =
     """WITH seeded AS (
       |  SELECT doc_id, text ||
@@ -2520,6 +2572,128 @@ object SparkEntry {
         |       round(COALESCE(CAST(mx AS DOUBLE) / CAST(tot AS DOUBLE), 0.0), 6) AS top_bigram_frac
         |FROM tok t LEFT JOIN bgm ON t.doc_id = bgm.doc_id
         |ORDER BY doc_id""".stripMargin,
+    "t_gopher_rules" ->
+      """WITH seeded AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 4 = 0 THEN ' ## # see more...' ELSE '' END ||
+        |    CASE WHEN doc_id % 6 = 0 THEN chr(10) || '- first item' || chr(10) || '- second item' ELSE '' END ||
+        |    CASE WHEN doc_id % 9 = 0 THEN chr(10) || 'read on...' || chr(10) || 'more...' ELSE '' END ||
+        |    CASE WHEN doc_id % 10 = 0 THEN ' 404 500 1234 42 0 9 77 12 63 8 21 5' ELSE '' END ||
+        |    CASE WHEN doc_id % 13 = 0 THEN ' hyperparameterization internationalization counterrevolutionaries electroencephalography' ELSE '' END
+        |    AS text
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |        regexp_extract_all(lower(text), '[a-z0-9]+') w,
+        |        string_split(text, chr(10)) lines,
+        |        string_split_regex(trim(lower(text)), '\s+') ws,
+        |        CAST(len(text) - len(replace(text, '#', '')) AS BIGINT)
+        |          + CAST((len(text) - len(replace(text, '...', ''))) // 3 AS BIGINT) AS nsym
+        |      FROM seeded),
+        |c AS (SELECT doc_id,
+        |        CAST(len(w) AS BIGINT) nw,
+        |        CAST(COALESCE(list_sum(list_transform(w, x -> len(x))), 0) AS BIGINT) chars,
+        |        nsym,
+        |        CAST(len(lines) AS BIGINT) nlines,
+        |        CAST(len(list_filter(lines, l -> starts_with(ltrim(l), '- ')
+        |          OR starts_with(ltrim(l), '* '))) AS BIGINT) nbullet,
+        |        CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) AS BIGINT) nell,
+        |        CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) nalpha,
+        |        CAST(len(ws) AS BIGINT) nws,
+        |        CAST(len(list_intersect(list_distinct(w),
+        |          ['the','be','to','of','and','that','have','with'])) AS BIGINT) stop_hits
+        |      FROM m),
+        |r AS (SELECT doc_id, nw,
+        |        CASE WHEN nw > 0 THEN CAST(chars AS DOUBLE) / CAST(nw AS DOUBLE) ELSE 0.0 END mean_raw,
+        |        CASE WHEN nw > 0 THEN CAST(nsym AS DOUBLE) / CAST(nw AS DOUBLE) ELSE 0.0 END sym_raw,
+        |        CASE WHEN nlines > 0 THEN CAST(nbullet AS DOUBLE) / CAST(nlines AS DOUBLE) ELSE 0.0 END bullet_raw,
+        |        CASE WHEN nlines > 0 THEN CAST(nell AS DOUBLE) / CAST(nlines AS DOUBLE) ELSE 0.0 END ell_raw,
+        |        CASE WHEN nws > 0 THEN CAST(nalpha AS DOUBLE) / CAST(nws AS DOUBLE) ELSE 0.0 END alpha_raw,
+        |        stop_hits
+        |      FROM c)
+        |SELECT doc_id, nw AS n_words,
+        |       round(mean_raw, 6) AS mean_word_len,
+        |       round(sym_raw, 6) AS symbol_ratio,
+        |       round(bullet_raw, 6) AS bullet_frac,
+        |       round(ell_raw, 6) AS ellipsis_frac,
+        |       round(alpha_raw, 6) AS alpha_frac,
+        |       stop_hits,
+        |       (nw >= 30 AND nw <= 100000) AS r_words,
+        |       (mean_raw >= 3.0 AND mean_raw <= 6.0) AS r_mean_len,
+        |       (sym_raw <= 0.05) AS r_symbols,
+        |       (bullet_raw <= 0.5) AS r_bullets,
+        |       (ell_raw <= 0.3) AS r_ellipsis,
+        |       (alpha_raw >= 0.8) AS r_alpha,
+        |       (stop_hits >= 1) AS r_stopwords,
+        |       ((nw >= 30 AND nw <= 100000) AND (mean_raw >= 3.0 AND mean_raw <= 6.0)
+        |         AND sym_raw <= 0.05 AND bullet_raw <= 0.5 AND ell_raw <= 0.3
+        |         AND alpha_raw >= 0.8 AND stop_hits >= 1) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "t_gopher_repetition" ->
+      """WITH seeded AS (
+        |  SELECT doc_id, regexp_replace(text, ' the ', chr(10), 'g') ||
+        |    CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'subscribe now' || chr(10) || 'subscribe now' ELSE '' END ||
+        |    CASE WHEN doc_id % 8 = 0 THEN ' big data lake big data lake big data lake' ELSE '' END
+        |    AS text
+        |  FROM documents),
+        |base AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') w,
+        |                string_split(text, chr(10)) lines
+        |         FROM seeded),
+        |tok AS (SELECT doc_id, CAST(len(w) AS BIGINT) n_tokens,
+        |          CAST(COALESCE(list_sum(list_transform(w, x -> len(x))), 0) AS BIGINT) chars
+        |        FROM base),
+        |ln AS (SELECT doc_id, unnest(lines) l FROM base),
+        |lc AS (SELECT doc_id, l, COUNT(*) c, CAST(len(l) AS BIGINT) ll
+        |       FROM ln GROUP BY doc_id, l),
+        |lagg AS (SELECT doc_id, SUM(c) nlines, COUNT(*) ndlines,
+        |           SUM(c * ll) linechars,
+        |           SUM(CASE WHEN c >= 2 THEN c * ll ELSE 0 END) dupchars
+        |         FROM lc GROUP BY doc_id),
+        |g2 AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') g FROM base,
+        |         UNNEST(generate_series(1, greatest(len(w)-1, 0))) gs(i)),
+        |t2 AS (SELECT doc_id, c, g, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |         ORDER BY c DESC, g ASC) rn
+        |       FROM (SELECT doc_id, g, COUNT(*) c FROM g2 GROUP BY 1, 2)),
+        |g3 AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') g FROM base,
+        |         UNNEST(generate_series(1, greatest(len(w)-2, 0))) gs(i)),
+        |t3 AS (SELECT doc_id, c, g, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |         ORDER BY c DESC, g ASC) rn
+        |       FROM (SELECT doc_id, g, COUNT(*) c FROM g3 GROUP BY 1, 2)),
+        |g4 AS (SELECT doc_id, array_to_string(w[i:i+3], ' ') g FROM base,
+        |         UNNEST(generate_series(1, greatest(len(w)-3, 0))) gs(i)),
+        |t4 AS (SELECT doc_id, c, g, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |         ORDER BY c DESC, g ASC) rn
+        |       FROM (SELECT doc_id, g, COUNT(*) c FROM g4 GROUP BY 1, 2)),
+        |g5 AS (SELECT doc_id, i - 1 AS i0, array_to_string(w[i:i+4], ' ') g
+        |       FROM base, UNNEST(generate_series(1, greatest(len(w)-4, 0))) gs(i)),
+        |d5 AS (SELECT doc_id, g FROM g5 GROUP BY doc_id, g HAVING COUNT(*) >= 2),
+        |st AS (SELECT g5.doc_id, g5.i0 FROM g5 JOIN d5 USING (doc_id, g)),
+        |cov AS (SELECT DISTINCT st.doc_id, st.i0 + o AS j
+        |        FROM st, UNNEST(generate_series(0, 4)) os(o)),
+        |covc AS (SELECT cov.doc_id, SUM(len(b.w[cov.j + 1])) cc
+        |         FROM cov JOIN base b USING (doc_id) GROUP BY cov.doc_id)
+        |SELECT t.doc_id, t.n_tokens,
+        |       round(CASE WHEN la.nlines > 0
+        |             THEN CAST(la.nlines - la.ndlines AS DOUBLE) / CAST(la.nlines AS DOUBLE)
+        |             ELSE 0.0 END, 6) AS dup_line_frac,
+        |       round(CASE WHEN la.linechars > 0
+        |             THEN CAST(la.dupchars AS DOUBLE) / CAST(la.linechars AS DOUBLE)
+        |             ELSE 0.0 END, 6) AS dup_line_char_frac,
+        |       round(COALESCE(CAST(t2.c AS DOUBLE) * CAST(len(t2.g) - 1 AS DOUBLE)
+        |             / CAST(t.chars AS DOUBLE), 0.0), 6) AS top2_char_frac,
+        |       round(COALESCE(CAST(t3.c AS DOUBLE) * CAST(len(t3.g) - 2 AS DOUBLE)
+        |             / CAST(t.chars AS DOUBLE), 0.0), 6) AS top3_char_frac,
+        |       round(COALESCE(CAST(t4.c AS DOUBLE) * CAST(len(t4.g) - 3 AS DOUBLE)
+        |             / CAST(t.chars AS DOUBLE), 0.0), 6) AS top4_char_frac,
+        |       round(CASE WHEN t.chars > 0
+        |             THEN CAST(COALESCE(covc.cc, 0) AS DOUBLE) / CAST(t.chars AS DOUBLE)
+        |             ELSE 0.0 END, 6) AS dup5_char_frac
+        |FROM tok t
+        |JOIN lagg la USING (doc_id)
+        |LEFT JOIN t2 ON t.doc_id = t2.doc_id AND t2.rn = 1
+        |LEFT JOIN t3 ON t.doc_id = t3.doc_id AND t3.rn = 1
+        |LEFT JOIN t4 ON t.doc_id = t4.doc_id AND t4.rn = 1
+        |LEFT JOIN covc ON t.doc_id = covc.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     "t_pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id, doc_id % 8 AS bucket,

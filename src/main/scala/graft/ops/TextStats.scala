@@ -504,6 +504,204 @@ object TextStats {
           .as("top_bigram_frac"))
   }
 
+  /** The Gopher stopword list (Rae et al. 2021, Appendix A): a doc must
+    * contain at least `minStopHits` DISTINCT of these to pass the
+    * stopword rule. */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style rule-based quality filter (Rae et al. 2021, Appendix
+    * A "Quality filtering", adapted to this tokenizer): per-document
+    * signals, one boolean verdict per rule, and the conjunctive `keep`.
+    * Rules: word count in [minWords, maxWords]; mean word length in
+    * [minMeanLen, maxMeanLen]; symbol-to-word ratio ('#' plus '...'
+    * occurrences over words) <= maxSymbolRatio; fraction of lines
+    * starting with a bullet <= maxBulletFrac; fraction of lines ending
+    * in an ellipsis <= maxEllipsisFrac; fraction of whitespace words
+    * containing a letter >= minAlphaFrac; >= minStopHits distinct
+    * [[gopherStopwords]].
+    *
+    * Scale shape: ONE tokenization + a handful of per-row array/string
+    * expressions — entirely map-side (no shuffle, no join, no UDF), so
+    * the filter streams through a 100 TB scan at I/O speed. Counts are
+    * exact longs; every ratio is a single IEEE division of exact longs
+    * → oracle-reproducible bit-for-bit. */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  minWords: Long = 50L, maxWords: Long = 100000L,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1,
+                  maxBulletFrac: Double = 0.9,
+                  maxEllipsisFrac: Double = 0.3,
+                  minAlphaFrac: Double = 0.8,
+                  minStopHits: Long = 2L): DataFrame = {
+    val t = col(textCol)
+    // '#' and non-overlapping '...' occurrences via literal replace
+    // (left-to-right non-overlap in every engine, no regex dialects)
+    val nHash = length(t) - length(replace(t, lit("#"), lit("")))
+    val nEllipsis =
+      (length(t) - length(replace(t, lit("..."), lit("")))) / lit(3)
+    val s1 = df
+      .select(col(idCol), t,
+        TextDedup.tokens(t).as("_w"),
+        split(t, "\n").as("_lines"),
+        split(trim(lower(t)), "\\s+").as("_ws"))
+      .withColumn("_nw", size(col("_w")).cast("long"))
+      .withColumn("_chars", aggregate(col("_w"), lit(0L),
+        (acc, w) => acc + length(w).cast("long")))
+      .withColumn("_nsym", (nHash + nEllipsis).cast("long"))
+      .withColumn("_nlines", size(col("_lines")).cast("long"))
+      .withColumn("_nbullet", size(filter(col("_lines"), l => {
+        val lt = ltrim(l)
+        lt.startsWith("- ") || lt.startsWith("* ")
+      })).cast("long"))
+      .withColumn("_nellipsis", size(filter(col("_lines"),
+        l => rtrim(l).endsWith("..."))).cast("long"))
+      .withColumn("_nalpha", size(filter(col("_ws"),
+        w => w.rlike("[a-z]"))).cast("long"))
+      .withColumn("_nws", size(col("_ws")).cast("long"))
+      .withColumn("stop_hits", size(array_intersect(
+        array_distinct(col("_w")),
+        array(gopherStopwords.map(lit): _*))).cast("long"))
+    val nw = col("_nw")
+    val meanLen = when(nw > 0,
+      col("_chars").cast("double") / nw.cast("double")).otherwise(lit(0.0))
+    val symRatio = when(nw > 0,
+      col("_nsym").cast("double") / nw.cast("double")).otherwise(lit(0.0))
+    val bulletFrac = when(col("_nlines") > 0,
+      col("_nbullet").cast("double") / col("_nlines").cast("double"))
+      .otherwise(lit(0.0))
+    val ellipsisFrac = when(col("_nlines") > 0,
+      col("_nellipsis").cast("double") / col("_nlines").cast("double"))
+      .otherwise(lit(0.0))
+    val alphaFrac = when(col("_nws") > 0,
+      col("_nalpha").cast("double") / col("_nws").cast("double"))
+      .otherwise(lit(0.0))
+    val s2 = s1
+      .withColumn("n_words", nw)
+      .withColumn("mean_word_len", round(meanLen, 6))
+      .withColumn("symbol_ratio", round(symRatio, 6))
+      .withColumn("bullet_frac", round(bulletFrac, 6))
+      .withColumn("ellipsis_frac", round(ellipsisFrac, 6))
+      .withColumn("alpha_frac", round(alphaFrac, 6))
+      .withColumn("r_words",
+        nw >= minWords && nw <= maxWords)
+      .withColumn("r_mean_len",
+        meanLen >= minMeanLen && meanLen <= maxMeanLen)
+      .withColumn("r_symbols", symRatio <= maxSymbolRatio)
+      .withColumn("r_bullets", bulletFrac <= maxBulletFrac)
+      .withColumn("r_ellipsis", ellipsisFrac <= maxEllipsisFrac)
+      .withColumn("r_alpha", alphaFrac >= minAlphaFrac)
+      .withColumn("r_stopwords", col("stop_hits") >= minStopHits)
+    s2.withColumn("keep",
+        col("r_words") && col("r_mean_len") && col("r_symbols") &&
+          col("r_bullets") && col("r_ellipsis") && col("r_alpha") &&
+          col("r_stopwords"))
+      .select(col(idCol), col("n_words"), col("mean_word_len"),
+        col("symbol_ratio"), col("bullet_frac"), col("ellipsis_frac"),
+        col("alpha_frac"), col("stop_hits"),
+        col("r_words"), col("r_mean_len"), col("r_symbols"),
+        col("r_bullets"), col("r_ellipsis"), col("r_alpha"),
+        col("r_stopwords"), col("keep"))
+  }
+
+  /** The Gopher REPETITION signal family at full strength (Rae et al.
+    * 2021, Appendix A) — [[repetitionMetrics]]'s big sibling: per
+    * document, duplicate-line fraction by count and by character mass,
+    * "fraction of characters inside the single most frequent n-gram"
+    * for n = 2,3,4 (naive count x gram chars over word chars — may
+    * exceed 1 on degenerate text, exactly like the original), and
+    * "fraction of characters covered by ANY duplicated n-gram" for
+    * n = `dupN` (positional union — overlapping occurrences counted
+    * once).
+    *
+    * Scale shape: entirely per-row array expressions, zero shuffles.
+    * The top-n-gram pass is sort + one linear run-scan (first gram to
+    * reach the max run wins, which on a sorted array IS the
+    * lexicographically-smallest argmax — deterministic). The dupN
+    * coverage pass is O(tokens x duplicated-starts) per row — fine for
+    * web documents (duplicated starts are sparse); corpora where whole
+    * documents are one repeated phrase should profile spans with the
+    * corpus-level machinery (TextDedup.dupSpanStats) instead. */
+  def gopherRepetition(df: DataFrame, idCol: String, textCol: String,
+                       dupN: Int = 5): DataFrame = {
+    // (best run, gram holding it) over a sorted array, one pass
+    def maxRunGram(sorted: Column): Column = aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"),
+        lit("").as("bestg")),
+      (acc, g) => {
+        val run = when(g === acc.getField("prev"),
+          acc.getField("run") + lit(1L)).otherwise(lit(1L))
+        val better = run > acc.getField("best")
+        struct(g.as("prev"), run.as("run"),
+          when(better, run).otherwise(acc.getField("best")).as("best"),
+          when(better, g).otherwise(acc.getField("bestg")).as("bestg"))
+      },
+      acc => struct(acc.getField("best").as("cnt"),
+        acc.getField("bestg").as("gram")))
+    // values occurring >= 2 times in a sorted array (distinct)
+    def dupValues(sorted: Column): Column = array_distinct(
+      filter(zip_with(sorted, slice(sorted, lit(2),
+        greatest(size(sorted) - 1, lit(0))), (a, b) => when(a === b, a)),
+        v => v.isNotNull))
+    def topNgramFrac(n: Int): Column = {
+      val grams = sort_array(TextDedup.shingleArray(col("_w"), n))
+      val best = maxRunGram(grams)
+      round(coalesce(
+        when(size(grams) > 0,
+          best.getField("cnt").cast("double") *
+            (length(best.getField("gram")) - lit(n - 1)).cast("double") /
+            col("_chars").cast("double")),
+        lit(0.0)), 6)
+    }
+    val s1 = df
+      .select(col(idCol), TextDedup.tokens(col(textCol)).as("_w"),
+        split(col(textCol), "\n").as("_lines"))
+      .withColumn("n_tokens", size(col("_w")).cast("long"))
+      .withColumn("_chars", aggregate(col("_w"), lit(0L),
+        (acc, w) => acc + length(w).cast("long")))
+      .withColumn("_nlines", size(col("_lines")).cast("long"))
+      .withColumn("_ndlines",
+        size(array_distinct(col("_lines"))).cast("long"))
+      .withColumn("_duplines", dupValues(sort_array(col("_lines"))))
+      .withColumn("_linechars", aggregate(col("_lines"), lit(0L),
+        (acc, l) => acc + length(l).cast("long")))
+      .withColumn("_dupchars", aggregate(col("_lines"), lit(0L),
+        (acc, l) => acc + when(array_contains(col("_duplines"), l),
+          length(l).cast("long")).otherwise(lit(0L))))
+    // duplicated dupN-gram positional coverage: starts whose gram value
+    // repeats within the doc, then chars of every token under a start
+    val grams = TextDedup.shingleArray(col("_w"), dupN)
+    val s2 = s1
+      .withColumn("_g", grams)
+      .withColumn("_dupg", dupValues(sort_array(col("_g"))))
+      .withColumn("_starts", filter(
+        transform(col("_g"), (g, i) =>
+          when(array_contains(col("_dupg"), g), i)),
+        v => v.isNotNull))
+      .withColumn("_covchars", aggregate(
+        zip_with(col("_w"),
+          sequence(lit(0), greatest(size(col("_w")) - 1, lit(0))),
+          (w, j) => when(exists(col("_starts"),
+            i => i <= j && j < i + lit(dupN)), length(w).cast("long"))
+            .otherwise(lit(0L))),
+        lit(0L), (acc, x) => acc + x))
+    s2.select(col(idCol), col("n_tokens"),
+      round(when(col("_nlines") > 0,
+        (col("_nlines") - col("_ndlines")).cast("double") /
+          col("_nlines").cast("double")).otherwise(lit(0.0)), 6)
+        .as("dup_line_frac"),
+      round(when(col("_linechars") > 0,
+        col("_dupchars").cast("double") / col("_linechars").cast("double"))
+        .otherwise(lit(0.0)), 6).as("dup_line_char_frac"),
+      topNgramFrac(2).as("top2_char_frac"),
+      topNgramFrac(3).as("top3_char_frac"),
+      topNgramFrac(4).as("top4_char_frac"),
+      round(when(col("_chars") > 0,
+        col("_covchars").cast("double") / col("_chars").cast("double"))
+        .otherwise(lit(0.0)), 6).as(s"dup${dupN}_char_frac"))
+  }
+
   /** GPT-style sequence packing (concat-and-chunk): documents are
     * concatenated in a deterministic order and cut into fixed
     * `budget`-token training blocks; a document "belongs" to the block

@@ -1,0 +1,104 @@
+package graft
+
+import graft.ops.TextStats
+import org.apache.spark.sql.functions._
+
+/** Gopher rule filter + full repetition family: hand-computed fixtures
+  * per rule/signal, plus empty-input flow-through. The oracled
+  * t_gopher_rules / t_gopher_repetition queries pin the cross-engine
+  * arithmetic; these pin the SEMANTICS against worked examples. */
+class GopherSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rules(rows: (Long, String)*) =
+    TextStats.gopherRules(rows.toDF("doc_id", "text"), "doc_id", "text",
+      minWords = 5L, maxWords = 100L, minMeanLen = 2.0, maxMeanLen = 6.0,
+      maxSymbolRatio = 0.1, maxBulletFrac = 0.5, maxEllipsisFrac = 0.3,
+      minAlphaFrac = 0.8, minStopHits = 2L)
+      .orderBy("doc_id").collect()
+
+  test("gopherRules: worked example — words, mean length, stopwords") {
+    val r = rules((1L, "The cat sat on the mat with a hat")).head
+    // tokens: the,cat,sat,on,the,mat,with,a,hat -> 9 words, 25 chars
+    assert(r.getAs[Long]("n_words") == 9L)
+    assert(r.getAs[Double]("mean_word_len") == 2.777778)
+    assert(r.getAs[Long]("stop_hits") == 2L) // the, with
+    assert(r.getAs[Boolean]("r_words"))
+    assert(r.getAs[Boolean]("r_mean_len"))
+    assert(r.getAs[Boolean]("r_stopwords"))
+    assert(r.getAs[Double]("symbol_ratio") == 0.0)
+    assert(r.getAs[Double]("bullet_frac") == 0.0)
+    assert(r.getAs[Double]("alpha_frac") == 1.0)
+    assert(r.getAs[Boolean]("keep"))
+  }
+
+  test("gopherRules: bullet, ellipsis, symbol and numeral rules bite") {
+    val r = rules(
+      (1L, "- one thing\n- two things\nthe rest of it here"),
+      (2L, "wait for it...\nthe next part with more"),
+      (3L, "the count with abc 123 456 789 000 111"),
+      (4L, "the thing with ## some # more ### here")
+    ).map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // doc 1: 3 lines, 2 bulleted -> 2/3 > 0.5 fails bullets only
+    assert(r(1L).getAs[Double]("bullet_frac") == 0.666667)
+    assert(!r(1L).getAs[Boolean]("r_bullets"))
+    assert(r(1L).getAs[Boolean]("r_ellipsis"))
+    assert(!r(1L).getAs[Boolean]("keep"))
+    // doc 2: 2 lines, 1 ends '...' -> 1/2 > 0.3 fails ellipsis; the
+    // '...' also counts one symbol over 8 words -> 0.125 > 0.1
+    assert(r(2L).getAs[Double]("ellipsis_frac") == 0.5)
+    assert(!r(2L).getAs[Boolean]("r_ellipsis"))
+    assert(r(2L).getAs[Double]("symbol_ratio") == 0.125)
+    assert(!r(2L).getAs[Boolean]("r_symbols"))
+    // doc 3: 9 ws-words, 5 numeral-only -> alpha 4/9 < 0.8
+    assert(r(3L).getAs[Double]("alpha_frac") == 0.444444)
+    assert(!r(3L).getAs[Boolean]("r_alpha"))
+    // doc 4: 6 '#' over 6 words ('#' runs are not tokens) -> 1.0 > 0.1
+    assert(r(4L).getAs[Double]("symbol_ratio") == 1.0)
+    assert(!r(4L).getAs[Boolean]("r_symbols"))
+  }
+
+  test("gopherRules: empty text flows through as all-zero, keep=false") {
+    val r = rules((1L, "")).head
+    assert(r.getAs[Long]("n_words") == 0L)
+    assert(r.getAs[Double]("mean_word_len") == 0.0)
+    assert(r.getAs[Double]("alpha_frac") == 0.0)
+    assert(!r.getAs[Boolean]("keep"))
+  }
+
+  private def rep(rows: (Long, String)*) =
+    TextStats.gopherRepetition(rows.toDF("doc_id", "text"),
+      "doc_id", "text", dupN = 5).orderBy("doc_id").collect()
+
+  test("gopherRepetition: duplicate-line fractions by count and chars") {
+    val r = rep((1L, "a b\nc d\na b")).head
+    // 3 lines, 2 distinct -> 1/3 by count; 6 of 9 chars duplicated
+    assert(r.getAs[Double]("dup_line_frac") == 0.333333)
+    assert(r.getAs[Double]("dup_line_char_frac") == 0.666667)
+  }
+
+  test("gopherRepetition: top-bigram char fraction, smallest-gram tie") {
+    val r = rep((1L, "x y x y x")).head
+    // bigrams: 2x "x y", 2x "y x"; tie -> "x y" (lexicographically
+    // first); frac = 2 occurrences * 2 chars / 5 word chars
+    assert(r.getAs[Double]("top2_char_frac") == 0.8)
+  }
+
+  test("gopherRepetition: duplicated 5-gram positional coverage counts " +
+    "overlapping occurrences once") {
+    val r = rep((1L, "a b c d e a b c d e f")).head
+    // "a b c d e" repeats at starts 0 and 5 -> tokens 0..9 covered,
+    // 10 of 11 chars
+    assert(r.getAs[Double]("dup5_char_frac") == 0.909091)
+    val none = rep((2L, "p q r s t u v w")).head
+    assert(none.getAs[Double]("dup5_char_frac") == 0.0)
+  }
+
+  test("gopherRepetition: empty and sub-n docs flow through as zeros") {
+    val r = rep((1L, ""), (2L, "only four words here"))
+    assert(r(0).getAs[Long]("n_tokens") == 0L)
+    assert(r(0).getAs[Double]("top2_char_frac") == 0.0)
+    assert(r(0).getAs[Double]("dup5_char_frac") == 0.0)
+    assert(r(1).getAs[Double]("dup5_char_frac") == 0.0)
+  }
+}
