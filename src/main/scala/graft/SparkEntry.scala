@@ -478,6 +478,18 @@ object SparkEntry {
       Sampling.clusterBalancedSample(model, e, "vec_id", "embedding",
         perCell = 20L, seed = "cbal").orderBy("vec_id")
     }),
+    // leakage-free holdout: the dd_clusters near-dup clustering, with
+    // the split coin flipped per CLUSTER id — near-dups of a training
+    // doc can never land in the eval split
+    "samp_cluster_holdout" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val pairs = TextDedup.minhashLshPairs(d, "doc_id", "text",
+        n = 3, k = 16, bands = 4, minJ = 0.8, restrictSets = false)
+      val clusters = TextDedup.nearDupClusters(d.select("doc_id"), pairs,
+        "doc_id", rounds = 4)
+      Sampling.clusterHoldout(clusters, "cluster_id",
+        holdoutFrac = 0.2, seed = "chold").orderBy("doc_id")
+    }),
     // ---- composed pipelines oracled END-TO-END (not just per stage):
     // the full pretraining recipe and the minimal curate-to-shards
     // recipe, each replayed as one DuckDB CTE chain. Inputs seed work
@@ -954,6 +966,44 @@ object SparkEntry {
     * (XOR mask literals) and in-bucket cosine ranking are then exact
     * arithmetic DuckDB reproduces bit-for-bit. */
   /** The oracle-side twin of [[piiSeeded]] — byte-identical seeded text. */
+  /** Shared oracle CTE chain replaying the near-dup clustering of
+    * dd_clusters (minhash-LSH candidate pairs, exact Jaccard verify at
+    * >= 0.8, exact recursive closure) — ends at `clu(doc_id,
+    * cluster_id)`; dd_clusters and samp_cluster_holdout append their
+    * own final SELECT. */
+  private val ddClustersCtesSql: String =
+    """WITH RECURSIVE
+      |t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         CAST(('0x'||substr(md5(array_to_string(w[i:i+2], ' ')),1,15)) AS BIGINT) AS sh_h
+      |       FROM t, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS g(i)),
+      |hh AS (SELECT doc_id, sh_h % 1000000007 AS hh FROM sh),
+      |sig AS (SELECT doc_id, i, min(((i*2+1) * hh + (i*17+91)) % 1000000007) AS minhash
+      |        FROM hh, UNNEST(generate_series(0, 15)) AS g(i) GROUP BY 1, 2),
+      |banded AS (SELECT doc_id, CAST(i // 4 AS INT) AS band,
+      |                  array_to_string(list_sort(list(
+      |                    lpad(CAST(i AS VARCHAR),2,'0') || '=' || CAST(minhash AS VARCHAR))), ':') AS band_key
+      |           FROM sig GROUP BY 1, 2),
+      |cand AS (SELECT DISTINCT x.doc_id a_id, y.doc_id b_id
+      |         FROM banded x JOIN banded y
+      |           ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+      |sizes AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) n_common
+      |          FROM sh a JOIN sh b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |p AS (SELECT c.a_id, c.b_id
+      |      FROM cand c JOIN inter i ON c.a_id = i.a_id AND c.b_id = i.b_id
+      |      JOIN sizes sa ON c.a_id = sa.doc_id JOIN sizes sb ON c.b_id = sb.doc_id
+      |      WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.8),
+      |e AS (SELECT a_id AS u, b_id AS v FROM p
+      |      UNION ALL SELECT b_id, a_id FROM p),
+      |reach(u, lbl) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.u, r.lbl FROM e JOIN reach r ON e.v = r.u),
+      |clu AS (SELECT u AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+      |        FROM reach GROUP BY u)""".stripMargin
+
   /** doc_id-keyed seeding for the Gopher rule filter — the piiSeeded
     * pattern: symbols/ellipses (%4), bullet lines (%6), ellipsis-ended
     * lines (%9), numeral-only words (%10), very long words (%13). */
@@ -2463,37 +2513,17 @@ object SparkEntry {
         |WHERE doc_id NOT IN (SELECT doc_id FROM removed)
         |ORDER BY doc_id""".stripMargin,
     "dd_clusters" ->
-      """WITH RECURSIVE
-        |t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') w FROM documents),
-        |sh AS (SELECT DISTINCT doc_id,
-        |         CAST(('0x'||substr(md5(array_to_string(w[i:i+2], ' ')),1,15)) AS BIGINT) AS sh_h
-        |       FROM t, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS g(i)),
-        |hh AS (SELECT doc_id, sh_h % 1000000007 AS hh FROM sh),
-        |sig AS (SELECT doc_id, i, min(((i*2+1) * hh + (i*17+91)) % 1000000007) AS minhash
-        |        FROM hh, UNNEST(generate_series(0, 15)) AS g(i) GROUP BY 1, 2),
-        |banded AS (SELECT doc_id, CAST(i // 4 AS INT) AS band,
-        |                  array_to_string(list_sort(list(
-        |                    lpad(CAST(i AS VARCHAR),2,'0') || '=' || CAST(minhash AS VARCHAR))), ':') AS band_key
-        |           FROM sig GROUP BY 1, 2),
-        |cand AS (SELECT DISTINCT x.doc_id a_id, y.doc_id b_id
-        |         FROM banded x JOIN banded y
-        |           ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
-        |sizes AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
-        |inter AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) n_common
-        |          FROM sh a JOIN sh b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
-        |          GROUP BY 1, 2),
-        |p AS (SELECT c.a_id, c.b_id
-        |      FROM cand c JOIN inter i ON c.a_id = i.a_id AND c.b_id = i.b_id
-        |      JOIN sizes sa ON c.a_id = sa.doc_id JOIN sizes sb ON c.b_id = sb.doc_id
-        |      WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.8),
-        |e AS (SELECT a_id AS u, b_id AS v FROM p
-        |      UNION ALL SELECT b_id, a_id FROM p),
-        |reach(u, lbl) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT e.u, r.lbl FROM e JOIN reach r ON e.v = r.u)
-        |SELECT u AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
-        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+      s"""$ddClustersCtesSql
+         |SELECT doc_id, cluster_id FROM clu ORDER BY doc_id""".stripMargin,
+    // cluster-aware holdout: the SAME replayed near-dup clustering,
+    // split coin flipped on the cluster id (u01 twin), so the oracle
+    // pins both the clustering and the leakage-free co-assignment
+    "samp_cluster_holdout" ->
+      s"""$ddClustersCtesSql
+         |SELECT doc_id, cluster_id,
+         |       (CAST(CAST(('0x'||substr(md5('chold:' || CAST(cluster_id AS VARCHAR)),1,15)) AS BIGINT) % 1000000 AS DOUBLE)
+         |        / 1000000.0) < 0.2 AS is_holdout
+         |FROM clu ORDER BY doc_id""".stripMargin,
     "dd_simhash_pairs" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) t FROM documents),
         |h AS (SELECT doc_id, CAST(('0x'||substr(md5(t),1,15)) AS BIGINT) AS h FROM tok),

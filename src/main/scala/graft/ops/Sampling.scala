@@ -69,6 +69,26 @@ object Sampling {
       .select(col(idCol), col("cell"))
   }
 
+  /** LEAKAGE-FREE holdout over a cluster assignment (e.g.
+    * [[TextDedup.nearDupClusters]]): the split coin is flipped per
+    * CLUSTER, not per row — every member of a near-dup cluster lands
+    * on the same side, so paraphrases/near-copies of a training doc
+    * can never leak into the eval split (the failure mode of a plain
+    * row-hash holdout). Appends `is_holdout`.
+    *
+    * Scale shape: a pure map expression on the cluster-id column — no
+    * join, no shuffle, no per-cluster state; any frame carrying a
+    * cluster id (or any group key: URL host, source, author) splits
+    * consistently, even across separately-processed partitions of a
+    * 100 TB corpus. */
+  def clusterHoldout(clusters: DataFrame, clusterCol: String,
+                     holdoutFrac: Double, seed: String): DataFrame = {
+    require(holdoutFrac >= 0.0 && holdoutFrac <= 1.0,
+      s"holdoutFrac must be in [0,1], got $holdoutFrac")
+    clusters.withColumn("is_holdout",
+      u(seed, col(clusterCol)) < lit(holdoutFrac))
+  }
+
   /** Data mixing with per-source EPOCH weights — the canonical
     * pretraining recipe step ("2.5 epochs of source A, 0.5 of B"):
     * weight w yields floor(w) guaranteed copies of every row plus one

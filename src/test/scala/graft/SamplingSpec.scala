@@ -206,6 +206,33 @@ class SamplingSpec extends SparkSpec {
     ((h >>> 4) % 1000000L).toDouble / 1000000.0
   }
 
+  test("clusterHoldout: cluster members never straddle the split, and " +
+    "the coin is exactly u01 on the cluster id") {
+    // members 19 and 20 of cluster 10 have OPPOSITE row-keyed u01
+    // coins under this seed — the leakage-contrast assertion below is
+    // deterministic, not a lucky draw
+    val clusters = (Seq((19L, 10L), (20L, 10L), (3L, 21L), (4L, 21L),
+      (5L, 21L)) ++ (30L to 84L).map(i => (i, i))).toDF("doc_id", "cluster_id")
+    val out = Sampling.clusterHoldout(clusters, "cluster_id", 0.2, "chs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // all members of a cluster share the verdict
+    out.groupBy(_._2).foreach { case (c, rows) =>
+      assert(rows.map(_._3).distinct.length == 1,
+        s"cluster $c straddles the split")
+    }
+    // the verdict is the deterministic per-cluster coin
+    out.foreach { case (_, c, h) => assert(h == (u01Driver("chs", c) < 0.2)) }
+    // the split is non-degenerate at frac=0.2 over 57 clusters
+    assert(out.exists(_._3) && out.exists(!_._3))
+    // leakage contrast: a row-keyed coin WOULD split at least one of
+    // the multi-member clusters in this fixture
+    val rowKeyed = out.map { case (id, c, _) =>
+      (c, u01Driver("chs", id) < 0.2)
+    }
+    assert(rowKeyed.groupBy(_._1).exists(_._2.map(_._2).distinct.length > 1),
+      "fixture too small to demonstrate the leakage contrast")
+  }
+
   test("clusterBalancedSample: dense cells thin toward perCell, small " +
     "cells survive whole, and the draw is exactly the u01 gate over " +
     "the ivfAssign cells") {
