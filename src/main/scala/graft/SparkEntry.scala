@@ -478,6 +478,16 @@ object SparkEntry {
       Sampling.clusterBalancedSample(model, e, "vec_id", "embedding",
         perCell = 20L, seed = "cbal").orderBy("vec_id")
     }),
+    // DSIR sufficient statistics: hashed uni+bigram bucket counts of
+    // the raw corpus vs the target slice (lang='en') — the oracled
+    // stage of the importance-resampling family (the ln() fit is the
+    // deliberately float-tolerant driver stage, spec-pinned)
+    "samp_dsir_buckets" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Sampling.dsirBuckets(d.select("text"),
+        d.filter(col("lang") === "en").select("text"), "text", 256)
+        .orderBy("bucket")
+    }),
     // leakage-free holdout: the dd_clusters near-dup clustering, with
     // the split coin flipped per CLUSTER id — near-dups of a training
     // doc can never land in the eval split
@@ -2518,6 +2528,18 @@ object SparkEntry {
     // cluster-aware holdout: the SAME replayed near-dup clustering,
     // split coin flipped on the cluster id (u01 twin), so the oracle
     // pins both the clustering and the leakage-free co-assignment
+    "samp_dsir_buckets" ->
+      """WITH tok AS (SELECT lang, regexp_extract_all(lower(text), '[a-z0-9]+') w FROM documents),
+        |uni AS (SELECT lang, unnest(w) g FROM tok),
+        |bi AS (SELECT lang, array_to_string(w[i:i+1], ' ') g
+        |       FROM tok, UNNEST(generate_series(1, greatest(len(w)-1, 0))) t(i)),
+        |f AS (SELECT lang, g FROM uni UNION ALL SELECT lang, g FROM bi),
+        |fb AS (SELECT lang, CAST(('0x'||substr(md5(g),1,15)) AS BIGINT) % 256 AS bucket FROM f),
+        |r AS (SELECT bucket, COUNT(*) c_raw FROM fb GROUP BY 1),
+        |t2 AS (SELECT bucket, COUNT(*) c_target FROM fb WHERE lang = 'en' GROUP BY 1)
+        |SELECT r.bucket, CAST(r.c_raw AS BIGINT) AS c_raw,
+        |       CAST(COALESCE(t2.c_target, 0) AS BIGINT) AS c_target
+        |FROM r LEFT JOIN t2 USING (bucket) ORDER BY bucket""".stripMargin,
     "samp_cluster_holdout" ->
       s"""$ddClustersCtesSql
          |SELECT doc_id, cluster_id,

@@ -89,6 +89,106 @@ object Sampling {
       u(seed, col(clusterCol)) < lit(holdoutFrac))
   }
 
+  // ---- DSIR: Data Selection via Importance Resampling (Xie et al.
+  // 2023) — select raw-corpus docs that look like a small target
+  // corpus, using hashed n-gram features instead of a trained model.
+
+  /** Hashed-n-gram features of a text column: unigrams and bigrams,
+    * exploded — the DSIR feature space before bucketing. */
+  private def dsirFeatures(df: DataFrame, textCol: String): DataFrame =
+    df.select(TextDedup.tokens(col(textCol)).as("_w"))
+      .select(explode(concat(col("_w"),
+        TextDedup.shingleArray(col("_w"), 2))).as("g"))
+
+  /** Per-bucket feature counts of the raw and target corpora — the
+    * sufficient statistics of the DSIR fit, and the oracled stage
+    * (samp_dsir_buckets): bucket = md5Hash60(gram) % nBuckets, counts
+    * are total occurrences. Only observed buckets are returned;
+    * [[dsirFit]] spreads the +1 smoothing over the full bucket spine.
+    *
+    * Scale shape: two map-side-combinable counts over at most nBuckets
+    * keys (the shuffle moves <= nBuckets partial rows per task, not
+    * corpus rows) and one tiny full-outer join — the 100 TB pass is a
+    * pure scan. */
+  def dsirBuckets(raw: DataFrame, target: DataFrame, textCol: String,
+                  nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    def counts(d: DataFrame, name: String) =
+      dsirFeatures(d, textCol)
+        .groupBy((TextDedup.md5Hash60(col("g")) % nBuckets).as("bucket"))
+        .agg(count(lit(1)).as(name))
+    counts(raw, "c_raw")
+      .join(counts(target, "c_target"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("c_raw"), lit(0L)).as("c_raw"),
+        coalesce(col("c_target"), lit(0L)).as("c_target"))
+  }
+
+  /** The fitted DSIR importance model: per-bucket log-likelihood-ratio
+    * weights in MICRO units (floor(1e6 * (ln p_target - ln p_raw)),
+    * +1-smoothed over nBuckets), plus the corpus totals. */
+  final case class DsirModel(nBuckets: Int, wMicro: Array[Long],
+                             rawTotal: Long, targetTotal: Long)
+
+  /** Fit the hashed-n-gram importance weights. The ln() evaluation is
+    * the ONE deliberately float-tolerant stage of the family (the
+    * QualityModel precedent): it runs on the DRIVER over the bounded
+    * nBuckets-row bucket table and is frozen into exact micro-unit
+    * longs, so scoring and resampling downstream are pure integer
+    * arithmetic — bit-reproducible everywhere the frozen model goes. */
+  def dsirFit(raw: DataFrame, target: DataFrame, textCol: String,
+              nBuckets: Int): DsirModel = {
+    val rows = dsirBuckets(raw, target, textCol, nBuckets).collect()
+    val cr = new Array[Long](nBuckets)
+    val ct = new Array[Long](nBuckets)
+    rows.foreach { r =>
+      val b = r.getLong(0).toInt
+      cr(b) = r.getLong(1); ct(b) = r.getLong(2)
+    }
+    val rTot = cr.sum; val tTot = ct.sum
+    val w = Array.tabulate(nBuckets) { b =>
+      math.floor(1e6 * (math.log((ct(b) + 1).toDouble / (tTot + nBuckets)) -
+        math.log((cr(b) + 1).toDouble / (rTot + nBuckets)))).toLong
+    }
+    DsirModel(nBuckets, w, rTot, tTot)
+  }
+
+  /** Per-document importance score: the integer sum of the frozen
+    * bucket weights over the doc's hashed features (sum of micro log
+    * ratios == micro log of the product ratio). Map-side only — the
+    * weight table rides along as a codegen array literal, no join. */
+  def dsirScore(df: DataFrame, idCol: String, textCol: String,
+                model: DsirModel): DataFrame = {
+    val wLit = typedlit(model.wMicro.toIndexedSeq)
+    df.select(col(idCol), TextDedup.tokens(col(textCol)).as("_w"))
+      .withColumn("_g", concat(col("_w"),
+        TextDedup.shingleArray(col("_w"), 2)))
+      .select(col(idCol),
+        size(col("_g")).cast("long").as("n_features"),
+        aggregate(col("_g"), lit(0L), (acc, g) => acc +
+          element_at(wLit,
+            (TextDedup.md5Hash60(g) % model.nBuckets).cast("int") + 1))
+          .as("score_micro"))
+  }
+
+  /** Importance RESAMPLE: Bernoulli-keep each doc at rate
+    * min(1, expectedKeep * w_i / sum w) with w_i = exp(score/1e6) —
+    * docs that look like the target survive preferentially, and the
+    * expected kept count is `expectedKeep` when no rate clips. The
+    * normalizer is one aggregate; the draw is the deterministic u01
+    * gate. exp() runs per row on the frozen integer scores, so a rerun
+    * (any partitioning) reproduces the same kept set. */
+  def dsirResample(scored: DataFrame, idCol: String, expectedKeep: Double,
+                   seed: String): DataFrame = {
+    val z = scored.agg(
+      sum(exp(col("score_micro").cast("double") / 1e6)).as("z"))
+      .collect().head.getDouble(0)
+    scored.withColumn("_rate", least(lit(1.0),
+        exp(col("score_micro").cast("double") / 1e6) * expectedKeep / z))
+      .filter(u(seed, col(idCol)) < col("_rate"))
+      .drop("_rate")
+  }
+
   /** Data mixing with per-source EPOCH weights — the canonical
     * pretraining recipe step ("2.5 epochs of source A, 0.5 of B"):
     * weight w yields floor(w) guaranteed copies of every row plus one

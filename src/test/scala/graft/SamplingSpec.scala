@@ -206,6 +206,65 @@ class SamplingSpec extends SparkSpec {
     ((h >>> 4) % 1000000L).toDouble / 1000000.0
   }
 
+  test("dsir: bucket stats, frozen-weight scoring, and importance " +
+    "resampling prefer target-like docs") {
+    import graft.ops.Sampling.DsirModel
+    // raw corpus: 30 "code-flavored" docs + 30 "news-flavored" docs;
+    // target: a separate small code-flavored sample
+    def code(i: Long) = (i,
+      s"spark scan filter join shuffle partition codegen stage $i task")
+    def news(i: Long) = (i,
+      s"election weather markets rain football concert city $i mayor")
+    val raw = ((0L until 30L).map(code) ++ (100L until 130L).map(news))
+      .toDF("doc_id", "text")
+    val target = (200L until 210L).map(code).toDF("doc_id", "text")
+    val nB = 64
+    // bucket stats: totals are exact feature counts (2*len-1 per doc:
+    // code docs have 10 words -> 19, news docs 9 words -> 17)
+    val b = Sampling.dsirBuckets(raw.select("text"),
+      target.select("text"), "text", nB).collect()
+    assert(b.map(_.getLong(1)).sum == 30L * 19 + 30L * 17)
+    assert(b.map(_.getLong(2)).sum == 10L * (10 + 9))
+    assert(b.forall(r => r.getLong(0) >= 0 && r.getLong(0) < nB))
+    // fit freezes micro weights; scoring is the exact integer replay
+    val model = Sampling.dsirFit(raw.select("text"),
+      target.select("text"), "text", nB)
+    val scored = Sampling.dsirScore(raw, "doc_id", "text", model)
+    val rows = scored.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.forall(r => r._2 == (if (r._1 < 100) 19L else 17L)))
+    // driver-side replay of one doc's score from the frozen weights
+    def bucketOf(g: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val d = md.digest(g.getBytes("UTF-8"))
+      var h = 0L; var i = 0
+      while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+      ((h >>> 4) % nB).toInt
+    }
+    val doc0 = "spark scan filter join shuffle partition codegen stage 0 task"
+    val toks = doc0.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    val grams = toks.toSeq ++ toks.sliding(2).map(_.mkString(" "))
+    val expect0 = grams.map(g => model.wMicro(bucketOf(g))).sum
+    assert(rows.find(_._1 == 0L).get._3 == expect0)
+    // every code doc outscores every news doc
+    val codeScores = rows.filter(_._1 < 100).map(_._3)
+    val newsScores = rows.filter(_._1 >= 100).map(_._3)
+    assert(codeScores.min > newsScores.max)
+    // resample at expectedKeep=20: code docs dominate the kept set and
+    // the draw is rerun/partitioning-deterministic
+    val kept = Sampling.dsirResample(scored, "doc_id", 20.0, "dsir")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val keptCode = kept.count(_ < 100)
+    val keptNews = kept.size - keptCode
+    assert(keptCode > keptNews,
+      s"importance resample kept $keptCode code vs $keptNews news")
+    val again = Sampling.dsirResample(
+      Sampling.dsirScore(raw.repartition(7, col("doc_id")), "doc_id",
+        "text", model), "doc_id", 20.0, "dsir")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(again == kept)
+  }
+
   test("clusterHoldout: cluster members never straddle the split, and " +
     "the coin is exactly u01 on the cluster id") {
     // members 19 and 20 of cluster 10 have OPPOSITE row-keyed u01
