@@ -743,6 +743,11 @@ object SparkEntry {
     "t_bigram_score" -> ((s, dir) =>
       TextStats.bigramScore(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
+    // CCNet head/middle/tail perplexity buckets over the bigram-LM
+    // typicality score — exact tertile thresholds, map-side labels
+    "t_ccnet_buckets" -> ((s, dir) =>
+      TextStats.pplBuckets(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
     "t_ngram_topk" -> ((s, dir) =>
       TextStats.ngramTopK(Tables.documents(s, dir), "text", 2, 30)
         .orderBy("rnk")),
@@ -2912,6 +2917,28 @@ object SparkEntry {
         |       CAST(sum_cnt AS DOUBLE) /
         |         CAST(n_bigrams * total_bigrams AS DOUBLE) AS avg_bigram_prob
         |FROM perdoc, tot ORDER BY doc_id""".stripMargin,
+    "t_ccnet_buckets" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') w FROM documents),
+        |g AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS bg
+        |      FROM t, UNNEST(generate_series(1, greatest(len(w)-1, 0))) AS gs(i)),
+        |tf AS (SELECT doc_id, bg, COUNT(*) tf FROM g GROUP BY 1, 2),
+        |cnt AS (SELECT bg, CAST(SUM(tf) AS BIGINT) cnt FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) total_bigrams FROM cnt),
+        |perdoc AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) n_bigrams,
+        |             CAST(SUM(tf * cnt) AS BIGINT) sum_cnt
+        |           FROM tf JOIN cnt USING (bg) GROUP BY 1),
+        |scored AS (SELECT doc_id, n_bigrams,
+        |             CAST(sum_cnt AS DOUBLE) /
+        |               CAST(n_bigrams * total_bigrams AS DOUBLE) AS avg_bigram_prob
+        |           FROM perdoc, tot),
+        |th AS (SELECT quantile_cont(avg_bigram_prob, 1.0/3) t1,
+        |              quantile_cont(avg_bigram_prob, 2.0/3) t2
+        |       FROM scored)
+        |SELECT doc_id, n_bigrams, avg_bigram_prob,
+        |       CASE WHEN avg_bigram_prob >= t2 THEN 'head'
+        |            WHEN avg_bigram_prob >= t1 THEN 'middle'
+        |            ELSE 'tail' END AS ppl_bucket
+        |FROM scored, th ORDER BY doc_id""".stripMargin,
     "t_length_histogram" ->
       """SELECT CAST((len(text) // 50) * 50 AS BIGINT) AS bin_lo,
         |       COUNT(*) AS n_docs

@@ -370,6 +370,35 @@ object TextStats {
           .as("avg_bigram_prob"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): rank every
+    * document by its corpus-LM typicality ([[bigramScore]]'s
+    * avg_bigram_prob — high prob == low perplexity) and label the
+    * corpus thirds head/middle/tail; CCNet trains on head+middle and
+    * drops the tail. Thresholds are the exact 1/3 and 2/3
+    * interpolated percentiles (the a6 estimator), then the label is a
+    * map-side comparison against the broadcast pair — no global sort,
+    * no window over the corpus.
+    *
+    * `exact = true` is the oracle contract (one exact-percentile
+    * buffer holding one double per DOC — one reducer; fine to ~1e8
+    * docs); `exact = false` swaps in percentile_approx (t-digest,
+    * mergeable, the 100 TB interactive path — NOT oracle-checked, the
+    * thresholdsApprox precedent). */
+  def pplBuckets(df: DataFrame, idCol: String, textCol: String,
+                 exact: Boolean = true): DataFrame = {
+    val scored = bigramScore(df, idCol, textCol)
+    val p = array(lit(1.0 / 3), lit(2.0 / 3))
+    val q =
+      if (exact) percentile(col("avg_bigram_prob"), p)
+      else percentile_approx(col("avg_bigram_prob"), p, lit(10000))
+    val th = scored.agg(q.as("_t"))
+    scored.crossJoin(broadcast(th))
+      .select(col(idCol), col("n_bigrams"), col("avg_bigram_prob"),
+        when(col("avg_bigram_prob") >= col("_t")(1), lit("head"))
+          .when(col("avg_bigram_prob") >= col("_t")(0), lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
+  }
+
   /** Document-length histogram: counts per `binWidth`-char bin —
     * the distribution check before length-based quality filtering. */
   def lengthHistogram(df: DataFrame, textCol: String, binWidth: Int): DataFrame =

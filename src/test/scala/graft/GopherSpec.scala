@@ -94,6 +94,26 @@ class GopherSpec extends SparkSpec {
     assert(none.getAs[Double]("dup5_char_frac") == 0.0)
   }
 
+  test("pplBuckets: head/middle/tail are nonempty, monotone in the " +
+    "typicality score, and the approx mode shares the contract") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = TextStats.pplBuckets(d, "doc_id", "text").collect()
+    val byB = out.groupBy(_.getAs[String]("ppl_bucket"))
+      .map { case (b, rs) => b -> rs.map(_.getAs[Double]("avg_bigram_prob")) }
+    assert(byB.keySet == Set("head", "middle", "tail"))
+    // same score -> same label, so bucket ranges cannot interleave
+    assert(byB("tail").max < byB("middle").min)
+    assert(byB("middle").max < byB("head").min)
+    // thirds (ties permitting): no bucket degenerates
+    assert(byB.values.forall(_.length > out.length / 6))
+    // approx mode: same schema and doc set (labels may differ at the
+    // t-digest's error margin by design)
+    val approx = TextStats.pplBuckets(d, "doc_id", "text", exact = false)
+    assert(approx.columns.toSeq ==
+      Seq("doc_id", "n_bigrams", "avg_bigram_prob", "ppl_bucket"))
+    assert(approx.count() == out.length)
+  }
+
   test("gopherRepetition: empty and sub-n docs flow through as zeros") {
     val r = rep((1L, ""), (2L, "only four words here"))
     assert(r(0).getAs[Long]("n_tokens") == 0L)
