@@ -916,6 +916,36 @@ object SparkEntry {
       Embeddings.ivfTopK(model, e, e.filter(col("vec_id") < 10),
         "vec_id", "embedding", nProbe = 4, k = 5).orderBy("query_id", "rnk")
     }),
+    // PQ ADC scan (m=4 subspaces x 16 codes over dim 64): the corpus
+    // compressed to 4 codes/vector, ranked by exact integer
+    // reconstruction distance — fit, codes and distances all replayed
+    // bit-exactly by the generated oracle (pqTopKOracleSql)
+    "e_pq_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val model = Embeddings.pqFit(e, "vec_id", "embedding", m = 4, k = 16)
+      Embeddings.pqTopK(model, e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5).orderBy("query_id", "rnk")
+    }),
+    // PQ + exact re-rank: ADC shortlist of 50, exact L2 top-5 on the
+    // shortlist only — the production recall dial
+    "e_pq_rerank" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val model = Embeddings.pqFit(e, "vec_id", "embedding", m = 4, k = 16)
+      Embeddings.pqTopKRerank(model, e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, shortlist = 50)
+        .orderBy("query_id", "rnk")
+    }),
+    // PQ recall against the exact L2 brute force (ADC is an L2-metric
+    // path; cosine brute force is the wrong baseline)
+    "e_recall_pq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      val model = Embeddings.pqFit(e, "vec_id", "embedding", m = 4, k = 16)
+      Embeddings.recallAtK(
+        Embeddings.pqTopK(model, e, q, "vec_id", "embedding", k = 5),
+        Embeddings.bruteForceTopKL2(e, q, "vec_id", "embedding", 5))
+        .orderBy("query_id")
+    }),
     // exact modes: full probe makes IVF/multi-probe-LSH equal brute
     // force, hash-verifying the bucket plumbing against the oracle
     "e_ivf_exact" -> ((s, dir) => {
@@ -1120,6 +1150,36 @@ object SparkEntry {
     s"""-2 * CAST(list_dot_product($q, $c.cv) AS DOUBLE)
        |           + CAST(list_dot_product($c.cv, $c.cv) AS DOUBLE), $c.cell""".stripMargin
 
+  /** The unrolled Lloyd's-loop CTE pairs shared by every oracle that
+    * replays an integer-exact k-means fit: expects CTEs `$samp(sid,
+    * qv)` (the deterministic sample, possibly a subspace slice) and
+    * `$dims(i)` to exist, emits `${p}a1/${p}m1/${p}c1` ..
+    * `${p}c$iters`; the fitted centroids land in `${p}c$iters(cell,
+    * cv)`. An empty prefix reproduces the historical e_ivf_topk CTE
+    * names byte-for-byte. */
+  private def lloydCtesSql(p: String, samp: String, dims: String,
+                           nLists: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""${p}c0 AS (SELECT sid AS cell, qv AS cv FROM $samp WHERE sid < $nLists),
+              |""".stripMargin
+    for (it <- 1 to iters) {
+      val prev = s"${p}c${it - 1}"
+      sb ++= s"""${p}a$it AS (SELECT s.sid, s.qv, c.cell,
+                |         ROW_NUMBER() OVER (PARTITION BY s.sid ORDER BY
+                |           ${ivfDistOrder("s.qv", "c")}) AS rn
+                |       FROM $samp s, $prev c),
+                |${p}m$it AS (SELECT a.cell, d.i,
+                |         CAST(CAST(SUM(a.qv[d.i]) AS BIGINT) // COUNT(*) AS BIGINT) AS x
+                |       FROM ${p}a$it a, $dims d WHERE a.rn = 1 GROUP BY a.cell, d.i),
+                |${p}c$it AS MATERIALIZED (SELECT c.cell, COALESCE(n.cv, c.cv) AS cv
+                |       FROM $prev c LEFT JOIN
+                |         (SELECT cell, list(x ORDER BY i) AS cv
+                |          FROM ${p}m$it GROUP BY cell) n USING (cell)),
+                |""".stripMargin
+    }
+    sb.toString
+  }
+
   /** Shared WITH-prefix replaying Embeddings.ivfFit's integer-exact
     * Lloyd's loop over the embeddings table as `iters` unrolled CTE
     * pairs — ends with `c$iters` holding the fitted centroids; callers
@@ -1135,23 +1195,8 @@ object SparkEntry {
               |           (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS sid, qv
               |         FROM v QUALIFY sid < $sampleCap),
               |dims AS (SELECT unnest(generate_series(1, $dim)) AS i),
-              |c0 AS (SELECT sid AS cell, qv AS cv FROM samp WHERE sid < $nLists),
               |""".stripMargin
-    for (it <- 1 to iters) {
-      val prev = s"c${it - 1}"
-      sb ++= s"""a$it AS (SELECT s.sid, s.qv, c.cell,
-                |         ROW_NUMBER() OVER (PARTITION BY s.sid ORDER BY
-                |           ${ivfDistOrder("s.qv", "c")}) AS rn
-                |       FROM samp s, $prev c),
-                |m$it AS (SELECT a.cell, d.i,
-                |         CAST(CAST(SUM(a.qv[d.i]) AS BIGINT) // COUNT(*) AS BIGINT) AS x
-                |       FROM a$it a, dims d WHERE a.rn = 1 GROUP BY a.cell, d.i),
-                |c$it AS MATERIALIZED (SELECT c.cell, COALESCE(n.cv, c.cv) AS cv
-                |       FROM $prev c LEFT JOIN
-                |         (SELECT cell, list(x ORDER BY i) AS cv
-                |          FROM m$it GROUP BY cell) n USING (cell)),
-                |""".stripMargin
-    }
+    sb ++= lloydCtesSql("", "samp", "dims", nLists, iters)
     sb.toString
   }
 
@@ -1180,6 +1225,77 @@ object SparkEntry {
               |          ORDER BY cosine DESC, corpus_id) AS INT) rnk
               |      FROM s)
               |SELECT query_id, corpus_id, cosine, rnk
+              |FROM r WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+    sb.toString
+  }
+
+  /** Exact squared-L2 brute-force top-5 for the vec_id<10 probe set —
+    * the L2-metric twin of annTop5Sql; the recall baseline of the PQ
+    * path (ADC ranks by L2, not cosine). */
+  private val l2Top5Sql =
+    """WITH v AS (SELECT vec_id, list_transform(embedding,
+      |             x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) qv
+      |           FROM embeddings),
+      |q AS (SELECT vec_id query_id, qv FROM v WHERE vec_id < 10),
+      |s AS (SELECT q.query_id, c.vec_id corpus_id,
+      |        CAST(list_dot_product(q.qv, q.qv) AS BIGINT)
+      |        - 2 * CAST(list_dot_product(q.qv, c.qv) AS BIGINT)
+      |        + CAST(list_dot_product(c.qv, c.qv) AS BIGINT) AS dist
+      |      FROM q JOIN v c ON c.vec_id <> q.query_id),
+      |r AS (SELECT query_id, corpus_id, dist,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |          ORDER BY dist, corpus_id) AS INT) rnk
+      |      FROM s)
+      |SELECT query_id, corpus_id, dist, rnk
+      |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
+  /** Generated oracle for the PQ ADC path (e_pq_topk): `m` independent
+    * replays of the integer-exact per-subspace Lloyd's fit (the shared
+    * lloydCtesSql loop over sliced samples), each subspace's corpus
+    * code assignment, and the ADC distance as the per-subspace partial
+    * sum — every step exact integer arithmetic, so the fitted
+    * codebooks, every code, and every distance match the Spark result
+    * bit-for-bit without anything passed out-of-band. */
+  private def pqTopKOracleSql(m: Int, kCode: Int, iters: Int, k: Int,
+                              dim: Int, sampleCap: Int): String = {
+    val subDim = dim / m
+    val sb = new StringBuilder
+    sb ++= s"""WITH v AS (SELECT vec_id, list_transform(embedding,
+              |             x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) qv
+              |           FROM embeddings),
+              |samp AS (SELECT ROW_NUMBER() OVER
+              |           (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS sid, qv
+              |         FROM v QUALIFY sid < $sampleCap),
+              |dims AS (SELECT unnest(generate_series(1, $subDim)) AS i),
+              |""".stripMargin
+    for (j <- 0 until m) {
+      val lo = j * subDim + 1
+      val hi = (j + 1) * subDim
+      sb ++= s"""s$j AS (SELECT sid, qv[$lo:$hi] AS qv FROM samp),
+                |""".stripMargin
+      sb ++= lloydCtesSql(s"p${j}_", s"s$j", "dims", kCode, iters)
+      sb ++= s"""cb$j AS (SELECT corpus_id, cv FROM (
+                |  SELECT v.vec_id AS corpus_id, c.cv,
+                |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                |      ${ivfDistOrder(s"v.qv[$lo:$hi]", "c")}) AS rn
+                |  FROM v, p${j}_c$iters c) WHERE rn = 1),
+                |pd$j AS (SELECT q.vec_id AS query_id, cb.corpus_id,
+                |    CAST(list_dot_product(q.qv[$lo:$hi], q.qv[$lo:$hi]) AS BIGINT)
+                |    - 2 * CAST(list_dot_product(q.qv[$lo:$hi], cb.cv) AS BIGINT)
+                |    + CAST(list_dot_product(cb.cv, cb.cv) AS BIGINT) AS d
+                |  FROM v q, cb$j cb
+                |  WHERE q.vec_id < 10 AND cb.corpus_id <> q.vec_id),
+                |""".stripMargin
+    }
+    sb ++= s"""ds AS (${(0 until m).map(j => s"SELECT * FROM pd$j")
+               .mkString(" UNION ALL ")}),
+              |tot AS (SELECT query_id, corpus_id, CAST(SUM(d) AS BIGINT) AS adc_dist
+              |        FROM ds GROUP BY 1, 2),
+              |r AS (SELECT query_id, corpus_id, adc_dist,
+              |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              |          ORDER BY adc_dist, corpus_id) AS INT) rnk
+              |      FROM tot)
+              |SELECT query_id, corpus_id, adc_dist, rnk
               |FROM r WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
     sb.toString
   }
@@ -3044,6 +3160,50 @@ object SparkEntry {
          |), approx AS (
          |${ivfTopKOracleSql(nLists = 16, iters = 10, nProbe = 4,
              k = 5, dim = 64, sampleCap = 4096)}
+         |),
+         |sizes AS (SELECT query_id, count(*) AS n_exact
+         |          FROM exact GROUP BY 1),
+         |hits AS (SELECT e.query_id, count(*) AS n_hit
+         |         FROM exact e JOIN approx a
+         |           ON e.query_id = a.query_id
+         |          AND e.corpus_id = a.corpus_id
+         |         GROUP BY 1)
+         |SELECT s.query_id,
+         |       CAST(s.n_exact AS BIGINT) AS n_exact,
+         |       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |       CAST(coalesce(h.n_hit, 0) AS DOUBLE)
+         |         / CAST(s.n_exact AS DOUBLE) AS recall
+         |FROM sizes s LEFT JOIN hits h USING (query_id)
+         |ORDER BY s.query_id""".stripMargin,
+    "e_pq_topk" -> pqTopKOracleSql(m = 4, kCode = 16, iters = 10, k = 5,
+      dim = 64, sampleCap = 4096),
+    "e_pq_rerank" ->
+      s"""WITH short AS (
+         |${pqTopKOracleSql(m = 4, kCode = 16, iters = 10, k = 50,
+             dim = 64, sampleCap = 4096)}
+         |),
+         |v2 AS (SELECT vec_id, list_transform(embedding,
+         |         x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) qv
+         |       FROM embeddings),
+         |s2 AS (SELECT sh.query_id, sh.corpus_id,
+         |         CAST(list_dot_product(q.qv, q.qv) AS BIGINT)
+         |         - 2 * CAST(list_dot_product(q.qv, c.qv) AS BIGINT)
+         |         + CAST(list_dot_product(c.qv, c.qv) AS BIGINT) AS dist
+         |       FROM short sh
+         |       JOIN v2 q ON q.vec_id = sh.query_id
+         |       JOIN v2 c ON c.vec_id = sh.corpus_id),
+         |r2 AS (SELECT query_id, corpus_id, dist,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |           ORDER BY dist, corpus_id) AS INT) rnk
+         |       FROM s2)
+         |SELECT query_id, corpus_id, dist, rnk
+         |FROM r2 WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "e_recall_pq" ->
+      s"""WITH exact AS (
+         |${l2Top5Sql}
+         |), approx AS (
+         |${pqTopKOracleSql(m = 4, kCode = 16, iters = 10, k = 5,
+             dim = 64, sampleCap = 4096)}
          |),
          |sizes AS (SELECT query_id, count(*) AS n_exact
          |          FROM exact GROUP BY 1),

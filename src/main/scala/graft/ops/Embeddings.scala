@@ -64,6 +64,32 @@ object Embeddings {
         col("rnk").cast("int").as("rnk"))
   }
 
+  /** Brute-force top-k by exact integer squared-L2 distance — the
+    * exact baseline for the L2-metric approximate paths ([[pqTopK]]'s
+    * ADC ranks by L2, not cosine, so its recall is measured against
+    * this, not [[bruteForceTopK]]). Same plan shape: broadcast
+    * queries, one corpus scan, windowed per-query rank, corpus_id
+    * tie-break; `dist` = |q - c|^2 in the quantized-long domain. */
+  def bruteForceTopKL2(corpus: DataFrame, queries: DataFrame,
+                       idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      quantize(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      quantize(col(vecCol)).as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("dist",
+        qdot(col("qv"), col("qv")) - lit(2L) * qdot(col("qv"), col("cv")) +
+          qdot(col("cv"), col("cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("dist"), col("corpus_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("corpus_id"), col("dist"),
+        col("rnk").cast("int").as("rnk"))
+  }
+
   /** ANN evaluation: recall of an approximate top-k frame against the
     * exact one — the quality dial every approximate path (LSH, IVF,
     * int8) is tuned by. Both inputs are (query_id, corpus_id, ...)
@@ -370,6 +396,144 @@ object Embeddings {
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("corpus_id"), col("cosine"),
+        col("rnk").cast("int").as("rnk"))
+  }
+
+  // ---- Product Quantization (Jégou et al. 2011): the ANN memory
+  // path one step past int8 — the corpus is stored as m small codes
+  // per vector (m bytes at k=256, here k=16 for the oracle replay),
+  // and search scans codes instead of vectors. At 100 TB the scan is
+  // memory-bandwidth-bound, so a 64-dim float corpus (256 B/vector)
+  // compressed to m=4 codes reads ~64x fewer bytes; classically PQ
+  // composes with the IVF cell layout above (probe cells, ADC-scan
+  // codes within them).
+
+  /** The fitted PQ codebooks: `codebooks(m)(code)` is the centroid of
+    * subspace m for that code, in the exact quantized-long domain —
+    * each subspace is its own [[ivfFit]]-style integer Lloyd's fit, so
+    * the whole model (and therefore every code and every ADC distance)
+    * is bit-reproducible in any engine. */
+  final case class PqModel(subDim: Int,
+                           codebooks: Array[Array[Array[Long]]])
+
+  /** Fit `m` per-subspace codebooks of `k` centroids each on the same
+    * bounded md5-ordered sample as [[ivfFit]] (one TakeOrdered pass;
+    * Lloyd's per subspace runs on the driver over <= sampleCap x
+    * dim/m longs). */
+  def pqFit(corpus: DataFrame, idCol: String, vecCol: String, m: Int,
+            k: Int = 16, iters: Int = 10, sampleCap: Int = 4096): PqModel = {
+    val sample = corpus
+      .select(quantize(col(vecCol)).as("v"),
+        md5(col(idCol).cast("string")).as("h"))
+      .orderBy("h").limit(sampleCap)
+      .collect().map(_.getSeq[Long](0).toArray)
+    require(sample.nonEmpty, "pqFit needs a non-empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    val books = Array.tabulate(m) { j =>
+      fitQuantizedSample(
+        sample.map(v => v.slice(j * subDim, (j + 1) * subDim)), k, iters)
+        .centroids
+    }
+    PqModel(subDim, books)
+  }
+
+  /** Per-subspace (distance, code) structs for one subvector — the
+    * same fused-QDot argmin shape as [[centroidDistStructs]]. */
+  private def subCodeStructs(book: Array[Array[Long]],
+                             sub: Column): Seq[Column] =
+    book.toIndexedSeq.zipWithIndex.map { case (c, j) =>
+      struct(
+        (lit(-2L) * qdot(sub, typedlit(c.toIndexedSeq)) +
+          lit(c.map(x => x * x).sum)).as("d"),
+        lit(j).as("code"))
+    }
+
+  /** PQ code array (length m) of a quantized vector — a pure map
+    * expression: m independent argmins over k centroids each, no join,
+    * no shuffle; encoding a 100 TB corpus is an embarrassingly
+    * parallel scan that writes m small ints per row. */
+  def pqCodeOfQuantized(model: PqModel, qv: Column): Column =
+    array(model.codebooks.toIndexedSeq.zipWithIndex.map { case (b, j) =>
+      array_min(array(subCodeStructs(b,
+        slice(qv, lit(j * model.subDim + 1), lit(model.subDim))): _*))
+        .getField("code")
+    }: _*)
+
+  /** Encode a corpus: (id, codes) — the stored PQ index rows. */
+  def pqEncode(model: PqModel, df: DataFrame, idCol: String,
+               vecCol: String): DataFrame =
+    df.select(col(idCol),
+      pqCodeOfQuantized(model, quantize(col(vecCol))).as("codes"))
+
+  /** Reconstruct the quantized vector a code array stands for: the
+    * concatenation of each subspace's chosen centroid, looked up in
+    * the broadcast codebook literals — map-side, no join. */
+  def pqReconstruct(model: PqModel, codes: Column): Column =
+    concat(model.codebooks.toIndexedSeq.zipWithIndex.map { case (b, j) =>
+      element_at(
+        typedlit(b.map(_.toIndexedSeq).toIndexedSeq),
+        element_at(codes, j + 1).cast("int") + 1)
+    }: _*)
+
+  /** PQ top-k by asymmetric distance (ADC): the query stays full
+    * precision, each corpus row is scored against its RECONSTRUCTION,
+    * which equals the classical per-subspace table-lookup sum exactly
+    * (the distance decomposes over subspaces). `adc_dist` is the exact
+    * integer squared L2 |q - recon|^2 — ties break on corpus_id, and
+    * every value is oracle-reproducible. Plan shape: broadcast
+    * queries x one scan of the code table, windowed per-query rank —
+    * the [[bruteForceTopK]] plan reading codes instead of vectors. */
+  def pqTopK(model: PqModel, corpus: DataFrame, queries: DataFrame,
+             idCol: String, vecCol: String, k: Int): DataFrame = {
+    val cr = pqEncode(model, corpus, idCol, vecCol)
+      .select(col(idCol).as("corpus_id"),
+        pqReconstruct(model, col("codes")).as("rv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      quantize(col(vecCol)).as("qv"))
+    val scored = cr.crossJoin(broadcast(q))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("adc_dist",
+        qdot(col("qv"), col("qv")) - lit(2L) * qdot(col("qv"), col("rv")) +
+          qdot(col("rv"), col("rv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("adc_dist"), col("corpus_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("corpus_id"), col("adc_dist"),
+        col("rnk").cast("int").as("rnk"))
+  }
+
+  /** PQ search with exact RE-RANKING — the standard production recipe
+    * (ADC shortlist, then exact distances on just the shortlist): the
+    * code scan proposes `shortlist` candidates per query, full vectors
+    * are fetched for those rows ONLY (a semi-join touching queries x
+    * shortlist corpus rows, not the corpus), and exact squared-L2
+    * re-ranks the final top-k. m x log2(k) bits per vector decide what
+    * gets fetched; recall is the shortlist dial — at shortlist ==
+    * corpus size the result is exactly [[bruteForceTopKL2]]
+    * (spec-pinned). */
+  def pqTopKRerank(model: PqModel, corpus: DataFrame, queries: DataFrame,
+                   idCol: String, vecCol: String, k: Int,
+                   shortlist: Int): DataFrame = {
+    val short = pqTopK(model, corpus, queries, idCol, vecCol, shortlist)
+      .select(col("query_id"), col("corpus_id"))
+    val cv = corpus.select(col(idCol).as("corpus_id"),
+      quantize(col(vecCol)).as("cv"))
+    val qv = queries.select(col(idCol).as("query_id"),
+      quantize(col(vecCol)).as("qv"))
+    val scored = short.join(cv, "corpus_id").join(broadcast(qv), "query_id")
+      .withColumn("dist",
+        qdot(col("qv"), col("qv")) - lit(2L) * qdot(col("qv"), col("cv")) +
+          qdot(col("cv"), col("cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("dist"), col("corpus_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("corpus_id"), col("dist"),
         col("rnk").cast("int").as("rnk"))
   }
 

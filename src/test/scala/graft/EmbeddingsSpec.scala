@@ -229,4 +229,37 @@ class EmbeddingsSpec extends SparkSpec {
     assert(r0(0L) == 0.0)
     assert(r0.filterKeys(_ != 0L).values.forall(_ == 1.0))
   }
+
+  test("pq: codes in range, rerank lifts recall over the raw ADC scan, " +
+    "and a corpus-wide shortlist reproduces exact L2 brute force") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 10)
+    val model = Embeddings.pqFit(e, "vec_id", "embedding", m = 4, k = 16)
+    assert(model.codebooks.length == 4 &&
+      model.codebooks.forall(_.length == 16) && model.subDim == 16)
+    // every code is one of the 16 per-subspace centroids
+    val codes = Embeddings.pqEncode(model, e, "vec_id", "embedding")
+      .collect().map(_.getSeq[Int](1))
+    assert(codes.forall(cs => cs.length == 4 &&
+      cs.forall(c => c >= 0 && c < 16)))
+    def meanRecall(approx: org.apache.spark.sql.DataFrame,
+                   exact: org.apache.spark.sql.DataFrame): Double = {
+      val rs = Embeddings.recallAtK(approx, exact).collect()
+        .map(_.getAs[Double]("recall"))
+      rs.sum / rs.length
+    }
+    val exact = Embeddings.bruteForceTopKL2(e, q, "vec_id", "embedding", 5)
+    val adc = Embeddings.pqTopK(model, e, q, "vec_id", "embedding", 5)
+    val rr = Embeddings.pqTopKRerank(model, e, q, "vec_id", "embedding",
+      k = 5, shortlist = 50)
+    val (ra, rb) = (meanRecall(adc, exact), meanRecall(rr, exact))
+    assert(rb >= ra, s"re-rank recall $rb below raw ADC $ra")
+    // shortlist >= corpus makes the re-rank exactly brute force
+    val full = Embeddings.pqTopKRerank(model, e, q, "vec_id", "embedding",
+      k = 5, shortlist = 100000)
+    val key = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(key(full) == key(exact))
+  }
 }
