@@ -210,6 +210,70 @@ object ScaleProbe {
     }
     }
 
+    section("r12") {
+    // round-12 additions at xmult. The Gopher filters are pure
+    // map-side scans (cost must track row count); DSIR is one explode
+    // + 256-key map-side-combinable agg then a map-side score/filter;
+    // the CCNet bucketer's single exact-percentile reducer receives
+    // one double per DOC (not per token); PQ is the memory-path ANN.
+    // the Gopher ops are pure projections: a bare count() lets column
+    // pruning eliminate every signal expression (measured 0.5 s for a
+    // "computation" that takes 25 s) — hash-fold all columns instead
+    def evalAll(d: DataFrame): Long = {
+      val r = d.agg(count(lit(1)),
+        sum(hash(d.columns.map(col): _*))).head
+      r.getLong(0)
+    }
+    time("gopher_rules") {
+      evalAll(ops.TextStats.gopherRules(docs, "doc_id", "text"))
+    }
+    time("gopher_repetition_worst") {
+      // every doc made internally repetitive (newline lines, a
+      // duplicated line pair, a tripled phrase): the dup-5-gram
+      // coverage pass's O(tokens x dup-starts) term is live in every
+      // row, not just the seeded minority
+      evalAll(ops.TextStats.gopherRepetition(
+        docs.withColumn("text", concat(
+          regexp_replace(col("text"), " the ", "\n"),
+          lit("\nsubscribe now\nsubscribe now"),
+          lit(" big data lake big data lake big data lake"))),
+        "doc_id", "text"))
+    }
+    time("dsir_fit_score_resample") {
+      val target = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      val model = ops.Sampling.dsirFit(docs, target, "text", 256)
+      ops.Sampling.dsirResample(
+        ops.Sampling.dsirScore(docs, "doc_id", "text", model),
+        "doc_id", 1000.0, "probe").count()
+    }
+    time("ccnet_buckets") {
+      evalAll(ops.TextStats.pplBuckets(docs, "doc_id", "text"))
+    }
+    locally {
+      val emb = multiplied(Tables.embeddings(spark, dir)
+        .select("vec_id", "embedding"), "vec_id").cache()
+      println(s"[scaleprobe] embeddings xmult = ${emb.count()}")
+      val model = ops.Embeddings.pqFit(emb, "vec_id", "embedding",
+        m = 4, k = 16)
+      time("pq_encode") {
+        // projection again: hash-fold the code arrays so pruning
+        // cannot skip the m argmins
+        evalAll(ops.Embeddings.pqEncode(model, emb, "vec_id", "embedding"))
+      }
+      time("pq_topk_rerank") {
+        ops.Embeddings.pqTopKRerank(model, emb,
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, shortlist = 50).count()
+      }
+      time("cluster_balanced_sample") {
+        val ivf = ops.Embeddings.ivfFit(emb, "vec_id", "embedding", 16)
+        ops.Sampling.clusterBalancedSample(ivf, emb, "vec_id",
+          "embedding", 200L, "probe").count()
+      }
+      emb.unpersist()
+    }
+    }
+
     section("span") {
     // the substring-duplication family in a CLEAN session (the full
     // text sweep runs these after simhash's 78M-pair fixture, whose

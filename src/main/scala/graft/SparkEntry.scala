@@ -2839,7 +2839,9 @@ object SparkEntry {
         |g5 AS (SELECT doc_id, i - 1 AS i0, array_to_string(w[i:i+4], ' ') g
         |       FROM base, UNNEST(generate_series(1, greatest(len(w)-4, 0))) gs(i)),
         |d5 AS (SELECT doc_id, g FROM g5 GROUP BY doc_id, g HAVING COUNT(*) >= 2),
+        |d5c AS (SELECT doc_id, COUNT(*) ng FROM d5 GROUP BY doc_id),
         |st AS (SELECT g5.doc_id, g5.i0 FROM g5 JOIN d5 USING (doc_id, g)),
+        |stc AS (SELECT doc_id, COUNT(*) ns FROM st GROUP BY doc_id),
         |cov AS (SELECT DISTINCT st.doc_id, st.i0 + o AS j
         |        FROM st, UNNEST(generate_series(0, 4)) os(o)),
         |covc AS (SELECT cov.doc_id, SUM(len(b.w[cov.j + 1])) cc
@@ -2857,6 +2859,8 @@ object SparkEntry {
         |             / CAST(t.chars AS DOUBLE), 0.0), 6) AS top3_char_frac,
         |       round(COALESCE(CAST(t4.c AS DOUBLE) * CAST(len(t4.g) - 3 AS DOUBLE)
         |             / CAST(t.chars AS DOUBLE), 0.0), 6) AS top4_char_frac,
+        |       CAST(COALESCE(d5c.ng, 0) AS BIGINT) AS dup5_ngrams,
+        |       CAST(COALESCE(stc.ns, 0) AS BIGINT) AS dup5_spans,
         |       round(CASE WHEN t.chars > 0
         |             THEN CAST(COALESCE(covc.cc, 0) AS DOUBLE) / CAST(t.chars AS DOUBLE)
         |             ELSE 0.0 END, 6) AS dup5_char_frac
@@ -2865,6 +2869,8 @@ object SparkEntry {
         |LEFT JOIN t2 ON t.doc_id = t2.doc_id AND t2.rn = 1
         |LEFT JOIN t3 ON t.doc_id = t3.doc_id AND t3.rn = 1
         |LEFT JOIN t4 ON t.doc_id = t4.doc_id AND t4.rn = 1
+        |LEFT JOIN d5c ON t.doc_id = d5c.doc_id
+        |LEFT JOIN stc ON t.doc_id = stc.doc_id
         |LEFT JOIN covc ON t.doc_id = covc.doc_id
         |ORDER BY t.doc_id""".stripMargin,
     "t_pack_sequences" ->

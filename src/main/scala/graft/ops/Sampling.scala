@@ -180,13 +180,20 @@ object Sampling {
     * (any partitioning) reproduces the same kept set. */
   def dsirResample(scored: DataFrame, idCol: String, expectedKeep: Double,
                    seed: String): DataFrame = {
-    val z = scored.agg(
+    // the normalizer action would otherwise evaluate the caller's
+    // scoring lineage once here and again in the returned filter —
+    // cache across the two (released on the caller's first action,
+    // the dedupCorpus precedent)
+    val s = scored.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val z = s.agg(
       sum(exp(col("score_micro").cast("double") / 1e6)).as("z"))
       .collect().head.getDouble(0)
-    scored.withColumn("_rate", least(lit(1.0),
+    val out = s.withColumn("_rate", least(lit(1.0),
         exp(col("score_micro").cast("double") / 1e6) * expectedKeep / z))
       .filter(u(seed, col(idCol)) < col("_rate"))
       .drop("_rate")
+    graft.util.CacheRelease.releaseAfterFirstAction(out, Seq(s))
   }
 
   /** Data mixing with per-source EPOCH weights — the canonical

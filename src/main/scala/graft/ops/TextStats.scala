@@ -386,17 +386,24 @@ object TextStats {
     * thresholdsApprox precedent). */
   def pplBuckets(df: DataFrame, idCol: String, textCol: String,
                  exact: Boolean = true): DataFrame = {
+    // the scored frame feeds BOTH the threshold subquery and the probe
+    // side, and exchange reuse does not bridge a broadcast boundary —
+    // uncached, the full bigram pipeline runs twice (measured 89 s ->
+    // 47 s at the x30 probe). Within-action cache, released on the
+    // caller's first action (the dedupCorpus precedent).
     val scored = bigramScore(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val p = array(lit(1.0 / 3), lit(2.0 / 3))
     val q =
       if (exact) percentile(col("avg_bigram_prob"), p)
       else percentile_approx(col("avg_bigram_prob"), p, lit(10000))
     val th = scored.agg(q.as("_t"))
-    scored.crossJoin(broadcast(th))
+    val out = scored.crossJoin(broadcast(th))
       .select(col(idCol), col("n_bigrams"), col("avg_bigram_prob"),
         when(col("avg_bigram_prob") >= col("_t")(1), lit("head"))
           .when(col("avg_bigram_prob") >= col("_t")(0), lit("middle"))
           .otherwise(lit("tail")).as("ppl_bucket"))
+    graft.util.CacheRelease.releaseAfterFirstAction(out, Seq(scored))
   }
 
   /** Document-length histogram: counts per `binWidth`-char bin —
@@ -653,6 +660,17 @@ object TextStats {
     * corpus-level machinery (TextDedup.dupSpanStats) instead. */
   def gopherRepetition(df: DataFrame, idCol: String, textCol: String,
                        dupN: Int = 5): DataFrame = {
+    // EXPRESSION-STRUCTURE HAZARD, load-bearing: referencing a
+    // non-cheap array column from inside a higher-order-function
+    // LAMBDA is dangerous — after column pruning drops the
+    // pass-through reference, CollapseProject inlines the whole
+    // producing expression into the lambda body, which then
+    // re-evaluates it PER ELEMENT (first cut: the duplicated-gram set
+    // re-sorted for every position of every doc — 9.6 ms/doc at the
+    // x30 probe, 200x the honest cost). Every pass below therefore
+    // either consumes arrays in HoF INPUT position (evaluated once per
+    // row even when inlined) or keeps a second post-pruning reference
+    // alive as a real output signal (dup5_ngrams / dup5_spans).
     // (best run, gram holding it) over a sorted array, one pass
     def maxRunGram(sorted: Column): Column = aggregate(
       sorted,
@@ -673,15 +691,29 @@ object TextStats {
       filter(zip_with(sorted, slice(sorted, lit(2),
         greatest(size(sorted) - 1, lit(0))), (a, b) => when(a === b, a)),
         v => v.isNotNull))
-    def topNgramFrac(n: Int): Column = {
-      val grams = sort_array(TextDedup.shingleArray(col("_w"), n))
-      val best = maxRunGram(grams)
-      round(coalesce(
-        when(size(grams) > 0,
-          best.getField("cnt").cast("double") *
-            (length(best.getField("gram")) - lit(n - 1)).cast("double") /
-            col("_chars").cast("double")),
-        lit(0.0)), 6)
+    // char mass of values occurring >= 2 times, one run-scan over the
+    // sorted array (flush a run's chars when it ends; finish flushes
+    // the last) — no membership probe, no second array
+    def runDupChars(sorted: Column): Column = {
+      def flush(acc: Column): Column =
+        when(acc.getField("run") >= 2L,
+          acc.getField("chars") + acc.getField("run") *
+            length(acc.getField("prev")).cast("long"))
+          .otherwise(acc.getField("chars"))
+      aggregate(
+        sorted,
+        struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+          lit(0L).as("chars")),
+        (acc, g) => {
+          val same = acc.getField("prev").isNotNull &&
+            g === acc.getField("prev")
+          struct(g.as("prev"),
+            when(same, acc.getField("run") + 1L).otherwise(lit(1L))
+              .as("run"),
+            when(same, acc.getField("chars")).otherwise(flush(acc))
+              .as("chars"))
+        },
+        acc => flush(acc))
     }
     val s1 = df
       .select(col(idCol), TextDedup.tokens(col(textCol)).as("_w"),
@@ -692,29 +724,55 @@ object TextStats {
       .withColumn("_nlines", size(col("_lines")).cast("long"))
       .withColumn("_ndlines",
         size(array_distinct(col("_lines"))).cast("long"))
-      .withColumn("_duplines", dupValues(sort_array(col("_lines"))))
       .withColumn("_linechars", aggregate(col("_lines"), lit(0L),
         (acc, l) => acc + length(l).cast("long")))
-      .withColumn("_dupchars", aggregate(col("_lines"), lit(0L),
-        (acc, l) => acc + when(array_contains(col("_duplines"), l),
-          length(l).cast("long")).otherwise(lit(0L))))
-    // duplicated dupN-gram positional coverage: starts whose gram value
-    // repeats within the doc, then chars of every token under a start
-    val grams = TextDedup.shingleArray(col("_w"), dupN)
-    val s2 = s1
-      .withColumn("_g", grams)
+      .withColumn("_dupchars", runDupChars(sort_array(col("_lines"))))
+    // per-n top-gram stats: the (cnt, gram) struct is a COLUMN so the
+    // two getField consumers share one run-scan
+    def topFracOut(t: Column, n: Int): Column =
+      round(coalesce(
+        when(t.getField("cnt") > 0,
+          t.getField("cnt").cast("double") *
+            (length(t.getField("gram")) - lit(n - 1)).cast("double") /
+            col("_chars").cast("double")),
+        lit(0.0)), 6)
+    val s1t = s1
+      .withColumn("_t2",
+        maxRunGram(sort_array(TextDedup.shingleArray(col("_w"), 2))))
+      .withColumn("_t3",
+        maxRunGram(sort_array(TextDedup.shingleArray(col("_w"), 3))))
+      .withColumn("_t4",
+        maxRunGram(sort_array(TextDedup.shingleArray(col("_w"), 4))))
+    // duplicated dupN-gram positional coverage: starts whose gram
+    // repeats within the doc, merged into disjoint [lo, hi) intervals
+    // (the removeDupSpans merge), then the covered token chars sliced
+    // out interval by interval — every HoF consumes its array in input
+    // position; _dupg's lambda reference is protected by the
+    // dup5_ngrams output
+    val s2 = s1t
+      .withColumn("_g", TextDedup.shingleArray(col("_w"), dupN))
       .withColumn("_dupg", dupValues(sort_array(col("_g"))))
       .withColumn("_starts", filter(
         transform(col("_g"), (g, i) =>
-          when(array_contains(col("_dupg"), g), i)),
+          when(array_contains(col("_dupg"), g), i.cast("long"))),
         v => v.isNotNull))
+      .withColumn("_iv", aggregate(
+        col("_starts"),
+        array().cast("array<struct<lo:bigint,hi:bigint>>"),
+        (acc, s) => when(
+          size(acc) > 0 && s <= element_at(acc, -1).getField("hi"),
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(struct(element_at(acc, -1).getField("lo").as("lo"),
+              greatest(element_at(acc, -1).getField("hi"), s + lit(dupN))
+                .as("hi")))))
+          .otherwise(concat(acc,
+            array(struct(s.as("lo"), (s + lit(dupN)).as("hi")))))))
       .withColumn("_covchars", aggregate(
-        zip_with(col("_w"),
-          sequence(lit(0), greatest(size(col("_w")) - 1, lit(0))),
-          (w, j) => when(exists(col("_starts"),
-            i => i <= j && j < i + lit(dupN)), length(w).cast("long"))
-            .otherwise(lit(0L))),
-        lit(0L), (acc, x) => acc + x))
+        col("_iv"), lit(0L),
+        (acc, iv) => acc + aggregate(
+          slice(col("_w"), iv.getField("lo").cast("int") + 1,
+            (iv.getField("hi") - iv.getField("lo")).cast("int")),
+          lit(0L), (a, w) => a + length(w).cast("long"))))
     s2.select(col(idCol), col("n_tokens"),
       round(when(col("_nlines") > 0,
         (col("_nlines") - col("_ndlines")).cast("double") /
@@ -723,9 +781,11 @@ object TextStats {
       round(when(col("_linechars") > 0,
         col("_dupchars").cast("double") / col("_linechars").cast("double"))
         .otherwise(lit(0.0)), 6).as("dup_line_char_frac"),
-      topNgramFrac(2).as("top2_char_frac"),
-      topNgramFrac(3).as("top3_char_frac"),
-      topNgramFrac(4).as("top4_char_frac"),
+      topFracOut(col("_t2"), 2).as("top2_char_frac"),
+      topFracOut(col("_t3"), 3).as("top3_char_frac"),
+      topFracOut(col("_t4"), 4).as("top4_char_frac"),
+      size(col("_dupg")).cast("long").as(s"dup${dupN}_ngrams"),
+      size(col("_starts")).cast("long").as(s"dup${dupN}_spans"),
       round(when(col("_chars") > 0,
         col("_covchars").cast("double") / col("_chars").cast("double"))
         .otherwise(lit(0.0)), 6).as(s"dup${dupN}_char_frac"))

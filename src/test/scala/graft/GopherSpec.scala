@@ -88,10 +88,14 @@ class GopherSpec extends SparkSpec {
     "overlapping occurrences once") {
     val r = rep((1L, "a b c d e a b c d e f")).head
     // "a b c d e" repeats at starts 0 and 5 -> tokens 0..9 covered,
-    // 10 of 11 chars
+    // 10 of 11 chars; one distinct duplicated gram, two span starts
     assert(r.getAs[Double]("dup5_char_frac") == 0.909091)
+    assert(r.getAs[Long]("dup5_ngrams") == 1L)
+    assert(r.getAs[Long]("dup5_spans") == 2L)
     val none = rep((2L, "p q r s t u v w")).head
     assert(none.getAs[Double]("dup5_char_frac") == 0.0)
+    assert(none.getAs[Long]("dup5_ngrams") == 0L)
+    assert(none.getAs[Long]("dup5_spans") == 0L)
   }
 
   test("pplBuckets: head/middle/tail are nonempty, monotone in the " +
