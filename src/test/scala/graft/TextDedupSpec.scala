@@ -636,6 +636,33 @@ class TextDedupSpec extends SparkSpec {
     assert(tp.head == ("a", "b", 4L))
   }
 
+  test("bpeMergesLocal is bit-identical to the distributed trainer " +
+    "(tie-breaks, non-overlap, early stop) and on real corpus data") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rnk").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSeq
+    // tie-heavy + overlap + early-stop fixtures
+    for (fix <- Seq(
+      Seq((1L, "aab aab"), (2L, "aab ab")),
+      Seq((1L, "aaaa")),
+      Seq((1L, "xy xy yx"), (2L, "yx xy")),
+      Seq((1L, "q")))) {
+      val d = fix.toDF("doc_id", "text")
+      assert(rows(TextStats.bpeMergesLocal(d, "text", 10)) ==
+        rows(TextStats.bpeMerges(d, "text", 10)))
+    }
+    // the real documents table: same 5 merges from both trainers
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    assert(rows(TextStats.bpeMergesLocal(docs, "text", 5)) ==
+      rows(TextStats.bpeMerges(docs, "text", 5)))
+    // a binding vocabCap is a truncation of the statistics, not a crash
+    val capped = TextStats.bpeMergesLocal(
+      Seq((1L, "aab aab"), (2L, "aab ab")).toDF("doc_id", "text"),
+      "text", 10, vocabCap = 1)
+    assert(rows(capped).nonEmpty)
+  }
+
   test("bpeEncode applies learned merges in rank order (incl. partial " +
     "merges on unseen words); empty docs keep the empty-stream fp") {
     val train = Seq((1L, "aab aab"), (2L, "aab ab")).toDF("doc_id", "text")
