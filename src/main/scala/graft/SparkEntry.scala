@@ -488,6 +488,15 @@ object SparkEntry {
         d.filter(col("lang") === "en").select("text"), "text", 256)
         .orderBy("bucket")
     }),
+    // quality-gate pipeline composition, oracled END-TO-END: Gopher
+    // rule keep -> CCNet tertiles fit on the survivors (tail dropped)
+    // -> near-dup clusters -> leakage-free per-cluster holdout tag
+    "pipe_quality_gate" -> ((s, dir) =>
+      Pipelines.qualityGate(
+        Tables.documents(s, dir).select("doc_id", "text"),
+        "doc_id", "text", minWords = 30L, minStopHits = 1L,
+        n = 3, k = 16, bands = 4, minJ = 0.8,
+        holdoutFrac = 0.2, seed = "qgate").orderBy("doc_id")),
     // leakage-free holdout: the dd_clusters near-dup clustering, with
     // the split coin flipped per CLUSTER id — near-dups of a training
     // doc can never land in the eval split
@@ -1020,8 +1029,13 @@ object SparkEntry {
     * cluster_id)`; dd_clusters and samp_cluster_holdout append their
     * own final SELECT. */
   private val ddClustersCtesSql: String =
-    """WITH RECURSIVE
-      |t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') w FROM documents),
+    "WITH RECURSIVE\n" + ddClustersChainSql("documents")
+
+  /** The same chain with a parameterized source CTE (doc_id, text) —
+    * embeddable mid-WITH (the caller supplies the `WITH RECURSIVE`
+    * prefix), used by the quality-gate pipeline oracle. */
+  private def ddClustersChainSql(src: String): String =
+    s"""t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') w FROM $src),
       |sh AS (SELECT DISTINCT doc_id,
       |         CAST(('0x'||substr(md5(array_to_string(w[i:i+2], ' ')),1,15)) AS BIGINT) AS sh_h
       |       FROM t, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS g(i)),
@@ -1046,7 +1060,7 @@ object SparkEntry {
       |e AS (SELECT a_id AS u, b_id AS v FROM p
       |      UNION ALL SELECT b_id, a_id FROM p),
       |reach(u, lbl) AS (
-      |  SELECT doc_id, doc_id FROM documents
+      |  SELECT doc_id, doc_id FROM $src
       |  UNION
       |  SELECT e.u, r.lbl FROM e JOIN reach r ON e.v = r.u),
       |clu AS (SELECT u AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
@@ -2670,6 +2684,64 @@ object SparkEntry {
          |       (CAST(CAST(('0x'||substr(md5('chold:' || CAST(cluster_id AS VARCHAR)),1,15)) AS BIGINT) % 1000000 AS DOUBLE)
          |        / 1000000.0) < 0.2 AS is_holdout
          |FROM clu ORDER BY doc_id""".stripMargin,
+    // end-to-end quality-gate replay: full default-threshold Gopher
+    // rules, CCNet tertiles REFIT on the rule survivors, the near-dup
+    // closure over the gated set, and the per-cluster u01 coin — one
+    // CTE chain, every stage's arithmetic exact
+    "pipe_quality_gate" ->
+      s"""WITH RECURSIVE
+         |w0 AS (SELECT doc_id,
+         |        regexp_extract_all(lower(text), '[a-z0-9]+') w,
+         |        string_split(text, chr(10)) lines,
+         |        string_split_regex(trim(lower(text)), '\\s+') ws,
+         |        CAST(len(text) - len(replace(text, '#', '')) AS BIGINT)
+         |          + CAST((len(text) - len(replace(text, '...', ''))) // 3 AS BIGINT) AS nsym
+         |      FROM documents),
+         |c0g AS (SELECT doc_id, CAST(len(w) AS BIGINT) nw,
+         |        CAST(COALESCE(list_sum(list_transform(w, x -> len(x))), 0) AS BIGINT) chars,
+         |        nsym,
+         |        CAST(len(lines) AS BIGINT) nlines,
+         |        CAST(len(list_filter(lines, l -> starts_with(ltrim(l), '- ')
+         |          OR starts_with(ltrim(l), '* '))) AS BIGINT) nbullet,
+         |        CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) AS BIGINT) nell,
+         |        CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) nalpha,
+         |        CAST(len(ws) AS BIGINT) nws,
+         |        CAST(len(list_intersect(list_distinct(w),
+         |          ['the','be','to','of','and','that','have','with'])) AS BIGINT) stop_hits
+         |      FROM w0),
+         |gr AS (SELECT doc_id FROM c0g
+         |       WHERE nw >= 30 AND nw <= 100000
+         |         AND (CASE WHEN nw > 0 THEN CAST(chars AS DOUBLE)/CAST(nw AS DOUBLE) ELSE 0.0 END) >= 3.0
+         |         AND (CASE WHEN nw > 0 THEN CAST(chars AS DOUBLE)/CAST(nw AS DOUBLE) ELSE 0.0 END) <= 10.0
+         |         AND (CASE WHEN nw > 0 THEN CAST(nsym AS DOUBLE)/CAST(nw AS DOUBLE) ELSE 0.0 END) <= 0.1
+         |         AND (CASE WHEN nlines > 0 THEN CAST(nbullet AS DOUBLE)/CAST(nlines AS DOUBLE) ELSE 0.0 END) <= 0.9
+         |         AND (CASE WHEN nlines > 0 THEN CAST(nell AS DOUBLE)/CAST(nlines AS DOUBLE) ELSE 0.0 END) <= 0.3
+         |         AND (CASE WHEN nws > 0 THEN CAST(nalpha AS DOUBLE)/CAST(nws AS DOUBLE) ELSE 0.0 END) >= 0.8
+         |         AND stop_hits >= 1),
+         |kept AS (SELECT d.doc_id, d.text FROM documents d JOIN gr USING (doc_id)),
+         |kt AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') w FROM kept),
+         |kg AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS bg
+         |       FROM kt, UNNEST(generate_series(1, greatest(len(w)-1, 0))) AS gs(i)),
+         |ktf AS (SELECT doc_id, bg, COUNT(*) tf FROM kg GROUP BY 1, 2),
+         |kcnt AS (SELECT bg, CAST(SUM(tf) AS BIGINT) cnt FROM ktf GROUP BY 1),
+         |ktot AS (SELECT CAST(SUM(cnt) AS BIGINT) total_bigrams FROM kcnt),
+         |kpd AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) n_bigrams,
+         |          CAST(SUM(tf * cnt) AS BIGINT) sum_cnt
+         |        FROM ktf JOIN kcnt USING (bg) GROUP BY 1),
+         |ksc AS (SELECT doc_id, CAST(sum_cnt AS DOUBLE) /
+         |          CAST(n_bigrams * total_bigrams AS DOUBLE) AS p
+         |        FROM kpd, ktot),
+         |kth AS (SELECT quantile_cont(p, 1.0/3) t1, quantile_cont(p, 2.0/3) t2 FROM ksc),
+         |gated AS (SELECT k.doc_id, k.text,
+         |            CASE WHEN s.p >= th.t2 THEN 'head' ELSE 'middle' END AS ppl_bucket
+         |          FROM kept k JOIN ksc s USING (doc_id), kth th
+         |          WHERE s.p >= th.t1),
+         |${ddClustersChainSql("gated")}
+         |SELECT c.doc_id, g.ppl_bucket, c.cluster_id,
+         |       (CAST(CAST(('0x'||substr(md5('qgate:' || CAST(c.cluster_id AS VARCHAR)),1,15)) AS BIGINT) % 1000000 AS DOUBLE)
+         |        / 1000000.0) < 0.2 AS is_holdout
+         |FROM clu c JOIN gated g USING (doc_id)
+         |ORDER BY c.doc_id""".stripMargin,
     "dd_simhash_pairs" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) t FROM documents),
         |h AS (SELECT doc_id, CAST(('0x'||substr(md5(t),1,15)) AS BIGINT) AS h FROM tok),

@@ -140,4 +140,41 @@ object Pipelines {
         col("score")), Seq(idCol))
     Sampling.shuffleShards(enriched, idCol, nShards, seed)
   }
+
+  /** The QUALITY-GATE composition of the round-12 curation stages —
+    * rule filter, then perplexity thirds, then a leakage-free split:
+    * [[TextStats.gopherRules]] keep → [[TextStats.pplBuckets]] fit ON
+    * THE SURVIVORS (deliberate: filtered-out junk must not drag the
+    * tertile boundaries) with the tail third dropped (the CCNet
+    * training recipe) → near-dup clusters over what remains →
+    * [[Sampling.clusterHoldout]] eval tag, so near-dups of a training
+    * doc can never land in the eval split. `minWords`/`minStopHits`
+    * are the two rules that bite on a clean corpus; the other five
+    * keep their junk-guard defaults. Returns (id, ppl_bucket,
+    * cluster_id, is_holdout) for the gated survivors. Oracled
+    * end-to-end (`pipe_quality_gate`). Stage boundaries cut lineage
+    * exactly as in [[curateToShards]]. */
+  def qualityGate(docs: DataFrame, idCol: String, textCol: String,
+                  minWords: Long, minStopHits: Long,
+                  n: Int, k: Int, bands: Int, minJ: Double,
+                  holdoutFrac: Double, seed: String): DataFrame = {
+    val kept = TextStats.gopherRules(docs, idCol, textCol,
+        minWords = minWords, minStopHits = minStopHits)
+      .filter(col("keep")).select(col(idCol))
+    val keptDocs = docs.select(col(idCol), col(textCol))
+      .join(kept, Seq(idCol), "left_semi").localCheckpoint()
+    val gated = keptDocs.join(
+        TextStats.pplBuckets(keptDocs, idCol, textCol)
+          .filter(col("ppl_bucket") =!= "tail")
+          .select(col(idCol), col("ppl_bucket")), Seq(idCol))
+      .localCheckpoint()
+    val pairs = TextDedup.minhashLshPairs(gated, idCol, textCol,
+      n, k, bands, minJ, restrictSets = false)
+    val clusters = TextDedup.nearDupClusters(gated.select(col(idCol)),
+      pairs, idCol, rounds = 4)
+    Sampling.clusterHoldout(clusters, "cluster_id", holdoutFrac, seed)
+      .join(gated.select(col(idCol), col("ppl_bucket")), Seq(idCol))
+      .select(col(idCol), col("ppl_bucket"), col("cluster_id"),
+        col("is_holdout"))
+  }
 }
