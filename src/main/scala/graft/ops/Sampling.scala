@@ -111,18 +111,31 @@ object Sampling {
     * corpus rows) and one tiny full-outer join — the 100 TB pass is a
     * pure scan. */
   def dsirBuckets(raw: DataFrame, target: DataFrame, textCol: String,
-                  nBuckets: Int): DataFrame = {
-    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
-    def counts(d: DataFrame, name: String) =
-      dsirFeatures(d, textCol)
-        .groupBy((TextDedup.md5Hash60(col("g")) % nBuckets).as("bucket"))
-        .agg(count(lit(1)).as(name))
-    counts(raw, "c_raw")
-      .join(counts(target, "c_target"), Seq("bucket"), "full_outer")
+                  nBuckets: Int): DataFrame =
+    dsirBucketCounts(raw, textCol, nBuckets)
+      .withColumnRenamed("cnt", "c_raw")
+      .join(dsirBucketCounts(target, textCol, nBuckets)
+        .withColumnRenamed("cnt", "c_target"), Seq("bucket"), "full_outer")
       .select(col("bucket"),
         coalesce(col("c_raw"), lit(0L)).as("c_raw"),
         coalesce(col("c_target"), lit(0L)).as("c_target"))
+
+  /** Single-corpus hashed-feature bucket counts (bucket, cnt) — the
+    * additive exact-long partial BOTH [[dsirBuckets]] sides are built
+    * from, and the per-batch partial of the streaming raw-count MV
+    * ([[graft.streaming.Ingest.startDsirRawCountSink]]). */
+  def dsirBucketCounts(d: DataFrame, textCol: String,
+                       nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    dsirFeatures(d, textCol)
+      .groupBy((TextDedup.md5Hash60(col("g")) % nBuckets).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
   }
+
+  /** Merge bucket-count partials — additive longs, so the folded state
+    * is fold-order-invariant and equals the single-pass counts. */
+  def mergeDsirCounts(state: DataFrame, batch: DataFrame): DataFrame =
+    state.unionByName(batch).groupBy("bucket").agg(sum("cnt").as("cnt"))
 
   /** The fitted DSIR importance model: per-bucket log-likelihood-ratio
     * weights in MICRO units (floor(1e6 * (ln p_target - ln p_raw)),
@@ -137,14 +150,22 @@ object Sampling {
     * longs, so scoring and resampling downstream are pure integer
     * arithmetic — bit-reproducible everywhere the frozen model goes. */
   def dsirFit(raw: DataFrame, target: DataFrame, textCol: String,
-              nBuckets: Int): DsirModel = {
-    val rows = dsirBuckets(raw, target, textCol, nBuckets).collect()
+              nBuckets: Int): DsirModel =
+    dsirFitFromCounts(dsirBucketCounts(raw, textCol, nBuckets),
+      dsirBucketCounts(target, textCol, nBuckets), nBuckets)
+
+  /** The fit over MATERIALIZED (bucket, cnt) count frames — the
+    * serving path of the streaming raw-count MV (raw side = the
+    * current state, target side = the fixed target corpus's counts);
+    * bit-identical to [[dsirFit]] over the corpora the counts came
+    * from. Collects are bounded at nBuckets rows by construction. */
+  def dsirFitFromCounts(rawCounts: DataFrame, targetCounts: DataFrame,
+                        nBuckets: Int): DsirModel = {
     val cr = new Array[Long](nBuckets)
     val ct = new Array[Long](nBuckets)
-    rows.foreach { r =>
-      val b = r.getLong(0).toInt
-      cr(b) = r.getLong(1); ct(b) = r.getLong(2)
-    }
+    rawCounts.collect().foreach(r => cr(r.getLong(0).toInt) = r.getLong(1))
+    targetCounts.collect()
+      .foreach(r => ct(r.getLong(0).toInt) = r.getLong(1))
     val rTot = cr.sum; val tTot = ct.sum
     val w = Array.tabulate(nBuckets) { b =>
       math.floor(1e6 * (math.log((ct(b) + 1).toDouble / (tTot + nBuckets)) -

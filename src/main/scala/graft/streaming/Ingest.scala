@@ -593,6 +593,47 @@ object Ingest {
       }
       .start()
 
+  /** Streaming DSIR RAW-side bucket-count MV — importance-resampling
+    * statistics kept current as the raw corpus streams in (the same
+    * additive-partial + versioned-state machinery as the unigram MV;
+    * state is <= nBuckets rows of exact longs, so fold order cannot
+    * change it). The TARGET corpus is small and fixed by definition —
+    * DSIR selects raw docs TOWARD a target distribution — so its
+    * counts stay a batch frame the caller supplies at serving time:
+    * [[readDsirModel]] folds the current raw state with them and
+    * freezes the micro-unit weights, bit-identical to batch
+    * [[graft.ops.Sampling.dsirFit]] over everything ingested
+    * (StreamingSpec pins model and scores) with no corpus rescan. */
+  def startDsirRawCountSink(docs: DataFrame, textCol: String,
+                            nBuckets: Int, workRoot: String,
+                            checkpoint: String,
+                            trigger: Trigger = Trigger.ProcessingTime(0L))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.io.VersionedState.mergeCommit(
+          batch.sparkSession, s"$workRoot/dsirraw", batchId,
+          graft.ops.Sampling.dsirBucketCounts(batch, textCol, nBuckets),
+          graft.ops.Sampling.mergeDsirCounts)
+        ()
+      }
+      .start()
+
+  /** Serving read for [[startDsirRawCountSink]]: the frozen DSIR model
+    * over everything ingested so far vs the supplied target corpus
+    * (None before the first commit). Feed it to
+    * [[graft.ops.Sampling.dsirScore]] / `dsirResample`. */
+  def readDsirModel(spark: SparkSession, workRoot: String,
+                    target: DataFrame, textCol: String, nBuckets: Int)
+      : Option[graft.ops.Sampling.DsirModel] =
+    graft.io.VersionedState.readLatest(spark, s"$workRoot/dsirraw")
+      .map(raw => graft.ops.Sampling.dsirFitFromCounts(raw,
+        graft.ops.Sampling.dsirBucketCounts(target, textCol, nBuckets),
+        nBuckets))
+
   /** Serving read for [[startSourceCountSink]]: the CURRENT waterfill
     * rate table (`sourceCol`, `rate`), None before the first commit.
     * Feed it to [[graft.ops.Sampling.applyTemperatureRates]]. */

@@ -373,6 +373,46 @@ class StreamingSpec extends SparkSpec {
       (1.0 * expectCounts("alpha")) / (3.0 * total))
   }
 
+  test("dsir raw-count MV: the served model and its scores are " +
+    "bit-identical to the batch fit over the full ingested corpus") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val batches: Seq[Seq[(Long, String)]] = Seq(
+      (0L until 20L).map(i => i -> s"spark scan filter join stage $i"),
+      (100L until 120L).map(i => i -> s"weather rain football city $i"),
+      (200L until 210L).map(i => i -> s"spark shuffle partition task $i")
+    )
+    val all = batches.flatten.toDF("doc_id", "text")
+    val target = (300L until 310L)
+      .map(i => (i, s"spark scan filter join stage $i"))
+      .toDF("doc_id", "text")
+    val nB = 64
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dsirmv")
+    val mem = MemoryStream[(Long, String)]
+    val q = Ingest.startDsirRawCountSink(mem.toDF().toDF("doc_id", "text"),
+      "text", nB, s"$tmp/work", s"$tmp/cp")
+    try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    // folded state == single-pass raw counts, exactly
+    val state = io.VersionedState.readLatest(spark, s"$tmp/work/dsirraw")
+      .get.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = ops.Sampling.dsirBucketCounts(all, "text", nB)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(state == direct)
+    // the served model is the batch fit, weight-for-weight; scores
+    // and the resampled kept set follow bit-for-bit
+    val served = Ingest.readDsirModel(spark, s"$tmp/work", target,
+      "text", nB).get
+    val batchModel = ops.Sampling.dsirFit(all, target, "text", nB)
+    assert(served.wMicro.toSeq == batchModel.wMicro.toSeq)
+    assert(served.rawTotal == batchModel.rawTotal &&
+      served.targetTotal == batchModel.targetTotal)
+    def scores(m: ops.Sampling.DsirModel) =
+      ops.Sampling.dsirScore(all, "doc_id", "text", m)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(scores(served) == scores(batchModel))
+  }
+
   test("source-count MV: served temperature rates keep the identical " +
     "id set to batch temperature over the full ingested corpus") {
     implicit val sc = spark.sqlContext
