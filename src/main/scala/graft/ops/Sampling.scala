@@ -207,9 +207,12 @@ object Sampling {
     // the dedupCorpus precedent)
     val s = scored.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val z = s.agg(
+    val zRow = s.agg(
       sum(exp(col("score_micro").cast("double") / 1e6)).as("z"))
-      .collect().head.getDouble(0)
+      .collect().head
+    // empty corpus: the sum is SQL-null; any placeholder works (the
+    // filter below has no rows) as long as nothing divides by null
+    val z = if (zRow.isNullAt(0)) 1.0 else zRow.getDouble(0)
     val out = s.withColumn("_rate", least(lit(1.0),
         exp(col("score_micro").cast("double") / 1e6) * expectedKeep / z))
       .filter(u(seed, col(idCol)) < col("_rate"))

@@ -69,6 +69,31 @@ class EdgeCasesSpec extends SparkSpec {
     assert(fp(1) == 0L && fp(2) == 0L)
   }
 
+  test("round-12 text/sampling ops on empty and degenerate inputs") {
+    val ed = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextStats.gopherRules(ed, "doc_id", "text").collect().isEmpty)
+    assert(TextStats.gopherRepetition(ed, "doc_id", "text").collect().isEmpty)
+    // pplBuckets: empty corpus -> empty frame (null thresholds never
+    // meet a row); single-doc corpus -> that doc is its own head
+    assert(TextStats.pplBuckets(ed, "doc_id", "text").collect().isEmpty)
+    val one = Seq((1L, "alpha beta alpha beta")).toDF("doc_id", "text")
+    val ob = TextStats.pplBuckets(one, "doc_id", "text").collect()
+    assert(ob.length == 1 && ob.head.getAs[String]("ppl_bucket") == "head")
+    // dsir: empty raw corpus -> all-smoothing weights, empty scores
+    assert(Sampling.dsirBuckets(ed, ed, "text", 8).collect().isEmpty)
+    val m = Sampling.dsirFit(ed, ed, "text", 8)
+    assert(m.rawTotal == 0L && m.targetTotal == 0L &&
+      m.wMicro.forall(_ == 0L))
+    assert(Sampling.dsirScore(ed, "doc_id", "text", m).collect().isEmpty)
+    assert(Sampling.dsirResample(
+      Sampling.dsirScore(ed, "doc_id", "text", m), "doc_id", 10.0, "s")
+      .collect().isEmpty)
+    // clusterHoldout on an empty cluster frame
+    val ec = Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
+    assert(Sampling.clusterHoldout(ec, "cluster_id", 0.2, "s")
+      .collect().isEmpty)
+  }
+
   test("ANN with empty query set") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val out = graft.ops.Embeddings.bruteForceTopK(
