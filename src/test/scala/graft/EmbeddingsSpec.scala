@@ -230,6 +230,17 @@ class EmbeddingsSpec extends SparkSpec {
     assert(r0.filterKeys(_ != 0L).values.forall(_ == 1.0))
   }
 
+  test("pqEncode is a shuffle-free projection (plan-asserted)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val model = Embeddings.pqFit(e, "vec_id", "embedding", m = 4, k = 16)
+    val plan = Embeddings.pqEncode(model, e, "vec_id", "embedding")
+      .queryExecution.executedPlan
+    assert(plan.collect { case s: ShuffleExchangeLike => s }.isEmpty,
+      s"encoding must not shuffle the corpus, got:\n$plan")
+  }
+
   test("pq: codes in range, rerank lifts recall over the raw ADC scan, " +
     "and a corpus-wide shortlist reproduces exact L2 brute force") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")

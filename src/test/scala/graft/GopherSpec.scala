@@ -118,6 +118,18 @@ class GopherSpec extends SparkSpec {
     assert(approx.count() == out.length)
   }
 
+  test("gopher ops are shuffle-free projections (plan-asserted)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val d = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    for (op <- Seq(
+      TextStats.gopherRules(d, "doc_id", "text"),
+      TextStats.gopherRepetition(d, "doc_id", "text"))) {
+      val plan = op.queryExecution.executedPlan
+      assert(plan.collect { case s: ShuffleExchangeLike => s }.isEmpty,
+        s"expected a pure map-side plan, got:\n$plan")
+    }
+  }
+
   test("gopherRepetition: empty and sub-n docs flow through as zeros") {
     val r = rep((1L, ""), (2L, "only four words here"))
     assert(r(0).getAs[Long]("n_tokens") == 0L)

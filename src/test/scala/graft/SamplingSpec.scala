@@ -265,6 +265,21 @@ class SamplingSpec extends SparkSpec {
     assert(again == kept)
   }
 
+  test("dsirScore and clusterHoldout are shuffle-free projections " +
+    "(plan-asserted)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val d = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    val m = graft.ops.Sampling.DsirModel(8, Array.fill(8)(0L), 0L, 0L)
+    val c = Seq((1L, 10L)).toDF("doc_id", "cluster_id")
+    for (op <- Seq(
+      Sampling.dsirScore(d, "doc_id", "text", m),
+      Sampling.clusterHoldout(c, "cluster_id", 0.2, "s"))) {
+      val plan = op.queryExecution.executedPlan
+      assert(plan.collect { case s: ShuffleExchangeLike => s }.isEmpty,
+        s"expected a pure map-side plan, got:\n$plan")
+    }
+  }
+
   test("clusterHoldout: cluster members never straddle the split, and " +
     "the coin is exactly u01 on the cluster id") {
     // members 19 and 20 of cluster 10 have OPPOSITE row-keyed u01
