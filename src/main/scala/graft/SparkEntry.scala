@@ -938,6 +938,18 @@ object SparkEntry {
       Embeddings.pqTopK(model, e, e.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5).orderBy("query_id", "rnk")
     }),
+    // the composed IVF+PQ index (FAISS's workhorse shape): probe 4 of
+    // 16 cells, ADC-scan only those cells' codes — partition pruning
+    // plus 64x byte compression in one path, every stage replayed
+    // exactly by the generated oracle
+    "e_ivfpq_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cells = Embeddings.ivfFit(e, "vec_id", "embedding", nLists = 16)
+      val pq = Embeddings.pqFit(e, "vec_id", "embedding", m = 4, k = 16)
+      Embeddings.ivfPqTopK(cells, pq, e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", nProbe = 4, k = 5)
+        .orderBy("query_id", "rnk")
+    }),
     // PQ + exact re-rank: ADC shortlist of 50, exact L2 top-5 on the
     // shortlist only — the production recall dial
     "e_pq_rerank" -> ((s, dir) => {
@@ -1302,6 +1314,75 @@ object SparkEntry {
                 |    + CAST(list_dot_product(cb.cv, cb.cv) AS BIGINT) AS d
                 |  FROM v q, cb$j cb
                 |  WHERE q.vec_id < 10 AND cb.corpus_id <> q.vec_id),
+                |""".stripMargin
+    }
+    sb ++= s"""ds AS (${(0 until m).map(j => s"SELECT * FROM pd$j")
+               .mkString(" UNION ALL ")}),
+              |tot AS (SELECT query_id, corpus_id, CAST(SUM(d) AS BIGINT) AS adc_dist
+              |        FROM ds GROUP BY 1, 2),
+              |r AS (SELECT query_id, corpus_id, adc_dist,
+              |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              |          ORDER BY adc_dist, corpus_id) AS INT) rnk
+              |      FROM tot)
+              |SELECT query_id, corpus_id, adc_dist, rnk
+              |FROM r WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+    sb.toString
+  }
+
+  /** Generated oracle for the composed IVF+PQ path (e_ivfpq_topk):
+    * the coarse-quantizer Lloyd's replay over the FULL dim routes
+    * corpus rows to cells and picks each query's nProbe probe cells;
+    * the m per-subspace Lloyd's replays supply the ADC partial
+    * distances; the pair set is restricted to probed cells before the
+    * distance sum. Same shared loop (lloydCtesSql) as the IVF and PQ
+    * oracles, two dims spines (full + subspace). */
+  private def ivfPqTopKOracleSql(nLists: Int, nProbe: Int, m: Int,
+                                 kCode: Int, iters: Int, k: Int,
+                                 dim: Int, sampleCap: Int): String = {
+    val subDim = dim / m
+    val sb = new StringBuilder
+    sb ++= s"""WITH v AS (SELECT vec_id, list_transform(embedding,
+              |             x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) qv
+              |           FROM embeddings),
+              |samp AS (SELECT ROW_NUMBER() OVER
+              |           (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS sid, qv
+              |         FROM v QUALIFY sid < $sampleCap),
+              |dimsf AS (SELECT unnest(generate_series(1, $dim)) AS i),
+              |dimss AS (SELECT unnest(generate_series(1, $subDim)) AS i),
+              |""".stripMargin
+    sb ++= lloydCtesSql("f_", "samp", "dimsf", nLists, iters)
+    sb ++= s"""ccb AS (SELECT corpus_id, cell FROM (
+              |  SELECT v.vec_id AS corpus_id, c.cell,
+              |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+              |      ${ivfDistOrder("v.qv", "c")}) AS rn
+              |  FROM v, f_c$iters c) WHERE rn = 1),
+              |qpr AS (SELECT query_id, cell FROM (
+              |  SELECT v.vec_id AS query_id, c.cell,
+              |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+              |      ${ivfDistOrder("v.qv", "c")}) AS rn
+              |  FROM v, f_c$iters c WHERE v.vec_id < 10) WHERE rn <= $nProbe),
+              |pairs AS (SELECT q.query_id, c.corpus_id
+              |          FROM qpr q JOIN ccb c USING (cell)
+              |          WHERE c.corpus_id <> q.query_id),
+              |""".stripMargin
+    for (j <- 0 until m) {
+      val lo = j * subDim + 1
+      val hi = (j + 1) * subDim
+      sb ++= s"""s$j AS (SELECT sid, qv[$lo:$hi] AS qv FROM samp),
+                |""".stripMargin
+      sb ++= lloydCtesSql(s"p${j}_", s"s$j", "dimss", kCode, iters)
+      sb ++= s"""cb$j AS (SELECT corpus_id, cv FROM (
+                |  SELECT v.vec_id AS corpus_id, c.cv,
+                |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                |      ${ivfDistOrder(s"v.qv[$lo:$hi]", "c")}) AS rn
+                |  FROM v, p${j}_c$iters c) WHERE rn = 1),
+                |pd$j AS (SELECT p.query_id, p.corpus_id,
+                |    CAST(list_dot_product(q.qv[$lo:$hi], q.qv[$lo:$hi]) AS BIGINT)
+                |    - 2 * CAST(list_dot_product(q.qv[$lo:$hi], cb.cv) AS BIGINT)
+                |    + CAST(list_dot_product(cb.cv, cb.cv) AS BIGINT) AS d
+                |  FROM pairs p
+                |  JOIN v q ON q.vec_id = p.query_id
+                |  JOIN cb$j cb ON cb.corpus_id = p.corpus_id),
                 |""".stripMargin
     }
     sb ++= s"""ds AS (${(0 until m).map(j => s"SELECT * FROM pd$j")
@@ -3258,6 +3339,8 @@ object SparkEntry {
          |ORDER BY s.query_id""".stripMargin,
     "e_pq_topk" -> pqTopKOracleSql(m = 4, kCode = 16, iters = 10, k = 5,
       dim = 64, sampleCap = 4096),
+    "e_ivfpq_topk" -> ivfPqTopKOracleSql(nLists = 16, nProbe = 4, m = 4,
+      kCode = 16, iters = 10, k = 5, dim = 64, sampleCap = 4096),
     "e_pq_rerank" ->
       s"""WITH short AS (
          |${pqTopKOracleSql(m = 4, kCode = 16, iters = 10, k = 50,

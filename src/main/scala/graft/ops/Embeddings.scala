@@ -506,6 +506,44 @@ object Embeddings {
         col("rnk").cast("int").as("rnk"))
   }
 
+  /** IVF+PQ composed search — the classical pairing (and FAISS's
+    * workhorse index): the coarse quantizer routes every corpus vector
+    * to a cell, PQ compresses it to m codes, and a query ADC-scans
+    * ONLY its `nProbe` nearest cells' codes. At 100 TB that is the
+    * full memory story: partition pruning cuts the scan to nProbe
+    * cells ([[writeIvfIndex]]'s layout), PQ cuts the bytes per scanned
+    * row ~64x. Distances, fits and codes are the same integer-exact
+    * machinery as [[ivfTopK]] and [[pqTopK]], so the whole composition
+    * is oracle-replayable (e_ivfpq_topk). With nProbe == nLists this
+    * is exactly [[pqTopK]] (spec-pinned). */
+  def ivfPqTopK(cells: IvfModel, pq: PqModel, corpus: DataFrame,
+                queries: DataFrame, idCol: String, vecCol: String,
+                nProbe: Int, k: Int): DataFrame = {
+    val cb = corpus
+      .select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cv"))
+      .select(col("corpus_id"),
+        cellOfQuantized(cells, col("cv")).as("cell"),
+        pqReconstruct(pq, pqCodeOfQuantized(pq, col("cv"))).as("rv"))
+    val probeCells = transform(
+      slice(array_sort(array(
+        centroidDistStructs(cells, quantize(col(vecCol))): _*)), 1, nProbe),
+      s => s.getField("cell"))
+    val q = queries.select(col(idCol).as("query_id"),
+      quantize(col(vecCol)).as("qv"), explode(probeCells).as("cell"))
+    val scored = cb.join(broadcast(q), Seq("cell"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("adc_dist",
+        qdot(col("qv"), col("qv")) - lit(2L) * qdot(col("qv"), col("rv")) +
+          qdot(col("rv"), col("rv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("adc_dist"), col("corpus_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("corpus_id"), col("adc_dist"),
+        col("rnk").cast("int").as("rnk"))
+  }
+
   /** PQ search with exact RE-RANKING — the standard production recipe
     * (ADC shortlist, then exact distances on just the shortlist): the
     * code scan proposes `shortlist` candidates per query, full vectors

@@ -230,6 +230,29 @@ class EmbeddingsSpec extends SparkSpec {
     assert(r0.filterKeys(_ != 0L).values.forall(_ == 1.0))
   }
 
+  test("ivfPqTopK with a full probe is exactly pqTopK (the composed " +
+    "index's cell plumbing adds no error beyond PQ's)") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 10)
+    val cells = Embeddings.ivfFit(e, "vec_id", "embedding", nLists = 8)
+    val pq = Embeddings.pqFit(e, "vec_id", "embedding", m = 4, k = 16)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val full = Embeddings.ivfPqTopK(cells, pq, e, q, "vec_id", "embedding",
+      nProbe = 8, k = 5)
+    val plain = Embeddings.pqTopK(pq, e, q, "vec_id", "embedding", 5)
+    assert(key(full) == key(plain))
+    // a partial probe returns k rows per query and a superset-free
+    // subset of cells' candidates — rows still ranked, ties stable
+    val partial = Embeddings.ivfPqTopK(cells, pq, e, q, "vec_id",
+      "embedding", nProbe = 2, k = 5)
+    val byQ = partial.collect().groupBy(_.getLong(0))
+    assert(byQ.values.forall(rs =>
+      rs.map(_.getInt(3)).sorted.sameElements(1 to rs.length)))
+  }
+
   test("pqEncode is a shuffle-free projection (plan-asserted)") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
