@@ -806,6 +806,11 @@ object SparkEntry {
     "t_pack_sequences" -> ((s, dir) =>
       TextStats.packSequences(Tables.documents(s, dir), "doc_id", "text",
         budget = 512L, nBuckets = 8).orderBy("doc_id")),
+    // length-grouped micro-batches with padding-waste accounting (the
+    // padded-batch regime; packSequences is the concat-and-chunk one)
+    "t_length_batches" -> ((s, dir) =>
+      TextStats.lengthBatches(Tables.documents(s, dir), "doc_id", "text",
+        bandWidth = 16, batchSize = 8).orderBy("band", "batch_idx")),
     // ---- RAG/training chunking: sliding token windows, map-only ----
     "t_chunk_docs" -> ((s, dir) =>
       TextStats.chunkDocuments(
@@ -3042,6 +3047,27 @@ object SparkEntry {
         |       CAST(start_off AS BIGINT) AS start_off,
         |       CAST(start_off // 512 AS BIGINT) AS pack_id
         |FROM o ORDER BY doc_id""".stripMargin,
+    "t_length_batches" ->
+      """WITH t AS (SELECT doc_id,
+        |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) n_tokens
+        |       FROM documents),
+        |b AS (SELECT doc_id, n_tokens, CAST(n_tokens // 16 AS BIGINT) band FROM t),
+        |r AS (SELECT band, n_tokens,
+        |        CAST((ROW_NUMBER() OVER (PARTITION BY band
+        |          ORDER BY n_tokens, doc_id) - 1) // 8 AS BIGINT) batch_idx
+        |      FROM b),
+        |g AS (SELECT band, batch_idx, COUNT(*) n_docs,
+        |        CAST(MAX(n_tokens) AS BIGINT) max_len,
+        |        CAST(SUM(n_tokens) AS BIGINT) sum_tokens
+        |      FROM r GROUP BY 1, 2)
+        |SELECT band, batch_idx, CAST(n_docs AS BIGINT) AS n_docs, max_len,
+        |       sum_tokens,
+        |       CAST(n_docs * max_len AS BIGINT) AS padded_tokens,
+        |       round(CASE WHEN n_docs * max_len > 0
+        |             THEN CAST(n_docs * max_len - sum_tokens AS DOUBLE)
+        |                  / CAST(n_docs * max_len AS DOUBLE)
+        |             ELSE 0.0 END, 6) AS padding_frac
+        |FROM g ORDER BY band, batch_idx""".stripMargin,
     "t_chunk_docs" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') w FROM documents),
         |n AS (SELECT doc_id, w, len(w) AS nt FROM t WHERE len(w) > 0)

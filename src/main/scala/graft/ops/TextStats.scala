@@ -791,6 +791,44 @@ object TextStats {
         .otherwise(lit(0.0)), 6).as(s"dup${dupN}_char_frac"))
   }
 
+  /** Length-grouped micro-batching — the OTHER packing regime next to
+    * [[packSequences]]' concat-and-chunk: padded-batch training and
+    * batch inference pay for every pad token, so docs are banded by
+    * token length (`bandWidth`-token bands), ordered (n_tokens, id)
+    * within a band, and cut into consecutive `batchSize`-doc batches;
+    * each batch pads to its own max. Returns one row per batch: docs,
+    * max/summed lengths, padded size, and the padding fraction — the
+    * efficiency dial a serving/training team tunes bandWidth against.
+    *
+    * Scale shape: the only per-row state is a rank WITHIN a length
+    * band — nBands parallel windows over corpus/nBands rows each
+    * (packSequences' bucketed-cumsum argument); everything after is a
+    * per-batch aggregate. All longs; the fraction is one rounded
+    * division. */
+  def lengthBatches(df: DataFrame, idCol: String, textCol: String,
+                    bandWidth: Int, batchSize: Int): DataFrame = {
+    require(bandWidth > 0 && batchSize > 0,
+      s"bandWidth/batchSize must be positive, got $bandWidth/$batchSize")
+    val t = df.select(col(idCol),
+        size(TextDedup.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("band",
+        floor(col("n_tokens") / lit(bandWidth)).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band").orderBy(col("n_tokens"), col(idCol))
+    t.withColumn("batch_idx",
+        floor((row_number().over(w) - lit(1)) / lit(batchSize))
+          .cast("long"))
+      .groupBy("band", "batch_idx")
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_tokens")).as("max_len"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .withColumn("padded_tokens", col("n_docs") * col("max_len"))
+      .withColumn("padding_frac",
+        round(when(col("padded_tokens") > 0,
+          (col("padded_tokens") - col("sum_tokens")).cast("double") /
+            col("padded_tokens").cast("double")).otherwise(lit(0.0)), 6))
+  }
+
   /** GPT-style sequence packing (concat-and-chunk): documents are
     * concatenated in a deterministic order and cut into fixed
     * `budget`-token training blocks; a document "belongs" to the block

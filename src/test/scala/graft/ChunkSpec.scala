@@ -64,4 +64,26 @@ class ChunkSpec extends SparkSpec {
     assert(!hasExchange(plan))
     assert(plan.toString.contains("Generate"))
   }
+
+  test("lengthBatches: banded (n_tokens, id) order, batchSize cuts, " +
+    "per-batch padding accounting — worked example") {
+    def word(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val d = docs(1L -> word(3), 2L -> word(3), 3L -> word(2),
+      4L -> word(5), 5L -> word(6), 6L -> word(7),
+      7L -> word(9), 8L -> word(8))
+    val out = TextStats.lengthBatches(d, "doc_id", "text",
+        bandWidth = 4, batchSize = 2)
+      .orderBy("band", "batch_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(out.toSeq == Seq(
+      // band 0 (lens 2,3,3): [2,3] pads 1 of 6; [3] pads 0
+      (0L, 0L, 2L, 3L, 5L, 6L, 0.166667),
+      (0L, 1L, 1L, 3L, 3L, 3L, 0.0),
+      // band 1 (lens 5,6,7): [5,6] pads 1 of 12; [7] pads 0
+      (1L, 0L, 2L, 6L, 11L, 12L, 0.083333),
+      (1L, 1L, 1L, 7L, 7L, 7L, 0.0),
+      // band 2 (lens 8,9): [8,9] pads 1 of 18
+      (2L, 0L, 2L, 9L, 17L, 18L, 0.055556)))
+  }
 }
