@@ -955,6 +955,20 @@ object SparkEntry {
         "vec_id", "embedding", nProbe = 4, k = 5)
         .orderBy("query_id", "rnk")
     }),
+    // recall of the composed IVF+PQ path vs exact L2 brute force —
+    // with this every approximate family's quality dial (LSH, IVF,
+    // int8, PQ, IVF+PQ) is hash-verified
+    "e_recall_ivfpq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      val cells = Embeddings.ivfFit(e, "vec_id", "embedding", nLists = 16)
+      val pq = Embeddings.pqFit(e, "vec_id", "embedding", m = 4, k = 16)
+      Embeddings.recallAtK(
+        Embeddings.ivfPqTopK(cells, pq, e, q, "vec_id", "embedding",
+          nProbe = 4, k = 5),
+        Embeddings.bruteForceTopKL2(e, q, "vec_id", "embedding", 5))
+        .orderBy("query_id")
+    }),
     // PQ + exact re-rank: ADC shortlist of 50, exact L2 top-5 on the
     // shortlist only — the production recall dial
     "e_pq_rerank" -> ((s, dir) => {
@@ -3367,6 +3381,27 @@ object SparkEntry {
       dim = 64, sampleCap = 4096),
     "e_ivfpq_topk" -> ivfPqTopKOracleSql(nLists = 16, nProbe = 4, m = 4,
       kCode = 16, iters = 10, k = 5, dim = 64, sampleCap = 4096),
+    "e_recall_ivfpq" ->
+      s"""WITH exact AS (
+         |${l2Top5Sql}
+         |), approx AS (
+         |${ivfPqTopKOracleSql(nLists = 16, nProbe = 4, m = 4, kCode = 16,
+             iters = 10, k = 5, dim = 64, sampleCap = 4096)}
+         |),
+         |sizes AS (SELECT query_id, count(*) AS n_exact
+         |          FROM exact GROUP BY 1),
+         |hits AS (SELECT e.query_id, count(*) AS n_hit
+         |         FROM exact e JOIN approx a
+         |           ON e.query_id = a.query_id
+         |          AND e.corpus_id = a.corpus_id
+         |         GROUP BY 1)
+         |SELECT s.query_id,
+         |       CAST(s.n_exact AS BIGINT) AS n_exact,
+         |       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |       CAST(coalesce(h.n_hit, 0) AS DOUBLE)
+         |         / CAST(s.n_exact AS DOUBLE) AS recall
+         |FROM sizes s LEFT JOIN hits h USING (query_id)
+         |ORDER BY s.query_id""".stripMargin,
     "e_pq_rerank" ->
       s"""WITH short AS (
          |${pqTopKOracleSql(m = 4, kCode = 16, iters = 10, k = 50,
