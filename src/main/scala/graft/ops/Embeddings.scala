@@ -615,6 +615,75 @@ object Embeddings {
     graft.io.Fs.publish(s, staging, path)
   }
 
+  /** Persist the IVF+PQ index: PQ CODES partitioned by cell — the
+    * at-rest form of [[ivfPqTopK]] and the full 100 TB memory story in
+    * one layout: a probe's scan is cut to its nProbe cell directories
+    * (same static-partition pruning as [[ivfTopKIndexed]]) AND each
+    * scanned row is m small code ints instead of a dim-length vector
+    * (~64x fewer bytes at m=4/dim=64); the probe side reconstructs
+    * from the broadcast codebooks at scan time. Same route-then-write
+    * file discipline, `cell=<c>/b=-1` layout and bak-swap publish as
+    * [[writeIvfIndex]], so [[appendToIvfIndex]]-style maintenance and
+    * the publish crash story carry over. */
+  def writeIvfPqIndex(cells: IvfModel, pq: PqModel, corpus: DataFrame,
+                      idCol: String, vecCol: String, path: String,
+                      filesPerCell: Int = 1): Unit = {
+    val s = corpus.sparkSession
+    val staging = path + "_staging"
+    graft.io.Fs.delete(s, staging)
+    val routed = corpus
+      .select(col(idCol), quantize(col(vecCol)).as("_cv"))
+      .withColumn("cell", cellOfQuantized(cells, col("_cv")))
+      .withColumn("codes", pqCodeOfQuantized(pq, col("_cv")))
+      .drop("_cv")
+    val parted =
+      if (filesPerCell <= 1) routed.repartition(col("cell"))
+      else routed.repartition(col("cell"),
+        pmod(hash(col(idCol)), lit(filesPerCell)))
+    parted.withColumn("b", lit(-1L)).write.partitionBy("cell", "b")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
+    graft.io.Fs.publish(s, staging, path)
+  }
+
+  /** Search the persisted IVF+PQ index: collect the probe cell set,
+    * scan ONLY those cell directories (static partition filter, the
+    * [[ivfTopKIndexed]] discipline incl. publish-crash healing and
+    * fold-watermark filtering), reconstruct each code row from the
+    * broadcast codebooks, ADC-rank. Row-identical to the in-memory
+    * [[ivfPqTopK]] (spec-pinned). */
+  def ivfPqTopKIndexed(cells: IvfModel, pq: PqModel,
+                       spark: org.apache.spark.sql.SparkSession,
+                       indexPath: String, queries: DataFrame,
+                       idCol: String, vecCol: String,
+                       nProbe: Int, k: Int): DataFrame = {
+    graft.io.Fs.recoverPublished(spark, indexPath)
+    val probedCells = probeCellsOf(cells, queries, idCol, vecCol, nProbe)
+      .select("cell").distinct().collect().map(_.getInt(0))
+    val cb = spark.read.parquet(indexPath)
+      .filter(col("cell").isin(probedCells.toIndexedSeq: _*))
+      .filter(liveIvfRows(ivfWatermark(spark, indexPath)))
+      .select(col(idCol).as("corpus_id"),
+        pqReconstruct(pq, col("codes")).as("rv"), col("cell"))
+    val probeCells = transform(
+      slice(array_sort(array(
+        centroidDistStructs(cells, quantize(col(vecCol))): _*)), 1, nProbe),
+      s => s.getField("cell"))
+    val qCells = queries.select(col(idCol).as("query_id"),
+      quantize(col(vecCol)).as("qv"), explode(probeCells).as("cell"))
+    val scored = cb.join(broadcast(qCells), Seq("cell"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("adc_dist",
+        qdot(col("qv"), col("qv")) - lit(2L) * qdot(col("qv"), col("rv")) +
+          qdot(col("rv"), col("rv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("adc_dist"), col("corpus_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("corpus_id"), col("adc_dist"),
+        col("rnk").cast("int").as("rnk"))
+  }
+
   /** Incremental IVF index maintenance: route NEW vectors into their
     * cells and append — only the touched cell directories receive
     * files, the rest of a 100 TB index is untouched. The coarse

@@ -70,6 +70,54 @@ class IvfIndexSpec extends SparkSpec {
         s"${filesPerCell.values.sum} — pruning not effective")
   }
 
+  test("indexed IVF+PQ search prunes to probed cells, stores codes " +
+    "not vectors, and matches the in-memory composed search") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probes = e.filter($"vec_id" < 5)
+    val cells = Embeddings.ivfFit(e, "vec_id", "embedding", nLists = 8)
+    val pq = Embeddings.pqFit(e, "vec_id", "embedding", m = 4, k = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    Embeddings.writeIvfPqIndex(cells, pq, e, "vec_id", "embedding", dir)
+    // the stored rows are code arrays, not vectors
+    val stored = spark.read.parquet(dir)
+    assert(stored.columns.toSet == Set("vec_id", "codes", "cell", "b"))
+    assert(stored.select(max(size(col("codes")))).head.getInt(0) == 4)
+    val indexed = Embeddings.ivfPqTopKIndexed(cells, pq, spark, dir,
+      probes, "vec_id", "embedding", nProbe = 2, k = 5)
+    // static cell partition filter on the scan
+    val scanLine = indexed.queryExecution.executedPlan.toString
+      .linesIterator.find(l => l.contains("FileScan") && l.contains(dir))
+      .getOrElse(fail(s"no index FileScan in plan"))
+    assert(scanLine.contains("PartitionFilters: [") &&
+      (scanLine.contains(" IN ") || scanLine.contains("INSET")),
+      s"no static cell partition filter on the index scan:\n$scanLine")
+    // row-identical to the in-memory composed search
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(key(indexed) == key(Embeddings.ivfPqTopK(cells, pq, e, probes,
+      "vec_id", "embedding", nProbe = 2, k = 5)))
+    // measured pruning: files read == the probed cells' files
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    def cellOf(f: java.io.File): Int = {
+      var d = f.getParentFile
+      while (d != null && !d.getName.startsWith("cell=")) d = d.getParentFile
+      d.getName.stripPrefix("cell=").toInt
+    }
+    val filesPerCell = walk(new java.io.File(dir))
+      .groupBy(cellOf).map { case (c, fs) => c -> fs.length }
+    val probedCells = Embeddings.probeCellsOf(cells, probes,
+        "vec_id", "embedding", nProbe = 2)
+      .select("cell").distinct().collect().map(_.getInt(0)).toSet
+    val expected = filesPerCell.filter(kv => probedCells(kv._1)).values.sum
+    val read = graft.util.PlanMetrics.filesReadUnder(indexed, dir)
+    assert(read == expected && read < filesPerCell.values.sum,
+      s"index scan read $read files; probed cells hold $expected of " +
+        s"${filesPerCell.values.sum}")
+  }
+
   test("incremental append routes new vectors to their cells; search equals a full rebuild") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val probes = e.filter($"vec_id" < 5)
