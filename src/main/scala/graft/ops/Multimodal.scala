@@ -133,26 +133,64 @@ object Multimodal {
     }
   }
 
-  /** Image-metadata probe — the first REAL decode stage behind the
-    * seam: for image rows whose payload parses as JPEG, the width /
-    * height come from the actual frame header (is_jpeg = true);
-    * anything else keeps its carried metadata. Same per-partition
-    * execution shape as [[extractFeatures]] — a pure projection, no
-    * shuffle, payloads never leave the executors. */
+  /** PNG frame-header parse — the second real decoder behind the seam
+    * (same contract as [[JpegCodec]]: pure bytes in, Option out, total
+    * on malformed input). The 8-byte signature must be followed by a
+    * 13-byte IHDR chunk; channels derive from the color type. */
+  object PngCodec {
+    private val Sig = Array(0x89, 0x50, 0x4e, 0x47,
+      0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    /** (width, height, nChannels), or None if not a parseable PNG. */
+    def dimensions(payload: Array[Byte]): Option[(Int, Int, Int)] = {
+      def u8(i: Int): Int = payload(i) & 0xff
+      def u32(i: Int): Long =
+        (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+      if (payload.length < 33) return None
+      if (!payload.take(8).sameElements(Sig)) return None
+      // IHDR must be the first chunk: length 13, type "IHDR"
+      if (u32(8) != 13L) return None
+      if (!(u8(12) == 'I' && u8(13) == 'H' && u8(14) == 'D' &&
+        u8(15) == 'R')) return None
+      val w = u32(16); val h = u32(20)
+      if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue)
+        return None
+      val channels = u8(25) match {
+        case 0 => 1 // greyscale
+        case 2 => 3 // truecolor
+        case 3 => 1 // palette index
+        case 4 => 2 // grey + alpha
+        case 6 => 4 // truecolor + alpha
+        case _ => return None
+      }
+      Some((w.toInt, h.toInt, channels))
+    }
+  }
+
+  /** Image-metadata probe — the REAL decode stage behind the seam: for
+    * image rows whose payload parses as JPEG or PNG, the width /
+    * height come from the actual frame header (`codec` = "jpeg" /
+    * "png"); anything else keeps its carried metadata (`codec` null).
+    * Same per-partition execution shape as [[extractFeatures]] — a
+    * pure projection, no shuffle, payloads never leave the
+    * executors. */
   def probeImageMeta(media: Dataset[MediaRow]): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val dims = if (r.modality == "image") JpegCodec.dimensions(r.payload)
-          else None
+        val parsed: Option[(String, (Int, Int, Int))] =
+          if (r.modality != "image") None
+          else JpegCodec.dimensions(r.payload).map("jpeg" -> _)
+            .orElse(PngCodec.dimensions(r.payload).map("png" -> _))
+        val dims = parsed.map(_._2)
         (r.media_id, r.modality,
           dims.map(_._1).getOrElse(r.width),
           dims.map(_._2).getOrElse(r.height),
           dims.map(_._3).getOrElse(0),
-          dims.isDefined, r.payload.length.toLong)
+          parsed.map(_._1), r.payload.length.toLong)
       }
     }.toDF("media_id", "modality", "width", "height", "n_components",
-      "is_jpeg", "n_bytes")
+      "codec", "n_bytes")
   }
 
   /** Decode + feature-extract over partitions: codec state initializes

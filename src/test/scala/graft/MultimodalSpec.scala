@@ -80,20 +80,51 @@ class MultimodalSpec extends SparkSpec {
       Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)).isEmpty)
   }
 
-  test("probeImageMeta: real JPEG payloads get parsed dimensions, others " +
-    "keep carried metadata") {
+  /** Hand-assembled minimal PNG: signature + IHDR(w, h, colorType). */
+  private def tinyPng(w: Int = 11, h: Int = 13,
+                      colorType: Int = 6): Array[Byte] = {
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    def be32(v: Int) =
+      Array(v >>> 24, (v >>> 16) & 0xff, (v >>> 8) & 0xff, v & 0xff)
+    (sig ++ be32(13) ++ "IHDR".getBytes("US-ASCII").map(_.toInt) ++
+      be32(w) ++ be32(h) ++ Array(8, colorType, 0, 0, 0) ++
+      be32(0) /* crc, unchecked */).map(_.toByte)
+  }
+
+  test("PngCodec.dimensions: signature + IHDR parse, channel mapping, " +
+    "total on malformed input") {
+    assert(Multimodal.PngCodec.dimensions(tinyPng()) == Some((11, 13, 4)))
+    assert(Multimodal.PngCodec.dimensions(tinyPng(colorType = 2))
+      == Some((11, 13, 3)))
+    assert(Multimodal.PngCodec.dimensions(tinyPng(colorType = 0))
+      == Some((11, 13, 1)))
+    assert(Multimodal.PngCodec.dimensions(tinyPng().take(20)).isEmpty)
+    assert(Multimodal.PngCodec
+      .dimensions("not a png at all padding".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.PngCodec.dimensions(Array.empty[Byte]).isEmpty)
+    // a JPEG is not a PNG and vice versa
+    assert(Multimodal.PngCodec.dimensions(tinyJpeg()).isEmpty)
+    assert(Multimodal.JpegCodec.dimensions(tinyPng()).isEmpty)
+  }
+
+  test("probeImageMeta: real JPEG/PNG payloads get parsed dimensions, " +
+    "others keep carried metadata") {
     val rows = Seq(
       MediaRow(1L, "image", tinyJpeg(), width = 999, height = 999,
         sample_rate = 0, n_frames = 1),
       MediaRow(2L, "image", "not an image".getBytes("UTF-8"),
         width = 12, height = 1, sample_rate = 0, n_frames = 1),
       MediaRow(3L, "video", tinyJpeg(), width = 30, height = 40,
-        sample_rate = 0, n_frames = 9)).toDS()
+        sample_rate = 0, n_frames = 9),
+      MediaRow(4L, "image", tinyPng(), width = 999, height = 999,
+        sample_rate = 0, n_frames = 1)).toDS()
     val out = Multimodal.probeImageMeta(rows).collect()
-      .map(r => r.getLong(0) -> ((r.getInt(2), r.getInt(3), r.getBoolean(5))))
+      .map(r => r.getLong(0) ->
+        ((r.getInt(2), r.getInt(3), Option(r.getString(5)))))
       .toMap
-    assert(out(1L) == ((5, 7, true)))    // parsed from the bitstream
-    assert(out(2L) == ((12, 1, false)))  // carried metadata kept
-    assert(out(3L) == ((30, 40, false))) // non-image modality untouched
+    assert(out(1L) == ((5, 7, Some("jpeg")))) // parsed from the bitstream
+    assert(out(2L) == ((12, 1, None)))        // carried metadata kept
+    assert(out(3L) == ((30, 40, None)))       // non-image untouched
+    assert(out(4L) == ((11, 13, Some("png"))))
   }
 }
