@@ -750,7 +750,7 @@ object SparkEntry {
       val d = Tables.documents(s, dir)
       val m = TextStats.bpeMergesLocal(d, "text", 3).orderBy("rnk")
         .collect().map(r => (r.getString(1), r.getString(2))).toSeq
-      TextStats.bpeEncode(d, "doc_id", "text", m).orderBy("doc_id")
+      TextStats.bpeEncodeCached(d, "doc_id", "text", m).orderBy("doc_id")
     }),
     "t_bigram_score" -> ((s, dir) =>
       TextStats.bigramScore(Tables.documents(s, dir), "doc_id", "text")

@@ -1188,6 +1188,58 @@ object TextStats {
     * tokenIds' lambda, trading the per-rule nested `transform`s for
     * one greedy pass). No join, no shuffle; empty docs keep a row
     * with the empty-stream fingerprint. */
+  /** [[bpeEncode]] with the merge work done once per VOCAB WORD
+    * instead of once per token occurrence: BPE decomposition is a pure
+    * function of the word, and word frequency is Zipf — so the driver
+    * applies the rules to the top-`vocabCap` words once (the
+    * bpeMergesLocal loop) and tokens look their decomposition up in a
+    * broadcast-literal map; a token outside the cap falls back LAZILY
+    * to the expression path (coalesce short-circuits, so only OOV
+    * occurrences pay it). Bit-identical to [[bpeEncode]]
+    * (spec-pinned); at the bench the per-occurrence nested-fold was
+    * the suite's single most expensive line (~9 s) and collapses to
+    * the map probe. Keep vocabCap at plan-literal-friendly sizes
+    * (default 64k); an unbounded-vocab deployment should lift the map
+    * into a [[graft.functions.VocabIds]]-style broadcast kernel. */
+  def bpeEncodeCached(df: DataFrame, idCol: String, textCol: String,
+                      merges: Seq[(String, String)],
+                      vocabCap: Int = 1 << 16): DataFrame = {
+    val words = wordFrequencies(df, textCol)
+      .orderBy(col("cnt").desc, col("word")).limit(vocabCap)
+      .select("word").collect().map(_.getString(0))
+    def encodeWord(w: String): String = {
+      var syms: Array[String] = w.split("").filter(_.nonEmpty)
+      merges.foreach { case (l, r) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (out.nonEmpty && out.last == l && syms(i) == r)
+            out(out.length - 1) = out.last + syms(i)
+          else out += syms(i)
+          i += 1
+        }
+        syms = out.toArray
+      }
+      syms.mkString(" ")
+    }
+    val subMap = typedlit(words.map(w => w -> encodeWord(w)).toMap)
+    def fallback(t: Column): Column = array_join(
+      merges.foldLeft(split(t, "")) { case (acc, (l, r)) =>
+        mergeAdjacent(acc, l, r)
+      }, " ")
+    def subOf(t: Column): Column =
+      coalesce(element_at(subMap, t), fallback(t))
+    df.select(col(idCol), TextDedup.tokens(col(textCol)).as("_w"))
+      .withColumn("_subs", transform(col("_w"), t => subOf(t)))
+      .select(col(idCol),
+        size(col("_w")).cast("long").as("n_tokens"),
+        aggregate(col("_subs"), lit(0L),
+          (acc, s) => acc + size(split(s, " ")).cast("long"))
+          .as("n_subwords"),
+        TextDedup.md5Hash60(array_join(col("_subs"), " "))
+          .as("subwords_fp"))
+  }
+
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
                 merges: Seq[(String, String)]): DataFrame = {
     val perTok = transform(TextDedup.tokens(col(textCol)),

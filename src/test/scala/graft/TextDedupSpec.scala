@@ -663,6 +663,24 @@ class TextDedupSpec extends SparkSpec {
     assert(rows(capped).nonEmpty)
   }
 
+  test("bpeEncodeCached is bit-identical to bpeEncode, including the " +
+    "OOV expression fallback under a binding vocabCap") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val m = TextStats.bpeMergesLocal(docs, "text", 3).orderBy("rnk")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+    val plain = rows(TextStats.bpeEncode(docs, "doc_id", "text", m))
+    assert(rows(TextStats.bpeEncodeCached(docs, "doc_id", "text", m))
+      == plain)
+    // vocabCap = 1: nearly every token takes the fallback path — same
+    // bits
+    assert(rows(TextStats.bpeEncodeCached(docs, "doc_id", "text", m,
+      vocabCap = 1)) == plain)
+  }
+
   test("bpeEncode applies learned merges in rank order (incl. partial " +
     "merges on unseen words); empty docs keep the empty-stream fp") {
     val train = Seq((1L, "aab aab"), (2L, "aab ab")).toDF("doc_id", "text")
