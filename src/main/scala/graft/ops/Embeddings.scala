@@ -623,8 +623,9 @@ object Embeddings {
     * (~64x fewer bytes at m=4/dim=64); the probe side reconstructs
     * from the broadcast codebooks at scan time. Same route-then-write
     * file discipline, `cell=<c>/b=-1` layout and bak-swap publish as
-    * [[writeIvfIndex]], so [[appendToIvfIndex]]-style maintenance and
-    * the publish crash story carry over. */
+    * [[writeIvfIndex]]; incremental maintenance goes through
+    * [[appendToIvfPqIndex]] (the code-row twin of appendToIvfIndex),
+    * and the publish crash story carries over. */
   def writeIvfPqIndex(cells: IvfModel, pq: PqModel, corpus: DataFrame,
                       idCol: String, vecCol: String, path: String,
                       filesPerCell: Int = 1): Unit = {
@@ -711,6 +712,37 @@ object Embeddings {
       .withColumn("cell", cellOfQuantized(model, col("cv")))
       // one file per touched cell per append (vs one per task × cell);
       // append batches are small, so the routing shuffle is trivial
+      .repartition(col("cell"))
+      .withColumn("b", lit(batchTag.getOrElse(-1L)))
+    batchTag match {
+      case Some(_) =>
+        routed.write.partitionBy("cell", "b")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+      case None =>
+        routed.write.partitionBy("cell", "b")
+          .mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
+    }
+  }
+
+  /** [[appendToIvfIndex]] for the CODE-ROW layout of
+    * [[writeIvfPqIndex]]: new vectors route through the FIXED coarse
+    * quantizer AND the fixed PQ codebooks (both retrained rarely and
+    * offline — codes must stay comparable with the rows already
+    * indexed), so an append touches only the new vectors' cell
+    * directories and writes m-code rows. Same `batchTag` replay
+    * contract: Some(batchId) dynamically overwrites its own
+    * (cell, b=batchId) subpartitions, None plain-appends under the
+    * build's b=-1. */
+  def appendToIvfPqIndex(cells: IvfModel, pq: PqModel,
+                         newVectors: DataFrame, idCol: String,
+                         vecCol: String, path: String,
+                         batchTag: Option[Long] = None): Unit = {
+    val routed = newVectors
+      .select(col(idCol), quantize(col(vecCol)).as("_cv"))
+      .withColumn("cell", cellOfQuantized(cells, col("_cv")))
+      .withColumn("codes", pqCodeOfQuantized(pq, col("_cv")))
+      .drop("_cv")
       .repartition(col("cell"))
       .withColumn("b", lit(batchTag.getOrElse(-1L)))
     batchTag match {

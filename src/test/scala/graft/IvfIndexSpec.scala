@@ -118,6 +118,35 @@ class IvfIndexSpec extends SparkSpec {
         s"${filesPerCell.values.sum}")
   }
 
+  test("IVF+PQ append routes code rows to their cells; search equals " +
+    "a full rebuild, and a replayed tag never duplicates") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probes = e.filter($"vec_id" < 5)
+    val old = e.filter($"vec_id" % 2 === 0)
+    val neu = e.filter($"vec_id" % 2 === 1)
+    val cells = Embeddings.ivfFit(old, "vec_id", "embedding", nLists = 8)
+    val pq = Embeddings.pqFit(old, "vec_id", "embedding", m = 4, k = 16)
+    val inc = java.nio.file.Files.createTempDirectory("graft_ivfpq_a").toString
+    val full = java.nio.file.Files.createTempDirectory("graft_ivfpq_f").toString
+    Embeddings.writeIvfPqIndex(cells, pq, old, "vec_id", "embedding", inc)
+    Embeddings.appendToIvfPqIndex(cells, pq, neu, "vec_id", "embedding",
+      inc, batchTag = Some(7L))
+    // replayed tag overwrites itself — no duplicate code rows
+    Embeddings.appendToIvfPqIndex(cells, pq, neu, "vec_id", "embedding",
+      inc, batchTag = Some(7L))
+    Embeddings.writeIvfPqIndex(cells, pq, e, "vec_id", "embedding", full)
+    assert(spark.read.parquet(inc).count() ==
+      spark.read.parquet(full).count())
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getLong(2)))
+      .toSet
+    val a = key(Embeddings.ivfPqTopKIndexed(cells, pq, spark, inc, probes,
+      "vec_id", "embedding", nProbe = 3, k = 5))
+    val b = key(Embeddings.ivfPqTopKIndexed(cells, pq, spark, full, probes,
+      "vec_id", "embedding", nProbe = 3, k = 5))
+    assert(a == b && a.nonEmpty)
+  }
+
   test("incremental append routes new vectors to their cells; search equals a full rebuild") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val probes = e.filter($"vec_id" < 5)
