@@ -828,6 +828,15 @@ object SparkEntry {
     "t_pii_stats" -> ((s, dir) =>
       TextStats.piiStats(piiSeeded(Tables.documents(s, dir)),
         "doc_id", "text").orderBy("doc_id")),
+    // per-source data card over the PII-seeded corpus (volumes, exact
+    // mean quality, language mix, PII carriers) — one corpus pass
+    "t_corpus_report" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val input = d.select(col("doc_id"), col("source"), col("lang"))
+        .join(piiSeeded(d), Seq("doc_id"))
+      TextStats.corpusReport(input, "doc_id", "text", "source", "lang")
+        .orderBy("source")
+    }),
     "t_pii_redact" -> ((s, dir) =>
       TextStats.piiRedact(piiSeeded(Tables.documents(s, dir)),
         "doc_id", "text").orderBy("doc_id")),
@@ -3139,6 +3148,35 @@ object SparkEntry {
           |            + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) > 0
           |       THEN 1 ELSE 0 END AS BIGINT) AS has_pii
           |FROM seeded ORDER BY doc_id""".stripMargin),
+    "t_corpus_report" ->
+      (piiSeededSql +
+        """, j AS (SELECT d.source, d.lang, s.text FROM documents d JOIN seeded s USING (doc_id)),
+          |w AS (SELECT source, lang, text, regexp_extract_all(lower(text), '[a-z0-9]+') w FROM j),
+          |m AS (SELECT source, lang,
+          |        CAST(len(text) AS BIGINT) n_chars,
+          |        CAST(len(w) AS BIGINT) n_tokens,
+          |        CAST(len(regexp_replace(text, '[a-zA-Z0-9\s]+', '', 'g')) AS DOUBLE)
+          |          / CAST(len(text) AS DOUBLE) punct_raw,
+          |        CAST(len(list_filter(w, x -> x IN ('the','a','of','and','is','el','la','de','los','es',
+          |          'der','die','das','und','ist','le','les','des','est'))) AS DOUBLE)
+          |          / CAST(len(w) AS DOUBLE) stop_raw,
+          |        least(CAST(len(w) AS DOUBLE) / 20.0, 1.0) len_score,
+          |        len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+          |          + len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b'))
+          |          + len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))
+          |          + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS npii
+          |      FROM w),
+          |p AS (SELECT source, lang, n_chars, n_tokens, npii,
+          |        round(len_score * (1.0 - punct_raw) * (0.5 + least(stop_raw * 5.0, 0.5)), 6) AS q
+          |      FROM m)
+          |SELECT source, COUNT(*) AS n_docs,
+          |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+          |       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+          |       round(CAST(SUM(CAST(q AS DECIMAL(28,6))) AS DOUBLE)
+          |             / CAST(COUNT(*) AS DOUBLE), 6) AS mean_quality,
+          |       CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+          |       CAST(SUM(CASE WHEN npii > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs
+          |FROM p GROUP BY source ORDER BY source""".stripMargin),
     "t_pii_redact" ->
       (piiSeededSql +
         """SELECT doc_id,

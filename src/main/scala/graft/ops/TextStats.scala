@@ -370,6 +370,37 @@ object TextStats {
           .as("avg_bigram_prob"))
   }
 
+  /** Per-source corpus DATA CARD — the report a corpus team
+    * regenerates on every refresh: volumes (docs/tokens/chars), exact
+    * mean quality, language mix and PII-carrier counts per source, in
+    * ONE corpus pass. The per-doc metrics are the map-side
+    * [[withQualityMetrics]] projection plus [[piiMatchCount]]; the
+    * report is a map-side-combinable groupBy over sources-cardinality
+    * keys, and mean quality rides the order-independent exact sum
+    * ([[graft.util.Exact.dsum6]]) — the whole card is bit-reproducible
+    * across engines and partitionings. */
+  def corpusReport(df: DataFrame, idCol: String, textCol: String,
+                   sourceCol: String, langCol: String): DataFrame = {
+    val q = withQualityMetrics(
+        df.select(col(idCol), col(sourceCol), col(langCol), col(textCol)),
+        textCol)
+      .withColumn("_npii", piiMatchCount(col(textCol)))
+    q.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        graft.util.Exact.dsum6(col("quality_score")).as("_qs"),
+        sum(when(col(langCol) === "en", lit(1L)).otherwise(lit(0L)))
+          .as("n_en"),
+        sum(when(col("_npii") > 0, lit(1L)).otherwise(lit(0L)))
+          .as("n_pii_docs"))
+      .select(col(sourceCol), col("n_docs"), col("n_tokens"),
+        col("n_chars"),
+        round(col("_qs") / col("n_docs").cast("double"), 6)
+          .as("mean_quality"),
+        col("n_en"), col("n_pii_docs"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): rank every
     * document by its corpus-LM typicality ([[bigramScore]]'s
     * avg_bigram_prob — high prob == low perplexity) and label the
