@@ -828,6 +828,17 @@ object SparkEntry {
     "t_pii_stats" -> ((s, dir) =>
       TextStats.piiStats(piiSeeded(Tables.documents(s, dir)),
         "doc_id", "text").orderBy("doc_id")),
+    // text drift gate between two corpus halves, with a seeded
+    // template flood on the b side so the shift visibly bites
+    "t_vocab_drift" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val a = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val b = d.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .select(col("doc_id"), when(pmod(col("doc_id"), lit(9)) === 0,
+          concat(col("text"), lit(" floodterm floodterm floodterm")))
+          .otherwise(col("text")).as("text"))
+      TextStats.vocabDrift(a, b, "text").orderBy("word")
+    }),
     // per-source data card over the PII-seeded corpus (volumes, exact
     // mean quality, language mix, PII carriers) — one corpus pass
     "t_corpus_report" -> ((s, dir) => {
@@ -3148,6 +3159,25 @@ object SparkEntry {
           |            + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) > 0
           |       THEN 1 ELSE 0 END AS BIGINT) AS has_pii
           |FROM seeded ORDER BY doc_id""".stripMargin),
+    "t_vocab_drift" ->
+      """WITH ta AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) w
+        |           FROM documents WHERE doc_id % 2 = 0),
+        |ca AS (SELECT w, COUNT(*) c FROM ta GROUP BY 1),
+        |sa AS (SELECT SUM(c) t FROM ca),
+        |ra AS (SELECT w, CAST(c * 1000000 // t AS BIGINT) ppm_a FROM ca, sa),
+        |b0 AS (SELECT CASE WHEN doc_id % 9 = 0
+        |              THEN text || ' floodterm floodterm floodterm'
+        |              ELSE text END AS text
+        |       FROM documents WHERE doc_id % 2 = 1),
+        |tb AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) w FROM b0),
+        |cb AS (SELECT w, COUNT(*) c FROM tb GROUP BY 1),
+        |sb AS (SELECT SUM(c) t FROM cb),
+        |rb AS (SELECT w, CAST(c * 1000000 // t AS BIGINT) ppm_b FROM cb, sb)
+        |SELECT COALESCE(ra.w, rb.w) AS word,
+        |       CAST(COALESCE(ppm_a, 0) AS BIGINT) AS ppm_a,
+        |       CAST(COALESCE(ppm_b, 0) AS BIGINT) AS ppm_b,
+        |       CAST(COALESCE(ppm_b, 0) - COALESCE(ppm_a, 0) AS BIGINT) AS delta_ppm
+        |FROM ra FULL JOIN rb ON ra.w = rb.w ORDER BY word""".stripMargin,
     "t_corpus_report" ->
       (piiSeededSql +
         """, j AS (SELECT d.source, d.lang, s.text FROM documents d JOIN seeded s USING (doc_id)),

@@ -370,6 +370,31 @@ object TextStats {
           .as("avg_bigram_prob"))
   }
 
+  /** Corpus-refresh TEXT drift gate — the unigram sibling of
+    * [[graft.ops.Profiler.drift]]: per-term parts-per-million rates in
+    * two corpora (exact integer micro rates, cnt*1e6 div total),
+    * full-outer-joined over their vocabularies with the ppm shift.
+    * Catches the content drift a column profiler is blind to —
+    * tokenizer changes, crawler regressions, template floods. Two
+    * vocab-scale map-side-combinable counts + broadcast totals + one
+    * vocab-scale join; each corpus is scanned once. `minPpm` drops
+    * terms below the floor on BOTH sides (noise tail). */
+  def vocabDrift(a: DataFrame, b: DataFrame, textCol: String,
+                 minPpm: Long = 0L): DataFrame = {
+    def rates(d: DataFrame, name: String) = {
+      val wf = wordFrequencies(d, textCol)
+      val tot = wf.agg(sum(col("cnt")).as("_tot"))
+      wf.crossJoin(broadcast(tot))
+        .select(col("word"), expr("cnt * 1000000 div _tot").as(name))
+    }
+    rates(a, "ppm_a").join(rates(b, "ppm_b"), Seq("word"), "full_outer")
+      .select(col("word"),
+        coalesce(col("ppm_a"), lit(0L)).as("ppm_a"),
+        coalesce(col("ppm_b"), lit(0L)).as("ppm_b"))
+      .withColumn("delta_ppm", col("ppm_b") - col("ppm_a"))
+      .filter(col("ppm_a") >= minPpm || col("ppm_b") >= minPpm)
+  }
+
   /** Per-source corpus DATA CARD — the report a corpus team
     * regenerates on every refresh: volumes (docs/tokens/chars), exact
     * mean quality, language mix and PII-carrier counts per source, in

@@ -118,6 +118,30 @@ class GopherSpec extends SparkSpec {
     assert(approx.count() == out.length)
   }
 
+  test("vocabDrift: identical corpora read zero delta; a planted flood " +
+    "surfaces with the exact ppm shift; minPpm drops the noise tail") {
+    val a = Seq((1L, "alpha beta gamma"), (2L, "alpha beta delta"))
+      .toDF("doc_id", "text")
+    val same = TextStats.vocabDrift(a, a, "text").collect()
+    assert(same.nonEmpty && same.forall(_.getAs[Long]("delta_ppm") == 0L))
+    // b = a plus a 6-token flood: 12 tokens total on the b side
+    val b = Seq((1L, "alpha beta gamma"),
+      (2L, "alpha beta delta spam spam spam spam spam spam"))
+      .toDF("doc_id", "text")
+    val drift = TextStats.vocabDrift(a, b, "text").collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("ppm_a"), r.getAs[Long]("ppm_b"),
+          r.getAs[Long]("delta_ppm"))).toMap
+    // spam: absent in a, 6 of 12 tokens in b -> exactly 500000 ppm
+    assert(drift("spam") == ((0L, 500000L, 500000L)))
+    // alpha: 2/6 -> 333333, 2/12 -> 166666 (integer division)
+    assert(drift("alpha") == ((333333L, 166666L, -166667L)))
+    // the floor keeps the flood, drops everything below it
+    val floored = TextStats.vocabDrift(a, b, "text", minPpm = 400000L)
+      .collect().map(_.getString(0)).toSet
+    assert(floored.contains("spam") && !floored.contains("gamma"))
+  }
+
   test("gopher ops are shuffle-free projections (plan-asserted)") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     val d = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
