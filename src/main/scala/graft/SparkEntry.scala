@@ -64,6 +64,21 @@ object SparkEntry {
     ).as("text"))
   }
 
+  /** Two synthetic corpus snapshots for the diff queries: `a` is the
+    * corpus minus doc_id%11==3; `b` is the corpus minus doc_id%13==5
+    * with doc_id%17==2 revised (" rev2" appended). Identical
+    * construction in the oracle SQL. */
+  private def diffSnapshots(d: DataFrame): (DataFrame, DataFrame) = {
+    val a = d.select(col("doc_id"), col("text"))
+      .filter(pmod(col("doc_id"), lit(11)) =!= 3)
+    val b = d.filter(pmod(col("doc_id"), lit(13)) =!= 5)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(17)) === 2,
+          concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+    (a, b)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full prediction pipeline: all-camera slot prediction + threshold
     * rules engine (SURVEY §3.2) — the reference's N+1 collapsed to one job. */
@@ -851,6 +866,26 @@ object SparkEntry {
     "t_pii_redact" -> ((s, dir) =>
       TextStats.piiRedact(piiSeeded(Tables.documents(s, dir)),
         "doc_id", "text").orderBy("doc_id")),
+    // ---- retrieval: sharded inverted index + BM25 keyword search ----
+    "t_postings" -> ((s, dir) =>
+      Retrieval.shardedPostings(Tables.documents(s, dir), "doc_id", "text",
+        nSegments = 4, minDf = 3L).orderBy("term", "segment")),
+    // query mixes one rare term ("dup", df≈5% of docs) with two common
+    // ones, so the idf weighting visibly reorders the hits
+    "t_bm25_topk" -> ((s, dir) =>
+      Retrieval.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+        Seq("dup", "vector", "merge"), k = 25)),
+    // ---- corpus lifecycle: snapshot diff (adds/removes/edits) ----
+    // snapshot a drops doc_id%11==3 (those become "added" in b),
+    // b drops doc_id%13==5 ("removed") and revises doc_id%17==2
+    "t_corpus_diff" -> ((s, dir) => {
+      val (a, b) = diffSnapshots(Tables.documents(s, dir))
+      Corpus.corpusDiff(a, b, "doc_id", "text").orderBy("doc_id")
+    }),
+    "t_corpus_diff_sum" -> ((s, dir) => {
+      val (a, b) = diffSnapshots(Tables.documents(s, dir))
+      Corpus.corpusDiffSummary(a, b, "doc_id", "text")
+    }),
     // ---- training-data pipeline: embedding similarity ----
     "e_ann_bruteforce" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -3216,6 +3251,77 @@ object SparkEntry {
           |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g'),
           |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS redacted
           |FROM seeded ORDER BY doc_id""".stripMargin),
+    "t_postings" ->
+      """WITH tok AS (SELECT DISTINCT doc_id, term
+        |             FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) term
+        |                   FROM documents)),
+        |ps AS (SELECT term, CAST(doc_id % 4 AS INT) AS segment,
+        |         COUNT(*) AS seg_docs,
+        |         string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_list
+        |       FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(SUM(seg_docs) AS BIGINT) AS n_docs FROM ps GROUP BY 1)
+        |SELECT ps.term, segment, n_docs, CAST(seg_docs AS BIGINT) AS seg_docs, doc_list
+        |FROM ps JOIN df USING (term) WHERE n_docs >= 3
+        |ORDER BY term, segment""".stripMargin,
+    "t_bm25_topk" ->
+      """WITH base AS (SELECT doc_id,
+        |         regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |       FROM documents),
+        |b2 AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl, ts FROM base),
+        |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_tokens FROM b2),
+        |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf
+        |       FROM (SELECT doc_id, dl, unnest(ts) AS term FROM b2)
+        |       WHERE term IN ('dup', 'vector', 'merge')
+        |       GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY 1),
+        |scored AS (SELECT doc_id,
+        |    CAST(round(
+        |      (CAST(n_docs AS DOUBLE) - CAST(df_t AS DOUBLE) + 0.5)
+        |        / (CAST(df_t AS DOUBLE) + 0.5)
+        |      * (CAST(tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf AS DOUBLE)
+        |         + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+        |             / (CAST(tot_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+        |      * 1000000.0, 0) AS BIGINT) AS ts_ppm
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN stats)
+        |SELECT doc_id, CAST(SUM(ts_ppm) AS BIGINT) AS score_ppm,
+        |       COUNT(*) AS n_terms
+        |FROM scored GROUP BY doc_id
+        |ORDER BY score_ppm DESC, doc_id LIMIT 25""".stripMargin,
+    "t_corpus_diff" ->
+      """WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 3),
+        |b AS (SELECT doc_id,
+        |        CASE WHEN doc_id % 17 = 2 THEN text || ' rev2' ELSE text END AS text
+        |      FROM documents WHERE doc_id % 13 <> 5),
+        |fa AS (SELECT doc_id, md5(text) h_a, CAST(len(text) AS BIGINT) len_a FROM a),
+        |fb AS (SELECT doc_id, md5(text) h_b, CAST(len(text) AS BIGINT) len_b FROM b),
+        |j AS (SELECT COALESCE(fa.doc_id, fb.doc_id) doc_id, h_a, h_b, len_a, len_b
+        |      FROM fa FULL JOIN fb ON fa.doc_id = fb.doc_id),
+        |s AS (SELECT doc_id,
+        |        CASE WHEN h_a IS NULL THEN 'added'
+        |             WHEN h_b IS NULL THEN 'removed'
+        |             WHEN h_a <> h_b THEN 'changed'
+        |             ELSE 'unchanged' END AS status,
+        |        CAST(COALESCE(len_b, 0) - COALESCE(len_a, 0) AS BIGINT) AS delta_chars
+        |      FROM j)
+        |SELECT doc_id, status, delta_chars FROM s
+        |WHERE status <> 'unchanged' ORDER BY doc_id""".stripMargin,
+    "t_corpus_diff_sum" ->
+      """WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 3),
+        |b AS (SELECT doc_id,
+        |        CASE WHEN doc_id % 17 = 2 THEN text || ' rev2' ELSE text END AS text
+        |      FROM documents WHERE doc_id % 13 <> 5),
+        |fa AS (SELECT doc_id, md5(text) h_a FROM a),
+        |fb AS (SELECT doc_id, md5(text) h_b FROM b),
+        |j AS (SELECT h_a, h_b FROM fa FULL JOIN fb ON fa.doc_id = fb.doc_id)
+        |SELECT
+        |  CAST(SUM(CASE WHEN h_a IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        |  CAST(SUM(CASE WHEN h_b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  CAST(SUM(CASE WHEN h_a IS NOT NULL AND h_b IS NOT NULL AND h_a <> h_b
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(SUM(CASE WHEN h_a IS NOT NULL AND h_b IS NOT NULL AND h_a = h_b
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+        |FROM j""".stripMargin,
     "t_vocab_topk" ->
       """WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) token FROM documents),
         |c AS (SELECT token, COUNT(*) n FROM tok GROUP BY 1),

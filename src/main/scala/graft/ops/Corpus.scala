@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-lifecycle ops: snapshot-to-snapshot reconciliation. A corpus
+  * that refreshes (recrawl, license takedown, re-extraction) needs a
+  * DIFF between two snapshots — which documents appeared, vanished, or
+  * changed content — both as the changelog a data card cites and as the
+  * work-list an incremental pipeline (re-embed, re-index, re-dedup)
+  * consumes instead of reprocessing 100 TB. The reference rebuilds its
+  * SQLite tables wholesale (app/database.py); this is the operation it
+  * would need the day the corpus stops fitting a rebuild.
+  */
+object Corpus {
+
+  /** Diff two corpus snapshots on a stable document key: rows only for
+    * `added` (in b, not a), `removed` (in a, not b) and `changed`
+    * (both, different content) — the unchanged bulk, which at 100 TB is
+    * ~all of the corpus, is filtered out BEFORE anything is collected
+    * or written. `delta_chars` carries the size movement (signed;
+    * removed docs count their full length negative).
+    *
+    * Scale shape: each side is projected map-side to
+    * `(id, md5(text), length)` — ~50 bytes/row — before the single
+    * full-outer hash join on the key, so the shuffle moves fingerprints,
+    * never text. Content equality is md5 (the cross-engine deterministic
+    * hash used corpus-wide, [[TextDedup.md5Hash60]]); both engines
+    * compare the same 128-bit digest, and a collision would need 2^64
+    * docs. One shuffle per side, co-partitioned on the join key.
+    */
+  def corpusDiff(a: DataFrame, b: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    def fp(d: DataFrame, tag: String): DataFrame =
+      d.select(col(idCol),
+        md5(col(textCol)).as(s"_h_$tag"),
+        length(col(textCol)).cast("long").as(s"_len_$tag"))
+    fp(a, "a").join(fp(b, "b"), Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("_h_a").isNull, lit("added"))
+          .when(col("_h_b").isNull, lit("removed"))
+          .when(col("_h_a") =!= col("_h_b"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("status") =!= "unchanged")
+      .select(col(idCol), col("status"),
+        (coalesce(col("_len_b"), lit(0L)) -
+          coalesce(col("_len_a"), lit(0L))).as("delta_chars"))
+  }
+
+  /** One-row rollup of [[corpusDiff]] plus the unchanged count — the
+    * changelog header. Computed from the same fingerprint join WITHOUT
+    * the unchanged filter, as map-side-combinable conditional sums. */
+  def corpusDiffSummary(a: DataFrame, b: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    def fp(d: DataFrame, tag: String): DataFrame =
+      d.select(col(idCol), md5(col(textCol)).as(s"_h_$tag"))
+    val j = fp(a, "a").join(fp(b, "b"), Seq(idCol), "full_outer")
+    def cnt(c: org.apache.spark.sql.Column) =
+      sum(when(c, lit(1L)).otherwise(lit(0L)))
+    j.agg(
+      cnt(col("_h_a").isNull).as("n_added"),
+      cnt(col("_h_b").isNull).as("n_removed"),
+      cnt(col("_h_a").isNotNull && col("_h_b").isNotNull &&
+        col("_h_a") =!= col("_h_b")).as("n_changed"),
+      cnt(col("_h_a").isNotNull && col("_h_b").isNotNull &&
+        col("_h_a") === col("_h_b")).as("n_unchanged"))
+  }
+}

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Retrieval family for a training-data pipeline: a sharded inverted
+  * index (the Lucene-segment layout, re-expressed as a partitioned
+  * table) and a BM25-style ranked keyword search over the corpus. The
+  * reference has no search surface (its lookups are key joins,
+  * app/database.py), but a corpus team doing curation triage — "show me
+  * the top documents mentioning X" — needs exactly this, and at 100 TB
+  * it must be an index probe, not a corpus scan.
+  *
+  * Determinism contract: scoring is transcendental-free (the odds form
+  * of the Robertson-Spärck-Jones idf, i.e. the ARGUMENT of BM25's log,
+  * not its log — java.lang.Math.log and libm disagree in the last ulp,
+  * so an oracled score cannot cross one). Per-term scores are frozen to
+  * exact micro-units (round half-up to long) BEFORE the per-document
+  * sum, so the sum is integer arithmetic — order-independent across
+  * partitionings and engines, the [[graft.ml.QualityModel]] precedent.
+  */
+object Retrieval {
+
+  /** Sharded inverted index: `(term, segment) -> sorted posting list`,
+    * with the global document frequency carried on every shard row.
+    *
+    * The segment key (`doc_id mod nSegments`) bounds every aggregation
+    * group at its segment's share of the term's postings — a stopword
+    * appearing in 10^9 documents becomes nSegments groups of
+    * 10^9/nSegments, never one hot reducer holding the full list; the
+    * global df is re-aggregated from per-segment counts (map-side
+    * combinable longs), so no stage ever sees a term's full posting
+    * set in one task. `minDf` prunes hapax noise at the end (after the
+    * exact global count, so the threshold is corpus-true).
+    *
+    * Posting lists are per-document-DISTINCT terms (an index maps term
+    * to documents; term frequency belongs to the scorer, [[bm25TopK]]).
+    */
+  def shardedPostings(df: DataFrame, idCol: String, textCol: String,
+                      nSegments: Int, minDf: Long = 1L): DataFrame = {
+    val tok = df.select(col(idCol).as("_doc"),
+        explode(array_distinct(TextDedup.tokens(col(textCol)))).as("term"))
+      .withColumn("segment", pmod(col("_doc"), lit(nSegments.toLong))
+        .cast("int"))
+    val perSeg = tok.groupBy(col("term"), col("segment"))
+      .agg(count(lit(1)).as("seg_docs"),
+        array_join(transform(sort_array(collect_list(col("_doc"))),
+          x => x.cast("string")), ",").as("doc_list"))
+    val dfreq = perSeg.groupBy("term")
+      .agg(sum(col("seg_docs")).as("n_docs"))
+    perSeg.join(dfreq, "term")
+      .filter(col("n_docs") >= minDf)
+      .select(col("term"), col("segment"), col("n_docs"),
+        col("seg_docs"), col("doc_list"))
+  }
+
+  /** BM25-ranked top-k keyword search (Robertson et al., Okapi at
+    * TREC-3): score = Σ_terms idf_odds(t) · tf·(k1+1) / (tf + k1·(1−b +
+    * b·dl/avgdl)), with idf_odds = (N − df + 0.5)/(df + 0.5) — the
+    * inside of the canonical log-idf (see object doc for why the log
+    * stays out). Ranking within a single term is identical to true
+    * BM25 (the log is monotone); across multiple terms the odds sum
+    * weights rare terms more sharply than the log sum — documented
+    * variant, not an approximation error.
+    *
+    * Scale shape: the corpus-wide stats (N, Σdl) are a one-row
+    * aggregate (broadcast); the token stream is FILTERED TO THE QUERY
+    * TERMS before any shuffle, so the only data that moves is the
+    * postings of the searched terms — an index probe's cost, reached
+    * here by predicate pushdown instead of a stored index (pair with
+    * [[shardedPostings]] for the at-rest layout). Per-term df is a
+    * query-terms-cardinality aggregate (broadcast back). The final
+    * top-k is orderBy+limit → TakeOrderedAndProject (K rows per
+    * partition to the driver, never the match set).
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK: empty query")
+    val base = df.select(col(idCol),
+        TextDedup.tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), size(col("_toks")).as("dl"), col("_toks"))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("tot_tokens"))
+    val tf = base
+      .select(col(idCol), col("dl"), explode(col("_toks")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+    val avgdl = col("tot_tokens").cast("double") /
+      col("n_docs").cast("double")
+    val idfOdds = (col("n_docs").cast("double") -
+      col("df_t").cast("double") + lit(0.5)) /
+      (col("df_t").cast("double") + lit(0.5))
+    val norm = lit(k1) * (lit(1.0 - b) +
+      lit(b) * (col("dl").cast("double") / avgdl))
+    val termScore = idfOdds * (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") + norm)
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("ts_ppm", round(termScore * lit(1000000.0), 0)
+        .cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum(col("ts_ppm")).as("score_ppm"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score_ppm").desc, col(idCol))
+      .limit(k)
+  }
+}
