@@ -249,6 +249,44 @@ object ScaleProbe {
     time("ccnet_buckets") {
       evalAll(ops.TextStats.pplBuckets(docs, "doc_id", "text"))
     }
+    time("corpus_report") {
+      val d = docs
+        .withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(20))))
+        .withColumn("lang",
+          when(pmod(col("doc_id"), lit(3)) === 0, "en").otherwise("es"))
+      evalAll(ops.TextStats.corpusReport(d, "doc_id", "text",
+        "source", "lang"))
+    }
+    time("vocab_drift") {
+      evalAll(ops.TextStats.vocabDrift(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), "text"))
+    }
+    time("length_batches") {
+      evalAll(ops.TextStats.lengthBatches(docs, "doc_id", "text",
+        bandWidth = 16, batchSize = 64))
+    }
+    time("sharded_postings") {
+      // segment count sized so a stopword's hottest group stays at
+      // ~1/64 of its postings — the claim under test is that cost
+      // tracks the token stream, not the hottest term
+      evalAll(ops.Retrieval.shardedPostings(docs, "doc_id", "text",
+        nSegments = 64, minDf = 3L))
+    }
+    time("bm25_topk") {
+      ops.Retrieval.bm25TopK(docs, "doc_id", "text",
+        Seq("dup", "vector", "merge"), k = 100).count()
+    }
+    time("corpus_diff") {
+      // b-side: drop ~8%, revise ~6% — diff output stays small while
+      // both full snapshots are fingerprinted and joined
+      val a = docs
+      val b = docs.filter(pmod(col("doc_id"), lit(13)) =!= 5)
+        .select(col("doc_id"), when(pmod(col("doc_id"), lit(17)) === 2,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text"))
+          .as("text"))
+      evalAll(ops.Corpus.corpusDiff(a, b, "doc_id", "text"))
+    }
     locally {
       val emb = multiplied(Tables.embeddings(spark, dir)
         .select("vec_id", "embedding"), "vec_id").cache()

@@ -1,0 +1,99 @@
+package graft
+
+import graft.ops.{Corpus, Retrieval}
+import org.apache.spark.sql.functions._
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (0L, "spark shuffle join spark"),
+    (1L, "broadcast join plan"),
+    (2L, "spark codegen whole stage codegen"),
+    (3L, "shuffle partition skew shuffle shuffle"),
+    (4L, ""), // zero-token doc: counted in N/avgdl, never matches
+    (5L, "join join join spark"))
+    .toDF("doc_id", "text")
+
+  test("shardedPostings: per-segment sorted lists, global df, minDf prune") {
+    val out = Retrieval.shardedPostings(corpus, "doc_id", "text",
+      nSegments = 2, minDf = 1L).orderBy("term", "segment").collect()
+    val spark0 = out.filter(_.getString(0) == "spark")
+    // spark appears in docs 0,2,5 → segment 0 holds {0,2}, segment 1 {5}
+    assert(spark0.map(r => (r.getInt(1), r.getString(4))).toSeq ==
+      Seq((0, "0,2"), (1, "5")))
+    // global df carried on every shard row, re-aggregated from partials
+    assert(spark0.forall(_.getLong(2) == 3L))
+    assert(spark0.map(_.getLong(3)).toSeq == Seq(2L, 1L))
+    // posting lists are per-doc distinct: doc 3's triple "shuffle" is one entry
+    val sh = out.filter(r => r.getString(0) == "shuffle" && r.getInt(1) == 1)
+    assert(sh.head.getString(4) == "3")
+  }
+
+  test("shardedPostings: minDf prunes on the GLOBAL count, not per-segment") {
+    val out = Retrieval.shardedPostings(corpus, "doc_id", "text",
+      nSegments = 2, minDf = 3L)
+    // spark (df=3) and join (df=3) survive; every shard row survives with them
+    assert(out.select("term").distinct().as[String].collect().sorted.toSeq ==
+      Seq("join", "spark"))
+    // join lives in docs 0 (seg 0) and 1,5 (seg 1) → two shard rows
+    val j = out.filter(col("term") === "join")
+      .orderBy("segment").collect()
+    assert(j.map(r => (r.getInt(1), r.getString(4))).toSeq ==
+      Seq((0, "0"), (1, "1,5")))
+  }
+
+  test("bm25TopK: rare term outranks common; scores integer and reproducible") {
+    val out = Retrieval.bm25TopK(corpus, "doc_id", "text",
+      Seq("skew", "join"), k = 10).collect()
+    // doc 3 holds the corpus's only "skew" (idf_odds (6-1+.5)/1.5) and must
+    // outrank every join-only doc despite doc 5's tf=3 on the common term
+    assert(out.head.getLong(0) == 3L)
+    val byDoc = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(1L, 3L, 5L).subsetOf(byDoc.keySet))
+    assert(!byDoc.contains(4L)) // zero-token doc never matches
+    // deterministic: a second run returns bit-identical micro-unit scores
+    val again = Retrieval.bm25TopK(corpus, "doc_id", "text",
+      Seq("skew", "join"), k = 10).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
+
+  test("bm25TopK: k limits output; ties broken on doc id ascending") {
+    // docs 10 and 11 are word-for-word identical → identical scores
+    val tied = Seq((10L, "alpha beta"), (11L, "alpha beta"), (12L, "beta"))
+      .toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(tied, "doc_id", "text", Seq("alpha"), k = 1)
+      .collect()
+    assert(out.length == 1 && out.head.getLong(0) == 10L)
+  }
+
+  test("corpusDiff: added/removed/changed only, signed char delta") {
+    val a = Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("doc_id", "text")
+    val b = Seq((2L, "two"), (3L, "three-revised"), (9L, "nine"))
+      .toDF("doc_id", "text")
+    val out = Corpus.corpusDiff(a, b, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1L, "removed", -3L), (3L, "changed", 8L), (9L, "added", 4L)))
+    // unchanged doc 2 is filtered out, not labeled
+    assert(!out.exists(_.getLong(0) == 2L))
+  }
+
+  test("corpusDiffSummary: counts reconcile with the detail view") {
+    val a = Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("doc_id", "text")
+    val b = Seq((2L, "two"), (3L, "three-revised"), (9L, "nine"))
+      .toDF("doc_id", "text")
+    val s = Corpus.corpusDiffSummary(a, b, "doc_id", "text").collect().head
+    assert((s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3)) ==
+      (1L, 1L, 1L, 1L))
+  }
+
+  test("bm25TopK plan: corpus stats and term dfs broadcast, top-k is" +
+    " TakeOrderedAndProject — no global sort, no window") {
+    val plan = Retrieval.bm25TopK(corpus, "doc_id", "text",
+      Seq("skew", "join"), k = 10).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(!plan.contains("Window"))
+  }
+}
