@@ -88,6 +88,18 @@ object Retrieval {
       .groupBy(col(idCol), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+    scoreAndRank(tf, dfreq, stats, idCol, k, k1, b)
+  }
+
+  /** The shared BM25 ranking tail: identical expression tree whether
+    * the `(doc, dl, term, tf)` postings come from an in-memory
+    * tokenization ([[bm25TopK]]) or the at-rest index
+    * ([[bm25IndexTopK]]) — bit-identical micro-unit scores either way,
+    * which is what lets the index path be verified against the
+    * recompute path row-for-row. */
+  private def scoreAndRank(tf: DataFrame, dfreq: DataFrame,
+                           stats: DataFrame, idCol: String, k: Int,
+                           k1: Double, b: Double): DataFrame = {
     val avgdl = col("tot_tokens").cast("double") /
       col("n_docs").cast("double")
     val idfOdds = (col("n_docs").cast("double") -
@@ -106,5 +118,90 @@ object Retrieval {
         count(lit(1)).as("n_terms"))
       .orderBy(col("score_ppm").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Driver-side twin of [[graft.functions.Md5Hash60]] for routing a
+    * QUERY term to its bucket without a Spark job. */
+  private def termBucket(term: String, nBuckets: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = graft.functions.Md5Hash60.first60Bits(
+      md.digest(term.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    (h % nBuckets.toLong).toInt
+  }
+
+  /** Persist the search index: postings `(id, dl, term, tf)` written
+    * PARTITIONED BY a term-hash bucket `tb` — the at-rest layout behind
+    * "a keyword search probes its terms' buckets of a 100 TB corpus,
+    * not the corpus". A query's scan is statically pruned to
+    * |queryTerms| of `nBuckets` directories (IvfIndexSpec discipline:
+    * files-read == the probed buckets' files, asserted in
+    * RetrievalSpec); the per-term df table rides the same bucketing,
+    * and the corpus stats `(n_docs, tot_tokens, n_buckets)` are a
+    * one-row sidecar read before planning. Route-then-write
+    * (`repartition(tb)`) keeps file count at the bucket layout instead
+    * of tasks × buckets, and the whole tree is staged then bak-swap
+    * published ([[graft.io.Fs.publish]]) so a rebuild never races a
+    * live search and a mid-publish crash is recoverable.
+    *
+    * dl is denormalized onto every posting row (the Lucene norms
+    * pattern): +8 bytes/posting buys the scorer a scan with no join
+    * back to a doc-length table. */
+  def writeSearchIndex(df: DataFrame, idCol: String, textCol: String,
+                       path: String, nBuckets: Int = 64): Unit = {
+    val s = df.sparkSession
+    val staging = path + "_staging"
+    graft.io.Fs.delete(s, staging)
+    val base = df.select(col(idCol),
+        TextDedup.tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), size(col("_toks")).as("dl"), col("_toks"))
+    val tf = base
+      .select(col(idCol), col("dl"), explode(col("_toks")).as("term"))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("tb", pmod(graft.functions.Md5Hash60.md5hash60(
+        col("term")), lit(nBuckets.toLong)).cast("int"))
+    tf.repartition(col("tb")).write.partitionBy("tb")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(staging + "/postings")
+    // df re-derived from the routed postings (exact, map-side
+    // combinable counts per bucket-local term)
+    s.read.parquet(staging + "/postings")
+      .groupBy(col("term"), col("tb")).agg(count(lit(1)).as("df_t"))
+      .repartition(col("tb")).write.partitionBy("tb")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(staging + "/dfreq")
+    base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_tokens"))
+      .withColumn("n_buckets", lit(nBuckets))
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(staging + "/stats")
+    graft.io.Fs.publish(s, staging, path)
+  }
+
+  /** BM25 search over the persisted index: read the stats sidecar,
+    * route each query term to its bucket DRIVER-SIDE ([[termBucket]]),
+    * scan only those `tb=` directories of postings and dfreq (static
+    * partition pruning — the file listing never touches the other
+    * buckets), and rank with the EXACT [[scoreAndRank]] tree —
+    * row-identical to [[bm25TopK]] recomputing from raw text
+    * (spec-pinned). idCol must match the indexed name. */
+  def bm25IndexTopK(spark: org.apache.spark.sql.SparkSession,
+                    indexPath: String, idCol: String,
+                    queryTerms: Seq[String], k: Int,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25IndexTopK: empty query")
+    graft.io.Fs.recoverPublished(spark, indexPath)
+    val statsRow = spark.read.parquet(indexPath + "/stats")
+    val nBuckets = statsRow.select(col("n_buckets")).head.getInt(0)
+    val buckets = queryTerms.map(termBucket(_, nBuckets)).distinct
+    val stats = statsRow.select(col("n_docs"), col("tot_tokens"))
+    val tf = spark.read.parquet(indexPath + "/postings")
+      .filter(col("tb").isin(buckets: _*))
+      .filter(col("term").isin(queryTerms: _*))
+      .select(col(idCol), col("dl"), col("term"), col("tf"))
+    val dfreq = spark.read.parquet(indexPath + "/dfreq")
+      .filter(col("tb").isin(buckets: _*))
+      .filter(col("term").isin(queryTerms: _*))
+      .select(col("term"), col("df_t"))
+    scoreAndRank(tf, dfreq, stats, idCol, k, k1, b)
   }
 }

@@ -89,6 +89,45 @@ class RetrievalSpec extends SparkSpec {
       (1L, 1L, 1L, 1L))
   }
 
+  test("search index: bm25IndexTopK row-identical to recompute; scan" +
+    " pruned to the query terms' buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sidx")
+      .toString + "/idx"
+    Retrieval.writeSearchIndex(corpus, "doc_id", "text", dir, nBuckets = 8)
+    val terms = Seq("skew", "join")
+    val mem = Retrieval.bm25TopK(corpus, "doc_id", "text", terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val idx = Retrieval.bm25IndexTopK(spark, dir, "doc_id", terms, k = 10)
+    assert(idx.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == mem)
+    // measured pruning (IvfIndexSpec discipline): the postings scan
+    // reads exactly the probed buckets' files, fewer than the index's
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val probed = terms.map(t => (graft.functions.Md5Hash60.first60Bits(
+      md.digest(t.getBytes("UTF-8"))) % 8L).toInt).distinct.toSet
+    def partFiles(sub: String): Map[Int, Int] = {
+      val root = new java.io.File(dir, sub)
+      root.listFiles().filter(_.getName.startsWith("tb=")).map { d =>
+        d.getName.stripPrefix("tb=").toInt ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))
+      }.toMap
+    }
+    val onDisk = partFiles("postings")
+    val expected = onDisk.filter(kv => probed(kv._1)).values.sum
+    val measured = Retrieval.bm25IndexTopK(spark, dir, "doc_id", terms,
+      k = 10)
+    measured.collect() // metrics fill on execution
+    val read = graft.util.PlanMetrics.filesReadUnder(
+      measured, dir + "/postings")
+    assert(read == expected && read < onDisk.values.sum,
+      s"postings scan read $read files; probed buckets hold $expected " +
+        s"of ${onDisk.values.sum}")
+    // df sidecar agrees with the corpus: 'join' lives in 3 docs
+    val dfRow = spark.read.parquet(dir + "/dfreq")
+      .filter(col("term") === "join").collect()
+    assert(dfRow.length == 1 && dfRow.head.getAs[Long]("df_t") == 3L)
+  }
+
   test("bm25TopK plan: corpus stats and term dfs broadcast, top-k is" +
     " TakeOrderedAndProject — no global sort, no window") {
     val plan = Retrieval.bm25TopK(corpus, "doc_id", "text",
