@@ -146,11 +146,10 @@ object Retrieval {
     * dl is denormalized onto every posting row (the Lucene norms
     * pattern): +8 bytes/posting buys the scorer a scan with no join
     * back to a doc-length table. */
-  def writeSearchIndex(df: DataFrame, idCol: String, textCol: String,
-                       path: String, nBuckets: Int = 64): Unit = {
-    val s = df.sparkSession
-    val staging = path + "_staging"
-    graft.io.Fs.delete(s, staging)
+  /** The three index trees as `(postings tf-frame, stats one-row)` for
+    * one document set — shared by the base build and every append. */
+  private def indexParts(df: DataFrame, idCol: String, textCol: String,
+                         nBuckets: Int): (DataFrame, DataFrame) = {
     val base = df.select(col(idCol),
         TextDedup.tokens(col(textCol)).as("_toks"))
       .select(col(idCol), size(col("_toks")).as("dl"), col("_toks"))
@@ -160,21 +159,70 @@ object Retrieval {
       .agg(count(lit(1)).as("tf"))
       .withColumn("tb", pmod(graft.functions.Md5Hash60.md5hash60(
         col("term")), lit(nBuckets.toLong)).cast("int"))
-    tf.repartition(col("tb")).write.partitionBy("tb")
-      .mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(staging + "/postings")
-    // df re-derived from the routed postings (exact, map-side
-    // combinable counts per bucket-local term)
-    s.read.parquet(staging + "/postings")
-      .groupBy(col("term"), col("tb")).agg(count(lit(1)).as("df_t"))
-      .repartition(col("tb")).write.partitionBy("tb")
-      .mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(staging + "/dfreq")
-    base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_tokens"))
+    val stats = base
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_tokens"))
+      .select(col("n_docs"),
+        coalesce(col("tot_tokens"), lit(0L)).as("tot_tokens"))
       .withColumn("n_buckets", lit(nBuckets))
-      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(staging + "/stats")
+    (tf, stats)
+  }
+
+  private def writeParts(spark: org.apache.spark.sql.SparkSession,
+                         tf: DataFrame, stats: DataFrame, root: String,
+                         batchTag: Option[Long]): Unit = {
+    val b = batchTag.getOrElse(-1L)
+    val routed = tf.repartition(col("tb")).withColumn("b", lit(b))
+    val dfreq = tf.groupBy(col("term"), col("tb"))
+      .agg(count(lit(1)).as("df_t"))
+      .repartition(col("tb")).withColumn("b", lit(b))
+    val st = stats.withColumn("b", lit(b)).coalesce(1)
+    val (mode, dyn) = batchTag match {
+      // a replayed batch overwrites ITS OWN b= partitions in all three
+      // trees instead of appending duplicates (crash-replay idempotent)
+      case Some(_) => (org.apache.spark.sql.SaveMode.Overwrite, true)
+      case None => (org.apache.spark.sql.SaveMode.Append, false)
+    }
+    def w(d: DataFrame, sub: String, parts: Seq[String]): Unit = {
+      val base = d.write.partitionBy(parts: _*).mode(mode)
+      (if (dyn) base.option("partitionOverwriteMode", "dynamic") else base)
+        .parquet(root + "/" + sub)
+    }
+    w(routed, "postings", Seq("tb", "b"))
+    w(dfreq, "dfreq", Seq("tb", "b"))
+    w(st, "stats", Seq("b"))
+  }
+
+  def writeSearchIndex(df: DataFrame, idCol: String, textCol: String,
+                       path: String, nBuckets: Int = 64): Unit = {
+    val s = df.sparkSession
+    val staging = path + "_staging"
+    graft.io.Fs.delete(s, staging)
+    val (tf, stats) = indexParts(df, idCol, textCol, nBuckets)
+    // base build owns b=-1 in every tree; appends own b=<batchId>
+    writeParts(s, tf, stats, staging, batchTag = None)
     graft.io.Fs.publish(s, staging, path)
+  }
+
+  /** Incremental append: tokenize ONLY the new documents, write their
+    * postings/df-partials/stats-row under `b=<batchTag>` (or append to
+    * the base `b=-1` when untagged). Everything the scorer needs is
+    * ADDITIVE over disjoint document sets — df partials and the stats
+    * row sum exactly — so an appended index answers [[bm25IndexTopK]]
+    * row-identically to a full rebuild over the union (spec-pinned).
+    * Contract: appended ids must be NEW documents (the
+    * [[Embeddings.appendToIvfIndex]] contract); re-adding an id
+    * double-counts it. A tagged replay overwrites its own partitions
+    * (dynamic partition overwrite), so a crashed streaming batch
+    * re-runs clean ([[graft.streaming.Ingest.startSearchIndexAppendSink]]). */
+  def appendToSearchIndex(newDocs: DataFrame, idCol: String,
+                          textCol: String, path: String,
+                          batchTag: Option[Long] = None): Unit = {
+    val s = newDocs.sparkSession
+    graft.io.Fs.recoverPublished(s, path)
+    val nBuckets = s.read.parquet(path + "/stats")
+      .select(col("n_buckets")).head.getInt(0)
+    val (tf, stats) = indexParts(newDocs, idCol, textCol, nBuckets)
+    writeParts(s, tf, stats, path, batchTag)
   }
 
   /** BM25 search over the persisted index: read the stats sidecar,
@@ -190,10 +238,13 @@ object Retrieval {
                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25IndexTopK: empty query")
     graft.io.Fs.recoverPublished(spark, indexPath)
-    val statsRow = spark.read.parquet(indexPath + "/stats")
-    val nBuckets = statsRow.select(col("n_buckets")).head.getInt(0)
+    val statsRows = spark.read.parquet(indexPath + "/stats")
+    val nBuckets = statsRows.select(col("n_buckets")).head.getInt(0)
     val buckets = queryTerms.map(termBucket(_, nBuckets)).distinct
-    val stats = statsRow.select(col("n_docs"), col("tot_tokens"))
+    // stats rows and df rows are per-batch PARTIALS (base b=-1 plus
+    // appends) — exact long sums reassemble the corpus totals
+    val stats = statsRows.agg(sum(col("n_docs")).as("n_docs"),
+      sum(col("tot_tokens")).as("tot_tokens"))
     val tf = spark.read.parquet(indexPath + "/postings")
       .filter(col("tb").isin(buckets: _*))
       .filter(col("term").isin(queryTerms: _*))
@@ -201,7 +252,7 @@ object Retrieval {
     val dfreq = spark.read.parquet(indexPath + "/dfreq")
       .filter(col("tb").isin(buckets: _*))
       .filter(col("term").isin(queryTerms: _*))
-      .select(col("term"), col("df_t"))
+      .groupBy(col("term")).agg(sum(col("df_t")).as("df_t"))
     scoreAndRank(tf, dfreq, stats, idCol, k, k1, b)
   }
 }

@@ -1518,6 +1518,31 @@ object Ingest {
       }
       .start()
 
+  /** Streaming maintenance of the at-rest BM25 search index
+    * ([[graft.ops.Retrieval.writeSearchIndex]]): each micro-batch of
+    * new documents appends its postings, df partials and stats row
+    * under `b=<batchId>` — the tagged dynamic-overwrite layout, so a
+    * crash replay overwrites its own partitions instead of
+    * double-counting. The read side ([[graft.ops.Retrieval.bm25IndexTopK]])
+    * sums the partials, so a search over the live index is
+    * row-identical to a rebuild over everything ingested (StreamingSpec).
+    * Per-batch cost tracks BATCH token count: tokenize-and-route is
+    * map-side on the batch; nothing reads the accumulated index. */
+  def startSearchIndexAppendSink(docs: DataFrame, idCol: String,
+                                 textCol: String, indexPath: String,
+                                 checkpoint: String,
+                                 trigger: Trigger = Trigger.ProcessingTime(0L))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Retrieval.appendToSearchIndex(batch, idCol, textCol,
+          indexPath, batchTag = Some(batchId))
+      }
+      .start()
+
   /** End-to-end wiring: detections stream → dedup → parquet history sink
     * (partitioned by date like the reference's lake) + console-able
     * windowed aggs. Returns the started query for the history sink. */

@@ -106,10 +106,12 @@ class RetrievalSpec extends SparkSpec {
     val probed = terms.map(t => (graft.functions.Md5Hash60.first60Bits(
       md.digest(t.getBytes("UTF-8"))) % 8L).toInt).distinct.toSet
     def partFiles(sub: String): Map[Int, Int] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
       val root = new java.io.File(dir, sub)
       root.listFiles().filter(_.getName.startsWith("tb=")).map { d =>
-        d.getName.stripPrefix("tb=").toInt ->
-          d.listFiles().count(_.getName.endsWith(".parquet"))
+        d.getName.stripPrefix("tb=").toInt -> walk(d).size
       }.toMap
     }
     val onDisk = partFiles("postings")
@@ -126,6 +128,29 @@ class RetrievalSpec extends SparkSpec {
     val dfRow = spark.read.parquet(dir + "/dfreq")
       .filter(col("term") === "join").collect()
     assert(dfRow.length == 1 && dfRow.head.getAs[Long]("df_t") == 3L)
+  }
+
+  test("search index append: incremental index answers identically to" +
+    " a full rebuild over the union") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sidx2")
+    val incr = tmp.toString + "/incr"
+    val full = tmp.toString + "/full"
+    val older = corpus.filter(col("doc_id") < 3)
+    val newer = corpus.filter(col("doc_id") >= 3)
+    Retrieval.writeSearchIndex(older, "doc_id", "text", incr, nBuckets = 8)
+    Retrieval.appendToSearchIndex(newer, "doc_id", "text", incr,
+      batchTag = Some(7L))
+    Retrieval.writeSearchIndex(corpus, "doc_id", "text", full, nBuckets = 8)
+    val terms = Seq("skew", "join", "spark")
+    def hits(p: String) = Retrieval.bm25IndexTopK(spark, p, "doc_id",
+      terms, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(hits(incr) == hits(full))
+    // replaying the tagged append (crash recovery) changes nothing:
+    // dynamic overwrite replaces b=7's partitions, never duplicates
+    Retrieval.appendToSearchIndex(newer, "doc_id", "text", incr,
+      batchTag = Some(7L))
+    assert(hits(incr) == hits(full))
   }
 
   test("bm25TopK plan: corpus stats and term dfs broadcast, top-k is" +

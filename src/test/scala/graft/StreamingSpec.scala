@@ -1247,4 +1247,50 @@ class StreamingSpec extends SparkSpec {
       s"probe read $read files; partition p=$probeP holds $inProbePart " +
         s"of ${allFiles.size} total — expected a non-vacuous pruned read")
   }
+
+  test("search-index append sink: live index == full rebuild; batch" +
+    " partitions replay-safe") {
+    implicit val sc = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sidx")
+    val idx = s"$tmp/idx"; val cp = s"$tmp/cp"
+    import spark.implicits._
+    val base = Seq(
+      (1L, "spark shuffle join plan"),
+      (2L, "broadcast join codegen stage")).toDF("doc_id", "text")
+    graft.ops.Retrieval.writeSearchIndex(base, "doc_id", "text", idx,
+      nBuckets = 8)
+    val mem = MemoryStream[(Long, String)]
+    val q = Ingest.startSearchIndexAppendSink(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", idx, cp)
+    try {
+      mem.addData((3L, "shuffle skew salting shuffle"))
+      q.processAllAvailable()
+      mem.addData((4L, "join reorder statistics"), (5L, ""))
+      q.processAllAvailable()
+      val terms = Seq("shuffle", "join", "skew")
+      val live = graft.ops.Retrieval.bm25IndexTopK(spark, idx, "doc_id",
+          terms, k = 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      // rebuild from scratch over everything ingested — scores must be
+      // bit-identical: df/stats partials sum exactly across batches
+      // (doc 5's zero tokens still counts in n_docs/avgdl)
+      val all = base.union(Seq(
+        (3L, "shuffle skew salting shuffle"),
+        (4L, "join reorder statistics"), (5L, "")).toDF("doc_id", "text"))
+      val full = s"$tmp/full"
+      graft.ops.Retrieval.writeSearchIndex(all, "doc_id", "text", full,
+        nBuckets = 8)
+      val rebuilt = graft.ops.Retrieval.bm25IndexTopK(spark, full,
+          "doc_id", terms, k = 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(live == rebuilt, s"live $live vs rebuilt $rebuilt")
+      // doc 3 (rare 'skew' + double 'shuffle') must lead
+      assert(live.head._1 == 3L)
+      // layout: base b=-1 plus one b=<batchId> per micro-batch, in
+      // every tree — a crash replay overwrites its own partitions
+      val statsB = spark.read.parquet(s"$idx/stats")
+        .select(col("b").cast("long")).collect().map(_.getLong(0)).toSet
+      assert(statsB == Set(-1L, 0L, 1L), s"stats batches: $statsB")
+    } finally q.stop()
+  }
 }
