@@ -225,6 +225,90 @@ object Retrieval {
     writeParts(s, tf, stats, path, batchTag)
   }
 
+  /** Watermark of the last [[compactSearchIndex]] fold — `_w_<id>`
+    * marker files at the index root, newest wins; -1 before any fold
+    * (the [[Embeddings.ivfWatermark]] create-only protocol). */
+  def searchWatermark(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Long =
+    graft.io.Fs.listFileNames(spark, path)
+      .filter(_.startsWith("_w_"))
+      .flatMap(_.stripPrefix("_w_").toLongOption)
+      .maxOption.getOrElse(-1L)
+
+  /** Live-partition predicate under watermark `w`: base build (b=-1),
+    * current fold base (b=-(w+2)), uncompacted tail (b>w). Pure
+    * partition-column predicate — prunes directories. Same algebra as
+    * the IVF index's liveIvfRows; holds for all three trees because
+    * every append stamps the same `b` into each. */
+  private def liveSearchRows(w: Long): org.apache.spark.sql.Column =
+    col("b") === lit(-1L) || col("b") === lit(-(w + 2L)) ||
+      col("b") > lit(w)
+
+  /** Fold the per-batch append partitions with tag in (watermark, upTo]
+    * (plus the previous fold base) into one new base tag across ALL
+    * THREE trees, bounding the directory count a long-running
+    * [[graft.streaming.Ingest.startSearchIndexAppendSink]] accumulates.
+    * Postings fold by rewrite (rows are final); df partials and stats
+    * rows fold by EXACT SUM — the same additivity that lets the read
+    * side reassemble totals lets the compactor pre-sum them. The base
+    * build's b=-1 is never rewritten (it is the 100 TB bulk; folding it
+    * would price maintenance at corpus scale instead of append scale).
+    * Fold → `_w_` marker → sweep, each step crash-safe to repeat;
+    * `upTo` must not pass the appending stream's last checkpointed
+    * batch. Returns true iff a fold happened. */
+  def compactSearchIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String, upTo: Long): Boolean = {
+    import org.apache.spark.sql.SaveMode
+    val io = graft.io.Fs
+    if (!io.exists(spark, path)) return false
+    io.recoverPublished(spark, path)
+    val w = searchWatermark(spark, path)
+    // tags per tree: postings/dfreq nest b under tb=, stats is flat
+    def bTagsUnder(dir: String): Seq[(String, Long)] =
+      io.listDirNames(spark, dir).flatMap { n =>
+        if (n.startsWith("b="))
+          n.stripPrefix("b=").toLongOption.map(t => s"$dir/$n" -> t)
+        else if (n.startsWith("tb=")) bTagsUnder(s"$dir/$n")
+        else Nil
+      }
+    val tagged = Seq("postings", "dfreq", "stats")
+      .flatMap(t => bTagsUnder(s"$path/$t"))
+    // sweep stale leftovers of a crashed sweep or a post-fold replay
+    tagged.filter { case (_, t) =>
+      (t >= 0L && t <= w) || (t <= -2L && -t - 2L < w)
+    }.foreach { case (d, _) => io.delete(spark, d) }
+    val candidates = tagged.map(_._2).distinct
+      .filter(t => t > w && t >= 0L && t <= upTo)
+    if (candidates.isEmpty) return false
+    val newW = candidates.max
+    val foldTags = (if (w >= 0L) Seq(-(w + 2L)) else Nil) ++ candidates
+    val newTag = -(newW + 2L)
+    def foldWrite(d: DataFrame, sub: String, parts: Seq[String]): Unit =
+      d.withColumn("b", lit(newTag))
+        .write.partitionBy(parts: _*)
+        .option("partitionOverwriteMode", "dynamic")
+        .mode(SaveMode.Overwrite).parquet(s"$path/$sub")
+    val inFold = col("b").isin(foldTags: _*)
+    foldWrite(spark.read.parquet(s"$path/postings").filter(inFold)
+      .drop("b").repartition(col("tb")), "postings", Seq("tb", "b"))
+    foldWrite(spark.read.parquet(s"$path/dfreq").filter(inFold)
+      .groupBy(col("term"), col("tb")).agg(sum(col("df_t")).as("df_t"))
+      .repartition(col("tb")), "dfreq", Seq("tb", "b"))
+    foldWrite(spark.read.parquet(s"$path/stats").filter(inFold)
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("tot_tokens")).as("tot_tokens"),
+        max(col("n_buckets")).as("n_buckets")).coalesce(1),
+      "stats", Seq("b"))
+    io.touch(spark, s"$path/_w_$newW")
+    tagged.filter(kv => foldTags.contains(kv._2))
+      .foreach { case (d, _) => io.delete(spark, d) }
+    io.listFileNames(spark, path)
+      .filter(n => n.startsWith("_w_") &&
+        n.stripPrefix("_w_").toLongOption.exists(_ < newW))
+      .foreach(n => io.delete(spark, s"$path/$n"))
+    true
+  }
+
   /** BM25 search over the persisted index: read the stats sidecar,
     * route each query term to its bucket DRIVER-SIDE ([[termBucket]]),
     * scan only those `tb=` directories of postings and dfreq (static
@@ -238,19 +322,20 @@ object Retrieval {
                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25IndexTopK: empty query")
     graft.io.Fs.recoverPublished(spark, indexPath)
-    val statsRows = spark.read.parquet(indexPath + "/stats")
+    val live = liveSearchRows(searchWatermark(spark, indexPath))
+    val statsRows = spark.read.parquet(indexPath + "/stats").filter(live)
     val nBuckets = statsRows.select(col("n_buckets")).head.getInt(0)
     val buckets = queryTerms.map(termBucket(_, nBuckets)).distinct
-    // stats rows and df rows are per-batch PARTIALS (base b=-1 plus
-    // appends) — exact long sums reassemble the corpus totals
+    // stats rows and df rows are per-batch PARTIALS (base b=-1, fold
+    // base, uncompacted appends) — exact long sums reassemble totals
     val stats = statsRows.agg(sum(col("n_docs")).as("n_docs"),
       sum(col("tot_tokens")).as("tot_tokens"))
     val tf = spark.read.parquet(indexPath + "/postings")
-      .filter(col("tb").isin(buckets: _*))
+      .filter(col("tb").isin(buckets: _*)).filter(live)
       .filter(col("term").isin(queryTerms: _*))
       .select(col(idCol), col("dl"), col("term"), col("tf"))
     val dfreq = spark.read.parquet(indexPath + "/dfreq")
-      .filter(col("tb").isin(buckets: _*))
+      .filter(col("tb").isin(buckets: _*)).filter(live)
       .filter(col("term").isin(queryTerms: _*))
       .groupBy(col("term")).agg(sum(col("df_t")).as("df_t"))
     scoreAndRank(tf, dfreq, stats, idCol, k, k1, b)

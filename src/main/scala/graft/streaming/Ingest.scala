@@ -1531,13 +1531,19 @@ object Ingest {
   def startSearchIndexAppendSink(docs: DataFrame, idCol: String,
                                  textCol: String, indexPath: String,
                                  checkpoint: String,
-                                 trigger: Trigger = Trigger.ProcessingTime(0L))
+                                 trigger: Trigger = Trigger.ProcessingTime(0L),
+                                 compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append)
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // fold only batches this stream has already committed
+        // (upTo = batchId - 1), the startIvfAppendSink bound
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          graft.ops.Retrieval.compactSearchIndex(batch.sparkSession,
+            indexPath, upTo = batchId - 1)
         graft.ops.Retrieval.appendToSearchIndex(batch, idCol, textCol,
           indexPath, batchTag = Some(batchId))
       }

@@ -1293,4 +1293,48 @@ class StreamingSpec extends SparkSpec {
       assert(statsB == Set(-1L, 0L, 1L), s"stats batches: $statsB")
     } finally q.stop()
   }
+
+  test("search-index sink auto-compaction folds committed batches —" +
+    " search results unchanged, layout bounded") {
+    implicit val sc = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sidxc")
+    val idx = s"$tmp/idx"; val cp = s"$tmp/cp"
+    import spark.implicits._
+    val base = Seq((1L, "spark shuffle join plan")).toDF("doc_id", "text")
+    graft.ops.Retrieval.writeSearchIndex(base, "doc_id", "text", idx,
+      nBuckets = 8)
+    val batches = Seq(
+      Seq(2L -> "broadcast join codegen stage"),
+      Seq(3L -> "shuffle skew salting shuffle"),
+      Seq(4L -> "join reorder statistics"),
+      Seq(5L -> "skew aware partition pruning"))
+    val mem = MemoryStream[(Long, String)]
+    val q = Ingest.startSearchIndexAppendSink(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", idx, cp,
+      compactEvery = 2)
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    // batchId 2 folded batches 0..1 into b=-3 (watermark 1); batches
+    // 2,3 are the uncompacted tail; base b=-1 never rewritten
+    assert(graft.ops.Retrieval.searchWatermark(spark, idx) == 1L)
+    val statsB = spark.read.parquet(s"$idx/stats")
+      .select(col("b").cast("long")).collect().map(_.getLong(0)).toSet
+    assert(statsB == Set(-1L, -3L, 2L, 3L), s"stats layout: $statsB")
+    // the compacted live index answers identically to a full rebuild
+    val all = base.union(batches.flatten.toDF("doc_id", "text"))
+    val full = s"$tmp/full"
+    graft.ops.Retrieval.writeSearchIndex(all, "doc_id", "text", full,
+      nBuckets = 8)
+    val terms = Seq("shuffle", "join", "skew")
+    def hits(p: String) = graft.ops.Retrieval.bm25IndexTopK(spark, p,
+        "doc_id", terms, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(hits(idx) == hits(full))
+    // a compaction replay (crash between fold and sweep) is harmless:
+    // same upTo re-folds into the same tag, then sweeps
+    graft.ops.Retrieval.compactSearchIndex(spark, idx, upTo = 3L)
+    assert(hits(idx) == hits(full))
+    assert(graft.ops.Retrieval.searchWatermark(spark, idx) == 3L)
+  }
 }
