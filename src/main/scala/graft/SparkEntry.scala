@@ -886,6 +886,17 @@ object SparkEntry {
       val (a, b) = diffSnapshots(Tables.documents(s, dir))
       Corpus.corpusDiffSummary(a, b, "doc_id", "text")
     }),
+    // incremental refresh: recompute quality metrics ONLY for the
+    // diff's added/changed docs, carry the rest — oracled against a
+    // from-scratch recompute over snapshot b (the refresh must be
+    // indistinguishable from a rebuild)
+    "pipe_incr_quality" -> ((s, dir) => {
+      val (a, b) = diffSnapshots(Tables.documents(s, dir))
+      Corpus.incrementalRefresh(a, b,
+        TextStats.qualityMetrics(a, "doc_id", "text"), "doc_id", "text")(
+        nd => TextStats.qualityMetrics(nd, "doc_id", "text"))
+        .orderBy("doc_id")
+    }),
     // ---- training-data pipeline: embedding similarity ----
     "e_ann_bruteforce" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -3322,6 +3333,35 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN h_a IS NOT NULL AND h_b IS NOT NULL AND h_a = h_b
         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
         |FROM j""".stripMargin,
+    // the STRONG form of the refresh oracle: DuckDB recomputes the
+    // metrics over snapshot b from scratch; the Spark side must reach
+    // the identical table via carry-over + delta recompute
+    "pipe_incr_quality" ->
+      """WITH b AS (SELECT doc_id,
+        |        CASE WHEN doc_id % 17 = 2 THEN text || ' rev2' ELSE text END AS text
+        |      FROM documents WHERE doc_id % 13 <> 5),
+        |w AS (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') w FROM b),
+        |m AS (SELECT doc_id,
+        |        CAST(len(text) AS BIGINT) n_chars,
+        |        CAST(len(w) AS BIGINT) n_tokens,
+        |        CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) n_tokens_ws,
+        |        CAST(COALESCE(list_sum(list_transform(w, x -> CAST(ceil(len(x) / 4.0) AS BIGINT))), 0)
+        |          + len(regexp_replace(text, '[a-zA-Z0-9\s]+', '', 'g')) AS BIGINT) n_tokens_bpe,
+        |        CAST(COALESCE(list_sum(list_transform(w, x -> len(x))), 0) AS DOUBLE)
+        |          / CAST(len(w) AS DOUBLE) mean_raw,
+        |        CAST(len(regexp_replace(text, '[a-zA-Z0-9\s]+', '', 'g')) AS DOUBLE)
+        |          / CAST(len(text) AS DOUBLE) punct_raw,
+        |        CAST(len(list_filter(w, x -> x IN ('the','a','of','and','is','el','la','de','los','es',
+        |          'der','die','das','und','ist','le','les','des','est'))) AS DOUBLE)
+        |          / CAST(len(w) AS DOUBLE) stop_raw,
+        |        least(CAST(len(w) AS DOUBLE) / 20.0, 1.0) len_score
+        |      FROM w)
+        |SELECT doc_id, n_chars, n_tokens, n_tokens_ws, n_tokens_bpe,
+        |       round(mean_raw, 6) AS mean_token_len,
+        |       round(punct_raw, 6) AS punct_ratio,
+        |       round(stop_raw, 6) AS stopword_ratio,
+        |       round(len_score * (1.0 - punct_raw) * (0.5 + least(stop_raw * 5.0, 0.5)), 6) AS quality_score
+        |FROM m ORDER BY doc_id""".stripMargin,
     "t_vocab_topk" ->
       """WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) token FROM documents),
         |c AS (SELECT token, COUNT(*) n FROM tok GROUP BY 1),

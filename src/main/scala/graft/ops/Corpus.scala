@@ -47,6 +47,39 @@ object Corpus {
           coalesce(col("_len_a"), lit(0L))).as("delta_chars"))
   }
 
+  /** Incremental refresh of ANY per-document derived table (quality
+    * metrics, fingerprints, language IDs, embeddings-by-proxy…): given
+    * the old and new corpus snapshots and the derived table computed
+    * from the old one, recompute `compute` ONLY for added/changed
+    * documents and carry everything else over — the 100 TB refresh
+    * story, where a 0.1% daily delta must not re-tokenize the corpus.
+    *
+    * Correctness contract (oracled, `pipe_incr_quality`): the result
+    * is row-identical to `compute(newDocs)` run from scratch, for any
+    * `compute` that is PER-DOCUMENT (row i's output depends only on
+    * row i — corpus-level aggregates like df tables refresh through
+    * their additive-partials paths instead, e.g.
+    * [[Retrieval.appendToSearchIndex]]).
+    *
+    * Scale shape: the diff moves fingerprints (see [[corpusDiff]]);
+    * the carry-over is one anti-join and the recompute one semi-join,
+    * both co-partitioned on the id — derived rows and text move only
+    * for the delta. */
+  def incrementalRefresh(oldDocs: DataFrame, newDocs: DataFrame,
+                         oldDerived: DataFrame, idCol: String,
+                         textCol: String)
+                        (compute: DataFrame => DataFrame): DataFrame = {
+    val diff = corpusDiff(oldDocs, newDocs, idCol, textCol)
+    // removed+changed leave the derived table; added+changed recompute
+    val stale = diff.select(col(idCol))
+    val touched = diff.filter(col("status") =!= "removed")
+      .select(col(idCol))
+    val carried = oldDerived.join(stale, Seq(idCol), "left_anti")
+    val recomputed = compute(
+      newDocs.join(touched, Seq(idCol), "left_semi"))
+    carried.unionByName(recomputed)
+  }
+
   /** One-row rollup of [[corpusDiff]] plus the unchanged count — the
     * changelog header. Computed from the same fingerprint join WITHOUT
     * the unchanged filter, as map-side-combinable conditional sums. */

@@ -80,6 +80,28 @@ class RetrievalSpec extends SparkSpec {
     assert(!out.exists(_.getLong(0) == 2L))
   }
 
+  test("incrementalRefresh: equals from-scratch recompute, computes" +
+    " only the delta") {
+    import org.apache.spark.sql.DataFrame
+    val a = Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "epsilon"))
+      .toDF("doc_id", "text")
+    val b = Seq((2L, "gamma delta"), (3L, "epsilon zeta"), (4L, "eta"))
+      .toDF("doc_id", "text")
+    def metrics(d: DataFrame): DataFrame =
+      graft.ops.TextStats.qualityMetrics(d, "doc_id", "text")
+    var computedOn = -1L
+    val refreshed = graft.ops.Corpus.incrementalRefresh(
+      a, b, metrics(a), "doc_id", "text") { delta =>
+      computedOn = delta.count(); metrics(delta)
+    }.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val scratch = metrics(b).orderBy("doc_id").collect()
+      .map(_.toSeq).toSeq
+    assert(refreshed == scratch)
+    // only changed doc 3 and added doc 4 were recomputed; carried doc 2
+    // and removed doc 1 never re-tokenized
+    assert(computedOn == 2L)
+  }
+
   test("corpusDiffSummary: counts reconcile with the detail view") {
     val a = Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("doc_id", "text")
     val b = Seq((2L, "two"), (3L, "three-revised"), (9L, "nine"))
