@@ -312,6 +312,62 @@ object ScaleProbe {
     }
     }
 
+    section("sidxsink") {
+    // search-index append sink over many batches: per-batch cost must
+    // track BATCH size (appendToSearchIndex reads nothing but the
+    // one-row stats head), and compaction must fold the accumulated
+    // b= tail without changing search results while cutting the files
+    // a query's pruned scan enumerates.
+    locally {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_probe_sidx").toString
+      val idx = s"$tmp/idx"
+      val seed = docs.limit(mult * 100)
+      ops.Retrieval.writeSearchIndex(seed, "doc_id", "text", idx,
+        nBuckets = 64)
+      val nB = 60; val rowsPer = 20
+      val mem = MemoryStream[(Long, String)]
+      val q = streaming.Ingest.startSearchIndexAppendSink(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text", idx,
+        s"$tmp/cp")
+      val times = try {
+        (1 to nB).map { b =>
+          mem.addData((0 until rowsPer).map { r =>
+            (b.toLong * 1000000 + r) ->
+              s"fresh batch $b doc $r spark shuffle join vector dup"
+          }: _*)
+          val t0 = System.nanoTime()
+          q.processAllAvailable()
+          (System.nanoTime() - t0) / 1e9
+        }
+      } finally q.stop()
+      def win(s: Seq[Double], from: Int, until: Int) =
+        s.slice(from, until).sum / (until - from)
+      val (early, late) = (win(times, 5, 25), win(times, nB - 20, nB))
+      val terms = Seq("dup", "vector", "merge")
+      def search() = {
+        val t0 = System.nanoTime()
+        val rows = ops.Retrieval.bm25IndexTopK(spark, idx, "doc_id",
+          terms, k = 100).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        (rows, (System.nanoTime() - t0) / 1e9)
+      }
+      val (preRows, preT) = search()
+      ops.Retrieval.compactSearchIndex(spark, idx, upTo = nB.toLong)
+      val (postRows, postT) = search()
+      assert(preRows == postRows, "compaction changed search results")
+      assert(late <= early * 1.5 + 0.3,
+        f"append cost grew with stream age: early=$early%.3f late=$late%.3f")
+      println(f"[scaleprobe] sidx_sink $nB batches x $rowsPer docs: " +
+        f"append early=$early%.3f s late=$late%.3f s; search " +
+        f"pre-compact=$preT%.2f s post-compact=$postT%.2f s " +
+        f"(watermark ${ops.Retrieval.searchWatermark(spark, idx)})")
+    }
+    }
+
     section("span") {
     // the substring-duplication family in a CLEAN session (the full
     // text sweep runs these after simhash's 78M-pair fixture, whose
