@@ -875,6 +875,11 @@ object SparkEntry {
     "t_bm25_topk" -> ((s, dir) =>
       Retrieval.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
         Seq("dup", "vector", "merge"), k = 25)),
+    // exact-phrase search, corpus-scan form (map-side occurrence
+    // count + TakeOrderedAndProject); "table hash" hits ~9% of docs
+    "t_phrase_search" -> ((s, dir) =>
+      Retrieval.phraseMatch(Tables.documents(s, dir), "doc_id", "text",
+        Seq("table", "hash"), k = 30)),
     // ---- corpus lifecycle: snapshot diff (adds/removes/edits) ----
     // snapshot a drops doc_id%11==3 (those become "added" in b),
     // b drops doc_id%13==5 ("removed") and revises doc_id%17==2
@@ -3299,6 +3304,14 @@ object SparkEntry {
         |       COUNT(*) AS n_terms
         |FROM scored GROUP BY doc_id
         |ORDER BY score_ppm DESC, doc_id LIMIT 25""".stripMargin,
+    "t_phrase_search" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') w FROM documents),
+        |hits AS (SELECT doc_id, COUNT(*) AS n_occ
+        |         FROM w, UNNEST(generate_series(1, len(w) - 1)) AS gs(i)
+        |         WHERE w[i] = 'table' AND w[i+1] = 'hash'
+        |         GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_occ AS BIGINT) AS n_occ
+        |FROM hits ORDER BY n_occ DESC, doc_id LIMIT 30""".stripMargin,
     "t_corpus_diff" ->
       """WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 3),
         |b AS (SELECT doc_id,

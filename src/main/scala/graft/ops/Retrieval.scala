@@ -147,16 +147,24 @@ object Retrieval {
     * pattern): +8 bytes/posting buys the scorer a scan with no join
     * back to a doc-length table. */
   /** The three index trees as `(postings tf-frame, stats one-row)` for
-    * one document set — shared by the base build and every append. */
+    * one document set — shared by the base build and every append.
+    * With `withPositions`, each posting also carries the term's sorted
+    * in-document position list (the Lucene positional-postings shape,
+    * what [[phraseIndexTopK]] consumes) — a size/capability dial
+    * recorded in the stats sidecar so appends stay schema-consistent. */
   private def indexParts(df: DataFrame, idCol: String, textCol: String,
-                         nBuckets: Int): (DataFrame, DataFrame) = {
+                         nBuckets: Int, withPositions: Boolean)
+      : (DataFrame, DataFrame) = {
     val base = df.select(col(idCol),
         TextDedup.tokens(col(textCol)).as("_toks"))
       .select(col(idCol), size(col("_toks")).as("dl"), col("_toks"))
-    val tf = base
-      .select(col(idCol), col("dl"), explode(col("_toks")).as("term"))
+    val posed = base.select(col(idCol), col("dl"),
+        posexplode(col("_toks")).as(Seq("pos", "term")))
       .groupBy(col(idCol), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    val tf = (if (withPositions)
+        posed.agg(count(lit(1)).as("tf"),
+          sort_array(collect_list(col("pos"))).as("positions"))
+      else posed.agg(count(lit(1)).as("tf")))
       .withColumn("tb", pmod(graft.functions.Md5Hash60.md5hash60(
         col("term")), lit(nBuckets.toLong)).cast("int"))
     val stats = base
@@ -164,6 +172,7 @@ object Retrieval {
       .select(col("n_docs"),
         coalesce(col("tot_tokens"), lit(0L)).as("tot_tokens"))
       .withColumn("n_buckets", lit(nBuckets))
+      .withColumn("has_positions", lit(withPositions))
     (tf, stats)
   }
 
@@ -193,11 +202,13 @@ object Retrieval {
   }
 
   def writeSearchIndex(df: DataFrame, idCol: String, textCol: String,
-                       path: String, nBuckets: Int = 64): Unit = {
+                       path: String, nBuckets: Int = 64,
+                       withPositions: Boolean = false): Unit = {
     val s = df.sparkSession
     val staging = path + "_staging"
     graft.io.Fs.delete(s, staging)
-    val (tf, stats) = indexParts(df, idCol, textCol, nBuckets)
+    val (tf, stats) = indexParts(df, idCol, textCol, nBuckets,
+      withPositions)
     // base build owns b=-1 in every tree; appends own b=<batchId>
     writeParts(s, tf, stats, staging, batchTag = None)
     graft.io.Fs.publish(s, staging, path)
@@ -219,9 +230,10 @@ object Retrieval {
                           batchTag: Option[Long] = None): Unit = {
     val s = newDocs.sparkSession
     graft.io.Fs.recoverPublished(s, path)
-    val nBuckets = s.read.parquet(path + "/stats")
-      .select(col("n_buckets")).head.getInt(0)
-    val (tf, stats) = indexParts(newDocs, idCol, textCol, nBuckets)
+    val head = s.read.parquet(path + "/stats")
+      .select(col("n_buckets"), col("has_positions")).head
+    val (tf, stats) = indexParts(newDocs, idCol, textCol,
+      head.getInt(0), head.getBoolean(1))
     writeParts(s, tf, stats, path, batchTag)
   }
 
@@ -297,7 +309,8 @@ object Retrieval {
     foldWrite(spark.read.parquet(s"$path/stats").filter(inFold)
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col("tot_tokens")).as("tot_tokens"),
-        max(col("n_buckets")).as("n_buckets")).coalesce(1),
+        max(col("n_buckets")).as("n_buckets"),
+        max(col("has_positions")).as("has_positions")).coalesce(1),
       "stats", Seq("b"))
     io.touch(spark, s"$path/_w_$newW")
     tagged.filter(kv => foldTags.contains(kv._2))
@@ -339,5 +352,72 @@ object Retrieval {
       .filter(col("term").isin(queryTerms: _*))
       .groupBy(col("term")).agg(sum(col("df_t")).as("df_t"))
     scoreAndRank(tf, dfreq, stats, idCol, k, k1, b)
+  }
+
+  /** Exact-phrase top-k by occurrence count, CORPUS-SCAN form: one
+    * pure column expression counts the phrase's occurrences per
+    * document (a filtered start-position sequence over the token
+    * array) — zero shuffle until the final TakeOrderedAndProject, all
+    * whole-stage codegen. The right Spark plan when the corpus is
+    * being scanned anyway (curation triage); [[phraseIndexTopK]] is
+    * the index-probe twin for interactive use. Oracled
+    * (`t_phrase_search`). */
+  def phraseMatch(df: DataFrame, idCol: String, textCol: String,
+                  phrase: Seq[String], k: Int): DataFrame = {
+    require(phrase.nonEmpty, "phraseMatch: empty phrase")
+    val L = phrase.length
+    def matchAt(i: org.apache.spark.sql.Column) =
+      phrase.zipWithIndex.map { case (t, j) =>
+        element_at(col("_toks"), i + lit(j + 1)) === lit(t)
+      }.reduce(_ && _)
+    df.select(col(idCol), TextDedup.tokens(col(textCol)).as("_toks"))
+      .withColumn("n_occ", when(size(col("_toks")) >= L,
+          size(filter(sequence(lit(0), size(col("_toks")) - L),
+            i => matchAt(i))))
+        .otherwise(lit(0)).cast("long"))
+      .filter(col("n_occ") > 0)
+      .select(col(idCol), col("n_occ"))
+      .orderBy(col("n_occ").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Exact-phrase top-k over the POSITIONAL index (built with
+    * `withPositions = true`): read only the phrase terms' buckets,
+    * explode each term's position list shifted by its slot, and keep
+    * the start positions where EVERY slot aligns — the classic
+    * positional-postings intersection, expressed as one
+    * count-per-(doc, start) aggregation instead of an L-way self-join.
+    * Scan cost is the phrase terms' (pruned) postings, never the
+    * corpus. Row-identical to [[phraseMatch]] (spec-pinned). */
+  def phraseIndexTopK(spark: org.apache.spark.sql.SparkSession,
+                      indexPath: String, idCol: String,
+                      phrase: Seq[String], k: Int): DataFrame = {
+    require(phrase.nonEmpty, "phraseIndexTopK: empty phrase")
+    graft.io.Fs.recoverPublished(spark, indexPath)
+    val head = spark.read.parquet(indexPath + "/stats")
+      .select(col("n_buckets"), col("has_positions")).head
+    require(head.getBoolean(1),
+      "phraseIndexTopK: index was built without positions " +
+        "(writeSearchIndex(withPositions = true))")
+    val nBuckets = head.getInt(0)
+    val live = liveSearchRows(searchWatermark(spark, indexPath))
+    val buckets = phrase.distinct.map(termBucket(_, nBuckets)).distinct
+    val posts = spark.read.parquet(indexPath + "/postings")
+      .filter(col("tb").isin(buckets: _*)).filter(live)
+      .filter(col("term").isin(phrase.distinct: _*))
+      .select(col(idCol), col("term"),
+        explode(col("positions")).as("pos"))
+    val slots = phrase.zipWithIndex.map { case (t, j) =>
+      posts.filter(col("term") === t)
+        .select(col(idCol), (col("pos") - lit(j)).as("p0"))
+    }.reduce(_ union _)
+    // positions are distinct within (doc, term), so each slot lands at
+    // most one row per (doc, p0): count == L  ⇔  every slot aligned
+    slots.groupBy(col(idCol), col("p0"))
+      .agg(count(lit(1)).as("_nslots"))
+      .filter(col("_nslots") === lit(phrase.length.toLong))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("n_occ").desc, col(idCol))
+      .limit(k)
   }
 }

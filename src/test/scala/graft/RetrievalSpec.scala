@@ -175,6 +175,74 @@ class RetrievalSpec extends SparkSpec {
     assert(hits(incr) == hits(full))
   }
 
+  test("phraseMatch: occurrence counts, overlapping + repeated-term" +
+    " phrases, shuffle-free until top-k") {
+    val docs = Seq(
+      (1L, "spark shuffle join spark shuffle join"),
+      (2L, "shuffle spark shuffle spark shuffle"), // overlapping starts
+      (3L, "spark spark spark spark"),
+      (4L, "join shuffle"), // phrase absent (wrong order)
+      (5L, "")).toDF("doc_id", "text")
+    val out = Retrieval.phraseMatch(docs, "doc_id", "text",
+      Seq("spark", "shuffle"), k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 2L), (2L, 2L)))
+    // repeated-term phrase: "spark spark" occurs at starts 0,1,2 of doc 3
+    val rep = Retrieval.phraseMatch(docs, "doc_id", "text",
+      Seq("spark", "spark"), k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rep == Seq((3L, 3L)))
+    // map-side until the final ordering: no joins, no window, no
+    // aggregation — at most the one ordering exchange
+    val q = Retrieval.phraseMatch(docs, "doc_id", "text",
+      Seq("spark", "shuffle"), k = 10)
+    q.collect()
+    val nodes = graft.util.PlanMetrics
+      .allNodes(q.queryExecution.executedPlan).map(_.nodeName)
+    assert(!nodes.exists(n => n.contains("Window") || n.contains("Join") ||
+      n.contains("HashAggregate")), nodes.mkString(","))
+    assert(nodes.count(_.contains("Exchange")) <= 1, nodes.mkString(","))
+  }
+
+  test("phraseIndexTopK: positional index matches the scan form," +
+    " including across appends") {
+    val docs = Seq(
+      (1L, "spark shuffle join spark shuffle join"),
+      (2L, "shuffle spark shuffle spark shuffle"),
+      (3L, "spark spark spark spark"),
+      (4L, "join shuffle")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-pidx")
+      .toString + "/idx"
+    Retrieval.writeSearchIndex(docs.filter(col("doc_id") < 3),
+      "doc_id", "text", dir, nBuckets = 8, withPositions = true)
+    Retrieval.appendToSearchIndex(docs.filter(col("doc_id") >= 3),
+      "doc_id", "text", dir, batchTag = Some(1L))
+    for (phrase <- Seq(Seq("spark", "shuffle"), Seq("spark", "spark"),
+        Seq("shuffle", "spark", "shuffle"))) {
+      val scan = Retrieval.phraseMatch(docs, "doc_id", "text", phrase,
+        k = 10).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val idx = Retrieval.phraseIndexTopK(spark, dir, "doc_id", phrase,
+        k = 10).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(idx == scan, s"phrase $phrase: index $idx vs scan $scan")
+    }
+    // a positionless index refuses phrase queries loudly
+    val flat = java.nio.file.Files.createTempDirectory("graft-pidx2")
+      .toString + "/idx"
+    Retrieval.writeSearchIndex(docs, "doc_id", "text", flat, nBuckets = 8)
+    intercept[IllegalArgumentException] {
+      Retrieval.phraseIndexTopK(spark, flat, "doc_id",
+        Seq("spark", "shuffle"), k = 10)
+    }
+    // and the positional index still answers BM25 identically
+    val mem = Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq("spark", "join"), k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val viaIdx = Retrieval.bm25IndexTopK(spark, dir, "doc_id",
+      Seq("spark", "join"), k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaIdx == mem)
+  }
+
   test("bm25TopK plan: corpus stats and term dfs broadcast, top-k is" +
     " TakeOrderedAndProject — no global sort, no window") {
     val plan = Retrieval.bm25TopK(corpus, "doc_id", "text",
