@@ -880,6 +880,10 @@ object SparkEntry {
     "t_phrase_search" -> ((s, dir) =>
       Retrieval.phraseMatch(Tables.documents(s, dir), "doc_id", "text",
         Seq("table", "hash"), k = 30)),
+    // keyword-in-context triage snippets around the first occurrence
+    "t_kwic" -> ((s, dir) =>
+      Retrieval.kwicSnippets(Tables.documents(s, dir), "doc_id", "text",
+        Seq("table", "hash"), window = 3, k = 20)),
     // ---- corpus lifecycle: snapshot diff (adds/removes/edits) ----
     // snapshot a drops doc_id%11==3 (those become "added" in b),
     // b drops doc_id%13==5 ("removed") and revises doc_id%17==2
@@ -3312,6 +3316,18 @@ object SparkEntry {
         |         GROUP BY doc_id)
         |SELECT doc_id, CAST(n_occ AS BIGINT) AS n_occ
         |FROM hits ORDER BY n_occ DESC, doc_id LIMIT 30""".stripMargin,
+    "t_kwic" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') w FROM documents),
+        |s AS (SELECT doc_id, i
+        |      FROM w, UNNEST(generate_series(1, len(w) - 1)) AS gs(i)
+        |      WHERE w[i] = 'table' AND w[i+1] = 'hash'),
+        |g AS (SELECT doc_id, COUNT(*) AS n_occ, MIN(i) AS first1
+        |      FROM s GROUP BY doc_id)
+        |SELECT g.doc_id, CAST(n_occ AS BIGINT) AS n_occ,
+        |       CAST(first1 - 1 AS BIGINT) AS first_pos,
+        |       array_to_string(w[greatest(first1 - 3, 1):least(first1 + 4, len(w))], ' ') AS snippet
+        |FROM g JOIN w USING (doc_id)
+        |ORDER BY n_occ DESC, g.doc_id LIMIT 20""".stripMargin,
     "t_corpus_diff" ->
       """WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 3),
         |b AS (SELECT doc_id,

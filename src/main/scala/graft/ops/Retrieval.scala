@@ -381,6 +381,41 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Keyword-in-context (KWIC) snippets: for the top-k documents by
+    * phrase-occurrence count, extract the token window around the
+    * FIRST occurrence — the triage view a curation reviewer reads
+    * ("show me the flagged boilerplate in context"). Same map-side
+    * start-position expression as [[phraseMatch]] plus a clamped array
+    * slice; still zero shuffle before the final ordering. Oracled
+    * (`t_kwic`). */
+  def kwicSnippets(df: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String], window: Int, k: Int): DataFrame = {
+    require(phrase.nonEmpty, "kwicSnippets: empty phrase")
+    val L = phrase.length
+    def matchAt(i: org.apache.spark.sql.Column) =
+      phrase.zipWithIndex.map { case (t, j) =>
+        element_at(col("_toks"), i + lit(j + 1)) === lit(t)
+      }.reduce(_ && _)
+    val starts = when(size(col("_toks")) >= L,
+      filter(sequence(lit(0), size(col("_toks")) - L), i => matchAt(i)))
+      .otherwise(array().cast("array<int>"))
+    // 1-based slice bounds, clamped to the document
+    val gs = greatest(col("_first") + lit(1) - lit(window), lit(1))
+    val ge = least(col("_first") + lit(L) + lit(window),
+      size(col("_toks")))
+    df.select(col(idCol), TextDedup.tokens(col(textCol)).as("_toks"))
+      .withColumn("_starts", starts)
+      .filter(size(col("_starts")) > 0)
+      .withColumn("n_occ", size(col("_starts")).cast("long"))
+      .withColumn("_first", element_at(col("_starts"), 1))
+      .select(col(idCol), col("n_occ"),
+        col("_first").cast("long").as("first_pos"),
+        array_join(slice(col("_toks"), gs, ge - gs + lit(1)), " ")
+          .as("snippet"))
+      .orderBy(col("n_occ").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Exact-phrase top-k over the POSITIONAL index (built with
     * `withPositions = true`): read only the phrase terms' buckets,
     * explode each term's position list shifted by its slot, and keep

@@ -204,6 +204,23 @@ class RetrievalSpec extends SparkSpec {
     assert(nodes.count(_.contains("Exchange")) <= 1, nodes.mkString(","))
   }
 
+  test("kwicSnippets: window clamps at document edges, first-occurrence" +
+    " anchor, count carried") {
+    val docs = Seq(
+      (1L, "spark shuffle a b c d e f"), // match at doc start
+      (2L, "a b c d e f spark shuffle"), // match at doc end
+      (3L, "a spark shuffle b spark shuffle c")) // two occurrences
+      .toDF("doc_id", "text")
+    val out = Retrieval.kwicSnippets(docs, "doc_id", "text",
+      Seq("spark", "shuffle"), window = 2, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toList
+    assert(out == List(
+      (3L, 2L, 1L, "a spark shuffle b spark"), // anchored on FIRST hit
+      (1L, 1L, 0L, "spark shuffle a b"), // left clamp
+      (2L, 1L, 6L, "e f spark shuffle"))) // right clamp
+  }
+
   test("phraseIndexTopK: positional index matches the scan form," +
     " including across appends") {
     val docs = Seq(
