@@ -884,6 +884,14 @@ object SparkEntry {
     "t_kwic" -> ((s, dir) =>
       Retrieval.kwicSnippets(Tables.documents(s, dir), "doc_id", "text",
         Seq("table", "hash"), window = 3, k = 20)),
+    // batched search: one corpus pass answers a query TABLE
+    "t_bm25_batch" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq((1L, Seq("dup", "vector")), (2L, Seq("merge", "join")),
+        (3L, Seq("table", "hash"))).toDF("query_id", "terms")
+      Retrieval.bm25BatchTopK(Tables.documents(s, dir), "doc_id", "text",
+        qs, k = 5).orderBy("query_id", "rnk")
+    }),
     // ---- corpus lifecycle: snapshot diff (adds/removes/edits) ----
     // snapshot a drops doc_id%11==3 (those become "added" in b),
     // b drops doc_id%13==5 ("removed") and revises doc_id%17==2
@@ -3316,6 +3324,40 @@ object SparkEntry {
         |         GROUP BY doc_id)
         |SELECT doc_id, CAST(n_occ AS BIGINT) AS n_occ
         |FROM hits ORDER BY n_occ DESC, doc_id LIMIT 30""".stripMargin,
+    "t_bm25_batch" ->
+      """WITH q(query_id, term) AS (VALUES (1, 'dup'), (1, 'vector'),
+        |    (2, 'merge'), (2, 'join'), (3, 'table'), (3, 'hash')),
+        |base AS (SELECT doc_id,
+        |         regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |       FROM documents),
+        |b2 AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl, ts FROM base),
+        |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_tokens FROM b2),
+        |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf
+        |       FROM (SELECT doc_id, dl, unnest(ts) AS term FROM b2)
+        |       WHERE term IN (SELECT term FROM q)
+        |       GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY 1),
+        |scored AS (SELECT doc_id, tf.term,
+        |    CAST(round(
+        |      (CAST(n_docs AS DOUBLE) - CAST(df_t AS DOUBLE) + 0.5)
+        |        / (CAST(df_t AS DOUBLE) + 0.5)
+        |      * (CAST(tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf AS DOUBLE)
+        |         + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+        |             / (CAST(tot_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+        |      * 1000000.0, 0) AS BIGINT) AS ts_ppm
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN stats),
+        |perq AS (SELECT q.query_id, doc_id,
+        |           CAST(SUM(ts_ppm) AS BIGINT) AS score_ppm,
+        |           COUNT(*) AS n_terms
+        |         FROM scored JOIN q ON scored.term = q.term
+        |         GROUP BY 1, 2),
+        |ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |             ORDER BY score_ppm DESC, doc_id) AS INT) AS rnk
+        |           FROM perq)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_ppm,
+        |       n_terms, rnk
+        |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     "t_kwic" ->
       """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') w FROM documents),
         |s AS (SELECT doc_id, i

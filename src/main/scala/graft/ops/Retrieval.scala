@@ -97,9 +97,12 @@ object Retrieval {
     * ([[bm25IndexTopK]]) — bit-identical micro-unit scores either way,
     * which is what lets the index path be verified against the
     * recompute path row-for-row. */
-  private def scoreAndRank(tf: DataFrame, dfreq: DataFrame,
-                           stats: DataFrame, idCol: String, k: Int,
-                           k1: Double, b: Double): DataFrame = {
+  /** The per-(doc, term) BM25 micro-unit score over the standard
+    * column names (`tf`, `dl`, `df_t`, `n_docs`, `tot_tokens`) — ONE
+    * expression tree shared by every scorer so all paths (in-memory,
+    * indexed, batched) stay bit-identical to one oracle formula. */
+  private def termScorePpm(k1: Double, b: Double)
+      : org.apache.spark.sql.Column = {
     val avgdl = col("tot_tokens").cast("double") /
       col("n_docs").cast("double")
     val idfOdds = (col("n_docs").cast("double") -
@@ -109,15 +112,64 @@ object Retrieval {
       lit(b) * (col("dl").cast("double") / avgdl))
     val termScore = idfOdds * (col("tf").cast("double") * lit(k1 + 1.0)) /
       (col("tf").cast("double") + norm)
+    round(termScore * lit(1000000.0), 0).cast("long")
+  }
+
+  private def scoreAndRank(tf: DataFrame, dfreq: DataFrame,
+                           stats: DataFrame, idCol: String, k: Int,
+                           k1: Double, b: Double): DataFrame =
     tf.join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
-      .withColumn("ts_ppm", round(termScore * lit(1000000.0), 0)
-        .cast("long"))
+      .withColumn("ts_ppm", termScorePpm(k1, b))
       .groupBy(col(idCol))
       .agg(sum(col("ts_ppm")).as("score_ppm"),
         count(lit(1)).as("n_terms"))
       .orderBy(col("score_ppm").desc, col(idCol))
       .limit(k)
+
+  /** Batched BM25: one pass answers a whole TABLE of keyword queries
+    * `(query_id, terms array<string>)` — the shape a production search
+    * tier runs at 100 TB, where per-query jobs would pay the scheduling
+    * floor |queries| times and rescan the corpus each time. The token
+    * stream is filtered ONCE against the union of all query terms
+    * (broadcast semi-join — the term set is query-scale, not
+    * corpus-scale), per-term stats are computed once and shared, and
+    * the per-query fan-out joins the slim `(doc, term, score)` frame
+    * against the broadcast query map. Ranking is a per-query window
+    * over candidate docs (the ANN searchers' shape). Scores are
+    * bit-identical to [[bm25TopK]] run per query (same
+    * [[termScorePpm]] tree; oracled `t_bm25_batch`). */
+  def bm25BatchTopK(df: DataFrame, idCol: String, textCol: String,
+                    queries: DataFrame, k: Int,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qterms = queries.select(col("query_id"),
+      explode(array_distinct(col("terms"))).as("term"))
+    val allTerms = qterms.select("term").distinct()
+    val base = df.select(col(idCol),
+        TextDedup.tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), size(col("_toks")).as("dl"), col("_toks"))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("tot_tokens"))
+    val tf = base
+      .select(col(idCol), col("dl"), explode(col("_toks")).as("term"))
+      .join(broadcast(allTerms), Seq("term"), "left_semi")
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("ts_ppm", termScorePpm(k1, b))
+      .join(broadcast(qterms), Seq("term"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("ts_ppm")).as("score_ppm"),
+        count(lit(1)).as("n_terms"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score_ppm").desc, col(idCol))
+    scored.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col(idCol), col("score_ppm"),
+        col("n_terms"), col("rnk"))
   }
 
   /** Driver-side twin of [[graft.functions.Md5Hash60]] for routing a

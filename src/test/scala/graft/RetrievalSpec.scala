@@ -204,6 +204,28 @@ class RetrievalSpec extends SparkSpec {
     assert(nodes.count(_.contains("Exchange")) <= 1, nodes.mkString(","))
   }
 
+  test("bm25BatchTopK: one pass equals per-query bm25TopK, rank per" +
+    " query, duplicate query terms collapse") {
+    val qs = Seq(
+      (1L, Seq("skew", "join")),
+      (2L, Seq("spark", "spark", "codegen")), // dup term = set semantics
+      (3L, Seq("absentterm"))) // no hits -> no rows for query 3
+      .toDF("query_id", "terms")
+    val batch = Retrieval.bm25BatchTopK(corpus, "doc_id", "text", qs,
+      k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4))).toSeq.sorted
+    val single = Seq(1L -> Seq("skew", "join"),
+      2L -> Seq("spark", "codegen")).flatMap { case (qid, terms) =>
+      Retrieval.bm25TopK(corpus, "doc_id", "text", terms, k = 10)
+        .collect().zipWithIndex.map { case (r, i) =>
+          (qid, r.getLong(0), r.getLong(1), r.getLong(2), i + 1)
+        }
+    }.sorted
+    assert(batch == single)
+    assert(!batch.exists(_._1 == 3L))
+  }
+
   test("kwicSnippets: window clamps at document edges, first-occurrence" +
     " anchor, count carried") {
     val docs = Seq(
