@@ -277,6 +277,23 @@ object ScaleProbe {
       ops.Retrieval.bm25TopK(docs, "doc_id", "text",
         Seq("dup", "vector", "merge"), k = 100).count()
     }
+    time("phrase_search") {
+      ops.Retrieval.phraseMatch(docs, "doc_id", "text",
+        Seq("table", "hash"), k = 100).count()
+    }
+    time("kwic_snippets") {
+      ops.Retrieval.kwicSnippets(docs, "doc_id", "text",
+        Seq("table", "hash"), window = 3, k = 100).count()
+    }
+    time("bm25_batch") {
+      import spark.implicits._
+      val qs = (0 until 50).map(i => (i.toLong,
+        Seq(Seq("dup", "vector"), Seq("merge", "join"),
+          Seq("table", "hash"), Seq("scan", "filter"),
+          Seq("spark", "stream"))(i % 5))).toDF("query_id", "terms")
+      ops.Retrieval.bm25BatchTopK(docs, "doc_id", "text", qs, k = 20)
+        .count()
+    }
     time("corpus_diff") {
       // b-side: drop ~8%, revise ~6% — diff output stays small while
       // both full snapshots are fingerprinted and joined
