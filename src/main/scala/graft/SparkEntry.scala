@@ -892,6 +892,57 @@ object SparkEntry {
       Retrieval.bm25BatchTopK(Tables.documents(s, dir), "doc_id", "text",
         qs, k = 5).orderBy("query_id", "rnk")
     }),
+    // hybrid retrieval: BM25 keyword arm + dense cosine arm fused by
+    // reciprocal-rank fusion (integer-frozen 1e9 div (60+rnk) units).
+    // Queries are docs 0..4: the sparse arm searches their own first-6
+    // distinct tokens; the dense arm is brute-force cosine over the
+    // 1:1 doc<->vector id space (self excluded by bruteForceTopK, so
+    // the query doc itself reaches the fused list through BM25 only)
+    "t_hybrid_search" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val e = Tables.embeddings(s, dir)
+      val qs = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"),
+          array_distinct(slice(TextDedup.tokens(col("text")), 1, 6))
+            .as("terms"))
+      val sparse = Retrieval.bm25BatchTopK(docs, "doc_id", "text",
+          qs, k = 20)
+        .select(col("query_id"), col("doc_id"), col("rnk"))
+      val dense = Embeddings.bruteForceTopK(e,
+          e.filter(col("vec_id") < 5), "vec_id", "embedding", 20)
+        .select(col("query_id"), col("corpus_id").as("doc_id"),
+          col("rnk"))
+      Retrieval.rrfFuse(Seq(sparse, dense), k = 10)
+        .orderBy("query_id", "rnk")
+    }),
+    // pseudo-relevance-feedback expansion: BM25 round 1 on
+    // ("table","hash"), mine top-4 non-stopword terms from the top-3
+    // feedback docs, re-rank with the expanded set
+    "t_prf_expand" -> ((s, dir) =>
+      Retrieval.prfExpand(Tables.documents(s, dir), "doc_id", "text",
+        Seq("table", "hash"), k = 10)),
+    // retrieval eval: the batch-BM25 run (first-6-token queries,
+    // docs 0..4) scored against data-derived qrels — docs sharing the
+    // query doc's (lang, source), self excluded; recall@k and MRR
+    // frozen to integer units
+    "t_eval_retrieval" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val qs = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"),
+          array_distinct(slice(TextDedup.tokens(col("text")), 1, 6))
+            .as("terms"))
+      val run = Retrieval.bm25BatchTopK(docs, "doc_id", "text",
+          qs, k = 20)
+        .select(col("query_id"), col("doc_id"), col("rnk"))
+      val qrels = broadcast(docs.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("query_id"), col("lang"),
+            col("source")))
+        .join(docs.select(col("doc_id"), col("lang"), col("source")),
+          Seq("lang", "source"))
+        .filter(col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id"))
+      Retrieval.evalRetrieval(run, qrels).orderBy("query_id")
+    }),
     // ---- corpus lifecycle: snapshot diff (adds/removes/edits) ----
     // snapshot a drops doc_id%11==3 (those become "added" in b),
     // b drops doc_id%13==5 ("removed") and revises doc_id%17==2
@@ -3358,6 +3409,167 @@ object SparkEntry {
         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_ppm,
         |       n_terms, rnk
         |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "t_hybrid_search" ->
+      """WITH toks AS (SELECT doc_id,
+        |         regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |       FROM documents),
+        |q AS (SELECT doc_id AS query_id,
+        |        unnest(list_distinct(ts[1:6])) AS term
+        |      FROM toks WHERE doc_id < 5),
+        |b2 AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl, ts FROM toks),
+        |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_tokens FROM b2),
+        |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf
+        |       FROM (SELECT doc_id, dl, unnest(ts) AS term FROM b2)
+        |       WHERE term IN (SELECT term FROM q)
+        |       GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY 1),
+        |scored AS (SELECT doc_id, tf.term,
+        |    CAST(round(
+        |      (CAST(n_docs AS DOUBLE) - CAST(df_t AS DOUBLE) + 0.5)
+        |        / (CAST(df_t AS DOUBLE) + 0.5)
+        |      * (CAST(tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf AS DOUBLE)
+        |         + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+        |             / (CAST(tot_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+        |      * 1000000.0, 0) AS BIGINT) AS ts_ppm
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN stats),
+        |perq AS (SELECT q.query_id, doc_id,
+        |           CAST(SUM(ts_ppm) AS BIGINT) AS score_ppm
+        |         FROM scored JOIN q ON scored.term = q.term
+        |         GROUP BY 1, 2),
+        |sranked AS (SELECT query_id, doc_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY score_ppm DESC, doc_id) AS INT) AS rnk
+        |  FROM perq),
+        |sparse AS (SELECT query_id, doc_id, rnk FROM sranked WHERE rnk <= 20),
+        |v AS (SELECT vec_id, list_transform(embedding,
+        |        x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) qv
+        |      FROM embeddings),
+        |qv AS (SELECT vec_id query_id, qv FROM v WHERE vec_id < 5),
+        |ds AS (SELECT qv.query_id, c.vec_id corpus_id,
+        |        CAST(list_dot_product(qv.qv, c.qv) AS DOUBLE) /
+        |        (sqrt(CAST(list_dot_product(qv.qv, qv.qv) AS DOUBLE)) *
+        |         sqrt(CAST(list_dot_product(c.qv, c.qv) AS DOUBLE))) AS cosine
+        |      FROM qv JOIN v c ON c.vec_id <> qv.query_id),
+        |dr AS (SELECT query_id, corpus_id,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |          ORDER BY cosine DESC, corpus_id) AS INT) rnk
+        |      FROM ds),
+        |dense AS (SELECT query_id, corpus_id AS doc_id, rnk
+        |          FROM dr WHERE rnk <= 20),
+        |arms AS (SELECT * FROM sparse UNION ALL SELECT * FROM dense),
+        |fused AS (SELECT query_id, doc_id,
+        |            CAST(SUM(1000000000 // (60 + rnk)) AS BIGINT) AS rrf_u,
+        |            CAST(COUNT(*) AS BIGINT) AS n_arms
+        |          FROM arms GROUP BY 1, 2),
+        |franked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |              ORDER BY rrf_u DESC, doc_id) AS INT) AS rnk
+        |            FROM fused)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rrf_u,
+        |       n_arms, rnk
+        |FROM franked WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    "t_prf_expand" ->
+      """WITH toks AS (SELECT doc_id,
+        |         regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |       FROM documents),
+        |b2 AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl, ts FROM toks),
+        |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_tokens FROM b2),
+        |tf1 AS (SELECT doc_id, dl, term, COUNT(*) AS tf
+        |        FROM (SELECT doc_id, dl, unnest(ts) AS term FROM b2)
+        |        WHERE term IN ('table', 'hash') GROUP BY 1, 2, 3),
+        |dfq1 AS (SELECT term, COUNT(*) AS df_t FROM tf1 GROUP BY 1),
+        |s1 AS (SELECT doc_id,
+        |    CAST(round(
+        |      (CAST(n_docs AS DOUBLE) - CAST(df_t AS DOUBLE) + 0.5)
+        |        / (CAST(df_t AS DOUBLE) + 0.5)
+        |      * (CAST(tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf AS DOUBLE)
+        |         + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+        |             / (CAST(tot_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+        |      * 1000000.0, 0) AS BIGINT) AS ts_ppm
+        |  FROM tf1 JOIN dfq1 USING (term) CROSS JOIN stats),
+        |fb AS (SELECT doc_id FROM (SELECT doc_id, SUM(ts_ppm) AS sc
+        |         FROM s1 GROUP BY 1)
+        |       ORDER BY sc DESC, doc_id LIMIT 3),
+        |fbtf AS (SELECT term, COUNT(*) AS fb_tf
+        |         FROM (SELECT unnest(ts) AS term FROM b2 JOIN fb USING (doc_id))
+        |         WHERE term NOT IN ('table', 'hash') GROUP BY 1),
+        |cdf AS (SELECT term, COUNT(*) AS df_t
+        |        FROM (SELECT doc_id, unnest(list_distinct(ts)) AS term FROM b2)
+        |        WHERE term IN (SELECT term FROM fbtf) GROUP BY 1),
+        |exp1 AS (SELECT fbtf.term FROM fbtf JOIN cdf USING (term)
+        |         CROSS JOIN stats
+        |         WHERE df_t * 100 <= n_docs * 50
+        |         ORDER BY fb_tf DESC, term LIMIT 4),
+        |t2 AS (SELECT term FROM exp1
+        |       UNION SELECT unnest(['table', 'hash'])),
+        |tf2 AS (SELECT doc_id, dl, term, COUNT(*) AS tf
+        |        FROM (SELECT doc_id, dl, unnest(ts) AS term FROM b2)
+        |        WHERE term IN (SELECT term FROM t2) GROUP BY 1, 2, 3),
+        |dfq2 AS (SELECT term, COUNT(*) AS df_t FROM tf2 GROUP BY 1),
+        |s2 AS (SELECT doc_id,
+        |    CAST(round(
+        |      (CAST(n_docs AS DOUBLE) - CAST(df_t AS DOUBLE) + 0.5)
+        |        / (CAST(df_t AS DOUBLE) + 0.5)
+        |      * (CAST(tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf AS DOUBLE)
+        |         + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+        |             / (CAST(tot_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+        |      * 1000000.0, 0) AS BIGINT) AS ts_ppm
+        |  FROM tf2 JOIN dfq2 USING (term) CROSS JOIN stats)
+        |SELECT doc_id, CAST(SUM(ts_ppm) AS BIGINT) AS score_ppm,
+        |       CAST(COUNT(*) AS BIGINT) AS n_terms
+        |FROM s2 GROUP BY 1
+        |ORDER BY score_ppm DESC, doc_id LIMIT 10""".stripMargin,
+    "t_eval_retrieval" ->
+      """WITH toks AS (SELECT doc_id,
+        |         regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |       FROM documents),
+        |q AS (SELECT doc_id AS query_id,
+        |        unnest(list_distinct(ts[1:6])) AS term
+        |      FROM toks WHERE doc_id < 5),
+        |b2 AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl, ts FROM toks),
+        |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_tokens FROM b2),
+        |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf
+        |       FROM (SELECT doc_id, dl, unnest(ts) AS term FROM b2)
+        |       WHERE term IN (SELECT term FROM q)
+        |       GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY 1),
+        |scored AS (SELECT doc_id, tf.term,
+        |    CAST(round(
+        |      (CAST(n_docs AS DOUBLE) - CAST(df_t AS DOUBLE) + 0.5)
+        |        / (CAST(df_t AS DOUBLE) + 0.5)
+        |      * (CAST(tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf AS DOUBLE)
+        |         + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+        |             / (CAST(tot_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+        |      * 1000000.0, 0) AS BIGINT) AS ts_ppm
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN stats),
+        |perq AS (SELECT q.query_id, doc_id,
+        |           CAST(SUM(ts_ppm) AS BIGINT) AS score_ppm
+        |         FROM scored JOIN q ON scored.term = q.term
+        |         GROUP BY 1, 2),
+        |run AS (SELECT query_id, doc_id, rnk FROM (
+        |          SELECT query_id, doc_id,
+        |            CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |              ORDER BY score_ppm DESC, doc_id) AS INT) AS rnk
+        |          FROM perq) WHERE rnk <= 20),
+        |qrels AS (SELECT qd.doc_id AS query_id, d.doc_id
+        |          FROM documents qd JOIN documents d
+        |            ON d.lang = qd.lang AND d.source = qd.source
+        |               AND d.doc_id <> qd.doc_id
+        |          WHERE qd.doc_id < 5),
+        |nrel AS (SELECT query_id, COUNT(*) AS n_rel FROM qrels GROUP BY 1),
+        |h AS (SELECT query_id, COUNT(*) AS hits, MIN(rnk) AS first1
+        |      FROM run JOIN qrels USING (query_id, doc_id) GROUP BY 1)
+        |SELECT CAST(query_id AS BIGINT) AS query_id,
+        |       CAST(n_rel AS BIGINT) AS n_rel,
+        |       CAST(COALESCE(hits, 0) AS BIGINT) AS hits,
+        |       CAST(1000000 * COALESCE(hits, 0) // n_rel AS BIGINT)
+        |         AS recall_ppm,
+        |       CAST(COALESCE(1000000000 // first1, 0) AS BIGINT) AS rr_u
+        |FROM nrel LEFT JOIN h USING (query_id)
+        |ORDER BY query_id""".stripMargin,
     "t_kwic" ->
       """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') w FROM documents),
         |s AS (SELECT doc_id, i

@@ -507,4 +507,149 @@ object Retrieval {
       .orderBy(col("n_occ").desc, col(idCol))
       .limit(k)
   }
+
+  /** Pseudo-relevance-feedback query expansion (RM3-lite, Lavrenko &
+    * Croft's relevance-model idea with tf-based term selection): run
+    * BM25 once, mine the top feedback docs for frequent terms the
+    * query didn't contain, and re-rank with the expanded term set —
+    * the classic recall lever when literal keyword match misses
+    * paraphrases.
+    *
+    * Term selection is deterministic: candidates are ranked by their
+    * total tf inside the `nDocs` feedback docs (ties on the term
+    * itself), stopword-guarded by an integer corpus-df cap
+    * (`df·100 ≤ n_docs·maxDfPct` — no float fraction), and the final
+    * scoring is the same integer micro-unit BM25 as [[bm25TopK]], so
+    * the whole two-round composition is oracle-replayable
+    * (`t_prf_expand`).
+    *
+    * Scale shape: three corpus passes, each filtered before any
+    * shuffle — round 1 keeps only the literal query terms, candidate
+    * mining semi-joins the token stream down to `nDocs` docs
+    * (broadcast), the df guard and round 2 semi-join against the
+    * (tiny, broadcast) candidate/expanded term sets. Round 2 ranks via
+    * the same TakeOrderedAndProject path as [[bm25TopK]] — no window,
+    * no single-partition hot key. An index-backed variant would read
+    * df from the [[writeSearchIndex]] stats tree instead of pass 2;
+    * the in-memory form keeps the composition self-contained.
+    */
+  def prfExpand(df: DataFrame, idCol: String, textCol: String,
+                queryTerms: Seq[String], k: Int,
+                nDocs: Int = 3, nTerms: Int = 4, maxDfPct: Int = 50,
+                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "prfExpand: empty query")
+    require(maxDfPct >= 1 && maxDfPct <= 100,
+      "prfExpand: maxDfPct must be in [1, 100]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol),
+        TextDedup.tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), size(col("_toks")).as("dl"), col("_toks"))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("tot_tokens"))
+    // round 1: plain BM25, feedback = its top nDocs doc ids
+    val fb = bm25TopK(df, idCol, textCol, queryTerms, nDocs, k1, b)
+      .select(col(idCol))
+    // candidate mining: term tf inside the feedback docs only
+    val fbTf = base
+      .join(broadcast(fb), Seq(idCol), "left_semi")
+      .select(explode(col("_toks")).as("term"))
+      .filter(!col("term").isin(queryTerms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("fb_tf"))
+    // corpus df of the candidates (one pass, candidate-filtered first)
+    val candDf = base
+      .select(col(idCol), explode(array_distinct(col("_toks"))).as("term"))
+      .join(broadcast(fbTf.select("term")), Seq("term"), "left_semi")
+      .groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    val expansion = fbTf.join(candDf, "term")
+      .crossJoin(broadcast(stats))
+      .filter(col("df_t") * lit(100L) <= col("n_docs") * lit(maxDfPct.toLong))
+      .orderBy(col("fb_tf").desc, col("term"))
+      .limit(nTerms)
+      .select(col("term"))
+    // round 2: literal + mined terms, scored on the no-window path
+    val terms2 = expansion.union(queryTerms.toDF("term")).distinct()
+    val tf2 = base
+      .select(col(idCol), col("dl"), explode(col("_toks")).as("term"))
+      .join(broadcast(terms2), Seq("term"), "left_semi")
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq2 = tf2.groupBy("term").agg(count(lit(1)).as("df_t"))
+    scoreAndRank(tf2, dfreq2, stats, idCol, k, k1, b)
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
+    * fuse any number of ranked candidate lists — e.g. a BM25 keyword
+    * arm and a dense-embedding ANN arm — into one hybrid ranking, the
+    * standard first-stage fusion of a modern RAG retrieval tier.
+    *
+    * Each arm is `(query_id, doc_id, rnk)` with `rnk` 1-based within
+    * its query. A document's fused score is the sum over arms of
+    * `1 / (k0 + rnk)`; per the determinism contract each contribution
+    * is frozen to integer units FIRST — `1e9 div (k0 + rnk)`, exact
+    * long floor-division — so the per-document sum is integer
+    * arithmetic: order-independent across partitionings and engines
+    * (oracled `t_hybrid_search`; DuckDB replays it with `//`).
+    *
+    * Scale shape: fusion touches only the arms' top-k rows
+    * (|queries| × k × |arms|), never the corpus — the heavy lifting
+    * stays in the candidate generators ([[bm25BatchTopK]], the
+    * [[graft.ops.Embeddings]] ANN paths), each already audited for
+    * 100 TB. The group-by key is `(query_id, doc_id)` over that tiny
+    * frame; ties break on `doc_id`. Missing-from-an-arm docs simply
+    * contribute nothing (no outer join, no null handling).
+    */
+  def rrfFuse(arms: Seq[DataFrame], k: Int, k0: Int = 60): DataFrame = {
+    require(arms.nonEmpty, "rrfFuse: no arms")
+    require(k0 >= 1, "rrfFuse: k0 must be >= 1")
+    val shaped = arms.map(_.select(col("query_id"), col("doc_id"),
+      expr(s"1000000000L div (${k0}L + cast(rnk as long))")
+        .as("contrib_u")))
+    val fused = shaped.reduce(_ union _)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib_u")).as("rrf_u"),
+        count(lit(1)).as("n_arms"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rrf_u").desc, col("doc_id"))
+    fused.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("doc_id"), col("rrf_u"),
+        col("n_arms"), col("rnk"))
+  }
+
+  /** Retrieval-quality evaluation: recall@k and reciprocal rank per
+    * query, a run `(query_id, doc_id, rnk)` scored against a qrels
+    * table `(query_id, doc_id)` — the TREC-eval shape every search
+    * tier runs after an index or ranking change.
+    *
+    * Determinism contract: both metrics are frozen to integer units by
+    * exact long floor-division — `recall_ppm = 1e6·hits div n_rel`,
+    * `rr_u = 1e9 div first_rel_rnk` (0 when no relevant doc was
+    * retrieved) — so there is no float division for engines to
+    * disagree on (oracled `t_eval_retrieval`).
+    *
+    * Scale shape: the run is |queries|×k rows and qrels is judgment-
+    * scale — both orders of magnitude below the corpus — so the inner
+    * join and the per-query aggregation never touch corpus-scale data;
+    * queries with zero retrieved-relevant docs are kept through the
+    * left join from the qrels side (recall 0, rr 0), mirroring
+    * [[graft.ops.Embeddings]]'s recallAtK contract of never dropping a
+    * zero-hit query.
+    */
+  def evalRetrieval(run: DataFrame, qrels: DataFrame): DataFrame = {
+    val nrel = qrels.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_rel"))
+    val hits = run.join(qrels, Seq("query_id", "doc_id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("hits"),
+        min(col("rnk")).as("_first"))
+    nrel.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_rel"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        expr("1000000L * coalesce(hits, 0L) div n_rel")
+          .as("recall_ppm"),
+        coalesce(expr("1000000000L div cast(_first as long)"), lit(0L))
+          .as("rr_u"))
+  }
 }

@@ -289,4 +289,97 @@ class RetrievalSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"))
     assert(!plan.contains("Window"))
   }
+
+  test("rrfFuse: hand-computed integer contributions, both-arms doc" +
+    " wins, ties break on doc_id") {
+    val armA = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("query_id", "doc_id", "rnk")
+    val armB = Seq((1L, 11L, 1), (1L, 13L, 2))
+      .toDF("query_id", "doc_id", "rnk")
+    val out = Retrieval.rrfFuse(Seq(armA, armB), k = 10)
+      .orderBy("rnk").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    // 1e9 div (60+r): r=1 -> 16393442, r=2 -> 16129032, r=3 -> 15873015
+    val c1 = 1000000000L / 61; val c2 = 1000000000L / 62
+    val c3 = 1000000000L / 63
+    assert(out.toSeq == Seq(
+      (11L, c2 + c1, 2L, 1), // in both arms: beats every single-arm doc
+      (10L, c1, 1L, 2),      // then by rank within the winning arm...
+      (13L, c2, 1L, 3),      // ...interleaved across arms by contrib
+      (12L, c3, 1L, 4)))
+  }
+
+  test("rrfFuse: arm order never changes the fused ranking (integer" +
+    " sum is commutative)") {
+    val armA = Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 20L, 1))
+      .toDF("query_id", "doc_id", "rnk")
+    val armB = Seq((1L, 11L, 1), (2L, 21L, 1), (2L, 20L, 2))
+      .toDF("query_id", "doc_id", "rnk")
+    def run(arms: Seq[org.apache.spark.sql.DataFrame]) =
+      Retrieval.rrfFuse(arms, k = 5).orderBy("query_id", "rnk")
+        .collect().toSeq
+    assert(run(Seq(armA, armB)) == run(Seq(armB, armA)))
+  }
+
+  test("prfExpand: expansion reaches docs the literal query misses;" +
+    " the integer df cap guards stopword-frequent candidates") {
+    val c = Seq(
+      (0L, "alpha beta gamma"),
+      (1L, "alpha beta delta"),
+      (2L, "beta zeta"),         // no alpha: reachable only via "beta"
+      (3L, "omega omega kappa"),
+      (4L, "common common"))
+      .toDF("doc_id", "text")
+    // beta is in 3/5 docs (60%): admitted at maxDfPct=80, the round-2
+    // ranking now reaches doc 2, which contains no literal query term
+    val wide = Retrieval.prfExpand(c, "doc_id", "text", Seq("alpha"),
+      k = 10, nDocs = 2, nTerms = 1, maxDfPct = 80)
+      .collect().map(_.getLong(0)).toSet
+    assert(wide.contains(2L))
+    // at maxDfPct=50 beta is guarded out; the fb_tf tie between gamma
+    // and delta (1 each) breaks on the term, picking gamma -> doc 2
+    // stays unreachable and only the alpha/gamma docs rank
+    val tight = Retrieval.prfExpand(c, "doc_id", "text", Seq("alpha"),
+      k = 10, nDocs = 2, nTerms = 1, maxDfPct = 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(tight == Set(0L, 1L))
+  }
+
+  test("prfExpand round 2 ranks on the TakeOrderedAndProject path —" +
+    " no window over the candidate set") {
+    val plan = Retrieval.prfExpand(corpus, "doc_id", "text",
+      Seq("spark"), k = 5).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(!plan.contains("Window"))
+  }
+
+  test("evalRetrieval: integer-frozen recall@k and MRR, zero-hit" +
+    " queries kept, floor division pinned") {
+    val run = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (3L, 30L, 1)).toDF("query_id", "doc_id", "rnk")
+    val qrels = Seq((1L, 11L), (1L, 12L), (1L, 13L), (1L, 14L),
+      (2L, 99L), (3L, 30L), (3L, 31L), (3L, 32L))
+      .toDF("query_id", "doc_id")
+    val out = Retrieval.evalRetrieval(run, qrels)
+      .orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(out == Seq(
+      // q1: 2 of 4 relevant retrieved, first at rank 2
+      (1L, 4L, 2L, 500000L, 500000000L),
+      // q2: judged but nothing retrieved — kept with zeros
+      (2L, 1L, 0L, 0L, 0L),
+      // q3: 1 of 3 -> floor(1e6/3); first at rank 1
+      (3L, 3L, 1L, 333333L, 1000000000L)))
+  }
+
+  test("rrfFuse: fusion plan touches only the arm outputs — one" +
+    " hash aggregate over a union, no corpus join") {
+    val armA = Seq((1L, 10L, 1)).toDF("query_id", "doc_id", "rnk")
+    val armB = Seq((1L, 11L, 1)).toDF("query_id", "doc_id", "rnk")
+    val plan = Retrieval.rrfFuse(Seq(armA, armB), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "fusion must not join anything")
+    assert(plan.contains("Union"))
+  }
 }
