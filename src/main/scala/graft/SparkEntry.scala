@@ -3521,7 +3521,7 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n_terms
         |FROM s2 GROUP BY 1
         |ORDER BY score_ppm DESC, doc_id LIMIT 10""".stripMargin,
-    "t_eval_retrieval" ->
+    "t_eval_retrieval" -> (
       """WITH toks AS (SELECT doc_id,
         |         regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
         |       FROM documents),
@@ -3560,16 +3560,22 @@ object SparkEntry {
         |               AND d.doc_id <> qd.doc_id
         |          WHERE qd.doc_id < 5),
         |nrel AS (SELECT query_id, COUNT(*) AS n_rel FROM qrels GROUP BY 1),
-        |h AS (SELECT query_id, COUNT(*) AS hits, MIN(rnk) AS first1
+        |h AS (SELECT query_id, COUNT(*) AS hits, MIN(rnk) AS first1,
+        |        SUM((""".stripMargin +
+        Retrieval.ndcgDiscounts(20).mkString("[", ", ", "]") +
+      """)[rnk]) AS dcg_u
         |      FROM run JOIN qrels USING (query_id, doc_id) GROUP BY 1)
         |SELECT CAST(query_id AS BIGINT) AS query_id,
         |       CAST(n_rel AS BIGINT) AS n_rel,
         |       CAST(COALESCE(hits, 0) AS BIGINT) AS hits,
         |       CAST(1000000 * COALESCE(hits, 0) // n_rel AS BIGINT)
         |         AS recall_ppm,
-        |       CAST(COALESCE(1000000000 // first1, 0) AS BIGINT) AS rr_u
+        |       CAST(COALESCE(1000000000 // first1, 0) AS BIGINT) AS rr_u,
+        |       CAST(COALESCE(1000000 * dcg_u // (""".stripMargin +
+        Retrieval.ndcgIdcgPrefix(20).mkString("[", ", ", "]") +
+      """)[least(n_rel, 20)], 0) AS BIGINT) AS ndcg_ppm
         |FROM nrel LEFT JOIN h USING (query_id)
-        |ORDER BY query_id""".stripMargin,
+        |ORDER BY query_id""".stripMargin),
     "t_kwic" ->
       """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') w FROM documents),
         |s AS (SELECT doc_id, i

@@ -618,38 +618,68 @@ object Retrieval {
         col("n_arms"), col("rnk"))
   }
 
-  /** Retrieval-quality evaluation: recall@k and reciprocal rank per
-    * query, a run `(query_id, doc_id, rnk)` scored against a qrels
-    * table `(query_id, doc_id)` — the TREC-eval shape every search
-    * tier runs after an index or ranking change.
+  /** The binary-gain nDCG discount table, frozen to integer
+    * micro-units: `disc(r) = round(1e6 / log2(r+1))` for ranks
+    * `1..k`. The values are data-independent constants computed once
+    * here and baked as literals into BOTH the Spark plan and the
+    * generated oracle SQL (the LSH-hyperplane-literal precedent,
+    * [[graft.ops.Embeddings]]), so the one transcendental (log) never
+    * executes per-row in either engine and cannot disagree. */
+  def ndcgDiscounts(k: Int): Seq[Long] =
+    (1 to k).map(r =>
+      Math.round(1e6 * Math.log(2) / Math.log(r + 1.0)))
+
+  /** Prefix sums of [[ndcgDiscounts]]: `idcg(i)` for an ideal ranking
+    * placing `i` relevant docs at ranks `1..i` (binary gains). */
+  def ndcgIdcgPrefix(k: Int): Seq[Long] =
+    ndcgDiscounts(k).scanLeft(0L)(_ + _).tail
+
+  /** Retrieval-quality evaluation: recall@k, reciprocal rank and
+    * binary-gain nDCG@k per query — a run `(query_id, doc_id, rnk)`
+    * scored against a qrels table `(query_id, doc_id)`, the TREC-eval
+    * shape every search tier runs after an index or ranking change.
+    * The run is truncated to `rnk <= k` first, making the cutoff
+    * explicit rather than trusting the caller's run depth.
     *
-    * Determinism contract: both metrics are frozen to integer units by
+    * Determinism contract: every metric is frozen to integer units by
     * exact long floor-division — `recall_ppm = 1e6·hits div n_rel`,
     * `rr_u = 1e9 div first_rel_rnk` (0 when no relevant doc was
-    * retrieved) — so there is no float division for engines to
-    * disagree on (oracled `t_eval_retrieval`).
+    * retrieved), `ndcg_ppm = 1e6·dcg_u div idcg_u` with dcg/idcg
+    * summing the baked [[ndcgDiscounts]] micro-units — so there is no
+    * per-row float arithmetic for engines to disagree on (oracled
+    * `t_eval_retrieval`).
     *
     * Scale shape: the run is |queries|×k rows and qrels is judgment-
     * scale — both orders of magnitude below the corpus — so the inner
     * join and the per-query aggregation never touch corpus-scale data;
     * queries with zero retrieved-relevant docs are kept through the
-    * left join from the qrels side (recall 0, rr 0), mirroring
+    * left join from the qrels side (recall 0, rr 0, ndcg 0), mirroring
     * [[graft.ops.Embeddings]]'s recallAtK contract of never dropping a
     * zero-hit query.
     */
-  def evalRetrieval(run: DataFrame, qrels: DataFrame): DataFrame = {
+  def evalRetrieval(run: DataFrame, qrels: DataFrame,
+                    k: Int = 20): DataFrame = {
+    require(k >= 1 && k <= 1000, "evalRetrieval: k must be in [1, 1000]")
+    val disc = typedLit(ndcgDiscounts(k))
+    val prefix = typedLit(ndcgIdcgPrefix(k))
     val nrel = qrels.groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_rel"))
-    val hits = run.join(qrels, Seq("query_id", "doc_id"))
+    val hits = run.filter(col("rnk") <= k)
+      .join(qrels, Seq("query_id", "doc_id"))
       .groupBy(col("query_id"))
       .agg(count(lit(1)).as("hits"),
-        min(col("rnk")).as("_first"))
+        min(col("rnk")).as("_first"),
+        sum(element_at(disc, col("rnk").cast("int"))).as("_dcg_u"))
     nrel.join(hits, Seq("query_id"), "left")
+      .withColumn("_idcg_u",
+        element_at(prefix, least(col("n_rel"), lit(k.toLong)).cast("int")))
       .select(col("query_id"), col("n_rel"),
         coalesce(col("hits"), lit(0L)).as("hits"),
         expr("1000000L * coalesce(hits, 0L) div n_rel")
           .as("recall_ppm"),
         coalesce(expr("1000000000L div cast(_first as long)"), lit(0L))
-          .as("rr_u"))
+          .as("rr_u"),
+        coalesce(expr("1000000L * _dcg_u div _idcg_u"), lit(0L))
+          .as("ndcg_ppm"))
   }
 }

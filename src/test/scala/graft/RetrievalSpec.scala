@@ -353,8 +353,13 @@ class RetrievalSpec extends SparkSpec {
     assert(!plan.contains("Window"))
   }
 
-  test("evalRetrieval: integer-frozen recall@k and MRR, zero-hit" +
-    " queries kept, floor division pinned") {
+  test("evalRetrieval: integer-frozen recall@k, MRR and nDCG," +
+    " zero-hit queries kept, floor division pinned") {
+    // the baked discount table is itself a pinned contract
+    assert(Retrieval.ndcgDiscounts(4) ==
+      Seq(1000000L, 630930L, 500000L, 430677L))
+    assert(Retrieval.ndcgIdcgPrefix(4) ==
+      Seq(1000000L, 1630930L, 2130930L, 2561607L))
     val run = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
       (3L, 30L, 1)).toDF("query_id", "doc_id", "rnk")
     val qrels = Seq((1L, 11L), (1L, 12L), (1L, 13L), (1L, 14L),
@@ -363,14 +368,26 @@ class RetrievalSpec extends SparkSpec {
     val out = Retrieval.evalRetrieval(run, qrels)
       .orderBy("query_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getLong(4))).toSeq
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
     assert(out == Seq(
-      // q1: 2 of 4 relevant retrieved, first at rank 2
-      (1L, 4L, 2L, 500000L, 500000000L),
+      // q1: 2 of 4 retrieved at ranks 2,3 -> dcg 1130930 over
+      // idcg(4) 2561607 -> ndcg 441492
+      (1L, 4L, 2L, 500000L, 500000000L, 441492L),
       // q2: judged but nothing retrieved — kept with zeros
-      (2L, 1L, 0L, 0L, 0L),
-      // q3: 1 of 3 -> floor(1e6/3); first at rank 1
-      (3L, 3L, 1L, 333333L, 1000000000L)))
+      (2L, 1L, 0L, 0L, 0L, 0L),
+      // q3: 1 of 3 at rank 1 -> dcg 1000000 over idcg(3) 2130930
+      (3L, 3L, 1L, 333333L, 1000000000L, 469278L)))
+  }
+
+  test("evalRetrieval truncates the run to rnk <= k before scoring") {
+    val run = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("query_id", "doc_id", "rnk")
+    val qrels = Seq((1L, 11L), (1L, 12L)).toDF("query_id", "doc_id")
+    val at2 = Retrieval.evalRetrieval(run, qrels, k = 2).collect().head
+    // only the rank-2 hit counts at k=2: recall 1/2, dcg disc(2)
+    assert(at2.getLong(2) == 1L && at2.getLong(3) == 500000L)
+    assert(at2.getLong(5) ==
+      1000000L * 630930L / Retrieval.ndcgIdcgPrefix(2)(1))
   }
 
   test("rrfFuse: fusion plan touches only the arm outputs — one" +
