@@ -943,6 +943,21 @@ object SparkEntry {
         .select(col("query_id"), col("doc_id"))
       Retrieval.evalRetrieval(run, qrels).orderBy("query_id")
     }),
+    // MMR diversity re-rank: greedy λ·rel − (1−λ)·maxsim selection
+    // over each query's top-10 dense candidates, rank-derived integer
+    // relevance, k=3 picks (oracle replays the loop as 3 CTE stages)
+    "t_mmr_rerank" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cand = Embeddings.bruteForceTopK(e,
+          e.filter(col("vec_id") < 3), "vec_id", "embedding", 10)
+        .select(col("query_id"), col("corpus_id").as("doc_id"),
+          ((lit(11) - col("rnk")) * lit(100000L)).as("rel_u"))
+      val withVec = cand.join(
+        e.select(col("vec_id").as("doc_id"), col("embedding")),
+        "doc_id")
+      Retrieval.mmrRerank(withVec, "embedding", k = 3, lambdaPct = 70)
+        .orderBy("query_id", "pick")
+    }),
     // ---- corpus lifecycle: snapshot diff (adds/removes/edits) ----
     // snapshot a drops doc_id%11==3 (those become "added" in b),
     // b drops doc_id%13==5 ("removed") and revises doc_id%17==2
@@ -3576,6 +3591,66 @@ object SparkEntry {
       """)[least(n_rel, 20)], 0) AS BIGINT) AS ndcg_ppm
         |FROM nrel LEFT JOIN h USING (query_id)
         |ORDER BY query_id""".stripMargin),
+    "t_mmr_rerank" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding,
+        |             x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) qv
+        |           FROM embeddings),
+        |q AS (SELECT vec_id query_id, qv FROM v WHERE vec_id < 3),
+        |s AS (SELECT q.query_id, c.vec_id corpus_id,
+        |        CAST(list_dot_product(q.qv, c.qv) AS DOUBLE) /
+        |        (sqrt(CAST(list_dot_product(q.qv, q.qv) AS DOUBLE)) *
+        |         sqrt(CAST(list_dot_product(c.qv, c.qv) AS DOUBLE))) AS cosine
+        |      FROM q JOIN v c ON c.vec_id <> q.query_id),
+        |r AS (SELECT query_id, corpus_id,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |          ORDER BY cosine DESC, corpus_id) AS INT) rnk
+        |      FROM s),
+        |cand AS (SELECT query_id, corpus_id AS doc_id,
+        |           CAST((11 - rnk) * 100000 AS BIGINT) AS rel_u
+        |         FROM r WHERE rnk <= 10),
+        |cv AS (SELECT c.query_id, c.doc_id, c.rel_u, v.qv
+        |       FROM cand c JOIN v ON v.vec_id = c.doc_id),
+        |sim AS (SELECT a.query_id, a.doc_id d1, b.doc_id d2,
+        |          CAST(floor(CAST(list_dot_product(a.qv, b.qv) AS DOUBLE) /
+        |            (sqrt(CAST(list_dot_product(a.qv, a.qv) AS DOUBLE)) *
+        |             sqrt(CAST(list_dot_product(b.qv, b.qv) AS DOUBLE)))
+        |            * 1000000 + 0.5) AS BIGINT) cos_u
+        |        FROM cv a JOIN cv b
+        |          ON a.query_id = b.query_id AND a.doc_id <> b.doc_id),
+        |p1 AS (SELECT query_id, doc_id, rel_u, mmr_u, 1 AS pick FROM (
+        |         SELECT query_id, doc_id, rel_u,
+        |           (70 * rel_u) // 100 AS mmr_u,
+        |           ROW_NUMBER() OVER (PARTITION BY query_id
+        |             ORDER BY (70 * rel_u) // 100 DESC, doc_id) rn
+        |         FROM cv) WHERE rn = 1),
+        |m2 AS (SELECT c.query_id, c.doc_id, c.rel_u,
+        |         (70 * c.rel_u - 30 * s.cos_u) // 100 AS mmr_u
+        |       FROM cv c
+        |       JOIN p1 ON p1.query_id = c.query_id AND c.doc_id <> p1.doc_id
+        |       JOIN sim s ON s.query_id = c.query_id
+        |         AND s.d1 = c.doc_id AND s.d2 = p1.doc_id),
+        |p2 AS (SELECT query_id, doc_id, rel_u, mmr_u, 2 AS pick FROM (
+        |         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |           ORDER BY mmr_u DESC, doc_id) rn FROM m2) WHERE rn = 1),
+        |m3 AS (SELECT c.query_id, c.doc_id, c.rel_u,
+        |         (70 * c.rel_u - 30 * greatest(s1.cos_u, s2.cos_u)) // 100
+        |           AS mmr_u
+        |       FROM cv c
+        |       JOIN p1 ON p1.query_id = c.query_id AND c.doc_id <> p1.doc_id
+        |       JOIN p2 ON p2.query_id = c.query_id AND c.doc_id <> p2.doc_id
+        |       JOIN sim s1 ON s1.query_id = c.query_id
+        |         AND s1.d1 = c.doc_id AND s1.d2 = p1.doc_id
+        |       JOIN sim s2 ON s2.query_id = c.query_id
+        |         AND s2.d1 = c.doc_id AND s2.d2 = p2.doc_id),
+        |p3 AS (SELECT query_id, doc_id, rel_u, mmr_u, 3 AS pick FROM (
+        |         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |           ORDER BY mmr_u DESC, doc_id) rn FROM m3) WHERE rn = 1)
+        |SELECT CAST(query_id AS BIGINT) query_id, doc_id,
+        |       CAST(rel_u AS BIGINT) rel_u, CAST(mmr_u AS BIGINT) mmr_u,
+        |       pick
+        |FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+        |      UNION ALL SELECT * FROM p3)
+        |ORDER BY query_id, pick""".stripMargin,
     "t_kwic" ->
       """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') w FROM documents),
         |s AS (SELECT doc_id, i

@@ -618,6 +618,91 @@ object Retrieval {
         col("n_arms"), col("rnk"))
   }
 
+  /** Maximal-marginal-relevance diversity re-rank (Carbonell &
+    * Goldstein, SIGIR 1998): greedily pick `k` items per query from a
+    * candidate set, each next pick maximizing
+    * `λ·rel − (1−λ)·max_{s∈selected} sim(d, s)` — the standard
+    * context-packing step between retrieval and a RAG prompt, where
+    * near-duplicate passages waste the token budget.
+    *
+    * Input: `(query_id, doc_id, rel_u, <vecCol>)` — the caller's
+    * top-n candidates per query with integer relevance units (e.g.
+    * rank-derived) and an embedding. Contract: `n` is ranker-bounded
+    * (tens, not corpus-scale) — the greedy loop is inherently
+    * sequential per query, so it runs as one bounded
+    * `groupByKey.flatMapGroups` task per query over n vectors and at
+    * most n·k cosines; the corpus never enters. This is the
+    * [[graft.ops.Multimodal]] precedent: imperative per-group code
+    * exactly where the operation is genuinely non-relational, bounded
+    * by construction.
+    *
+    * Determinism: vectors go through [[graft.ops.Embeddings.quantize]]
+    * (the exact-integer dot domain); cosines are frozen to micro-units
+    * with `floor(cos·1e6 + 0.5)` (IEEE ops on exactly-representable
+    * longs — bit-identical across engines); the MMR score is
+    * `(λpct·rel_u − (100−λpct)·maxSim_u) / 100` in truncating long
+    * division (Spark `div` ≡ DuckDB `//` ≡ Scala `/` — all truncate
+    * toward zero); ties break on `doc_id`. Pick 1 carries no
+    * similarity term. Oracled `t_mmr_rerank` replays the greedy loop
+    * as k unrolled CTE stages.
+    */
+  def mmrRerank(cands: DataFrame, vecCol: String, k: Int,
+                lambdaPct: Int = 70): DataFrame = {
+    require(k >= 1, "mmrRerank: k must be >= 1")
+    require(lambdaPct >= 0 && lambdaPct <= 100,
+      "mmrRerank: lambdaPct must be in [0, 100]")
+    val spark = cands.sparkSession
+    import spark.implicits._
+    val lam = lambdaPct.toLong
+    cands.select(col("query_id").cast("long"),
+        col("doc_id").cast("long"), col("rel_u").cast("long"),
+        Embeddings.quantize(col(vecCol)))
+      .as[(Long, Long, Long, Seq[Long])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Long, Seq[Long])]) =>
+        val cs = it.toArray
+        def dot(a: Seq[Long], b: Seq[Long]): Long = {
+          val n = math.min(a.length, b.length)
+          var i = 0; var s = 0L
+          while (i < n) { s += a(i) * b(i); i += 1 }
+          s
+        }
+        val norms = cs.map(c => math.sqrt(dot(c._4, c._4).toDouble))
+        def cosU(i: Int, j: Int): Long =
+          if (norms(i) == 0.0 || norms(j) == 0.0) 0L
+          else math.floor(dot(cs(i)._4, cs(j)._4).toDouble /
+            (norms(i) * norms(j)) * 1e6 + 0.5).toLong
+        val nC = cs.length
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Long, Int)]
+        var pick = 1
+        val kk = math.min(k, nC)
+        while (pick <= kk) {
+          var bestIdx = -1
+          var bestScore = Long.MinValue
+          var i = 0
+          while (i < nC) {
+            if (!selected.contains(i)) {
+              val maxSim =
+                if (selected.isEmpty) 0L
+                else selected.iterator.map(s => cosU(i, s)).max
+              val score = (lam * cs(i)._3 - (100L - lam) * maxSim) / 100L
+              if (bestIdx < 0 || score > bestScore ||
+                  (score == bestScore && cs(i)._2 < cs(bestIdx)._2))
+                { bestIdx = i; bestScore = score }
+            }
+            i += 1
+          }
+          out += ((qid, cs(bestIdx)._2, cs(bestIdx)._3, bestScore, pick))
+          selected += bestIdx
+          pick += 1
+        }
+        out.iterator
+      }
+      .toDF("query_id", "doc_id", "rel_u", "mmr_u", "pick")
+  }
+
   /** The binary-gain nDCG discount table, frozen to integer
     * micro-units: `disc(r) = round(1e6 / log2(r+1))` for ranks
     * `1..k`. The values are data-independent constants computed once

@@ -390,6 +390,41 @@ class RetrievalSpec extends SparkSpec {
       1000000L * 630930L / Retrieval.ndcgIdcgPrefix(2)(1))
   }
 
+  test("mmrRerank: diversity beats a higher-relevance near-duplicate;" +
+    " scores are hand-computable integer units") {
+    val cands = Seq(
+      (1L, 1L, 1000000L, Seq(1.0f, 0.0f)),
+      (1L, 2L, 900000L, Seq(1.0f, 0.0f)), // same direction as doc 1
+      (1L, 3L, 500000L, Seq(0.0f, 1.0f))) // orthogonal
+      .toDF("query_id", "doc_id", "rel_u", "embedding")
+    val out = Retrieval.mmrRerank(cands, "embedding", k = 3,
+      lambdaPct = 70).orderBy("pick").collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getInt(4))).toSeq
+    // pick1: doc1 pure-rel 70% = 700000; pick2: doc3's
+    // (70*500000 - 30*0)/100 = 350000 beats doc2's
+    // (70*900000 - 30*1000000)/100 = 330000 — the diversity win;
+    // pick3: doc2 at its penalized 330000
+    assert(out == Seq((1L, 700000L, 1), (3L, 350000L, 2),
+      (2L, 330000L, 3)))
+  }
+
+  test("mmrRerank: input order never changes the selection; k caps" +
+    " at the candidate count; rel ties break on doc_id") {
+    val base = Seq(
+      (1L, 5L, 800000L, Seq(1.0f, 0.0f)),
+      (1L, 4L, 800000L, Seq(1.0f, 0.1f)),
+      (1L, 9L, 300000L, Seq(0.0f, 1.0f)))
+    def run(rows: Seq[(Long, Long, Long, Seq[Float])]) =
+      Retrieval.mmrRerank(
+        rows.toDF("query_id", "doc_id", "rel_u", "embedding"),
+        "embedding", k = 10).orderBy("pick").collect().toSeq
+    val a = run(base)
+    assert(a == run(base.reverse))
+    assert(a.size == 3) // k=10 capped at n=3
+    // equal rel_u, no sim term yet: pick 1 goes to the lower doc_id
+    assert(a.head.getLong(1) == 4L)
+  }
+
   test("rrfFuse: fusion plan touches only the arm outputs — one" +
     " hash aggregate over a union, no corpus join") {
     val armA = Seq((1L, 10L, 1)).toDF("query_id", "doc_id", "rnk")
