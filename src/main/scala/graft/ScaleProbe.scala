@@ -385,6 +385,55 @@ object ScaleProbe {
     }
     }
 
+    section("retq") {
+    // retrieval-quality family at xmult. PRF is the only op here that
+    // touches the corpus (three early-filtered passes — measured
+    // against the single-pass bm25 baseline, the multiple is the
+    // price of expansion); RRF fusion and MMR are post-candidate and
+    // must cost |queries|*k work on top of the arms that feed them.
+    import spark.implicits._
+    time("prf_expand") {
+      ops.Retrieval.prfExpand(docs, "doc_id", "text",
+        Seq("table", "hash"), k = 100).count()
+    }
+    time("bm25_single_baseline") {
+      ops.Retrieval.bm25TopK(docs, "doc_id", "text",
+        Seq("table", "hash"), k = 100).count()
+    }
+    val emb = multiplied(Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding"), "vec_id").cache()
+    println(s"[scaleprobe] embeddings x$mult = ${emb.count()}")
+    val qs = (0 until 50).map(i => (i.toLong,
+      Seq(Seq("dup", "vector"), Seq("merge", "join"),
+        Seq("table", "hash"), Seq("scan", "filter"),
+        Seq("spark", "stream"))(i % 5))).toDF("query_id", "terms")
+    val sparse = ops.Retrieval.bm25BatchTopK(docs, "doc_id", "text",
+        qs, k = 20)
+      .select(col("query_id"), col("doc_id"), col("rnk")).cache()
+    val dense = ops.Embeddings.lshTopK(emb,
+        emb.filter(col("vec_id") < 50), "vec_id", "embedding", 8, 64, 20)
+      .select(col("query_id"), col("corpus_id").as("doc_id"),
+        col("rnk")).cache()
+    time("hybrid_arms") { sparse.count() + dense.count() }
+    time("rrf_fuse_only") {
+      // arms cached above: this isolates the fusion stage itself,
+      // which must be candidate-scale (50 queries x 20+20 rows)
+      ops.Retrieval.rrfFuse(Seq(sparse, dense), k = 10).count()
+    }
+    time("mmr_rerank_100cand") {
+      // 50 queries x 100 candidates: |q| bounded greedy tasks of
+      // <= n*k quantized-integer cosines each — corpus never enters
+      val cand = ops.Embeddings.lshTopK(emb,
+          emb.filter(col("vec_id") < 50), "vec_id", "embedding",
+          8, 64, 100)
+        .select(col("query_id"), col("corpus_id").as("doc_id"),
+          ((lit(101) - col("rnk")) * lit(10000L)).as("rel_u"))
+        .join(emb.select(col("vec_id").as("doc_id"),
+          col("embedding")), "doc_id")
+      ops.Retrieval.mmrRerank(cand, "embedding", k = 10).count()
+    }
+    }
+
     section("span") {
     // the substring-duplication family in a CLEAN session (the full
     // text sweep runs these after simhash's 78M-pair fixture, whose
