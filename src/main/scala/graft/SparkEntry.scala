@@ -943,6 +943,29 @@ object SparkEntry {
         .select(col("query_id"), col("doc_id"))
       Retrieval.evalRetrieval(run, qrels).orderBy("query_id")
     }),
+    // hard-negative mining: top-5 highest-ranked docs per query that
+    // are NOT (lang,source)-relevant — the DPR-style contrastive
+    // training negatives, mined from the same batch-BM25 run and
+    // qrels as t_eval_retrieval
+    "t_hard_negatives" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val qs = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"),
+          array_distinct(slice(TextDedup.tokens(col("text")), 1, 6))
+            .as("terms"))
+      val run = Retrieval.bm25BatchTopK(docs, "doc_id", "text",
+          qs, k = 20)
+        .select(col("query_id"), col("doc_id"), col("rnk"))
+      val positives = broadcast(docs.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("query_id"), col("lang"),
+            col("source")))
+        .join(docs.select(col("doc_id"), col("lang"), col("source")),
+          Seq("lang", "source"))
+        .filter(col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id"))
+      Retrieval.mineHardNegatives(run, positives, nNeg = 5)
+        .orderBy("query_id", "neg_rank")
+    }),
     // MMR diversity re-rank: greedy λ·rel − (1−λ)·maxsim selection
     // over each query's top-10 dense candidates, rank-derived integer
     // relevance, k=3 picks (oracle replays the loop as 3 CTE stages)
@@ -3591,6 +3614,52 @@ object SparkEntry {
       """)[least(n_rel, 20)], 0) AS BIGINT) AS ndcg_ppm
         |FROM nrel LEFT JOIN h USING (query_id)
         |ORDER BY query_id""".stripMargin),
+    "t_hard_negatives" ->
+      """WITH toks AS (SELECT doc_id,
+        |         regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |       FROM documents),
+        |q AS (SELECT doc_id AS query_id,
+        |        unnest(list_distinct(ts[1:6])) AS term
+        |      FROM toks WHERE doc_id < 5),
+        |b2 AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl, ts FROM toks),
+        |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_tokens FROM b2),
+        |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf
+        |       FROM (SELECT doc_id, dl, unnest(ts) AS term FROM b2)
+        |       WHERE term IN (SELECT term FROM q)
+        |       GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY 1),
+        |scored AS (SELECT doc_id, tf.term,
+        |    CAST(round(
+        |      (CAST(n_docs AS DOUBLE) - CAST(df_t AS DOUBLE) + 0.5)
+        |        / (CAST(df_t AS DOUBLE) + 0.5)
+        |      * (CAST(tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf AS DOUBLE)
+        |         + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+        |             / (CAST(tot_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+        |      * 1000000.0, 0) AS BIGINT) AS ts_ppm
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN stats),
+        |perq AS (SELECT q.query_id, doc_id,
+        |           CAST(SUM(ts_ppm) AS BIGINT) AS score_ppm
+        |         FROM scored JOIN q ON scored.term = q.term
+        |         GROUP BY 1, 2),
+        |run AS (SELECT query_id, doc_id, rnk FROM (
+        |          SELECT query_id, doc_id,
+        |            CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |              ORDER BY score_ppm DESC, doc_id) AS INT) AS rnk
+        |          FROM perq) WHERE rnk <= 20),
+        |qrels AS (SELECT qd.doc_id AS query_id, d.doc_id
+        |          FROM documents qd JOIN documents d
+        |            ON d.lang = qd.lang AND d.source = qd.source
+        |               AND d.doc_id <> qd.doc_id
+        |          WHERE qd.doc_id < 5),
+        |negs AS (SELECT query_id, doc_id, rnk,
+        |           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |             ORDER BY rnk, doc_id) AS INT) AS neg_rank
+        |         FROM (SELECT r.* FROM run r
+        |               ANTI JOIN qrels USING (query_id, doc_id)))
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rnk, neg_rank
+        |FROM negs WHERE neg_rank <= 5
+        |ORDER BY query_id, neg_rank""".stripMargin,
     "t_mmr_rerank" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding,
         |             x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) qv

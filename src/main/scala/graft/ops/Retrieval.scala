@@ -618,6 +618,35 @@ object Retrieval {
         col("n_arms"), col("rnk"))
   }
 
+  /** Hard-negative mining for contrastive embedding training: the
+    * highest-ranked docs a retriever surfaced that are NOT labeled
+    * positive — exactly the negatives that teach a bi-encoder the
+    * decision boundary (the DPR / Sentence-BERT recipe; random
+    * negatives are trivially separable, top-ranked non-positives are
+    * not).
+    *
+    * `run` is `(query_id, doc_id, rnk)` from any ranker ([[bm25TopK]],
+    * [[bm25BatchTopK]], an ANN arm, or an [[rrfFuse]]d hybrid);
+    * `positives` is `(query_id, doc_id)` labels. Output keeps the
+    * retriever's rank and adds a dense `neg_rank` (1..nNeg) per query.
+    *
+    * Scale shape: anti-join then window over run-scale rows
+    * (|queries|×k) — label- and candidate-scale only, corpus never
+    * enters; the per-query window partition is bounded by the run's k.
+    */
+  def mineHardNegatives(run: DataFrame, positives: DataFrame,
+                        nNeg: Int): DataFrame = {
+    require(nNeg >= 1, "mineHardNegatives: nNeg must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rnk"), col("doc_id"))
+    run.join(positives, Seq("query_id", "doc_id"), "left_anti")
+      .withColumn("neg_rank", row_number().over(w).cast("int"))
+      .filter(col("neg_rank") <= nNeg)
+      .select(col("query_id"), col("doc_id"), col("rnk"),
+        col("neg_rank"))
+  }
+
   /** Maximal-marginal-relevance diversity re-rank (Carbonell &
     * Goldstein, SIGIR 1998): greedily pick `k` items per query from a
     * candidate set, each next pick maximizing

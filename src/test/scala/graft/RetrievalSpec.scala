@@ -390,6 +390,21 @@ class RetrievalSpec extends SparkSpec {
       1000000L * 630930L / Retrieval.ndcgIdcgPrefix(2)(1))
   }
 
+  test("mineHardNegatives: top-ranked non-positives with dense" +
+    " neg_rank; positives and unjudged docs below nNeg excluded") {
+    val run = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (1L, 13L, 4), (2L, 20L, 1)).toDF("query_id", "doc_id", "rnk")
+    val pos = Seq((1L, 10L), (1L, 12L), (2L, 20L))
+      .toDF("query_id", "doc_id")
+    val out = Retrieval.mineHardNegatives(run, pos, nNeg = 2)
+      .orderBy("query_id", "neg_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      .toSeq
+    // q1: ranks 2 and 4 are the non-positives -> neg_rank densifies;
+    // q2's only retrieved doc is positive -> no rows at all
+    assert(out == Seq((1L, 11L, 2, 1), (1L, 13L, 4, 2)))
+  }
+
   test("mmrRerank: diversity beats a higher-relevance near-duplicate;" +
     " scores are hand-computable integer units") {
     val cands = Seq(
