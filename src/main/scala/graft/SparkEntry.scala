@@ -943,6 +943,22 @@ object SparkEntry {
         .select(col("query_id"), col("doc_id"))
       Retrieval.evalRetrieval(run, qrels).orderBy("query_id")
     }),
+    // the full search tier composed end-to-end: batch-BM25 + dense
+    // arms -> RRF fusion -> MMR diversity picks -> metadata page;
+    // the oracle replays all five stages as one CTE chain
+    "pipe_search_tier" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val e = Tables.embeddings(s, dir)
+      val qs = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"),
+          array_distinct(slice(TextDedup.tokens(col("text")), 1, 6))
+            .as("terms"))
+      Pipelines.searchTier(docs, "doc_id", "text",
+          e, "vec_id", "embedding",
+          qs, e.filter(col("vec_id") < 5),
+          Seq("lang", "source", "n_chars"))
+        .orderBy("query_id", "pick")
+    }),
     // hard-negative mining: top-5 highest-ranked docs per query that
     // are NOT (lang,source)-relevant — the DPR-style contrastive
     // training negatives, mined from the same batch-BM25 run and
@@ -3660,6 +3676,107 @@ object SparkEntry {
         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rnk, neg_rank
         |FROM negs WHERE neg_rank <= 5
         |ORDER BY query_id, neg_rank""".stripMargin,
+    "pipe_search_tier" ->
+      """WITH toks AS (SELECT doc_id,
+        |         regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |       FROM documents),
+        |q AS (SELECT doc_id AS query_id,
+        |        unnest(list_distinct(ts[1:6])) AS term
+        |      FROM toks WHERE doc_id < 5),
+        |b2 AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl, ts FROM toks),
+        |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_tokens FROM b2),
+        |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf
+        |       FROM (SELECT doc_id, dl, unnest(ts) AS term FROM b2)
+        |       WHERE term IN (SELECT term FROM q)
+        |       GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY 1),
+        |scored AS (SELECT doc_id, tf.term,
+        |    CAST(round(
+        |      (CAST(n_docs AS DOUBLE) - CAST(df_t AS DOUBLE) + 0.5)
+        |        / (CAST(df_t AS DOUBLE) + 0.5)
+        |      * (CAST(tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf AS DOUBLE)
+        |         + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+        |             / (CAST(tot_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+        |      * 1000000.0, 0) AS BIGINT) AS ts_ppm
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN stats),
+        |perq AS (SELECT q.query_id, doc_id,
+        |           CAST(SUM(ts_ppm) AS BIGINT) AS score_ppm
+        |         FROM scored JOIN q ON scored.term = q.term
+        |         GROUP BY 1, 2),
+        |sranked AS (SELECT query_id, doc_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY score_ppm DESC, doc_id) AS INT) AS rnk
+        |  FROM perq),
+        |sparse AS (SELECT query_id, doc_id, rnk FROM sranked WHERE rnk <= 20),
+        |v AS (SELECT vec_id, list_transform(embedding,
+        |        x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) qv
+        |      FROM embeddings),
+        |qv AS (SELECT vec_id query_id, qv FROM v WHERE vec_id < 5),
+        |ds AS (SELECT qv.query_id, c.vec_id corpus_id,
+        |        CAST(list_dot_product(qv.qv, c.qv) AS DOUBLE) /
+        |        (sqrt(CAST(list_dot_product(qv.qv, qv.qv) AS DOUBLE)) *
+        |         sqrt(CAST(list_dot_product(c.qv, c.qv) AS DOUBLE))) AS cosine
+        |      FROM qv JOIN v c ON c.vec_id <> qv.query_id),
+        |dr AS (SELECT query_id, corpus_id,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |          ORDER BY cosine DESC, corpus_id) AS INT) rnk
+        |      FROM ds),
+        |dense AS (SELECT query_id, corpus_id AS doc_id, rnk
+        |          FROM dr WHERE rnk <= 20),
+        |arms AS (SELECT * FROM sparse UNION ALL SELECT * FROM dense),
+        |fused AS (SELECT query_id, doc_id,
+        |            CAST(SUM(1000000000 // (60 + rnk)) AS BIGINT) AS rrf_u
+        |          FROM arms GROUP BY 1, 2),
+        |franked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |              ORDER BY rrf_u DESC, doc_id) AS INT) AS rnk
+        |            FROM fused),
+        |cand AS (SELECT query_id, doc_id,
+        |           CAST((11 - rnk) * 100000 AS BIGINT) AS rel_u
+        |         FROM franked WHERE rnk <= 10),
+        |cv AS (SELECT c.query_id, c.doc_id, c.rel_u, v.qv
+        |       FROM cand c JOIN v ON v.vec_id = c.doc_id),
+        |sim AS (SELECT a.query_id, a.doc_id d1, b.doc_id d2,
+        |          CAST(floor(CAST(list_dot_product(a.qv, b.qv) AS DOUBLE) /
+        |            (sqrt(CAST(list_dot_product(a.qv, a.qv) AS DOUBLE)) *
+        |             sqrt(CAST(list_dot_product(b.qv, b.qv) AS DOUBLE)))
+        |            * 1000000 + 0.5) AS BIGINT) cos_u
+        |        FROM cv a JOIN cv b
+        |          ON a.query_id = b.query_id AND a.doc_id <> b.doc_id),
+        |p1 AS (SELECT query_id, doc_id, rel_u, mmr_u, 1 AS pick FROM (
+        |         SELECT query_id, doc_id, rel_u,
+        |           (70 * rel_u) // 100 AS mmr_u,
+        |           ROW_NUMBER() OVER (PARTITION BY query_id
+        |             ORDER BY (70 * rel_u) // 100 DESC, doc_id) rn
+        |         FROM cv) WHERE rn = 1),
+        |m2 AS (SELECT c.query_id, c.doc_id, c.rel_u,
+        |         (70 * c.rel_u - 30 * s.cos_u) // 100 AS mmr_u
+        |       FROM cv c
+        |       JOIN p1 ON p1.query_id = c.query_id AND c.doc_id <> p1.doc_id
+        |       JOIN sim s ON s.query_id = c.query_id
+        |         AND s.d1 = c.doc_id AND s.d2 = p1.doc_id),
+        |p2 AS (SELECT query_id, doc_id, rel_u, mmr_u, 2 AS pick FROM (
+        |         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |           ORDER BY mmr_u DESC, doc_id) rn FROM m2) WHERE rn = 1),
+        |m3 AS (SELECT c.query_id, c.doc_id, c.rel_u,
+        |         (70 * c.rel_u - 30 * greatest(s1.cos_u, s2.cos_u)) // 100
+        |           AS mmr_u
+        |       FROM cv c
+        |       JOIN p1 ON p1.query_id = c.query_id AND c.doc_id <> p1.doc_id
+        |       JOIN p2 ON p2.query_id = c.query_id AND c.doc_id <> p2.doc_id
+        |       JOIN sim s1 ON s1.query_id = c.query_id
+        |         AND s1.d1 = c.doc_id AND s1.d2 = p1.doc_id
+        |       JOIN sim s2 ON s2.query_id = c.query_id
+        |         AND s2.d1 = c.doc_id AND s2.d2 = p2.doc_id),
+        |p3 AS (SELECT query_id, doc_id, rel_u, mmr_u, 3 AS pick FROM (
+        |         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |           ORDER BY mmr_u DESC, doc_id) rn FROM m3) WHERE rn = 1),
+        |pp AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+        |       UNION ALL SELECT * FROM p3)
+        |SELECT CAST(pp.query_id AS BIGINT) AS query_id, pp.doc_id, pick,
+        |       CAST(mmr_u AS BIGINT) AS mmr_u, lang, source, n_chars
+        |FROM pp JOIN documents d ON d.doc_id = pp.doc_id
+        |ORDER BY query_id, pick""".stripMargin,
     "t_mmr_rerank" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding,
         |             x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) qv

@@ -177,4 +177,49 @@ object Pipelines {
       .select(col(idCol), col("ppl_bucket"), col("cluster_id"),
         col("is_holdout"))
   }
+
+  /** The full search tier in one plan: sparse arm
+    * ([[Retrieval.bm25BatchTopK]] — one corpus pass for the whole
+    * query table) and dense arm ([[Embeddings.bruteForceTopK]], or
+    * swap an index-backed ANN path) fused by
+    * [[Retrieval.rrfFuse]], diversity-packed by
+    * [[Retrieval.mmrRerank]] (rank-derived integer relevance over the
+    * fused order), and joined to result-page metadata as the LAST,
+    * picks-scale step — the RAG serving chain a corpus team stands up
+    * over a curated lake.
+    *
+    * `queries` is `(query_id, terms array<string>)` for the sparse
+    * arm; `queryVecs` is `(vecIdCol, vecCol)` rows for the dense arm
+    * (same query_id space). Every stage keeps its audited scale shape:
+    * arms corpus-pass or index-probe, fusion and MMR candidate-scale,
+    * metadata via a broadcast of the picks against the docs scan.
+    * Oracled end-to-end (`pipe_search_tier`): one DuckDB CTE chain
+    * replays both arms, the integer RRF, the unrolled greedy MMR and
+    * the metadata join bit-for-bit.
+    */
+  def searchTier(docs: DataFrame, idCol: String, textCol: String,
+                 emb: DataFrame, vecIdCol: String, vecCol: String,
+                 queries: DataFrame, queryVecs: DataFrame,
+                 metaCols: Seq[String],
+                 armK: Int = 20, fuseK: Int = 10, picks: Int = 3,
+                 lambdaPct: Int = 70): DataFrame = {
+    val sparse = Retrieval.bm25BatchTopK(docs, idCol, textCol,
+        queries, armK)
+      .select(col("query_id"), col(idCol).as("doc_id"), col("rnk"))
+    val dense = Embeddings.bruteForceTopK(emb, queryVecs,
+        vecIdCol, vecCol, armK)
+      .select(col("query_id"), col("corpus_id").as("doc_id"),
+        col("rnk"))
+    val fused = Retrieval.rrfFuse(Seq(sparse, dense), fuseK)
+    val cand = fused.select(col("query_id"), col("doc_id"),
+        ((lit(fuseK + 1) - col("rnk")) * lit(100000L)).as("rel_u"))
+      .join(emb.select(col(vecIdCol).as("doc_id"), col(vecCol)),
+        "doc_id")
+    val picked = Retrieval.mmrRerank(cand, vecCol, picks, lambdaPct)
+    docs.select((Seq(col(idCol).as("doc_id")) ++
+        metaCols.map(col)): _*)
+      .join(broadcast(picked), "doc_id")
+      .select((Seq(col("query_id"), col("doc_id"), col("pick"),
+        col("mmr_u")) ++ metaCols.map(col)): _*)
+  }
 }

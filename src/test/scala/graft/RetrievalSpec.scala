@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Corpus, Retrieval}
+import graft.ops.{Corpus, Pipelines, Retrieval}
 import org.apache.spark.sql.functions._
 
 class RetrievalSpec extends SparkSpec {
@@ -438,6 +438,26 @@ class RetrievalSpec extends SparkSpec {
     assert(a.size == 3) // k=10 capped at n=3
     // equal rel_u, no sim term yet: pick 1 goes to the lower doc_id
     assert(a.head.getLong(1) == 4L)
+  }
+
+  test("searchTier composition: dense pick sequence per query, picks" +
+    " drawn from the fused candidate pool, self excluded by the" +
+    " dense arm only") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.8f, 0.3f)), (3L, Seq(0.0f, 1.0f)),
+      (5L, Seq(0.2f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val qs = Seq((0L, Seq("spark"))).toDF("query_id", "terms")
+    val out = Pipelines.searchTier(corpus, "doc_id", "text",
+        emb, "vec_id", "embedding", qs, emb.filter(col("vec_id") === 0),
+        metaCols = Seq.empty, armK = 5, fuseK = 5, picks = 3)
+      .orderBy("pick").collect()
+    assert(out.map(_.getInt(2)).toSeq == Seq(1, 2, 3))
+    assert(out.map(_.getLong(0)).forall(_ == 0L))
+    // doc 0 is the query itself: reachable through BM25 (it contains
+    // "spark") even though the dense arm excludes it — still fusable
+    assert(out.map(_.getLong(1)).distinct.length == 3)
   }
 
   test("rrfFuse: fusion plan touches only the arm outputs — one" +
