@@ -959,6 +959,24 @@ object SparkEntry {
           Seq("lang", "source", "n_chars"))
         .orderBy("query_id", "pick")
     }),
+    // attribute-fair interleave: the batch-BM25 run re-ordered
+    // round-robin over each doc's source, so no source monopolizes
+    // the first page
+    "t_fair_interleave" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val qs = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"),
+          array_distinct(slice(TextDedup.tokens(col("text")), 1, 6))
+            .as("terms"))
+      val run = Retrieval.bm25BatchTopK(docs, "doc_id", "text",
+          qs, k = 20)
+        .select(col("query_id"), col("doc_id"), col("rnk"))
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      Retrieval.interleaveByAttr(run, "source")
+        .select(col("query_id"), col("doc_id"), col("rnk"),
+          col("source"), col("slot"), col("fair_rank"))
+        .orderBy("query_id", "fair_rank")
+    }),
     // hard-negative mining: top-5 highest-ranked docs per query that
     // are NOT (lang,source)-relevant — the DPR-style contrastive
     // training negatives, mined from the same batch-BM25 run and
@@ -3676,6 +3694,48 @@ object SparkEntry {
         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rnk, neg_rank
         |FROM negs WHERE neg_rank <= 5
         |ORDER BY query_id, neg_rank""".stripMargin,
+    "t_fair_interleave" ->
+      """WITH toks AS (SELECT doc_id,
+        |         regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |       FROM documents),
+        |q AS (SELECT doc_id AS query_id,
+        |        unnest(list_distinct(ts[1:6])) AS term
+        |      FROM toks WHERE doc_id < 5),
+        |b2 AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl, ts FROM toks),
+        |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_tokens FROM b2),
+        |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf
+        |       FROM (SELECT doc_id, dl, unnest(ts) AS term FROM b2)
+        |       WHERE term IN (SELECT term FROM q)
+        |       GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY 1),
+        |scored AS (SELECT doc_id, tf.term,
+        |    CAST(round(
+        |      (CAST(n_docs AS DOUBLE) - CAST(df_t AS DOUBLE) + 0.5)
+        |        / (CAST(df_t AS DOUBLE) + 0.5)
+        |      * (CAST(tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf AS DOUBLE)
+        |         + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+        |             / (CAST(tot_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+        |      * 1000000.0, 0) AS BIGINT) AS ts_ppm
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN stats),
+        |perq AS (SELECT q.query_id, doc_id,
+        |           CAST(SUM(ts_ppm) AS BIGINT) AS score_ppm
+        |         FROM scored JOIN q ON scored.term = q.term
+        |         GROUP BY 1, 2),
+        |run AS (SELECT query_id, r.doc_id, rnk, d.source FROM (
+        |          SELECT query_id, doc_id,
+        |            CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |              ORDER BY score_ppm DESC, doc_id) AS INT) AS rnk
+        |          FROM perq) r JOIN documents d ON d.doc_id = r.doc_id
+        |        WHERE rnk <= 20),
+        |slotted AS (SELECT *, CAST(ROW_NUMBER() OVER (
+        |              PARTITION BY query_id, source
+        |              ORDER BY rnk, doc_id) AS INT) AS slot
+        |            FROM run)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rnk, source,
+        |       slot, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |         ORDER BY slot, rnk, doc_id) AS INT) AS fair_rank
+        |FROM slotted ORDER BY query_id, fair_rank""".stripMargin,
     "pipe_search_tier" ->
       """WITH toks AS (SELECT doc_id,
         |         regexp_extract_all(lower(text), '[a-z0-9]+') AS ts

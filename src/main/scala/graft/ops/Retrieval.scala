@@ -618,6 +618,31 @@ object Retrieval {
         col("n_arms"), col("rnk"))
   }
 
+  /** Attribute-fair interleave: within each query, reorder a ranked
+    * run round-robin over a categorical attribute (source, lang,
+    * domain) — the i-th best result of EVERY attribute value competes
+    * at slot i, so one dominant source cannot monopolize the first
+    * page. The categorical complement of [[mmrRerank]]'s vector
+    * diversity; the same lever a corpus team uses to de-bias sampling
+    * inspection lists.
+    *
+    * Deterministic: slot = rank within (query, attr) by original
+    * `rnk` then `doc_id`; the output order is (slot, rnk, doc_id) —
+    * two window ranks, no scores to tie. Scale shape: both windows
+    * partition run-scale rows (|queries|×k per query, bounded), the
+    * corpus never enters.
+    */
+  def interleaveByAttr(run: DataFrame, attrCol: String): DataFrame = {
+    val wAttr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"), col(attrCol))
+      .orderBy(col("rnk"), col("doc_id"))
+    val wOut = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("slot"), col("rnk"), col("doc_id"))
+    run.withColumn("slot", row_number().over(wAttr).cast("int"))
+      .withColumn("fair_rank", row_number().over(wOut).cast("int"))
+  }
+
   /** Hard-negative mining for contrastive embedding training: the
     * highest-ranked docs a retriever surfaced that are NOT labeled
     * positive — exactly the negatives that teach a bi-encoder the

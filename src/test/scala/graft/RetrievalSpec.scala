@@ -440,6 +440,46 @@ class RetrievalSpec extends SparkSpec {
     assert(a.head.getLong(1) == 4L)
   }
 
+  test("interleaveByAttr: the i-th best of every source competes at" +
+    " slot i — a dominant source cannot hold consecutive places") {
+    val run = Seq(
+      (1L, 10L, 1, "a"), (1L, 11L, 2, "a"), (1L, 12L, 3, "a"),
+      (1L, 13L, 4, "b"), (1L, 14L, 5, "b"))
+      .toDF("query_id", "doc_id", "rnk", "source")
+    val out = Retrieval.interleaveByAttr(run, "source")
+      .orderBy("fair_rank").collect()
+      .map(r => (r.getLong(1), r.getInt(5))).toSeq
+    // slot 1: docs 10 (a) then 13 (b, worse rnk); slot 2: 11, 14; ...
+    assert(out == Seq((10L, 1), (13L, 2), (11L, 3), (14L, 4),
+      (12L, 5)))
+  }
+
+  test("retrieval-quality family: empty and no-match inputs return" +
+    " empty frames, never crash") {
+    // no document contains either query term -> round 1 is empty,
+    // expansion is empty, round 2 scores only the (absent) literals
+    assert(Retrieval.prfExpand(corpus, "doc_id", "text",
+      Seq("zzz", "qqq"), k = 5).collect().isEmpty)
+    val noRun = Seq.empty[(Long, Long, Int)]
+      .toDF("query_id", "doc_id", "rnk")
+    assert(Retrieval.rrfFuse(Seq(noRun, noRun), k = 5)
+      .collect().isEmpty)
+    assert(Retrieval.mineHardNegatives(noRun,
+      Seq.empty[(Long, Long)].toDF("query_id", "doc_id"), 3)
+      .collect().isEmpty)
+    assert(Retrieval.evalRetrieval(noRun,
+      Seq.empty[(Long, Long)].toDF("query_id", "doc_id"))
+      .collect().isEmpty)
+    assert(Retrieval.interleaveByAttr(
+      Seq.empty[(Long, Long, Int, String)]
+        .toDF("query_id", "doc_id", "rnk", "source"), "source")
+      .collect().isEmpty)
+    assert(Retrieval.mmrRerank(
+      Seq.empty[(Long, Long, Long, Seq[Float])]
+        .toDF("query_id", "doc_id", "rel_u", "embedding"),
+      "embedding", k = 3).collect().isEmpty)
+  }
+
   test("searchTier composition: dense pick sequence per query, picks" +
     " drawn from the fused candidate pool, self excluded by the" +
     " dense arm only") {
