@@ -943,6 +943,31 @@ object SparkEntry {
         .select(col("query_id"), col("doc_id"))
       Retrieval.evalRetrieval(run, qrels).orderBy("query_id")
     }),
+    // Deequ-style expectation suite over TPC-H tables: row-local
+    // checks share one pass per table; uniqueness is a two-stage
+    // count; FKs are anti-joins. Two checks are deliberately tight
+    // (l_discount <= 0.05, returnflag in {A,N}) so violations are
+    // visibly counted, and lineitem.l_orderkey is non-unique by
+    // construction — pass must be false there
+    "t_data_checks" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      Checks.suite(Seq(
+        Checks.rowChecks(li, Seq(
+          Checks.notNull("l_quantity"),
+          Checks.inRange("l_discount", 0.0, 0.05),
+          Checks.accepted("l_returnflag", Seq("A", "N")))),
+        Checks.unique(o, Seq("o_orderkey"), "orders.o_orderkey"),
+        Checks.unique(li, Seq("l_orderkey", "l_linenumber"),
+          "lineitem.(l_orderkey,l_linenumber)"),
+        Checks.unique(li, Seq("l_orderkey"), "lineitem.l_orderkey"),
+        Checks.foreignKey(o, "o_custkey", c, "c_custkey",
+          "orders.o_custkey->customer.c_custkey"),
+        Checks.foreignKey(li, "l_orderkey", o, "o_orderkey",
+          "lineitem.l_orderkey->orders.o_orderkey")))
+        .orderBy("check", "target")
+    }),
     // the full search tier composed end-to-end: batch-BM25 + dense
     // arms -> RRF fusion -> MMR diversity picks -> metadata page;
     // the oracle replays all five stages as one CTE chain
@@ -3694,6 +3719,57 @@ object SparkEntry {
         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rnk, neg_rank
         |FROM negs WHERE neg_rank <= 5
         |ORDER BY query_id, neg_rank""".stripMargin,
+    "t_data_checks" ->
+      """WITH rowc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v0,
+        |    CAST(SUM(CASE WHEN l_discount IS NOT NULL
+        |      AND NOT (l_discount >= 0.0 AND l_discount <= 0.05)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        |    CAST(SUM(CASE WHEN l_returnflag IS NOT NULL
+        |      AND l_returnflag NOT IN ('A', 'N')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v2
+        |  FROM lineitem),
+        |u1 AS (SELECT CAST(SUM(c) AS BIGINT) n_rows,
+        |         CAST(SUM(c - 1) AS BIGINT) nv
+        |       FROM (SELECT COUNT(*) c FROM orders GROUP BY o_orderkey)),
+        |u2 AS (SELECT CAST(SUM(c) AS BIGINT) n_rows,
+        |         CAST(SUM(c - 1) AS BIGINT) nv
+        |       FROM (SELECT COUNT(*) c FROM lineitem
+        |             GROUP BY l_orderkey, l_linenumber)),
+        |u3 AS (SELECT CAST(SUM(c) AS BIGINT) n_rows,
+        |         CAST(SUM(c - 1) AS BIGINT) nv
+        |       FROM (SELECT COUNT(*) c FROM lineitem GROUP BY l_orderkey)),
+        |fk1 AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) n_rows,
+        |          CAST((SELECT COUNT(*) FROM orders o
+        |                WHERE o.o_custkey IS NOT NULL AND NOT EXISTS (
+        |                  SELECT 1 FROM customer c
+        |                  WHERE c.c_custkey = o.o_custkey)) AS BIGINT) nv),
+        |fk2 AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) n_rows,
+        |          CAST((SELECT COUNT(*) FROM lineitem l
+        |                WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS (
+        |                  SELECT 1 FROM orders o
+        |                  WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) nv)
+        |SELECT * FROM (
+        |  SELECT 'not_null' AS "check", 'l_quantity' AS target,
+        |         n_rows, v0 AS n_violations, v0 = 0 AS pass FROM rowc
+        |  UNION ALL SELECT 'in_range', 'l_discount', n_rows, v1, v1 = 0
+        |    FROM rowc
+        |  UNION ALL SELECT 'accepted_values', 'l_returnflag', n_rows, v2,
+        |    v2 = 0 FROM rowc
+        |  UNION ALL SELECT 'unique', 'orders.o_orderkey', n_rows, nv,
+        |    nv = 0 FROM u1
+        |  UNION ALL SELECT 'unique', 'lineitem.(l_orderkey,l_linenumber)',
+        |    n_rows, nv, nv = 0 FROM u2
+        |  UNION ALL SELECT 'unique', 'lineitem.l_orderkey', n_rows, nv,
+        |    nv = 0 FROM u3
+        |  UNION ALL SELECT 'foreign_key',
+        |    'orders.o_custkey->customer.c_custkey', n_rows, nv, nv = 0
+        |    FROM fk1
+        |  UNION ALL SELECT 'foreign_key',
+        |    'lineitem.l_orderkey->orders.o_orderkey', n_rows, nv, nv = 0
+        |    FROM fk2)
+        |ORDER BY "check", target""".stripMargin,
     "t_fair_interleave" ->
       """WITH toks AS (SELECT doc_id,
         |         regexp_extract_all(lower(text), '[a-z0-9]+') AS ts

@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality expectation checks — the Deequ/dbt-test family a lake
+  * team runs before publishing a table: completeness, uniqueness,
+  * value domains, referential integrity. The reference has no
+  * validation surface (its loader trusts the CSV,
+  * scripts/load_data.py), but at 100 TB a silent schema drift or a
+  * broken upstream join multiplies into every downstream job, so
+  * checks must be first-class and as cheap as a scan.
+  *
+  * Scale shapes, by check class:
+  *  - Row-local checks (not-null, range, accepted values) share ONE
+  *    pass per table: each check is a map-side-combinable
+  *    `sum(when(violated, 1))` in a single aggregation, and the
+  *    per-check report rows are exploded from that one result row —
+  *    adding a check to a table costs one column, not one scan.
+  *  - Uniqueness is the standard two-stage count (groupBy key then
+  *    fold group sizes) — no window, no sort, no collect.
+  *  - Referential integrity is a left-anti join on the key — the same
+  *    shuffle any FK validation costs; the parent side is projected
+  *    to its key and deduplicated first.
+  * Every check emits the same report row
+  * `(check, target, n_rows, n_violations, pass)` so suites union
+  * cleanly (oracled `t_data_checks` across four TPC-H tables).
+  *
+  * Null semantics: range/accepted checks count only NON-null
+  * violations — nulls belong to `notNull`, so a nullable column never
+  * double-counts across checks.
+  */
+object Checks {
+
+  /** A row-local expectation: report name, target label, and the
+    * violation predicate over a single row. */
+  type RowCheck = (String, String, Column)
+
+  def notNull(c: String): RowCheck =
+    ("not_null", c, col(c).isNull)
+
+  def inRange(c: String, lo: Double, hi: Double): RowCheck =
+    ("in_range", c,
+      col(c).isNotNull && !(col(c) >= lo && col(c) <= hi))
+
+  def accepted(c: String, values: Seq[String]): RowCheck =
+    ("accepted_values", c,
+      col(c).isNotNull && !col(c).isin(values.map(v => v: Any): _*))
+
+  /** All row-local checks for one table in ONE aggregation pass. */
+  def rowChecks(df: DataFrame, checks: Seq[RowCheck]): DataFrame = {
+    require(checks.nonEmpty, "rowChecks: no checks given")
+    val aggs = count(lit(1)).as("_n") +:
+      checks.zipWithIndex.map { case ((_, _, violated), i) =>
+        sum(when(violated, 1L).otherwise(0L)).as(s"_v$i")
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val reports = checks.zipWithIndex.map { case ((name, target, _), i) =>
+      struct(lit(name).as("check"), lit(target).as("target"),
+        coalesce(col(s"_v$i"), lit(0L)).as("n_violations"))
+    }
+    one.select(col("_n").as("n_rows"),
+        explode(array(reports: _*)).as("c"))
+      .select(col("c.check").as("check"), col("c.target").as("target"),
+        col("n_rows"), col("c.n_violations").as("n_violations"),
+        (col("c.n_violations") === 0L).as("pass"))
+  }
+
+  /** Uniqueness of a (composite) key: violations = rows in excess of
+    * one per key value (0 ⇔ the key is unique). Null key components
+    * group like any other value. */
+  def unique(df: DataFrame, keyCols: Seq[String],
+             label: String): DataFrame = {
+    val g = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_cnt"))
+    g.agg(coalesce(sum(col("_cnt")), lit(0L)).as("n_rows"),
+        coalesce(sum(col("_cnt") - lit(1L)), lit(0L))
+          .as("n_violations"))
+      .select(lit("unique").as("check"), lit(label).as("target"),
+        col("n_rows"), col("n_violations"),
+        (col("n_violations") === 0L).as("pass"))
+  }
+
+  /** Referential integrity: child rows whose non-null key has no
+    * match in the parent's key set (null FKs are `notNull`'s
+    * business, matching SQL FK semantics). */
+  def foreignKey(child: DataFrame, childKey: String,
+                 parent: DataFrame, parentKey: String,
+                 label: String): DataFrame = {
+    val viols = child.select(col(childKey))
+      .filter(col(childKey).isNotNull)
+      .join(parent.select(col(parentKey).as(childKey)).distinct(),
+        Seq(childKey), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+    val tot = child.agg(count(lit(1)).as("n_rows"))
+    viols.crossJoin(tot)
+      .select(lit("foreign_key").as("check"), lit(label).as("target"),
+        col("n_rows"), col("n_violations"),
+        (col("n_violations") === 0L).as("pass"))
+  }
+
+  /** Union any number of check reports into one suite frame. */
+  def suite(reports: Seq[DataFrame]): DataFrame = {
+    require(reports.nonEmpty, "suite: no reports")
+    reports.reduce(_ union _)
+  }
+}
