@@ -1051,6 +1051,25 @@ object SparkEntry {
       val (a, b) = diffSnapshots(Tables.documents(s, dir))
       Corpus.corpusDiffSummary(a, b, "doc_id", "text")
     }),
+    // SCD2 history fold: snapshot a seeds the history at version 1,
+    // snapshot b applies at version 2 — changed docs close + reopen,
+    // removed docs close, added docs open, the bulk carries untouched
+    "t_scd2_apply" -> ((s, dir) => {
+      val (a, b) = diffSnapshots(Tables.documents(s, dir))
+      val hist = a.select(col("doc_id"), col("text"),
+        lit(1L).as("valid_from"),
+        lit(null).cast("long").as("valid_to"),
+        lit(true).as("is_current"))
+      Corpus.scd2Apply(hist, b, "doc_id", "text", version = 2L)
+        .select(col("doc_id"), md5(col("text")).as("h"),
+          col("valid_from"),
+          // open rows carry NULL valid_to in the op; projected to the
+          // 0 sentinel here because a parquet all-null int64 column
+          // demotes to float64 in the oracle comparator's pandas read
+          coalesce(col("valid_to"), lit(0L)).as("valid_to"),
+          col("is_current"))
+        .orderBy("doc_id", "valid_from")
+    }),
     // incremental refresh: recompute quality metrics ONLY for the
     // diff's added/changed docs, carry the rest — oracled against a
     // from-scratch recompute over snapshot b (the refresh must be
@@ -4003,6 +4022,36 @@ object SparkEntry {
         |      FROM j)
         |SELECT doc_id, status, delta_chars FROM s
         |WHERE status <> 'unchanged' ORDER BY doc_id""".stripMargin,
+    "t_scd2_apply" ->
+      """WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 3),
+        |b AS (SELECT doc_id,
+        |        CASE WHEN doc_id % 17 = 2 THEN text || ' rev2' ELSE text END AS text
+        |      FROM documents WHERE doc_id % 13 <> 5),
+        |fa AS (SELECT doc_id, md5(text) h FROM a),
+        |fb AS (SELECT doc_id, md5(text) h FROM b),
+        |st AS (SELECT COALESCE(fa.doc_id, fb.doc_id) doc_id,
+        |         CASE WHEN fa.h IS NULL THEN 'added'
+        |              WHEN fb.h IS NULL THEN 'removed'
+        |              WHEN fa.h <> fb.h THEN 'changed'
+        |              ELSE 'unchanged' END AS status
+        |       FROM fa FULL JOIN fb ON fa.doc_id = fb.doc_id),
+        |keep AS (SELECT doc_id, h, CAST(1 AS BIGINT) AS valid_from,
+        |           CAST(0 AS BIGINT) AS valid_to, TRUE AS is_current
+        |         FROM fa WHERE doc_id NOT IN (
+        |           SELECT doc_id FROM st
+        |           WHERE status IN ('changed', 'removed'))),
+        |closed AS (SELECT fa.doc_id, fa.h, CAST(1 AS BIGINT) AS valid_from,
+        |             CAST(2 AS BIGINT) AS valid_to, FALSE AS is_current
+        |           FROM fa JOIN st USING (doc_id)
+        |           WHERE status IN ('changed', 'removed')),
+        |opened AS (SELECT fb.doc_id, fb.h, CAST(2 AS BIGINT) AS valid_from,
+        |             CAST(0 AS BIGINT) AS valid_to, TRUE AS is_current
+        |           FROM fb JOIN st USING (doc_id)
+        |           WHERE status IN ('added', 'changed'))
+        |SELECT doc_id, h, valid_from, valid_to, is_current
+        |FROM (SELECT * FROM keep UNION ALL SELECT * FROM closed
+        |      UNION ALL SELECT * FROM opened)
+        |ORDER BY doc_id, valid_from""".stripMargin,
     "t_corpus_diff_sum" ->
       """WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 3),
         |b AS (SELECT doc_id,

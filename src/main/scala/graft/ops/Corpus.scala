@@ -83,6 +83,52 @@ object Corpus {
   /** One-row rollup of [[corpusDiff]] plus the unchanged count — the
     * changelog header. Computed from the same fingerprint join WITHOUT
     * the unchanged filter, as map-side-combinable conditional sums. */
+  /** SCD Type-2 history maintenance: fold a new corpus snapshot into a
+    * versioned history table — the lakehouse pattern for "what did
+    * this document say when we trained the March model?". `history`
+    * carries `(idCol, textCol, valid_from, valid_to, is_current)`;
+    * applying `snapshot` at `version` closes the current rows of
+    * changed/removed docs (`valid_to = version`, no longer current),
+    * opens rows for added/changed docs (`valid_from = version`,
+    * `valid_to` null), and carries everything else untouched —
+    * re-applying the same snapshot is a no-op (the diff is empty), so
+    * the fold is idempotent per version.
+    *
+    * Scale shape: the change detection is [[corpusDiff]]'s
+    * fingerprint join (~50-byte rows, never text); the close/open
+    * sets are delta-scale id lists applied by co-partitioned
+    * semi/anti joins — history text moves only for rows actually
+    * closing, snapshot text only for rows actually opening. Nothing
+    * rewrites the unchanged bulk (pair with a partitioned history
+    * layout so the carry-over is metadata, not IO).
+    */
+  def scd2Apply(history: DataFrame, snapshot: DataFrame, idCol: String,
+                textCol: String, version: Long): DataFrame = {
+    val outCols = Seq(col(idCol), col(textCol), col("valid_from"),
+      col("valid_to"), col("is_current"))
+    val cur = history.filter(col("is_current"))
+    val diff = corpusDiff(cur.select(col(idCol), col(textCol)),
+      snapshot.select(col(idCol), col(textCol)), idCol, textCol)
+    val closeIds = diff.filter(col("status").isin("changed", "removed"))
+      .select(col(idCol))
+    val openIds = diff.filter(col("status").isin("added", "changed"))
+      .select(col(idCol))
+    val keepAsIs = history.filter(!col("is_current"))
+      .select(outCols: _*)
+      .union(cur.join(closeIds, Seq(idCol), "left_anti")
+        .select(outCols: _*))
+    val closed = cur.join(closeIds, Seq(idCol), "left_semi")
+      .withColumn("valid_to", lit(version))
+      .withColumn("is_current", lit(false))
+      .select(outCols: _*)
+    val opened = snapshot.join(openIds, Seq(idCol), "left_semi")
+      .select(col(idCol), col(textCol),
+        lit(version).as("valid_from"),
+        lit(null).cast("long").as("valid_to"),
+        lit(true).as("is_current"))
+    keepAsIs.select(outCols: _*).union(closed).union(opened)
+  }
+
   def corpusDiffSummary(a: DataFrame, b: DataFrame, idCol: String,
                         textCol: String): DataFrame = {
     def fp(d: DataFrame, tag: String): DataFrame =

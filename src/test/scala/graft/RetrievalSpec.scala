@@ -440,6 +440,33 @@ class RetrievalSpec extends SparkSpec {
     assert(a.head.getLong(1) == 4L)
   }
 
+  test("scd2Apply: changed closes+reopens, removed closes, added" +
+    " opens, prior closed rows untouched; re-apply is a no-op") {
+    val hist = Seq(
+      (1L, "x", 1L, Option.empty[Long], true),
+      (2L, "y", 1L, Option.empty[Long], true),
+      (3L, "z", 0L, Some(1L), false), // already-closed old version
+      (3L, "z2", 1L, Option.empty[Long], true))
+      .toDF("doc_id", "text", "valid_from", "valid_to", "is_current")
+    val snap = Seq((1L, "x"), (2L, "y2"), (4L, "w"))
+      .toDF("doc_id", "text")
+    val out = Corpus.scd2Apply(hist, snap, "doc_id", "text", 2L)
+    val rows = out.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3),
+      r.getBoolean(4))).toSet
+    assert(rows == Set(
+      (1L, "x", 1L, -1L, true),    // unchanged: carried
+      (2L, "y", 1L, 2L, false),    // changed: closed...
+      (2L, "y2", 2L, -1L, true),   // ...and reopened at v2
+      (3L, "z", 0L, 1L, false),    // prior history untouched
+      (3L, "z2", 1L, 2L, false),   // removed: closed
+      (4L, "w", 2L, -1L, true)))   // added: opened
+    // idempotence: folding the same snapshot at v3 changes nothing
+    val again = Corpus.scd2Apply(out, snap, "doc_id", "text", 3L)
+      .collect().map(_.toSeq).toSet
+    assert(again == out.collect().map(_.toSeq).toSet)
+  }
+
   test("interleaveByAttr: the i-th best of every source competes at" +
     " slot i — a dominant source cannot hold consecutive places") {
     val run = Seq(
