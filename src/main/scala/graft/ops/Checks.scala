@@ -47,24 +47,49 @@ object Checks {
     ("accepted_values", c,
       col(c).isNotNull && !col(c).isin(values.map(v => v: Any): _*))
 
-  /** All row-local checks for one table in ONE aggregation pass. */
-  def rowChecks(df: DataFrame, checks: Seq[RowCheck]): DataFrame = {
-    require(checks.nonEmpty, "rowChecks: no checks given")
-    val aggs = count(lit(1)).as("_n") +:
+  /** The additive partial behind [[rowChecks]]: ONE row
+    * `(_n, _v0.._vk)` of exact long counts for a slice of the table.
+    * Partials from disjoint slices merge by plain column sums
+    * ([[mergeRowCheckPartials]]) — fold order cannot change the
+    * state, which is what makes the streaming quality-monitor MV
+    * ([[graft.streaming.Ingest]]) bit-identical to a batch run over
+    * everything ingested. */
+  def rowCheckPartials(df: DataFrame, checks: Seq[RowCheck]): DataFrame = {
+    require(checks.nonEmpty, "rowCheckPartials: no checks given")
+    val aggs = coalesce(count(lit(1)), lit(0L)).as("_n") +:
       checks.zipWithIndex.map { case ((_, _, violated), i) =>
-        sum(when(violated, 1L).otherwise(0L)).as(s"_v$i")
+        coalesce(sum(when(violated, 1L).otherwise(0L)), lit(0L))
+          .as(s"_v$i")
       }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Merge two [[rowCheckPartials]] frames: exact column sums. */
+  def mergeRowCheckPartials(a: DataFrame, b: DataFrame): DataFrame = {
+    val u = a.unionByName(b)
+    val sums = u.columns.map(c => coalesce(sum(col(c)), lit(0L)).as(c))
+    u.agg(sums.head, sums.tail: _*)
+  }
+
+  /** Reconstitute the per-check report rows from a (possibly merged)
+    * partial. `checks` must be the same list (same order) the partial
+    * was built with — the partial's columns are positional. */
+  def reportFromPartials(partial: DataFrame,
+                         checks: Seq[RowCheck]): DataFrame = {
     val reports = checks.zipWithIndex.map { case ((name, target, _), i) =>
       struct(lit(name).as("check"), lit(target).as("target"),
         coalesce(col(s"_v$i"), lit(0L)).as("n_violations"))
     }
-    one.select(col("_n").as("n_rows"),
+    partial.select(col("_n").as("n_rows"),
         explode(array(reports: _*)).as("c"))
       .select(col("c.check").as("check"), col("c.target").as("target"),
         col("n_rows"), col("c.n_violations").as("n_violations"),
         (col("c.n_violations") === 0L).as("pass"))
   }
+
+  /** All row-local checks for one table in ONE aggregation pass. */
+  def rowChecks(df: DataFrame, checks: Seq[RowCheck]): DataFrame =
+    reportFromPartials(rowCheckPartials(df, checks), checks)
 
   /** Uniqueness of a (composite) key: violations = rows in excess of
     * one per key value (0 ⇔ the key is unique). Null key components

@@ -644,6 +644,46 @@ object Ingest {
       .map(h => graft.ops.Sampling.temperatureRates(
         h, sourceCol, "_n", alpha, budgetFrac))
 
+  /** Streaming DATA-QUALITY MONITOR MV — the
+    * [[graft.ops.Checks.rowChecks]] expectation report kept
+    * continuously current over everything ingested: each micro-batch
+    * contributes its one-row additive partial (exact long counts —
+    * fold order cannot change the state), merged through the same
+    * versioned-state machinery as the profile/source-count MVs.
+    * Serving ([[readDataChecksReport]]) reconstitutes the per-check
+    * report from the single state row, bit-identical to batch
+    * `rowChecks` over the concatenated stream (StreamingSpec). The
+    * per-trigger cost is one partial aggregation of the batch plus a
+    * one-row merge — at 100 TB of ingest the quality dashboard is
+    * free. Row-local checks only: uniqueness/FK need the key set, so
+    * they stay batch jobs over the at-rest table. */
+  def startDataChecksSink(rows: DataFrame,
+                          checks: Seq[graft.ops.Checks.RowCheck],
+                          workRoot: String, checkpoint: String,
+                          trigger: Trigger = Trigger.ProcessingTime(0L))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.io.VersionedState.mergeCommit(
+          batch.sparkSession, s"$workRoot/datachecks", batchId,
+          graft.ops.Checks.rowCheckPartials(batch, checks),
+          graft.ops.Checks.mergeRowCheckPartials)
+        ()
+      }
+      .start()
+
+  /** Serving read for [[startDataChecksSink]]: the current expectation
+    * report (None before the first commit). `checks` must be the same
+    * list the sink runs with. */
+  def readDataChecksReport(spark: SparkSession, workRoot: String,
+                           checks: Seq[graft.ops.Checks.RowCheck])
+      : Option[DataFrame] =
+    graft.io.VersionedState.readLatest(spark, s"$workRoot/datachecks")
+      .map(p => graft.ops.Checks.reportFromPartials(p, checks))
+
   /** Incremental NEAR-dup ingest filter: a persisted MinHash band index
     * (parquet at `indexPath`, rows = (doc_id, band, band_h) from
     * ops.TextDedup.bandKeys) suppresses any incoming document whose

@@ -1337,4 +1337,36 @@ class StreamingSpec extends SparkSpec {
     assert(hits(idx) == hits(full))
     assert(graft.ops.Retrieval.searchWatermark(spark, idx) == 3L)
   }
+
+  test("data-checks MV: streamed expectation report equals batch " +
+    "rowChecks over the full ingested stream") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val checks = Seq(
+      graft.ops.Checks.notNull("v"),
+      graft.ops.Checks.inRange("v", 0.0, 10.0),
+      graft.ops.Checks.accepted("flag", Seq("A", "N")))
+    // violations land in DIFFERENT batches: the folded state must see
+    // all of them while each batch alone sees a different subset
+    val batches: Seq[Seq[(Long, Option[Double], String)]] = Seq(
+      Seq((1L, Some(5.0), "A"), (2L, Some(20.0), "N")),
+      Seq((3L, None, "X")),
+      Seq((4L, Some(-1.0), "A"), (5L, Some(3.0), "N")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dcmv")
+    val mem = MemoryStream[(Long, Option[Double], String)]
+    val q = Ingest.startDataChecksSink(
+      mem.toDF().toDF("id", "v", "flag"), checks,
+      s"$tmp/work", s"$tmp/cp")
+    try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    val served = Ingest.readDataChecksReport(spark, s"$tmp/work", checks)
+      .get.orderBy("check").collect().map(_.toSeq).toSeq
+    val batch = graft.ops.Checks.rowChecks(
+        batches.flatten.toDF("id", "v", "flag"), checks)
+      .orderBy("check").collect().map(_.toSeq).toSeq
+    assert(served == batch)
+    // and the counts are the cross-batch totals, not any single batch's
+    assert(served.map(r => (r(0), r(3))).toMap ==
+      Map("accepted_values" -> 1L, "in_range" -> 2L, "not_null" -> 1L))
+  }
 }
