@@ -434,6 +434,38 @@ object ScaleProbe {
     }
     }
 
+    section("checks") {
+    // the one-pass claim, measured: adding row-local checks must cost
+    // a column, not a scan — 8 checks within noise of 1 on the same
+    // multiplied lineitem. unique/FK carry their own (audited) shapes.
+    val li = multiplied(Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+        "l_returnflag"), "l_orderkey").cache()
+    println(s"[scaleprobe] lineitem x$mult = ${li.count()}")
+    def allChecks = Seq(
+      ops.Checks.notNull("l_quantity"), ops.Checks.notNull("l_discount"),
+      ops.Checks.notNull("l_returnflag"), ops.Checks.notNull("l_linenumber"),
+      ops.Checks.inRange("l_quantity", 1.0, 50.0),
+      ops.Checks.inRange("l_discount", 0.0, 0.05),
+      ops.Checks.accepted("l_returnflag", Seq("A", "N")),
+      ops.Checks.accepted("l_returnflag", Seq("A", "N", "R")))
+    time("row_checks_1") {
+      ops.Checks.rowChecks(li, allChecks.take(1)).count()
+    }
+    time("row_checks_8") {
+      ops.Checks.rowChecks(li, allChecks).count()
+    }
+    time("unique_composite") {
+      ops.Checks.unique(li, Seq("l_orderkey", "l_linenumber"),
+        "li.(ok,ln)").count()
+    }
+    time("fk_anti_join") {
+      ops.Checks.foreignKey(li, "l_orderkey",
+        multiplied(Tables.orders(spark, dir).select("o_orderkey"),
+          "o_orderkey"), "o_orderkey", "li->o").count()
+    }
+    }
+
     section("span") {
     // the substring-duplication family in a CLEAN session (the full
     // text sweep runs these after simhash's 78M-pair fixture, whose
