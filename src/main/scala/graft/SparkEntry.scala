@@ -943,6 +943,25 @@ object SparkEntry {
         .select(col("query_id"), col("doc_id"))
       Retrieval.evalRetrieval(run, qrels).orderBy("query_id")
     }),
+    // k-anonymity audit over customer quasi-identifiers
+    // (nation, market segment, account-balance band): the privacy
+    // release gate next to PII redaction
+    "t_k_anonymity" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+        .withColumn("bal_band",
+          floor(col("c_acctbal") / 1000).cast("long"))
+      Checks.kAnonymity(c,
+        Seq("c_nationkey", "c_mktsegment", "bal_band"), k = 5L)
+    }),
+    // ...and its suppression worklist: every quasi-group below k
+    "t_k_anon_groups" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+        .withColumn("bal_band",
+          floor(col("c_acctbal") / 1000).cast("long"))
+      Checks.kAnonymityGroups(c,
+          Seq("c_nationkey", "c_mktsegment", "bal_band"), k = 5L)
+        .orderBy("c_nationkey", "c_mktsegment", "bal_band")
+    }),
     // Deequ-style expectation suite over TPC-H tables: row-local
     // checks share one pass per table; uniqueness is a two-stage
     // count; FKs are anti-joins. Two checks are deliberately tight
@@ -3738,6 +3757,27 @@ object SparkEntry {
         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rnk, neg_rank
         |FROM negs WHERE neg_rank <= 5
         |ORDER BY query_id, neg_rank""".stripMargin,
+    "t_k_anonymity" ->
+      """WITH g AS (SELECT c_nationkey, c_mktsegment,
+        |         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        |         CAST(COUNT(*) AS BIGINT) AS group_n
+        |       FROM customer GROUP BY 1, 2, 3)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |       CAST(COALESCE(SUM(CASE WHEN group_n < 5 THEN 1 ELSE 0 END), 0)
+        |         AS BIGINT) AS n_small_groups,
+        |       CAST(COALESCE(SUM(CASE WHEN group_n < 5 THEN group_n ELSE 0 END), 0)
+        |         AS BIGINT) AS n_rows_at_risk,
+        |       CAST(COALESCE(MIN(group_n), 0) AS BIGINT) AS min_group_n,
+        |       COALESCE(SUM(CASE WHEN group_n < 5 THEN 1 ELSE 0 END), 0) = 0
+        |         AS k_anonymous
+        |FROM g""".stripMargin,
+    "t_k_anon_groups" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |       CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        |       CAST(COUNT(*) AS BIGINT) AS group_n
+        |FROM customer GROUP BY 1, 2, 3
+        |HAVING COUNT(*) < 5
+        |ORDER BY c_nationkey, c_mktsegment, bal_band""".stripMargin,
     "t_data_checks" ->
       """WITH rowc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
         |    CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)

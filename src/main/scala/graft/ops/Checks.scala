@@ -129,4 +129,41 @@ object Checks {
     require(reports.nonEmpty, "suite: no reports")
     reports.reduce(_ union _)
   }
+
+  /** k-anonymity audit (Sweeney 2002): does every combination of the
+    * quasi-identifier columns cover at least `k` rows? The release
+    * gate a privacy pipeline runs next to PII redaction
+    * ([[TextStats]]) — redacting direct identifiers is not enough
+    * when a (zip, age, segment) combination pins an individual.
+    * One-row summary: group count, groups below `k`, rows those
+    * expose, the smallest group, and the verdict. Scale shape: one
+    * hash aggregation on the quasi-key, then a groups-scale fold —
+    * the same two-stage shape as [[unique]], no window, no collect.
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String],
+                 k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymity: no quasi-identifier cols")
+    require(k >= 2, "kAnonymity: k must be >= 2")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_n"))
+      .agg(count(lit(1)).as("n_groups"),
+        coalesce(sum(when(col("group_n") < k, 1L).otherwise(0L)),
+          lit(0L)).as("n_small_groups"),
+        coalesce(sum(when(col("group_n") < k, col("group_n"))
+          .otherwise(0L)), lit(0L)).as("n_rows_at_risk"),
+        coalesce(min(col("group_n")), lit(0L)).as("min_group_n"))
+      .select(col("n_groups"), col("n_small_groups"),
+        col("n_rows_at_risk"), col("min_group_n"),
+        (col("n_small_groups") === 0L).as("k_anonymous"))
+  }
+
+  /** The suppression worklist behind [[kAnonymity]]: each
+    * quasi-identifier combination covering fewer than `k` rows, with
+    * its size — what generalization/suppression has to fix before
+    * release. */
+  def kAnonymityGroups(df: DataFrame, quasiCols: Seq[String],
+                       k: Long): DataFrame =
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_n"))
+      .filter(col("group_n") < k)
 }

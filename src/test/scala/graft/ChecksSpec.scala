@@ -49,6 +49,23 @@ class ChecksSpec extends SparkSpec {
       !fk.getBoolean(4))
   }
 
+  test("kAnonymity: summary counts and suppression worklist; an" +
+    " empty table is vacuously anonymous") {
+    val d = Seq(("a", "x"), ("a", "x"), ("a", "x"),
+      ("b", "y"), ("b", "y"), ("c", "z")).toDF("q1", "q2")
+    val s = Checks.kAnonymity(d, Seq("q1", "q2"), 3L).collect().head
+    assert((s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3),
+      s.getBoolean(4)) == (3L, 2L, 3L, 1L, false))
+    val w = Checks.kAnonymityGroups(d, Seq("q1", "q2"), 3L)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2))).toSet
+    assert(w == Set(("b", "y", 2L), ("c", "z", 1L)))
+    val e = Checks.kAnonymity(
+      Seq.empty[(String, String)].toDF("q1", "q2"),
+      Seq("q1", "q2"), 3L).collect().head
+    assert(e.getLong(0) == 0L && e.getBoolean(4))
+  }
+
   test("empty table: zero rows, every check passes") {
     val e = Seq.empty[(Long, Option[Double], String)]
       .toDF("id", "v", "flag")
