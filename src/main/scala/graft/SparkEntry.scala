@@ -125,6 +125,11 @@ object SparkEntry {
       TimeBuckets.dense(ev(s, dir), "ts", "value", 3600)),
     // custom period: one day of dense 30-min buckets from a start ts
     // (1704499207 = 2024-01-06 01:20:07 UTC → day start 2024-01-06)
+    // per-key gap-fill: linear interpolation across unobserved
+    // buckets between each event_type's own first/last observation
+    "a8_interpolate_gaps" -> ((s, dir) =>
+      TimeBuckets.interpolateGaps(Tables.events(s, dir), "event_type",
+        "ts", "value", 900L).orderBy("event_type", "bucket_ts")),
     "a8_history_custom_day" -> ((s, dir) =>
       TimeBuckets.customDay(ev(s, dir), "ts", "value", 1704499207L, 1800)),
     // period-name dispatch (routes.py:83-103): 7d → 4h buckets, dd/MM label
@@ -1863,6 +1868,45 @@ object SparkEntry {
         |       COALESCE(a.n_events, 0) AS n_events
         |FROM spine s LEFT JOIN agg a USING (bucket_ts)
         |ORDER BY s.bucket_ts""".stripMargin,
+    "a8_interpolate_gaps" ->
+      """WITH b AS (SELECT event_type,
+        |         CAST(floor(epoch(ts)/900)*900 AS BIGINT) AS bucket_ts,
+        |         CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS obs_value,
+        |         COUNT(*) AS n_events
+        |       FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT event_type, MIN(bucket_ts) lo, MAX(bucket_ts) hi
+        |           FROM b GROUP BY 1),
+        |spine AS (SELECT event_type,
+        |            unnest(generate_series(lo, hi, 900)) AS bucket_ts
+        |          FROM bounds),
+        |j AS (SELECT s.event_type, s.bucket_ts, b.obs_value, b.n_events
+        |      FROM spine s LEFT JOIN b USING (event_type, bucket_ts)),
+        |f AS (SELECT *,
+        |        last_value(obs_value IGNORE NULLS) OVER (
+        |          PARTITION BY event_type ORDER BY bucket_ts
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |        last_value(CASE WHEN obs_value IS NOT NULL THEN bucket_ts END
+        |          IGNORE NULLS) OVER (
+        |          PARTITION BY event_type ORDER BY bucket_ts
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        |        first_value(obs_value IGNORE NULLS) OVER (
+        |          PARTITION BY event_type ORDER BY bucket_ts
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |        first_value(CASE WHEN obs_value IS NOT NULL THEN bucket_ts END
+        |          IGNORE NULLS) OVER (
+        |          PARTITION BY event_type ORDER BY bucket_ts
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        |      FROM j)
+        |SELECT event_type, bucket_ts,
+        |       CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+        |       CASE WHEN obs_value IS NOT NULL THEN obs_value
+        |            WHEN pv IS NULL THEN nv
+        |            WHEN nv IS NULL THEN pv
+        |            ELSE pv + (nv - pv) *
+        |              (CAST(bucket_ts - pt AS DOUBLE) /
+        |               CAST(nt - pt AS DOUBLE)) END AS value,
+        |       obs_value IS NOT NULL AS observed
+        |FROM f ORDER BY event_type, bucket_ts""".stripMargin,
     "a8_history_custom_day" ->
       """WITH p AS (SELECT CAST(1704499207 - (1704499207 % 86400) AS BIGINT) AS day_start),
         |spine AS (SELECT day_start + unnest(generate_series(0, 47)) * 1800 AS bucket_ts FROM p),

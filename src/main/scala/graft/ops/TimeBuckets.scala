@@ -146,4 +146,60 @@ object TimeBuckets {
         coalesce(col("n_events"), lit(0L)).as("n_events"))
       .orderBy("bucket_ts")
   }
+
+  /** Per-key gap-fill with linear interpolation — the telemetry
+    * question [[dense]]'s zero-fill answers wrongly for continuous
+    * signals: an unobserved bucket between two readings means "the
+    * sensor was between them", not "the value was 0". Buckets the
+    * events per key, builds each key's dense spine between its OWN
+    * first and last observed bucket, and fills interior gaps by
+    * linear interpolation between the nearest observed neighbors
+    * (`observed` marks real buckets; the spine's endpoints are
+    * observed by construction, so no edge extrapolation is invented).
+    *
+    * Scale shape: the aggregation is a hash agg on `(key, bucket)`;
+    * the fills are four `last`/`first` IGNORE NULLS frames over
+    * windows PARTITIONED BY the key — spine-scale rows
+    * (span/interval per key, bounded by the time range, never
+    * event-scale), no single-partition window. Interpolation
+    * arithmetic is plain IEEE doubles in a fixed expression shape,
+    * replayed verbatim by the DuckDB oracle (`a8_interpolate_gaps`).
+    */
+  def interpolateGaps(events: DataFrame, keyCol: String, tsCol: String,
+                      valueCol: String, intervalSec: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = events.select(col(keyCol),
+        (floor(unix_timestamp(col(tsCol)) / intervalSec) * intervalSec)
+          .cast("long").as("bucket_ts"),
+        col(valueCol))
+      .groupBy(col(keyCol), col("bucket_ts"))
+      .agg(Exact.dsum2(col(valueCol)).as("obs_value"),
+        count(lit(1)).as("n_events"))
+    val bounds = b.groupBy(col(keyCol))
+      .agg(min(col("bucket_ts")).as("lo"), max(col("bucket_ts")).as("hi"))
+    val spine = bounds.select(col(keyCol),
+      explode(sequence(col("lo"), col("hi"), lit(intervalSec)))
+        .as("bucket_ts"))
+    val joined = spine.join(b, Seq(keyCol, "bucket_ts"), "left")
+    val wPrev = Window.partitionBy(col(keyCol)).orderBy(col("bucket_ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col(keyCol)).orderBy(col("bucket_ts"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val prevV = last(col("obs_value"), ignoreNulls = true).over(wPrev)
+    val prevT = last(when(col("obs_value").isNotNull, col("bucket_ts")),
+      ignoreNulls = true).over(wPrev)
+    val nextV = first(col("obs_value"), ignoreNulls = true).over(wNext)
+    val nextT = first(when(col("obs_value").isNotNull, col("bucket_ts")),
+      ignoreNulls = true).over(wNext)
+    joined.select(col(keyCol), col("bucket_ts"),
+      coalesce(col("n_events"), lit(0L)).as("n_events"),
+      when(col("obs_value").isNotNull, col("obs_value"))
+        .when(prevV.isNull, nextV)
+        .when(nextV.isNull, prevV)
+        .otherwise(prevV + (nextV - prevV) *
+          ((col("bucket_ts") - prevT).cast("double") /
+            (nextT - prevT).cast("double")))
+        .as("value"),
+      col("obs_value").isNotNull.as("observed"))
+  }
 }

@@ -297,6 +297,27 @@ class EdgeCasesSpec extends SparkSpec {
       s"approx=$approx exact=$exact")
   }
 
+  test("interpolateGaps: interior gaps linear between neighbors," +
+    " observed flags, single-obs key has no spine, empty in/out") {
+    import java.time.Instant
+    def ts(epoch: Long) = Timestamp.from(Instant.ofEpochSecond(epoch))
+    val ev = Seq(
+      ("a", ts(0L), 10.0), ("a", ts(2700L), 40.0), // gap: 900, 1800
+      ("b", ts(450L), 7.0))                        // single obs
+      .toDF("k", "ts", "value")
+    val out = TimeBuckets.interpolateGaps(ev, "k", "ts", "value", 900L)
+      .orderBy("k", "bucket_ts").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3),
+        r.getBoolean(4))).toSeq
+    assert(out == Seq(
+      ("a", 0L, 10.0, true), ("a", 900L, 20.0, false),
+      ("a", 1800L, 30.0, false), ("a", 2700L, 40.0, true),
+      ("b", 0L, 7.0, true)))
+    assert(TimeBuckets.interpolateGaps(
+      Seq.empty[(String, Timestamp, Double)].toDF("k", "ts", "value"),
+      "k", "ts", "value", 900L).collect().isEmpty)
+  }
+
   test("prediction with empty history returns 0 for all keys") {
     val keys = Seq(1L, 2L).toDF("user_id")
     val out = Predict.predictSlot(empty, keys, "user_id", "ts", "value", 1, 8)
