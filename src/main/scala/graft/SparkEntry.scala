@@ -967,6 +967,15 @@ object SparkEntry {
           Seq("c_nationkey", "c_mktsegment", "bal_band"), k = 5L)
         .orderBy("c_nationkey", "c_mktsegment", "bal_band")
     }),
+    // l-diversity audit: distinct balance-bands per (nation, segment)
+    // quasi-group — k-anonymity's necessary companion
+    "t_l_diversity" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+        .withColumn("bal_band",
+          floor(col("c_acctbal") / 1000).cast("long"))
+      Checks.lDiversity(c, Seq("c_nationkey", "c_mktsegment"),
+        "bal_band", l = 8L)
+    }),
     // Deequ-style expectation suite over TPC-H tables: row-local
     // checks share one pass per table; uniqueness is a two-stage
     // count; FKs are anti-joins. Two checks are deliberately tight
@@ -3801,6 +3810,18 @@ object SparkEntry {
         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rnk, neg_rank
         |FROM negs WHERE neg_rank <= 5
         |ORDER BY query_id, neg_rank""".stripMargin,
+    "t_l_diversity" ->
+      """WITH nd AS (SELECT c_nationkey, c_mktsegment,
+        |         CAST(COUNT(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+        |           AS BIGINT) AS n_distinct
+        |       FROM customer GROUP BY 1, 2)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |       CAST(COALESCE(SUM(CASE WHEN n_distinct < 8 THEN 1 ELSE 0 END), 0)
+        |         AS BIGINT) AS n_low_groups,
+        |       CAST(COALESCE(MIN(n_distinct), 0) AS BIGINT) AS min_distinct,
+        |       COALESCE(SUM(CASE WHEN n_distinct < 8 THEN 1 ELSE 0 END), 0) = 0
+        |         AS l_diverse
+        |FROM nd""".stripMargin,
     "t_k_anonymity" ->
       """WITH g AS (SELECT c_nationkey, c_mktsegment,
         |         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,

@@ -166,4 +166,39 @@ object Checks {
     df.groupBy(quasiCols.map(col): _*)
       .agg(count(lit(1)).as("group_n"))
       .filter(col("group_n") < k)
+
+  /** l-diversity audit (Machanavajjhala et al. 2007): k-anonymity's
+    * necessary companion — a group of 50 identical rows is perfectly
+    * k-anonymous and still leaks the sensitive attribute if all 50
+    * share one value. Counts DISTINCT sensitive values per
+    * quasi-identifier group; the verdict holds when every group
+    * carries at least `l`. Exact distinct via the standard two-stage
+    * shape: group on (quasi, sensitive) first, then fold — no
+    * expand-heavy countDistinct, no window. */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "lDiversity: no quasi-identifier cols")
+    require(l >= 2, "lDiversity: l must be >= 2")
+    val nd = df.groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_distinct"))
+    nd.agg(count(lit(1)).as("n_groups"),
+        coalesce(sum(when(col("n_distinct") < l, 1L).otherwise(0L)),
+          lit(0L)).as("n_low_groups"),
+        coalesce(min(col("n_distinct")), lit(0L)).as("min_distinct"))
+      .select(col("n_groups"), col("n_low_groups"),
+        col("min_distinct"),
+        (col("n_low_groups") === 0L).as("l_diverse"))
+  }
+
+  /** The worklist behind [[lDiversity]]: quasi-groups whose sensitive
+    * attribute carries fewer than `l` distinct values. */
+  def lDiversityGroups(df: DataFrame, quasiCols: Seq[String],
+                       sensitiveCol: String, l: Long): DataFrame =
+    df.groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_distinct"))
+      .filter(col("n_distinct") < l)
 }

@@ -66,6 +66,20 @@ class ChecksSpec extends SparkSpec {
     assert(e.getLong(0) == 0L && e.getBoolean(4))
   }
 
+  test("lDiversity: distinct-sensitive counts per quasi-group; a" +
+    " k-anonymous group with one sensitive value is flagged") {
+    // group (a): 3 rows but only 1 distinct sensitive value — the
+    // case k-anonymity alone waves through
+    val d = Seq(("a", "s1"), ("a", "s1"), ("a", "s1"),
+      ("b", "s1"), ("b", "s2")).toDF("q", "s")
+    val sumr = Checks.lDiversity(d, Seq("q"), "s", 2L).collect().head
+    assert((sumr.getLong(0), sumr.getLong(1), sumr.getLong(2),
+      sumr.getBoolean(3)) == (2L, 1L, 1L, false))
+    val w = Checks.lDiversityGroups(d, Seq("q"), "s", 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(w == Set(("a", 1L)))
+  }
+
   test("empty table: zero rows, every check passes") {
     val e = Seq.empty[(Long, Option[Double], String)]
       .toDF("id", "v", "flag")
