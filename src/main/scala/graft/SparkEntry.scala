@@ -125,6 +125,17 @@ object SparkEntry {
       TimeBuckets.dense(ev(s, dir), "ts", "value", 3600)),
     // custom period: one day of dense 30-min buckets from a start ts
     // (1704499207 = 2024-01-06 01:20:07 UTC → day start 2024-01-06)
+    // retention cohort triangle: users by first-active week, counted
+    // in every week they return
+    "a_retention_cohorts" -> ((s, dir) =>
+      Analytic.retentionCohorts(Tables.events(s, dir), "user_id", "ts")
+        .orderBy("cohort", "offset")),
+    // ordered funnel: view -> click -> purchase, each strictly after
+    // the previous, all within 7 days of the user's first view
+    "a_funnel" -> ((s, dir) =>
+      Analytic.funnel(Tables.events(s, dir), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"),
+        horizonSec = 7L * 86400).orderBy("step")),
     // per-key gap-fill: linear interpolation across unobserved
     // buckets between each event_type's own first/last observation
     "a8_interpolate_gaps" -> ((s, dir) =>
@@ -1877,6 +1888,38 @@ object SparkEntry {
         |       COALESCE(a.n_events, 0) AS n_events
         |FROM spine s LEFT JOIN agg a USING (bucket_ts)
         |ORDER BY s.bucket_ts""".stripMargin,
+    "a_retention_cohorts" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+        |         CAST(floor(epoch(ts) / 604800) AS BIGINT) AS period
+        |       FROM events),
+        |co AS (SELECT user_id, MIN(period) AS cohort FROM act GROUP BY 1)
+        |SELECT cohort, period - cohort AS "offset",
+        |       CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM act JOIN co USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort, "offset" """.stripMargin,
+    "a_funnel" ->
+      """WITH ev AS (SELECT user_id AS u,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS t, event_type AS y
+        |       FROM events),
+        |s1 AS (SELECT u, MIN(t) AS t1 FROM ev WHERE y = 'view' GROUP BY 1),
+        |s2 AS (SELECT ev.u, s1.t1, MIN(ev.t) AS tp
+        |       FROM ev JOIN s1 ON ev.u = s1.u
+        |       WHERE ev.y = 'click' AND ev.t > s1.t1
+        |         AND ev.t <= s1.t1 + 604800
+        |       GROUP BY 1, 2),
+        |s3 AS (SELECT ev.u, s2.t1, MIN(ev.t) AS tp
+        |       FROM ev JOIN s2 ON ev.u = s2.u
+        |       WHERE ev.y = 'purchase' AND ev.t > s2.tp
+        |         AND ev.t <= s2.t1 + 604800
+        |       GROUP BY 1, 2)
+        |SELECT * FROM (
+        |  SELECT 1 AS step, 'view' AS event_type,
+        |         CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+        |  UNION ALL SELECT 2, 'click',
+        |         CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+        |  UNION ALL SELECT 3, 'purchase',
+        |         CAST((SELECT COUNT(*) FROM s3) AS BIGINT))
+        |ORDER BY step""".stripMargin,
     "a8_interpolate_gaps" ->
       """WITH b AS (SELECT event_type,
         |         CAST(floor(epoch(ts)/900)*900 AS BIGINT) AS bucket_ts,

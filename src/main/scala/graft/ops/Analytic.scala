@@ -93,4 +93,64 @@ object Analytic {
         max(unix_timestamp(col(ts))).as("session_end"),
         Exact.dsum2(col(value)).as("total_value"))
   }
+
+  /** Retention cohort matrix: users bucketed by their FIRST active
+    * period (the cohort), counted in every later period they return —
+    * the `(cohort, offset) -> n_users` triangle every product
+    * analytics stack draws. Two hash aggregations and one join on the
+    * user key: (user, period) distinct activity, min-period cohorts,
+    * then a (cohort, offset) count — no window, no collect; at 100 TB
+    * the shuffles are user-scale then cohort-scale. */
+  def retentionCohorts(events: DataFrame, userCol: String,
+                       tsCol: String,
+                       intervalSec: Long = 604800L): DataFrame = {
+    val act = events.select(col(userCol),
+        floor(unix_timestamp(col(tsCol)) / intervalSec)
+          .cast("long").as("period"))
+      .distinct()
+    val cohorts = act.groupBy(col(userCol))
+      .agg(min(col("period")).as("cohort"))
+    act.join(cohorts, Seq(userCol))
+      .groupBy(col("cohort"),
+        (col("period") - col("cohort")).as("offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Ordered funnel: how many users performed `steps` IN ORDER, each
+    * strictly after the previous and all within `horizonSec` of their
+    * first step-1 event. The earliest-completion semantics: step 1
+    * anchors at the user's first step-1 event; each later step takes
+    * the earliest qualifying event after the previous step's time —
+    * greedy-earliest is the standard funnel definition and makes the
+    * result order-independent.
+    *
+    * Implementation: k−1 sequential min-joins on the user key (k is
+    * query-scale, 3–5), each filtering the step's events against the
+    * previous step's per-user time before aggregating — event rows
+    * move only for users still in the funnel. No window, no
+    * per-user state. */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String],
+             horizonSec: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel: no steps")
+    val ev = events.select(col(userCol).as("_u"),
+      unix_timestamp(col(tsCol)).as("_t"), col(typeCol).as("_y"))
+    val first = ev.filter(col("_y") === steps.head)
+      .groupBy(col("_u")).agg(min(col("_t")).as("_t1"))
+      .withColumn("_tp", col("_t1"))
+    val reached = steps.tail.scanLeft(first) { (prev, step) =>
+      ev.filter(col("_y") === step)
+        .join(prev.select(col("_u"), col("_t1"), col("_tp")), Seq("_u"))
+        .filter(col("_t") > col("_tp") &&
+          col("_t") <= col("_t1") + lit(horizonSec))
+        .groupBy(col("_u"), col("_t1"))
+        .agg(min(col("_t")).as("_tp"))
+    }
+    reached.zip(steps.toSeq).zipWithIndex.map {
+      case ((df, name), i) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(i + 1).as("step"), lit(name).as("event_type"),
+            col("n_users"))
+    }.reduce(_ union _)
+  }
 }

@@ -318,6 +318,45 @@ class EdgeCasesSpec extends SparkSpec {
       "k", "ts", "value", 900L).collect().isEmpty)
   }
 
+  test("funnel: strict ordering and horizon; out-of-order and" +
+    " beyond-horizon users drop at the right step") {
+    import java.time.Instant
+    def ts(e: Long) = Timestamp.from(Instant.ofEpochSecond(e))
+    val ev = Seq(
+      (1L, ts(100L), "view"), (1L, ts(200L), "click"),
+      (1L, ts(300L), "purchase"),
+      (2L, ts(100L), "click"), (2L, ts(200L), "view"), // click BEFORE view
+      (3L, ts(100L), "view"), (3L, ts(150L), "click"),
+      (3L, ts(5000L), "purchase"),                     // beyond horizon
+      (4L, ts(100L), "purchase"))                      // never viewed
+      .toDF("user_id", "ts", "event_type")
+    val out = Analytic.funnel(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), horizonSec = 1000L)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq((1, "view", 3L), (2, "click", 2L),
+      (3, "purchase", 1L)))
+  }
+
+  test("retentionCohorts: cohort = first active period, offsets count" +
+    " distinct returning users") {
+    import java.time.Instant
+    def ts(e: Long) = Timestamp.from(Instant.ofEpochSecond(e))
+    val ev = Seq(
+      (1L, ts(5L)), (1L, ts(15L)), (1L, ts(35L)), (1L, ts(36L)),
+      (2L, ts(12L)),
+      (3L, ts(18L)), (3L, ts(29L)))
+      .toDF("user_id", "ts")
+    val out = Analytic.retentionCohorts(ev, "user_id", "ts",
+        intervalSec = 10L)
+      .orderBy("cohort", "offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // user1 cohort 0 active periods {0,1,3} (35,36 collapse); users
+    // 2,3 cohort 1; user3 returns at offset 1
+    assert(out == Seq((0L, 0L, 1L), (0L, 1L, 1L), (0L, 3L, 1L),
+      (1L, 0L, 2L), (1L, 1L, 1L)))
+  }
+
   test("prediction with empty history returns 0 for all keys") {
     val keys = Seq(1L, 2L).toDF("user_id")
     val out = Predict.predictSlot(empty, keys, "user_id", "ts", "value", 1, 8)
