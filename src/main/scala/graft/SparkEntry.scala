@@ -125,6 +125,11 @@ object SparkEntry {
       TimeBuckets.dense(ev(s, dir), "ts", "value", 3600)),
     // custom period: one day of dense 30-min buckets from a start ts
     // (1704499207 = 2024-01-06 01:20:07 UTC → day start 2024-01-06)
+    // event-transition matrix: where users actually go next
+    "a_transitions" -> ((s, dir) =>
+      Analytic.eventTransitions(Tables.events(s, dir), "user_id",
+        "ts", "event_type", "event_id")
+        .orderBy("from_type", "to_type")),
     // retention cohort triangle: users by first-active week, counted
     // in every week they return
     "a_retention_cohorts" -> ((s, dir) =>
@@ -1888,6 +1893,14 @@ object SparkEntry {
         |       COALESCE(a.n_events, 0) AS n_events
         |FROM spine s LEFT JOIN agg a USING (bucket_ts)
         |ORDER BY s.bucket_ts""".stripMargin,
+    "a_transitions" ->
+      """WITH t AS (SELECT user_id, event_type AS to_type,
+        |         LAG(event_type, 1) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS from_type
+        |       FROM events)
+        |SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+        |FROM t WHERE from_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
     "a_retention_cohorts" ->
       """WITH act AS (SELECT DISTINCT user_id,
         |         CAST(floor(epoch(ts) / 604800) AS BIGINT) AS period

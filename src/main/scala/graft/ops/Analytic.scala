@@ -153,4 +153,24 @@ object Analytic {
             col("n_users"))
     }.reduce(_ union _)
   }
+
+  /** Event-transition matrix (the Sankey behind a funnel): for every
+    * consecutive pair of events per user (ordered by time, tie broken
+    * on `tieCol`), count `(from_type, to_type)` — where users actually
+    * go next, not just whether they complete a prescribed path. One
+    * lag window partitioned by the user key (user-scale partitions,
+    * streaming-friendly frame) and one hash aggregation on the
+    * types-squared key. */
+  def eventTransitions(events: DataFrame, userCol: String,
+                       tsCol: String, typeCol: String,
+                       tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    events.select(col(userCol), col(tsCol), col(tieCol),
+        col(typeCol).as("to_type"))
+      .withColumn("from_type", lag(col("to_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+  }
 }
