@@ -434,6 +434,31 @@ object ScaleProbe {
     }
     }
 
+    section("analytics") {
+    // product-analytics family at xmult over multiplied events: all
+    // three must track the event count (hash aggs / one lag window /
+    // k-1 user-key joins), with no all-pairs or driver loop anywhere
+    val ev = multiplied(Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value"),
+      "user_id").cache()
+    println(s"[scaleprobe] events x$mult = ${ev.count()}")
+    time("retention_cohorts") {
+      ops.Analytic.retentionCohorts(ev, "user_id", "ts").count()
+    }
+    time("funnel_3step") {
+      ops.Analytic.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), 7L * 86400).count()
+    }
+    time("event_transitions") {
+      ops.Analytic.eventTransitions(ev, "user_id", "ts",
+        "event_type", "event_id").count()
+    }
+    time("interpolate_gaps") {
+      ops.TimeBuckets.interpolateGaps(ev, "event_type", "ts",
+        "value", 900L).count()
+    }
+    }
+
     section("checks") {
     // the one-pass claim, measured: adding row-local checks must cost
     // a column, not a scan — 8 checks within noise of 1 on the same
