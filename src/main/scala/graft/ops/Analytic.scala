@@ -103,11 +103,21 @@ object Analytic {
     * the shuffles are user-scale then cohort-scale. */
   def retentionCohorts(events: DataFrame, userCol: String,
                        tsCol: String,
-                       intervalSec: Long = 604800L): DataFrame = {
-    val act = events.select(col(userCol),
-        floor(unix_timestamp(col(tsCol)) / intervalSec)
-          .cast("long").as("period"))
-      .distinct()
+                       intervalSec: Long = 604800L): DataFrame =
+    retentionFromActivity(
+      events.select(col(userCol),
+          floor(unix_timestamp(col(tsCol)) / intervalSec)
+            .cast("long").as("period"))
+        .distinct(),
+      userCol)
+
+  /** The cohort fold behind [[retentionCohorts]], over an already-
+    * distinct `(userCol, period)` activity set — shared with the
+    * streaming activity index ([[graft.streaming.Ingest]]), whose
+    * serving read computes retention from pair-scale state instead of
+    * rescanning events. */
+  def retentionFromActivity(act: DataFrame,
+                            userCol: String): DataFrame = {
     val cohorts = act.groupBy(col(userCol))
       .agg(min(col("period")).as("cohort"))
     act.join(cohorts, Seq(userCol))

@@ -644,6 +644,47 @@ object Ingest {
       .map(h => graft.ops.Sampling.temperatureRates(
         h, sourceCol, "_n", alpha, budgetFrac))
 
+  /** Streaming ACTIVITY INDEX — retention analytics without ever
+    * rescanning the event stream: each micro-batch appends its
+    * DISTINCT `(user, period)` pairs idempotently under `b=<batchId>`
+    * (the replay-safe layout shared with the history/near-dup sinks;
+    * [[graft.io.Batches.compact]] bounds the directory count). The
+    * state is pair-scale — users × their active periods — which is
+    * what makes a retention dashboard over a 100 TB event history
+    * serveable: the serving read ([[readRetention]]) dedups pairs
+    * across batches (a user active in the same period in many batches
+    * counts once) and runs the cohort fold over that small set,
+    * row-identical to batch [[graft.ops.Analytic.retentionCohorts]]
+    * over the concatenated stream (StreamingSpec). */
+  def startActivitySink(events: DataFrame, userCol: String,
+                        tsCol: String, intervalSec: Long,
+                        outRoot: String, checkpoint: String,
+                        trigger: Trigger = Trigger.ProcessingTime(0L))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.select(col(userCol),
+            floor(unix_timestamp(col(tsCol)) / intervalSec)
+              .cast("long").as("period"))
+          .distinct()
+          .write.mode("overwrite").parquet(s"$outRoot/b=$batchId")
+        ()
+      }
+      .start()
+
+  /** Serving read for [[startActivitySink]]: the retention cohort
+    * triangle over everything ingested so far (None before the first
+    * commit). */
+  def readRetention(spark: SparkSession, outRoot: String,
+                    userCol: String): Option[DataFrame] =
+    graft.io.Batches.read(spark, outRoot).map(act =>
+      graft.ops.Analytic.retentionFromActivity(
+        act.select(col(userCol), col("period")).distinct(),
+        userCol))
+
   /** Streaming DATA-QUALITY MONITOR MV — the
     * [[graft.ops.Checks.rowChecks]] expectation report kept
     * continuously current over everything ingested: each micro-batch

@@ -1338,6 +1338,37 @@ class StreamingSpec extends SparkSpec {
     assert(graft.ops.Retrieval.searchWatermark(spark, idx) == 3L)
   }
 
+  test("activity index: streamed retention equals batch cohorts over " +
+    "the full stream; same-period re-activity across batches counts once") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    def ts(e: Long) = new java.sql.Timestamp(e * 1000L)
+    // user 1 is active in period 0 in BOTH batch 1 and batch 2 (must
+    // count once) and returns in period 1; user 2 appears only later
+    val batches: Seq[Seq[(Long, java.sql.Timestamp)]] = Seq(
+      Seq((1L, ts(5L))),
+      Seq((1L, ts(8L)), (2L, ts(12L))),
+      Seq((1L, ts(15L)), (2L, ts(25L))))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_actidx")
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = Ingest.startActivitySink(
+      mem.toDF().toDF("user_id", "ts"), "user_id", "ts", 10L,
+      s"$tmp/idx", s"$tmp/cp")
+    try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    val served = Ingest.readRetention(spark, s"$tmp/idx", "user_id")
+      .get.orderBy("cohort", "offset").collect().map(_.toSeq).toSeq
+    val batch = ops.Analytic.retentionCohorts(
+        batches.flatten.toDF("user_id", "ts"), "user_id", "ts", 10L)
+      .orderBy("cohort", "offset").collect().map(_.toSeq).toSeq
+    assert(served == batch)
+    // compaction keeps the answer identical
+    graft.io.Batches.compact(spark, s"$tmp/idx", upTo = 2L)
+    val afterCompact = Ingest.readRetention(spark, s"$tmp/idx", "user_id")
+      .get.orderBy("cohort", "offset").collect().map(_.toSeq).toSeq
+    assert(afterCompact == served)
+  }
+
   test("data-checks MV: streamed expectation report equals batch " +
     "rowChecks over the full ingested stream") {
     implicit val sc = spark.sqlContext
