@@ -151,6 +151,25 @@ object SparkEntry {
     // period-name dispatch (routes.py:83-103): 7d → 4h buckets, dd/MM label
     "a8_history_period_7d" -> ((s, dir) =>
       TimeBuckets.forPeriod(ev(s, dir), "ts", "value", "7d", "dd/MM")),
+    // ---- ts_*: the modeling layer over the traffic stream — classical
+    // decomposition, per-camera next-day forecast (the reference's
+    // slot-mean prediction restated, utils.py:417-470), EWMA smoothing,
+    // CUSUM changepoints on an injected level shift (ops/Forecast) ----
+    "ts_seasonal_decomp" -> ((s, dir) =>
+      Forecast.seasonalDecompose(ev(s, dir), "event_type", "ts", "value")),
+    "ts_forecast_day" -> ((s, dir) =>
+      Forecast.forecastNextBuckets(ev(s, dir), "user_id", "ts", "value")),
+    "ts_ewma" -> ((s, dir) =>
+      Forecast.ewmaSmooth(ev(s, dir), "user_id", "ts", "value")),
+    // deterministic +25.0 level shift from 2024-01-22 00:00 UTC
+    // (identical construction in the oracle) so the detector has a real
+    // changepoint to find in the stationary synthetic stream
+    "ts_cusum" -> ((s, dir) =>
+      Forecast.cusumChangepoints(
+        ev(s, dir).withColumn("value", col("value") +
+          when(unix_timestamp(col("ts")) >= 1705881600L, lit(25.0))
+            .otherwise(lit(0.0))),
+        "user_id", "ts", "value", k = 0.5, h = 3.0)),
     // ---- A1/A2/A3/A10/A13: totals and roll-ups ----
     "a1_totals_global" -> ((s, dir) => Totals.global(ev(s, dir), "value")),
     "a2_totals_trailing_7d" -> ((s, dir) =>
@@ -1830,7 +1849,123 @@ object SparkEntry {
          |LEFT JOIN agg a USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin
 
+  /** Generated oracle for [[Forecast.ewmaSmooth]]: the 6-dp micro-unit
+    * weight table is computed from the SAME (decay, horizon) so both
+    * engines consume identical integer weights. */
+  private def ewmaOracleSql(keyCol: String, bucketSec: Long,
+                            decay: Double, horizon: Int): String = {
+    val vals = (0 until horizon).map(k =>
+      s"($k, ${math.round(math.pow(decay, k.toDouble) * 1e6)})")
+      .mkString(", ")
+    s"""WITH b AS (SELECT $keyCol,
+       |        CAST(floor(epoch(ts)/$bucketSec)*$bucketSec AS BIGINT) AS bucket_ts,
+       |        SUM(CAST(round(value*100) AS BIGINT)) AS u
+       |      FROM events GROUP BY 1, 2),
+       |w(k, w_u6) AS (VALUES $vals),
+       |p AS (SELECT b.$keyCol, b.bucket_ts,
+       |        b.bucket_ts - w.k*$bucketSec AS src_ts, w.w_u6
+       |      FROM b CROSS JOIN w),
+       |j AS (SELECT p.$keyCol, p.bucket_ts,
+       |        SUM(s.u * p.w_u6) AS num, SUM(p.w_u6) AS den
+       |      FROM p JOIN b s ON s.$keyCol = p.$keyCol AND s.bucket_ts = p.src_ts
+       |      GROUP BY 1, 2)
+       |SELECT $keyCol, bucket_ts,
+       |       round(CAST(num AS DOUBLE)/(CAST(den AS DOUBLE)*100.0), 6) AS ewma
+       |FROM j ORDER BY $keyCol, bucket_ts""".stripMargin
+  }
+
+  /** Shared decomposition CTE chain (through `t3` + `idx`) for the ts_*
+    * oracles — the DuckDB replay of [[Forecast.seasonalDecompose]]'s
+    * exact-integer pipeline, parameterized by series key. */
+  private def decompCtes(keyCol: String): String =
+    s"""WITH b AS (
+       |  SELECT $keyCol, CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_ts,
+       |         SUM(CAST(round(value*100) AS BIGINT)) AS u
+       |  FROM events GROUP BY 1, 2),
+       |bounds AS (SELECT $keyCol, MIN(bucket_ts) lo, MAX(bucket_ts) hi
+       |           FROM b GROUP BY 1),
+       |spine AS (SELECT $keyCol,
+       |            unnest(generate_series(lo, hi, 3600)) AS bucket_ts
+       |          FROM bounds),
+       |d AS (SELECT s.$keyCol, s.bucket_ts, COALESCE(b.u, 0) AS u
+       |      FROM spine s LEFT JOIN b USING ($keyCol, bucket_ts)),
+       |t AS (SELECT *, SUM(u) OVER w AS tw, COUNT(*) OVER w AS tn FROM d
+       |      WINDOW w AS (PARTITION BY $keyCol ORDER BY bucket_ts
+       |                   ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+       |t2 AS (SELECT *, CASE WHEN tn = 25
+       |         THEN round(CAST(tw AS DOUBLE)/(100.0*25), 6) END AS trend
+       |       FROM t),
+       |t3 AS (SELECT *, CASE WHEN trend IS NOT NULL
+       |         THEN u*10000 - CAST(round(trend*1e6) AS BIGINT) END AS du6,
+       |         (bucket_ts // 3600) % 24 AS pos FROM t2),
+       |idx AS (SELECT $keyCol, pos,
+       |          CAST(round(CAST(SUM(du6) AS DOUBLE)/COUNT(*)) AS BIGINT) AS s_u6
+       |        FROM t3 WHERE du6 IS NOT NULL GROUP BY 1, 2)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "ts_seasonal_decomp" ->
+      (decompCtes("event_type") +
+        """
+          |SELECT t3.event_type, t3.bucket_ts,
+          |       round(CAST(t3.u AS DOUBLE)/100.0, 2) AS value,
+          |       t3.trend,
+          |       CAST(idx.s_u6 AS DOUBLE)/1e6 AS seasonal,
+          |       CASE WHEN t3.du6 IS NOT NULL AND idx.s_u6 IS NOT NULL
+          |            THEN CAST(t3.du6 - idx.s_u6 AS DOUBLE)/1e6 END AS residual
+          |FROM t3 LEFT JOIN idx USING (event_type, pos)
+          |ORDER BY event_type, bucket_ts""".stripMargin),
+    "ts_forecast_day" ->
+      (decompCtes("user_id") +
+        """,
+          |lvl AS (SELECT user_id, MAX(bucket_ts) AS last_ts,
+          |          arg_max(trend, bucket_ts) AS level
+          |        FROM t2 WHERE trend IS NOT NULL GROUP BY 1),
+          |fut AS (SELECT l.user_id, l.last_ts + h.k*3600 AS bucket_ts, l.level
+          |        FROM lvl l CROSS JOIN
+          |          (SELECT unnest(generate_series(1, 24)) AS k) h)
+          |SELECT f.user_id, f.bucket_ts,
+          |       round(f.level +
+          |         COALESCE(CAST(i.s_u6 AS DOUBLE)/1e6, 0.0), 6) AS forecast
+          |FROM fut f LEFT JOIN idx i
+          |  ON i.user_id = f.user_id AND i.pos = (f.bucket_ts // 3600) % 24
+          |ORDER BY f.user_id, f.bucket_ts""".stripMargin),
+    "ts_ewma" -> ewmaOracleSql("user_id", 3600L, 0.5, 8),
+    "ts_cusum" ->
+      """WITH e2 AS (SELECT user_id, ts,
+        |        value + CASE WHEN floor(epoch(ts)) >= 1705881600
+        |                     THEN 25.0 ELSE 0.0 END AS value
+        |      FROM events),
+        |b AS (SELECT user_id,
+        |        CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_ts,
+        |        SUM(CAST(round(value*100) AS BIGINT)) AS u
+        |      FROM e2 GROUP BY 1, 2),
+        |st AS (SELECT user_id, COUNT(*) AS n, SUM(u) AS su,
+        |         SUM(CAST(u AS DECIMAL(19,0)) * u) AS su2
+        |       FROM b GROUP BY 1),
+        |m AS (SELECT b.user_id, b.bucket_ts, b.u,
+        |        CAST(st.su AS DOUBLE)/(st.n*100.0) AS mean,
+        |        CAST(st.su2 AS DOUBLE)/(st.n*10000.0) AS ex2
+        |      FROM b JOIN st USING (user_id)),
+        |z AS (SELECT user_id, bucket_ts,
+        |        CAST(round((CAST(u AS DOUBLE)/100.0 - mean)
+        |          /sqrt(ex2 - mean*mean)*1e6) AS BIGINT) AS z_u6
+        |      FROM m WHERE ex2 - mean*mean > 0),
+        |c AS (SELECT *, SUM(z_u6 - 500000) OVER cum AS cp,
+        |        SUM(-z_u6 - 500000) OVER cum AS cn
+        |      FROM z WINDOW cum AS (PARTITION BY user_id ORDER BY bucket_ts
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s AS (SELECT *, cp - LEAST(0, MIN(cp) OVER cum) AS sp,
+        |        cn - LEAST(0, MIN(cn) OVER cum) AS sn
+        |      FROM c WINDOW cum AS (PARTITION BY user_id ORDER BY bucket_ts
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, bucket_ts,
+        |       CAST(z_u6 AS DOUBLE)/1e6 AS z,
+        |       CAST(sp AS DOUBLE)/1e6 AS cusum_up,
+        |       CAST(sn AS DOUBLE)/1e6 AS cusum_down,
+        |       CASE WHEN sp > 3000000 AND sn > 3000000 THEN 'both'
+        |            WHEN sp > 3000000 THEN 'up' ELSE 'down' END AS direction
+        |FROM s WHERE sp > 3000000 OR sn > 3000000
+        |ORDER BY user_id, bucket_ts""".stripMargin,
     "s1_range_scan" ->
       """SELECT event_id, user_id,
         |       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,

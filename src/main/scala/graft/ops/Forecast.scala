@@ -1,0 +1,249 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series decomposition, smoothing, forecasting, and changepoint
+  * detection over the traffic stream — the modeling layer the reference
+  * approximates with its per-slot historical means (app/utils.py:417-470:
+  * `predict_traffic` averages the same weekday/hour slots; app/routes.py
+  * serves the resulting "pattern"). These operators generalize that
+  * slot-mean idea into the standard classical-decomposition toolkit a
+  * traffic (or any telemetry) team reaches for next: trend + seasonal +
+  * residual, EWMA smoothing, seasonal-naive forecasting, and CUSUM
+  * changepoint detection on the standardized residual stream.
+  *
+  * Determinism discipline (these feed hash-compared oracles): every
+  * AGGREGATED quantity is an integer — fixed-point value units
+  * (round(value*100) as long, exact for the 2-dp data) or micro-units
+  * (×1e6 longs) — so sums/mins are order-independent at any parallelism
+  * and associativity (a segment-tree window sum of longs equals the
+  * sequential sum; the same is NOT true of doubles). Doubles appear only
+  * in scalar post-arithmetic written identically in the DuckDB oracle —
+  * identical IEEE ops on identical inputs are bit-identical across
+  * engines.
+  *
+  * Scale shape at 100 TB: everything here is one shuffle on the series
+  * key followed by per-key sorted windows — the unavoidable minimum for
+  * per-series recurrences. No global sort, no all-pairs, no driver
+  * collect; the per-key dense spine is generated map-side from per-key
+  * bounds (sequence+explode after the per-key agg, so the explode runs
+  * on the already-aggregated grain, not the raw events).
+  */
+object Forecast {
+
+  /** Position-in-period of an (always bucket-aligned, positive) epoch
+    * bucket: (bucket_ts / bucketSec) mod period. The division is exact
+    * (bucket_ts is a multiple of bucketSec, < 2^53). */
+  private def posCol(bucketSec: Long, period: Int): Column =
+    pmod((col("bucket_ts") / bucketSec).cast("long"),
+      lit(period.toLong))
+
+  /** Exact fixed-point bucket grain: (key, bucket_ts, u) where
+    * u = Σ round(value·100) over the bucket — a long, so every
+    * downstream window/group aggregate is order-independent. */
+  private def bucketUnits(df: DataFrame, keyCol: String, tsCol: String,
+                          valueCol: String, bucketSec: Long): DataFrame =
+    df.groupBy(col(keyCol),
+        (floor(unix_timestamp(col(tsCol)) / bucketSec) * bucketSec)
+          .cast("long").as("bucket_ts"))
+      .agg(sum(round(col(valueCol) * 100).cast("long")).as("u"))
+
+  /** Dense per-key spine: every bucket between the key's own first and
+    * last observation, absent buckets carried as u = 0 (no events ⇒ zero
+    * traffic — the same zero-fill the reference's pre-allocated chart
+    * buckets use, app/utils.py:570-612). The sequence explode runs on
+    * one row per key (its bounds), not on the event grain. */
+  private def denseUnits(b: DataFrame, keyCol: String,
+                         bucketSec: Long): DataFrame = {
+    val bounds = b.groupBy(col(keyCol))
+      .agg(min("bucket_ts").as("_lo"), max("bucket_ts").as("_hi"))
+    val spine = bounds.select(col(keyCol),
+      explode(sequence(col("_lo"), col("_hi"), lit(bucketSec)))
+        .as("bucket_ts"))
+    spine.join(b, Seq(keyCol, "bucket_ts"), "left")
+      .select(col(keyCol), col("bucket_ts"),
+        coalesce(col("u"), lit(0L)).as("u"))
+  }
+
+  /** Classical additive decomposition per key: value = trend + seasonal
+    * + residual over dense `bucketSec` buckets.
+    *
+    *   - trend: centered moving average over 2·halfWin+1 buckets, only
+    *     where the window is FULL (edges get null trend — the classical
+    *     convention, so the seasonal fit never sees a biased partial
+    *     mean);
+    *   - seasonal: per (key, position-in-period) mean of the detrended
+    *     series, position = (bucket_ts / bucketSec) mod period (hour-of-
+    *     day for hourly buckets / period 24);
+    *   - residual: detrended minus seasonal.
+    *
+    * Output: key, bucket_ts, value, trend, seasonal, residual (trend/
+    * seasonal/residual null at the unfull edges), 6-dp. One shuffle on
+    * the key for the window, one (key,pos)-keyed agg for the index —
+    * both partial-aggregable; at 1000 executors each camera's series
+    * sorts locally inside its partition. */
+  def seasonalDecompose(df: DataFrame, keyCol: String, tsCol: String,
+                        valueCol: String, bucketSec: Long = 3600L,
+                        period: Int = 24, halfWin: Int = 12): DataFrame = {
+    val dense = denseUnits(
+      bucketUnits(df, keyCol, tsCol, valueCol, bucketSec), keyCol, bucketSec)
+    val w = Window.partitionBy(keyCol).orderBy("bucket_ts")
+      .rowsBetween(-halfWin, halfWin)
+    val full = 2 * halfWin + 1
+    // long window sum → one double division → round: engine-agnostic
+    val trended = dense
+      .withColumn("_tw", sum("u").over(w))
+      .withColumn("_tn", count(lit(1)).over(w))
+      .withColumn("trend",
+        when(col("_tn") === full,
+          round(col("_tw").cast("double") / (100.0 * full), 6)))
+      // detrended, in exact micro-units (trend is 6-dp so trend·1e6 is
+      // integral; round() recovers the exact long)
+      .withColumn("_du6",
+        when(col("trend").isNotNull,
+          col("u") * 10000L - round(col("trend") * 1e6).cast("long")))
+      .withColumn("pos", posCol(bucketSec, period))
+    val idx = trended.filter(col("_du6").isNotNull)
+      .groupBy(col(keyCol), col("pos"))
+      .agg(round(sum("_du6").cast("double") / count(lit(1)))
+        .cast("long").as("_s_u6"))
+    trended.join(idx, Seq(keyCol, "pos"), "left")
+      .select(col(keyCol), col("bucket_ts"),
+        round(col("u").cast("double") / 100.0, 2).as("value"),
+        col("trend"),
+        (col("_s_u6").cast("double") / 1e6).as("seasonal"),
+        when(col("_du6").isNotNull && col("_s_u6").isNotNull,
+          (col("_du6") - col("_s_u6")).cast("double") / 1e6).as("residual"))
+      .orderBy(keyCol, "bucket_ts")
+  }
+
+  /** Seasonal-naive-with-level forecast: for each key, take the LAST
+    * bucket with a full-window trend as the level and project the next
+    * `horizon` buckets as level + seasonal(position). This is exactly
+    * the reference's prediction idea (slot means around a current
+    * level, app/utils.py:417-470) restated on the decomposition.
+    * Output: key, bucket_ts (future), forecast. */
+  def forecastNextBuckets(df: DataFrame, keyCol: String, tsCol: String,
+                          valueCol: String, bucketSec: Long = 3600L,
+                          period: Int = 24, halfWin: Int = 12,
+                          horizon: Int = 24): DataFrame = {
+    val dec = seasonalDecompose(df, keyCol, tsCol, valueCol,
+      bucketSec, period, halfWin)
+    // last full-trend bucket per key: exact argmax via max(struct)
+    val level = dec.filter(col("trend").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(max(struct(col("bucket_ts"), col("trend"))).as("_last"))
+      .select(col(keyCol), col("_last.bucket_ts").as("_last_ts"),
+        col("_last.trend").as("_level"))
+    val future = level.select(col(keyCol), col("_last_ts"), col("_level"),
+      explode(sequence(lit(1), lit(horizon))).as("_h"))
+      .withColumn("bucket_ts", col("_last_ts") + col("_h") * bucketSec)
+      .withColumn("pos", posCol(bucketSec, period))
+    val idx = dec.filter(col("seasonal").isNotNull)
+      .groupBy(col(keyCol), posCol(bucketSec, period).as("pos"))
+      // seasonal is constant per (key,pos) by construction, so min()
+      // is both deterministic and that constant
+      .agg(min(col("seasonal")).as("_seasonal"))
+    future.join(idx, Seq(keyCol, "pos"), "left")
+      .select(col(keyCol), col("bucket_ts"),
+        round(col("_level") + coalesce(col("_seasonal"), lit(0.0)), 6)
+          .as("forecast"))
+      .orderBy(keyCol, "bucket_ts")
+  }
+
+  /** Truncated-horizon EWMA over present buckets: for bucket t,
+    *   ewma(t) = Σ_{k<H, t−k present} w_k·x_{t−k} / Σ w_k  (w_k = decay^k,
+    * 6-dp-rounded weights). The horizon truncation makes the recurrence
+    * a bounded GATHER — each output bucket joins its own ≤H trailing
+    * buckets — so there is no unbounded per-key recursion: the whole op
+    * is a generate (H rows per bucket, map-side) plus ONE co-keyed join
+    * and a (key,bucket) agg, every aggregate an exact long. With
+    * decay 0.5 and H = 8 the dropped tail weighs < 0.4% — documented
+    * truncation, identically computed by the oracle.
+    *
+    * vs a window formulation: the classic prefix-sum rewrite of EWMA
+    * (s_t = a·Σ x_i·d^{t-i}) needs d^{-i} factors that overflow doubles
+    * past ~1k buckets; the bounded gather is overflow-free and keeps
+    * every sum integral. */
+  def ewmaSmooth(df: DataFrame, keyCol: String, tsCol: String,
+                 valueCol: String, bucketSec: Long = 3600L,
+                 decay: Double = 0.5, horizon: Int = 8): DataFrame = {
+    require(horizon >= 1 && decay > 0 && decay < 1)
+    val b = bucketUnits(df, keyCol, tsCol, valueCol, bucketSec)
+    // 6-dp micro-unit weights, exact longs on both engines
+    val wU6: Seq[Long] = (0 until horizon)
+      .map(k => math.round(math.pow(decay, k.toDouble) * 1e6))
+    val wMap: Column = map(
+      wU6.zipWithIndex.flatMap { case (wu, k) =>
+        Seq(lit(k), lit(wu)) }: _*)
+    // gather: each target bucket emits its H (source-bucket, weight) probes
+    val probes = b.select(col(keyCol), col("bucket_ts"),
+        explode(sequence(lit(0), lit(horizon - 1))).as("_k"))
+      .withColumn("_src_ts", col("bucket_ts") - col("_k") * bucketSec)
+      .withColumn("_w_u6", element_at(wMap, col("_k")))
+    val src = b.select(col(keyCol), col("bucket_ts").as("_src_ts"),
+      col("u").as("_src_u"))
+    probes.join(src, Seq(keyCol, "_src_ts"))
+      .groupBy(col(keyCol), col("bucket_ts"))
+      .agg(sum(col("_src_u") * col("_w_u6")).as("_num"),
+        sum(col("_w_u6")).as("_den"))
+      .select(col(keyCol), col("bucket_ts"),
+        round(col("_num").cast("double") /
+          (col("_den").cast("double") * 100.0), 6).as("ewma"))
+      .orderBy(keyCol, "bucket_ts")
+  }
+
+  /** CUSUM changepoint detection per key (Page 1954) on the z-scored
+    * bucket series, via the reflected-prefix identity: the recursion
+    * s⁺_t = max(0, s⁺_{t-1} + z_t − k) equals C_t − min(0, min_{i≤t} C_i)
+    * where C_t = Σ_{i≤t}(z_i − k) — so the per-key recurrence becomes
+    * two cumulative window aggregates (a running sum and a running min)
+    * over exact micro-unit longs. Symmetrically for the downward side.
+    * Emits buckets where either side exceeds h (in std units).
+    *
+    * Keys with zero variance carry no standardizable signal and are
+    * excluded (z undefined). Mean/std come from exact long sums; the
+    * scalar double math (mean, variance, sqrt) is written identically
+    * in the oracle. */
+  def cusumChangepoints(df: DataFrame, keyCol: String, tsCol: String,
+                        valueCol: String, bucketSec: Long = 3600L,
+                        k: Double = 0.5, h: Double = 5.0): DataFrame = {
+    val b = bucketUnits(df, keyCol, tsCol, valueCol, bucketSec)
+    val stats = b.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("_n"), sum("u").as("_su"),
+      // u² can exceed long range on a busy key at 100 TB; square and
+      // sum in 38-digit decimal (exact integers, headroom to 1e38)
+      sum(col("u").cast("decimal(19,0)") * col("u")).as("_su2"))
+    // value-space mean/std from the exact sums (identical ops oracle-side)
+    val withZ = b.join(stats, Seq(keyCol))
+      .withColumn("_mean",
+        col("_su").cast("double") / (col("_n") * 100.0))
+      .withColumn("_var",
+        col("_su2").cast("double") / (col("_n") * 10000.0) -
+          col("_mean") * col("_mean"))
+      .filter(col("_var") > 0)
+      .withColumn("_std", sqrt(col("_var")))
+      .withColumn("_z_u6",
+        round((col("u").cast("double") / 100.0 - col("_mean")) /
+          col("_std") * 1e6).cast("long"))
+    val kU6 = math.round(k * 1e6)
+    val hU6 = math.round(h * 1e6)
+    val cum = Window.partitionBy(keyCol).orderBy("bucket_ts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = withZ
+      .withColumn("_cp", sum(col("_z_u6") - kU6).over(cum))
+      .withColumn("_cn", sum(-col("_z_u6") - kU6).over(cum))
+      .withColumn("_sp", col("_cp") - least(lit(0L), min("_cp").over(cum)))
+      .withColumn("_sn", col("_cn") - least(lit(0L), min("_cn").over(cum)))
+      .filter(col("_sp") > hU6 || col("_sn") > hU6)
+    flagged.select(col(keyCol), col("bucket_ts"),
+        (col("_z_u6").cast("double") / 1e6).as("z"),
+        (col("_sp").cast("double") / 1e6).as("cusum_up"),
+        (col("_sn").cast("double") / 1e6).as("cusum_down"),
+        when(col("_sp") > hU6 && col("_sn") > hU6, "both")
+          .when(col("_sp") > hU6, "up").otherwise("down").as("direction"))
+      .orderBy(keyCol, "bucket_ts")
+  }
+}

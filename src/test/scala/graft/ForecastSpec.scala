@@ -1,0 +1,107 @@
+package graft
+
+import graft.ops.Forecast
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class ForecastSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val t0 = 1704067200L // 2024-01-01 00:00:00 UTC, bucket-aligned
+
+  /** One event per hourly bucket for `n` buckets, value by position. */
+  private def series(key: String, n: Int, value: Int => Double): DataFrame =
+    (0 until n).map(i =>
+      (key, new Timestamp((t0 + i * 3600L) * 1000L), value(i)))
+      .toDF("k", "ts", "v")
+
+  test("decompose: additive identity value = trend + seasonal + residual") {
+    val df = series("a", 24 * 8, i => 10.0 + (i % 24) + (i % 5) * 0.25)
+      .union(series("b", 24 * 6, i => 40.0 + (i % 7)))
+    val out = Forecast.seasonalDecompose(df, "k", "ts", "v").collect()
+    val withAll = out.filter(!_.isNullAt(5))
+    assert(withAll.length > 24 * 6) // interior buckets decompose
+    withAll.foreach { r =>
+      val v = r.getDouble(2); val t = r.getDouble(3)
+      val s = r.getDouble(4); val e = r.getDouble(5)
+      // exact in micro-units by construction; doubles reassemble to <1e-9
+      assert(math.abs(v - (t + s + e)) < 1e-9, s"row $r")
+    }
+  }
+
+  test("decompose on a constant series: trend = c, seasonal = residual = 0") {
+    val out = Forecast.seasonalDecompose(
+      series("c", 24 * 4, _ => 7.5), "k", "ts", "v").collect()
+    val full = out.filter(!_.isNullAt(3))
+    assert(full.length == 24 * 4 - 24) // 12 null-trend edge buckets each end
+    full.foreach { r =>
+      assert(r.getDouble(3) == 7.5 && r.getDouble(4) == 0.0 &&
+        r.getDouble(5) == 0.0)
+    }
+  }
+
+  test("forecast on a constant series is the constant, one per horizon bucket") {
+    val out = Forecast.forecastNextBuckets(
+      series("c", 24 * 4, _ => 3.25), "k", "ts", "v", horizon = 24).collect()
+    assert(out.length == 24)
+    assert(out.forall(_.getDouble(2) == 3.25))
+    // future buckets start strictly after the last full-trend bucket
+    val lastFullTrend = t0 + (24 * 4 - 1 - 12) * 3600L
+    assert(out.map(_.getLong(1)).min == lastFullTrend + 3600L)
+  }
+
+  test("ewma: constant fixpoint; renormalizes over missing buckets") {
+    val const = Forecast.ewmaSmooth(
+      series("c", 50, _ => 9.75), "k", "ts", "v").collect()
+    assert(const.length == 50 && const.forall(_.getDouble(2) == 9.75))
+
+    // two observations 3 buckets apart: at the second, only weights
+    // w0 (self) and w3 (the earlier bucket) are present
+    val sparse = Seq(
+      ("k", new Timestamp(t0 * 1000L), 10.0),
+      ("k", new Timestamp((t0 + 3 * 3600L) * 1000L), 20.0))
+      .toDF("k", "ts", "v")
+    val out = Forecast.ewmaSmooth(sparse, "k", "ts", "v", decay = 0.5)
+      .orderBy("bucket_ts").collect()
+    assert(out(0).getDouble(2) == 10.0)
+    val w0 = 1000000L; val w3 = 125000L
+    val expect = BigDecimal((2000L * w0 + 1000L * w3).toDouble /
+      ((w0 + w3).toDouble * 100.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1).getDouble(2) == expect)
+  }
+
+  test("cusum: flags an injected level shift only at/after the shift") {
+    val shiftAt = 100
+    val df = series("k", 150, i => if (i < shiftAt) 10.0 else 50.0)
+    val out = Forecast.cusumChangepoints(df, "k", "ts", "v",
+      k = 0.5, h = 5.0).collect()
+    assert(out.nonEmpty)
+    val shiftTs = t0 + shiftAt * 3600L
+    // z is standardized against the GLOBAL key mean, so the pre-shift
+    // segment (below the mean) legitimately accumulates downward CUSUM;
+    // the upward detector is the one that must localize the shift
+    val ups = out.filter(r => r.getString(5) == "up")
+    assert(ups.nonEmpty)
+    assert(ups.map(_.getLong(1)).min >= shiftTs)
+    assert(ups.map(_.getLong(1)).min <= shiftTs + 10 * 3600L)
+    assert(out.filter(_.getLong(1) < shiftTs)
+      .forall(_.getString(5) == "down"))
+  }
+
+  test("cusum: zero-variance keys carry no standardizable signal → excluded") {
+    val out = Forecast.cusumChangepoints(
+      series("flat", 60, _ => 5.0), "k", "ts", "v").collect()
+    assert(out.isEmpty)
+  }
+
+  test("decompose: deterministic across partitionings") {
+    val df = series("a", 24 * 5, i => 10.0 + (i % 24) + (i % 3) * 0.5)
+    val a = Forecast.seasonalDecompose(df.repartition(7), "k", "ts", "v")
+      .collect()
+    val b = Forecast.seasonalDecompose(df.repartition(2), "k", "ts", "v")
+      .collect()
+    assert(a.sameElements(b))
+  }
+}
