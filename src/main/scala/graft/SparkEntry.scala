@@ -778,6 +778,14 @@ object SparkEntry {
     "t_vocab_topk" -> ((s, dir) =>
       TextStats.vocabTopK(Tables.documents(s, dir), "text", 50)
         .orderBy("rnk")),
+    // heavy-hitter positional shingles via a mergeable Misra-Gries
+    // summary (candidate boilerplate). capacity 2^16 ≥ the corpus's
+    // distinct-3-shingle count at every test SF, so the sketch runs in
+    // its EXACT regime here and the oracle is the exact count ranking;
+    // the eviction regime is bound-property-tested in SketchesSpec
+    "t_heavy_shingles" -> ((s, dir) =>
+      Sketches.heavyShingles(Tables.documents(s, dir), "text", 3,
+        capacity = 1 << 16, k = 40)),
     // ---- tokenizer family: vocab application + BPE round-1 stats ----
     "t_token_ids" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
@@ -1930,6 +1938,15 @@ object SparkEntry {
           |  ON i.user_id = f.user_id AND i.pos = (f.bucket_ts // 3600) % 24
           |ORDER BY f.user_id, f.bucket_ts""".stripMargin),
     "ts_ewma" -> ewmaOracleSql("user_id", 3600L, 0.5, 8),
+    "t_heavy_shingles" ->
+      """WITH t AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') w
+        |           FROM documents),
+        |sh AS (SELECT array_to_string(w[i:i+2], ' ') AS shingle
+        |       FROM t, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS g(i)),
+        |c AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS cnt FROM sh GROUP BY 1)
+        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, shingle) AS BIGINT) AS rnk,
+        |       shingle, cnt
+        |FROM c ORDER BY cnt DESC, shingle LIMIT 40""".stripMargin,
     "ts_cusum" ->
       """WITH e2 AS (SELECT user_id, ts,
         |        value + CASE WHEN floor(epoch(ts)) >= 1705881600
