@@ -427,6 +427,27 @@ object SparkEntry {
         d.filter(col("source") === "src0"), "doc_id", "text", 3,
         bench, expectedItems = 200000L, fpp = 0.01).orderBy("doc_id")
     }),
+    // ---- fuzzy (edit-distance) self-join: part names plus a planted
+    // char-transposed copy of every 3rd part (identical construction
+    // in the oracle). The oracle is BRUTE FORCE levenshtein over all
+    // pairs, so a green hash row PROVES the q-gram blocking lossless
+    // on this corpus — the strongest check the gate can express ----
+    // domain = 32-char md5-hex ids (maximally gram-diverse — no hot
+    // gram) plus a chars-2/3 transposition of every 3rd; q = 4 so at
+    // bench scale the expected shared-gram rate between non-matching
+    // strings stays ≪ 1 per pair
+    "x_fuzzy_pairs" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val h = md5(col("doc_id").cast("string").cast("binary"))
+      val base = d.select(col("doc_id").cast("long").as("id"),
+        h.as("name"))
+      val mangled = d.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select((col("doc_id") + 10000000L).cast("long").as("id"),
+          concat(substring(h, 1, 1), substring(h, 3, 1),
+            substring(h, 2, 1), h.substr(lit(4), length(h))).as("name"))
+      FuzzyJoin.selfPairs(base.unionAll(mangled), "id", "name",
+        maxDist = 2, q = 4)
+    }),
     // ---- as-of join (union+window composition; DuckDB ASOF oracle) ----
     "x_asof_join" -> ((s, dir) => {
       val e = ev(s, dir)
@@ -1938,6 +1959,23 @@ object SparkEntry {
           |  ON i.user_id = f.user_id AND i.pos = (f.bucket_ts // 3600) % 24
           |ORDER BY f.user_id, f.bucket_ts""".stripMargin),
     "ts_ewma" -> ewmaOracleSql("user_id", 3600L, 0.5, 8),
+    "x_fuzzy_pairs" ->
+      """WITH dom AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id,
+        |         md5(CAST(doc_id AS VARCHAR)) AS s FROM documents
+        |  UNION ALL
+        |  SELECT CAST(doc_id + 10000000 AS BIGINT),
+        |         substr(md5(CAST(doc_id AS VARCHAR)),1,1) ||
+        |         substr(md5(CAST(doc_id AS VARCHAR)),3,1) ||
+        |         substr(md5(CAST(doc_id AS VARCHAR)),2,1) ||
+        |         substr(md5(CAST(doc_id AS VARCHAR)),4)
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT a.id AS a_id, b.id AS b_id,
+        |       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        |FROM dom a JOIN dom b
+        |  ON a.id < b.id AND abs(length(a.s) - length(b.s)) <= 2
+        |WHERE levenshtein(a.s, b.s) <= 2
+        |ORDER BY a_id, b_id""".stripMargin,
     "t_heavy_shingles" ->
       """WITH t AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') w
         |           FROM documents),

@@ -1,0 +1,73 @@
+package graft
+
+import graft.ops.FuzzyJoin
+import org.apache.spark.sql.functions._
+
+class FuzzyJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def brute(dom: Seq[(Long, String)], d: Int): Set[(Long, Long, Long)] = {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val t = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      dp(a.length)
+    }
+    (for {
+      (ia, sa) <- dom; (ib, sb) <- dom if ia < ib
+      dist = lev(sa, sb) if dist <= d
+    } yield (ia, ib, dist.toLong)).toSet
+  }
+
+  test("known distances: subst, insert, delete, transposition, over-threshold") {
+    val dom = Seq(
+      1L -> "kettle", 2L -> "kattle",      // subst → 1
+      3L -> "kettles",                     // insert vs 1 → 1
+      4L -> "ketle",                       // delete vs 1 → 1
+      5L -> "ketlte",                      // transposition vs 1 → 2
+      6L -> "bottle",                      // 3 from kettle → excluded at d=2
+      7L -> "zzzzzz")
+    val out = FuzzyJoin.selfPairs(dom.toDF("id", "s"), "id", "s", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == brute(dom, 2))
+    assert(out.contains((1L, 2L, 1L)) && out.contains((1L, 3L, 1L)) &&
+      out.contains((1L, 4L, 1L)) && out.contains((1L, 5L, 2L)))
+    assert(!out.contains((1L, 6L, 3L))) // kettle↔bottle beyond d=2
+    assert(!out.exists(p => p._1 == 7L || p._2 == 7L)) // zzzzzz matches nothing
+  }
+
+  test("lossless vs brute force on a mixed fixture (short strings included)") {
+    // deterministic mutations of seed words: substitutions, indels,
+    // duplicates, and sub-q(d+1) short strings (the nested-loop path)
+    val seeds = Seq("alabaster", "alignment", "cardboard", "carpenter",
+      "ab", "abc", "a", "", "abcd", "abcde")
+    val dom = seeds.zipWithIndex.flatMap { case (w, i) =>
+      val base = (i * 10L) -> w
+      val sub = (i * 10L + 1) -> (if (w.nonEmpty) "x" + w.drop(1) else "x")
+      val ins = (i * 10L + 2) -> (w + "q")
+      val del = (i * 10L + 3) -> w.dropRight(1)
+      Seq(base, sub, ins, del)
+    }
+    val out = FuzzyJoin.selfPairs(dom.toDF("id", "s"), "id", "s", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == brute(dom, 2))
+    assert(out.nonEmpty)
+  }
+
+  test("q=3 and q=4 agree with q=2 (parameter-independent semantics)") {
+    val dom = Seq(1L -> "federated", 2L -> "fedarated", 3L -> "federatedly",
+      4L -> "confederate", 5L -> "fodder", 6L -> "federated")
+    val df = dom.toDF("id", "s")
+    val r2 = FuzzyJoin.selfPairs(df, "id", "s", 2, q = 2).collect().toSeq
+    val r3 = FuzzyJoin.selfPairs(df, "id", "s", 2, q = 3).collect().toSeq
+    val r4 = FuzzyJoin.selfPairs(df, "id", "s", 2, q = 4).collect().toSeq
+    assert(r2 == r3 && r3 == r4)
+  }
+}
