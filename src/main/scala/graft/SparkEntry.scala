@@ -161,6 +161,8 @@ object SparkEntry {
       Forecast.forecastNextBuckets(ev(s, dir), "user_id", "ts", "value")),
     "ts_ewma" -> ((s, dir) =>
       Forecast.ewmaSmooth(ev(s, dir), "user_id", "ts", "value")),
+    "ts_cross_corr" -> ((s, dir) =>
+      Forecast.crossCorrelation(ev(s, dir), "event_type", "ts", "value")),
     // deterministic +25.0 level shift from 2024-01-22 00:00 UTC
     // (identical construction in the oracle) so the detector has a real
     // changepoint to find in the stationary synthetic stream
@@ -1959,6 +1961,39 @@ object SparkEntry {
           |  ON i.user_id = f.user_id AND i.pos = (f.bucket_ts // 3600) % 24
           |ORDER BY f.user_id, f.bucket_ts""".stripMargin),
     "ts_ewma" -> ewmaOracleSql("user_id", 3600L, 0.5, 8),
+    "ts_cross_corr" ->
+      """WITH b AS (SELECT event_type,
+        |        CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_ts,
+        |        SUM(CAST(round(value*100) AS BIGINT)) AS u
+        |      FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT MIN(bucket_ts) lo, MAX(bucket_ts) hi FROM b),
+        |grid AS (SELECT k.event_type,
+        |           unnest(generate_series(lo, hi, 3600)) AS bucket_ts
+        |         FROM (SELECT DISTINCT event_type FROM b) k, bounds),
+        |g AS (SELECT grid.event_type, grid.bucket_ts, COALESCE(b.u, 0) AS u
+        |      FROM grid LEFT JOIN b USING (event_type, bucket_ts)),
+        |p AS (SELECT a.event_type AS key_a, b2.event_type AS key_b,
+        |        COUNT(*) AS n, SUM(a.u) AS sx, SUM(b2.u) AS sy,
+        |        SUM(CAST(a.u AS DECIMAL(19,0)) * b2.u) AS sxy,
+        |        SUM(CAST(a.u AS DECIMAL(19,0)) * a.u) AS sxx,
+        |        SUM(CAST(b2.u AS DECIMAL(19,0)) * b2.u) AS syy
+        |      FROM g a JOIN g b2 ON a.bucket_ts = b2.bucket_ts
+        |        AND a.event_type < b2.event_type
+        |      GROUP BY 1, 2)
+        |SELECT key_a, key_b, CAST(n AS BIGINT) AS n,
+        |       CASE WHEN n*CAST(sxx AS DOUBLE)
+        |               - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) > 0
+        |             AND n*CAST(syy AS DOUBLE)
+        |               - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) > 0
+        |            THEN round(
+        |              (n*CAST(sxy AS DOUBLE)
+        |                - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+        |              / (sqrt(n*CAST(sxx AS DOUBLE)
+        |                   - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+        |                 * sqrt(n*CAST(syy AS DOUBLE)
+        |                   - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 6)
+        |       END AS corr
+        |FROM p ORDER BY key_a, key_b""".stripMargin,
     "x_fuzzy_pairs" ->
       """WITH dom AS (
         |  SELECT CAST(doc_id AS BIGINT) AS id,

@@ -96,6 +96,22 @@ class ForecastSpec extends SparkSpec {
     assert(out.isEmpty)
   }
 
+  test("crossCorrelation: ±1 on linear pairs, null on zero variance") {
+    val n = 48
+    val df = series("up", n, i => 1.0 + i) // x
+      .union(series("dbl", n, i => 2.0 + 2 * i)) // 2x shifted → corr 1
+      .union(series("down", n, i => (n + 1).toDouble - i)) // −x → corr −1
+      .union(series("flat", n, _ => 4.0)) // zero variance → null
+    val out = Forecast.crossCorrelation(df, "k", "ts", "v")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out(("dbl", "up")) == Some(1.0))
+    assert(out(("down", "up")) == Some(-1.0))
+    assert(out(("dbl", "down")) == Some(-1.0))
+    assert(out(("dbl", "flat")) == None && out(("flat", "up")) == None)
+    assert(out.size == 6) // 4 choose 2
+  }
+
   test("decompose: deterministic across partitionings") {
     val df = series("a", 24 * 5, i => 10.0 + (i % 24) + (i % 3) * 0.5)
     val a = Forecast.seasonalDecompose(df.repartition(7), "k", "ts", "v")
