@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * With a second arg, only that section runs (so one family can probe
   * at a multiplier the full sweep can't afford): text | sampling |
   * jaccard | contamination | ann | snapshot | ndsink | ndprobe | ldsink | ldprobe | embprobe | span |
-  * linehot | ndaudit | embsink | events.
+  * linehot | ndaudit | embsink | events | forecast | sketch | fuzzy.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -1151,6 +1151,85 @@ object ScaleProbe {
     time("predict_pattern") {
       ops.Predict.hourlyPattern(ev, "user_id", "ts", "value").count()
     }
+    }
+
+    // ts_* family: the scale axis that matters is KEY cardinality (the
+    // per-key window sort is the one unavoidable shuffle), so multiply
+    // user_id, not event density — x30 at sf0.1 gives 45k series over
+    // the full 720-bucket spine (32M dense grid rows for the decompose)
+    section("forecast") {
+    val evK = {
+      val base = Tables.events(spark, dir)
+        .withColumn("ts", col("ts").cast("timestamp"))
+      (0 until mult).map { i =>
+        base.withColumn("user_id", col("user_id") + lit(i.toLong * 10000000L))
+      }.reduce(_ union _).cache()
+    }
+    println(s"[scaleprobe] events (key-shifted) x$mult = ${evK.count()}")
+    // toRdd.count(), NOT count(): a bare count() lets Catalyst prune
+    // the window + index join entirely (a left join on unique keys
+    // with no referenced columns is eliminated), which times the spine
+    // instead of the operator
+    time("seasonal_decompose") {
+      ops.Forecast.seasonalDecompose(evK, "user_id", "ts", "value")
+        .queryExecution.toRdd.count()
+    }
+    time("forecast_next_day") {
+      ops.Forecast.forecastNextBuckets(evK, "user_id", "ts", "value")
+        .queryExecution.toRdd.count()
+    }
+    time("ewma_smooth") {
+      ops.Forecast.ewmaSmooth(evK, "user_id", "ts", "value")
+        .queryExecution.toRdd.count()
+    }
+    time("cusum_changepoints") {
+      ops.Forecast.cusumChangepoints(evK, "user_id", "ts", "value")
+        .queryExecution.toRdd.count()
+    }
+    evK.unpersist()
+    }
+
+    // Misra-Gries vs exact groupBy at the same task: the sketch's win
+    // is the shuffle (≤2·cap summary entries per map task vs one
+    // partial per distinct shingle); wall-clock parity at x-scale plus
+    // result equality in the exact regime is what the probe pins
+    section("sketch") {
+    docs
+    time("mg_heavy_shingles") {
+      ops.Sketches.heavyShingles(docs, "text", 3, 1 << 16, 40).count()
+    }
+    time("exact_groupby_topk") {
+      import org.apache.spark.sql.expressions.Window
+      val sh = docs.select(explode(ops.TextDedup.shingleArray(
+        ops.TextDedup.tokens(col("text")), 3)).as("shingle"))
+      sh.groupBy("shingle").count()
+        .orderBy(col("count").desc, col("shingle")).limit(40).count()
+    }
+    }
+
+    // fuzzy join: candidate-vs-naive ratio at a gram-diverse domain —
+    // the lemma's pruning leverage measured, then the verified output
+    section("fuzzy") {
+    val dom = {
+      val d = multiplied(Tables.documents(spark, dir)
+        .select("doc_id"), "doc_id")
+      val h = md5(col("doc_id").cast("string").cast("binary"))
+      val base = d.select(col("doc_id").cast("long").as("id"), h.as("s"))
+      val mangled = d.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select((col("doc_id") + 1000000000L).cast("long").as("id"),
+          concat(substring(h, 1, 1), substring(h, 3, 1),
+            substring(h, 2, 1), h.substr(lit(4), length(h))).as("s"))
+      base.union(mangled).cache()
+    }
+    val n = dom.count()
+    println(s"[scaleprobe] fuzzy domain = $n (naive pairs = ${n * (n - 1) / 2})")
+    time("fuzzy_candidates") {
+      ops.FuzzyJoin.candidates(dom, "id", "s", 2, 4).count()
+    }
+    time("fuzzy_self_pairs") {
+      ops.FuzzyJoin.selfPairs(dom, "id", "s", 2, 4).count()
+    }
+    dom.unpersist()
     }
     spark.stop()
   }

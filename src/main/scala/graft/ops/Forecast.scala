@@ -84,9 +84,16 @@ object Forecast {
     * the key for the window, one (key,pos)-keyed agg for the index —
     * both partial-aggregable; at 1000 executors each camera's series
     * sorts locally inside its partition. */
-  def seasonalDecompose(df: DataFrame, keyCol: String, tsCol: String,
-                        valueCol: String, bucketSec: Long = 3600L,
-                        period: Int = 24, halfWin: Int = 12): DataFrame = {
+  /** The decomposition's two internal frames: the per-bucket trended
+    * series (with `_du6` micro-unit detrend and `pos`) and the
+    * (key,pos) seasonal index in micro-units — shared by
+    * [[seasonalDecompose]] (which joins them back per bucket) and
+    * [[forecastNextBuckets]] (which only needs the per-key level and
+    * the index, so it skips the full-grain join entirely). */
+  private def trendedAndIdx(df: DataFrame, keyCol: String, tsCol: String,
+                            valueCol: String, bucketSec: Long,
+                            period: Int, halfWin: Int)
+      : (DataFrame, DataFrame) = {
     val dense = denseUnits(
       bucketUnits(df, keyCol, tsCol, valueCol, bucketSec), keyCol, bucketSec)
     val w = Window.partitionBy(keyCol).orderBy("bucket_ts")
@@ -105,11 +112,40 @@ object Forecast {
         when(col("trend").isNotNull,
           col("u") * 10000L - round(col("trend") * 1e6).cast("long")))
       .withColumn("pos", posCol(bucketSec, period))
+      // both consumers reference this subtree twice (index derivation +
+      // grain join / level) and the references re-key differently, so
+      // exchange reuse cannot dedup them — without the cache the window
+      // pass over the full dense grid runs twice (same mechanism as the
+      // dedupCorpus survivor cache, TextDedup.scala:486). Released on
+      // the caller's first action via CacheRelease; the cached set is
+      // the op's own working grid (|keys|·|buckets|), which
+      // MEMORY_AND_DISK spills rather than OOMs at 100 TB
+      .cache()
     val idx = trended.filter(col("_du6").isNotNull)
       .groupBy(col(keyCol), col("pos"))
       .agg(round(sum("_du6").cast("double") / count(lit(1)))
         .cast("long").as("_s_u6"))
-    trended.join(idx, Seq(keyCol, "pos"), "left")
+    (trended, idx)
+  }
+
+  /** The (key,pos) index rolled up to one pos→micro-units map PER KEY:
+    * joining it back to the bucket grain is then a join on the key
+    * alone, which REUSES the window's hash partitioning on the big
+    * side (no second full-grain exchange; only |keys| map rows
+    * shuffle). Map lookup is insertion-order-independent, so the
+    * collect_list order nondeterminism is harmless. */
+  private def idxAsMap(idx: DataFrame, keyCol: String): DataFrame =
+    idx.groupBy(col(keyCol))
+      .agg(map_from_entries(collect_list(struct(col("pos"), col("_s_u6"))))
+        .as("_sidx"))
+
+  def seasonalDecompose(df: DataFrame, keyCol: String, tsCol: String,
+                        valueCol: String, bucketSec: Long = 3600L,
+                        period: Int = 24, halfWin: Int = 12): DataFrame = {
+    val (trended, idx) = trendedAndIdx(df, keyCol, tsCol, valueCol,
+      bucketSec, period, halfWin)
+    val out = trended.join(idxAsMap(idx, keyCol), Seq(keyCol), "left")
+      .withColumn("_s_u6", element_at(col("_sidx"), col("pos")))
       .select(col(keyCol), col("bucket_ts"),
         round(col("u").cast("double") / 100.0, 2).as("value"),
         col("trend"),
@@ -117,6 +153,7 @@ object Forecast {
         when(col("_du6").isNotNull && col("_s_u6").isNotNull,
           (col("_du6") - col("_s_u6")).cast("double") / 1e6).as("residual"))
       .orderBy(keyCol, "bucket_ts")
+    graft.util.CacheRelease.releaseAfterFirstAction(out, Seq(trended))
   }
 
   /** Seasonal-naive-with-level forecast: for each key, take the LAST
@@ -129,10 +166,10 @@ object Forecast {
                           valueCol: String, bucketSec: Long = 3600L,
                           period: Int = 24, halfWin: Int = 12,
                           horizon: Int = 24): DataFrame = {
-    val dec = seasonalDecompose(df, keyCol, tsCol, valueCol,
+    val (trended, idx) = trendedAndIdx(df, keyCol, tsCol, valueCol,
       bucketSec, period, halfWin)
     // last full-trend bucket per key: exact argmax via max(struct)
-    val level = dec.filter(col("trend").isNotNull)
+    val level = trended.filter(col("trend").isNotNull)
       .groupBy(col(keyCol))
       .agg(max(struct(col("bucket_ts"), col("trend"))).as("_last"))
       .select(col(keyCol), col("_last.bucket_ts").as("_last_ts"),
@@ -141,16 +178,14 @@ object Forecast {
       explode(sequence(lit(1), lit(horizon))).as("_h"))
       .withColumn("bucket_ts", col("_last_ts") + col("_h") * bucketSec)
       .withColumn("pos", posCol(bucketSec, period))
-    val idx = dec.filter(col("seasonal").isNotNull)
-      .groupBy(col(keyCol), posCol(bucketSec, period).as("pos"))
-      // seasonal is constant per (key,pos) by construction, so min()
-      // is both deterministic and that constant
-      .agg(min(col("seasonal")).as("_seasonal"))
-    future.join(idx, Seq(keyCol, "pos"), "left")
+    val out = future.join(idxAsMap(idx, keyCol), Seq(keyCol), "left")
+      .withColumn("_s_u6", element_at(col("_sidx"), col("pos")))
       .select(col(keyCol), col("bucket_ts"),
-        round(col("_level") + coalesce(col("_seasonal"), lit(0.0)), 6)
+        round(col("_level") +
+          coalesce(col("_s_u6").cast("double") / 1e6, lit(0.0)), 6)
           .as("forecast"))
       .orderBy(keyCol, "bucket_ts")
+    graft.util.CacheRelease.releaseAfterFirstAction(out, Seq(trended))
   }
 
   /** Truncated-horizon EWMA over present buckets: for bucket t,

@@ -42,10 +42,12 @@ object FuzzyJoin {
     transform(sequence(lit(1), greatest(length(s) - (q - 1), lit(0))),
       i => struct(i.as("pos"), s.substr(i, lit(q)).as("gram")))
 
-  /** All pairs (a_id < b_id) with levenshtein ≤ maxDist, with the
-    * distance. Exact (blocking is lossless); output ordered. */
-  def selfPairs(df: DataFrame, idCol: String, strCol: String,
-                maxDist: Int, q: Int = 2): DataFrame = {
+  /** Candidate pairs surviving the blocking filters, before the exact
+    * levenshtein verify — exposed so ScaleProbe can measure the
+    * candidate-to-naive ratio. */
+  private[graft] def candidates(df: DataFrame, idCol: String,
+                                strCol: String, maxDist: Int,
+                                q: Int): DataFrame = {
     require(maxDist >= 1 && q >= 2)
     val d = maxDist
     val shortMax = q * (d + 1) - 1 // threshold ≤ 0 ⟺ both lengths ≤ this
@@ -78,9 +80,15 @@ object FuzzyJoin {
         col("a.s").as("a_s"), col("b.s").as("b_s"))
 
     longPairs.union(shortPairs)
+  }
+
+  /** All pairs (a_id < b_id) with levenshtein ≤ maxDist, with the
+    * distance. Exact (blocking is lossless); output ordered. */
+  def selfPairs(df: DataFrame, idCol: String, strCol: String,
+                maxDist: Int, q: Int = 2): DataFrame =
+    candidates(df, idCol, strCol, maxDist, q)
       .withColumn("dist", levenshtein(col("a_s"), col("b_s")))
-      .filter(col("dist") <= d)
+      .filter(col("dist") <= maxDist)
       .select(col("a_id"), col("b_id"), col("dist").cast("long").as("dist"))
       .orderBy("a_id", "b_id")
-  }
 }

@@ -49,7 +49,7 @@ object TextDedup {
     * shorter than n words yields an empty shingle set (matching the
     * sequence formulation's degenerate single truncated shingle is NOT
     * desired; shorter-than-n docs have no n-shingles). */
-  private[ops] def shingleArray(w: Column, n: Int): Column = {
+  private[graft] def shingleArray(w: Column, n: Int): Column = {
     val len = greatest(size(w) - (n - 1), lit(0))
     (1 until n).foldLeft(slice(w, lit(1), len)) { (acc, j) =>
       zip_with(acc, slice(w, lit(j + 1), len),
