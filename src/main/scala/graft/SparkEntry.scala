@@ -30,6 +30,19 @@ object SparkEntry {
   private def ev(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir).withColumn("ts", col("ts").cast("timestamp"))
 
+  /** Interval fixtures for the x_interval_* queries: per-user windows
+    * [ts, ts + value·60 s] — activity (view/click) vs incident (error)
+    * sides, identical construction in the oracle. */
+  private def intervalFrames(s: SparkSession,
+                             dir: String): (DataFrame, DataFrame) = {
+    val e = ev(s, dir).select(col("user_id"), col("event_id"),
+      col("event_type"), unix_timestamp(col("ts")).as("iv_s"),
+      (unix_timestamp(col("ts")) +
+        floor(col("value") * 60).cast("long")).as("iv_e"))
+    (e.filter(col("event_type").isin("view", "click")),
+      e.filter(col("event_type") === "error"))
+  }
+
   /** Skewed synthetic domain for samp_temperature / samp_source_cap:
     * 'd'||floor(sqrt(doc_id)) (bucket g holds ~2g+1 docs), NULL for
     * every 7th doc. sqrt is IEEE-correctly-rounded in both engines, so
@@ -172,6 +185,23 @@ object SparkEntry {
           when(unix_timestamp(col("ts")) >= 1705881600L, lit(25.0))
             .otherwise(lit(0.0))),
         "user_id", "ts", "value", k = 0.5, h = 3.0)),
+    // autocorrelation per class series, lags 1..48 on the hourly grid
+    "ts_acf" -> ((s, dir) =>
+      Forecast.acf(ev(s, dir), "event_type", "ts", "value", maxLag = 48)),
+    // per-user dominant period over lags 2..48 (argmax ACF, short-lag
+    // tie-break)
+    "ts_dominant_period" -> ((s, dir) =>
+      Forecast.dominantPeriod(ev(s, dir), "user_id", "ts", "value",
+        minLag = 2, maxLag = 48)),
+    // rolling-median/MAD outliers with deterministic planted spikes
+    // (every event_id % 211 == 0 carries +400 — identical construction
+    // in the oracle) so the detector has true anomalies to find
+    "ts_mad_anomalies" -> ((s, dir) =>
+      Forecast.madAnomalies(
+        ev(s, dir).withColumn("value", col("value") +
+          when(pmod(col("event_id"), lit(211L)) === 0L, lit(400.0))
+            .otherwise(lit(0.0))),
+        "user_id", "ts", "value", window = 24, k = 3.5)),
     // ---- A1/A2/A3/A10/A13: totals and roll-ups ----
     "a1_totals_global" -> ((s, dir) => Totals.global(ev(s, dir), "value")),
     "a2_totals_trailing_7d" -> ((s, dir) =>
@@ -449,6 +479,24 @@ object SparkEntry {
             substring(h, 2, 1), h.substr(lit(4), length(h))).as("name"))
       FuzzyJoin.selfPairs(base.unionAll(mangled), "id", "name",
         maxDist = 2, q = 4)
+    }),
+    // ---- interval overlap join: activity windows (view/click,
+    // [ts, ts + value·60 s]) × incident windows (error) on the same
+    // user — "which incidents landed inside this session". The oracle
+    // is the plain inequality join, so a green hash PROVES the
+    // epoch-bucket blocking + ownership-bucket trick lossless and
+    // exactly-once on this corpus ----
+    "x_interval_join" -> ((s, dir) => {
+      val (a, b) = intervalFrames(s, dir)
+      Intervals.overlapJoin(a, b, "user_id", "event_id", "iv_s", "iv_e",
+        bucketSec = 14400L)
+    }),
+    // per-activity rollup of the same pairs (left-preserving: zero-
+    // overlap sessions kept with n=0)
+    "x_interval_stats" -> ((s, dir) => {
+      val (a, b) = intervalFrames(s, dir)
+      Intervals.overlapStats(a, b, "user_id", "event_id", "iv_s", "iv_e",
+        bucketSec = 14400L)
     }),
     // ---- as-of join (union+window composition; DuckDB ASOF oracle) ----
     "x_asof_join" -> ((s, dir) => {
@@ -1168,6 +1216,50 @@ object SparkEntry {
           coalesce(col("valid_to"), lit(0L)).as("valid_to"),
           col("is_current"))
         .orderBy("doc_id", "valid_from")
+    }),
+    // ---- CDC merge: last-writer-wins fold of a synthetic change log
+    // into the documents snapshot. The log plants every shape the op
+    // must get right: rev1 upserts (%5), rev2 overrides (%10==5),
+    // delete-after-upsert (%10==0), plain + post-upsert deletes
+    // (%7==3, seq 3 — beats even rev2), and brand-new inserts (%11,
+    // shifted ids). Identical construction in the oracle; output
+    // surfaces md5(text) so the hash check covers content without
+    // shipping text ----
+    "t_cdc_apply" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val vals = Seq("text", "lang", "source", "n_chars")
+      def nulls = Seq(lit(null).cast("string").as("text"),
+        lit(null).cast("string").as("lang"),
+        lit(null).cast("string").as("source"),
+        lit(null).cast("long").as("n_chars"))
+      val log = d.filter(pmod(col("doc_id"), lit(5L)) === 0L)
+        .select(col("doc_id"), lit(1L).as("seq"), lit("upsert").as("op"),
+          concat(lit("rev1: "), col("text")).as("text"), col("lang"),
+          col("source"), col("n_chars"))
+        .unionByName(d.filter(pmod(col("doc_id"), lit(10L)) === 0L)
+          .select(Seq(col("doc_id"), lit(2L).as("seq"),
+            lit("delete").as("op")) ++ nulls: _*))
+        .unionByName(d.filter(pmod(col("doc_id"), lit(10L)) === 5L)
+          .select(col("doc_id"), lit(2L).as("seq"), lit("upsert").as("op"),
+            concat(lit("rev2: "), col("text")).as("text"), col("lang"),
+            col("source"), col("n_chars")))
+        .unionByName(d.filter(pmod(col("doc_id"), lit(7L)) === 3L)
+          .select(Seq(col("doc_id"), lit(3L).as("seq"),
+            lit("delete").as("op")) ++ nulls: _*))
+        .unionByName(d.filter(pmod(col("doc_id"), lit(11L)) === 0L)
+          .select((col("doc_id") + 1000000000L).as("doc_id"),
+            lit(1L).as("seq"), lit("upsert").as("op"),
+            concat(lit("cdc insert "), col("doc_id").cast("string"))
+              .as("text"),
+            lit("und").as("lang"), lit("cdc").as("source"),
+            length(concat(lit("cdc insert "),
+              col("doc_id").cast("string"))).cast("long").as("n_chars")))
+      Corpus.cdcApply(
+        d.select(col("doc_id") +: vals.map(col): _*), log,
+        "doc_id", "seq", "op")
+        .select(col("doc_id"), md5(col("text")).as("h"), col("lang"),
+          col("source"), col("n_chars"))
+        .orderBy("doc_id")
     }),
     // incremental refresh: recompute quality metrics ONLY for the
     // diff's added/changed docs, carry the rest — oracled against a
@@ -1994,6 +2086,154 @@ object SparkEntry {
         |                   - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 6)
         |       END AS corr
         |FROM p ORDER BY key_a, key_b""".stripMargin,
+    "ts_acf" ->
+      """WITH b AS (SELECT event_type,
+        |        CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_ts,
+        |        SUM(CAST(round(value*100) AS BIGINT)) AS u
+        |      FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT event_type, MIN(bucket_ts) lo, MAX(bucket_ts) hi
+        |           FROM b GROUP BY 1),
+        |spine AS (SELECT event_type,
+        |            unnest(generate_series(lo, hi, 3600)) AS bucket_ts
+        |          FROM bounds),
+        |g AS (SELECT s.event_type, s.bucket_ts, COALESCE(b.u, 0) AS u
+        |      FROM spine s LEFT JOIN b USING (event_type, bucket_ts)),
+        |l AS (SELECT unnest(generate_series(1, 48)) AS lag),
+        |p AS (SELECT y.event_type, l.lag,
+        |        COUNT(*) AS n, SUM(x.u) AS sx, SUM(y.u) AS sy,
+        |        SUM(CAST(x.u AS DECIMAL(19,0)) * y.u) AS sxy,
+        |        SUM(CAST(x.u AS DECIMAL(19,0)) * x.u) AS sxx,
+        |        SUM(CAST(y.u AS DECIMAL(19,0)) * y.u) AS syy
+        |      FROM g y CROSS JOIN l
+        |        JOIN g x ON x.event_type = y.event_type
+        |          AND x.bucket_ts = y.bucket_ts - l.lag*3600
+        |      GROUP BY 1, 2)
+        |SELECT event_type, CAST(lag AS INTEGER) AS lag,
+        |       CAST(n AS BIGINT) AS n,
+        |       CASE WHEN n*CAST(sxx AS DOUBLE)
+        |               - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) > 0
+        |             AND n*CAST(syy AS DOUBLE)
+        |               - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) > 0
+        |            THEN round(
+        |              (n*CAST(sxy AS DOUBLE)
+        |                - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+        |              / (sqrt(n*CAST(sxx AS DOUBLE)
+        |                   - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+        |                 * sqrt(n*CAST(syy AS DOUBLE)
+        |                   - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 6)
+        |       END AS acf
+        |FROM p ORDER BY event_type, lag""".stripMargin,
+    "ts_dominant_period" ->
+      """WITH b AS (SELECT user_id,
+        |        CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_ts,
+        |        SUM(CAST(round(value*100) AS BIGINT)) AS u
+        |      FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT user_id, MIN(bucket_ts) lo, MAX(bucket_ts) hi
+        |           FROM b GROUP BY 1),
+        |spine AS (SELECT user_id,
+        |            unnest(generate_series(lo, hi, 3600)) AS bucket_ts
+        |          FROM bounds),
+        |g AS (SELECT s.user_id, s.bucket_ts, COALESCE(b.u, 0) AS u
+        |      FROM spine s LEFT JOIN b USING (user_id, bucket_ts)),
+        |l AS (SELECT unnest(generate_series(1, 48)) AS lag),
+        |p AS (SELECT y.user_id, l.lag,
+        |        COUNT(*) AS n, SUM(x.u) AS sx, SUM(y.u) AS sy,
+        |        SUM(CAST(x.u AS DECIMAL(19,0)) * y.u) AS sxy,
+        |        SUM(CAST(x.u AS DECIMAL(19,0)) * x.u) AS sxx,
+        |        SUM(CAST(y.u AS DECIMAL(19,0)) * y.u) AS syy
+        |      FROM g y CROSS JOIN l
+        |        JOIN g x ON x.user_id = y.user_id
+        |          AND x.bucket_ts = y.bucket_ts - l.lag*3600
+        |      GROUP BY 1, 2),
+        |a AS (SELECT user_id, lag,
+        |        CASE WHEN n*CAST(sxx AS DOUBLE)
+        |                - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) > 0
+        |              AND n*CAST(syy AS DOUBLE)
+        |                - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) > 0
+        |             THEN round(
+        |               (n*CAST(sxy AS DOUBLE)
+        |                 - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+        |               / (sqrt(n*CAST(sxx AS DOUBLE)
+        |                    - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+        |                  * sqrt(n*CAST(syy AS DOUBLE)
+        |                    - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 6)
+        |        END AS acf
+        |      FROM p),
+        |q AS (SELECT user_id, lag,
+        |        CAST(round(acf*1e6) AS BIGINT) AS acf_u6,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY CAST(round(acf*1e6) AS BIGINT) DESC, lag ASC)
+        |          AS rn
+        |      FROM a WHERE lag >= 2 AND acf IS NOT NULL)
+        |SELECT user_id, CAST(lag AS INTEGER) AS period,
+        |       CAST(acf_u6 AS DOUBLE)/1e6 AS acf
+        |FROM q WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "ts_mad_anomalies" ->
+      """WITH ev2 AS (SELECT user_id, ts,
+        |        value + CASE WHEN event_id % 211 = 0
+        |                     THEN 400.0 ELSE 0.0 END AS value
+        |      FROM events),
+        |g AS (SELECT user_id,
+        |        CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_ts,
+        |        SUM(CAST(round(value*100) AS BIGINT)) AS u
+        |      FROM ev2 GROUP BY 1, 2),
+        |wl AS (SELECT user_id, bucket_ts, u,
+        |         list(u) OVER (PARTITION BY user_id ORDER BY bucket_ts
+        |           ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS win
+        |       FROM g),
+        |m AS (SELECT *, list_sort(win) AS sw FROM wl WHERE len(win) = 24),
+        |m2 AS (SELECT *, sw[12] + sw[13] AS med2 FROM m),
+        |m3 AS (SELECT *,
+        |         list_sort(list_transform(win, x -> abs(x*2 - med2)))
+        |           AS sd,
+        |         abs(u*2 - med2) AS dev2
+        |       FROM m2),
+        |m4 AS (SELECT *, sd[12] + sd[13] AS mad4 FROM m3)
+        |SELECT user_id, bucket_ts,
+        |       round(CAST(u AS DOUBLE)/100.0, 2) AS value,
+        |       round(CAST(med2 AS DOUBLE)/200.0, 6) AS med,
+        |       round(CAST(mad4 AS DOUBLE)/400.0, 6) AS mad
+        |FROM m4
+        |WHERE CAST(dev2 AS DECIMAL(38,0)) * 2000000
+        |        > CAST(mad4 AS DECIMAL(38,0)) * 3500000
+        |ORDER BY user_id, bucket_ts""".stripMargin,
+    "x_interval_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |        CAST(floor(epoch(ts)) AS BIGINT) AS ivs,
+        |        CAST(floor(epoch(ts)) AS BIGINT)
+        |          + CAST(floor(value*60) AS BIGINT) AS ive
+        |      FROM events),
+        |a AS (SELECT * FROM e WHERE event_type IN ('view', 'click')),
+        |b AS (SELECT * FROM e WHERE event_type = 'error')
+        |SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+        |       a.ivs AS a_s, a.ive AS a_e, b.ivs AS b_s, b.ive AS b_e,
+        |       greatest(a.ivs, b.ivs) AS ov_s,
+        |       least(a.ive, b.ive) AS ov_e,
+        |       least(a.ive, b.ive) - greatest(a.ivs, b.ivs) AS ov_len
+        |FROM a JOIN b ON a.user_id = b.user_id
+        |  AND a.ivs <= b.ive AND b.ivs <= a.ive
+        |ORDER BY a.user_id, a_id, b_id""".stripMargin,
+    "x_interval_stats" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |        CAST(floor(epoch(ts)) AS BIGINT) AS ivs,
+        |        CAST(floor(epoch(ts)) AS BIGINT)
+        |          + CAST(floor(value*60) AS BIGINT) AS ive
+        |      FROM events),
+        |a AS (SELECT * FROM e WHERE event_type IN ('view', 'click')),
+        |b AS (SELECT * FROM e WHERE event_type = 'error'),
+        |hits AS (SELECT a.user_id, a.event_id AS a_id,
+        |           COUNT(*) AS n_overlaps,
+        |           SUM(least(a.ive, b.ive) - greatest(a.ivs, b.ivs))
+        |             AS overlap_sec
+        |         FROM a JOIN b ON a.user_id = b.user_id
+        |           AND a.ivs <= b.ive AND b.ivs <= a.ive
+        |         GROUP BY 1, 2)
+        |SELECT a.user_id, a.event_id AS a_id, a.ivs AS a_s, a.ive AS a_e,
+        |       COALESCE(h.n_overlaps, 0) AS n_overlaps,
+        |       CAST(COALESCE(h.overlap_sec, 0) AS BIGINT) AS overlap_sec
+        |FROM a LEFT JOIN hits h
+        |  ON h.user_id = a.user_id AND h.a_id = a.event_id
+        |ORDER BY a.user_id, a_id""".stripMargin,
     "x_fuzzy_pairs" ->
       """WITH dom AS (
         |  SELECT CAST(doc_id AS BIGINT) AS id,
@@ -4438,6 +4678,38 @@ object SparkEntry {
         |FROM (SELECT * FROM keep UNION ALL SELECT * FROM closed
         |      UNION ALL SELECT * FROM opened)
         |ORDER BY doc_id, valid_from""".stripMargin,
+    "t_cdc_apply" ->
+      """WITH log AS (
+        |  SELECT doc_id, 1 AS seq, 'upsert' AS op,
+        |         'rev1: ' || text AS text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'delete', NULL, NULL, NULL, NULL
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'upsert', 'rev2: ' || text, lang, source,
+        |         n_chars
+        |  FROM documents WHERE doc_id % 10 = 5
+        |  UNION ALL
+        |  SELECT doc_id, 3, 'delete', NULL, NULL, NULL, NULL
+        |  FROM documents WHERE doc_id % 7 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, 1, 'upsert',
+        |         'cdc insert ' || CAST(doc_id AS VARCHAR), 'und', 'cdc',
+        |         CAST(length('cdc insert ' || CAST(doc_id AS VARCHAR))
+        |           AS BIGINT)
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |latest AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY seq DESC) AS rn FROM log) WHERE rn = 1)
+        |SELECT doc_id, md5(text) AS h, lang, source, n_chars
+        |FROM (
+        |  SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+        |  FROM documents d ANTI JOIN latest l ON d.doc_id = l.doc_id
+        |  UNION ALL
+        |  SELECT doc_id, text, lang, source, n_chars
+        |  FROM latest WHERE op = 'upsert')
+        |ORDER BY doc_id""".stripMargin,
     "t_corpus_diff_sum" ->
       """WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 3),
         |b AS (SELECT doc_id,

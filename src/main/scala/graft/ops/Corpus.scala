@@ -129,6 +129,45 @@ object Corpus {
     keepAsIs.select(outCols: _*).union(closed).union(opened)
   }
 
+  /** CDC merge (MERGE INTO / upsert-apply): fold a change log into a
+    * snapshot. `changelog` carries `(idCol, seqCol, opCol, <the
+    * snapshot's value columns>)` with op ∈ {"upsert", "delete"} and
+    * `seqCol` a monotone change sequence (log offset, commit LSN) —
+    * UNIQUE per (id, seq), which every real CDC source guarantees.
+    * The result is the snapshot after applying, per id, only the
+    * HIGHEST-seq change: upsert replaces-or-inserts the row, delete
+    * removes it; ids absent from the log carry over untouched.
+    * Replaying the same log twice is a no-op (last-writer-wins is
+    * idempotent), which is what makes the op safe under at-least-once
+    * delivery.
+    *
+    * Scale shape: the per-id latest change is ONE partial-aggregable
+    * `max(struct(seq, …))` — map-side combine collapses each log
+    * partition to one candidate per id before the only log shuffle
+    * (the struct comparison is total even on malformed duplicate seqs,
+    * so the fold is deterministic regardless). The base carries over
+    * via one anti-join on the id — co-partitioned, delta-scale
+    * (AQE broadcasts the changed-id list when the day's delta is
+    * small, which at 100 TB it is). The unchanged bulk never moves;
+    * pair with a partitioned base layout so the carry-over is
+    * metadata, not IO. */
+  def cdcApply(base: DataFrame, changelog: DataFrame, idCol: String,
+               seqCol: String, opCol: String): DataFrame = {
+    val valueCols = base.columns.filter(_ != idCol).toSeq
+    val latest = changelog
+      .groupBy(col(idCol))
+      .agg(max(struct((col(seqCol) +: col(opCol) +:
+        valueCols.map(col)): _*)).as("_last"))
+      .select(col(idCol) +: col(s"_last.$opCol") +:
+        valueCols.map(c => col(s"_last.$c")): _*)
+    val carried = base.join(latest.select(col(idCol)),
+      Seq(idCol), "left_anti")
+    val applied = latest.filter(col(opCol) === "upsert")
+      .select(col(idCol) +: valueCols.map(col): _*)
+    carried.select(col(idCol) +: valueCols.map(col): _*)
+      .unionByName(applied)
+  }
+
   def corpusDiffSummary(a: DataFrame, b: DataFrame, idCol: String,
                         textCol: String): DataFrame = {
     def fp(d: DataFrame, tag: String): DataFrame =

@@ -120,4 +120,64 @@ class ForecastSpec extends SparkSpec {
       .collect()
     assert(a.sameElements(b))
   }
+
+  test("acf: exactly-periodic series has acf 1.0 at its period's" +
+    " multiples; constant series is all-null") {
+    val df = series("p12", 24 * 6, i => if (i % 12 == 0) 100.0 else 10.0)
+      .union(series("flat", 24 * 6, _ => 5.0))
+    val out = Forecast.acf(df, "k", "ts", "v", maxLag = 30).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out(("p12", 12)) == Some(1.0))
+    assert(out(("p12", 24)) == Some(1.0))
+    assert(out(("p12", 6)).get < 0.5) // off-period lags decorrelate
+    assert((1 to 30).forall(l => out(("flat", l)).isEmpty))
+    assert(out.size == 60)
+  }
+
+  test("dominantPeriod: picks the fundamental over its harmonic on an" +
+    " acf tie; constant keys drop out") {
+    val df = series("p12", 24 * 6, i => if (i % 12 == 0) 100.0 else 10.0)
+      .union(series("flat", 24 * 6, _ => 5.0))
+    val out = Forecast.dominantPeriod(df, "k", "ts", "v",
+      minLag = 2, maxLag = 48).collect()
+    assert(out.length == 1) // flat has no defined acf anywhere
+    // lags 12, 24, 36, 48 all score acf = 1.0; shorter-lag tie-break
+    assert(out.head.getString(0) == "p12" && out.head.getInt(1) == 12 &&
+      out.head.getDouble(2) == 1.0)
+  }
+
+  test("madAnomalies: flags only the planted spike, never warmup rows;" +
+    " med/mad exact on a known window") {
+    // 30 steady buckets, spike at 28 — windows 0..23 are warmup
+    val df = series("a", 30, i => if (i == 28) 500.0 else 10.0)
+    val out = Forecast.madAnomalies(df, "k", "ts", "v",
+      window = 24, k = 3.5).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(1) == t0 + 28 * 3600L)
+    assert(out.head.getDouble(2) == 500.0) // value
+    assert(out.head.getDouble(3) == 10.0)  // rolling median
+    assert(out.head.getDouble(4) == 0.0)   // MAD of a steady window
+
+    // spike INSIDE the warmup never flags (no full window yet), and
+    // the later window's median is immune to it (robustness)
+    val warm = series("b", 30, i =>
+      if (i == 5) 500.0 else if (i == 27) 200.0 else 10.0)
+    val out2 = Forecast.madAnomalies(warm, "k", "ts", "v",
+      window = 24, k = 3.5).collect()
+    assert(out2.map(_.getLong(1)).toSeq == Seq(t0 + 27 * 3600L))
+    assert(out2.head.getDouble(3) == 10.0) // median unmoved by the 500
+  }
+
+  test("madAnomalies: even-window two-middle medians are exact") {
+    // window [1, 3, 5, 100] → med = (3+5)/2 = 4.0;
+    // devs |x−4| = [3, 1, 1, 96] → mad = (1+3)/2 = 2.0
+    val df = series("a", 5,
+      i => Seq(1.0, 3.0, 5.0, 100.0, 1000.0)(i))
+    val out = Forecast.madAnomalies(df, "k", "ts", "v",
+      window = 4, k = 3.5).collect()
+    assert(out.length == 1)
+    assert(out.head.getDouble(2) == 1000.0 &&
+      out.head.getDouble(3) == 4.0 && out.head.getDouble(4) == 2.0)
+  }
 }

@@ -467,6 +467,33 @@ class RetrievalSpec extends SparkSpec {
     assert(again == out.collect().map(_.toSeq).toSet)
   }
 
+  test("cdcApply: last-writer-wins per id — upsert replaces, delete" +
+    " removes, later seq beats earlier, untouched ids carry; replay" +
+    " is idempotent") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("id", "text")
+    val log = Seq(
+      (2L, 1L, "upsert", "b2"),         // plain update
+      (3L, 1L, "upsert", "c2"),         // update...
+      (3L, 2L, "delete", null),         // ...then delete: delete wins
+      (4L, 2L, "upsert", "d2"),         // delete then update,
+      (4L, 1L, "delete", null),         //   log order ≠ seq order
+      (5L, 1L, "upsert", "e"))          // insert of a new id
+      .toDF("id", "seq", "op", "text")
+    val out = Corpus.cdcApply(base, log, "id", "seq", "op")
+    val rows = out.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, "a"), (2L, "b2"), (4L, "d2"), (5L, "e")))
+    // at-least-once safety: applying the same log to the result is a
+    // fixpoint (every change is already reflected)
+    val again = Corpus.cdcApply(out, log, "id", "seq", "op")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(again == rows)
+    // empty log: snapshot unchanged
+    val noop = Corpus.cdcApply(base, log.filter(lit(false)),
+      "id", "seq", "op").collect().map(_.getLong(0)).toSet
+    assert(noop == Set(1L, 2L, 3L, 4L))
+  }
+
   test("interleaveByAttr: the i-th best of every source competes at" +
     " slot i — a dominant source cannot hold consecutive places") {
     val run = Seq(
