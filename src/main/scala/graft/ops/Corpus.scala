@@ -152,14 +152,35 @@ object Corpus {
     * pair with a partitioned base layout so the carry-over is
     * metadata, not IO. */
   def cdcApply(base: DataFrame, changelog: DataFrame, idCol: String,
-               seqCol: String, opCol: String): DataFrame = {
-    val valueCols = base.columns.filter(_ != idCol).toSeq
-    val latest = changelog
+               seqCol: String, opCol: String): DataFrame =
+    applyCdcState(base,
+      cdcLatest(changelog, idCol, seqCol, opCol), idCol, seqCol, opCol)
+
+  /** The per-id HIGHEST-seq change of a log — [[cdcApply]]'s fold,
+    * exposed because it is ASSOCIATIVE (max of struct): folding two
+    * logs' cdcLatest outputs through cdcLatest again equals cdcLatest
+    * over their concatenation, which is what lets a streaming sink
+    * keep per-batch folded rows and defer the cross-batch fold to
+    * serving ([[graft.streaming.Ingest.startCdcSink]]). Output: one
+    * row per touched id, carrying seq, op and the log's value
+    * columns. */
+  def cdcLatest(changelog: DataFrame, idCol: String, seqCol: String,
+                opCol: String): DataFrame = {
+    val valueCols = changelog.columns
+      .filterNot(c => c == idCol || c == seqCol || c == opCol).toSeq
+    changelog
       .groupBy(col(idCol))
       .agg(max(struct((col(seqCol) +: col(opCol) +:
         valueCols.map(col)): _*)).as("_last"))
-      .select(col(idCol) +: col(s"_last.$opCol") +:
-        valueCols.map(c => col(s"_last.$c")): _*)
+      .select(col(idCol) +: col(s"_last.$seqCol") +:
+        col(s"_last.$opCol") +: valueCols.map(c => col(s"_last.$c")): _*)
+  }
+
+  /** Apply a [[cdcLatest]] state to a snapshot: anti-join carry for
+    * untouched ids, upsert rows replace-or-insert, deletes drop. */
+  def applyCdcState(base: DataFrame, latest: DataFrame, idCol: String,
+                    seqCol: String, opCol: String): DataFrame = {
+    val valueCols = base.columns.filter(_ != idCol).toSeq
     val carried = base.join(latest.select(col(idCol)),
       Seq(idCol), "left_anti")
     val applied = latest.filter(col(opCol) === "upsert")

@@ -685,6 +685,45 @@ object Ingest {
         act.select(col(userCol), col("period")).distinct(),
         userCol))
 
+  /** Streaming CDC UPSERT SINK — a change-data-capture log (id, seq,
+    * op ∈ {upsert, delete}, payload) ingested continuously, serving a
+    * current table snapshot on demand. Each micro-batch writes ONLY
+    * its own per-id folded rows ([[graft.ops.Corpus.cdcLatest]] —
+    * dominated intra-batch changes collapse map-side) under
+    * `b=<batchId>`, so per-trigger cost tracks BATCH size, not the
+    * table's change history (the growth contract the line-dedup sink
+    * had to retrofit a bloom for; here the fold is associative, so
+    * the bounded-write layout is free). Replay overwrites its own
+    * batch dir — idempotent under at-least-once delivery.
+    * [[graft.io.Batches.compact]] folds the tail when the directory
+    * count grows; the serving fold re-runs per read, so compaction
+    * changes layout, never answers. */
+  def startCdcSink(changes: DataFrame, idCol: String, seqCol: String,
+                   opCol: String, outRoot: String, checkpoint: String,
+                   trigger: Trigger = Trigger.ProcessingTime(0L))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Corpus.cdcLatest(batch, idCol, seqCol, opCol)
+          .write.mode("overwrite").parquet(s"$outRoot/b=$batchId")
+        ()
+      }
+      .start()
+
+  /** Serving read for [[startCdcSink]]: the base snapshot with every
+    * ingested change applied, identical to batch
+    * [[graft.ops.Corpus.cdcApply]] over the concatenated log (max is
+    * associative: re-folding the per-batch folds loses nothing).
+    * None before the first commit. */
+  def readCdcSnapshot(spark: SparkSession, outRoot: String,
+                      base: DataFrame, idCol: String, seqCol: String,
+                      opCol: String): Option[DataFrame] =
+    graft.io.Batches.read(spark, outRoot).map(log =>
+      graft.ops.Corpus.cdcApply(base, log.drop("b"), idCol, seqCol, opCol))
+
   /** Streaming DATA-QUALITY MONITOR MV — the
     * [[graft.ops.Checks.rowChecks]] expectation report kept
     * continuously current over everything ingested: each micro-batch

@@ -1369,6 +1369,44 @@ class StreamingSpec extends SparkSpec {
     assert(afterCompact == served)
   }
 
+  test("CDC sink: served snapshot equals batch cdcApply over the " +
+    "concatenated log, including cross-batch overrides; compaction " +
+    "keeps it identical") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("id", "text")
+    // cross-batch shapes: id 2 upserted in b0 then deleted in b2 (the
+    // override spans batches — neither batch alone decides); id 3
+    // deleted in b0 then re-upserted with a HIGHER seq in b1; id 5
+    // inserted and immediately superseded intra-batch
+    val batches: Seq[Seq[(Long, Long, String, String)]] = Seq(
+      Seq((2L, 1L, "upsert", "b2"), (3L, 1L, "delete", null)),
+      Seq((3L, 2L, "upsert", "c3"),
+        (5L, 1L, "upsert", "e0"), (5L, 2L, "upsert", "e1")),
+      Seq((2L, 2L, "delete", null)))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cdc")
+    val mem = MemoryStream[(Long, Long, String, String)]
+    val q = Ingest.startCdcSink(
+      mem.toDF().toDF("id", "seq", "op", "text"),
+      "id", "seq", "op", s"$tmp/log", s"$tmp/cp")
+    try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val served = snap(Ingest.readCdcSnapshot(
+      spark, s"$tmp/log", base, "id", "seq", "op").get)
+    val batch = snap(ops.Corpus.cdcApply(base,
+      batches.flatten.toDF("id", "seq", "op", "text"), "id", "seq", "op"))
+    assert(served == batch)
+    assert(served == Set((1L, "a"), (3L, "c3"), (4L, "d"), (5L, "e1")))
+    // compaction folds the batch dirs; the served answer is unchanged
+    graft.io.Batches.compact(spark, s"$tmp/log", upTo = 2L)
+    val afterCompact = snap(Ingest.readCdcSnapshot(
+      spark, s"$tmp/log", base, "id", "seq", "op").get)
+    assert(afterCompact == served)
+  }
+
   test("data-checks MV: streamed expectation report equals batch " +
     "rowChecks over the full ingested stream") {
     implicit val sc = spark.sqlContext
