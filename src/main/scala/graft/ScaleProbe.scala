@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   * With a second arg, only that section runs (so one family can probe
   * at a multiplier the full sweep can't afford): text | sampling |
   * jaccard | contamination | ann | snapshot | ndsink | ndprobe | ldsink | ldprobe | embprobe | span |
-  * linehot | ndaudit | embsink | events | forecast | sketch | fuzzy.
+  * linehot | ndaudit | embsink | events | forecast | sketch | fuzzy |
+  * interval | cdc.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -1230,6 +1231,67 @@ object ScaleProbe {
       ops.FuzzyJoin.selfPairs(dom, "id", "s", 2, 4).count()
     }
     dom.unpersist()
+    }
+
+    // interval overlap join at xN KEY cardinality (key-shifted users,
+    // so the true pair count grows linearly — quadratic wall-clock
+    // growth here would mean the blocking degenerated)
+    section("interval") {
+    val evI = {
+      val base = Tables.events(spark, dir)
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("iv_s"),
+          (unix_timestamp(col("ts")) + floor(col("value") * 60)
+            .cast("long")).as("iv_e"))
+      (0 until mult).map { i =>
+        base.withColumn("user_id", col("user_id") + lit(i.toLong * 10000000L))
+      }.reduce(_ union _).cache()
+    }
+    println(s"[scaleprobe] intervals (key-shifted) x$mult = ${evI.count()}")
+    val aI = evI.filter(col("event_type").isin("view", "click"))
+    val bI = evI.filter(col("event_type") === "error")
+    time("interval_overlap_join") {
+      ops.Intervals.overlapJoin(aI, bI, "user_id", "event_id",
+        "iv_s", "iv_e").count()
+    }
+    time("interval_overlap_stats") {
+      ops.Intervals.overlapStats(aI, bI, "user_id", "event_id",
+        "iv_s", "iv_e").queryExecution.toRdd.count()
+    }
+    time("pipe_session_incidents") {
+      ops.Pipelines.sessionIncidents(
+        Tables.events(spark, dir).withColumn("ts", col("ts")
+          .cast("timestamp")), "user_id", "ts", "value", "event_type")
+        .queryExecution.toRdd.count()
+    }
+    evI.unpersist()
+    }
+
+    // CDC apply over a multiplied base: the log touches ~37% of ids
+    // with up to three changes each — per-id fold + delta carry must
+    // track the log and the base linearly
+    section("cdc") {
+    docs
+    val log = {
+      val d = docs.select(col("doc_id"), col("text"))
+      d.filter(pmod(col("doc_id"), lit(5L)) === 0L)
+        .select(col("doc_id"), lit(1L).as("seq"), lit("upsert").as("op"),
+          concat(lit("rev1: "), col("text")).as("text"))
+        .unionByName(d.filter(pmod(col("doc_id"), lit(10L)) === 0L)
+          .select(col("doc_id"), lit(2L).as("seq"), lit("delete").as("op"),
+            lit(null).cast("string").as("text")))
+        .unionByName(d.filter(pmod(col("doc_id"), lit(7L)) === 3L)
+          .select(col("doc_id"), lit(3L).as("seq"), lit("delete").as("op"),
+            lit(null).cast("string").as("text")))
+        .unionByName(d.filter(pmod(col("doc_id"), lit(4L)) === 1L)
+          .select(col("doc_id"), lit(1L).as("seq"), lit("upsert").as("op"),
+            concat(lit("r: "), col("text")).as("text")))
+    }
+    time("cdc_apply") {
+      ops.Corpus.cdcApply(docs.select(col("doc_id"), col("text")), log,
+        "doc_id", "seq", "op").queryExecution.toRdd.count()
+    }
     }
     spark.stop()
   }

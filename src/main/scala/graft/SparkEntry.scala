@@ -210,6 +210,15 @@ object SparkEntry {
       Totals.byKey(ev(s, dir), "user_id", "value")),
     "a10_rollup_by_type" -> ((s, dir) =>
       Totals.rollupByKey(ev(s, dir), "event_type", "value")),
+    // full CUBE over (type, day): all four grouping sets in one pass
+    "a14_cube_type_day" -> ((s, dir) =>
+      Totals.cubeByKeys(
+        ev(s, dir).withColumn("day", date_format(col("ts"), "yyyy-MM-dd")),
+        "event_type", "day", "value")),
+    // sessionize → interval-overlap composition: incidents per session
+    "pipe_session_incidents" -> ((s, dir) =>
+      Pipelines.sessionIncidents(ev(s, dir), "user_id", "ts", "value",
+        "event_type")),
     "a13_distinct_types" -> ((s, dir) =>
       Totals.distinctKeys(ev(s, dir), "event_type")),
     // ---- A7: multi-window rolling stats ----
@@ -2484,6 +2493,57 @@ object SparkEntry {
         |       CAST(GROUPING(event_type) AS INT) AS lvl
         |FROM events GROUP BY ROLLUP(event_type)
         |ORDER BY lvl, event_type""".stripMargin,
+    "a14_cube_type_day" ->
+      """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE)
+        |         AS total_value,
+        |       COUNT(*) AS n_rows,
+        |       CAST(GROUPING(event_type, strftime(ts, '%Y-%m-%d'))
+        |         AS BIGINT) AS gid
+        |FROM events GROUP BY CUBE(event_type, strftime(ts, '%Y-%m-%d'))
+        |ORDER BY gid, event_type, day""".stripMargin,
+    "pipe_session_incidents" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, value, floor(epoch(ts)) eps,
+        |         LAG(floor(epoch(ts))) OVER (PARTITION BY user_id
+        |           ORDER BY ts) prev
+        |  FROM events WHERE event_type <> 'error'),
+        |brk AS (
+        |  SELECT user_id, ts, value, eps,
+        |         CASE WHEN prev IS NULL OR eps - prev > 1800
+        |              THEN 1 ELSE 0 END b
+        |  FROM o),
+        |sess AS (
+        |  SELECT user_id, ts, value, eps,
+        |         SUM(b) OVER (PARTITION BY user_id ORDER BY ts
+        |                      ROWS UNBOUNDED PRECEDING) session_id
+        |  FROM brk),
+        |sg AS (
+        |  SELECT user_id, CAST(session_id AS BIGINT) session_id,
+        |         COUNT(*) n_events,
+        |         CAST(min(eps) AS BIGINT) s, CAST(max(eps) AS BIGINT) e,
+        |         CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE)
+        |           total_value
+        |  FROM sess GROUP BY 1, 2),
+        |inc AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) ivs,
+        |         CAST(floor(epoch(ts)) AS BIGINT)
+        |           + CAST(floor(value*60) AS BIGINT) ive
+        |  FROM events WHERE event_type = 'error'),
+        |hits AS (
+        |  SELECT sg.user_id, sg.session_id, COUNT(*) n_incidents,
+        |         SUM(least(sg.e, inc.ive) - greatest(sg.s, inc.ivs))
+        |           incident_sec
+        |  FROM sg JOIN inc ON inc.user_id = sg.user_id
+        |    AND sg.s <= inc.ive AND inc.ivs <= sg.e
+        |  GROUP BY 1, 2)
+        |SELECT sg.user_id, sg.session_id, sg.s AS session_start,
+        |       sg.e AS session_end, sg.n_events, sg.total_value,
+        |       COALESCE(h.n_incidents, 0) AS n_incidents,
+        |       CAST(COALESCE(h.incident_sec, 0) AS BIGINT) AS incident_sec
+        |FROM sg LEFT JOIN hits h
+        |  ON h.user_id = sg.user_id AND h.session_id = sg.session_id
+        |ORDER BY sg.user_id, sg.session_id""".stripMargin,
     "a13_distinct_types" ->
       "SELECT DISTINCT event_type FROM events ORDER BY event_type",
     "a7_window_stats" -> {

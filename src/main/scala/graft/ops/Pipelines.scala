@@ -197,6 +197,54 @@ object Pipelines {
     * replays both arms, the integer RRF, the unrolled greedy MMR and
     * the metadata join bit-for-bit.
     */
+  /** Session × incident overlap report — the observability composition
+    * over the event stream: sessionize the activity (non-incident)
+    * events, view each incident as a time window, and answer "how many
+    * incidents landed inside each session, for how long" per session.
+    * Wires [[Analytic.sessionize]] (per-key window, the one key
+    * shuffle) into [[Intervals.overlapStats]] (epoch-bucket-blocked
+    * equi-join — never a per-user nested loop); the session stats join
+    * back on the (user, session) key at session scale. Incident
+    * windows are [ts, ts + value·incidentSecPerValue] — the incident's
+    * magnitude read as its duration.
+    *
+    * Output: user, session_id, session bounds, n_events, total_value,
+    * n_incidents, incident_sec; ordered. Sessions with no incidents
+    * are kept (n_incidents = 0) — the healthy majority is the point of
+    * the report. */
+  def sessionIncidents(events: DataFrame, userCol: String, tsCol: String,
+                       valueCol: String, typeCol: String,
+                       incidentType: String = "error",
+                       gapSec: Long = 1800L,
+                       incidentSecPerValue: Long = 60L,
+                       bucketSec: Long = 14400L): DataFrame = {
+    val sessions = Analytic.sessionize(
+      events.filter(col(typeCol) =!= incidentType),
+      userCol, tsCol, valueCol, gapSec)
+    val a = sessions.select(col(userCol), col("session_id").as("iv_id"),
+      col("session_start").as("iv_s"), col("session_end").as("iv_e"))
+    // any unique-per-row column works as the b-side id (the rollup
+    // never surfaces it); a stable one keeps the whole plan
+    // deterministic, so derive it from the incident's own identity
+    val b = events.filter(col(typeCol) === incidentType)
+      .select(col(userCol),
+        unix_timestamp(col(tsCol)).as("iv_s"),
+        (unix_timestamp(col(tsCol)) +
+          floor(col(valueCol) * incidentSecPerValue).cast("long"))
+          .as("iv_e"))
+      .withColumn("iv_id",
+        xxhash64(col(userCol), col("iv_s"), col("iv_e")))
+    val stats = Intervals.overlapStats(a, b, userCol, "iv_id",
+      "iv_s", "iv_e", bucketSec)
+    sessions.join(stats.withColumnRenamed("a_id", "session_id"),
+        Seq(userCol, "session_id"))
+      .select(col(userCol), col("session_id"), col("a_s").as("session_start"),
+        col("a_e").as("session_end"), col("n_events"), col("total_value"),
+        col("n_overlaps").as("n_incidents"),
+        col("overlap_sec").as("incident_sec"))
+      .orderBy(userCol, "session_id")
+  }
+
   def searchTier(docs: DataFrame, idCol: String, textCol: String,
                  emb: DataFrame, vecIdCol: String, vecCol: String,
                  queries: DataFrame, queryVecs: DataFrame,

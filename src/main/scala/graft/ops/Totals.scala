@@ -75,4 +75,23 @@ object Totals {
   /** A13 — DISTINCT keys. */
   def distinctKeys(df: DataFrame, keyCol: String): DataFrame =
     df.select(col(keyCol)).distinct().orderBy(keyCol)
+
+  /** Two-dimension CUBE: every grouping set {(k1,k2), (k1), (k2), ()}
+    * in one pass — the dashboard matrix (per type × day, per type, per
+    * day, grand total) that would otherwise be four scans. Spark
+    * expands grouping sets BEFORE the hash aggregate (Expand: 4 rows
+    * per input row), so it is one shuffle whose width is the grouping-
+    * set count — a dial, not a data-scale hazard; partial aggregation
+    * still applies per set. `gid` is the standard grouping bitmask
+    * (k1 = MSB), which also disambiguates a real null key from an
+    * aggregated-out one. Ordering inside a gid level never depends on
+    * nulls: the nulled-out columns are constant there. */
+  def cubeByKeys(df: DataFrame, key1: String, key2: String,
+                 valueCol: String): DataFrame =
+    df.cube(col(key1), col(key2))
+      .agg(
+        Exact.dsum2(col(valueCol)).as("total_value"),
+        count(lit(1)).as("n_rows"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid"), col(key1), col(key2))
 }

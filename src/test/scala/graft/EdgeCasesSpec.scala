@@ -444,4 +444,47 @@ class EdgeCasesSpec extends SparkSpec {
       .filter(col("ts") >= lit("2031-01-01 00:00:00").cast("timestamp"))
     assert(e.count() == 0)
   }
+
+  test("cubeByKeys: four grouping sets reconcile — each level sums to" +
+    " the grand total; gid disambiguates a REAL null key") {
+    val df = Seq(
+      (Option("a"), "d1", 1.0), (Option("a"), "d2", 2.0),
+      (Option("b"), "d1", 4.0),
+      (Option.empty[String], "d1", 8.0)) // real null key, not a subtotal
+      .toDF("k1", "k2", "value")
+    val out = Totals.cubeByKeys(df, "k1", "k2", "value").collect()
+    assert(out.length == 4 + 3 + 2 + 1) // cells, k1 rows, k2 rows, total
+    def level(g: Long) = out.filter(_.getLong(4) == g)
+    assert(level(0L).map(_.getDouble(2)).sum == 15.0)
+    assert(level(1L).map(_.getDouble(2)).sum == 15.0)
+    assert(level(2L).map(_.getDouble(2)).sum == 15.0)
+    assert(level(3L).map(_.getDouble(2)).toSeq == Seq(15.0))
+    // gid 0 row with null k1 is the REAL null group, value 8
+    val realNull = level(0L).filter(_.isNullAt(0))
+    assert(realNull.length == 1 && realNull.head.getDouble(2) == 8.0)
+    // gid 2 (k1 aggregated out) holds the per-day rows: d1 = 13
+    assert(level(2L).filter(_.getString(1) == "d1")
+      .head.getDouble(2) == 13.0)
+  }
+
+  test("sessionIncidents: incidents attach to the session whose span" +
+    " covers them; clean sessions kept with zero counts") {
+    def t(min: Long) = new Timestamp((1704067200L + min * 60) * 1000L)
+    val events = Seq(
+      // user 1, session 1: 10:00–10:10 (3 activity events)
+      (1L, t(0), 5.0, "view"), (1L, t(5), 5.0, "click"),
+      (1L, t(10), 5.0, "view"),
+      // incident inside session 1: starts min 7, lasts 2·60 s
+      (1L, t(7), 2.0, "error"),
+      // user 1, session 2 after a >30 min gap: clean
+      (1L, t(60), 1.0, "view"),
+      // incident far outside any session
+      (1L, t(200), 1.0, "error"))
+      .toDF("user_id", "ts", "value", "event_type")
+    val out = Pipelines.sessionIncidents(events, "user_id", "ts",
+      "value", "event_type").collect()
+      .map(r => (r.getLong(1), r.getLong(4), r.getLong(6), r.getLong(7)))
+    // (session, n_events, n_incidents, incident_sec)
+    assert(out.toSeq == Seq((1L, 3L, 1L, 120L), (2L, 1L, 0L, 0L)))
+  }
 }
