@@ -520,6 +520,26 @@ object SparkEntry {
           col("asof_checkpoint_total"))
         .orderBy("event_id")
     }),
+    // point-in-time feature join: two feature tables at different
+    // grains attach as-of each fact's own timestamp — the feature-store
+    // read path (leakage-free: only features at-or-before the label)
+    "x_pit_features" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val hourly = e.groupBy(col("user_id"),
+          date_trunc("hour", col("ts")).as("ts"))
+        .agg(graft.util.Exact.dsum2(col("value")).as("checkpoint_total"))
+      val daily = e.groupBy(col("user_id"),
+          date_trunc("day", col("ts")).as("ts"))
+        .agg(count(lit(1)).as("n_events_day"))
+      AsOf.pitFeatures(
+        e.select("event_id", "user_id", "ts", "value"), "user_id", "ts",
+        Seq(("hr", hourly, Seq("checkpoint_total")),
+          ("day", daily, Seq("n_events_day"))))
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("ts_epoch"), col("value"),
+          col("hr_checkpoint_total"), col("day_n_events_day"))
+        .orderBy("event_id")
+    }),
     "x_asof_fwd" -> ((s, dir) => {
       val e = ev(s, dir)
       val cp = e.groupBy(col("user_id"),
@@ -722,6 +742,18 @@ object SparkEntry {
           e.filter(pmod(col("event_id"), lit(2)) === 1), exact = true)
         .orderBy("col_name")
     }),
+    // equi-height histogram of the value column: 10 buckets at exact
+    // decile edges (6-dp-rounded edges drive assignment on both
+    // engines, so an interpolation ulp cannot flip a bin)
+    "prof_histogram" -> ((s, dir) =>
+      Profiler.histogram(ev(s, dir), "value", nBins = 10)),
+    // order-independent cross-engine content digest of the documents
+    // table — the replication/migration check (surfaced as a string:
+    // unambiguous across decimal widths)
+    "t_table_digest" -> ((s, dir) =>
+      Corpus.tableDigest(Tables.documents(s, dir),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .select(col("n_rows"), col("digest").cast("string").as("digest"))),
     "prof_events_summary" -> ((s, dir) =>
       Profiler.summary(ev(s, dir), exact = true).orderBy("col_name")),
     // ---- training-data pipeline: dedup family over documents ----
@@ -3012,6 +3044,49 @@ object SparkEntry {
         |FROM events e ASOF LEFT JOIN cp
         |  ON e.user_id = cp.user_id AND e.ts >= cp.cts
         |ORDER BY event_id""".stripMargin,
+    "x_pit_features" ->
+      """WITH hr AS (
+        |  SELECT user_id, date_trunc('hour', ts) cts,
+        |         CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE)
+        |           checkpoint_total
+        |  FROM events GROUP BY 1, 2),
+        |dy AS (
+        |  SELECT user_id, date_trunc('day', ts) cts,
+        |         COUNT(*) n_events_day
+        |  FROM events GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id,
+        |       CAST(floor(epoch(e.ts)) AS BIGINT) ts_epoch, e.value,
+        |       hr.checkpoint_total AS hr_checkpoint_total,
+        |       dy.n_events_day AS day_n_events_day
+        |FROM events e
+        |  ASOF LEFT JOIN hr ON e.user_id = hr.user_id AND e.ts >= hr.cts
+        |  ASOF LEFT JOIN dy ON e.user_id = dy.user_id AND e.ts >= dy.cts
+        |ORDER BY event_id""".stripMargin,
+    "prof_histogram" ->
+      """WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+        |th AS (SELECT list_transform(
+        |         quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+        |                               0.6, 0.7, 0.8, 0.9]),
+        |         x -> round(x, 6)) qs,
+        |       MIN(value) lo, MAX(value) hi FROM v),
+        |b AS (SELECT len(list_filter(th.qs, x -> x <= v.value)) bin
+        |      FROM v, th)
+        |SELECT CAST(bin AS INTEGER) AS bin,
+        |       CASE WHEN bin = 0 THEN th.lo ELSE th.qs[bin] END AS bin_lo,
+        |       CASE WHEN bin = 9 THEN th.hi
+        |            ELSE th.qs[bin + 1] END AS bin_hi,
+        |       COUNT(*) AS n_rows
+        |FROM b, th GROUP BY 1, 2, 3 ORDER BY bin""".stripMargin,
+    "t_table_digest" ->
+      """SELECT COUNT(*) AS n_rows,
+        |       CAST(CAST(SUM(CAST(('0x' || substr(md5(concat_ws(chr(1),
+        |           coalesce(CAST(doc_id AS VARCHAR), chr(2)),
+        |           coalesce(text, chr(2)),
+        |           coalesce(lang, chr(2)),
+        |           coalesce(source, chr(2)),
+        |           coalesce(CAST(n_chars AS VARCHAR), chr(2)))), 1, 15))
+        |         AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS digest
+        |FROM documents""".stripMargin,
     "x_asof_fwd" ->
       """WITH cp AS (
         |  SELECT user_id, date_trunc('hour', ts) cts,

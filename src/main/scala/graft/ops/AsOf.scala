@@ -60,6 +60,27 @@ object AsOf {
       .select((leftCols.map(col) ++ valueCols.map(v => col(s"asof_$v"))): _*)
   }
 
+  /** Point-in-time multi-table feature join — the feature-store read
+    * path: attach to every fact row, for EACH feature table, the
+    * latest feature row at-or-before the fact's own timestamp.
+    * Strictly `dim.ts <= fact.ts`, so training examples can never see
+    * a feature computed after the label event (leakage-free by
+    * construction — the property feature stores exist to enforce).
+    * `dims` entries are (prefix, table, payloadCols); payload arrives
+    * as `<prefix>_<col>`, null when no feature row precedes the fact.
+    *
+    * Decomposes into k chained [[asofBackward]] unions — k hash
+    * shuffles on the SAME entity key (at 100 TB, AQE coalesces and
+    * the key partitioning is reusable across the chain), never a
+    * range join or per-key loop. */
+  def pitFeatures(fact: DataFrame, keyCol: String, tsCol: String,
+                  dims: Seq[(String, DataFrame, Seq[String])]): DataFrame =
+    dims.foldLeft(fact) { case (acc, (prefix, dim, cols)) =>
+      cols.foldLeft(asofBackward(acc, dim, keyCol, tsCol, cols)) {
+        (d, c) => d.withColumnRenamed(s"asof_$c", s"${prefix}_$c")
+      }
+    }
+
   /** As-of FORWARD join: for each left row, the EARLIEST right row with
     * `right.ts >= left.ts` per key — the "next reading" lookup
     * (next checkpoint, next price tick). Same union+window decomposition

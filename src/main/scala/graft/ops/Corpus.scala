@@ -189,6 +189,27 @@ object Corpus {
       .unionByName(applied)
   }
 
+  /** Order-independent content digest of a frame: the exact 38-digit
+    * sum of each row's 60-bit md5 over a canonical serialization, plus
+    * the row count. Two digests agree ⟺ contents agree (up to
+    * engineered md5-sum collisions) regardless of engine, file layout,
+    * partitioning, or row order — the replication / migration /
+    * backup-restore check, one map-side hash and one scalar aggregate
+    * per side (the two tables never meet, unlike a diff join; at
+    * 100 TB each side is a scan). Columns are serialized as strings
+    * with \u0001 between fields and \u0002 for null (null ≠ empty
+    * string); pass integers/strings directly and pre-format doubles —
+    * engine-default double rendering is not canonical. Field values
+    * containing \u0001 can alias across column splits; reserve it. */
+  def tableDigest(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val ser = concat_ws("\u0001",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*)
+    df.select(graft.functions.Md5Hash60.md5hash60(ser).as("_h"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(col("_h").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("digest"))
+  }
+
   def corpusDiffSummary(a: DataFrame, b: DataFrame, idCol: String,
                         textCol: String): DataFrame = {
     def fp(d: DataFrame, tag: String): DataFrame =

@@ -283,4 +283,45 @@ object Profiler {
       coalesce(hll_sketch_estimate(col("sketch")), lit(0L))
         .as("n_distinct"),
       col("min_num"), col("max_num"), col("min_str"), col("max_str"))
+
+  /** Equi-height histogram of a numeric column: `nBins` buckets whose
+    * edges sit at the exact linear-interpolation quantiles
+    * i/nBins — the skew-proof distribution view (an equi-WIDTH
+    * histogram of a heavy-tailed column puts everything in bin 0;
+    * see [[graft.ops.TextStats.lengthHistogram]] for that form).
+    *
+    * Boundaries are rounded to 6 dp and the SAME rounded values drive
+    * bin assignment: the two engines' interpolation can differ in the
+    * last ulp ((1−g)·a+g·b vs a+g·(b−a)), and an unrounded boundary
+    * would leak that ulp into bin membership. Buckets are closed-left
+    * on their quantile edge (v == edge goes up); empty buckets (ties
+    * collapsing edges) simply don't appear.
+    *
+    * Scale shape: one exact-percentile aggregation (Spark's sort-based
+    * `percentile` — a profiling pass by design; swap
+    * `percentile_approx` in interactive contexts), then bin assignment
+    * as a map-side filter over the ≤nBins broadcast edge array and one
+    * nBins-row hash agg. Nulls are excluded (no quantile membership). */
+  def histogram(df: DataFrame, valueCol: String, nBins: Int): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val probs = array((1 until nBins).map(i => lit(i.toDouble / nBins)): _*)
+    val v = col(valueCol).cast("double")
+    val th = df.filter(v.isNotNull).agg(
+      transform(percentile(v, probs), q => round(q, 6)).as("_qs"),
+      min(v).as("_lo"), max(v).as("_hi"))
+    df.filter(v.isNotNull).select(v.as("_v")).crossJoin(broadcast(th))
+      .withColumn("bin", size(filter(col("_qs"), b => b <= col("_v"))))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_rows"),
+        first(col("_qs")).as("_qs"), first(col("_lo")).as("_lo"),
+        first(col("_hi")).as("_hi"))
+      .select(col("bin"),
+        when(col("bin") === 0, col("_lo"))
+          .otherwise(try_element_at(col("_qs"), col("bin"))).as("bin_lo"),
+        when(col("bin") === nBins - 1, col("_hi"))
+          .otherwise(try_element_at(col("_qs"), col("bin") + 1))
+          .as("bin_hi"),
+        col("n_rows"))
+      .orderBy("bin")
+  }
 }

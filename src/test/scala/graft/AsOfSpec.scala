@@ -71,4 +71,29 @@ class AsOfSpec extends SparkSpec {
     assert(out(3).isNullAt(out(3).fieldIndex("asof_v")) &&
       out(3).isNullAt(out(3).fieldIndex("asof_dist")))
   }
+
+  test("pitFeatures: every dim attaches as-of the fact ts, never a" +
+    " later feature (leakage-free); missing history is null") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val fact = Seq(
+      (1L, "k1", ts("2024-02-01 10:05:00")),
+      (2L, "k1", ts("2024-02-01 11:05:00")),
+      (3L, "k2", ts("2024-02-01 10:00:00"))) // no k2 features at all
+      .toDF("id", "k", "ts")
+    val f1 = Seq(
+      ("k1", ts("2024-02-01 10:00:00"), 10.0),
+      ("k1", ts("2024-02-01 11:00:00"), 20.0)) // future for fact 1
+      .toDF("k", "ts", "a")
+    val f2 = Seq(("k1", ts("2024-02-01 09:00:00"), 7L))
+      .toDF("k", "ts", "b")
+    val out = AsOf.pitFeatures(fact, "k", "ts",
+        Seq(("f1", f1, Seq("a")), ("f2", f2, Seq("b"))))
+      .orderBy("id").collect()
+    assert(out(0).getAs[Double]("f1_a") == 10.0 &&
+      out(0).getAs[Long]("f2_b") == 7L)
+    assert(out(1).getAs[Double]("f1_a") == 20.0 &&
+      out(1).getAs[Long]("f2_b") == 7L)
+    assert(out(2).isNullAt(out(2).fieldIndex("f1_a")) &&
+      out(2).isNullAt(out(2).fieldIndex("f2_b")))
+  }
 }

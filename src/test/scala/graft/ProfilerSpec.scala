@@ -126,4 +126,35 @@ class ProfilerSpec extends SparkSpec {
       .orderBy("col_name").collect().map(_.toSeq).toSeq
     assert(direct == composed)
   }
+
+  test("histogram: counts reconcile to n, bins are contiguous and" +
+    " near-equal-height on a spread column; nulls excluded") {
+    import spark.implicits._
+    // 0..99 plus nulls: deciles land between 2dp values
+    val df = ((0 until 100).map(i => Option(i / 1.0)) ++
+      Seq(None, None)).toDF("v")
+    val out = Profiler.histogram(df, "v", nBins = 10)
+      .collect().map(r =>
+        (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(out.map(_._4).sum == 100) // nulls never counted
+    assert(out.length == 10)
+    assert(out.forall(b => b._4 == 10)) // uniform data → exact equi-height
+    // contiguous: each bin's hi is the next bin's lo
+    out.sliding(2).foreach { case Array(a, b) => assert(a._3 == b._2) }
+    assert(out.head._2 == 0.0 && out.last._3 == 99.0)
+  }
+
+  test("histogram: heavy skew — the hot value collapses edges; counts" +
+    " still reconcile and bins stay ordered") {
+    import spark.implicits._
+    val df = (Seq.fill(95)(1.0) ++ Seq(2.0, 3.0, 4.0, 5.0, 100.0)).toDF("v")
+    val out = Profiler.histogram(df, "v", nBins = 10)
+      .collect().map(r =>
+        (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(out.map(_._4).sum == 100)
+    assert(out.map(_._1).toSeq == out.map(_._1).sorted.toSeq)
+    // the 95%-hot value occupies the collapsed lower bins; the tail
+    // values spread into the surviving upper bins
+    assert(out.head._4 >= 95)
+  }
 }

@@ -494,6 +494,29 @@ class RetrievalSpec extends SparkSpec {
     assert(noop == Set(1L, 2L, 3L, 4L))
   }
 
+  test("tableDigest: invariant under row order and partitioning;" +
+    " sensitive to any cell change; null distinct from empty string") {
+    val df = Seq((1L, Option("a")), (2L, Option("b")), (3L, Option("c")))
+      .toDF("id", "s")
+    def dig(d: org.apache.spark.sql.DataFrame) =
+      Corpus.tableDigest(d, Seq("id", "s")).collect().head
+    val base = dig(df)
+    assert(base.getLong(0) == 3L)
+    assert(dig(df.orderBy(col("s").desc)) == base)
+    assert(dig(df.repartition(7)) == base)
+    // one character in one cell changes the digest, same row count
+    val mut = dig(Seq((1L, Option("a")), (2L, Option("B")),
+      (3L, Option("c"))).toDF("id", "s"))
+    assert(mut.getLong(0) == 3L && mut.getDecimal(1) != base.getDecimal(1))
+    // a null cell is not an empty-string cell
+    val withNull = dig(Seq((1L, Option.empty[String])).toDF("id", "s"))
+    val withEmpty = dig(Seq((1L, Option(""))).toDF("id", "s"))
+    assert(withNull.getDecimal(1) != withEmpty.getDecimal(1))
+    // empty frame: zero digest, zero rows (not an error)
+    val empty = dig(df.filter(lit(false)))
+    assert(empty.getLong(0) == 0L && empty.getDecimal(1).longValueExact == 0L)
+  }
+
   test("interleaveByAttr: the i-th best of every source competes at" +
     " slot i — a dominant source cannot hold consecutive places") {
     val run = Seq(
