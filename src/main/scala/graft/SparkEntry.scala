@@ -489,6 +489,22 @@ object SparkEntry {
       FuzzyJoin.selfPairs(base.unionAll(mangled), "id", "name",
         maxDist = 2, q = 4)
     }),
+    // entity resolution over the same fuzzy domain: match graph →
+    // transitive closure → min-id canonical; the oracle recomputes the
+    // closure over BRUTE-FORCE pairs, so the hash also re-proves the
+    // blocking lossless
+    "x_entity_resolution" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val h = md5(col("doc_id").cast("string").cast("binary"))
+      val base = d.select(col("doc_id").cast("long").as("id"),
+        h.as("name"))
+      val mangled = d.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select((col("doc_id") + 10000000L).cast("long").as("id"),
+          concat(substring(h, 1, 1), substring(h, 3, 1),
+            substring(h, 2, 1), h.substr(lit(4), length(h))).as("name"))
+      Pipelines.resolveEntities(base.unionAll(mangled), "id", "name",
+        maxDist = 2, q = 4, rounds = 3)
+    }),
     // ---- interval overlap join: activity windows (view/click,
     // [ts, ts + value·60 s]) × incident windows (error) on the same
     // user — "which incidents landed inside this session". The oracle
@@ -2292,6 +2308,33 @@ object SparkEntry {
         |  ON a.id < b.id AND abs(length(a.s) - length(b.s)) <= 2
         |WHERE levenshtein(a.s, b.s) <= 2
         |ORDER BY a_id, b_id""".stripMargin,
+    "x_entity_resolution" ->
+      """WITH RECURSIVE dom AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id,
+        |         md5(CAST(doc_id AS VARCHAR)) AS s FROM documents
+        |  UNION ALL
+        |  SELECT CAST(doc_id + 10000000 AS BIGINT),
+        |         substr(md5(CAST(doc_id AS VARCHAR)),1,1) ||
+        |         substr(md5(CAST(doc_id AS VARCHAR)),3,1) ||
+        |         substr(md5(CAST(doc_id AS VARCHAR)),2,1) ||
+        |         substr(md5(CAST(doc_id AS VARCHAR)),4)
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |p AS (SELECT a.id a_id, b.id b_id
+        |      FROM dom a JOIN dom b
+        |        ON a.id < b.id AND abs(length(a.s) - length(b.s)) <= 2
+        |      WHERE levenshtein(a.s, b.s) <= 2),
+        |e AS (SELECT a_id u, b_id v FROM p
+        |      UNION ALL SELECT b_id, a_id FROM p),
+        |reach(u, lbl) AS (
+        |  SELECT id, id FROM dom
+        |  UNION
+        |  SELECT e.u, r.lbl FROM e JOIN reach r ON e.v = r.u),
+        |clu AS (SELECT u AS id, CAST(min(lbl) AS BIGINT) AS entity_id
+        |        FROM reach GROUP BY u)
+        |SELECT d.id, d.s AS name, c.entity_id, cn.s AS canonical_name
+        |FROM dom d JOIN clu c USING (id)
+        |  JOIN dom cn ON cn.id = c.entity_id
+        |ORDER BY d.id""".stripMargin,
     "t_heavy_shingles" ->
       """WITH t AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') w
         |           FROM documents),

@@ -245,6 +245,36 @@ object Pipelines {
       .orderBy(userCol, "session_id")
   }
 
+  /** Entity resolution — the data-cleaning composition: rows whose
+    * names are within edit distance `maxDist` collapse into one
+    * entity. [[FuzzyJoin.selfPairs]] mines the match graph (lossless
+    * q-gram blocking, never all-pairs), [[TextDedup.nearDupClusters]]
+    * closes it transitively (min-label propagation — typo chains
+    * a~b~c resolve even when levenshtein(a,c) > maxDist), and the
+    * canonical form is the MINIMUM-id member's name (deterministic;
+    * swap in a frequency- or recency-argmax upstream if the domain
+    * has one). Output: id, name, entity_id, canonical_name; ordered.
+    *
+    * Scale shape: candidate mining is the fuzzy join's measured-ratio
+    * blocking; label propagation is O(component diameter) hash joins;
+    * the canonical attach is one id-keyed join at row scale. */
+  def resolveEntities(df: DataFrame, idCol: String, nameCol: String,
+                      maxDist: Int = 2, q: Int = 2,
+                      rounds: Int = 6): DataFrame = {
+    val pairs = FuzzyJoin.selfPairs(df, idCol, nameCol, maxDist, q)
+    val clusters = TextDedup.nearDupClusters(
+        df.select(col(idCol)), pairs, idCol, rounds = rounds)
+      .withColumnRenamed("cluster_id", "entity_id")
+    val canon = df.select(col(idCol).as("entity_id"),
+      col(nameCol).as("canonical_name"))
+    df.select(col(idCol), col(nameCol))
+      .join(clusters, Seq(idCol))
+      .join(canon, Seq("entity_id"))
+      .select(col(idCol), col(nameCol), col("entity_id"),
+        col("canonical_name"))
+      .orderBy(idCol)
+  }
+
   def searchTier(docs: DataFrame, idCol: String, textCol: String,
                  emb: DataFrame, vecIdCol: String, vecCol: String,
                  queries: DataFrame, queryVecs: DataFrame,

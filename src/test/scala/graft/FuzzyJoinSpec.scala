@@ -70,4 +70,23 @@ class FuzzyJoinSpec extends SparkSpec {
     val r4 = FuzzyJoin.selfPairs(df, "id", "s", 2, q = 4).collect().toSeq
     assert(r2 == r3 && r3 == r4)
   }
+
+  test("resolveEntities: typo CHAINS collapse transitively (pairwise" +
+    " distance between extremes exceeds maxDist); canonical is the" +
+    " min-id member's name; singletons self-resolve") {
+    val df = Seq(
+      (10L, "aaaaaaaa"),  // chain a—b—c—d: d(a,d) = 3 > maxDist 2
+      (11L, "aaaaaaab"),
+      (12L, "aaaaaabb"),
+      (13L, "aaaaabbb"),
+      (20L, "zzzzzzzz"))  // unrelated singleton
+      .toDF("id", "s")
+    val out = graft.ops.Pipelines.resolveEntities(df, "id", "s",
+        maxDist = 2, q = 2, rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (10L, 10L, "aaaaaaaa"), (11L, 10L, "aaaaaaaa"),
+      (12L, 10L, "aaaaaaaa"), (13L, 10L, "aaaaaaaa"),
+      (20L, 20L, "zzzzzzzz")))
+  }
 }
