@@ -763,6 +763,13 @@ object SparkEntry {
     // engines, so an interpolation ulp cannot flip a bin)
     "prof_histogram" -> ((s, dir) =>
       Profiler.histogram(ev(s, dir), "value", nBins = 10)),
+    // exact quantiles served from the mergeable fixed-point value
+    // histogram (the streaming MV's serving math, batch-oracled: the
+    // DuckDB replay interpolates the same histogram the same way)
+    "prof_quantiles" -> ((s, dir) =>
+      Percentiles.quantilesFromHist(
+        Percentiles.valueHistPartial(ev(s, dir), "value"),
+        Seq(0.5, 0.75, 0.9, 0.99))),
     // order-independent cross-engine content digest of the documents
     // table — the replication/migration check (surfaced as a string:
     // unambiguous across decimal widths)
@@ -3120,6 +3127,35 @@ object SparkEntry {
         |            ELSE th.qs[bin + 1] END AS bin_hi,
         |       COUNT(*) AS n_rows
         |FROM b, th GROUP BY 1, 2, 3 ORDER BY bin""".stripMargin,
+    "prof_quantiles" ->
+      """WITH h AS (SELECT CAST(round(value*100) AS BIGINT) unit,
+        |             COUNT(*) n
+        |           FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |c AS (SELECT unit, n,
+        |        SUM(n) OVER (ORDER BY unit
+        |          ROWS UNBOUNDED PRECEDING) hi_cum
+        |      FROM h),
+        |c2 AS (SELECT *, hi_cum - n AS lo_cum FROM c),
+        |t AS (SELECT COALESCE(SUM(n), 0) AS N FROM h),
+        |pr AS (SELECT unnest(CAST([0.5, 0.75, 0.9, 0.99]
+        |         AS DOUBLE[])) AS p),
+        |pp AS (SELECT p, (N-1)*p AS pos,
+        |         CAST(floor((N-1)*p) AS BIGINT) AS lo,
+        |         CAST(ceil((N-1)*p) AS BIGINT) AS hi, N
+        |       FROM pr, t),
+        |vlo AS (SELECT pp.p, c2.unit ulo FROM pp JOIN c2
+        |        ON pp.lo >= c2.lo_cum AND pp.lo < c2.hi_cum),
+        |vhi AS (SELECT pp.p, c2.unit uhi FROM pp JOIN c2
+        |        ON pp.hi >= c2.lo_cum AND pp.hi < c2.hi_cum)
+        |SELECT pp.p,
+        |       CASE WHEN pp.N = 0 THEN NULL
+        |            WHEN pp.hi = pp.lo THEN CAST(ulo AS DOUBLE)/100.0
+        |            ELSE (CAST(ulo AS DOUBLE)/100.0) * (pp.hi - pp.pos)
+        |               + (CAST(uhi AS DOUBLE)/100.0) * (pp.pos - pp.lo)
+        |       END AS q
+        |FROM pp LEFT JOIN vlo ON vlo.p = pp.p
+        |  LEFT JOIN vhi ON vhi.p = pp.p
+        |ORDER BY pp.p""".stripMargin,
     "t_table_digest" ->
       """SELECT COUNT(*) AS n_rows,
         |       CAST(CAST(SUM(CAST(('0x' || substr(md5(concat_ws(chr(1),

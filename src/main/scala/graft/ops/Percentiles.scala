@@ -72,6 +72,68 @@ object Percentiles {
 
   /** Scale path: t-digest/approx variant for interactive 100 TB fitting
     * (NOT oracle-checked — different estimator by design). */
+  /** Additive fixed-point VALUE HISTOGRAM — the mergeable sufficient
+    * statistic for EXACT quantiles when the value domain is bounded
+    * (2-dp sensor/traffic readings: the state is domain-cardinality
+    * rows — tens of thousands — never data-cardinality). (unit, n)
+    * counts of round(value·100); merge = long addition, so partials
+    * from any batch split fold to the same histogram. */
+  def valueHistPartial(df: DataFrame, valueCol: String): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(round(col(valueCol) * 100).cast("long").as("unit"))
+      .agg(count(lit(1)).as("n"))
+
+  def mergeValueHist(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("unit")).agg(sum(col("n")).as("n"))
+
+  /** Exact quantiles from a value histogram, reproducing Spark's exact
+    * `percentile` (and numpy's linear interpolation) bit-for-bit:
+    * 0-based position = (N−1)·p over the sorted multiset;
+    * q = v_lo·(⌈pos⌉−pos) + v_hi·(pos−⌊pos⌋), v directly when the
+    * position is integral (the same special case Spark's
+    * implementation takes — the blended form would collapse to 0).
+    * unit/100.0 is correctly rounded, hence bit-identical to the
+    * original 2-dp double.
+    *
+    * One cumulative window over the histogram (single-partition BY
+    * DESIGN: the histogram is domain-cardinality — the temperature-
+    * waterfill precedent) and two bracketing joins per probability. */
+  def quantilesFromHist(hist: DataFrame, probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("unit")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("_hi_cum", sum(col("n")).over(w))
+      .withColumn("_lo_cum", col("_hi_cum") - col("n"))
+    val n = hist.agg(coalesce(sum(col("n")), lit(0L)).as("_N"))
+    val session = hist.sparkSession
+    import session.implicits._
+    val pr = probs.toDF("p") // tiny literal frame
+      .crossJoin(broadcast(n))
+      .withColumn("_pos", (col("_N") - 1) * col("p"))
+      .withColumn("_lower", floor(col("_pos")).cast("long"))
+      .withColumn("_higher", ceil(col("_pos")).cast("long"))
+    def bracket(out: String) =
+      cum.select(col("unit").as(out), col("_lo_cum"), col("_hi_cum"))
+    val withLo = pr.join(bracket("_ulo"),
+      col("_lower") >= col("_lo_cum") && col("_lower") < col("_hi_cum"),
+      "left").drop("_lo_cum", "_hi_cum")
+    val withHi = withLo.join(bracket("_uhi"),
+      col("_higher") >= col("_lo_cum") && col("_higher") < col("_hi_cum"),
+      "left").drop("_lo_cum", "_hi_cum")
+    withHi.select(col("p"),
+        when(col("_N") === 0, lit(null).cast("double"))
+          .when(col("_higher") === col("_lower"),
+            col("_ulo").cast("double") / 100.0)
+          .otherwise(
+            (col("_ulo").cast("double") / 100.0) *
+              (col("_higher") - col("_pos")) +
+            (col("_uhi").cast("double") / 100.0) *
+              (col("_pos") - col("_lower"))).as("q"))
+      .orderBy("p")
+  }
+
   def thresholdsApprox(df: DataFrame, keyCol: String, tsCol: String,
                        valueCol: String): DataFrame =
     df.groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("hour_bucket"))

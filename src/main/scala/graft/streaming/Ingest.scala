@@ -685,6 +685,43 @@ object Ingest {
         act.select(col(userCol), col("period")).distinct(),
         userCol))
 
+  /** Streaming EXACT-QUANTILE MV — continuous p50/p95/p99 over
+    * everything ingested, with NO sketch error: each micro-batch
+    * contributes its additive fixed-point value histogram
+    * ([[graft.ops.Percentiles.valueHistPartial]] — (unit, n) counts,
+    * merge = long addition) through the versioned-state machinery.
+    * The state is DOMAIN-cardinality (distinct 2-dp values), not
+    * data-cardinality — the bounded-domain contract that makes exact
+    * beat a KLL/t-digest here; for unbounded domains use the approx
+    * percentile dial instead. Serving interpolates Spark's exact
+    * `percentile` semantics from the histogram
+    * ([[graft.ops.Percentiles.quantilesFromHist]]), so the dashboard
+    * answer is bit-identical to batch `percentile` over the
+    * concatenated stream (StreamingSpec). */
+  def startQuantileSink(rows: DataFrame, valueCol: String,
+                        workRoot: String, checkpoint: String,
+                        trigger: Trigger = Trigger.ProcessingTime(0L))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.io.VersionedState.mergeCommit(
+          batch.sparkSession, s"$workRoot/valuehist", batchId,
+          graft.ops.Percentiles.valueHistPartial(batch, valueCol),
+          graft.ops.Percentiles.mergeValueHist)
+        ()
+      }
+      .start()
+
+  /** Serving read for [[startQuantileSink]] (None before the first
+    * commit). */
+  def readQuantiles(spark: SparkSession, workRoot: String,
+                    probs: Seq[Double]): Option[DataFrame] =
+    graft.io.VersionedState.readLatest(spark, s"$workRoot/valuehist")
+      .map(h => graft.ops.Percentiles.quantilesFromHist(h, probs))
+
   /** Streaming CDC UPSERT SINK — a change-data-capture log (id, seq,
     * op ∈ {upsert, delete}, payload) ingested continuously, serving a
     * current table snapshot on demand. Each micro-batch writes ONLY

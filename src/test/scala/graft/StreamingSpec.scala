@@ -1369,6 +1369,35 @@ class StreamingSpec extends SparkSpec {
     assert(afterCompact == served)
   }
 
+  test("quantile MV: served exact quantiles are BIT-identical to " +
+    "Spark percentile over the full ingested stream, including an " +
+    "integral-position probability") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    // 2-dp values spread over batches; n = 12 makes p=0.5 integral
+    // between sorted positions only for some probs — cover both the
+    // interpolated and the exact-index branch
+    val batches: Seq[Seq[Double]] = Seq(
+      Seq(1.25, 9.5, 3.75, 0.07),
+      Seq(2.0, 2.0, 7.31, 4.44),
+      Seq(5.5, 8.01, 6.66, 0.07))
+    val probs = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_qmv")
+    val mem = MemoryStream[Double]
+    val q = Ingest.startQuantileSink(mem.toDF().toDF("value"),
+      "value", s"$tmp/mv", s"$tmp/cp")
+    try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    val served = Ingest.readQuantiles(spark, s"$tmp/mv", probs)
+      .get.collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    val pArr = array(probs.map(lit): _*)
+    val batch = batches.flatten.toDF("value")
+      .agg(percentile(col("value"), pArr).as("qs"))
+      .collect().head.getSeq[Double](0)
+    assert(served.map(_._1) == probs)
+    assert(served.map(_._2) == batch.toSeq) // bit-identical, no tolerance
+  }
+
   test("CDC sink: served snapshot equals batch cdcApply over the " +
     "concatenated log, including cross-batch overrides; compaction " +
     "keeps it identical") {
