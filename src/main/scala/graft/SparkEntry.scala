@@ -1281,6 +1281,20 @@ object SparkEntry {
           col("is_current"))
         .orderBy("doc_id", "valid_from")
     }),
+    // time travel: fold snapshot b into a's history at v2, then read
+    // AS OF v1 — the round trip must reproduce snapshot a exactly (the
+    // oracle is a's own fingerprints, not a replay of the fold)
+    "t_scd2_asof" -> ((s, dir) => {
+      val (a, b) = diffSnapshots(Tables.documents(s, dir))
+      val hist0 = a.select(col("doc_id"), col("text"),
+        lit(1L).as("valid_from"), lit(null).cast("long").as("valid_to"),
+        lit(true).as("is_current"))
+      Corpus.scd2AsOf(
+          Corpus.scd2Apply(hist0, b, "doc_id", "text", version = 2L),
+          "doc_id", "text", version = 1L)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .orderBy("doc_id")
+    }),
     // ---- CDC merge: last-writer-wins fold of a synthetic change log
     // into the documents snapshot. The log plants every shape the op
     // must get right: rev1 upserts (%5), rev2 overrides (%10==5),
@@ -4892,6 +4906,9 @@ object SparkEntry {
         |FROM (SELECT * FROM keep UNION ALL SELECT * FROM closed
         |      UNION ALL SELECT * FROM opened)
         |ORDER BY doc_id, valid_from""".stripMargin,
+    "t_scd2_asof" ->
+      """SELECT doc_id, md5(text) AS h FROM documents
+        |WHERE doc_id % 11 <> 3 ORDER BY doc_id""".stripMargin,
     "t_cdc_apply" ->
       """WITH log AS (
         |  SELECT doc_id, 1 AS seq, 'upsert' AS op,

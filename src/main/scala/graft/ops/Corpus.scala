@@ -129,6 +129,19 @@ object Corpus {
     keepAsIs.select(outCols: _*).union(closed).union(opened)
   }
 
+  /** Time-travel read over an [[scd2Apply]] history: the corpus
+    * exactly as it stood at `version` — rows whose validity interval
+    * covers it (`valid_from <= version < valid_to`, open rows
+    * unbounded). Pure filter, no join: at 100 TB this is a scan the
+    * history layout's partition/footer stats prune ("what did this
+    * document say when we trained the March model?" costs the March
+    * slice, not the history). */
+  def scd2AsOf(history: DataFrame, idCol: String, textCol: String,
+               version: Long): DataFrame =
+    history.filter(col("valid_from") <= version &&
+        (col("valid_to").isNull || col("valid_to") > version))
+      .select(col(idCol), col(textCol))
+
   /** CDC merge (MERGE INTO / upsert-apply): fold a change log into a
     * snapshot. `changelog` carries `(idCol, seqCol, opCol, <the
     * snapshot's value columns>)` with op ∈ {"upsert", "delete"} and

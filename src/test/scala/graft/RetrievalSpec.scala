@@ -467,6 +467,19 @@ class RetrievalSpec extends SparkSpec {
     assert(again == out.collect().map(_.toSeq).toSet)
   }
 
+  test("scd2AsOf: time travel reproduces each folded snapshot exactly") {
+    val hist0 = Seq((1L, "x"), (2L, "y"), (3L, "z"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit(1L).as("valid_from"),
+        lit(null).cast("long").as("valid_to"), lit(true).as("is_current"))
+    val snap2 = Seq((1L, "x"), (2L, "y2"), (4L, "w")).toDF("doc_id", "text")
+    val hist = Corpus.scd2Apply(hist0, snap2, "doc_id", "text", 2L)
+    def view(v: Long) = Corpus.scd2AsOf(hist, "doc_id", "text", v)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(view(1L) == Set((1L, "x"), (2L, "y"), (3L, "z")))
+    assert(view(2L) == Set((1L, "x"), (2L, "y2"), (4L, "w")))
+  }
+
   test("cdcApply: last-writer-wins per id — upsert replaces, delete" +
     " removes, later seq beats earlier, untouched ids carry; replay" +
     " is idempotent") {
