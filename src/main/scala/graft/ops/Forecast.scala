@@ -289,28 +289,45 @@ object Forecast {
     * 38-digit decimal, scalar double math mirrored by the oracle;
     * zero-variance windows yield null acf.
     *
-    * Scale shape: the probe side explodes the spine by maxLag — a
-    * bounded dial (spine rows × maxLag), on the already-aggregated
-    * bucket grain. One equi-join back to the spine on (key, bucket)
-    * and one (key, lag) agg; no window, no all-pairs. */
+    * Scale shape: all maxLag lagged pairings come out of ONE window
+    * sort per key (48 `lag()` reads share the sort), then a MAP-SIDE
+    * explode to (lag, x, y) whose partial aggregation collapses to
+    * |keys|·maxLag sums before the only post-sort shuffle. The first
+    * cut of this op equi-joined an exploded probe side back to the
+    * spine instead — semantically identical, but it shuffled
+    * spine×maxLag rows (52M at the ×30 probe scale) and benched 77 s
+    * at sf0.1's 1500 keys; the window form reads 1.7 s. No all-pairs
+    * either way; the dense spine is generated map-side from per-key
+    * bounds. */
   def acf(df: DataFrame, keyCol: String, tsCol: String,
           valueCol: String, bucketSec: Long = 3600L,
           maxLag: Int = 48): DataFrame = {
     require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
     val g = denseUnits(
       bucketUnits(df, keyCol, tsCol, valueCol, bucketSec), keyCol, bucketSec)
-    val probes = g.select(col(keyCol), col("bucket_ts"), col("u").as("_y"),
-        explode(sequence(lit(1), lit(maxLag))).as("lag"))
-      .withColumn("_src_ts", col("bucket_ts") - col("lag") * bucketSec)
-    val src = g.select(col(keyCol), col("bucket_ts").as("_src_ts"),
-      col("u").as("_x"))
-    val sums = probes.join(src, Seq(keyCol, "_src_ts"))
+    val w = Window.partitionBy(col(keyCol)).orderBy("bucket_ts")
+    // window expressions must sit at the top level of a projection —
+    // compute the maxLag lag columns there (one shared sort), THEN
+    // pack them into the explode array
+    val lagged = g.select(col(keyCol) +: col("u").as("_y") +:
+      (1 to maxLag).map(l => lag(col("u"), l).over(w).as(s"_x$l")): _*)
+    val lagArr = array((1 to maxLag).map(l =>
+      struct(lit(l).as("lag"), col(s"_x$l").as("_x"))): _*)
+    val pairs = lagged.select(col(keyCol), col("_y"),
+        explode(lagArr).as("_e"))
+      .select(col(keyCol), col("_e.lag").as("lag"),
+        col("_e._x").as("_x"), col("_y"))
+      .filter(col("_x").isNotNull)
+    val sums = pairs
       .groupBy(col(keyCol), col("lag"))
       .agg(count(lit(1)).as("n"),
         sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
-        sum(col("_x").cast("decimal(19,0)") * col("_y")).as("_sxy"),
-        sum(col("_x").cast("decimal(19,0)") * col("_x")).as("_sxx"),
-        sum(col("_y").cast("decimal(19,0)") * col("_y")).as("_syy"))
+        // split-word product sums: exact decimal totals at primitive-
+        // long per-row cost (graft.util.Exact.lprodSum — the per-row
+        // decimal form benched 75 s vs 18 s on these 52M products)
+        graft.util.Exact.lprodSum(col("_x"), col("_y")).as("_sxy"),
+        graft.util.Exact.lprodSum(col("_x"), col("_x")).as("_sxx"),
+        graft.util.Exact.lprodSum(col("_y"), col("_y")).as("_syy"))
     val num = col("n").cast("double") * col("_sxy").cast("double") -
       col("_sx").cast("double") * col("_sy").cast("double")
     val vx = col("n").cast("double") * col("_sxx").cast("double") -
@@ -394,8 +411,17 @@ object Forecast {
       .withColumn("_win", collect_list(col("u")).over(w))
       .filter(size(col("_win")) === window)
       .withColumn("_med2", twoMiddleSum(sort_array(col("_win"))))
+      // the deviation lambda must NOT reference _med2 directly: after
+      // CollapseProject inlines the producing expression into the
+      // lambda body, the window SORT re-runs per ELEMENT (the
+      // HoF-inlining hazard gopherRepetition documents; measured here
+      // 9.8 s → 1.6 s at sf0.1). array_repeat sits in HoF INPUT
+      // position — evaluated once per row — so zip_with's lambda
+      // touches only its own variables
       .withColumn("_mad4", twoMiddleSum(sort_array(
-        transform(col("_win"), x => abs(x * 2L - col("_med2"))))))
+        zip_with(col("_win"),
+          array_repeat(col("_med2"), lit(window)),
+          (x, m) => abs(x * 2L - m)))))
       .withColumn("_dev2", abs(col("u") * 2L - col("_med2")))
       .filter(col("_dev2").cast("decimal(38,0)") * 2000000L >
         col("_mad4").cast("decimal(38,0)") * kU6)

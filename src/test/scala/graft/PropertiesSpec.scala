@@ -184,6 +184,29 @@ class PropertiesSpec extends AnyFunSuite
     }
   }
 
+  private val prodGen = Gen.listOfN(40, for {
+    k <- Gen.choose(0, 3)
+    x <- Gen.oneOf(Gen.choose(-1000000000000L, 1000000000000L),
+      Gen.choose(-50L, 50L))
+    y <- Gen.oneOf(Gen.choose(-1000000000000L, 1000000000000L),
+      Gen.choose(-50L, 50L))
+  } yield (k, x, y))
+
+  test("property: Exact split-word PRODUCT sum is bit-identical to the" +
+    " per-row decimal form, negatives and 1e12 magnitudes included") {
+    forAll(prodGen) { rows =>
+      val df = rows.toDF("k", "x", "y")
+      val both = df.groupBy("k").agg(
+        graft.util.Exact.lprodSum(col("x"), col("y")).as("fast"),
+        sum(col("x").cast("decimal(19,0)") * col("y"))
+          .cast("decimal(38,0)").as("ref"))
+      both.collect().foreach { r =>
+        assert(r.getDecimal(1) == r.getDecimal(2),
+          s"key ${r.get(0)}: ${r.getDecimal(1)} != ${r.getDecimal(2)}")
+      }
+    }
+  }
+
   private val docGen = Gen.listOfN(14, for {
     id <- Gen.choose(1L, 1000000L)
     words <- Gen.listOfN(8, Gen.oneOf("alpha", "beta", "gamma", "delta",
