@@ -266,6 +266,22 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
         .orderBy("p_brand")
     }),
+    // ---- classic star-join warehouse family (TPC-H Q3/Q5/Q10
+    // shapes): multi-table joins under selective filters, dimension
+    // broadcast, deterministic top-k (ops/Warehouse) ----
+    "q3_shipping_priority" -> ((s, dir) =>
+      Warehouse.shippingPriority(Tables.lineitem(s, dir),
+        Tables.orders(s, dir), Tables.customer(s, dir),
+        "BUILDING", "1998-01-01")),
+    "q5_local_supplier_volume" -> ((s, dir) =>
+      Warehouse.localSupplierVolume(Tables.lineitem(s, dir),
+        Tables.orders(s, dir), Tables.customer(s, dir),
+        Tables.supplier(s, dir), Tables.nation(s, dir),
+        Tables.region(s, dir), "ASIA", "1997-01-01", "1998-01-01")),
+    "q10_returned_items" -> ((s, dir) =>
+      Warehouse.returnedItems(Tables.lineitem(s, dir),
+        Tables.orders(s, dir), Tables.customer(s, dir),
+        Tables.nation(s, dir), "1997-07-01", "1997-10-01")),
     "p8_semi_join" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
       val li = Tables.lineitem(s, dir).filter(col("l_quantity") > 45)
@@ -2737,6 +2753,55 @@ object SparkEntry {
         |       COUNT(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(3,2)) -
+        |                 CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+        |         AS revenue,
+        |       CAST(floor(epoch(o_orderdate)) AS BIGINT)
+        |         AS o_orderdate_epoch,
+        |       o_orderpriority
+        |FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 3, 4
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_local_supplier_volume" ->
+      """SELECT n_name,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(3,2)) -
+        |                 CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+        |         AS revenue
+        |FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |    AND c_nationkey = s_nationkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(3,2)) -
+        |                 CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+        |         AS revenue
+        |FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-07-01'
+        |  AND o_orderdate < TIMESTAMP '1997-10-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "p8_semi_join" ->
       """SELECT o_orderstatus,
         |       COUNT(*) AS n_orders,
