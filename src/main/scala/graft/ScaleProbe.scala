@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * at a multiplier the full sweep can't afford): text | sampling |
   * jaccard | contamination | ann | snapshot | ndsink | ndprobe | ldsink | ldprobe | embprobe | span |
   * linehot | ndaudit | embsink | events | forecast | sketch | fuzzy |
-  * interval | cdc.
+  * interval | cdc | warehouse.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -1292,6 +1292,32 @@ object ScaleProbe {
       ops.Corpus.cdcApply(docs.select(col("doc_id"), col("text")), log,
         "doc_id", "seq", "op").queryExecution.toRdd.count()
     }
+    }
+
+    // warehouse star joins at xN fact scale: lineitem/orders multiply
+    // (orderkey-shifted so the join fan stays 1:1); dimensions stay
+    // dimension-scale — the broadcast side must not grow
+    section("warehouse") {
+    val liW = multiplied(Tables.lineitem(spark, dir), "l_orderkey").cache()
+    val ordW = multiplied(Tables.orders(spark, dir), "o_orderkey").cache()
+    println(s"[scaleprobe] lineitem x$mult = ${liW.count()}, " +
+      s"orders x$mult = ${ordW.count()}")
+    time("q3_shipping_priority") {
+      ops.Warehouse.shippingPriority(liW, ordW,
+        Tables.customer(spark, dir), "BUILDING", "1998-01-01").count()
+    }
+    time("q5_local_supplier") {
+      ops.Warehouse.localSupplierVolume(liW, ordW,
+        Tables.customer(spark, dir), Tables.supplier(spark, dir),
+        Tables.nation(spark, dir), Tables.region(spark, dir),
+        "ASIA", "1997-01-01", "1998-01-01").count()
+    }
+    time("q10_returned_items") {
+      ops.Warehouse.returnedItems(liW, ordW,
+        Tables.customer(spark, dir), Tables.nation(spark, dir),
+        "1997-07-01", "1997-10-01").count()
+    }
+    liW.unpersist(); ordW.unpersist()
     }
     spark.stop()
   }
