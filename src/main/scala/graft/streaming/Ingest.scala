@@ -685,6 +685,56 @@ object Ingest {
         act.select(col(userCol), col("period")).distinct(),
         userCol))
 
+  /** Streaming BUCKET-GRAIN MV — the time-series family's feeder kept
+    * continuously current: each micro-batch appends its own
+    * (key, bucket_ts, u) fixed-point partials under `b=<batchId>`
+    * (replay-idempotent; ADDITIVE — a bucket split across batches
+    * folds by long addition at serving, so per-trigger cost is one
+    * partial agg of the batch). Serving folds the grain and
+    * re-expresses it as an equivalent one-event-per-bucket stream
+    * ([[readBucketGrainAsEvents]]) — the ENTIRE Forecast family
+    * (decompose, next-day forecast, EWMA, CUSUM, MAD anomalies) then
+    * runs over a 100 TB event history without rescanning events, with
+    * results identical to the batch op over the raw stream
+    * (StreamingSpec pins MAD and the forecast): bucketUnits re-derives
+    * the exact same grain from the reconstructed stream
+    * (floor(bucket/γ)·γ = bucket; round((u/100)·100) = u, exact for
+    * |u| < 2^51). [[graft.io.Batches.compact]] bounds the layout. */
+  def startBucketGrainSink(events: DataFrame, keyCol: String,
+                           tsCol: String, valueCol: String,
+                           bucketSec: Long, outRoot: String,
+                           checkpoint: String,
+                           trigger: Trigger = Trigger.ProcessingTime(0L))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.groupBy(col(keyCol),
+            (floor(unix_timestamp(col(tsCol)) / bucketSec) * bucketSec)
+              .cast("long").as("bucket_ts"))
+          .agg(sum(round(col(valueCol) * 100).cast("long")).as("u"))
+          .write.mode("overwrite").parquet(s"$outRoot/b=$batchId")
+        ()
+      }
+      .start()
+
+  /** Serving read for [[startBucketGrainSink]]: the folded grain as an
+    * equivalent event stream (one event per bucket at the bucket
+    * timestamp carrying the bucket's exact total) — feed it to any
+    * Forecast op with `tsCol = "ts"`, `valueCol = "value"`. None
+    * before the first commit. */
+  def readBucketGrainAsEvents(spark: SparkSession, outRoot: String,
+                              keyCol: String): Option[DataFrame] =
+    graft.io.Batches.read(spark, outRoot).map(grain =>
+      grain.drop("b")
+        .groupBy(col(keyCol), col("bucket_ts"))
+        .agg(sum(col("u")).as("_u"))
+        .select(col(keyCol),
+          timestamp_seconds(col("bucket_ts")).as("ts"),
+          (col("_u").cast("double") / 100.0).as("value")))
+
   /** Streaming EXACT-QUANTILE MV — continuous p50/p95/p99 over
     * everything ingested, with NO sketch error: each micro-batch
     * contributes its additive fixed-point value histogram

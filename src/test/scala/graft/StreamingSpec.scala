@@ -1369,6 +1369,49 @@ class StreamingSpec extends SparkSpec {
     assert(afterCompact == served)
   }
 
+  test("bucket-grain MV: MAD anomalies and the next-day forecast over " +
+    "the served grain are bit-identical to the batch ops over the raw " +
+    "stream, including a bucket split across batches") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    def ts(h: Long, m: Long = 0L) =
+      new java.sql.Timestamp((1704067200L + h * 3600 + m * 60) * 1000L)
+    // steady hourly signal with one spike, a bucket whose events SPLIT
+    // across batches (hour 40), and a second key
+    val batches: Seq[Seq[(Long, java.sql.Timestamp, Double)]] = Seq(
+      (0 until 40).map(h => (1L, ts(h.toLong), 10.0)) ++
+        Seq((1L, ts(40L, 10L), 6.0), (2L, ts(1L), 3.0)),
+      Seq((1L, ts(40L, 50L), 4.0)) ++ // folds into hour 40: total 10.0
+        (41 until 70).map(h => (1L, ts(h.toLong), 10.0)) ++
+        Seq((1L, ts(65L, 30L), 490.0)) ++ // spike on top of hour 65
+        (2 until 50).map(h => (2L, ts(h.toLong), 3.0)))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bgmv")
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q = Ingest.startBucketGrainSink(
+      mem.toDF().toDF("user_id", "ts", "value"),
+      "user_id", "ts", "value", 3600L, s"$tmp/grain", s"$tmp/cp")
+    try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    val served = Ingest.readBucketGrainAsEvents(
+      spark, s"$tmp/grain", "user_id").get
+    val raw = batches.flatten.toDF("user_id", "ts", "value")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val madServed = rows(ops.Forecast.madAnomalies(
+      served, "user_id", "ts", "value"))
+    val madBatch = rows(ops.Forecast.madAnomalies(
+      raw, "user_id", "ts", "value"))
+    assert(madServed == madBatch && madServed.nonEmpty)
+    // the spike bucket is flagged; the split bucket (hour 40) is NOT
+    assert(madServed.exists(_(1) == 1704067200L + 65 * 3600))
+    assert(!madServed.exists(_(1) == 1704067200L + 40 * 3600))
+    val fcServed = rows(ops.Forecast.forecastNextBuckets(
+      served, "user_id", "ts", "value"))
+    val fcBatch = rows(ops.Forecast.forecastNextBuckets(
+      raw, "user_id", "ts", "value"))
+    assert(fcServed == fcBatch && fcServed.nonEmpty)
+  }
+
   test("quantile MV: served exact quantiles are BIT-identical to " +
     "Spark percentile over the full ingested stream, including an " +
     "integral-position probability") {
