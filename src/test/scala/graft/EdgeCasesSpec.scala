@@ -445,6 +445,70 @@ class EdgeCasesSpec extends SparkSpec {
     assert(e.count() == 0)
   }
 
+  test("round-12b ops: empty and degenerate inputs never crash") {
+    val emptyIv = Seq.empty[(String, Long, Long, Long)]
+      .toDF("k", "id", "s", "e")
+    val someIv = Seq(("u", 1L, 100L, 200L)).toDF("k", "id", "s", "e")
+    // interval join: empty either side → empty; stats keep the a side
+    assert(Intervals.overlapJoin(someIv, emptyIv, "k", "id", "s", "e")
+      .count() == 0)
+    assert(Intervals.overlapJoin(emptyIv, someIv, "k", "id", "s", "e")
+      .count() == 0)
+    assert(Intervals.overlapStats(someIv, emptyIv, "k", "id", "s", "e")
+      .collect().map(r => (r.getLong(4), r.getLong(5))).toSeq ==
+      Seq((0L, 0L)))
+    // CDC: empty base + insert-only log builds the table from nothing
+    val noBase = Seq.empty[(Long, String)].toDF("id", "text")
+    val insLog = Seq((1L, 1L, "upsert", "a")).toDF("id", "seq", "op", "text")
+    assert(Corpus.cdcApply(noBase, insLog, "id", "seq", "op")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a")))
+    // histogram: constant column collapses every edge; counts reconcile
+    val const = Seq.fill(20)(7.5).toDF("v")
+    val hrows = Profiler.histogram(const, "v", 10).collect()
+    assert(hrows.map(_.getLong(3)).sum == 20)
+    // quantiles from an EMPTY histogram: probabilities kept, q null
+    val emptyHist = Seq.empty[(Long, Long)].toDF("unit", "n")
+    val qrows = Percentiles.quantilesFromHist(emptyHist, Seq(0.5, 0.9))
+      .collect()
+    assert(qrows.map(_.getDouble(0)).toSeq == Seq(0.5, 0.9) &&
+      qrows.forall(_.isNullAt(1)))
+    // MAD: window longer than the series → nothing qualifies
+    val short = Seq((7L, Timestamp.valueOf("2024-02-01 10:00:00"), 5.0),
+      (7L, Timestamp.valueOf("2024-02-01 11:00:00"), 500.0))
+      .toDF("user_id", "ts", "value")
+    assert(Forecast.madAnomalies(short, "user_id", "ts", "value",
+      window = 24).count() == 0)
+    // ACF: lags beyond the series length simply produce no rows
+    val acfRows = Forecast.acf(short, "user_id", "ts", "value",
+      maxLag = 48).collect()
+    assert(acfRows.forall(_.getInt(1) <= 1))
+    // warehouse: empty fact side → empty report
+    val noLi = Seq.empty[(Long, Long, Double, Double, String, Timestamp)]
+      .toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+        "l_returnflag", "l_shipdate")
+    val oneOrd = Seq((1L, 10L, Timestamp.valueOf("1997-06-01 00:00:00"),
+      "1-URGENT")).toDF("o_orderkey", "o_custkey", "o_orderdate",
+      "o_orderpriority")
+    val oneCust = Seq((10L, "alice", 1L, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    assert(Warehouse.shippingPriority(noLi, oneOrd, oneCust,
+      "BUILDING", "1998-01-01").count() == 0)
+  }
+
+  test("overlapJoin: pre-1970 (negative-epoch) intervals still block" +
+    " losslessly — floor division, not truncation") {
+    val a = Seq(("u", 1L, -100000L, -95000L), ("u", 2L, -50L, 50L))
+      .toDF("k", "id", "s", "e")
+    val b = Seq(("u", 10L, -97000L, -96000L), ("u", 11L, -10L, 5L),
+      ("u", 12L, -200000L, -150000L))
+      .toDF("k", "id", "s", "e")
+    val fast = Intervals.overlapJoin(a, b, "k", "id", "s", "e",
+        bucketSec = 7L) // prime width, lots of boundary crossings
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fast.sorted.toSeq == Seq((1L, 10L), (2L, 11L)))
+  }
+
   test("cubeByKeys: four grouping sets reconcile — each level sums to" +
     " the grand total; gid disambiguates a REAL null key") {
     val df = Seq(
