@@ -185,6 +185,25 @@ object SparkEntry {
           when(unix_timestamp(col("ts")) >= 1705881600L, lit(25.0))
             .otherwise(lit(0.0))),
         "user_id", "ts", "value", k = 0.5, h = 3.0)),
+    // seasonally-adjusted changepoints: CUSUM over the decomposition's
+    // RESIDUAL stream (raw CUSUM fires on every rush hour; net of
+    // trend+seasonal only real shifts remain — the planted +25 shows
+    // up as the residual disturbance around the shift edge). The
+    // residual grain re-enters cusumChangepoints as a one-event-per-
+    // bucket stream (the bucket-grain MV trick: bucketUnits re-derives
+    // the exact same grain)
+    "ts_residual_cusum" -> ((s, dir) => {
+      val shifted = ev(s, dir).withColumn("value", col("value") +
+        when(unix_timestamp(col("ts")) >= 1705881600L, lit(25.0))
+          .otherwise(lit(0.0)))
+      val dec = Forecast.seasonalDecompose(shifted, "user_id", "ts", "value")
+      Forecast.cusumChangepoints(
+        dec.filter(col("residual").isNotNull)
+          .select(col("user_id"),
+            timestamp_seconds(col("bucket_ts")).as("ts"),
+            col("residual").as("value")),
+        "user_id", "ts", "value", k = 0.5, h = 10.0)
+    }),
     // autocorrelation per class series, lags 1..48 on the hourly grid
     "ts_acf" -> ((s, dir) =>
       Forecast.acf(ev(s, dir), "event_type", "ts", "value", maxLag = 48)),
@@ -2381,6 +2400,67 @@ object SparkEntry {
         |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, shingle) AS BIGINT) AS rnk,
         |       shingle, cnt
         |FROM c ORDER BY cnt DESC, shingle LIMIT 40""".stripMargin,
+    "ts_residual_cusum" ->
+      """WITH e2 AS (SELECT user_id, ts,
+        |        value + CASE WHEN floor(epoch(ts)) >= 1705881600
+        |                     THEN 25.0 ELSE 0.0 END AS value
+        |      FROM events),
+        |b AS (SELECT user_id,
+        |        CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_ts,
+        |        SUM(CAST(round(value*100) AS BIGINT)) AS u
+        |      FROM e2 GROUP BY 1, 2),
+        |bounds AS (SELECT user_id, MIN(bucket_ts) lo, MAX(bucket_ts) hi
+        |           FROM b GROUP BY 1),
+        |spine AS (SELECT user_id,
+        |            unnest(generate_series(lo, hi, 3600)) AS bucket_ts
+        |          FROM bounds),
+        |d AS (SELECT s.user_id, s.bucket_ts, COALESCE(b.u, 0) AS u
+        |      FROM spine s LEFT JOIN b USING (user_id, bucket_ts)),
+        |t AS (SELECT *, SUM(u) OVER w AS tw, COUNT(*) OVER w AS tn FROM d
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ts
+        |                   ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        |t2 AS (SELECT *, CASE WHEN tn = 25
+        |         THEN round(CAST(tw AS DOUBLE)/(100.0*25), 6) END AS trend
+        |       FROM t),
+        |t3 AS (SELECT *, CASE WHEN trend IS NOT NULL
+        |         THEN u*10000 - CAST(round(trend*1e6) AS BIGINT) END AS du6,
+        |         (bucket_ts // 3600) % 24 AS pos FROM t2),
+        |idx AS (SELECT user_id, pos,
+        |          CAST(round(CAST(SUM(du6) AS DOUBLE)/COUNT(*)) AS BIGINT)
+        |            AS s_u6
+        |        FROM t3 WHERE du6 IS NOT NULL GROUP BY 1, 2),
+        |rb AS (SELECT t3.user_id, t3.bucket_ts,
+        |         CAST(round(CAST(t3.du6 - idx.s_u6 AS DOUBLE)/1e6*100)
+        |           AS BIGINT) AS u
+        |       FROM t3 JOIN idx USING (user_id, pos)
+        |       WHERE t3.du6 IS NOT NULL AND idx.s_u6 IS NOT NULL),
+        |st AS (SELECT user_id, COUNT(*) AS n, SUM(u) AS su,
+        |         SUM(CAST(u AS DECIMAL(19,0)) * u) AS su2
+        |       FROM rb GROUP BY 1),
+        |m AS (SELECT rb.user_id, rb.bucket_ts, rb.u,
+        |        CAST(st.su AS DOUBLE)/(st.n*100.0) AS mean,
+        |        CAST(st.su2 AS DOUBLE)/(st.n*10000.0) AS ex2
+        |      FROM rb JOIN st USING (user_id)),
+        |z AS (SELECT user_id, bucket_ts,
+        |        CAST(round((CAST(u AS DOUBLE)/100.0 - mean)
+        |          /sqrt(ex2 - mean*mean)*1e6) AS BIGINT) AS z_u6
+        |      FROM m WHERE ex2 - mean*mean > 0),
+        |c AS (SELECT *, SUM(z_u6 - 500000) OVER cum AS cp,
+        |        SUM(-z_u6 - 500000) OVER cum AS cn
+        |      FROM z WINDOW cum AS (PARTITION BY user_id ORDER BY bucket_ts
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s AS (SELECT *, cp - LEAST(0, MIN(cp) OVER cum) AS sp,
+        |        cn - LEAST(0, MIN(cn) OVER cum) AS sn
+        |      FROM c WINDOW cum AS (PARTITION BY user_id ORDER BY bucket_ts
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, bucket_ts,
+        |       CAST(z_u6 AS DOUBLE)/1e6 AS z,
+        |       CAST(sp AS DOUBLE)/1e6 AS cusum_up,
+        |       CAST(sn AS DOUBLE)/1e6 AS cusum_down,
+        |       CASE WHEN sp > 10000000 AND sn > 10000000 THEN 'both'
+        |            WHEN sp > 10000000 THEN 'up' ELSE 'down' END AS direction
+        |FROM s WHERE sp > 10000000 OR sn > 10000000
+        |ORDER BY user_id, bucket_ts""".stripMargin,
     "ts_cusum" ->
       """WITH e2 AS (SELECT user_id, ts,
         |        value + CASE WHEN floor(epoch(ts)) >= 1705881600
