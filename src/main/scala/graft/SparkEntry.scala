@@ -621,6 +621,17 @@ object SparkEntry {
       Sampling.stratified(Tables.documents(s, dir), "lang", "doc_id",
           Map("en" -> 0.5, "es" -> 0.25), defaultRate = 0.1, seed = "samp")
         .select("doc_id", "lang").orderBy("doc_id")),
+    // exact-count weighted allocation: 13 docs at 3:2:1 across three
+    // sources — Hamilton gives 7/4/2 (the +1 top-up lands on src0's
+    // largest remainder; the oracle inlines the same allocation, the
+    // ewma weight-vector precedent)
+    "samp_weighted_quota" -> ((s, dir) =>
+      Sampling.weightedQuota(
+          Tables.documents(s, dir).select("doc_id", "source"),
+          "source", "doc_id",
+          Seq("src0" -> 3L, "src1" -> 2L, "src2" -> 1L),
+          total = 13L, seed = "wq")
+        .orderBy("doc_id")),
     "samp_mix_sources" -> ((s, dir) =>
       Sampling.mixSources(
           Tables.documents(s, dir).select("doc_id", "source"),
@@ -3366,6 +3377,18 @@ object SparkEntry {
         |WHERE (CAST(CAST(('0x'||substr(md5('samp:' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 1000000 AS DOUBLE)
         |       / 1000000.0)
         |      < CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.25 ELSE 0.1 END
+        |ORDER BY doc_id""".stripMargin,
+    "samp_weighted_quota" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source ORDER BY
+        |           CAST(('0x'||substr(md5('wq:' || CAST(doc_id AS VARCHAR)),1,15))
+        |             AS BIGINT) % 1000000, doc_id) AS rn
+        |  FROM documents WHERE source IN ('src0', 'src1', 'src2'))
+        |SELECT doc_id, source FROM r
+        |WHERE (source = 'src0' AND rn <= 7)
+        |   OR (source = 'src1' AND rn <= 4)
+        |   OR (source = 'src2' AND rn <= 2)
         |ORDER BY doc_id""".stripMargin,
     "samp_mix_sources" ->
       """WITH d AS (

@@ -38,6 +38,46 @@ object Sampling {
       coalesce(m(col(stratumCol)), lit(defaultRate)))
   }
 
+  /** Exact-COUNT weighted allocation — "exactly `total` examples,
+    * 3:2:1 across sources": apportion `total` over the integer weight
+    * vector by largest remainder (Hamilton; top-ups tie toward the
+    * lexicographically smaller stratum), then take each stratum's
+    * allocᵢ rows in md5-u01 order. [[stratified]]'s per-row rates hit
+    * a budget only in expectation; this is the fixed-budget contract
+    * a training-mix spec actually states. A short stratum keeps all
+    * its rows and the shortfall is NOT redistributed — membership
+    * decisions stay independent of the other strata's data (the
+    * family's stability invariant). Strata absent from `weights` get
+    * zero. The allocation is pure parameter arithmetic on the driver
+    * (no data, no collect — the ewma weight-vector precedent); the
+    * per-stratum take is one rank window in the [[shuffleShards]]
+    * sort shape. */
+  def weightedQuota(df: DataFrame, stratumCol: String, idCol: String,
+                    weights: Seq[(String, Long)], total: Long,
+                    seed: String): DataFrame = {
+    require(total >= 0 && weights.nonEmpty && weights.forall(_._2 >= 0))
+    require(weights.map(_._1).distinct.size == weights.size,
+      "duplicate stratum in weights")
+    val wsum = weights.map(_._2).sum
+    require(wsum > 0, "weights must not all be zero")
+    val base = weights.map { case (s, w) =>
+      (s, total * w / wsum, total * w % wsum) }
+    val topUp = (total - base.map(_._2).sum).toInt
+    val alloc: Map[String, Long] = base
+      .sortBy { case (s, _, r) => (-r, s) }.zipWithIndex
+      .map { case ((s, b, _), i) => s -> (b + (if (i < topUp) 1L else 0L)) }
+      .toMap
+    val m = typedlit(alloc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(u(seed, col(idCol)), col(idCol))
+    df.withColumn("_alloc", coalesce(m(col(stratumCol)), lit(0L)))
+      .filter(col("_alloc") > 0)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= col("_alloc"))
+      .drop("_alloc", "_rn")
+  }
+
   /** CLUSTER-BALANCED (diversity) sampling over an embedding column —
     * the SemDeDup/DSIR-adjacent recipe step: assign every vector to
     * its k-means cell ([[Embeddings.ivfAssign]] under the caller's

@@ -358,4 +358,36 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
     assert(again == kept)
   }
+
+  test("weightedQuota: Hamilton apportionment with deterministic" +
+    " top-up ties; short strata keep all WITHOUT redistribution;" +
+    " absent strata get zero; partitioning-independent") {
+    import spark.implicits._
+    val df = ((1 to 30).map(i => (i.toLong, "a")) ++
+      (31 to 60).map(i => (i.toLong, "b")) ++
+      (61 to 63).map(i => (i.toLong, "c")) ++   // short stratum: 3 rows
+      (64 to 80).map(i => (i.toLong, "zz")))    // not in weights
+      .toDF("id", "s")
+    // equal weights, total 10 → base 3/3/3, one top-up; remainders tie
+    // (10·1 % 3 = 1 for all), so the +1 goes to the lexicographically
+    // smallest stratum: a=4, b=3, c=3 capped at 3
+    val out = Sampling.weightedQuota(df, "s", "id",
+      Seq("a" -> 1L, "b" -> 1L, "c" -> 1L), total = 10L, seed = "t")
+    val byS = out.collect().groupBy(_.getString(1)).view
+      .mapValues(_.length).toMap
+    assert(byS == Map("a" -> 4, "b" -> 3, "c" -> 3))
+    // c is short (3 < 3? no — equal); shrink c to 2 rows to force the
+    // shortfall: alloc 3, only 2 exist → 2 kept, NOT redistributed
+    val short = df.filter(col("id") =!= 63L)
+    val byS2 = Sampling.weightedQuota(short, "s", "id",
+      Seq("a" -> 1L, "b" -> 1L, "c" -> 1L), total = 10L, seed = "t")
+      .collect().groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(byS2 == Map("a" -> 4, "b" -> 3, "c" -> 2))
+    // deterministic under repartitioning
+    val a1 = out.collect().map(_.getLong(0)).sorted.toSeq
+    val a2 = Sampling.weightedQuota(df.repartition(7), "s", "id",
+      Seq("a" -> 1L, "b" -> 1L, "c" -> 1L), total = 10L, seed = "t")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(a1 == a2)
+  }
 }
