@@ -1231,6 +1231,33 @@ object ScaleProbe {
       ops.FuzzyJoin.selfPairs(dom, "id", "s", 2, 4).count()
     }
     dom.unpersist()
+    // adversarial HOT-PREFIX corpus: every string shares the constant
+    // "CAM-" prefix, so its grams have df = n — the round-12 verdict's
+    // named scale-killer for all-grams blocking. Rare-first prefix
+    // indexing must keep candidate counts tracking the planted-dup
+    // count (linear in n), not n^2.
+    val hot = {
+      val d = multiplied(Tables.documents(spark, dir)
+        .select("doc_id"), "doc_id")
+      val h = concat(lit("CAM-"),
+        md5(col("doc_id").cast("string").cast("binary")))
+      val base = d.select(col("doc_id").cast("long").as("id"), h.as("s"))
+      val mangled = d.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select((col("doc_id") + 1000000000L).cast("long").as("id"),
+          concat(substring(h, 1, 5), substring(h, 7, 1),
+            substring(h, 6, 1), h.substr(lit(8), length(h))).as("s"))
+      base.union(mangled).cache()
+    }
+    val hn = hot.count()
+    println(s"[scaleprobe] fuzzy HOT-PREFIX domain = $hn " +
+      s"(naive pairs = ${hn * (hn - 1) / 2})")
+    time("fuzzy_hot_candidates") {
+      ops.FuzzyJoin.candidates(hot, "id", "s", 2, 4).count()
+    }
+    time("fuzzy_hot_self_pairs") {
+      ops.FuzzyJoin.selfPairs(hot, "id", "s", 2, 4).count()
+    }
+    hot.unpersist()
     }
 
     // interval overlap join at xN KEY cardinality (key-shifted users,

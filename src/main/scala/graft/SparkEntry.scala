@@ -3320,8 +3320,9 @@ object SparkEntry {
         |SELECT pp.p,
         |       CASE WHEN pp.N = 0 THEN NULL
         |            WHEN pp.hi = pp.lo THEN CAST(ulo AS DOUBLE)/100.0
-        |            ELSE (CAST(ulo AS DOUBLE)/100.0) * (pp.hi - pp.pos)
-        |               + (CAST(uhi AS DOUBLE)/100.0) * (pp.pos - pp.lo)
+        |            ELSE (CAST(ulo AS DOUBLE)/100.0)
+        |               + (pp.pos - pp.lo) * ((CAST(uhi AS DOUBLE)/100.0)
+        |                                   - (CAST(ulo AS DOUBLE)/100.0))
         |       END AS q
         |FROM pp LEFT JOIN vlo ON vlo.p = pp.p
         |  LEFT JOIN vhi ON vhi.p = pp.p
@@ -4070,7 +4071,8 @@ object SparkEntry {
          |ksc AS (SELECT doc_id, CAST(sum_cnt AS DOUBLE) /
          |          CAST(n_bigrams * total_bigrams AS DOUBLE) AS p
          |        FROM kpd, ktot),
-         |kth AS (SELECT quantile_cont(p, 1.0/3) t1, quantile_cont(p, 2.0/3) t2 FROM ksc),
+         |kth AS (SELECT round(quantile_cont(p, 1.0/3), 9) t1,
+         |               round(quantile_cont(p, 2.0/3), 9) t2 FROM ksc),
          |gated AS (SELECT k.doc_id, k.text,
          |            CASE WHEN s.p >= th.t2 THEN 'head' ELSE 'middle' END AS ppl_bucket
          |          FROM kept k JOIN ksc s USING (doc_id), kth th
@@ -5255,8 +5257,8 @@ object SparkEntry {
         |             CAST(sum_cnt AS DOUBLE) /
         |               CAST(n_bigrams * total_bigrams AS DOUBLE) AS avg_bigram_prob
         |           FROM perdoc, tot),
-        |th AS (SELECT quantile_cont(avg_bigram_prob, 1.0/3) t1,
-        |              quantile_cont(avg_bigram_prob, 2.0/3) t2
+        |th AS (SELECT round(quantile_cont(avg_bigram_prob, 1.0/3), 9) t1,
+        |              round(quantile_cont(avg_bigram_prob, 2.0/3), 9) t2
         |       FROM scored)
         |SELECT doc_id, n_bigrams, avg_bigram_prob,
         |       CASE WHEN avg_bigram_prob >= t2 THEN 'head'

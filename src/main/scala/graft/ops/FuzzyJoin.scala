@@ -8,78 +8,127 @@ import org.apache.spark.sql.functions._
   * ops/TextDedup: PPJoin catches word-level overlap, this catches
   * character-level typos/transpositions that change the token).
   *
-  * Candidate generation is positional q-gram count filtering (Gravano
-  * et al., VLDB 2001): if levenshtein(a,b) ≤ d then
-  *   (1) ||a|−|b|| ≤ d (length band),
-  *   (2) a and b share ≥ max(|a|,|b|) − q + 1 − q·d positional q-grams
-  *       within position offset ≤ d (each edit destroys ≤ q grams).
-  * So candidates come from a q-gram equi-join (one shuffle keyed on the
-  * gram) + a per-pair match count — never an all-pairs product — and
-  * exact `levenshtein` verifies survivors. Occurrence multiplicity can
-  * OVERCOUNT matches (a repeated gram matches several positions);
-  * that only admits extra candidates for the verify step — fail-open,
-  * never fail-closed, so the join is lossless.
+  * Candidate generation is RARE-FIRST PREFIX indexing over q-gram sets
+  * (the Ed-Join reduction — Xiao et al., VLDB 2008 — of the same
+  * prefix-filter lemma ops/TextDedup's PPJoin uses): order every
+  * string's DISTINCT q-grams by global document frequency (rarest
+  * first, ties by gram value — one total order corpus-wide) and index
+  * only the first q·d+1 of them. Soundness: if levenshtein(a,b) ≤ d,
+  * each edit destroys ≤ q gram occurrences, every gram VALUE of a
+  * missing from b has all its occurrences destroyed, so
+  * |set(a) ∩ set(b)| ≥ |set(x)| − q·d for BOTH sides; by the prefix
+  * lemma (first |set| − t + 1 grams of each side under one global
+  * order must collide when the overlap is ≥ t, here t =
+  * max over sides of |set| − q·d) a qualifying pair collides within
+  * the q·d+1-gram prefixes whenever at least one side has > q·d
+  * distinct grams. Exact `levenshtein` verifies every candidate, so
+  * the join is lossless; prefix indexing only bounds WHERE candidates
+  * can come from.
   *
-  * Pairs whose count threshold is non-positive (both strings shorter
-  * than q·(d+1)) carry no signal for the filter; they go through a
-  * separate short-string block (length-band nested-loop over the tiny
-  * sub-q·(d+1) domain — broadcastable by construction). The two paths
-  * partition the pair space (max-length above/below the bar), so no
-  * dedup join is needed.
+  * This kills the HOT-GRAM hazard structurally: a corpus-wide constant
+  * prefix ("CAM-…", "INV-…") makes its grams the most FREQUENT, so
+  * they sort to the back of every rarity-ordered list and fall out of
+  * every indexed prefix — each string contributes ≤ q·d+1 grams and
+  * they are the ones least able to collide. Per-string join work is
+  * O((q·d+1) · rare-posting-length), never all-grams × all-positions.
   *
-  * At 100 TB the residual hazard is a HOT GRAM (a constant prefix
-  * shared corpus-wide makes its grams join all-pairs). The escalation
-  * is the same rare-first prefix indexing the PPJoin implementation
-  * already uses (ops/TextDedup.scala prefix filter): index only each
-  * string's q·d+1 globally-rarest grams. Not wired here because the
-  * name domains this ships against are gram-diverse; the hook is the
-  * `grams` sub-plan.
+  * Pairs where BOTH sides have ≤ q·d distinct grams (genuinely short
+  * strings — |set| ≤ len−q+1 — plus degenerate repetitions like
+  * "aaaa…") carry no prefix guarantee; they go through a separate
+  * DEGENERATE block that first dedups to DISTINCT string values, runs
+  * the length-band nested loop over the value domain (bounded by the
+  * sub-(q·d+1)-distinct-gram VALUE domain, not the row count — a
+  * million copies of "ab" cost one value row), verifies levenshtein at
+  * value granularity, and only then re-expands to id pairs through
+  * hash equi-joins on the value. Same-value duplicates (distance 0)
+  * expand through one value-equality self-join whose output is the
+  * answer itself. The two paths partition the pair space on
+  * max(distinct-gram-count) ≷ q·d, so no dedup join is needed.
   */
 object FuzzyJoin {
 
-  /** Positional q-grams (1-based) as array<struct<pos,gram>>. */
-  private def pgrams(s: Column, q: Int): Column =
-    transform(sequence(lit(1), greatest(length(s) - (q - 1), lit(0))),
-      i => struct(i.as("pos"), s.substr(i, lit(q)).as("gram")))
+  /** Distinct q-gram values of `s` (set semantics — positions and
+    * multiplicity dropped; the destruction bound above is on values). */
+  private def gramSet(s: Column, q: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(s) - (q - 1), lit(0))),
+      i => s.substr(i, lit(q))))
 
   /** Candidate pairs surviving the blocking filters, before the exact
     * levenshtein verify — exposed so ScaleProbe can measure the
-    * candidate-to-naive ratio. */
+    * candidate-to-naive ratio. Columns: a_id, b_id, a_s, b_s. */
   private[graft] def candidates(df: DataFrame, idCol: String,
                                 strCol: String, maxDist: Int,
                                 q: Int): DataFrame = {
     require(maxDist >= 1 && q >= 2)
     val d = maxDist
-    val shortMax = q * (d + 1) - 1 // threshold ≤ 0 ⟺ both lengths ≤ this
+    val degenMax = q * d // ≤ this many distinct grams ⇒ no prefix guarantee
     val s = df.select(col(idCol).as("id"), col(strCol).as("s"),
       length(col(strCol)).as("len"))
 
-    val grams = s.filter(col("len") >= q).select(col("id"), col("s"),
-        col("len"), explode(pgrams(col("s"), q)).as("pg"))
-      .select(col("id"), col("s"), col("len"),
-        col("pg.pos").as("pos"), col("pg.gram").as("gram"))
-    val longPairs = grams.as("a").join(grams.as("b"),
+    val g = s.select(col("id"), col("s"), col("len"),
+      explode(gramSet(col("s"), q)).as("gram"))
+    // global rarity rank: doc frequency as a window over the gram
+    // partition (one shuffle by gram), then per-string rank under the
+    // ONE global order (_df, gram) — ties on _df broken by the gram
+    // value so every string ranks its grams identically
+    val wFreq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("gram"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("_df"), col("gram"))
+    val wSz = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+    val ranked = g.withColumn("_df", count(lit(1)).over(wFreq))
+      .withColumn("_rk", row_number().over(wDoc))
+      .withColumn("_dsz", count(lit(1)).over(wSz))
+    val prefix = ranked.filter(col("_rk") <= degenMax + 1)
+      .select(col("id"), col("s"), col("len"), col("gram"), col("_dsz"))
+    // prefix-prefix collision + length band (necessary for ed ≤ d);
+    // max(_dsz) > q·d keeps this path disjoint from the degenerate
+    // block. distinct() because a pair may collide on several prefix
+    // grams.
+    val longPairs = prefix.as("a").join(prefix.as("b"),
         col("a.gram") === col("b.gram") &&
           col("a.id") < col("b.id") &&
-          abs(col("a.pos") - col("b.pos")) <= d &&
           abs(col("a.len") - col("b.len")) <= d &&
-          greatest(col("a.len"), col("b.len")) > shortMax)
-      .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"),
-        col("a.s").as("a_s"), col("b.s").as("b_s"),
-        col("a.len").as("a_len"), col("b.len").as("b_len"))
-      .agg(count(lit(1)).as("_m"))
-      .filter(col("_m") >=
-        greatest(col("a_len"), col("b_len")) - (q - 1) - q * d)
-      .select(col("a_id"), col("b_id"), col("a_s"), col("b_s"))
-
-    val sh = s.filter(col("len") <= shortMax)
-    val shortPairs = sh.as("a").join(sh.as("b"),
-        col("a.id") < col("b.id") &&
-          abs(col("a.len") - col("b.len")) <= d)
+          greatest(col("a._dsz"), col("b._dsz")) > degenMax)
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
         col("a.s").as("a_s"), col("b.s").as("b_s"))
+      .distinct()
 
-    longPairs.union(shortPairs)
+    // ---- degenerate block: both sides ≤ q·d distinct grams ----
+    val dsz = g.groupBy(col("id")).agg(count(lit(1)).as("_dsz"))
+    val degen = s.join(dsz, Seq("id"), "left")
+      .filter(coalesce(col("_dsz"), lit(0L)) <= degenMax)
+      .select(col("id"), col("s"), col("len"))
+    // distinct VALUES only: the nested loop is over the value domain
+    // with a length band, and levenshtein verifies HERE so only true
+    // value matches fan back out to ids
+    val vals = degen.select(col("s"), col("len")).distinct()
+    val valPairs = vals.as("u").join(vals.as("v"),
+        col("u.s") < col("v.s") &&
+          abs(col("u.len") - col("v.len")) <= d)
+      .select(col("u.s").as("u_s"), col("v.s").as("v_s"))
+      .filter(levenshtein(col("u_s"), col("v_s")) <= d)
+    val ids = degen.select(col("s"), col("id"))
+    val crossVal = valPairs
+      .join(ids.as("x"), col("x.s") === col("u_s"))
+      .join(ids.as("y"), col("y.s") === col("v_s"))
+      .select(
+        least(struct(col("x.id").as("id"), col("u_s").as("s")),
+          struct(col("y.id").as("id"), col("v_s").as("s"))).as("a"),
+        greatest(struct(col("y.id").as("id"), col("v_s").as("s")),
+          struct(col("x.id").as("id"), col("u_s").as("s"))).as("b"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("a.s").as("a_s"), col("b.s").as("b_s"))
+    // same-value duplicates (distance 0): every id pair within a value
+    // group IS in the answer, so the value-equality self-join's output
+    // is inherent, not manufactured
+    val sameVal = degen.as("x").join(degen.as("y"),
+        col("x.s") === col("y.s") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
+        col("x.s").as("a_s"), col("y.s").as("b_s"))
+
+    longPairs.union(crossVal).union(sameVal)
   }
 
   /** All pairs (a_id < b_id) with levenshtein ≤ maxDist, with the

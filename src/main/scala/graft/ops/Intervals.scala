@@ -86,9 +86,14 @@ object Intervals {
       .orderBy(keyCol, "a_id")
   }
 
-  /** Long floor-division that matches SQL integer semantics for
-    * non-negative epochs; negative starts (pre-1970) still block
-    * correctly because floorDiv is a true floor, not a truncation. */
-  private def floorDiv(c: Column, d: Long): Column =
-    floor(c / lit(d.toDouble)).cast("long")
+  /** Long floor-division in pure integer arithmetic — exact for the
+    * FULL long range (a double-division floor mis-rounds once the
+    * quotient leaves 2^53, silently breaking the exactly-once
+    * ownership filter for epoch-millisecond-scale inputs). `pmod` is
+    * always in [0, d), so subtracting it lands exactly on the bucket
+    * boundary and the division is exact; negative starts (pre-1970)
+    * still block correctly because this is a true floor, not a
+    * truncation. */
+  private[graft] def floorDiv(c: Column, d: Long): Column =
+    call_function("div", c - pmod(c, lit(d)), lit(d))
 }

@@ -89,9 +89,12 @@ object Percentiles {
   /** Exact quantiles from a value histogram, reproducing Spark's exact
     * `percentile` (and numpy's linear interpolation) bit-for-bit:
     * 0-based position = (N−1)·p over the sorted multiset;
-    * q = v_lo·(⌈pos⌉−pos) + v_hi·(pos−⌊pos⌋), v directly when the
-    * position is integral (the same special case Spark's
-    * implementation takes — the blended form would collapse to 0).
+    * q = v_lo + (pos−⌊pos⌋)·(v_hi−v_lo) — Spark's own Percentile
+    * interpolation FORM, not the mathematically-equal two-sided blend
+    * v_lo·(⌈pos⌉−pos) + v_hi·(pos−⌊pos⌋): the two can differ in the
+    * last ulp at non-integral positions, and the bit-identical
+    * contract demands the same form. v directly when the position is
+    * integral (the same special case Spark's implementation takes).
     * unit/100.0 is correctly rounded, hence bit-identical to the
     * original 2-dp double.
     *
@@ -127,10 +130,10 @@ object Percentiles {
           .when(col("_higher") === col("_lower"),
             col("_ulo").cast("double") / 100.0)
           .otherwise(
-            (col("_ulo").cast("double") / 100.0) *
-              (col("_higher") - col("_pos")) +
-            (col("_uhi").cast("double") / 100.0) *
-              (col("_pos") - col("_lower"))).as("q"))
+            (col("_ulo").cast("double") / 100.0) +
+              (col("_pos") - col("_lower")) *
+                (col("_uhi").cast("double") / 100.0 -
+                  col("_ulo").cast("double") / 100.0)).as("q"))
       .orderBy("p")
   }
 

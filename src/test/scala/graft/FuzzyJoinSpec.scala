@@ -71,6 +71,39 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(r2 == r3 && r3 == r4)
   }
 
+  test("adversarial shared-prefix corpus: hot grams fall out of the" +
+    " rarity prefix (candidates bounded, not quadratic) and the join" +
+    " stays lossless vs brute force") {
+    // every string carries the corpus-wide constant prefix
+    // "CAMERA-FEED-" — its grams have df = n and would make an
+    // all-grams join quadratic; rare-first prefix indexing must keep
+    // them out of every indexed prefix
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    val n = 300
+    val base = (0 until n).map(i =>
+      i.toLong -> s"CAMERA-FEED-${md5hex(i.toString)}")
+    // planted near-dups: chars 2/3 of the suffix transposed on every
+    // 10th string (distance ≤ 2)
+    val planted = base.collect { case (i, s) if i % 10 == 0 =>
+      (i + 100000L) -> (s.substring(0, 13) + s.charAt(14) + s.charAt(13) +
+        s.substring(15))
+    }
+    val dom = base ++ planted
+    val df = dom.toDF("id", "s")
+    val cand = FuzzyJoin.candidates(df, "id", "s", 2, 4).count()
+    val naive = dom.size.toLong * (dom.size - 1) / 2
+    // bounded: collisions only through RARE suffix grams, so the
+    // candidate count tracks the planted pairs, not n^2
+    assert(cand <= 20L * dom.size,
+      s"hot-prefix corpus produced $cand candidates (naive $naive)")
+    val out = FuzzyJoin.selfPairs(df, "id", "s", 2, q = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == brute(dom, 2))
+    assert(out.size >= planted.size) // every planted pair found
+  }
+
   test("resolveEntities: typo CHAINS collapse transitively (pairwise" +
     " distance between extremes exceeds maxDist); canonical is the" +
     " min-id member's name; singletons self-resolve") {
