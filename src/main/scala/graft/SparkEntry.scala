@@ -92,6 +92,48 @@ object SparkEntry {
     (a, b)
   }
 
+  /** Fresh work dir for the mv_* replay queries — one per invocation,
+    * so Bench's repeated reps never collide on versioned-state batch
+    * ids (each rep is a brand-new MV lifecycle: ingest batches 0..n,
+    * then serve). */
+  private def freshWorkDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-mv-").toString
+
+  /** The synthetic CDC change log shared by t_cdc_apply (one-shot
+    * batch apply) and mv_cdc_snapshot (the same log replayed through
+    * the streaming sink's per-batch commit path, one batch per seq):
+    * rev1 upserts on doc_id%5, deletes on %10, rev2 upserts on %10==5,
+    * late deletes on %7==3, fresh inserts on %11 — identical
+    * construction in the oracle SQL. */
+  private def cdcLogFixture(d: DataFrame): DataFrame = {
+    def nulls = Seq(lit(null).cast("string").as("text"),
+      lit(null).cast("string").as("lang"),
+      lit(null).cast("string").as("source"),
+      lit(null).cast("long").as("n_chars"))
+    d.filter(pmod(col("doc_id"), lit(5L)) === 0L)
+      .select(col("doc_id"), lit(1L).as("seq"), lit("upsert").as("op"),
+        concat(lit("rev1: "), col("text")).as("text"), col("lang"),
+        col("source"), col("n_chars"))
+      .unionByName(d.filter(pmod(col("doc_id"), lit(10L)) === 0L)
+        .select(Seq(col("doc_id"), lit(2L).as("seq"),
+          lit("delete").as("op")) ++ nulls: _*))
+      .unionByName(d.filter(pmod(col("doc_id"), lit(10L)) === 5L)
+        .select(col("doc_id"), lit(2L).as("seq"), lit("upsert").as("op"),
+          concat(lit("rev2: "), col("text")).as("text"), col("lang"),
+          col("source"), col("n_chars")))
+      .unionByName(d.filter(pmod(col("doc_id"), lit(7L)) === 3L)
+        .select(Seq(col("doc_id"), lit(3L).as("seq"),
+          lit("delete").as("op")) ++ nulls: _*))
+      .unionByName(d.filter(pmod(col("doc_id"), lit(11L)) === 0L)
+        .select((col("doc_id") + 1000000000L).as("doc_id"),
+          lit(1L).as("seq"), lit("upsert").as("op"),
+          concat(lit("cdc insert "), col("doc_id").cast("string"))
+            .as("text"),
+          lit("und").as("lang"), lit("cdc").as("source"),
+          length(concat(lit("cdc insert "),
+            col("doc_id").cast("string"))).cast("long").as("n_chars")))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full prediction pipeline: all-camera slot prediction + threshold
     * rules engine (SURVEY §3.2) — the reference's N+1 collapsed to one job. */
@@ -1352,34 +1394,8 @@ object SparkEntry {
     "t_cdc_apply" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       val vals = Seq("text", "lang", "source", "n_chars")
-      def nulls = Seq(lit(null).cast("string").as("text"),
-        lit(null).cast("string").as("lang"),
-        lit(null).cast("string").as("source"),
-        lit(null).cast("long").as("n_chars"))
-      val log = d.filter(pmod(col("doc_id"), lit(5L)) === 0L)
-        .select(col("doc_id"), lit(1L).as("seq"), lit("upsert").as("op"),
-          concat(lit("rev1: "), col("text")).as("text"), col("lang"),
-          col("source"), col("n_chars"))
-        .unionByName(d.filter(pmod(col("doc_id"), lit(10L)) === 0L)
-          .select(Seq(col("doc_id"), lit(2L).as("seq"),
-            lit("delete").as("op")) ++ nulls: _*))
-        .unionByName(d.filter(pmod(col("doc_id"), lit(10L)) === 5L)
-          .select(col("doc_id"), lit(2L).as("seq"), lit("upsert").as("op"),
-            concat(lit("rev2: "), col("text")).as("text"), col("lang"),
-            col("source"), col("n_chars")))
-        .unionByName(d.filter(pmod(col("doc_id"), lit(7L)) === 3L)
-          .select(Seq(col("doc_id"), lit(3L).as("seq"),
-            lit("delete").as("op")) ++ nulls: _*))
-        .unionByName(d.filter(pmod(col("doc_id"), lit(11L)) === 0L)
-          .select((col("doc_id") + 1000000000L).as("doc_id"),
-            lit(1L).as("seq"), lit("upsert").as("op"),
-            concat(lit("cdc insert "), col("doc_id").cast("string"))
-              .as("text"),
-            lit("und").as("lang"), lit("cdc").as("source"),
-            length(concat(lit("cdc insert "),
-              col("doc_id").cast("string"))).cast("long").as("n_chars")))
       Corpus.cdcApply(
-        d.select(col("doc_id") +: vals.map(col): _*), log,
+        d.select(col("doc_id") +: vals.map(col): _*), cdcLogFixture(d),
         "doc_id", "seq", "op")
         .select(col("doc_id"), md5(col("text")).as("h"), col("lang"),
           col("source"), col("n_chars"))
@@ -1579,6 +1595,100 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           graft.util.Exact.dsum2(col("value")).as("total_value"))
         .orderBy("status")
+    }),
+    // ---- §2.9 streaming MVs, ORACLE-GATED: each query folds a
+    // deterministic 3-way batch split through the sink's OWN per-batch
+    // commit function (graft.streaming.Ingest.commit*Batch — the exact
+    // foreachBatch body) into a fresh work dir, then serves from the
+    // sink's read function. The MV contract — served state ==
+    // batch op over the concatenated stream — thereby gets a DuckDB
+    // hash check, not just the StreamingSpec parity pin ----
+    "mv_pattern" -> ((s, dir) => {
+      val work = freshWorkDir()
+      val e = ev(s, dir)
+      (0L to 2L).foreach { b =>
+        graft.streaming.Ingest.commitPatternBatch(
+          e.filter(pmod(col("event_id"), lit(3)) === b), work, b,
+          "user_id", "ts", "value")
+      }
+      graft.streaming.Ingest.readPattern(s, work, "user_id").get
+        .select(col("user_id"), col("dow").cast("long").as("dow"),
+          col("hr").cast("long").as("hr"), col("predicted_volume"))
+        .orderBy("user_id", "dow", "hr")
+    }),
+    "mv_thresholds" -> ((s, dir) => {
+      val work = freshWorkDir()
+      val e = ev(s, dir)
+      (0L to 2L).foreach { b =>
+        graft.streaming.Ingest.commitHourlyBatch(
+          e.filter(pmod(col("event_id"), lit(3)) === b), work, b,
+          "user_id", "ts", "value")
+      }
+      graft.streaming.Ingest.readThresholds(s, work, "user_id").get
+    }),
+    "mv_quantiles" -> ((s, dir) => {
+      val work = freshWorkDir()
+      val e = ev(s, dir)
+      (0L to 2L).foreach { b =>
+        graft.streaming.Ingest.commitQuantileBatch(
+          e.filter(pmod(col("event_id"), lit(3)) === b), work, b, "value")
+      }
+      graft.streaming.Ingest.readQuantiles(s, work,
+        Seq(0.5, 0.75, 0.9, 0.99)).get
+    }),
+    "mv_unigram" -> ((s, dir) => {
+      val work = freshWorkDir()
+      val d = Tables.documents(s, dir)
+      (0L to 2L).foreach { b =>
+        graft.streaming.Ingest.commitUnigramBatch(
+          d.filter(pmod(col("doc_id"), lit(3)) === b), work, b, "text")
+      }
+      graft.streaming.Ingest.readUnigramCounts(s, work).get
+        .orderBy("term")
+    }),
+    "mv_bucket_grain" -> ((s, dir) => {
+      val work = freshWorkDir()
+      val e = ev(s, dir)
+      (0L to 2L).foreach { b =>
+        graft.streaming.Ingest.commitBucketGrainBatch(
+          e.filter(pmod(col("event_id"), lit(3)) === b), work, b,
+          "user_id", "ts", "value", 3600L)
+      }
+      graft.streaming.Ingest.readBucketGrainAsEvents(s, work, "user_id")
+        .get
+        .select(col("user_id"), unix_timestamp(col("ts")).as("bucket_ts"),
+          col("value"))
+        .orderBy("user_id", "bucket_ts")
+    }),
+    "mv_retention" -> ((s, dir) => {
+      val work = freshWorkDir()
+      val e = ev(s, dir)
+      (0L to 2L).foreach { b =>
+        graft.streaming.Ingest.commitActivityBatch(
+          e.filter(pmod(col("event_id"), lit(3)) === b), work, b,
+          "user_id", "ts", 604800L)
+      }
+      graft.streaming.Ingest.readRetention(s, work, "user_id").get
+        .orderBy("cohort", "offset")
+    }),
+    // CDC replay: one batch per change sequence (the natural log
+    // order), refolded at serving — same answer as the one-shot
+    // t_cdc_apply because cdcLatest is associative
+    "mv_cdc_snapshot" -> ((s, dir) => {
+      val work = freshWorkDir()
+      val d = Tables.documents(s, dir)
+      val log = cdcLogFixture(d)
+      (1L to 3L).foreach { sq =>
+        graft.streaming.Ingest.commitCdcBatch(
+          log.filter(col("seq") === sq), work, sq, "doc_id", "seq", "op")
+      }
+      graft.streaming.Ingest.readCdcSnapshot(s, work,
+          d.select(col("doc_id"), col("text"), col("lang"),
+            col("source"), col("n_chars")),
+          "doc_id", "seq", "op").get
+        .select(col("doc_id"), md5(col("text")).as("h"), col("lang"),
+          col("source"), col("n_chars"))
+        .orderBy("doc_id")
     }),
   )
 
@@ -3320,9 +3430,8 @@ object SparkEntry {
         |SELECT pp.p,
         |       CASE WHEN pp.N = 0 THEN NULL
         |            WHEN pp.hi = pp.lo THEN CAST(ulo AS DOUBLE)/100.0
-        |            ELSE (CAST(ulo AS DOUBLE)/100.0)
-        |               + (pp.pos - pp.lo) * ((CAST(uhi AS DOUBLE)/100.0)
-        |                                   - (CAST(ulo AS DOUBLE)/100.0))
+        |            ELSE (CAST(ulo AS DOUBLE)/100.0) * (pp.hi - pp.pos)
+        |               + (CAST(uhi AS DOUBLE)/100.0) * (pp.pos - pp.lo)
         |       END AS q
         |FROM pp LEFT JOIN vlo ON vlo.p = pp.p
         |  LEFT JOIN vhi ON vhi.p = pp.p
@@ -5496,5 +5605,110 @@ object SparkEntry {
         |       COUNT(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1 ORDER BY status""".stripMargin,
+    // ---- streaming-MV oracles: the MV contract is "serving equals
+    // the batch op over the concatenated stream", so each oracle IS
+    // the batch computation over the full table — the replayed-ingest
+    // detour on the Spark side must be invisible in the answer ----
+    "mv_pattern" -> // = a4_predict_pattern's batch semantics
+      """WITH daily AS (
+        |  SELECT user_id, CAST(dayofweek(ts) AS BIGINT) AS dow,
+        |         CAST(hour(ts) AS BIGINT) AS hr, CAST(ts AS DATE) AS d,
+        |         SUM(CAST(value AS DECIMAL(28,2))) AS hourly_total
+        |  FROM events GROUP BY 1, 2, 3, 4)
+        |SELECT user_id, dow, hr,
+        |       CAST(SUM(hourly_total) AS DOUBLE) / COUNT(*) AS predicted_volume
+        |FROM daily GROUP BY 1, 2, 3 ORDER BY user_id, dow, hr""".stripMargin,
+    "mv_thresholds" -> // = a6_thresholds' batch semantics
+      """WITH hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS h,
+        |         CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS hourly_volume
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id,
+        |       round(quantile_cont(hourly_volume, 0.5), 6) AS p50,
+        |       round(quantile_cont(hourly_volume, 0.75), 6) AS p75,
+        |       round(quantile_cont(hourly_volume, 0.9), 6) AS p90,
+        |       max(hourly_volume) AS max_volume
+        |FROM hourly GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "mv_quantiles" -> // = prof_quantiles' histogram interpolation
+      """WITH h AS (SELECT CAST(round(value*100) AS BIGINT) unit,
+        |             COUNT(*) n
+        |           FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |c AS (SELECT unit, n,
+        |        SUM(n) OVER (ORDER BY unit
+        |          ROWS UNBOUNDED PRECEDING) hi_cum
+        |      FROM h),
+        |c2 AS (SELECT *, hi_cum - n AS lo_cum FROM c),
+        |t AS (SELECT COALESCE(SUM(n), 0) AS N FROM h),
+        |pr AS (SELECT unnest(CAST([0.5, 0.75, 0.9, 0.99]
+        |         AS DOUBLE[])) AS p),
+        |pp AS (SELECT p, (N-1)*p AS pos,
+        |         CAST(floor((N-1)*p) AS BIGINT) AS lo,
+        |         CAST(ceil((N-1)*p) AS BIGINT) AS hi, N
+        |       FROM pr, t),
+        |vlo AS (SELECT pp.p, c2.unit ulo FROM pp JOIN c2
+        |        ON pp.lo >= c2.lo_cum AND pp.lo < c2.hi_cum),
+        |vhi AS (SELECT pp.p, c2.unit uhi FROM pp JOIN c2
+        |        ON pp.hi >= c2.lo_cum AND pp.hi < c2.hi_cum)
+        |SELECT pp.p,
+        |       CASE WHEN pp.N = 0 THEN NULL
+        |            WHEN pp.hi = pp.lo THEN CAST(ulo AS DOUBLE)/100.0
+        |            ELSE (CAST(ulo AS DOUBLE)/100.0) * (pp.hi - pp.pos)
+        |               + (CAST(uhi AS DOUBLE)/100.0) * (pp.pos - pp.lo)
+        |       END AS q
+        |FROM pp LEFT JOIN vlo ON vlo.p = pp.p
+        |  LEFT JOIN vhi ON vhi.p = pp.p
+        |ORDER BY pp.p""".stripMargin,
+    "mv_unigram" ->
+      """WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |            FROM documents)
+        |SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM tok GROUP BY term ORDER BY term""".stripMargin,
+    "mv_bucket_grain" ->
+      """SELECT user_id,
+        |       CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_ts,
+        |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |         AS value
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, bucket_ts""".stripMargin,
+    "mv_retention" -> // = a_retention_cohorts' batch semantics
+      """WITH act AS (SELECT DISTINCT user_id,
+        |         CAST(floor(epoch(ts) / 604800) AS BIGINT) AS period
+        |       FROM events),
+        |co AS (SELECT user_id, MIN(period) AS cohort FROM act GROUP BY 1)
+        |SELECT cohort, period - cohort AS "offset",
+        |       CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM act JOIN co USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort, "offset" """.stripMargin,
+    "mv_cdc_snapshot" -> // = t_cdc_apply's batch semantics
+      """WITH log AS (
+        |  SELECT doc_id, 1 AS seq, 'upsert' AS op,
+        |         'rev1: ' || text AS text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'delete', NULL, NULL, NULL, NULL
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'upsert', 'rev2: ' || text, lang, source,
+        |         n_chars
+        |  FROM documents WHERE doc_id % 10 = 5
+        |  UNION ALL
+        |  SELECT doc_id, 3, 'delete', NULL, NULL, NULL, NULL
+        |  FROM documents WHERE doc_id % 7 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, 1, 'upsert',
+        |         'cdc insert ' || CAST(doc_id AS VARCHAR), 'und', 'cdc',
+        |         CAST(length('cdc insert ' || CAST(doc_id AS VARCHAR))
+        |           AS BIGINT)
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |latest AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY seq DESC) AS rn FROM log) WHERE rn = 1)
+        |SELECT doc_id, md5(text) AS h, lang, source, n_chars
+        |FROM (
+        |  SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+        |  FROM documents d ANTI JOIN latest l ON d.doc_id = l.doc_id
+        |  UNION ALL
+        |  SELECT doc_id, text, lang, source, n_chars
+        |  FROM latest WHERE op = 'upsert')
+        |ORDER BY doc_id""".stripMargin,
   )
 }

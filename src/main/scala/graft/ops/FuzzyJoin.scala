@@ -31,6 +31,12 @@ import org.apache.spark.sql.functions._
   * every indexed prefix — each string contributes ≤ q·d+1 grams and
   * they are the ones least able to collide. Per-string join work is
   * O((q·d+1) · rare-posting-length), never all-grams × all-positions.
+  * Residual dial: on an ALPHABET-LIMITED random corpus (hex
+  * fingerprints, digit ids) even the rarest grams collide ~n/|Σ|^q
+  * times, so pick q large enough that |Σ|^q ≫ corpus size — the x10
+  * probe's md5-hex domain at q=4 (16^4 = 65k gram values over 66k
+  * strings) already measures 2300× under naive and stays there on the
+  * hot-prefix variant.
   *
   * Pairs where BOTH sides have ≤ q·d distinct grams (genuinely short
   * strings — |set| ≤ len−q+1 — plus degenerate repetitions like

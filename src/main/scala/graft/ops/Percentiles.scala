@@ -89,14 +89,17 @@ object Percentiles {
   /** Exact quantiles from a value histogram, reproducing Spark's exact
     * `percentile` (and numpy's linear interpolation) bit-for-bit:
     * 0-based position = (N−1)·p over the sorted multiset;
-    * q = v_lo + (pos−⌊pos⌋)·(v_hi−v_lo) — Spark's own Percentile
-    * interpolation FORM, not the mathematically-equal two-sided blend
-    * v_lo·(⌈pos⌉−pos) + v_hi·(pos−⌊pos⌋): the two can differ in the
-    * last ulp at non-integral positions, and the bit-identical
-    * contract demands the same form. v directly when the position is
-    * integral (the same special case Spark's implementation takes).
-    * unit/100.0 is correctly rounded, hence bit-identical to the
-    * original 2-dp double.
+    * q = v_lo·(⌈pos⌉−pos) + v_hi·(pos−⌊pos⌋) — the TWO-SIDED blend,
+    * which is Spark's own Percentile form (pinned empirically: the
+    * StreamingSpec bit-equality test distinguishes it from the
+    * mathematically-equal one-sided v_lo + frac·(v_hi−v_lo) on e.g.
+    * {…, 7.2, 8.2, …} at p=0.75 → 7.94 vs 7.9399999999999995 — the
+    * forms differ in the last ulp at non-integral positions, so the
+    * bit-identical contract demands this exact shape, mirrored in the
+    * DuckDB oracle). v directly when the position is integral (the
+    * same special case Spark's implementation takes — the blend would
+    * collapse to 0 there). unit/100.0 is correctly rounded, hence
+    * bit-identical to the original 2-dp double.
     *
     * One cumulative window over the histogram (single-partition BY
     * DESIGN: the histogram is domain-cardinality — the temperature-
@@ -130,10 +133,10 @@ object Percentiles {
           .when(col("_higher") === col("_lower"),
             col("_ulo").cast("double") / 100.0)
           .otherwise(
-            (col("_ulo").cast("double") / 100.0) +
-              (col("_pos") - col("_lower")) *
-                (col("_uhi").cast("double") / 100.0 -
-                  col("_ulo").cast("double") / 100.0)).as("q"))
+            (col("_ulo").cast("double") / 100.0) *
+              (col("_higher") - col("_pos")) +
+            (col("_uhi").cast("double") / 100.0) *
+              (col("_pos") - col("_lower"))).as("q"))
       .orderBy("p")
   }
 

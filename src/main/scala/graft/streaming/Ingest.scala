@@ -371,13 +371,24 @@ object Ingest {
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.io.VersionedState.mergeCommit(
-          batch.sparkSession, s"$workRoot/pattern", batchId,
-          graft.ops.Predict.dailyPartials(batch, keyCol, tsCol, valueCol),
-          graft.ops.Predict.mergeDailyPartials(keyCol))
-        ()
+        commitPatternBatch(batch, workRoot, batchId, keyCol, tsCol, valueCol)
       }
       .start()
+
+  /** The EXACT per-batch body of [[startPatternSink]], exposed so a
+    * batch replay (backfill, or the driver's oracle gate — the `mv_*`
+    * queries fold a deterministic batch split through these commit
+    * functions and serve from the same reads) exercises the same code
+    * path the sink runs per trigger. */
+  def commitPatternBatch(batch: DataFrame, workRoot: String, batchId: Long,
+                         keyCol: String, tsCol: String,
+                         valueCol: String): Unit = {
+    graft.io.VersionedState.mergeCommit(
+      batch.sparkSession, s"$workRoot/pattern", batchId,
+      graft.ops.Predict.dailyPartials(batch, keyCol, tsCol, valueCol),
+      graft.ops.Predict.mergeDailyPartials(keyCol))
+    ()
+  }
 
   /** Serving read for [[startPatternSink]]: all-slot predictions from
     * the materialized partials (empty frame before the first commit). */
@@ -403,14 +414,21 @@ object Ingest {
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.io.VersionedState.mergeCommit(
-          batch.sparkSession, s"$workRoot/hourly", batchId,
-          graft.ops.Percentiles.hourlyPartials(
-            batch, keyCol, tsCol, valueCol),
-          graft.ops.Percentiles.mergeHourlyPartials(keyCol))
-        ()
+        commitHourlyBatch(batch, workRoot, batchId, keyCol, tsCol, valueCol)
       }
       .start()
+
+  /** Per-batch body of [[startHourlySink]] (see [[commitPatternBatch]]
+    * for why these are exposed). */
+  def commitHourlyBatch(batch: DataFrame, workRoot: String, batchId: Long,
+                        keyCol: String, tsCol: String,
+                        valueCol: String): Unit = {
+    graft.io.VersionedState.mergeCommit(
+      batch.sparkSession, s"$workRoot/hourly", batchId,
+      graft.ops.Percentiles.hourlyPartials(batch, keyCol, tsCol, valueCol),
+      graft.ops.Percentiles.mergeHourlyPartials(keyCol))
+    ()
+  }
 
   /** Serving read for [[startHourlySink]]: thresholds refit from the
     * materialized hourly partials (None before the first commit). */
@@ -438,13 +456,20 @@ object Ingest {
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.io.VersionedState.mergeCommit(
-          batch.sparkSession, s"$workRoot/unigram", batchId,
-          graft.ops.TextStats.unigramPartials(batch, textCol),
-          graft.ops.TextStats.mergeUnigramPartials)
-        ()
+        commitUnigramBatch(batch, workRoot, batchId, textCol)
       }
       .start()
+
+  /** Per-batch body of [[startUnigramSink]] (see [[commitPatternBatch]]
+    * for why these are exposed). */
+  def commitUnigramBatch(batch: DataFrame, workRoot: String,
+                         batchId: Long, textCol: String): Unit = {
+    graft.io.VersionedState.mergeCommit(
+      batch.sparkSession, s"$workRoot/unigram", batchId,
+      graft.ops.TextStats.unigramPartials(batch, textCol),
+      graft.ops.TextStats.mergeUnigramPartials)
+    ()
+  }
 
   /** Serving read for [[startUnigramSink]]: the current `(term, cnt)`
     * corpus model (None before the first commit). */
@@ -666,14 +691,23 @@ object Ingest {
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.select(col(userCol),
-            floor(unix_timestamp(col(tsCol)) / intervalSec)
-              .cast("long").as("period"))
-          .distinct()
-          .write.mode("overwrite").parquet(s"$outRoot/b=$batchId")
-        ()
+        commitActivityBatch(batch, outRoot, batchId, userCol, tsCol,
+          intervalSec)
       }
       .start()
+
+  /** Per-batch body of [[startActivitySink]] (see
+    * [[commitPatternBatch]] for why these are exposed). */
+  def commitActivityBatch(batch: DataFrame, outRoot: String, batchId: Long,
+                          userCol: String, tsCol: String,
+                          intervalSec: Long): Unit = {
+    batch.select(col(userCol),
+        floor(unix_timestamp(col(tsCol)) / intervalSec)
+          .cast("long").as("period"))
+      .distinct()
+      .write.mode("overwrite").parquet(s"$outRoot/b=$batchId")
+    ()
+  }
 
   /** Serving read for [[startActivitySink]]: the retention cohort
     * triangle over everything ingested so far (None before the first
@@ -711,14 +745,23 @@ object Ingest {
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.groupBy(col(keyCol),
-            (floor(unix_timestamp(col(tsCol)) / bucketSec) * bucketSec)
-              .cast("long").as("bucket_ts"))
-          .agg(sum(round(col(valueCol) * 100).cast("long")).as("u"))
-          .write.mode("overwrite").parquet(s"$outRoot/b=$batchId")
-        ()
+        commitBucketGrainBatch(batch, outRoot, batchId, keyCol, tsCol,
+          valueCol, bucketSec)
       }
       .start()
+
+  /** Per-batch body of [[startBucketGrainSink]] (see
+    * [[commitPatternBatch]] for why these are exposed). */
+  def commitBucketGrainBatch(batch: DataFrame, outRoot: String,
+                             batchId: Long, keyCol: String, tsCol: String,
+                             valueCol: String, bucketSec: Long): Unit = {
+    batch.groupBy(col(keyCol),
+        (floor(unix_timestamp(col(tsCol)) / bucketSec) * bucketSec)
+          .cast("long").as("bucket_ts"))
+      .agg(sum(round(col(valueCol) * 100).cast("long")).as("u"))
+      .write.mode("overwrite").parquet(s"$outRoot/b=$batchId")
+    ()
+  }
 
   /** Serving read for [[startBucketGrainSink]]: the folded grain as an
     * equivalent event stream (one event per bucket at the bucket
@@ -757,13 +800,20 @@ object Ingest {
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.io.VersionedState.mergeCommit(
-          batch.sparkSession, s"$workRoot/valuehist", batchId,
-          graft.ops.Percentiles.valueHistPartial(batch, valueCol),
-          graft.ops.Percentiles.mergeValueHist)
-        ()
+        commitQuantileBatch(batch, workRoot, batchId, valueCol)
       }
       .start()
+
+  /** Per-batch body of [[startQuantileSink]] (see
+    * [[commitPatternBatch]] for why these are exposed). */
+  def commitQuantileBatch(batch: DataFrame, workRoot: String,
+                          batchId: Long, valueCol: String): Unit = {
+    graft.io.VersionedState.mergeCommit(
+      batch.sparkSession, s"$workRoot/valuehist", batchId,
+      graft.ops.Percentiles.valueHistPartial(batch, valueCol),
+      graft.ops.Percentiles.mergeValueHist)
+    ()
+  }
 
   /** Serving read for [[startQuantileSink]] (None before the first
     * commit). */
@@ -794,11 +844,18 @@ object Ingest {
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.ops.Corpus.cdcLatest(batch, idCol, seqCol, opCol)
-          .write.mode("overwrite").parquet(s"$outRoot/b=$batchId")
-        ()
+        commitCdcBatch(batch, outRoot, batchId, idCol, seqCol, opCol)
       }
       .start()
+
+  /** Per-batch body of [[startCdcSink]] (see [[commitPatternBatch]]
+    * for why these are exposed). */
+  def commitCdcBatch(batch: DataFrame, outRoot: String, batchId: Long,
+                     idCol: String, seqCol: String, opCol: String): Unit = {
+    graft.ops.Corpus.cdcLatest(batch, idCol, seqCol, opCol)
+      .write.mode("overwrite").parquet(s"$outRoot/b=$batchId")
+    ()
+  }
 
   /** Serving read for [[startCdcSink]]: the base snapshot with every
     * ingested change applied, identical to batch
