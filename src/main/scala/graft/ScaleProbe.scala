@@ -1286,6 +1286,23 @@ object ScaleProbe {
       ops.Intervals.overlapStats(aI, bI, "user_id", "event_id",
         "iv_s", "iv_e").queryExecution.toRdd.count()
     }
+    time("interval_overlap_auto") {
+      ops.Intervals.overlapJoinAuto(aI, bI, "user_id", "event_id",
+        "iv_s", "iv_e").count()
+    }
+    // LONG-OUTLIER stress: plant one multi-year session per 10k users
+    // — under the flat 4h-bucket scheme each outlier explodes to
+    // thousands of rows; the level scheme must stay flat (outliers
+    // index at their own level in <= 3 tiles)
+    val aOut = aI.unionAll(
+      aI.filter(pmod(col("user_id"), lit(10000)) === 0)
+        .select(col("user_id"), (col("event_id") + 900000000L)
+          .as("event_id"), col("event_type"),
+          lit(0L).as("iv_s"), lit(4000000000L).as("iv_e")))
+    time("interval_auto_outliers") {
+      ops.Intervals.overlapJoinAuto(aOut, bI, "user_id", "event_id",
+        "iv_s", "iv_e").count()
+    }
     time("pipe_session_incidents") {
       ops.Pipelines.sessionIncidents(
         Tables.events(spark, dir).withColumn("ts", col("ts")

@@ -600,6 +600,14 @@ object SparkEntry {
       Intervals.overlapStats(a, b, "user_id", "event_id", "iv_s", "iv_e",
         bucketSec = 14400L)
     }),
+    // the AUTO-sized form (median-span level tiling, no bucket dial,
+    // long-outlier safe) against the SAME brute-force oracle — both
+    // blocking schemes are hash-proven lossless and exactly-once
+    "x_interval_join_auto" -> ((s, dir) => {
+      val (a, b) = intervalFrames(s, dir)
+      Intervals.overlapJoinAuto(a, b, "user_id", "event_id",
+        "iv_s", "iv_e")
+    }),
     // ---- as-of join (union+window composition; DuckDB ASOF oracle) ----
     "x_asof_join" -> ((s, dir) => {
       val e = ev(s, dir)
@@ -2432,6 +2440,24 @@ object SparkEntry {
         |        > CAST(mad4 AS DECIMAL(38,0)) * 3500000
         |ORDER BY user_id, bucket_ts""".stripMargin,
     "x_interval_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |        CAST(floor(epoch(ts)) AS BIGINT) AS ivs,
+        |        CAST(floor(epoch(ts)) AS BIGINT)
+        |          + CAST(floor(value*60) AS BIGINT) AS ive
+        |      FROM events),
+        |a AS (SELECT * FROM e WHERE event_type IN ('view', 'click')),
+        |b AS (SELECT * FROM e WHERE event_type = 'error')
+        |SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+        |       a.ivs AS a_s, a.ive AS a_e, b.ivs AS b_s, b.ive AS b_e,
+        |       greatest(a.ivs, b.ivs) AS ov_s,
+        |       least(a.ive, b.ive) AS ov_e,
+        |       least(a.ive, b.ive) - greatest(a.ivs, b.ivs) AS ov_len
+        |FROM a JOIN b ON a.user_id = b.user_id
+        |  AND a.ivs <= b.ive AND b.ivs <= a.ive
+        |ORDER BY a.user_id, a_id, b_id""".stripMargin,
+    // same brute-force oracle: the auto-level blocking must be
+    // answer-invisible
+    "x_interval_join_auto" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
         |        CAST(floor(epoch(ts)) AS BIGINT) AS ivs,
         |        CAST(floor(epoch(ts)) AS BIGINT)

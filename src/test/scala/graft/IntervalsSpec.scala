@@ -61,6 +61,62 @@ class IntervalsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, 20L), (2L, 0L, 0L)))
   }
 
+  test("overlapJoinAuto: equals the naive theta join (and the bucketed" +
+    " form) on a mixed fixture INCLUDING a year-long outlier, with" +
+    " exactly-once pairs and closed-interval edge semantics") {
+    // second-scale sessions plus one year-long outlier per key — the
+    // case the flat bucket explode can't afford (a 4h bucket would
+    // fan the outlier to 2190 rows; the level scheme indexes it <= 3)
+    val a = iv(((0 until 30).map(i =>
+      (s"k${i % 2}", i.toLong, (i * 40).toLong, (i * 40 + 55).toLong)) ++
+      Seq(("k0", 900L, 0L, 31536000L))): _*) // the year-long outlier
+    val b = iv(((0 until 30).map(i =>
+      (s"k${i % 2}", (100 + i).toLong, (i * 31 + 7).toLong,
+        (i * 31 + 49).toLong)) ++
+      Seq(("k1", 901L, 500L, 20000000L))): _*)
+    val auto = Intervals.overlapJoinAuto(a, b, "k", "id", "s", "e")
+      .select("k", "a_id", "b_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val naive = a.as("a").join(b.as("b"),
+        col("a.k") === col("b.k") &&
+          col("a.s") <= col("b.e") && col("b.s") <= col("a.e"))
+      .select(col("a.k"), col("a.id"), col("b.id")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(auto.sorted.toSeq == naive.sorted.toSeq)
+    assert(auto.length == auto.distinct.length, "duplicate pair emitted")
+    val bucketed = Intervals.overlapJoin(a, b, "k", "id", "s", "e",
+        bucketSec = 3600L)
+      .select("k", "a_id", "b_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(bucketed.sorted.toSeq == naive.sorted.toSeq)
+  }
+
+  test("overlapJoinAuto: identical-start pairs, touching endpoints and" +
+    " empty sides (the direction-split and level edge cases)") {
+    val a = iv(("u", 1L, 100L, 200L), ("u", 2L, 100L, 150L),
+      ("u", 3L, 300L, 300L)) // zero-span interval
+    val b = iv(("u", 10L, 100L, 120L),  // same start as 1 and 2
+      ("u", 11L, 200L, 250L),           // touches 1 at a point
+      ("u", 12L, 300L, 300L),           // zero-span meets zero-span
+      ("u", 13L, 301L, 400L))           // disjoint from 3 by 1s
+    val out = Intervals.overlapJoinAuto(a, b, "k", "id", "s", "e")
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 10L), (1L, 11L), (2L, 10L), (3L, 12L)))
+    // empty b side: no pairs, no crash (levels default safely)
+    val empty = Intervals.overlapJoinAuto(a, b.filter(lit(false)),
+      "k", "id", "s", "e")
+    assert(empty.count() == 0L)
+  }
+
+  test("overlapStatsAuto matches overlapStats") {
+    val a = iv(("u", 1L, 100L, 200L), ("u", 2L, 500L, 600L))
+    val b = iv(("u", 10L, 150L, 160L), ("u", 11L, 190L, 250L))
+    val auto = Intervals.overlapStatsAuto(a, b, "k", "id", "s", "e")
+      .collect().map(r => (r.getLong(1), r.getLong(4), r.getLong(5)))
+    assert(auto.toSeq == Seq((1L, 2L, 20L), (2L, 0L, 0L)))
+  }
+
   test("overlapJoin plan: equi-join on (key, bucket), no nested loop") {
     val a = iv(("u", 1L, 100L, 200L))
     val b = iv(("u", 10L, 120L, 150L))
