@@ -963,6 +963,93 @@ object Embeddings {
         col("rnk").cast("int").as("rnk"))
   }
 
+  /** Sampled RECALL MONITOR for a persisted IVF index — the drift
+    * gauge for the frozen coarse quantizer: [[appendToIvfIndex]]
+    * routes new vectors through centroids fit on the ORIGINAL
+    * distribution, so a drifting append stream piles into cells that
+    * no longer separate neighborhoods and nProbe-bounded search
+    * quietly loses true neighbors — no error, just sinking recall.
+    *
+    * The monitor samples `nQueries` LIVE index vectors
+    * deterministically (md5 order on id, so successive runs are
+    * comparable), runs the indexed nProbe search against brute force
+    * over the SAME live rows, and returns the mean recall@k. Cost:
+    * one brute-force corpus pass for the sampled queries (broadcast
+    * queries, map-only scan + top-k window) plus one pruned indexed
+    * probe — the standard recall-eval bill, paid on the monitoring
+    * cadence, never per search. */
+  def ivfRecallProbe(spark: org.apache.spark.sql.SparkSession,
+                     indexPath: String, model: IvfModel, idCol: String,
+                     nProbe: Int, k: Int, nQueries: Int = 64): Double = {
+    graft.io.Fs.recoverPublished(spark, indexPath)
+    val live = spark.read.parquet(indexPath)
+      .filter(liveIvfRows(ivfWatermark(spark, indexPath)))
+      .select(col(idCol), col("cv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = live
+      .withColumn("_h", md5(col(idCol).cast("string")))
+      .orderBy("_h").limit(nQueries)
+      .select(col(idCol).as("query_id"), col("cv").as("qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def topK(candidates: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("corpus_id"))
+      candidates.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select(col("query_id"), col("corpus_id"))
+    }
+    val exact = topK(live.select(col(idCol).as("corpus_id"), col("cv"))
+      .crossJoin(broadcast(q))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("cosine", qcosine(col("qv"), col("cv"))))
+    // approx side: the same cell-pruned probe as [[ivfTopKIndexed]],
+    // on the already-quantized sampled vectors
+    val probeCells = transform(
+      slice(array_sort(array(
+        centroidDistStructs(model, col("qv")): _*)), 1, nProbe),
+      s => s.getField("cell"))
+    val qCells = q.select(col("query_id"), col("qv"),
+      explode(probeCells).as("cell"))
+    val probed = qCells.select("cell").distinct()
+      .collect().map(_.getInt(0)) // bounded by nLists
+    val cb = spark.read.parquet(indexPath)
+      .filter(col("cell").isin(probed.toIndexedSeq: _*))
+      .filter(liveIvfRows(ivfWatermark(spark, indexPath)))
+      .select(col(idCol).as("corpus_id"), col("cv"), col("cell"))
+    val approx = topK(cb.join(broadcast(qCells), Seq("cell"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("cosine", qcosine(col("qv"), col("cv"))))
+    val r = recallAtK(approx, exact)
+      .agg(avg(col("recall"))).head()
+    live.unpersist(); q.unpersist()
+    if (r.isNullAt(0)) 1.0 else r.getDouble(0) // empty index: vacuously fine
+  }
+
+  /** Drift monitor + REFIT TRIGGER: measure the sampled recall of the
+    * persisted index under its current (frozen) quantizer; when it
+    * has sunk below `recallFloor`, refit the quantizer from the
+    * index's current live rows ([[refitIvfIndex]] — bak-swap publish,
+    * safe against concurrent readers) and return the new model.
+    * Returns (model to use from now on, measured recall BEFORE any
+    * refit, whether a refit happened). The caller owns the cadence
+    * (per N appends, per compaction, nightly) and should re-probe
+    * after a refit if it wants the post-fix number on record. */
+  def ivfMonitorAndRefit(spark: org.apache.spark.sql.SparkSession,
+                         indexPath: String, model: IvfModel, idCol: String,
+                         nLists: Int, nProbe: Int, k: Int,
+                         recallFloor: Double, nQueries: Int = 64,
+                         iters: Int = 10, sampleCap: Int = 4096,
+                         filesPerCell: Int = 1)
+      : (IvfModel, Double, Boolean) = {
+    val recall = ivfRecallProbe(spark, indexPath, model, idCol, nProbe,
+      k, nQueries)
+    if (recall < recallFloor)
+      (refitIvfIndex(spark, indexPath, idCol, nLists, iters, sampleCap,
+        filesPerCell), recall, true)
+    else (model, recall, false)
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a, b), a < b, with
     * cosine >= minCos — banded sign-LSH OR-construction (the embedding
     * analog of MinHash banding): `bands × planesPerBand` hyperplanes,

@@ -395,4 +395,66 @@ class IvfIndexSpec extends SparkSpec {
       s"recall regressed across refit: $rBefore -> $rAfter")
     assert(rAfter >= 0.8, s"recall after refit too low: $rAfter")
   }
+
+  test("ivfMonitorAndRefit: planted drift sinks the sampled recall " +
+    "below the floor, the monitor detects it and triggers a refit, " +
+    "and the re-probe shows recall restored") {
+    import spark.implicits._
+    // md5-based jitter: the affine hash the refit test uses makes all
+    // four dims the SAME base value shifted by a constant (mod-1000
+    // arithmetic collapses any affine mix), which silently correlates
+    // the cell coin with the neighborhood dims and hides the drift —
+    // this test needs genuinely independent dims
+    def jit(id: Long, d: Int): Double = {
+      val b = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:$d".getBytes)
+      (((b(0) & 0xFF) * 256 + (b(1) & 0xFF)) % 1000) / 10000.0 - 0.05
+    }
+    // initial distribution: 4 one-hot corners → 4 centroids ≈ corners
+    def vecA(id: Long): Seq[Double] = {
+      val c = (id % 4).toInt
+      (0 until 4).map(d => (if (d == c) 1.0 else 0.0) + jit(id, d))
+    }
+    // drifted cloud sitting ON the boundary between the e0 and e1
+    // centroids, with the two roles DECOUPLED: which stale cell a
+    // member lands in is decided by the tiny dim-0/1 jitter (an
+    // independent hash — a coin flip between the e0 and e1 cells),
+    // while its true nearest neighbors are decided by the LARGE
+    // dim-2/3 jitter. Each neighborhood therefore straddles both
+    // cells, and a frozen nProbe=1 probe misses the half that fell on
+    // the other side. This is the silent-degradation shape: no hot
+    // cell, no error, recall just sinks.
+    def vecDrift(id: Long): Seq[Double] =
+      Seq(1.0 + jit(id, 0) * 0.2, 1.0 + jit(id, 1) * 0.2,
+        3 * jit(id, 2), 3 * jit(id, 3))
+    val a = (0L until 1000L).map(i => (i, vecA(i))).toDF("vec_id", "embedding")
+    val drift = (10000L until 11000L).map(i => (i, vecDrift(i)))
+      .toDF("vec_id", "embedding")
+    val model = Embeddings.ivfFit(a, "vec_id", "embedding", nLists = 4)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_monitor").toString
+    Embeddings.writeIvfIndex(model, a, "vec_id", "embedding", dir)
+
+    // healthy baseline: before any drift the monitor stays quiet
+    val (m0, r0, refit0) = Embeddings.ivfMonitorAndRefit(spark, dir,
+      model, "vec_id", nLists = 4, nProbe = 1, k = 5,
+      recallFloor = 0.9, nQueries = 48)
+    assert(!refit0 && (m0 eq model), s"healthy index triggered a refit ($r0)")
+    assert(r0 >= 0.9, s"baseline recall unexpectedly low: $r0")
+
+    Embeddings.appendToIvfIndex(model, drift, "vec_id", "embedding", dir)
+    val (m1, r1, refit1) = Embeddings.ivfMonitorAndRefit(spark, dir,
+      model, "vec_id", nLists = 4, nProbe = 1, k = 5,
+      recallFloor = 0.9, nQueries = 48)
+    assert(r1 < 0.9, s"planted drift not detected: sampled recall $r1")
+    assert(refit1, "monitor did not trigger the refit")
+    // the refit restored the neighborhoods: re-probe under the new
+    // quantizer clears the floor the stale one sank below
+    val r2 = Embeddings.ivfRecallProbe(spark, dir, m1, "vec_id",
+      nProbe = 1, k = 5, nQueries = 48)
+    assert(r2 > r1 && r2 >= 0.9,
+      s"refit did not restore recall: $r1 -> $r2")
+    // content survived the refit rebuild, exactly once
+    assert(spark.read.parquet(dir).count() == 2000L)
+  }
 }
