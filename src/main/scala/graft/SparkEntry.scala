@@ -1469,6 +1469,30 @@ object SparkEntry {
           col("frame_bytes").cast("long").as("frame_bytes"))
         .orderBy("media_id", "frame_idx")
     }),
+    // REAL audio codec round trip: each document's bytes are wrapped
+    // in a canonical PCM WAV header (rate/channels derived from
+    // doc_id), and the probe must read back from the ACTUAL header
+    // exactly what the writer encoded — the oracle recomputes every
+    // field from doc arithmetic
+    "mm_audio_meta" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long"), col("text"))
+        .map { r =>
+          val id = r.getLong(0)
+          val data = r.getString(1).getBytes("UTF-8")
+          Multimodal.MediaRow(id, "audio",
+            Multimodal.WavCodec.wrap(data,
+              sampleRate = 8000 + (id % 8).toInt * 1000,
+              channels = 1 + (id % 2).toInt, bits = 16),
+            width = 0, height = 0, sample_rate = 0, n_frames = 0)
+        }
+      Multimodal.probeAudioMeta(media)
+        .select(col("media_id"), col("codec"), col("sample_rate"),
+          col("n_channels"), col("bits_per_sample"), col("n_samples"),
+          col("n_bytes"))
+        .orderBy("media_id")
+    }),
     "mm_resize" -> ((s, dir) => {
       val m = Multimodal.fromText(Tables.documents(s, dir), "doc_id", "text",
         "image")
@@ -5429,6 +5453,15 @@ object SparkEntry {
         |       CAST(greatest(least(f * fl + fl, len) - f * fl, 0) AS BIGINT)
         |         AS frame_bytes
         |FROM fr ORDER BY media_id, frame_idx""".stripMargin,
+    "mm_audio_meta" ->
+      """SELECT doc_id AS media_id, 'wav' AS codec,
+        |       CAST(8000 + (doc_id % 8) * 1000 AS INTEGER) AS sample_rate,
+        |       CAST(1 + doc_id % 2 AS INTEGER) AS n_channels,
+        |       CAST(16 AS INTEGER) AS bits_per_sample,
+        |       CAST(octet_length(encode(text)) // ((1 + doc_id % 2) * 2)
+        |         AS BIGINT) AS n_samples,
+        |       CAST(44 + octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY media_id""".stripMargin,
     "mm_resize" ->
       """SELECT doc_id AS media_id,
         |       CAST(least(octet_length(encode(text)), 64) AS BIGINT) AS resized_bytes,

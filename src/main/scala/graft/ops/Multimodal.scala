@@ -167,6 +167,124 @@ object Multimodal {
     }
   }
 
+  /** WAV (RIFF) header parse — the first AUDIO decoder behind the seam
+    * (same contract as [[JpegCodec]]/[[PngCodec]]: pure bytes in,
+    * Option out, total on malformed/truncated input). Walks the RIFF
+    * chunk list to `fmt ` for the stream parameters and to `data` for
+    * the payload size; sample count = data bytes / block align. */
+  object WavCodec {
+    private def u8(p: Array[Byte], i: Int): Int = p(i) & 0xff
+    private def le16(p: Array[Byte], i: Int): Int =
+      u8(p, i) | (u8(p, i + 1) << 8)
+    private def le32(p: Array[Byte], i: Int): Long =
+      u8(p, i).toLong | (u8(p, i + 1).toLong << 8) |
+        (u8(p, i + 2).toLong << 16) | (u8(p, i + 3).toLong << 24)
+    private def tag(p: Array[Byte], i: Int, t: String): Boolean =
+      p.length >= i + 4 && (0 until 4).forall(j => u8(p, i + j) == t(j))
+
+    /** (sampleRate, nChannels, bitsPerSample, nSamples), or None if
+      * the payload is not a parseable WAV. */
+    def info(payload: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+      if (payload.length < 44) return None
+      if (!tag(payload, 0, "RIFF") || !tag(payload, 8, "WAVE")) return None
+      var i = 12
+      var fmt: Option[(Int, Int, Int, Int)] = None // rate, ch, bits, align
+      var dataBytes = -1L
+      while (i + 8 <= payload.length && (fmt.isEmpty || dataBytes < 0)) {
+        val size = le32(payload, i + 4)
+        if (size < 0 || size > Int.MaxValue) return None
+        if (tag(payload, i, "fmt ")) {
+          if (size < 16 || i + 8 + 16 > payload.length) return None
+          val ch = le16(payload, i + 10)
+          val rate = le32(payload, i + 12)
+          val align = le16(payload, i + 20)
+          val bits = le16(payload, i + 22)
+          if (ch < 1 || rate < 1 || rate > Int.MaxValue || bits < 1 ||
+            align < 1) return None
+          fmt = Some((rate.toInt, ch, bits, align))
+        } else if (tag(payload, i, "data")) {
+          dataBytes = math.min(size, (payload.length - i - 8).toLong)
+        }
+        i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      }
+      fmt.map { case (rate, ch, bits, align) =>
+        (rate, ch, bits, if (dataBytes < 0) 0L else dataBytes / align)
+      }
+    }
+
+    /** Encode `data` as a canonical PCM WAV (RIFF + fmt + data) — the
+      * writer half of the round trip the audio oracle checks: the
+      * parser must read back exactly what this encodes. */
+    def wrap(data: Array[Byte], sampleRate: Int, channels: Int,
+             bits: Int): Array[Byte] = {
+      require(sampleRate > 0 && channels > 0 && bits > 0 && bits % 8 == 0)
+      val align = channels * bits / 8
+      val out = java.nio.ByteBuffer
+        .allocate(44 + data.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1.toShort) // PCM
+        .putShort(channels.toShort).putInt(sampleRate)
+        .putInt(sampleRate * align).putShort(align.toShort)
+        .putShort(bits.toShort)
+        .put("data".getBytes("US-ASCII")).putInt(data.length)
+        .put(data)
+      out.array()
+    }
+  }
+
+  /** FLAC STREAMINFO parse — the second audio decoder (lossless
+    * sibling of [[WavCodec]], same total-function contract): after the
+    * `fLaC` magic the first metadata block must be STREAMINFO (type 0,
+    * 34 bytes), whose tail packs sample rate (20 bits), channels−1
+    * (3 bits), bits-per-sample−1 (5 bits) and total samples (36 bits)
+    * big-endian. */
+  object FlacCodec {
+    /** (sampleRate, nChannels, bitsPerSample, nSamples), or None. */
+    def info(payload: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+      def u8(i: Int): Int = payload(i) & 0xff
+      if (payload.length < 42) return None
+      if (!(u8(0) == 'f' && u8(1) == 'L' && u8(2) == 'a' && u8(3) == 'C'))
+        return None
+      if ((u8(4) & 0x7f) != 0) return None // first block must be STREAMINFO
+      val len = (u8(5) << 16) | (u8(6) << 8) | u8(7)
+      if (len != 34) return None
+      val rate = (u8(18) << 12) | (u8(19) << 4) | (u8(20) >> 4)
+      val ch = ((u8(20) >> 1) & 0x7) + 1
+      val bits = (((u8(20) & 1) << 4) | (u8(21) >> 4)) + 1
+      val total = ((u8(21) & 0x0f).toLong << 32) | (u8(22).toLong << 24) |
+        (u8(23).toLong << 16) | (u8(24).toLong << 8) | u8(25).toLong
+      if (rate < 1) None else Some((rate, ch, bits, total))
+    }
+  }
+
+  /** Audio-metadata probe — [[probeImageMeta]]'s sibling for the audio
+    * modality: rows whose payload parses as WAV or FLAC report the
+    * stream parameters from the ACTUAL header (`codec` = "wav" /
+    * "flac"); anything else keeps its carried metadata (`codec` null).
+    * Pure projection, payloads never leave the executors. */
+  def probeAudioMeta(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val parsed: Option[(String, (Int, Int, Int, Long))] =
+          if (r.modality != "audio") None
+          else WavCodec.info(r.payload).map("wav" -> _)
+            .orElse(FlacCodec.info(r.payload).map("flac" -> _))
+        val p = parsed.map(_._2)
+        (r.media_id, r.modality,
+          p.map(_._1).getOrElse(r.sample_rate),
+          p.map(_._2).getOrElse(0),
+          p.map(_._3).getOrElse(0),
+          p.map(_._4).getOrElse(0L),
+          parsed.map(_._1), r.payload.length.toLong)
+      }
+    }.toDF("media_id", "modality", "sample_rate", "n_channels",
+      "bits_per_sample", "n_samples", "codec", "n_bytes")
+  }
+
   /** Image-metadata probe — the REAL decode stage behind the seam: for
     * image rows whose payload parses as JPEG or PNG, the width /
     * height come from the actual frame header (`codec` = "jpeg" /

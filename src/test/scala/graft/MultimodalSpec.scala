@@ -127,4 +127,77 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L) == ((30, 40, None)))       // non-image untouched
     assert(out(4L) == ((11, 13, Some("png"))))
   }
+
+  test("WavCodec: wrap/info round trip, word-aligned extra chunks, " +
+    "total on malformed and truncated input") {
+    val data = Array.tabulate(200)(_.toByte)
+    val wav = Multimodal.WavCodec.wrap(data, sampleRate = 44100,
+      channels = 2, bits = 16)
+    assert(Multimodal.WavCodec.info(wav) == Some((44100, 2, 16, 50L)))
+    // mono 8-bit: one sample per byte
+    assert(Multimodal.WavCodec.info(
+      Multimodal.WavCodec.wrap(data, 8000, 1, 8)) == Some((8000, 1, 8, 200L)))
+    // an extra ODD-length chunk before fmt must be word-aligned over
+    val extra = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0) ++ Array[Byte](1, 2, 3)
+    val padded = wav.take(12) ++ extra ++ Array[Byte](0) ++ wav.drop(12)
+    assert(Multimodal.WavCodec.info(padded) == Some((44100, 2, 16, 50L)))
+    assert(Multimodal.WavCodec.info(wav.take(30)).isEmpty) // truncated
+    assert(Multimodal.WavCodec.info("RIFFnot a wave".getBytes).isEmpty)
+    assert(Multimodal.WavCodec.info(Array.empty[Byte]).isEmpty)
+  }
+
+  /** Hand-built fLaC magic + STREAMINFO: 22050 Hz, 2 ch, 16 bps,
+    * 123456 samples (the packed 8-byte tail, big-endian). */
+  private def tinyFlac(): Array[Byte] = {
+    val head = "fLaC".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 0, 34) // block header: type 0, length 34
+    val si = new Array[Byte](34)
+    // min/max blocksize + min/max framesize: 10 bytes, don't care
+    // sample rate 22050 = 0x05622 in 20 bits; ch-1 = 1; bps-1 = 15
+    si(10) = ((22050 >> 12) & 0xff).toByte          // rate[19:12]
+    si(11) = ((22050 >> 4) & 0xff).toByte           // rate[11:4]
+    si(12) = (((22050 & 0xf) << 4) | (1 << 1) | (15 >> 4)).toByte
+    si(13) = (((15 & 0xf) << 4) | ((123456L >> 32) & 0xf)).toByte
+    si(14) = ((123456L >> 24) & 0xff).toByte
+    si(15) = ((123456L >> 16) & 0xff).toByte
+    si(16) = ((123456L >> 8) & 0xff).toByte
+    si(17) = (123456L & 0xff).toByte
+    head ++ si
+  }
+
+  test("FlacCodec: STREAMINFO field unpacking; total on malformed " +
+    "input; WAV and FLAC don't cross-parse") {
+    assert(Multimodal.FlacCodec.info(tinyFlac())
+      == Some((22050, 2, 16, 123456L)))
+    assert(Multimodal.FlacCodec.info(tinyFlac().take(20)).isEmpty)
+    assert(Multimodal.FlacCodec.info("fLaCxxxx".getBytes).isEmpty)
+    assert(Multimodal.FlacCodec.info(Array.empty[Byte]).isEmpty)
+    val wav = Multimodal.WavCodec.wrap(Array[Byte](1, 2, 3, 4), 8000, 1, 8)
+    assert(Multimodal.FlacCodec.info(wav).isEmpty)
+    assert(Multimodal.WavCodec.info(tinyFlac()).isEmpty)
+  }
+
+  test("probeAudioMeta: WAV and FLAC payloads get parsed stream " +
+    "params, others keep carried metadata, non-audio untouched") {
+    val rows = Seq(
+      MediaRow(1L, "audio",
+        Multimodal.WavCodec.wrap(new Array[Byte](400), 16000, 2, 16),
+        width = 0, height = 0, sample_rate = 999, n_frames = 0),
+      MediaRow(2L, "audio", tinyFlac(),
+        width = 0, height = 0, sample_rate = 999, n_frames = 0),
+      MediaRow(3L, "audio", "just bytes".getBytes("UTF-8"),
+        width = 0, height = 0, sample_rate = 999, n_frames = 0),
+      MediaRow(4L, "image",
+        Multimodal.WavCodec.wrap(new Array[Byte](4), 8000, 1, 8),
+        width = 5, height = 5, sample_rate = 0, n_frames = 1)).toDS()
+    val out = Multimodal.probeAudioMeta(rows).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getInt(3), r.getInt(4),
+        r.getLong(5), Option(r.getString(6)))))
+      .toMap
+    assert(out(1L) == ((16000, 2, 16, 100L, Some("wav"))))
+    assert(out(2L) == ((22050, 2, 16, 123456L, Some("flac"))))
+    assert(out(3L) == ((999, 0, 0, 0L, None))) // carried rate kept
+    assert(out(4L) == ((0, 0, 0, 0L, None)))   // non-audio untouched
+  }
 }
