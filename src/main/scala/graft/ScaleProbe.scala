@@ -1187,6 +1187,17 @@ object ScaleProbe {
       ops.Forecast.cusumChangepoints(evK, "user_id", "ts", "value")
         .queryExecution.toRdd.count()
     }
+    // the 48-lag ACF family: one window sort per key + map-side lag
+    // explode, |keys|·48 partials before the only shuffle — the
+    // heaviest bench query, so its curve matters most at x100
+    time("acf_48lags") {
+      ops.Forecast.acf(evK, "user_id", "ts", "value", 3600L, 48)
+        .queryExecution.toRdd.count()
+    }
+    time("dominant_period") {
+      ops.Forecast.dominantPeriod(evK, "user_id", "ts", "value", 3600L, 48)
+        .queryExecution.toRdd.count()
+    }
     evK.unpersist()
     }
 
@@ -1211,6 +1222,13 @@ object ScaleProbe {
     // fuzzy join: candidate-vs-naive ratio at a gram-diverse domain —
     // the lemma's pruning leverage measured, then the verified output
     section("fuzzy") {
+    // SPARK_GRAFT_FUZZY_Q: the gram-size dial. The md5-hex domain has
+    // |Σ|^q gram values (16^4 = 65k, 16^6 = 16.7M) — candidates on an
+    // alphabet-limited RANDOM corpus scale ~n²/|Σ|^q, so past ~100k
+    // strings q=4 goes quadratic BY THE DOCUMENTED MATH and q=6 is
+    // the right dial (FuzzyJoin's Scaladoc); this knob lets the ×100
+    // probe demonstrate both sides of that line.
+    val fq = sys.env.getOrElse("SPARK_GRAFT_FUZZY_Q", "4").toInt
     val dom = {
       val d = multiplied(Tables.documents(spark, dir)
         .select("doc_id"), "doc_id")
@@ -1224,11 +1242,11 @@ object ScaleProbe {
     }
     val n = dom.count()
     println(s"[scaleprobe] fuzzy domain = $n (naive pairs = ${n * (n - 1) / 2})")
-    time("fuzzy_candidates") {
-      ops.FuzzyJoin.candidates(dom, "id", "s", 2, 4).count()
+    time(s"fuzzy_candidates_q$fq") {
+      ops.FuzzyJoin.candidates(dom, "id", "s", 2, fq).count()
     }
-    time("fuzzy_self_pairs") {
-      ops.FuzzyJoin.selfPairs(dom, "id", "s", 2, 4).count()
+    time(s"fuzzy_self_pairs_q$fq") {
+      ops.FuzzyJoin.selfPairs(dom, "id", "s", 2, fq).count()
     }
     dom.unpersist()
     // adversarial HOT-PREFIX corpus: every string shares the constant
@@ -1251,11 +1269,11 @@ object ScaleProbe {
     val hn = hot.count()
     println(s"[scaleprobe] fuzzy HOT-PREFIX domain = $hn " +
       s"(naive pairs = ${hn * (hn - 1) / 2})")
-    time("fuzzy_hot_candidates") {
-      ops.FuzzyJoin.candidates(hot, "id", "s", 2, 4).count()
+    time(s"fuzzy_hot_candidates_q$fq") {
+      ops.FuzzyJoin.candidates(hot, "id", "s", 2, fq).count()
     }
-    time("fuzzy_hot_self_pairs") {
-      ops.FuzzyJoin.selfPairs(hot, "id", "s", 2, 4).count()
+    time(s"fuzzy_hot_self_pairs_q$fq") {
+      ops.FuzzyJoin.selfPairs(hot, "id", "s", 2, fq).count()
     }
     hot.unpersist()
     }

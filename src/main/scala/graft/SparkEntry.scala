@@ -92,6 +92,60 @@ object SparkEntry {
     (a, b)
   }
 
+  /** Synthetic citation graph for the g_pagerank queries: each doc
+    * links to 1 + doc_id%3 targets at (doc_id·(k+6) + k) mod n —
+    * identical construction in the oracle SQL. */
+  private def pageRankEdges(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"))
+    // bounded driver action: one count, sets the ring modulus
+    val n = d.count()
+    d.select(col("doc_id").as("src"),
+        explode(sequence(lit(1L), lit(1L) + pmod(col("doc_id"), lit(3L))))
+          .as("k"))
+      .select(col("src"),
+        pmod(col("src") * (col("k") + lit(6L)) + col("k"), lit(n))
+          .as("dst"))
+  }
+
+  /** Unrolled-CTE DuckDB replay of [[graft.ops.Graph.pageRankU6]] /
+    * personalized variant: aggregates are not allowed in a recursive
+    * CTE's recursive term, so the fixed iteration count IS the
+    * portable SQL form — one CTE per iteration, same integer
+    * micro-unit arithmetic, same truncating division (all values
+    * non-negative, so DuckDB's floor `//` equals Spark's `div`). */
+  private def pageRankOracleSql(iters: Int, seeded: Boolean): String = {
+    val init =
+      if (seeded)
+        "CAST(CASE WHEN id % 17 = 0 THEN 1000000 ELSE 0 END AS BIGINT)"
+      else "CAST(1000000 AS BIGINT)"
+    val tele =
+      if (seeded) "(CASE WHEN nn.id % 17 = 0 THEN 150000 ELSE 0 END)"
+      else "150000"
+    val steps = (1 to iters).map { k =>
+      s"""pr$k AS (
+         |  SELECT nn.id,
+         |         CAST($tele + (85 * COALESCE(c.cs, 0)) // 100 AS BIGINT) AS r
+         |  FROM nodes nn LEFT JOIN (
+         |    SELECT e.dst AS id, SUM(p.r // e.od) AS cs
+         |    FROM e JOIN pr${k - 1} p ON e.src = p.id GROUP BY 1) c
+         |    ON nn.id = c.id)"""
+    }.mkString(",\n")
+    s"""WITH nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+       |edges AS (SELECT doc_id AS src,
+       |            (doc_id * (k + 6) + k) % nc.n AS dst
+       |          FROM documents, nc,
+       |            UNNEST(generate_series(1, CAST(1 + doc_id % 3 AS INT))) AS g(k)),
+       |nodes AS (SELECT DISTINCT id FROM
+       |  (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+       |od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS od
+       |       FROM edges GROUP BY 1),
+       |e AS (SELECT edges.src, edges.dst, od.od
+       |      FROM edges JOIN od USING (src)),
+       |pr0 AS (SELECT id, $init AS r FROM nodes),
+       |$steps
+       |SELECT id, r AS rank_u6 FROM pr$iters ORDER BY id""".stripMargin
+  }
+
   /** Fresh work dir for the mv_* replay queries — one per invocation,
     * so Bench's repeated reps never collide on versioned-state batch
     * ids (each rep is a brand-new MV lifecycle: ingest batches 0..n,
@@ -1628,6 +1682,21 @@ object SparkEntry {
           graft.util.Exact.dsum2(col("value")).as("total_value"))
         .orderBy("status")
     }),
+    // ---- link-graph curation: fixed-point PageRank over a synthetic
+    // citation graph (crawl/domain prioritization — the link-structure
+    // side of corpus curation). The oracle UNROLLS all 8 integer
+    // iterations as CTEs, so a green hash proves every join, sum and
+    // truncating division of the iteration bit-for-bit ----
+    "g_pagerank" -> ((s, dir) =>
+      Graph.pageRankU6(pageRankEdges(s, dir), "src", "dst", iters = 8)),
+    // personalized: teleport mass only on the doc_id%17 seed set —
+    // seed-biased curation ranking
+    "g_pagerank_seeded" -> ((s, dir) =>
+      Graph.personalizedPageRankU6(pageRankEdges(s, dir), "src", "dst",
+        Tables.documents(s, dir)
+          .filter(pmod(col("doc_id"), lit(17L)) === 0L)
+          .select(col("doc_id")),
+        "doc_id", iters = 8)),
     // ---- §2.9 streaming MVs, ORACLE-GATED: each query folds a
     // deterministic 3-way batch split through the sink's OWN per-batch
     // commit function (graft.streaming.Ingest.commit*Batch — the exact
@@ -5664,6 +5733,8 @@ object SparkEntry {
         |       COUNT(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1 ORDER BY status""".stripMargin,
+    "g_pagerank" -> pageRankOracleSql(8, seeded = false),
+    "g_pagerank_seeded" -> pageRankOracleSql(8, seeded = true),
     // ---- streaming-MV oracles: the MV contract is "serving equals
     // the batch op over the concatenated stream", so each oracle IS
     // the batch computation over the full table — the replayed-ingest

@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics for corpus curation — the crawl-prioritization
+  * side of a training-data pipeline (CommonCrawl-style corpora rank
+  * domains/pages by link structure before deciding what to fetch,
+  * keep, or upsample; see Page et al. 1999 for PageRank and the
+  * Common Crawl host-level ranking releases for the use case).
+  *
+  * Everything here is FIXED-POINT integer arithmetic in micro-units
+  * (1e6 = rank 1.0) with truncating integer division at exactly the
+  * steps a reference replay would take — so any engine reproduces
+  * every rank bit-for-bit and the DuckDB oracle replays the iteration
+  * chain as unrolled CTEs (aggregates are not allowed in a recursive
+  * CTE's recursive term, so the fixed iteration count IS the portable
+  * form).
+  *
+  * Scale shape: the edge list is joined ONCE with out-degrees and
+  * cached; each iteration is one hash join of the rank table against
+  * the pre-degreed edges (shuffle keyed on src — co-partition by
+  * pre-partitioning edges at 100 TB) plus one map-side-combinable sum
+  * by dst; iterations are a fixed small count, not a convergence
+  * loop, so the plan and the cost are both bounded up front. Rank
+  * state is one row per node — node-scale, never edge-scale.
+  */
+object Graph {
+
+  /** Fixed-iteration PageRank in exact micro-units. `edges` carries
+    * (srcCol, dstCol); multi-edges count once per occurrence (the
+    * standard multigraph convention). Damping 0.85 as the integer
+    * step r' = 150000 + (85 · Σ contribs) div 100 with per-edge
+    * contribution r div outdeg — truncation is part of the contract
+    * (deliberately reproducible, off by < 1 micro-unit per step from
+    * the real-valued recursion). Nodes = src ∪ dst; every node starts
+    * at 1.0 (the unnormalized convention); sink nodes (no out-edges)
+    * simply leak their mass, the common simplification when ranks
+    * feed a RELATIVE keep/upsample decision rather than a probability
+    * readout. Output: (id, rank_u6), one row per node. */
+  def pageRankU6(edges: DataFrame, srcCol: String, dstCol: String,
+                 iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 64, s"iters must be in [1,64]: $iters")
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val nodes = e0.select(col("src").as("id"))
+      .unionAll(e0.select(col("dst").as("id")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val outdeg = e0.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    // pre-degree the edges once: every iteration reuses this frame,
+    // so the per-iteration work is one join + one partial-agg sum
+    val e = e0.join(outdeg, Seq("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var rank = nodes.select(col("id"), lit(1000000L).as("r"))
+    var it = 0
+    while (it < iters) {
+      val contribs = e.join(rank, e("src") === rank("id"))
+        .select(col("dst").as("id"),
+          call_function("div", col("r"), col("od")).as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("cs"))
+      rank = nodes.join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(150000L) + call_function("div",
+            lit(85L) * coalesce(col("cs"), lit(0L)), lit(100L))).as("r"))
+      it += 1
+      // cut logical lineage every few iterations: the growing plan
+      // otherwise pays AQE's per-action re-optimization on every
+      // downstream action (the pretrainRecipe precedent: 544 s -> 8 s
+      // from exactly this cut)
+      if (it % 4 == 0 && it < iters) rank = rank.localCheckpoint(true)
+    }
+    val out = rank.select(col("id"), col("r").as("rank_u6"))
+      .orderBy("id")
+    graft.util.CacheRelease.releaseAfterFirstAction(out, Seq(nodes, e))
+  }
+
+  /** Personalized variant for seed-biased curation (rank relative to
+    * a trusted seed set): the teleport mass lands only on `seeds`
+    * (member rows of the node domain), i.e. r'_v = (85 · Σ contribs)
+    * div 100 + (1_000_000 · 15) div 100 · [v ∈ seeds] — same exact
+    * integer steps, same cost shape, one extra broadcast semi-join
+    * per iteration replaced by a precomputed membership flag. */
+  def personalizedPageRankU6(edges: DataFrame, srcCol: String,
+                             dstCol: String, seeds: DataFrame,
+                             seedCol: String, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 64, s"iters must be in [1,64]: $iters")
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val nodes0 = e0.select(col("src").as("id"))
+      .unionAll(e0.select(col("dst").as("id")))
+      .distinct()
+    val nodes = nodes0
+      .join(seeds.select(col(seedCol).as("id")).distinct()
+        .withColumn("_seed", lit(1L)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("_seed"), lit(0L)).as("_seed"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val outdeg = e0.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val e = e0.join(outdeg, Seq("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var rank = nodes.select(col("id"),
+      (col("_seed") * 1000000L).as("r"))
+    var it = 0
+    while (it < iters) {
+      val contribs = e.join(rank, e("src") === rank("id"))
+        .select(col("dst").as("id"),
+          call_function("div", col("r"), col("od")).as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("cs"))
+      rank = nodes.join(contribs, Seq("id"), "left")
+        .select(col("id"), col("_seed"),
+          (col("_seed") * 150000L + call_function("div",
+            lit(85L) * coalesce(col("cs"), lit(0L)), lit(100L))).as("r"))
+      it += 1
+      if (it % 4 == 0 && it < iters) rank = rank.localCheckpoint(true)
+    }
+    val out = rank.select(col("id"), col("r").as("rank_u6"))
+      .orderBy("id")
+    graft.util.CacheRelease.releaseAfterFirstAction(out, Seq(nodes, e))
+  }
+}
