@@ -4302,9 +4302,10 @@ object SparkEntry {
          |kth AS (SELECT round(quantile_cont(p, 1.0/3), 9) t1,
          |               round(quantile_cont(p, 2.0/3), 9) t2 FROM ksc),
          |gated AS (SELECT k.doc_id, k.text,
-         |            CASE WHEN s.p >= th.t2 THEN 'head' ELSE 'middle' END AS ppl_bucket
+         |            CASE WHEN round(s.p, 9) >= th.t2 THEN 'head'
+         |                 ELSE 'middle' END AS ppl_bucket
          |          FROM kept k JOIN ksc s USING (doc_id), kth th
-         |          WHERE s.p >= th.t1),
+         |          WHERE round(s.p, 9) >= th.t1),
          |${ddClustersChainSql("gated")}
          |SELECT c.doc_id, g.ppl_bucket, c.cluster_id,
          |       (CAST(CAST(('0x'||substr(md5('qgate:' || CAST(c.cluster_id AS VARCHAR)),1,15)) AS BIGINT) % 1000000 AS DOUBLE)
@@ -5489,8 +5490,8 @@ object SparkEntry {
         |              round(quantile_cont(avg_bigram_prob, 2.0/3), 9) t2
         |       FROM scored)
         |SELECT doc_id, n_bigrams, avg_bigram_prob,
-        |       CASE WHEN avg_bigram_prob >= t2 THEN 'head'
-        |            WHEN avg_bigram_prob >= t1 THEN 'middle'
+        |       CASE WHEN round(avg_bigram_prob, 9) >= t2 THEN 'head'
+        |            WHEN round(avg_bigram_prob, 9) >= t1 THEN 'middle'
         |            ELSE 'tail' END AS ppl_bucket
         |FROM scored, th ORDER BY doc_id""".stripMargin,
     "t_length_histogram" ->

@@ -454,18 +454,23 @@ object TextStats {
       if (exact) percentile(col("avg_bigram_prob"), p)
       else percentile_approx(col("avg_bigram_prob"), p, lit(10000))
     val th = scored.agg(q.as("_t"))
-    // thresholds ROUNDED to 9dp before the comparison (mirrored in the
-    // oracle): Spark percentile and DuckDB quantile_cont can disagree
-    // in the last ulp at non-integral positions, and an unrounded
-    // boundary doc would flip buckets between engines (the
-    // Profiler.histogram precedent). 9dp, not 6: avg_bigram_prob
-    // scales ~1/corpus-bigrams, so 6dp would collapse the tertiles to
+    // BOTH comparison sides ROUNDED to 9dp (mirrored in the oracle):
+    // Spark percentile and DuckDB quantile_cont can disagree in the
+    // last ulp at non-integral positions, and an unrounded boundary
+    // doc would flip buckets between engines (the Profiler.histogram
+    // precedent). The SCORE is rounded too so score == threshold stays
+    // an equality after rounding (a single-doc corpus is its own head;
+    // threshold-only rounding would push the rounded threshold above
+    // the raw score). 9dp, not 6: avg_bigram_prob scales
+    // ~1/corpus-bigrams, so 6dp would collapse the tertiles to
     // equality on a large corpus while 9dp keeps them distinct far
-    // past the SF range this ships against.
+    // past the SF range this ships against. The OUTPUT column stays
+    // unrounded.
     val out = scored.crossJoin(broadcast(th))
       .select(col(idCol), col("n_bigrams"), col("avg_bigram_prob"),
-        when(col("avg_bigram_prob") >= round(col("_t")(1), 9), lit("head"))
-          .when(col("avg_bigram_prob") >= round(col("_t")(0), 9),
+        when(round(col("avg_bigram_prob"), 9) >= round(col("_t")(1), 9),
+          lit("head"))
+          .when(round(col("avg_bigram_prob"), 9) >= round(col("_t")(0), 9),
             lit("middle"))
           .otherwise(lit("tail")).as("ppl_bucket"))
     graft.util.CacheRelease.releaseAfterFirstAction(out, Seq(scored))
