@@ -114,7 +114,10 @@ object FuzzyJoin {
         col("u.s") < col("v.s") &&
           abs(col("u.len") - col("v.len")) <= d)
       .select(col("u.s").as("u_s"), col("v.s").as("v_s"))
-      .filter(levenshtein(col("u_s"), col("v_s")) <= d)
+      // bounded form: Ukkonen banded DP with early abandon (built-in
+      // since Spark 3.5; -1 = beyond d) — O(d·len) per pair instead of
+      // O(len²), and most candidate pairs abandon in the first rows
+      .filter(levenshtein(col("u_s"), col("v_s"), d) >= 0)
     val ids = degen.select(col("s"), col("id"))
     val crossVal = valPairs
       .join(ids.as("x"), col("x.s") === col("u_s"))
@@ -138,12 +141,17 @@ object FuzzyJoin {
   }
 
   /** All pairs (a_id < b_id) with levenshtein ≤ maxDist, with the
-    * distance. Exact (blocking is lossless); output ordered. */
+    * distance. Exact (blocking is lossless); output ordered. The
+    * verify uses the BOUNDED levenshtein (threshold form, built-in
+    * since Spark 3.5): banded DP with early abandon makes each
+    * candidate O(maxDist·len) instead of O(len²), and the distance it
+    * returns for surviving pairs is exact — output is bit-identical
+    * to the unbounded form (spec-pinned). */
   def selfPairs(df: DataFrame, idCol: String, strCol: String,
                 maxDist: Int, q: Int = 2): DataFrame =
     candidates(df, idCol, strCol, maxDist, q)
-      .withColumn("dist", levenshtein(col("a_s"), col("b_s")))
-      .filter(col("dist") <= maxDist)
+      .withColumn("dist", levenshtein(col("a_s"), col("b_s"), maxDist))
+      .filter(col("dist") >= 0)
       .select(col("a_id"), col("b_id"), col("dist").cast("long").as("dist"))
       .orderBy("a_id", "b_id")
 }
