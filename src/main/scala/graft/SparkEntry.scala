@@ -1772,6 +1772,40 @@ object SparkEntry {
       graft.streaming.Ingest.readRetention(s, work, "user_id").get
         .orderBy("cohort", "offset")
     }),
+    "mv_shingle_freq" -> ((s, dir) => {
+      val work = freshWorkDir()
+      val d = Tables.documents(s, dir)
+      (0L to 2L).foreach { b =>
+        graft.streaming.Ingest.commitShingleFreqBatch(
+          d.filter(pmod(col("doc_id"), lit(3)) === b), work, b,
+          "doc_id", "text", 3)
+      }
+      graft.streaming.Ingest.readShingleFreq(s, work).get
+        .orderBy("sh_h")
+    }),
+    "mv_bigram" -> ((s, dir) => {
+      val work = freshWorkDir()
+      val d = Tables.documents(s, dir)
+      (0L to 2L).foreach { b =>
+        graft.streaming.Ingest.commitBigramBatch(
+          d.filter(pmod(col("doc_id"), lit(3)) === b), work, b, "text")
+      }
+      graft.streaming.Ingest.readBigramCounts(s, work).get
+        .orderBy("term")
+    }),
+    "mv_checks" -> ((s, dir) => {
+      val work = freshWorkDir()
+      val e = ev(s, dir)
+      val checks = Seq(Checks.notNull("user_id"),
+        Checks.inRange("value", 0.0, 50.0),
+        Checks.accepted("event_type", Seq("view", "click", "purchase")))
+      (0L to 2L).foreach { b =>
+        graft.streaming.Ingest.commitDataChecksBatch(
+          e.filter(pmod(col("event_id"), lit(3)) === b), work, b, checks)
+      }
+      graft.streaming.Ingest.readDataChecksReport(s, work, checks).get
+        .orderBy("check", "target")
+    }),
     // CDC replay: one batch per change sequence (the natural log
     // order), refolded at serving — same answer as the one-shot
     // t_cdc_apply because cdcLatest is associative
@@ -5809,6 +5843,41 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n_users
         |FROM act JOIN co USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort, "offset" """.stripMargin,
+    "mv_shingle_freq" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         CAST(('0x'||substr(md5(array_to_string(w[i:i+2], ' ')),1,15)) AS BIGINT) AS sh_h
+        |       FROM t, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS g(i))
+        |SELECT sh_h, CAST(COUNT(*) AS BIGINT) AS df
+        |FROM sh GROUP BY 1 ORDER BY sh_h""".stripMargin,
+    "mv_bigram" ->
+      """WITH t AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') w FROM documents),
+        |g AS (SELECT array_to_string(w[i:i+1], ' ') AS term
+        |      FROM t, UNNEST(generate_series(1, greatest(len(w)-1, 0))) AS gs(i))
+        |SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM g GROUP BY 1 ORDER BY term""".stripMargin,
+    "mv_checks" ->
+      """WITH s AS (SELECT COUNT(*) n,
+        |    SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) v0,
+        |    SUM(CASE WHEN value IS NOT NULL
+        |             AND NOT (value >= 0 AND value <= 50)
+        |        THEN 1 ELSE 0 END) v1,
+        |    SUM(CASE WHEN event_type IS NOT NULL
+        |             AND event_type NOT IN ('view', 'click', 'purchase')
+        |        THEN 1 ELSE 0 END) v2
+        |  FROM events)
+        |SELECT * FROM (
+        |  SELECT 'not_null' AS "check", 'user_id' AS target,
+        |         CAST(n AS BIGINT) AS n_rows,
+        |         CAST(v0 AS BIGINT) AS n_violations, v0 = 0 AS pass
+        |  FROM s
+        |  UNION ALL
+        |  SELECT 'in_range', 'value', CAST(n AS BIGINT),
+        |         CAST(v1 AS BIGINT), v1 = 0 FROM s
+        |  UNION ALL
+        |  SELECT 'accepted_values', 'event_type', CAST(n AS BIGINT),
+        |         CAST(v2 AS BIGINT), v2 = 0 FROM s)
+        |ORDER BY "check", target""".stripMargin,
     "mv_cdc_snapshot" -> // = t_cdc_apply's batch semantics
       """WITH log AS (
         |  SELECT doc_id, 1 AS seq, 'upsert' AS op,

@@ -497,13 +497,21 @@ object Ingest {
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.io.VersionedState.mergeCommit(
-          batch.sparkSession, s"$workRoot/shinglefreq", batchId,
-          graft.ops.TextDedup.shingleFreqPartials(batch, idCol, textCol, n),
-          graft.ops.TextDedup.mergeShingleFreqPartials)
-        ()
+        commitShingleFreqBatch(batch, workRoot, batchId, idCol, textCol, n)
       }
       .start()
+
+  /** Per-batch body of [[startShingleFreqSink]] (see
+    * [[commitPatternBatch]] for why these are exposed). */
+  def commitShingleFreqBatch(batch: DataFrame, workRoot: String,
+                             batchId: Long, idCol: String,
+                             textCol: String, n: Int): Unit = {
+    graft.io.VersionedState.mergeCommit(
+      batch.sparkSession, s"$workRoot/shinglefreq", batchId,
+      graft.ops.TextDedup.shingleFreqPartials(batch, idCol, textCol, n),
+      graft.ops.TextDedup.mergeShingleFreqPartials)
+    ()
+  }
 
   /** Serving read for [[startShingleFreqSink]]: the current `(sh_h,
     * df)` corpus doc-frequency table (None before the first commit). */
@@ -527,13 +535,20 @@ object Ingest {
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.io.VersionedState.mergeCommit(
-          batch.sparkSession, s"$workRoot/bigram", batchId,
-          graft.ops.TextStats.bigramPartials(batch, textCol),
-          graft.ops.TextStats.mergeUnigramPartials)
-        ()
+        commitBigramBatch(batch, workRoot, batchId, textCol)
       }
       .start()
+
+  /** Per-batch body of [[startBigramSink]] (see [[commitPatternBatch]]
+    * for why these are exposed). */
+  def commitBigramBatch(batch: DataFrame, workRoot: String,
+                        batchId: Long, textCol: String): Unit = {
+    graft.io.VersionedState.mergeCommit(
+      batch.sparkSession, s"$workRoot/bigram", batchId,
+      graft.ops.TextStats.bigramPartials(batch, textCol),
+      graft.ops.TextStats.mergeUnigramPartials)
+    ()
+  }
 
   /** Serving read for [[startBigramSink]]. */
   def readBigramCounts(spark: SparkSession,
@@ -891,13 +906,21 @@ object Ingest {
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.io.VersionedState.mergeCommit(
-          batch.sparkSession, s"$workRoot/datachecks", batchId,
-          graft.ops.Checks.rowCheckPartials(batch, checks),
-          graft.ops.Checks.mergeRowCheckPartials)
-        ()
+        commitDataChecksBatch(batch, workRoot, batchId, checks)
       }
       .start()
+
+  /** Per-batch body of [[startDataChecksSink]] (see
+    * [[commitPatternBatch]] for why these are exposed). */
+  def commitDataChecksBatch(batch: DataFrame, workRoot: String,
+                            batchId: Long,
+                            checks: Seq[graft.ops.Checks.RowCheck]): Unit = {
+    graft.io.VersionedState.mergeCommit(
+      batch.sparkSession, s"$workRoot/datachecks", batchId,
+      graft.ops.Checks.rowCheckPartials(batch, checks),
+      graft.ops.Checks.mergeRowCheckPartials)
+    ()
+  }
 
   /** Serving read for [[startDataChecksSink]]: the current expectation
     * report (None before the first commit). `checks` must be the same
