@@ -1333,6 +1333,31 @@ object ScaleProbe {
     // CDC apply over a multiplied base: the log touches ~37% of ids
     // with up to three changes each — per-id fold + delta carry must
     // track the log and the base linearly
+    // PageRank at xN nodes (ring-structured synthetic graph, 1-3
+    // out-edges per node — the same construction as g_pagerank): the
+    // per-iteration cost is one rank-edge join + one sum by dst, so
+    // the 8-iteration total must track |edges| linearly
+    section("graph") {
+    val gn = 5000L * mult
+    val ids = spark.range(gn).toDF("doc_id")
+    val gEdges = ids.select(col("doc_id").as("src"),
+        explode(sequence(lit(1L), lit(1L) + pmod(col("doc_id"), lit(3L))))
+          .as("k"))
+      .select(col("src"),
+        pmod(col("src") * (col("k") + lit(6L)) + col("k"), lit(gn))
+          .as("dst"))
+    println(s"[scaleprobe] graph nodes=$gn edges=${gn * 2} (8 iterations)")
+    time("pagerank_8iter") {
+      ops.Graph.pageRankU6(gEdges, "src", "dst", 8)
+        .queryExecution.toRdd.count()
+    }
+    time("pagerank_seeded_8iter") {
+      ops.Graph.personalizedPageRankU6(gEdges, "src", "dst",
+        ids.filter(pmod(col("doc_id"), lit(17L)) === 0L), "doc_id", 8)
+        .queryExecution.toRdd.count()
+    }
+    }
+
     section("cdc") {
     docs
     val log = {

@@ -92,6 +92,23 @@ object SparkEntry {
     (a, b)
   }
 
+  /** Synthetic provenance URLs for the t_domain_* queries:
+    * https://w<id%3>.src<id%40>.<tld(id%5)>/p/<id>, tld cycling
+    * through com/org/net/co.uk/ac.jp so the registered-domain
+    * heuristic exercises both the two-label and the
+    * generic-second-level (three-label) branches — identical
+    * construction in the oracle SQL. */
+  private def withSynthUrl(d: DataFrame): DataFrame =
+    d.withColumn("url", concat(lit("https://w"),
+      pmod(col("doc_id"), lit(3)).cast("string"),
+      lit(".src"), pmod(col("doc_id"), lit(40)).cast("string"),
+      lit("."),
+      element_at(
+        array(lit("com"), lit("org"), lit("net"), lit("co.uk"),
+          lit("ac.jp")),
+        (pmod(col("doc_id"), lit(5)) + 1).cast("int")),
+      lit("/p/"), col("doc_id").cast("string")))
+
   /** Synthetic citation graph for the g_pagerank queries: each doc
     * links to 1 + doc_id%3 targets at (doc_id·(k+6) + k) mod n —
     * identical construction in the oracle SQL. */
@@ -1681,6 +1698,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           graft.util.Exact.dsum2(col("value")).as("total_value"))
         .orderBy("status")
+    }),
+    // ---- URL/domain curation (RefinedWeb/FineWeb-style provenance
+    // gate): synthetic URLs from doc arithmetic (identical in the
+    // oracle), native try_parse_url host + registered-domain
+    // heuristic, per-domain card + keep rule, corpus filter by
+    // broadcast semi-join ----
+    "t_domain_curation" -> ((s, dir) =>
+      Domains.domainCard(withSynthUrl(Tables.documents(s, dir)),
+          "url", "lang", "text", minDocs = 8L, minEnFrac = 0.2)
+        .orderBy("domain")),
+    "t_domain_filter" -> ((s, dir) => {
+      val d = withSynthUrl(Tables.documents(s, dir))
+      val card = Domains.domainCard(d, "url", "lang", "text",
+        minDocs = 8L, minEnFrac = 0.2)
+      Domains.filterByDomains(d, "url", card)
+        .select("doc_id").orderBy("doc_id")
     }),
     // ---- link-graph curation: fixed-point PageRank over a synthetic
     // citation graph (crawl/domain prioritization — the link-structure
@@ -5768,6 +5801,56 @@ object SparkEntry {
         |       COUNT(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1 ORDER BY status""".stripMargin,
+    "t_domain_curation" ->
+      """WITH u AS (SELECT doc_id, lang, text,
+        |    'w' || CAST(doc_id % 3 AS VARCHAR) || '.src'
+        |        || CAST(doc_id % 40 AS VARCHAR) || '.'
+        |        || (CASE doc_id % 5 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+        |            WHEN 2 THEN 'net' WHEN 3 THEN 'co.uk'
+        |            ELSE 'ac.jp' END) AS host
+        |  FROM documents),
+        |d AS (SELECT *,
+        |    CASE WHEN len(string_split(host, '.')) >= 3
+        |              AND string_split(host, '.')[-2] IN
+        |                ('co','com','net','org','ac','gov','edu')
+        |         THEN array_to_string(string_split(host, '.')[-3:], '.')
+        |         WHEN len(string_split(host, '.')) >= 2
+        |         THEN array_to_string(string_split(host, '.')[-2:], '.')
+        |         ELSE host END AS domain,
+        |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS ntok
+        |  FROM u)
+        |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+        |       round(CAST(SUM(ntok) AS DOUBLE) / COUNT(*), 6) AS mean_tokens,
+        |       round(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |         AS DOUBLE) / COUNT(*), 6) AS en_frac,
+        |       (COUNT(*) >= 8 AND
+        |        round(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |          AS DOUBLE) / COUNT(*), 6) >= 0.2) AS keep
+        |FROM d GROUP BY domain ORDER BY domain""".stripMargin,
+    "t_domain_filter" ->
+      """WITH u AS (SELECT doc_id, lang,
+        |    'w' || CAST(doc_id % 3 AS VARCHAR) || '.src'
+        |        || CAST(doc_id % 40 AS VARCHAR) || '.'
+        |        || (CASE doc_id % 5 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+        |            WHEN 2 THEN 'net' WHEN 3 THEN 'co.uk'
+        |            ELSE 'ac.jp' END) AS host
+        |  FROM documents),
+        |d AS (SELECT *,
+        |    CASE WHEN len(string_split(host, '.')) >= 3
+        |              AND string_split(host, '.')[-2] IN
+        |                ('co','com','net','org','ac','gov','edu')
+        |         THEN array_to_string(string_split(host, '.')[-3:], '.')
+        |         WHEN len(string_split(host, '.')) >= 2
+        |         THEN array_to_string(string_split(host, '.')[-2:], '.')
+        |         ELSE host END AS domain
+        |  FROM u),
+        |card AS (SELECT domain FROM d GROUP BY domain
+        |         HAVING COUNT(*) >= 8 AND
+        |           round(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |             AS DOUBLE) / COUNT(*), 6) >= 0.2)
+        |SELECT doc_id FROM d SEMI JOIN card USING (domain)
+        |ORDER BY doc_id""".stripMargin,
     "g_pagerank" -> pageRankOracleSql(8, seeded = false),
     "g_pagerank_seeded" -> pageRankOracleSql(8, seeded = true),
     // ---- streaming-MV oracles: the MV contract is "serving equals
