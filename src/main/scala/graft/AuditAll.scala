@@ -17,6 +17,17 @@ import org.apache.spark.sql.SparkSession
   *    band-bucket self-joins where BOTH sides are large at scale — a
   *    shuffle join is the correct physical choice (AQE still converts
   *    to broadcast at runtime when a side turns out small).
+  * Round-13 additions, all deliberate:
+  *  - g_pagerank / g_pagerank_seeded: SortMergeJoin — the
+  *    per-iteration rank×edges join, where BOTH sides are graph-scale
+  *    at 100 TB (AQE broadcasts the node-scale rank side at runtime
+  *    when it fits);
+  *  - x_fuzzy_pairs: BroadcastNestedLoop — the degenerate block's
+  *    length-band loop over DISTINCT sub-q·d-gram string values
+  *    (value-domain-bounded by construction, see FuzzyJoin);
+  *  - mv_quantiles: BroadcastNestedLoop — quantilesFromHist's
+  *    bracketing joins of a 4-row probability frame against the
+  *    bounded value-domain histogram (the prof_quantiles shape).
   * Anything NEW appearing here deserves a look.
   */
 object AuditAll {
