@@ -1805,6 +1805,19 @@ object SparkEntry {
       graft.streaming.Ingest.readRetention(s, work, "user_id").get
         .orderBy("cohort", "offset")
     }),
+    // link-graph MV: the edge log replayed through the sink's commit
+    // path, ranks served from the accumulated state — same answer as
+    // g_pagerank because the rank recursion sees only the edge multiset
+    "mv_pagerank" -> ((s, dir) => {
+      val work = freshWorkDir()
+      val edges = pageRankEdges(s, dir)
+      (0L to 2L).foreach { b =>
+        graft.streaming.Ingest.commitLinkGraphBatch(
+          edges.filter(pmod(col("src") + col("dst"), lit(3)) === b),
+          work, b, "src", "dst")
+      }
+      graft.streaming.Ingest.readPageRank(s, work, iters = 8).get
+    }),
     "mv_shingle_freq" -> ((s, dir) => {
       val work = freshWorkDir()
       val d = Tables.documents(s, dir)
@@ -5853,6 +5866,7 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "g_pagerank" -> pageRankOracleSql(8, seeded = false),
     "g_pagerank_seeded" -> pageRankOracleSql(8, seeded = true),
+    "mv_pagerank" -> pageRankOracleSql(8, seeded = false),
     // ---- streaming-MV oracles: the MV contract is "serving equals
     // the batch op over the concatenated stream", so each oracle IS
     // the batch computation over the full table — the replayed-ingest

@@ -734,6 +734,47 @@ object Ingest {
         act.select(col(userCol), col("period")).distinct(),
         userCol))
 
+  /** Streaming LINK-GRAPH MV — the crawl-prioritization model kept
+    * current: each micro-batch appends its (src, dst) edges under
+    * `b=<batchId>` (replay-idempotent — the activity-sink layout;
+    * per-trigger cost is one narrow write of the batch, nothing reads
+    * history); serving ([[readPageRank]]) runs the fixed-iteration
+    * exact PageRank over the accumulated edge log, so domain ranks
+    * always reflect every link ingested. [[graft.io.Batches.compact]]
+    * bounds the directory count of a long-running stream. */
+  def startLinkGraphSink(edges: DataFrame, srcCol: String, dstCol: String,
+                         outRoot: String, checkpoint: String,
+                         trigger: Trigger = Trigger.ProcessingTime(0L))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    edges.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitLinkGraphBatch(batch, outRoot, batchId, srcCol, dstCol)
+      }
+      .start()
+
+  /** Per-batch body of [[startLinkGraphSink]] (see
+    * [[commitPatternBatch]] for why these are exposed). */
+  def commitLinkGraphBatch(batch: DataFrame, outRoot: String,
+                           batchId: Long, srcCol: String,
+                           dstCol: String): Unit = {
+    batch.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .write.mode("overwrite").parquet(s"$outRoot/b=$batchId")
+    ()
+  }
+
+  /** Serving read for [[startLinkGraphSink]]: exact fixed-iteration
+    * PageRank over every edge ingested so far — identical to the
+    * batch [[graft.ops.Graph.pageRankU6]] over the concatenated edge
+    * stream (edge order cannot matter: the rank recursion only sees
+    * the multiset of edges). None before the first commit. */
+  def readPageRank(spark: SparkSession, outRoot: String,
+                   iters: Int): Option[DataFrame] =
+    graft.io.Batches.read(spark, outRoot).map(e =>
+      graft.ops.Graph.pageRankU6(e.drop("b"), "src", "dst", iters))
+
   /** Streaming BUCKET-GRAIN MV — the time-series family's feeder kept
     * continuously current: each micro-batch appends its own
     * (key, bucket_ts, u) fixed-point partials under `b=<batchId>`

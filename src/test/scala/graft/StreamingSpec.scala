@@ -1369,6 +1369,37 @@ class StreamingSpec extends SparkSpec {
     assert(afterCompact == served)
   }
 
+  test("link-graph MV: served PageRank equals the batch ranks over " +
+    "the concatenated edge stream; compaction keeps it identical") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    // hub-and-spoke arriving across three batches, plus a replayed
+    // edge (2 -> 0 in batches 2 AND 3 is a genuine MULTI-edge: the
+    // stream really carries it twice, so it must count twice — only a
+    // batch REPLAY dedups, via the b= overwrite)
+    val batches: Seq[Seq[(Long, Long)]] = Seq(
+      Seq((1L, 0L), (2L, 0L)),
+      Seq((3L, 0L), (0L, 1L), (2L, 0L)),
+      Seq((4L, 0L), (5L, 0L)))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_linkg")
+    val mem = MemoryStream[(Long, Long)]
+    val q = Ingest.startLinkGraphSink(
+      mem.toDF().toDF("src", "dst"), "src", "dst",
+      s"$tmp/idx", s"$tmp/cp")
+    try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    val served = Ingest.readPageRank(spark, s"$tmp/idx", iters = 8)
+      .get.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val batch = ops.Graph.pageRankU6(
+        batches.flatten.toDF("src", "dst"), "src", "dst", iters = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(served == batch)
+    graft.io.Batches.compact(spark, s"$tmp/idx", upTo = 2L)
+    val afterCompact = Ingest.readPageRank(spark, s"$tmp/idx", iters = 8)
+      .get.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(afterCompact == served)
+  }
+
   test("bucket-grain MV: MAD anomalies and the next-day forecast over " +
     "the served grain are bit-identical to the batch ops over the raw " +
     "stream, including a bucket split across batches") {
