@@ -163,6 +163,33 @@ object SparkEntry {
        |SELECT id, r AS rank_u6 FROM pr$iters ORDER BY id""".stripMargin
   }
 
+  /** Unrolled-CTE DuckDB replay of [[graft.ops.Graph.kCore]]: the same
+    * symmetrize-then-peel rounds over the [[pageRankEdges]] graph —
+    * like the PageRank oracle, the fixed round count is the portable
+    * SQL form. */
+  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""k$r AS (SELECT src AS id FROM e${r - 1}
+         |        GROUP BY src HAVING COUNT(*) >= $k),
+         |e$r AS (SELECT e.src, e.dst FROM e${r - 1} e
+         |        SEMI JOIN k$r a ON e.src = a.id
+         |        SEMI JOIN k$r b ON e.dst = b.id)"""
+    }.mkString(",\n")
+    s"""WITH nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+       |edges AS (SELECT doc_id AS src,
+       |            (doc_id * (k + 6) + k) % nc.n AS dst
+       |          FROM documents, nc,
+       |            UNNEST(generate_series(1, CAST(1 + doc_id % 3 AS INT))) AS g(k)),
+       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |        FROM edges WHERE src <> dst),
+       |e0 AS (SELECT a AS src, b AS dst FROM und
+       |       UNION ALL SELECT b, a FROM und),
+       |$steps
+       |SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS degree
+       |FROM e$rounds GROUP BY src HAVING COUNT(*) >= $k
+       |ORDER BY id""".stripMargin
+  }
+
   /** Fresh work dir for the mv_* replay queries — one per invocation,
     * so Bench's repeated reps never collide on versioned-state batch
     * ids (each rep is a brand-new MV lifecycle: ingest batches 0..n,
@@ -1730,6 +1757,11 @@ object SparkEntry {
           .filter(pmod(col("doc_id"), lit(17L)) === 0L)
           .select(col("doc_id")),
         "doc_id", iters = 8)),
+    // k-core peel over the same graph: the cohesion gate (oracle
+    // unrolls the same 6 peel rounds)
+    "g_kcore" -> ((s, dir) =>
+      Graph.kCore(pageRankEdges(s, dir), "src", "dst", k = 3,
+        rounds = 6)),
     // ---- §2.9 streaming MVs, ORACLE-GATED: each query folds a
     // deterministic 3-way batch split through the sink's OWN per-batch
     // commit function (graft.streaming.Ingest.commit*Batch — the exact
@@ -5867,6 +5899,7 @@ object SparkEntry {
     "g_pagerank" -> pageRankOracleSql(8, seeded = false),
     "g_pagerank_seeded" -> pageRankOracleSql(8, seeded = true),
     "mv_pagerank" -> pageRankOracleSql(8, seeded = false),
+    "g_kcore" -> kCoreOracleSql(3, 6),
     // ---- streaming-MV oracles: the MV contract is "serving equals
     // the batch op over the concatenated stream", so each oracle IS
     // the batch computation over the full table — the replayed-ingest

@@ -74,6 +74,50 @@ object Graph {
     graft.util.CacheRelease.releaseAfterFirstAction(out, Seq(nodes, e))
   }
 
+  /** K-CORE decomposition by fixed-round peeling — the cohesion gate
+    * of link-graph curation (a domain living in a dense k-core is
+    * structurally endorsed; spam farms and orphan tails peel away):
+    * symmetrize the edge list to a simple undirected graph (distinct
+    * pairs, self-loops dropped), then `rounds` times delete every
+    * node whose surviving degree is < k. Peeling is monotone, so the
+    * result after convergence IS the exact k-core; a fixed round
+    * count (not a convergence loop) keeps the plan bounded and the
+    * DuckDB oracle expressible as unrolled CTEs — size `rounds` to
+    * the longest dependent-removal chain you care to peel (the spec
+    * pins a planted chain). Output: (id, degree) of the surviving
+    * core, degree measured inside the core.
+    *
+    * Per round: one map-side-combinable degree count + two semi-joins
+    * of the edge list against the node-scale keep set — edge-linear,
+    * shuffle keyed on the endpoints; lineage cut every 3 rounds (the
+    * PageRank precedent). */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1 && rounds <= 64)
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    var e = e0.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .select(col("a").as("src"), col("b").as("dst"))
+    e = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true) // symmetrized; each undirected edge twice
+    var it = 0
+    while (it < rounds) {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("_d"))
+        .filter(col("_d") >= k)
+        .select(col("src").as("id"))
+      e = e.join(keep, e("src") === keep("id"), "left_semi")
+      val keep2 = keep // fresh alias frame for the dst side
+      e = e.join(keep2, e("dst") === keep2("id"), "left_semi")
+      it += 1
+      if (it % 3 == 0 && it < rounds) e = e.localCheckpoint(true)
+    }
+    e.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
+      .filter(col("degree") >= k)
+      .orderBy("id")
+  }
+
   /** Personalized variant for seed-biased curation (rank relative to
     * a trusted seed set): the teleport mass lands only on `seeds`
     * (member rows of the node domain), i.e. r'_v = (85 · Σ contribs)

@@ -73,6 +73,62 @@ class GraphSpec extends SparkSpec {
       s"unreachable component must rank zero: $out")
   }
 
+  /** Reference k-core: symmetrize to a simple graph, peel `rounds`
+    * times, report core members with in-core degree — the exact steps
+    * of the operator and its oracle. */
+  private def refKCore(edges: Seq[(Long, Long)], k: Int,
+                       rounds: Int): Map[Long, Long] = {
+    var und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    for (_ <- 1 to rounds) {
+      val deg = und.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (n, v) => n -> v.size }
+      val keep = deg.filter(_._2 >= k).keySet
+      und = und.filter(e => keep(e._1) && keep(e._2))
+    }
+    val deg = und.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (n, v) => n -> v.size.toLong }
+    deg.filter(_._2 >= k)
+  }
+
+  test("kCore: a planted clique survives, a dependent tail chain " +
+    "peels over MULTIPLE rounds, a triangle vanishes at k=3... and " +
+    "values match the peel reference exactly") {
+    // 5-clique (degree 4 inside) + a chain 100-101-102 hanging off
+    // node 0 (each link peels only after the previous round removed
+    // its support) + an isolated triangle 200-201-202 (degree 2 < 3)
+    val clique = for {
+      i <- 0L to 4L; j <- 0L to 4L if i < j
+    } yield (i, j)
+    val chain = Seq((0L, 100L), (100L, 101L), (101L, 102L))
+    val tri = Seq((200L, 201L), (201L, 202L), (200L, 202L))
+    val edges = clique ++ chain ++ tri
+    val out = Graph.kCore(edges.toDF("src", "dst"), "src", "dst",
+        k = 3, rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == refKCore(edges, 3, 5))
+    assert(out.keySet == Set(0L, 1L, 2L, 3L, 4L), out.toString)
+    assert(out.values.forall(_ >= 3L))
+    // under-peeling is visible: 1 round is NOT enough to remove the
+    // whole chain (102 goes first; 101 only after), and the reference
+    // agrees round for round
+    val r1 = Graph.kCore(edges.toDF("src", "dst"), "src", "dst",
+        k = 3, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == refKCore(edges, 3, 1))
+  }
+
+  test("kCore: multi-edges and self-loops collapse before peeling " +
+    "(simple-graph semantics); empty core at an unreachable k") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (1L, 3L))
+    val out = Graph.kCore(edges.toDF("src", "dst"), "src", "dst",
+        k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 2L)) // the triangle
+    assert(Graph.kCore(edges.toDF("src", "dst"), "src", "dst",
+      k = 5, rounds = 3).count() == 0L)
+  }
+
   test("pageRankU6 plan shape: per-iteration contribution is a hash " +
     "join + partial-aggregable sum, no nested loop") {
     val edges = (0L until 200L)
