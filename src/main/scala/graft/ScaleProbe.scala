@@ -1356,6 +1356,10 @@ object ScaleProbe {
         ids.filter(pmod(col("doc_id"), lit(17L)) === 0L), "doc_id", 8)
         .queryExecution.toRdd.count()
     }
+    time("kcore_6rounds") {
+      ops.Graph.kCore(gEdges, "src", "dst", k = 3, rounds = 6)
+        .queryExecution.toRdd.count()
+    }
     }
 
     section("cdc") {
