@@ -27,7 +27,11 @@ import org.apache.spark.sql.SparkSession
   *    (value-domain-bounded by construction, see FuzzyJoin);
   *  - mv_quantiles: BroadcastNestedLoop — quantilesFromHist's
   *    bracketing joins of a 4-row probability frame against the
-  *    bounded value-domain histogram (the prof_quantiles shape).
+  *    bounded value-domain histogram (the prof_quantiles shape);
+  *  - mv_pagerank: SortMergeJoin — the same graph-scale rank×edges
+  *    join as g_pagerank, served from the edge-log MV (g_kcore's
+  *    semi-joins read clean: AQE broadcasts the node-scale keep
+  *    set).
   * Anything NEW appearing here deserves a look.
   */
 object AuditAll {
