@@ -131,12 +131,22 @@ object SparkEntry {
     * micro-unit arithmetic, same truncating division (all values
     * non-negative, so DuckDB's floor `//` equals Spark's `div`). */
   private def pageRankOracleSql(iters: Int, seeded: Boolean): String = {
+    // The seed set is derived FROM THE DOCUMENTS TABLE (semi-join of
+    // node ids against doc_id % 17 = 0), mirroring the Spark side
+    // exactly — a raw `id % 17 = 0` predicate on nodes would only
+    // coincide while doc_ids happen to be contiguous 0..n-1 (dst =
+    // f(doc_id) mod n is not otherwise guaranteed to be a doc_id).
+    val seedsCte =
+      if (seeded)
+        ",\nseeds AS (SELECT doc_id AS id FROM documents WHERE doc_id % 17 = 0)"
+      else ""
     val init =
       if (seeded)
-        "CAST(CASE WHEN id % 17 = 0 THEN 1000000 ELSE 0 END AS BIGINT)"
+        "CAST(CASE WHEN id IN (SELECT id FROM seeds) THEN 1000000 ELSE 0 END AS BIGINT)"
       else "CAST(1000000 AS BIGINT)"
     val tele =
-      if (seeded) "(CASE WHEN nn.id % 17 = 0 THEN 150000 ELSE 0 END)"
+      if (seeded)
+        "(CASE WHEN nn.id IN (SELECT id FROM seeds) THEN 150000 ELSE 0 END)"
       else "150000"
     val steps = (1 to iters).map { k =>
       s"""pr$k AS (
@@ -153,7 +163,7 @@ object SparkEntry {
        |          FROM documents, nc,
        |            UNNEST(generate_series(1, CAST(1 + doc_id % 3 AS INT))) AS g(k)),
        |nodes AS (SELECT DISTINCT id FROM
-       |  (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+       |  (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges))$seedsCte,
        |od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS od
        |       FROM edges GROUP BY 1),
        |e AS (SELECT edges.src, edges.dst, od.od
@@ -649,9 +659,10 @@ object SparkEntry {
     // pairs, so a green hash row PROVES the q-gram blocking lossless
     // on this corpus — the strongest check the gate can express ----
     // domain = 32-char md5-hex ids (maximally gram-diverse — no hot
-    // gram) plus a chars-2/3 transposition of every 3rd; q = 4 so at
-    // bench scale the expected shared-gram rate between non-matching
-    // strings stays ≪ 1 per pair
+    // gram) plus a chars-2/3 transposition of every 3rd; q is AUTO
+    // (FuzzyJoin.autoQ derives it from corpus size vs the hex
+    // alphabet — no dial, no env var; the derived q keeps the
+    // shared-gram rate between non-matching strings ≪ 1 per pair)
     "x_fuzzy_pairs" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       val h = md5(col("doc_id").cast("string").cast("binary"))
@@ -662,7 +673,7 @@ object SparkEntry {
           concat(substring(h, 1, 1), substring(h, 3, 1),
             substring(h, 2, 1), h.substr(lit(4), length(h))).as("name"))
       FuzzyJoin.selfPairs(base.unionAll(mangled), "id", "name",
-        maxDist = 2, q = 4)
+        maxDist = 2)
     }),
     // entity resolution over the same fuzzy domain: match graph →
     // transitive closure → min-id canonical; the oracle recomputes the
@@ -678,7 +689,7 @@ object SparkEntry {
           concat(substring(h, 1, 1), substring(h, 3, 1),
             substring(h, 2, 1), h.substr(lit(4), length(h))).as("name"))
       Pipelines.resolveEntities(base.unionAll(mangled), "id", "name",
-        maxDist = 2, q = 4, rounds = 3)
+        maxDist = 2, rounds = 3)
     }),
     // ---- interval overlap join: activity windows (view/click,
     // [ts, ts + value·60 s]) × incident windows (error) on the same

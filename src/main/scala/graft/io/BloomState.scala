@@ -39,6 +39,54 @@ object BloomState {
   def read(s: SparkSession, root: String, version: Long): BloomFilter =
     fromBytes(Fs.readBytes(s, s"$root/v=$version"))
 
+  /** Append one batch of admitted hashes (`colName`, LongType) into a
+    * COPY of `prev` (or a fresh filter sized `expectedItems`/`fpp`) —
+    * the copy keeps the caller's cached previous filter untouched if
+    * the batch dies mid-commit. Build site is ADAPTIVE on the batch's
+    * row count:
+    *
+    *  - ≤ `driverMaxRows`: collect + insert on the driver. For the
+    *    typical trigger (batch-scale, 8 bytes/hash — the same order
+    *    as the coordination traffic the batch already pays) this is
+    *    measurably cheaper than allocating a full-size filter per
+    *    partition (the round-11 probe: multi-second per-batch
+    *    overhead for megabyte filters).
+    *  - above it (a CATCH-UP batch after downtime — backlog-scale,
+    *    where a driver collect would be unbounded): distributed
+    *    `stat.bloomFilter` over a few coalesced partitions
+    *    (treeAggregate of per-partition filters, executor-side),
+    *    merged into the copy — driver memory stays one filter,
+    *    independent of row count.
+    *
+    * The merge requires `prev` to have been created with the same
+    * (expectedItems, fpp); if an operator restarted the sink with a
+    * different sizing, the merge falls back to a streamed driver
+    * insert (`toLocalIterator` — bounded memory, never a full
+    * collect). */
+  def append(hashes: org.apache.spark.sql.DataFrame, colName: String,
+             prev: Option[BloomFilter], expectedItems: Long, fpp: Double,
+             driverMaxRows: Long): BloomFilter = {
+    val h = hashes.select(org.apache.spark.sql.functions.col(colName))
+    val nRows = h.count()
+    val nb = prev match {
+      case Some(pb) => fromBytes(toBytes(pb))
+      case None => BloomFilter.create(expectedItems, fpp)
+    }
+    if (nRows <= driverMaxRows)
+      h.collect().foreach(r => nb.putLong(r.getLong(0)))
+    else {
+      val partial = h.coalesce(4).stat
+        .bloomFilter(colName, expectedItems, fpp)
+      try { nb.mergeInPlace(partial); () }
+      catch {
+        case _: org.apache.spark.util.sketch.IncompatibleMergeException =>
+          val it = h.toLocalIterator()
+          while (it.hasNext) nb.putLong(it.next().getLong(0))
+      }
+    }
+    nb
+  }
+
   /** Commit `bf` as `v=<batchId>` (staged write + atomic rename; a
     * replay leftover at the same version is replaced), then prune
     * versions older than the base this commit merged from — the base

@@ -54,9 +54,14 @@ object Domains {
                  textCol: String, minDocs: Long,
                  minEnFrac: Double): DataFrame = {
     val host = hostOf(col(urlCol))
+    // greatest(size, 0): size() of a NULL token array is -1 under
+    // Spark's legacy sizeOfNull default, which would SUBTRACT from
+    // the token sum while the doc still counts in n_docs (DuckDB's
+    // SUM skips the NULL, i.e. contributes 0 — this aligns them).
     df.select(registeredDomain(host).as("domain"), host.as("_host"),
         col(langCol).as("_lang"),
-        size(TextDedup.tokens(col(textCol))).cast("long").as("_ntok"))
+        greatest(size(TextDedup.tokens(col(textCol))), lit(0))
+          .cast("long").as("_ntok"))
       .groupBy(col("domain"))
       .agg(count(lit(1)).as("n_docs"),
         count_distinct(col("_host")).as("n_hosts"),

@@ -54,11 +54,20 @@ import org.apache.spark.sql.functions._
 object FuzzyJoin {
 
   /** Distinct q-gram values of `s` (set semantics — positions and
-    * multiplicity dropped; the destruction bound above is on values). */
+    * multiplicity dropped; the destruction bound above is on values).
+    * Strings shorter than q have NO q-gram: the guard matters because
+    * `sequence(1, len-(q-1))` with len < q evaluates as the DESCENDING
+    * sequence [1, 0] and substr at both positions returns the whole
+    * string — a phantom whole-string "gram" that would admit sub-q
+    * strings into the prefix index. With the empty set they carry
+    * _dsz = 0 and flow only through the degenerate block, which is
+    * their correctness path anyway. */
   private def gramSet(s: Column, q: Int): Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(length(s) - (q - 1), lit(0))),
-      i => s.substr(i, lit(q))))
+    when(length(s) >= q,
+      array_distinct(transform(
+        sequence(lit(1), length(s) - (q - 1)),
+        i => s.substr(i, lit(q)))))
+      .otherwise(array().cast("array<string>"))
 
   /** Candidate pairs surviving the blocking filters, before the exact
     * levenshtein verify — exposed so ScaleProbe can measure the
@@ -140,18 +149,75 @@ object FuzzyJoin {
     longPairs.union(crossVal).union(sameVal)
   }
 
+  /** Auto-derived gram width — the scale governor for the one dial
+    * that could go quadratic. On an alphabet-limited corpus the
+    * rarest q-grams still collide ~n/|Σ|^q times, so the ×100 probe's
+    * measured failure mode (hex fingerprints at q=4: 670M candidates;
+    * q=6: 364k, same exact answer) is just |Σ|^q ≲ n. Derivation:
+    *
+    *  - RARITY floor: smallest q with |Σ|^q ≥ 64·n, i.e. expected
+    *    collisions per gram VALUE ≤ 1/64 — estimated from the full
+    *    row count (metadata-cheap on parquet) and an
+    *    `approx_count_distinct` alphabet estimate on a bounded
+    *    sample (≤100k rows; alphabets converge in far fewer).
+    *  - SHORT-STRING ceiling: q ≤ (p10_len + 1)/(maxDist + 1), so at
+    *    least ~90% of strings keep > q·maxDist distinct grams and
+    *    stay on the prefix path (strings below it fall to the
+    *    degenerate value-domain block — correct, but only
+    *    value-bounded).
+    *  - Clamped to [2, 8]: below 2 grams stop discriminating, above
+    *    8 the q·d+1 prefix itself dominates candidate cost.
+    *
+    * Ceiling beats floor when they conflict (short-string corpora
+    * like person names genuinely cannot support large q; q=2 is the
+    * classic Ed-Join setting there). Choice of q never changes the
+    * ANSWER — the levenshtein verify keeps blocking lossless — only
+    * the candidate volume, so the estimate needs to be sane, not
+    * exact. Runs 3 small jobs at plan-build time (count + 2 sampled
+    * aggregates); that eager cost is what parametrizes the plan. */
+  private[graft] def autoQ(df: DataFrame, strCol: String,
+                           maxDist: Int): Int = {
+    val s0 = df.select(col(strCol).as("s")).filter(col("s").isNotNull)
+    val n = s0.count()
+    if (n == 0) return 2
+    val sample = s0.limit(100000)
+    val p10 = sample
+      .agg(percentile_approx(length(col("s")), lit(0.1), lit(1000)))
+      .first() match {
+        case r if r.isNullAt(0) => 0
+        case r => r.getInt(0)
+      }
+    val alpha = math.max(2L, sample
+      .select(explode(split(col("s"), "")).as("c"))
+      .filter(length(col("c")) === 1)
+      .agg(approx_count_distinct(col("c"))).first().getLong(0))
+    val qRare = math.ceil(
+      math.log(64.0 * n) / math.log(alpha.toDouble)).toInt
+    val qCap = (p10 + 1) / (maxDist + 1)
+    math.min(8, math.max(2, math.min(qRare, qCap)))
+  }
+
   /** All pairs (a_id < b_id) with levenshtein ≤ maxDist, with the
     * distance. Exact (blocking is lossless); output ordered. The
     * verify uses the BOUNDED levenshtein (threshold form, built-in
     * since Spark 3.5): banded DP with early abandon makes each
     * candidate O(maxDist·len) instead of O(len²), and the distance it
     * returns for surviving pairs is exact — output is bit-identical
-    * to the unbounded form (spec-pinned). */
+    * to the unbounded form (spec-pinned).
+    *
+    * `q = 0` (the default) derives the gram width from the corpus via
+    * [[autoQ]]; pass q > 0 to pin it manually, or set
+    * `SPARK_GRAFT_FUZZY_Q` to override globally (probe harness). */
   def selfPairs(df: DataFrame, idCol: String, strCol: String,
-                maxDist: Int, q: Int = 2): DataFrame =
-    candidates(df, idCol, strCol, maxDist, q)
+                maxDist: Int, q: Int = 0): DataFrame = {
+    val qq =
+      if (q > 0) q
+      else sys.env.get("SPARK_GRAFT_FUZZY_Q").map(_.trim.toInt)
+        .getOrElse(autoQ(df, strCol, maxDist))
+    candidates(df, idCol, strCol, maxDist, qq)
       .withColumn("dist", levenshtein(col("a_s"), col("b_s"), maxDist))
       .filter(col("dist") >= 0)
       .select(col("a_id"), col("b_id"), col("dist").cast("long").as("dist"))
       .orderBy("a_id", "b_id")
+  }
 }

@@ -94,24 +94,79 @@ object Graph {
   def kCore(edges: DataFrame, srcCol: String, dstCol: String,
             k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1 && rounds <= 64)
-    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    var e = e0.filter(col("src") =!= col("dst"))
+    // LAZY lineage management throughout (no Spark job runs until the
+    // caller's first action — building the plan used to eagerly
+    // materialize via localCheckpoint(true)): the symmetrized base is
+    // persisted and released via the CacheRelease pattern like
+    // pageRankU6; cadence cuts are lazy local checkpoints whose blocks
+    // the ContextCleaner reclaims once the result frame is dropped.
+    val sym = symmetrize(edges, srcCol, dstCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var e = sym
+    var it = 0
+    while (it < rounds) {
+      e = peelOnce(e, k)
+      it += 1
+      if (it % 3 == 0 && it < rounds) e = e.localCheckpoint(false)
+    }
+    val out = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
+      .filter(col("degree") >= k)
+      .orderBy("id")
+    graft.util.CacheRelease.releaseAfterFirstAction(out, Seq(sym))
+  }
+
+  /** Undirected simple graph as a bidirectional edge list: self-loops
+    * dropped, duplicates collapsed, each undirected edge present in
+    * both directions (so per-src degree counts are undirected
+    * degrees). */
+  private def symmetrize(edges: DataFrame, srcCol: String,
+                         dstCol: String): DataFrame = {
+    val und = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
       .select(col("a").as("src"), col("b").as("dst"))
-    e = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true) // symmetrized; each undirected edge twice
+    und.unionAll(und.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** One peel round: drop every edge touching a node whose surviving
+    * degree is < k (degree count + two node-scale semi-joins). */
+  private def peelOnce(e: DataFrame, k: Int): DataFrame = {
+    val keep = e.groupBy(col("src")).agg(count(lit(1)).as("_d"))
+      .filter(col("_d") >= k)
+      .select(col("src").as("id"))
+    val e1 = e.join(keep, e("src") === keep("id"), "left_semi")
+    val keep2 = keep // fresh alias frame for the dst side
+    e1.join(keep2, e1("dst") === keep2("id"), "left_semi")
+  }
+
+  /** EXACT k-core: peel to fixpoint instead of a fixed round count —
+    * the 100 TB form ([[kCore]]'s fixed rounds are the portable oracle
+    * contract, but a dependent-removal chain deeper than `rounds`
+    * under-peels; this converges regardless of chain depth). Same
+    * dual-mode precedent as TextDedup.nearDupClusters. Each round
+    * materializes the surviving edge list (an eager local checkpoint —
+    * the convergence test IS an action, so per-round jobs are inherent
+    * to fixpoint iteration) and stops when no edge was removed;
+    * `maxRounds` bounds a pathological chain (peeling is monotone and
+    * removes ≥ 1 node per non-converged round, so node count is the
+    * true worst case). Output identical in shape to [[kCore]]. */
+  def kCoreExact(edges: DataFrame, srcCol: String, dstCol: String,
+                 k: Int, maxRounds: Int = 1000): DataFrame = {
+    require(k >= 1 && maxRounds >= 1)
+    var e = symmetrize(edges, srcCol, dstCol).localCheckpoint(true)
+    var n = e.count()
     var it = 0
-    while (it < rounds) {
-      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("_d"))
-        .filter(col("_d") >= k)
-        .select(col("src").as("id"))
-      e = e.join(keep, e("src") === keep("id"), "left_semi")
-      val keep2 = keep // fresh alias frame for the dst side
-      e = e.join(keep2, e("dst") === keep2("id"), "left_semi")
+    var converged = n == 0L
+    while (!converged && it < maxRounds) {
+      val next = peelOnce(e, k).localCheckpoint(true)
+      val m = next.count()
+      converged = m == n
+      e = next
+      n = m
       it += 1
-      if (it % 3 == 0 && it < rounds) e = e.localCheckpoint(true)
     }
     e.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
       .filter(col("degree") >= k)

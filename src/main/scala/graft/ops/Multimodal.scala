@@ -187,25 +187,30 @@ object Multimodal {
     def info(payload: Array[Byte]): Option[(Int, Int, Int, Long)] = {
       if (payload.length < 44) return None
       if (!tag(payload, 0, "RIFF") || !tag(payload, 8, "WAVE")) return None
-      var i = 12
+      // Cursor is a Long: a crafted chunk `size` near Int.MaxValue
+      // would overflow an Int cursor to negative, keep the loop guard
+      // true, and crash u8 on a negative index — the total-function
+      // contract demands None on such payloads, never a throw.
+      var i = 12L
       var fmt: Option[(Int, Int, Int, Int)] = None // rate, ch, bits, align
       var dataBytes = -1L
       while (i + 8 <= payload.length && (fmt.isEmpty || dataBytes < 0)) {
-        val size = le32(payload, i + 4)
+        val c = i.toInt // safe: i + 8 <= payload.length <= Int.MaxValue
+        val size = le32(payload, c + 4)
         if (size < 0 || size > Int.MaxValue) return None
-        if (tag(payload, i, "fmt ")) {
-          if (size < 16 || i + 8 + 16 > payload.length) return None
-          val ch = le16(payload, i + 10)
-          val rate = le32(payload, i + 12)
-          val align = le16(payload, i + 20)
-          val bits = le16(payload, i + 22)
+        if (tag(payload, c, "fmt ")) {
+          if (size < 16 || c + 8 + 16 > payload.length) return None
+          val ch = le16(payload, c + 10)
+          val rate = le32(payload, c + 12)
+          val align = le16(payload, c + 20)
+          val bits = le16(payload, c + 22)
           if (ch < 1 || rate < 1 || rate > Int.MaxValue || bits < 1 ||
             align < 1) return None
           fmt = Some((rate.toInt, ch, bits, align))
-        } else if (tag(payload, i, "data")) {
-          dataBytes = math.min(size, (payload.length - i - 8).toLong)
+        } else if (tag(payload, c, "data")) {
+          dataBytes = math.min(size, (payload.length - c - 8).toLong)
         }
-        i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+        i += 8L + size + (size & 1L) // chunks are word-aligned
       }
       fmt.map { case (rate, ch, bits, align) =>
         (rate, ch, bits, if (dataBytes < 0) 0L else dataBytes / align)

@@ -259,7 +259,7 @@ object Pipelines {
     * blocking; label propagation is O(component diameter) hash joins;
     * the canonical attach is one id-keyed join at row scale. */
   def resolveEntities(df: DataFrame, idCol: String, nameCol: String,
-                      maxDist: Int = 2, q: Int = 2,
+                      maxDist: Int = 2, q: Int = 0,
                       rounds: Int = 6): DataFrame = {
     val pairs = FuzzyJoin.selfPairs(df, idCol, nameCol, maxDist, q)
     val clusters = TextDedup.nearDupClusters(

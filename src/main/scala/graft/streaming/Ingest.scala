@@ -1026,7 +1026,8 @@ object Ingest {
                              bloomGuard: Boolean = true,
                              expectedKeys: Long = 40000000L,
                              fpp: Double = 0.001,
-                             prefixParts: Int = 256)
+                             prefixParts: Int = 256,
+                             bloomDriverMaxRows: Long = 1000000L)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // cross-trigger bloom cache — same contract as the line sink's
     var bloomCache: (Long, org.apache.spark.util.sketch.BloomFilter) = null
@@ -1038,6 +1039,7 @@ object Ingest {
         val spark = batch.sparkSession
         val keys = graft.ops.TextDedup
           .bandKeys(batch, idCol, textCol, n, k, bands).cache()
+        var admittedKeys: DataFrame = null
         try {
           // bound the prior-dir enumeration BEFORE reading it: folding
           // only batches <= batchId - 1 (committed by definition once
@@ -1096,26 +1098,30 @@ object Ingest {
           val dropIds = priorHits.union(batchDups).distinct()
           batch.join(dropIds, Seq(idCol), "left_anti")
             .write.mode("overwrite").parquet(s"$outRoot/b=$batchId")
-          val admittedKeys = keys.join(dropIds, Seq(idCol), "left_anti")
+          // persisted: the frame feeds the index write AND the bloom
+          // append (which also counts it) — one computation, not three
+          admittedKeys = keys.join(dropIds, Seq(idCol), "left_anti")
+            .persist()
           admittedKeys
             .write.mode("overwrite").parquet(s"$indexPath/b=$batchId")
           if (bloomGuard) {
-            // bloom LAST, built incrementally on the driver from the
-            // admitted band hashes (bands-per-doc × batch docs longs) —
-            // same rationale and crash story as the line sink
-            val hs = admittedKeys.select(col("band_h"))
-              .collect().map(_.getLong(0))
-            val nb = prevBloom match {
-              case Some(pb) => graft.io.BloomState
-                .fromBytes(graft.io.BloomState.toBytes(pb))
-              case None => org.apache.spark.util.sketch.BloomFilter
-                .create(expectedKeys, fpp)
-            }
-            hs.foreach(nb.putLong)
+            // bloom LAST — committed only once the index rows it
+            // certifies are on disk (same crash story as the line
+            // sink). Build site is adaptive (BloomState.append):
+            // driver insert at trigger scale, distributed
+            // stat.bloomFilter past bloomDriverMaxRows so a CATCH-UP
+            // batch after downtime never collects backlog-scale rows
+            val nb = graft.io.BloomState.append(
+              admittedKeys.select(col("band_h")), "band_h", prevBloom,
+              expectedKeys, fpp, bloomDriverMaxRows)
             graft.io.BloomState.commit(spark, bloomRoot, batchId, nb)
             bloomCache = (batchId, nb)
           }
-        } finally { keys.unpersist(); () }
+        } finally {
+          if (admittedKeys != null) admittedKeys.unpersist()
+          keys.unpersist()
+          ()
+        }
       }
       .start()
   }
@@ -1422,7 +1428,8 @@ object Ingest {
                          bloomGuard: Boolean = true,
                          expectedLines: Long = 10000000L,
                          fpp: Double = 0.001,
-                         prefixParts: Int = 256)
+                         prefixParts: Int = 256,
+                         bloomDriverMaxRows: Long = 1000000L)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // cross-trigger bloom cache (valid only when its version is still
     // the latest committed below the current batch — checked per
@@ -1512,25 +1519,18 @@ object Ingest {
               .write.mode("overwrite").parquet(s"$indexPath/b=$batchId")
             // bloom LAST: committed only once the index rows it
             // certifies are on disk (any crash before here replays the
-            // whole batch against the previous bloom + index). Built
-            // INCREMENTALLY on the driver — the batch's admitted
-            // hashes collect (8 bytes per distinct new line, the same
-            // order as the coordination traffic the batch already
-            // pays) and insert into a COPY of the previous filter; a
-            // distributed stat.bloomFilter would allocate a full-size
-            // filter per partition and merge all of them, measured at
-            // multi-second per-batch overhead for megabyte filters.
-            // The copy keeps the cached previous filter untouched if
-            // this batch dies mid-commit.
-            val newHashes = admitted.select(col("_h64"))
-              .collect().map(_.getLong(0))
-            val nb = prevBloom match {
-              case Some(pb) => graft.io.BloomState
-                .fromBytes(graft.io.BloomState.toBytes(pb))
-              case None => org.apache.spark.util.sketch.BloomFilter
-                .create(expectedLines, fpp)
-            }
-            newHashes.foreach(nb.putLong)
+            // whole batch against the previous bloom + index). Build
+            // site is adaptive (BloomState.append): at trigger scale
+            // the admitted hashes insert on the driver into a COPY of
+            // the previous filter (8 bytes per distinct new line —
+            // measured cheaper than per-partition full-size filters);
+            // past bloomDriverMaxRows (a catch-up batch after
+            // downtime) the build is a distributed stat.bloomFilter
+            // merged executor-side, so driver memory never scales
+            // with the backlog.
+            val nb = graft.io.BloomState.append(
+              admitted.select(col("_h64")), "_h64", prevBloom,
+              expectedLines, fpp, bloomDriverMaxRows)
             graft.io.BloomState.commit(spark, bloomRoot, batchId, nb)
             bloomCache = (batchId, nb)
           } else

@@ -104,6 +104,54 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(out.size >= planted.size) // every planted pair found
   }
 
+  test("autoQ: rarity floor rises on an alphabet-limited corpus, " +
+    "short-string ceiling wins on a name corpus, clamped to [2,8], " +
+    "and the auto default (q=0) stays lossless") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    // 2000 32-char hex strings: |Σ| = 16, p10 len = 32, maxDist 2 →
+    // ceiling (32+1)/3 = 11, floor ceil(log(64·2000)/log 16) = 5
+    val hex = (0 until 2000).map(i => i.toLong -> md5hex(i.toString))
+    val qHex = FuzzyJoin.autoQ(hex.toDF("id", "s"), "s", 2)
+    assert(qHex == 5, s"hex corpus derived q=$qHex")
+    // short names: p10 length ~4 → ceiling (4+1)/3 = 1 → clamp to 2
+    val names = (0 until 500).map(i => i.toLong -> s"n${i % 97}ab")
+    val qNames = FuzzyJoin.autoQ(names.toDF("id", "s"), "s", 2)
+    assert(qNames == 2, s"name corpus derived q=$qNames")
+    // empty corpus falls back to 2 without dividing by zero
+    assert(FuzzyJoin.autoQ(Seq.empty[(Long, String)].toDF("id", "s"),
+      "s", 2) == 2)
+    // the auto dial is only a candidate-volume choice: same answer
+    val dom = Seq(1L -> "federated", 2L -> "fedarated", 3L -> "fodder",
+      4L -> "ab", 5L -> "a", 6L -> "federated")
+    val auto = FuzzyJoin.selfPairs(dom.toDF("id", "s"), "id", "s", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(auto == brute(dom, 2))
+  }
+
+  test("sub-q strings carry NO phantom gram: a len<q corpus flows " +
+    "only through the degenerate value-domain block and stays " +
+    "lossless") {
+    // with q=4 every string here is sub-q; before the guard,
+    // sequence(1,0) handed each one a whole-string 'gram' that put it
+    // in the prefix index
+    val dom = Seq(1L -> "ab", 2L -> "ba", 3L -> "abc", 4L -> "xyz",
+      5L -> "ab", 6L -> "", 7L -> "a")
+    val out = FuzzyJoin.selfPairs(dom.toDF("id", "s"), "id", "s", 2, q = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == brute(dom, 2))
+    // and a mixed corpus (one long string among sub-q ones) keeps the
+    // two paths disjoint: no duplicate pairs from double-counting
+    val mixed = dom :+ (8L -> "completely-long-string-value")
+    val rows = FuzzyJoin.selfPairs(mixed.toDF("id", "s"), "id", "s", 2,
+        q = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == rows.distinct.length, "duplicate pairs")
+    assert(rows.map(p => (p._1, p._2)).toSet ==
+      brute(mixed, 2).map(t => (t._1, t._2)))
+  }
+
   test("resolveEntities: typo CHAINS collapse transitively (pairwise" +
     " distance between extremes exceeds maxDist); canonical is the" +
     " min-id member's name; singletons self-resolve") {

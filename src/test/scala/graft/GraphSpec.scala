@@ -129,6 +129,55 @@ class GraphSpec extends SparkSpec {
       k = 5, rounds = 3).count() == 0L)
   }
 
+  test("kCoreExact: converges on a dependent-removal chain DEEPER " +
+    "than any fixed round count the oracle form would use — fixed " +
+    "rounds=5 under-peels it, the fixpoint matches the converged " +
+    "reference") {
+    // 4-clique (the true 3-core) + a 30-link chain hanging off node 0:
+    // each chain link's removal unblocks the next, so full peeling
+    // needs ~30 rounds — far past the fixed-round oracle setting
+    val clique = for {
+      i <- 0L to 3L; j <- 0L to 3L if i < j
+    } yield (i, j)
+    val chain = (0 until 30).map(i =>
+      (if (i == 0) 0L else 100L + i - 1, 100L + i))
+    val edges = clique ++ chain
+    val exact = Graph.kCoreExact(edges.toDF("src", "dst"), "src", "dst",
+        k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // converged reference: iterate the same peel until stable
+    val converged = refKCore(edges, 2, 1000)
+    assert(exact == converged)
+    assert(exact.keySet == Set(0L, 1L, 2L, 3L), exact.toString)
+    // and the fixed-round form genuinely under-peels the same input
+    val fixed = Graph.kCore(edges.toDF("src", "dst"), "src", "dst",
+        k = 2, rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fixed == refKCore(edges, 2, 5))
+    assert(fixed.keySet.size > exact.keySet.size, fixed.toString)
+    // maxRounds bound is honored (returns the partial peel, no hang)
+    val bounded = Graph.kCoreExact(edges.toDF("src", "dst"), "src",
+        "dst", k = 2, maxRounds = 3)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(bounded == refKCore(edges, 2, 3).keySet)
+  }
+
+  test("kCoreExact: agrees with kCore when the fixed rounds already " +
+    "reach the fixpoint; empty graph and unreachable k return empty") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val exact = Graph.kCoreExact(edges.toDF("src", "dst"), "src", "dst",
+        k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fixed = Graph.kCore(edges.toDF("src", "dst"), "src", "dst",
+        k = 2, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact == fixed && exact.keySet == Set(1L, 2L, 3L))
+    assert(Graph.kCoreExact(edges.toDF("src", "dst"), "src", "dst",
+      k = 5).count() == 0L)
+    assert(Graph.kCoreExact(Seq.empty[(Long, Long)].toDF("src", "dst"),
+      "src", "dst", k = 2).count() == 0L)
+  }
+
   test("pageRankU6 plan shape: per-iteration contribution is a hash " +
     "join + partial-aggregable sum, no nested loop") {
     val edges = (0L until 200L)

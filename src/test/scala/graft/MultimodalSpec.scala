@@ -145,6 +145,17 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.WavCodec.info(wav.take(30)).isEmpty) // truncated
     assert(Multimodal.WavCodec.info("RIFFnot a wave".getBytes).isEmpty)
     assert(Multimodal.WavCodec.info(Array.empty[Byte]).isEmpty)
+    // crafted chunk size near Int.MaxValue: an Int cursor would
+    // overflow negative (loop guard stays true, u8 throws); the Long
+    // cursor must walk past the end and return None, never throw
+    val evil = wav.take(12) ++ "LIST".getBytes("US-ASCII") ++
+      Array[Byte](-9, -1, -1, 0x7f) ++ // le32 = 0x7FFFFFF7
+      wav.drop(12)
+    assert(Multimodal.WavCodec.info(evil).isEmpty)
+    // same, with the declared size exactly Int.MaxValue (odd → +1 pad)
+    val evil2 = wav.take(12) ++ "LIST".getBytes("US-ASCII") ++
+      Array[Byte](-1, -1, -1, 0x7f) ++ wav.drop(12)
+    assert(Multimodal.WavCodec.info(evil2).isEmpty)
   }
 
   /** Hand-built fLaC magic + STREAMINFO: 22050 Hz, 2 ch, 16 bps,

@@ -1248,6 +1248,73 @@ class StreamingSpec extends SparkSpec {
         s"of ${allFiles.size} total — expected a non-vacuous pruned read")
   }
 
+  test("executor-side bloom build (catch-up batch past " +
+    "bloomDriverMaxRows): admissions and bloom state identical to " +
+    "the driver path, in BOTH dedup sinks") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_xbloom").toString
+    // batch 0 is CATCH-UP SCALE relative to the dial (3k docs ≫
+    // maxRows=0 → every batch takes the distributed stat.bloomFilter
+    // path); batch 1 then probes the committed bloom cross-batch
+    val big = (0 until 3000).map(i =>
+      i.toLong -> s"line a $i\nline b $i\nboilerplate footer")
+    val follow = Seq(
+      5001L -> "line a 17\nline b 2999\nfresh line one", // repeats dropped
+      5002L -> "boilerplate footer\nfresh line two")
+    def runLines(sub: String, maxRows: Long): Map[Long, String] = {
+      val mem = MemoryStream[(Long, String)]
+      val q = Ingest.startLineDedupSink(mem.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", s"$tmp/$sub/out", s"$tmp/$sub/idx",
+        s"$tmp/$sub/cp", expectedLines = 100000L, fpp = 0.01,
+        bloomDriverMaxRows = maxRows)
+      try Seq(big, follow).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+      } finally q.stop()
+      spark.read.parquet(s"$tmp/$sub/out").select("doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    val dist = runLines("dist", maxRows = 0L)
+    val drv = runLines("drv", maxRows = Long.MaxValue)
+    assert(dist == drv, "admissions diverge between bloom build sites")
+    // the distributed-path bloom is FUNCTIONAL cross-batch: the
+    // follow-up batch's repeats were dropped, novelties admitted
+    assert(dist(5001L) == "fresh line one" &&
+      dist(5002L) == "fresh line two", s"follow-up: ${dist(5001L)} / ${dist(5002L)}")
+    // and the committed filter bytes answer membership
+    val bloom = Ingest.readLineBloom(spark, s"$tmp/dist/idx", below = 100L)
+    assert(bloom.isDefined)
+    val h = Seq(Tuple1("boilerplate footer")).toDF("line")
+      .select(Ingest.h64FromMd5(unhex(md5(col("line").cast("binary")))))
+      .head.getLong(0)
+    assert(bloom.get.mightContainLong(h), "admitted line absent from bloom")
+
+    // near-dup sink through the same dial: admissions identical to the
+    // existing driver-path contract
+    def runNearDup(sub: String, maxRows: Long): Set[Long] = {
+      val mem = MemoryStream[(Long, String)]
+      val q = Ingest.startNearDupFilterSink(mem.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", s"$tmp/$sub/out", s"$tmp/$sub/idx",
+        s"$tmp/$sub/cp", expectedKeys = 100000L, fpp = 0.01,
+        bloomDriverMaxRows = maxRows)
+      val b0 = Seq(
+        1L -> "the quick brown fox jumps over the lazy dog today",
+        2L -> "completely different words describing another topic entirely here")
+      val b1 = Seq(
+        3L -> "the quick brown fox jumps over the lazy dog today",
+        4L -> "some brand new content that matches only its own twin text",
+        5L -> "some brand new content that matches only its own twin text",
+        6L -> "yet another unrelated document with fresh vocabulary inside")
+      try Seq(b0, b1).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+      } finally q.stop()
+      spark.read.parquet(s"$tmp/$sub/out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    }
+    assert(runNearDup("nd_dist", 0L) == Set(1L, 2L, 4L, 6L))
+    assert(runNearDup("nd_drv", Long.MaxValue) == Set(1L, 2L, 4L, 6L))
+  }
+
   test("search-index append sink: live index == full rebuild; batch" +
     " partitions replay-safe") {
     implicit val sc = spark.sqlContext
