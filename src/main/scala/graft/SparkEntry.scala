@@ -173,6 +173,65 @@ object SparkEntry {
        |SELECT id, r AS rank_u6 FROM pr$iters ORDER BY id""".stripMargin
   }
 
+  /** DuckDB replay of [[graft.ml.SlotRegression]]'s exact integer
+    * algebra (shared CTE prefix of the two ml_* oracles): daily cents
+    * → slot labels (sign-split truncating division — DuckDB `//`
+    * floors, Spark `div` truncates, they agree only via the split) →
+    * 9 integer sufficient statistics → Cramer determinants → u6
+    * coefficients with the overflow-proof split division. DuckDB's
+    * SUM(BIGINT) returns HUGEINT, which only ADDS headroom — values
+    * stay equal to Spark's long arithmetic wherever the documented
+    * bounds hold (and Spark runs ANSI, so an overflow would error
+    * loudly, not silently diverge). */
+  private def slotLrOracleCtes: String = {
+    def coef(d: String): String =
+      s"""CASE WHEN det0 = 0 THEN 0
+         |      WHEN $d < 0
+         |      THEN -(((-($d)) // det0) * 10000
+         |              + (((-($d)) % det0) * 10000) // det0)
+         |      ELSE (($d) // det0) * 10000
+         |              + ((($d) % det0) * 10000) // det0 END""".stripMargin
+    s"""WITH daily AS (
+       |  SELECT user_id, CAST(dayofweek(ts) AS BIGINT) AS dow,
+       |         CAST(hour(ts) AS BIGINT) AS hr, CAST(ts AS DATE) AS d,
+       |         CAST(SUM(CAST(value AS DECIMAL(28,2))) * 100 AS BIGINT) AS hu
+       |  FROM events GROUP BY 1, 2, 3, 4),
+       |slots AS (
+       |  SELECT user_id, dow, hr,
+       |         CAST(CASE WHEN SUM(hu) < 0
+       |                   THEN -((-SUM(hu)) // COUNT(*))
+       |                   ELSE SUM(hu) // COUNT(*) END AS BIGINT) AS y
+       |  FROM daily GROUP BY 1, 2, 3),
+       |st AS (
+       |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+       |         SUM(dow) AS sx1, SUM(hr) AS sx2,
+       |         SUM(dow * dow) AS sx11, SUM(hr * hr) AS sx22,
+       |         SUM(dow * hr) AS sx12,
+       |         SUM(y) AS sy, SUM(dow * y) AS sx1y, SUM(hr * y) AS sx2y
+       |  FROM slots GROUP BY 1),
+       |det AS (
+       |  SELECT user_id, n, sy,
+       |         n * (sx11 * sx22 - sx12 * sx12)
+       |           - sx1 * (sx1 * sx22 - sx12 * sx2)
+       |           + sx2 * (sx1 * sx12 - sx11 * sx2) AS det0,
+       |         sy * (sx11 * sx22 - sx12 * sx12)
+       |           - sx1 * (sx1y * sx22 - sx12 * sx2y)
+       |           + sx2 * (sx1y * sx12 - sx11 * sx2y) AS det_a,
+       |         n * (sx1y * sx22 - sx12 * sx2y)
+       |           - sy * (sx1 * sx22 - sx12 * sx2)
+       |           + sx2 * (sx1 * sx2y - sx1y * sx2) AS det_b,
+       |         n * (sx11 * sx2y - sx12 * sx1y)
+       |           - sx1 * (sx1 * sx2y - sx1y * sx2)
+       |           + sy * (sx1 * sx12 - sx11 * sx2) AS det_c
+       |  FROM st),
+       |co AS (
+       |  SELECT user_id, n, sy, det0,
+       |         ${coef("det_a")} AS a_u6,
+       |         ${coef("det_b")} AS b_u6,
+       |         ${coef("det_c")} AS c_u6
+       |  FROM det)""".stripMargin
+  }
+
   /** Unrolled-CTE DuckDB replay of [[graft.ops.Graph.kCore]]: the same
     * symmetrize-then-peel rounds over the [[pageRankEdges]] graph —
     * like the PageRank oracle, the fixed round count is the portable
@@ -1773,6 +1832,19 @@ object SparkEntry {
     "g_kcore" -> ((s, dir) =>
       Graph.kCore(pageRankEdges(s, dir), "src", "dst", k = 3,
         rounds = 6)),
+    // ---- ML north star, ORACLE-GATED: closed-form (normal-equations)
+    // per-key linear regression over (dow, hr) in fixed-point integer
+    // arithmetic — train + predict in one query; the oracle replays
+    // the exact sums, Cramer determinants and split truncating
+    // divisions (ml/TrafficModel.scala's MLlib LR is spec-pinned to
+    // this closed form within tolerance) ----
+    "ml_slot_lr" -> ((s, dir) =>
+      graft.ml.SlotRegression.predictU6(ev(s, dir), "user_id", "ts",
+        "value")),
+    // the fitted model table itself (coefficients in u6 fixed point)
+    "ml_lr_coeffs" -> ((s, dir) =>
+      graft.ml.SlotRegression.modelTable(ev(s, dir), "user_id", "ts",
+        "value")),
     // ---- §2.9 streaming MVs, ORACLE-GATED: each query folds a
     // deterministic 3-way batch split through the sink's OWN per-batch
     // commit function (graft.streaming.Ingest.commit*Batch — the exact
@@ -5911,6 +5983,24 @@ object SparkEntry {
     "g_pagerank_seeded" -> pageRankOracleSql(8, seeded = true),
     "mv_pagerank" -> pageRankOracleSql(8, seeded = false),
     "g_kcore" -> kCoreOracleSql(3, 6),
+    "ml_slot_lr" ->
+      s"""$slotLrOracleCtes
+         |SELECT s.user_id AS user_id, s.dow AS dow, s.hr AS hr,
+         |       CAST(CASE WHEN c.det0 = 0
+         |                 THEN (CASE WHEN c.sy < 0
+         |                            THEN -((-c.sy) // c.n)
+         |                            ELSE c.sy // c.n END) * 10000
+         |                 ELSE c.a_u6 + c.b_u6 * s.dow + c.c_u6 * s.hr
+         |            END AS BIGINT) AS pred_u6
+         |FROM slots s JOIN co c USING (user_id)
+         |ORDER BY user_id, dow, hr""".stripMargin,
+    "ml_lr_coeffs" ->
+      s"""$slotLrOracleCtes
+         |SELECT user_id, CAST(n AS BIGINT) AS n_slots,
+         |       CAST(a_u6 AS BIGINT) AS a_u6,
+         |       CAST(b_u6 AS BIGINT) AS b_u6,
+         |       CAST(c_u6 AS BIGINT) AS c_u6
+         |FROM co ORDER BY user_id""".stripMargin,
     // ---- streaming-MV oracles: the MV contract is "serving equals
     // the batch op over the concatenated stream", so each oracle IS
     // the batch computation over the full table — the replayed-ingest
