@@ -1225,10 +1225,11 @@ object ScaleProbe {
     // SPARK_GRAFT_FUZZY_Q: the gram-size dial. The md5-hex domain has
     // |Σ|^q gram values (16^4 = 65k, 16^6 = 16.7M) — candidates on an
     // alphabet-limited RANDOM corpus scale ~n²/|Σ|^q, so past ~100k
-    // strings q=4 goes quadratic BY THE DOCUMENTED MATH and q=6 is
-    // the right dial (FuzzyJoin's Scaladoc); this knob lets the ×100
-    // probe demonstrate both sides of that line.
-    val fq = sys.env.getOrElse("SPARK_GRAFT_FUZZY_Q", "4").toInt
+    // strings q=4 goes quadratic BY THE DOCUMENTED MATH; unset, the
+    // probe now exercises the AUTO dial (FuzzyJoin.autoQ derives q
+    // from corpus size vs alphabet — the round-13 verdict's ask), so
+    // the ×100 run proves the hex corpus stays bounded with NO knob.
+    val fqEnv = sys.env.get("SPARK_GRAFT_FUZZY_Q").map(_.toInt)
     val dom = {
       val d = multiplied(Tables.documents(spark, dir)
         .select("doc_id"), "doc_id")
@@ -1241,7 +1242,10 @@ object ScaleProbe {
       base.union(mangled).cache()
     }
     val n = dom.count()
-    println(s"[scaleprobe] fuzzy domain = $n (naive pairs = ${n * (n - 1) / 2})")
+    val fq = fqEnv.getOrElse(ops.FuzzyJoin.autoQ(dom, "s", 2))
+    println(s"[scaleprobe] fuzzy domain = $n (naive pairs = " +
+      s"${n * (n - 1) / 2}); q = $fq" +
+      (if (fqEnv.isEmpty) " (AUTO)" else " (env)"))
     time(s"fuzzy_candidates_q$fq") {
       ops.FuzzyJoin.candidates(dom, "id", "s", 2, fq).count()
     }
@@ -1267,13 +1271,15 @@ object ScaleProbe {
       base.union(mangled).cache()
     }
     val hn = hot.count()
+    val hq = fqEnv.getOrElse(ops.FuzzyJoin.autoQ(hot, "s", 2))
     println(s"[scaleprobe] fuzzy HOT-PREFIX domain = $hn " +
-      s"(naive pairs = ${hn * (hn - 1) / 2})")
-    time(s"fuzzy_hot_candidates_q$fq") {
-      ops.FuzzyJoin.candidates(hot, "id", "s", 2, fq).count()
+      s"(naive pairs = ${hn * (hn - 1) / 2}); q = $hq" +
+      (if (fqEnv.isEmpty) " (AUTO)" else " (env)"))
+    time(s"fuzzy_hot_candidates_q$hq") {
+      ops.FuzzyJoin.candidates(hot, "id", "s", 2, hq).count()
     }
-    time(s"fuzzy_hot_self_pairs_q$fq") {
-      ops.FuzzyJoin.selfPairs(hot, "id", "s", 2, fq).count()
+    time(s"fuzzy_hot_self_pairs_q$hq") {
+      ops.FuzzyJoin.selfPairs(hot, "id", "s", 2, hq).count()
     }
     hot.unpersist()
     }
@@ -1360,6 +1366,22 @@ object ScaleProbe {
       ops.Graph.kCore(gEdges, "src", "dst", k = 3, rounds = 6)
         .queryExecution.toRdd.count()
     }
+    time("kcore_exact_fixpoint") {
+      ops.Graph.kCoreExact(gEdges, "src", "dst", k = 3).count()
+    }
+    // the 100 TB layout: pre-degreed src-bucketed edges — write once,
+    // then every iteration's rank⋈edges join reads the edge side
+    // exchange-free (only node-scale data shuffles per iteration)
+    time("pagerank_layout_write") {
+      ops.Graph.writeEdgeLayout(gEdges, "src", "dst",
+        "probe_pr_edges", nBuckets = 32)
+      spark.table("probe_pr_edges").count()
+    }
+    time("pagerank_8iter_bucketed") {
+      ops.Graph.pageRankU6FromLayout(spark, "probe_pr_edges", 8)
+        .queryExecution.toRdd.count()
+    }
+    spark.sql("DROP TABLE IF EXISTS probe_pr_edges")
     }
 
     section("cdc") {

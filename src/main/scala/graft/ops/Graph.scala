@@ -19,11 +19,14 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the edge list is joined ONCE with out-degrees and
   * cached; each iteration is one hash join of the rank table against
-  * the pre-degreed edges (shuffle keyed on src — co-partition by
-  * pre-partitioning edges at 100 TB) plus one map-side-combinable sum
-  * by dst; iterations are a fixed small count, not a convergence
-  * loop, so the plan and the cost are both bounded up front. Rank
-  * state is one row per node — node-scale, never edge-scale.
+  * the pre-degreed edges plus one map-side-combinable sum by dst;
+  * iterations are a fixed small count, not a convergence loop, so the
+  * plan and the cost are both bounded up front. Rank state is one row
+  * per node — node-scale, never edge-scale. At 100 TB, persist the
+  * graph with [[writeEdgeLayout]] (pre-degreed, src-bucketed) and
+  * iterate with [[pageRankU6FromLayout]]: the per-iteration join then
+  * reads the edge side exchange-free and only node-scale data ever
+  * shuffles (GraphSpec pins the plan; ScaleProbe measures it).
   */
 object Graph {
 
@@ -51,6 +54,16 @@ object Graph {
     // so the per-iteration work is one join + one partial-agg sum
     val e = e0.join(outdeg, Seq("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = prIterate(nodes, e, iters)
+    graft.util.CacheRelease.releaseAfterFirstAction(out, Seq(nodes, e))
+  }
+
+  /** The shared fixed-iteration loop over a pre-degreed edge frame
+    * (src, dst, od): exact integer steps, lineage cut every 4
+    * iterations (the pretrainRecipe precedent: 544 s → 8 s from
+    * exactly this cut). */
+  private def prIterate(nodes: DataFrame, e: DataFrame,
+                        iters: Int): DataFrame = {
     var rank = nodes.select(col("id"), lit(1000000L).as("r"))
     var it = 0
     while (it < iters) {
@@ -63,15 +76,45 @@ object Graph {
           (lit(150000L) + call_function("div",
             lit(85L) * coalesce(col("cs"), lit(0L)), lit(100L))).as("r"))
       it += 1
-      // cut logical lineage every few iterations: the growing plan
-      // otherwise pays AQE's per-action re-optimization on every
-      // downstream action (the pretrainRecipe precedent: 544 s -> 8 s
-      // from exactly this cut)
       if (it % 4 == 0 && it < iters) rank = rank.localCheckpoint(true)
     }
-    val out = rank.select(col("id"), col("r").as("rank_u6"))
-      .orderBy("id")
-    graft.util.CacheRelease.releaseAfterFirstAction(out, Seq(nodes, e))
+    rank.select(col("id"), col("r").as("rank_u6")).orderBy("id")
+  }
+
+  /** Write the 100 TB edge layout the header promises: pre-degreed
+    * edges (src, dst, od) BUCKETED by src via
+    * [[graft.io.Lake.writeBucketed]]. A graph that is iterated more
+    * than once should be stored this way: every
+    * [[pageRankU6FromLayout]] iteration then reads the edge side of
+    * the rank⋈edges join EXCHANGE-FREE (the bucket scan's hash
+    * partitioning satisfies the join requirement), so per-iteration
+    * shuffle traffic is NODE-scale (rank exchange + contribution
+    * sum), never edge-scale. Bucket count is the cluster-lifetime
+    * dial (~2–4× executor count). */
+  def writeEdgeLayout(edges: DataFrame, srcCol: String, dstCol: String,
+                      table: String, nBuckets: Int): Unit = {
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val outdeg = e0.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    graft.io.Lake.writeBucketed(e0.join(outdeg, Seq("src")), table,
+      "src", nBuckets, sortCols = Seq("src"))
+  }
+
+  /** Fixed-iteration PageRank over a [[writeEdgeLayout]] table —
+    * bit-identical output to [[pageRankU6]] on the same edges
+    * (spec-pinned), but the per-iteration join never exchanges the
+    * edge side: the only edge-scale work left per iteration is the
+    * map-side read + partial contribution aggregate. The node set is
+    * derived once and cached (node-scale). */
+  def pageRankU6FromLayout(spark: org.apache.spark.sql.SparkSession,
+                           table: String, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 64, s"iters must be in [1,64]: $iters")
+    val e = spark.table(table)
+    val nodes = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = prIterate(nodes, e, iters)
+    graft.util.CacheRelease.releaseAfterFirstAction(out, Seq(nodes))
   }
 
   /** K-CORE decomposition by fixed-round peeling — the cohesion gate

@@ -187,4 +187,55 @@ class GraphSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"), plan)
   }
+
+  test("pre-partitioned edge layout: pageRankU6FromLayout reads the " +
+    "edge side EXCHANGE-FREE across iterations (bucket scan satisfies " +
+    "the join), and ranks are bit-identical to the unbucketed form") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val edges = (0L until 500L)
+      .flatMap(i => Seq((i, (i * 7 + 1) % 500), (i, (i * 13 + 5) % 500)))
+    Graph.writeEdgeLayout(edges.toDF("src", "dst"), "src", "dst",
+      "pr_edges_bucketed", nBuckets = 8)
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // force SMJ + a static plan so the exchange-free claim is about
+      // the bucketed layout, not about broadcast or AQE re-planning
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val q = Graph.pageRankU6FromLayout(spark, "pr_edges_bucketed",
+        iters = 3)
+      val plan = q.queryExecution.executedPlan
+      // property: no shuffle ever re-partitions raw edge rows — every
+      // exchange over a subtree containing the bucketed scan sits
+      // above the partial contribution AGGREGATE (node-scale rows)
+      def reachesScanWithoutAgg(p: SparkPlan): Boolean = p match {
+        case _: FileSourceScanExec => true
+        case a if a.nodeName.contains("Aggregate") => false
+        case other => other.children.exists(reachesScanWithoutAgg)
+      }
+      val badExchanges = plan.collect {
+        case ex: ShuffleExchangeExec if reachesScanWithoutAgg(ex.child) => ex
+      }
+      assert(badExchanges.isEmpty,
+        s"edge-scale shuffle found:\n${badExchanges.mkString("\n")}")
+      // the bucketed scan really is engaged (not a plain file read)
+      val bucketedScans = plan.collect {
+        case f: FileSourceScanExec if f.bucketedScan => f
+      }
+      assert(bucketedScans.nonEmpty, s"no bucketed scan in:\n$plan")
+      // bit-identical ranks vs the unbucketed operator
+      val fromLayout = q.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val plain = Graph.pageRankU6(edges.toDF("src", "dst"), "src",
+          "dst", iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fromLayout == plain)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+      spark.sql("DROP TABLE IF EXISTS pr_edges_bucketed")
+    }
+  }
 }
