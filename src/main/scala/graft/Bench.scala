@@ -18,16 +18,7 @@ object Bench {
       .config("spark.ui.retainedJobs", "100000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Every unpartitioned window in the library sits over a bounded
-    // post-aggregation frame (value-domain histogram, per-source rate
-    // table, per-type shares — each justified at its call site), so
-    // the per-task "No Partition Defined for Window operation" WARN is
-    // noise that floods the bench log and buries real warnings.
-    Seq("org.apache.spark.sql.execution.window.WindowExec",
-      "org.apache.spark.sql.execution.window.WindowExecBase",
-      "org.apache.spark.sql.execution.window.WindowGroupLimitExec")
-      .foreach(l => org.apache.logging.log4j.core.config.Configurator
-        .setLevel(l, org.apache.logging.log4j.Level.ERROR))
+    graft.util.QuietLogs.suppressWindowWarns()
     // Force FULL evaluation of every output column: count() would let
     // Catalyst prune window/projection expressions that don't affect
     // cardinality, under-measuring expression-heavy queries. The noop

@@ -40,6 +40,7 @@ object ScaleProbe {
       .config("spark.network.timeout", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.util.QuietLogs.suppressWindowWarns()
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     def multiplied(base: DataFrame, idCol: String): DataFrame =

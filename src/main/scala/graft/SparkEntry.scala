@@ -4494,13 +4494,16 @@ object SparkEntry {
          |ksc AS (SELECT doc_id, CAST(sum_cnt AS DOUBLE) /
          |          CAST(n_bigrams * total_bigrams AS DOUBLE) AS p
          |        FROM kpd, ktot),
-         |kth AS (SELECT round(quantile_cont(p, 1.0/3), 9) t1,
-         |               round(quantile_cont(p, 2.0/3), 9) t2 FROM ksc),
+         |kth AS (SELECT quantile_cont(p, 1.0/3) t1,
+         |               quantile_cont(p, 2.0/3) t2,
+         |               power(10, length(CAST((SELECT total_bigrams FROM ktot)
+         |                                     AS VARCHAR))) sc
+         |        FROM ksc),
          |gated AS (SELECT k.doc_id, k.text,
-         |            CASE WHEN round(s.p, 9) >= th.t2 THEN 'head'
-         |                 ELSE 'middle' END AS ppl_bucket
+         |            CASE WHEN round(s.p * th.sc, 6) >= round(th.t2 * th.sc, 6)
+         |                 THEN 'head' ELSE 'middle' END AS ppl_bucket
          |          FROM kept k JOIN ksc s USING (doc_id), kth th
-         |          WHERE round(s.p, 9) >= th.t1),
+         |          WHERE round(s.p * th.sc, 6) >= round(th.t1 * th.sc, 6)),
          |${ddClustersChainSql("gated")}
          |SELECT c.doc_id, g.ppl_bucket, c.cluster_id,
          |       (CAST(CAST(('0x'||substr(md5('qgate:' || CAST(c.cluster_id AS VARCHAR)),1,15)) AS BIGINT) % 1000000 AS DOUBLE)
@@ -5681,12 +5684,16 @@ object SparkEntry {
         |             CAST(sum_cnt AS DOUBLE) /
         |               CAST(n_bigrams * total_bigrams AS DOUBLE) AS avg_bigram_prob
         |           FROM perdoc, tot),
-        |th AS (SELECT round(quantile_cont(avg_bigram_prob, 1.0/3), 9) t1,
-        |              round(quantile_cont(avg_bigram_prob, 2.0/3), 9) t2
+        |th AS (SELECT quantile_cont(avg_bigram_prob, 1.0/3) t1,
+        |              quantile_cont(avg_bigram_prob, 2.0/3) t2,
+        |              power(10, length(CAST(CAST(SUM(n_bigrams) AS BIGINT)
+        |                                     AS VARCHAR))) sc
         |       FROM scored)
         |SELECT doc_id, n_bigrams, avg_bigram_prob,
-        |       CASE WHEN round(avg_bigram_prob, 9) >= t2 THEN 'head'
-        |            WHEN round(avg_bigram_prob, 9) >= t1 THEN 'middle'
+        |       CASE WHEN round(avg_bigram_prob * sc, 6) >= round(t2 * sc, 6)
+        |              THEN 'head'
+        |            WHEN round(avg_bigram_prob * sc, 6) >= round(t1 * sc, 6)
+        |              THEN 'middle'
         |            ELSE 'tail' END AS ppl_bucket
         |FROM scored, th ORDER BY doc_id""".stripMargin,
     "t_length_histogram" ->

@@ -453,27 +453,39 @@ object TextStats {
     val q =
       if (exact) percentile(col("avg_bigram_prob"), p)
       else percentile_approx(col("avg_bigram_prob"), p, lit(10000))
-    val th = scored.agg(q.as("_t"))
-    // BOTH comparison sides ROUNDED to 9dp (mirrored in the oracle):
-    // Spark percentile and DuckDB quantile_cont can disagree in the
-    // last ulp at non-integral positions, and an unrounded boundary
-    // doc would flip buckets between engines (the Profiler.histogram
-    // precedent). The SCORE is rounded too so score == threshold stays
-    // an equality after rounding (a single-doc corpus is its own head;
-    // threshold-only rounding would push the rounded threshold above
-    // the raw score). 9dp, not 6: avg_bigram_prob scales
-    // ~1/corpus-bigrams, so 6dp would collapse the tertiles to
-    // equality on a large corpus while 9dp keeps them distinct far
-    // past the SF range this ships against. The OUTPUT column stays
-    // unrounded.
+    val th = scored.agg(q.as("_t"), sum(col("n_bigrams")).as("_tb"))
     val out = scored.crossJoin(broadcast(th))
       .select(col(idCol), col("n_bigrams"), col("avg_bigram_prob"),
-        when(round(col("avg_bigram_prob"), 9) >= round(col("_t")(1), 9),
-          lit("head"))
-          .when(round(col("avg_bigram_prob"), 9) >= round(col("_t")(0), 9),
-            lit("middle"))
-          .otherwise(lit("tail")).as("ppl_bucket"))
+        bucketLabel(col("avg_bigram_prob"), col("_t")(0), col("_t")(1),
+          col("_tb")).as("ppl_bucket"))
     graft.util.CacheRelease.releaseAfterFirstAction(out, Seq(scored))
+  }
+
+  /** The bucket comparison with a SCALE-DERIVED rounding quantum
+    * (mirrored in the oracle): both comparison sides are multiplied by
+    * 10^digits(total_bigrams) — exact powers of ten in double far past
+    * any corpus size — and rounded at 6dp, i.e. the quantum is ~1e-6
+    * RELATIVE to the score's natural scale 1/total_bigrams. Rounding
+    * both sides absorbs the last-ulp disagreement between Spark
+    * `percentile` and DuckDB `quantile_cont` at non-integral positions
+    * (an unrounded boundary doc would flip buckets between engines —
+    * the Profiler.histogram precedent), and the SCORE is rounded too
+    * so score == threshold stays an equality after rounding (a
+    * single-doc corpus is its own head). A FIXED decimal count cannot
+    * do this job: the previous hardcoded 9dp collapses the tertiles
+    * to equality once avg_bigram_prob ~ 1/corpus-bigrams drops below
+    * 1e-9 (a web-scale corpus), while a fixed fine quantum loses the
+    * ulp absorption on tiny corpora — digits(total_bigrams) tracks
+    * the scale exactly (spec-pinned on a planted corpus where 9dp
+    * collapses). The OUTPUT column stays unrounded. */
+  private[graft] def bucketLabel(score: Column, t0: Column, t1: Column,
+                                 totalBigrams: Column): Column = {
+    val sc = pow(lit(10.0),
+      length(totalBigrams.cast("string")).cast("double"))
+    val s = round(score * sc, 6)
+    when(s >= round(t1 * sc, 6), lit("head"))
+      .when(s >= round(t0 * sc, 6), lit("middle"))
+      .otherwise(lit("tail"))
   }
 
   /** Document-length histogram: counts per `binWidth`-char bin —

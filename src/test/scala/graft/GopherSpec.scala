@@ -118,6 +118,40 @@ class GopherSpec extends SparkSpec {
     assert(approx.count() == out.length)
   }
 
+  test("bucketLabel quantum tracks corpus scale: web-scale scores " +
+    "(~1e-10, where a hardcoded 9dp collapses every tertile) still " +
+    "separate, and tiny-corpus ulp absorption is preserved") {
+    import org.apache.spark.sql.functions.{lit, round => rnd}
+    // planted web-scale corpus: total_bigrams = 1e12 → scores sit at
+    // ~1e-10 with tertile gaps of ~1e-10 — BELOW the old 9dp quantum
+    val rows = Seq(
+      (1L, 1.0e-10), (2L, 2.0e-10), (3L, 3.0e-10)).toDF("doc_id", "p")
+    val labeled = rows.select(col("doc_id"),
+        TextStats.bucketLabel(col("p"), lit(1.5e-10), lit(2.5e-10),
+          lit(1000000000000L)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(labeled == Map(1L -> "tail", 2L -> "middle", 3L -> "head"),
+      labeled.toString)
+    // and the collapse the fix removes is real: at 9dp every one of
+    // these scores and thresholds rounds to 0.0 → all-head
+    val collapsed = rows.select(col("doc_id"),
+        (rnd(col("p"), 9) >= rnd(lit(2.5e-10), 9)).as("headAt9dp"))
+      .collect().map(_.getBoolean(1))
+    assert(collapsed.forall(identity), "9dp no longer collapses? " +
+      "then the planted fixture needs rescaling")
+    // small corpus: a threshold perturbed at double-ulp distance (the
+    // cross-engine percentile disagreement) must NOT flip any label
+    val t0 = 0.00123456; val t1 = 0.00234567
+    val ulp = java.lang.Math.ulp(t1)
+    val small = Seq((1L, 0.001), (2L, t1), (3L, 0.003)).toDF("doc_id", "p")
+    def lab(tt0: Double, tt1: Double) = small.select(col("doc_id"),
+        TextStats.bucketLabel(col("p"), lit(tt0), lit(tt1), lit(50000L))
+          .as("b"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(lab(t0, t1) == lab(t0 + ulp, t1 - ulp))
+    assert(lab(t0, t1)(2L) == "head") // boundary doc: score == t1
+  }
+
   test("vocabDrift: identical corpora read zero delta; a planted flood " +
     "surfaces with the exact ppm shift; minPpm drops the noise tail") {
     val a = Seq((1L, "alpha beta gamma"), (2L, "alpha beta delta"))
