@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * at a multiplier the full sweep can't afford): text | sampling |
   * jaccard | contamination | ann | snapshot | ndsink | ndprobe | ldsink | ldprobe | embprobe | span |
   * linehot | ndaudit | embsink | events | forecast | sketch | fuzzy |
-  * interval | cdc | warehouse.
+  * interval | cdc | warehouse | graph | mvserve.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -1383,6 +1383,109 @@ object ScaleProbe {
         .queryExecution.toRdd.count()
     }
     spark.sql("DROP TABLE IF EXISTS probe_pr_edges")
+    }
+
+    // Many-commit MV serving: the mv_* oracles replay 3 batches; this
+    // probes the long-running shape — 200 commits per sink, serve,
+    // Batches.compact, serve again. The contract: compaction changes
+    // LAYOUT, never answers (checksums must match), and the
+    // post-compaction serve is flat (no 200-dir listing + tiny-file
+    // scan tax). Run against real serving reads, not synthetic folds.
+    section("mvserve") {
+    val nC = 200
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_mvserve").toString
+    def checksum(df: DataFrame): Long =
+      df.agg(sum(hash(df.columns.map(col): _*)).cast("long"))
+        .head.getLong(0)
+
+    // --- link-graph MV: readPageRank over the accumulated edge log
+    val gn = 50000L
+    val gEdges2 = spark.range(gn).toDF("src")
+      .select(col("src"),
+        pmod(col("src") * 7 + 1, lit(gn)).as("dst"))
+      .cache()
+    gEdges2.count()
+    val prRoot = s"$tmp/pr"
+    time(s"mvserve_pr_commit_x$nC") {
+      (0 until nC).foreach { b =>
+        streaming.Ingest.commitLinkGraphBatch(
+          gEdges2.filter(pmod(col("src"), lit(nC)) === b),
+          prRoot, b, "src", "dst")
+      }
+      nC.toLong
+    }
+    def prServe(): Long =
+      checksum(streaming.Ingest.readPageRank(spark, prRoot, 4).get)
+    var prPre = 0L
+    time(s"mvserve_pr_serve_${nC}dirs") { prPre = prServe(); prPre }
+    time("mvserve_pr_compact") {
+      graft.io.Batches.compact(spark, prRoot, upTo = nC - 1L); 1L
+    }
+    var prPost = 0L
+    time("mvserve_pr_serve_compacted") { prPost = prServe(); prPost }
+    require(prPre == prPost,
+      s"pagerank serving changed across compaction: $prPre vs $prPost")
+    gEdges2.unpersist()
+
+    // --- retention MV: readRetention over the activity log
+    val eAct = Tables.events(spark, dir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select("user_id", "ts", "event_id").cache()
+    println(s"[scaleprobe] mvserve activity events = ${eAct.count()}")
+    val rtRoot = s"$tmp/rt"
+    time(s"mvserve_rt_commit_x$nC") {
+      (0 until nC).foreach { b =>
+        streaming.Ingest.commitActivityBatch(
+          eAct.filter(pmod(col("event_id"), lit(nC)) === b),
+          rtRoot, b, "user_id", "ts", 86400L)
+      }
+      nC.toLong
+    }
+    def rtServe(): Long = checksum(
+      streaming.Ingest.readRetention(spark, rtRoot, "user_id").get)
+    var rtPre = 0L
+    time(s"mvserve_rt_serve_${nC}dirs") { rtPre = rtServe(); rtPre }
+    time("mvserve_rt_compact") {
+      graft.io.Batches.compact(spark, rtRoot, upTo = nC - 1L); 1L
+    }
+    var rtPost = 0L
+    time("mvserve_rt_serve_compacted") { rtPost = rtServe(); rtPost }
+    require(rtPre == rtPost,
+      s"retention serving changed across compaction: $rtPre vs $rtPost")
+    eAct.unpersist()
+
+    // --- CDC MV: readCdcSnapshot over the change log
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).cache()
+    base.count()
+    val cdcRoot = s"$tmp/cdc"
+    time(s"mvserve_cdc_commit_x$nC") {
+      (0 until nC).foreach { b =>
+        val up = base.filter(pmod(col("doc_id"), lit(nC)) === b)
+          .select(col("doc_id"), lit(b.toLong).as("seq"),
+            lit("upsert").as("op"),
+            concat(lit(s"rev$b: "), col("text")).as("text"))
+        val del = base.filter(pmod(col("doc_id"), lit(nC * 2)) === b)
+          .select(col("doc_id"), lit(b.toLong + 1000000L).as("seq"),
+            lit("delete").as("op"), lit(null).cast("string").as("text"))
+        streaming.Ingest.commitCdcBatch(up.unionByName(del), cdcRoot,
+          b, "doc_id", "seq", "op")
+      }
+      nC.toLong
+    }
+    def cdcServe(): Long = checksum(streaming.Ingest.readCdcSnapshot(
+      spark, cdcRoot, base, "doc_id", "seq", "op").get)
+    var cdcPre = 0L
+    time(s"mvserve_cdc_serve_${nC}dirs") { cdcPre = cdcServe(); cdcPre }
+    time("mvserve_cdc_compact") {
+      graft.io.Batches.compact(spark, cdcRoot, upTo = nC - 1L); 1L
+    }
+    var cdcPost = 0L
+    time("mvserve_cdc_serve_compacted") { cdcPost = cdcServe(); cdcPost }
+    require(cdcPre == cdcPost,
+      s"cdc serving changed across compaction: $cdcPre vs $cdcPost")
+    base.unpersist()
     }
 
     section("cdc") {

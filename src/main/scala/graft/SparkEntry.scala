@@ -263,8 +263,30 @@ object SparkEntry {
     * so Bench's repeated reps never collide on versioned-state batch
     * ids (each rep is a brand-new MV lifecycle: ingest batches 0..n,
     * then serve). */
-  private def freshWorkDir(): String =
-    java.nio.file.Files.createTempDirectory("graft-mv-").toString
+  /** Work dirs of the replayed-ingest mv_* queries. Registered for
+    * recursive deletion at JVM exit (a shutdown hook, not
+    * deleteOnExit — that only removes EMPTY dirs): the served frame
+    * is lazy, so eager deletion after query build would race the
+    * caller's action; across bench reps the dirs accumulate only for
+    * the run's lifetime and are swept on exit. */
+  private val mvWorkDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+  private lazy val mvCleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      mvWorkDirs.forEach(rm(_))
+    }, "graft-mv-workdir-sweep"))
+
+  private def freshWorkDir(): String = {
+    mvCleanupHook
+    val p = java.nio.file.Files.createTempDirectory("graft-mv-")
+    mvWorkDirs.add(p.toFile)
+    p.toString
+  }
 
   /** The synthetic CDC change log shared by t_cdc_apply (one-shot
     * batch apply) and mv_cdc_snapshot (the same log replayed through

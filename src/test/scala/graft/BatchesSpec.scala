@@ -77,6 +77,32 @@ class BatchesSpec extends SparkSpec {
     assert(readAll(root, below = Some(3L)).map(_._1) == Set(0L, 1L, 2L))
   }
 
+  test("compaction UNDER LOAD: folds interleaved with 120 live " +
+    "commits keep reads identical to the never-compacted replica and " +
+    "the layout bounded") {
+    val rootC = newRoot("graft_b_load_c")
+    val rootU = newRoot("graft_b_load_u")
+    (0L until 120L).foreach { id =>
+      val rows = Seq(id * 2, id * 2 + 1)
+      writeBatch(rootC, id, rows)
+      writeBatch(rootU, id, rows)
+      // the long-running sink's cadence: fold committed history while
+      // commits keep arriving (upTo = id - 1 — this batch's frontier)
+      if (id > 0 && id % 16 == 0)
+        assert(Batches.compact(spark, rootC, upTo = id - 1))
+    }
+    val served = readAll(rootC).map(_._1)
+    assert(served == readAll(rootU).map(_._1),
+      "compaction changed the served multiset")
+    assert(served.size == 240)
+    val midDirs = Fs.listDirNames(spark, rootC).count(_.startsWith("b="))
+    assert(midDirs <= 20, s"layout not bounded under load: $midDirs dirs")
+    // the final idle fold collapses the tail to base + nothing
+    assert(Batches.compact(spark, rootC, upTo = 119L))
+    assert(readAll(rootC).map(_._1) == served)
+    assert(Fs.listDirNames(spark, rootC).count(_.startsWith("b=")) <= 2)
+  }
+
   test("requireBatchLayout fails fast on pre-layout flat parquet at the root") {
     val root = newRoot("graft_batches_flat")
     Seq(1L, 2L).toDF("v").write.parquet(root) // old flat-append layout
