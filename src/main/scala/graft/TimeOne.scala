@@ -8,6 +8,11 @@ object TimeOne {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      // same rationale as Bench: the default 100-entry codegen cache
+      // thrashes under AQE's many small stages and serializes tasks
+      // behind janino recompiles — absolute numbers from a timing main
+      // without this are inflated and non-comparable to Bench
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

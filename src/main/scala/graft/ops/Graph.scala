@@ -137,25 +137,39 @@ object Graph {
   def kCore(edges: DataFrame, srcCol: String, dstCol: String,
             k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1 && rounds <= 64)
-    // LAZY lineage management throughout (no Spark job runs until the
-    // caller's first action — building the plan used to eagerly
-    // materialize via localCheckpoint(true)): the symmetrized base is
-    // persisted and released via the CacheRelease pattern like
-    // pageRankU6; cadence cuts are lazy local checkpoints whose blocks
-    // the ContextCleaner reclaims once the result frame is dropped.
-    val sym = symmetrize(edges, srcCol, dstCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var e = sym
+    // The symmetrized base is persisted and released via the
+    // CacheRelease pattern like pageRankU6. Cadence cuts stay EAGER
+    // (localCheckpoint(true)) deliberately: each peel round references
+    // the previous edge frame three times (degree count + two
+    // semi-joins), so a lazy checkpoint defers everything into one
+    // action whose sibling branches race to compute the shared subtree
+    // before its cache fills — measured 7.07 s vs 1.35 s for g_kcore
+    // at sf0.1 when round 14 tried the lazy form. The cost of eager
+    // cuts (a plan-build-time job even if the caller never executes)
+    // is the documented lesser evil: every consumer of this operator
+    // executes the result.
+    // EAGER localCheckpoint, not persist + CacheRelease, deliberately
+    // (round-14 measured the alternatives): each peel round references
+    // the previous edge frame three times (degree count + two
+    // semi-joins), so by round 3 the base is referenced ~27 times.
+    // persist() caches EXECUTION but keeps the logical subtree in the
+    // plan — every reference re-analyzes and re-optimizes it, and
+    // g_kcore went 1.38 s → 8.8 s from driver-side planning alone
+    // (lazy checkpoints were worse still: one mega-action whose
+    // sibling branches race to compute the shared subtree, 10.4 s).
+    // localCheckpoint truncates lineage to a LogicalRDD leaf, keeping
+    // every round's plan flat; its blocks are reclaimed by the
+    // ContextCleaner once the caller drops the result frame.
+    var e = symmetrize(edges, srcCol, dstCol).localCheckpoint(true)
     var it = 0
     while (it < rounds) {
       e = peelOnce(e, k)
       it += 1
-      if (it % 3 == 0 && it < rounds) e = e.localCheckpoint(false)
+      if (it % 3 == 0 && it < rounds) e = e.localCheckpoint(true)
     }
-    val out = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
+    e.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
       .filter(col("degree") >= k)
       .orderBy("id")
-    graft.util.CacheRelease.releaseAfterFirstAction(out, Seq(sym))
   }
 
   /** Undirected simple graph as a bidirectional edge list: self-loops
