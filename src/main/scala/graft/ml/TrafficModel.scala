@@ -12,7 +12,11 @@ import org.apache.spark.sql.functions._
   * contract, kept in ops/Predict). This module lifts the same features
   * into a standard MLlib `Pipeline` so the slot prediction can
   * generalize (regularization across sparse slots, smooth interpolation
-  * to unseen slots) instead of memorizing per-slot means.
+  * to unseen slots) instead of memorizing per-slot means. The
+  * ORACLE-GATED counterpart is [[SlotRegression]] (closed-form normal
+  * equations in fixed-point integers — driver queries `ml_slot_lr` /
+  * `ml_lr_coeffs`); SlotRegressionSpec pins this module's
+  * LinearRegression within tolerance of that closed form.
   *
   * Features: one-hot(dow) ⊕ one-hot(hour) ⊕ one-hot-ish hashed camera ⊕
   * cyclic sin/cos encodings of hour (diurnal structure, cf. the

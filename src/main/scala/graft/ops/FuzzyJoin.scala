@@ -33,10 +33,11 @@ import org.apache.spark.sql.functions._
   * O((q·d+1) · rare-posting-length), never all-grams × all-positions.
   * Residual dial: on an ALPHABET-LIMITED random corpus (hex
   * fingerprints, digit ids) even the rarest grams collide ~n/|Σ|^q
-  * times, so pick q large enough that |Σ|^q ≫ corpus size — the x10
-  * probe's md5-hex domain at q=4 (16^4 = 65k gram values over 66k
-  * strings) already measures 2300× under naive and stays there on the
-  * hot-prefix variant.
+  * times, so q must satisfy |Σ|^q ≫ corpus size — [[autoQ]] derives
+  * exactly that from the corpus (rarity floor vs short-string
+  * ceiling) and is the default; the ×100 probe's 667k-string md5-hex
+  * domain auto-derives q=7 and stays at ~167k candidates where a
+  * fixed q=4 produced 670M.
   *
   * Pairs where BOTH sides have ≤ q·d distinct grams (genuinely short
   * strings — |set| ≤ len−q+1 — plus degenerate repetitions like
