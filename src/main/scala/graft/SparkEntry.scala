@@ -232,6 +232,21 @@ object SparkEntry {
        |  FROM det)""".stripMargin
   }
 
+  /** Train + predict replay shared by `ml_slot_lr` (batch) and
+    * `mv_slot_lr` (streaming MV — identical answer by the additive
+    * daily-partials argument at `Ingest.readSlotModel`). */
+  private def slotLrPredictSql: String =
+    s"""$slotLrOracleCtes
+       |SELECT s.user_id AS user_id, s.dow AS dow, s.hr AS hr,
+       |       CAST(CASE WHEN c.det0 = 0
+       |                 THEN (CASE WHEN c.sy < 0
+       |                            THEN -((-c.sy) // c.n)
+       |                            ELSE c.sy // c.n END) * 10000
+       |                 ELSE c.a_u6 + c.b_u6 * s.dow + c.c_u6 * s.hr
+       |            END AS BIGINT) AS pred_u6
+       |FROM slots s JOIN co c USING (user_id)
+       |ORDER BY user_id, dow, hr""".stripMargin
+
   /** Unrolled-CTE DuckDB replay of [[graft.ops.Graph.kCore]]: the same
     * symmetrize-then-peel rounds over the [[pageRankEdges]] graph —
     * like the PageRank oracle, the fixed round count is the portable
@@ -1886,6 +1901,20 @@ object SparkEntry {
         .select(col("user_id"), col("dow").cast("long").as("dow"),
           col("hr").cast("long").as("hr"), col("predicted_volume"))
         .orderBy("user_id", "dow", "hr")
+    }),
+    // streaming MODEL MV: the closed-form slot regression refitted
+    // from the pattern sink's merged daily partials — partials fold by
+    // long addition, so the served model equals the batch ml_slot_lr
+    // fit bit-for-bit (shared exact-integer oracle)
+    "mv_slot_lr" -> ((s, dir) => {
+      val work = freshWorkDir()
+      val e = ev(s, dir)
+      (0L to 2L).foreach { b =>
+        graft.streaming.Ingest.commitPatternBatch(
+          e.filter(pmod(col("event_id"), lit(3)) === b), work, b,
+          "user_id", "ts", "value")
+      }
+      graft.streaming.Ingest.readSlotModel(s, work, "user_id").get
     }),
     "mv_thresholds" -> ((s, dir) => {
       val work = freshWorkDir()
@@ -6012,17 +6041,11 @@ object SparkEntry {
     "g_pagerank_seeded" -> pageRankOracleSql(8, seeded = true),
     "mv_pagerank" -> pageRankOracleSql(8, seeded = false),
     "g_kcore" -> kCoreOracleSql(3, 6),
-    "ml_slot_lr" ->
-      s"""$slotLrOracleCtes
-         |SELECT s.user_id AS user_id, s.dow AS dow, s.hr AS hr,
-         |       CAST(CASE WHEN c.det0 = 0
-         |                 THEN (CASE WHEN c.sy < 0
-         |                            THEN -((-c.sy) // c.n)
-         |                            ELSE c.sy // c.n END) * 10000
-         |                 ELSE c.a_u6 + c.b_u6 * s.dow + c.c_u6 * s.hr
-         |            END AS BIGINT) AS pred_u6
-         |FROM slots s JOIN co c USING (user_id)
-         |ORDER BY user_id, dow, hr""".stripMargin,
+    "ml_slot_lr" -> slotLrPredictSql,
+    // the streaming model MV serves the SAME closed-form fit from
+    // merged daily partials (long-additive), so its oracle IS the
+    // batch query's oracle
+    "mv_slot_lr" -> slotLrPredictSql,
     "ml_lr_coeffs" ->
       s"""$slotLrOracleCtes
          |SELECT user_id, CAST(n AS BIGINT) AS n_slots,

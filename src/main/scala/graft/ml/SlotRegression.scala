@@ -56,7 +56,18 @@ object SlotRegression {
     * Predict.dailyPartials). */
   def slotLabels(history: DataFrame, keyCol: String, tsCol: String,
                  valueCol: String): DataFrame =
-    graft.ops.Predict.dailyPartials(history, keyCol, tsCol, valueCol)
+    slotLabelsFromDaily(
+      graft.ops.Predict.dailyPartials(history, keyCol, tsCol, valueCol),
+      keyCol)
+
+  /** The same labels from an ALREADY-MATERIALIZED daily-partials frame
+    * (keyCol, dow, hr, d, hourly_units) — the streaming-MV entry
+    * point: the pattern sink's merged state IS this frame, and since
+    * the merge is long addition on the (key, dow, hr, d) grain, a
+    * model refit from the state equals the batch fit over the
+    * concatenated stream bit-for-bit. */
+  def slotLabelsFromDaily(daily: DataFrame, keyCol: String): DataFrame =
+    daily
       .groupBy(col(keyCol), col("dow"), col("hr"))
       .agg(sum(col("hourly_units")).as("_su"), count(lit(1)).as("_nd"))
       .select(col(keyCol), col("dow").cast("long").as("dow"),
@@ -114,8 +125,12 @@ object SlotRegression {
     * currency units; rank-deficient keys serve the constant
     * slot-mean model. Ordered for the gate. */
   def predictU6(history: DataFrame, keyCol: String, tsCol: String,
-                valueCol: String): DataFrame = {
-    val slots = slotLabels(history, keyCol, tsCol, valueCol)
+                valueCol: String): DataFrame =
+    predictFromSlots(slotLabels(history, keyCol, tsCol, valueCol), keyCol)
+
+  /** Fit + score from a prepared slot-label frame — shared by the
+    * batch path and the streaming-MV serving read. */
+  def predictFromSlots(slots: DataFrame, keyCol: String): DataFrame = {
     val co = fitU6(slots, keyCol)
     slots.join(co, Seq(keyCol))
       .select(col(keyCol), col("dow"), col("hr"),

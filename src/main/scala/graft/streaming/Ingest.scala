@@ -397,6 +397,24 @@ object Ingest {
     graft.io.VersionedState.readLatest(spark, s"$workRoot/pattern")
       .map(daily => graft.ops.Predict.patternFromDaily(daily, keyCol))
 
+  /** Streaming MODEL MV — the trained model kept continuously current
+    * from the SAME state [[startPatternSink]] maintains: the slot
+    * regression's training input is the daily-partials grain, whose
+    * cross-batch merge is long addition, so refitting the closed-form
+    * model ([[graft.ml.SlotRegression]]) from the materialized state
+    * equals the batch fit over the concatenated stream BIT-FOR-BIT
+    * (StreamingSpec pins it; the mv_slot_lr driver row shares
+    * ml_slot_lr's exact-integer oracle). Per-trigger cost is the
+    * pattern sink's partial merge; the refit runs at serve time over
+    * slot-scale state — at 100 TB the model is always fresh and
+    * training never rescans events. */
+  def readSlotModel(spark: SparkSession, workRoot: String,
+                    keyCol: String): Option[DataFrame] =
+    graft.io.VersionedState.readLatest(spark, s"$workRoot/pattern")
+      .map(daily => graft.ml.SlotRegression.predictFromSlots(
+        graft.ml.SlotRegression.slotLabelsFromDaily(daily, keyCol),
+        keyCol))
+
   /** Incrementally-maintained threshold training input — the A5/A6
     * materialized view, same mechanic as [[startPatternSink]]: each
     * batch's (key, hour_bucket) volume partials (exact long units,

@@ -899,6 +899,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming model MV: the closed-form slot regression refit " +
+    "from the pattern state equals the batch fit BIT-FOR-BIT at " +
+    "every batch, including a slot cell split across batches") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("mlsink").toString
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val events = mem.toDS().toDF("user_id", "ts", "value")
+    val q = Ingest.startPatternSink(events, "user_id", "ts", "value",
+      s"$dir/work", s"$dir/ckpt")
+    try {
+      // ≥3 distinct slots per user so the fit is full-rank; batch 2
+      // ADDS to the (1, Mon, 8, 02-05) cell batch 1 opened — the
+      // daily-partial long addition is what makes the streamed model
+      // exact, so that cell must flow through the merge
+      val batches = Seq(
+        Seq((1L, ts("2024-02-05 08:10:00"), 5.0),
+          (1L, ts("2024-02-05 09:20:00"), 7.25),
+          (1L, ts("2024-02-06 10:00:00"), 3.0),
+          (2L, ts("2024-02-05 08:00:00"), 2.0)),
+        Seq((1L, ts("2024-02-05 08:40:00"), 2.5), // same cell as batch 1
+          (2L, ts("2024-02-06 11:15:00"), 11.0),
+          (2L, ts("2024-02-07 14:15:00"), 1.0)))
+      var seen = Seq.empty[(Long, Timestamp, Double)]
+      batches.foreach { b =>
+        mem.addData(b: _*)
+        q.processAllAvailable()
+        seen = seen ++ b
+        val expect = graft.ml.SlotRegression.predictU6(
+            seen.toDF("user_id", "ts", "value"), "user_id", "ts", "value")
+          .collect().map(_.toSeq).toSeq
+        val got = Ingest.readSlotModel(spark, s"$dir/work", "user_id").get
+          .collect().map(_.toSeq).toSeq
+        assert(got == expect, s"after ${seen.length} events")
+      }
+    } finally q.stop()
+  }
+
   test("hourly sink: thresholds refit from materialized partials equal the batch fit at every batch") {
     implicit val sc = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("hoursink").toString
