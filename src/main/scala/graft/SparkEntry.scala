@@ -1882,6 +1882,10 @@ object SparkEntry {
     "ml_lr_coeffs" -> ((s, dir) =>
       graft.ml.SlotRegression.modelTable(ev(s, dir), "user_id", "ts",
         "value")),
+    // eval leg of the triple: exact-integer L1 fit statistics
+    "ml_lr_fit_stats" -> ((s, dir) =>
+      graft.ml.SlotRegression.fitStatsU6(ev(s, dir), "user_id", "ts",
+        "value")),
     // ---- §2.9 streaming MVs, ORACLE-GATED: each query folds a
     // deterministic 3-way batch split through the sink's OWN per-batch
     // commit function (graft.streaming.Ingest.commit*Batch — the exact
@@ -6053,6 +6057,22 @@ object SparkEntry {
          |       CAST(b_u6 AS BIGINT) AS b_u6,
          |       CAST(c_u6 AS BIGINT) AS c_u6
          |FROM co ORDER BY user_id""".stripMargin,
+    "ml_lr_fit_stats" ->
+      s"""$slotLrOracleCtes,
+         |res AS (
+         |  SELECT s.user_id AS user_id, c.n AS n,
+         |         abs(s.y * 10000 -
+         |             CASE WHEN c.det0 = 0
+         |                  THEN (CASE WHEN c.sy < 0
+         |                             THEN -((-c.sy) // c.n)
+         |                             ELSE c.sy // c.n END) * 10000
+         |                  ELSE c.a_u6 + c.b_u6 * s.dow + c.c_u6 * s.hr
+         |             END) AS ar
+         |  FROM slots s JOIN co c USING (user_id))
+         |SELECT user_id, CAST(MIN(n) AS BIGINT) AS n_slots,
+         |       CAST(SUM(ar) // MIN(n) AS BIGINT) AS mae_u6,
+         |       CAST(MAX(ar) AS BIGINT) AS max_abs_u6
+         |FROM res GROUP BY user_id ORDER BY user_id""".stripMargin,
     // ---- streaming-MV oracles: the MV contract is "serving equals
     // the batch op over the concatenated stream", so each oracle IS
     // the batch computation over the full table — the replayed-ingest

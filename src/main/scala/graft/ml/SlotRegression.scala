@@ -148,4 +148,33 @@ object SlotRegression {
       .select(col(keyCol), col("n_slots"), col("a_u6"), col("b_u6"),
         col("c_u6"))
       .orderBy(keyCol)
+
+  /** Training-fit evaluation, exact-integer (the eval leg of the
+    * train/predict/eval triple): per-key MAE and max absolute
+    * residual in u6 units between the fitted plane and the slot
+    * labels. L1 metrics, not SSE, deliberately: residuals are ≤ ~1e11
+    * u6-units so their SUM stays far inside BIGINT while a SQUARED
+    * residual would overflow both engines — and the oracle replays
+    * the L1 arithmetic exactly. MAE's division is the same sign-split
+    * truncating form as everything here (residual sums are
+    * non-negative, but tdiv keeps the contract uniform). */
+  def fitStatsU6(history: DataFrame, keyCol: String, tsCol: String,
+                 valueCol: String): DataFrame = {
+    val slots = slotLabels(history, keyCol, tsCol, valueCol)
+    val co = fitU6(slots, keyCol)
+    slots.join(co, Seq(keyCol))
+      .select(col(keyCol), col("n_slots"),
+        abs(col("y") * 10000L -
+          when(col("det0") === 0L,
+            tdiv(col("sy"), col("n_slots")) * 10000L)
+            .otherwise(col("a_u6") + col("b_u6") * col("dow") +
+              col("c_u6") * col("hr"))).as("_ar"))
+      .groupBy(col(keyCol))
+      .agg(first(col("n_slots")).as("n_slots"),
+        sum(col("_ar")).as("_sar"), max(col("_ar")).as("max_abs_u6"))
+      .select(col(keyCol), col("n_slots"),
+        tdiv(col("_sar"), col("n_slots")).as("mae_u6"),
+        col("max_abs_u6"))
+      .orderBy(keyCol)
+  }
 }

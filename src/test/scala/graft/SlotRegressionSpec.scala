@@ -108,6 +108,34 @@ class SlotRegressionSpec extends SparkSpec {
       s"hr coef ${co._3 / 1e6} vs $c")
   }
 
+  test("fitStatsU6: a perfectly linear corpus reads ~zero residuals; " +
+    "a jittered one reads MAE/max of the true residual distribution") {
+    val perfect = fixture(base = 100.0, bDow = 10.0, cHr = 5.0)
+    val ps = SlotRegression.fitStatsU6(perfect, "user_id", "ts", "value")
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    // exact-linear data: residuals bounded by the u6 coefficient
+    // truncation alone (≤ ~1e-4 cents per feature unit × hr ≤ 23)
+    ps.foreach { case (mae, mx) =>
+      assert(mae <= 10000L && mx <= 30000L, s"mae=$mae max=$mx")
+    }
+    // jittered: stats equal a local replay over the collected slots
+    val jit = fixture(base = 250.0, bDow = -7.5, cHr = 3.25, jitter = 40.0)
+    val slots = SlotRegression.slotLabels(jit, "user_id", "ts", "value")
+      .filter(col("user_id") === 1L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val co = SlotRegression
+      .modelTable(jit, "user_id", "ts", "value")
+      .filter(col("user_id") === 1L)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).head
+    val ars = slots.map { case (dow, hr, y) =>
+      math.abs(y * 10000L - (co._1 + co._2 * dow + co._3 * hr)) }
+    val got = SlotRegression.fitStatsU6(jit, "user_id", "ts", "value")
+      .filter(col("user_id") === 1L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).head
+    assert(got == ((slots.length.toLong, ars.sum / slots.length, ars.max)),
+      s"got $got")
+  }
+
   test("rank-deficient keys (fewer than 3 informative slots) fall " +
     "back to the constant slot-mean model; negative labels keep the " +
     "sign-split division exact") {
