@@ -1153,6 +1153,16 @@ object ScaleProbe {
     time("predict_pattern") {
       ops.Predict.hourlyPattern(ev, "user_id", "ts", "value").count()
     }
+    // the closed-form model: event-scale work is the ONE daily-partial
+    // aggregation; everything after (slot labels, 9 sums, Cramer,
+    // score join) runs at slot/key cardinality — must track events
+    // linearly with a flat tail
+    time("ml_slot_lr_train_predict") {
+      ml.SlotRegression.predictU6(ev, "user_id", "ts", "value").count()
+    }
+    time("ml_lr_fit_stats") {
+      ml.SlotRegression.fitStatsU6(ev, "user_id", "ts", "value").count()
+    }
     }
 
     // ts_* family: the scale axis that matters is KEY cardinality (the
