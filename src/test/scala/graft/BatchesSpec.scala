@@ -103,6 +103,35 @@ class BatchesSpec extends SparkSpec {
     assert(Fs.listDirNames(spark, rootC).count(_.startsWith("b=")) <= 2)
   }
 
+  test("BloomState.append: driver and distributed build sites admit " +
+    "the same membership; a mis-sized previous filter falls back to " +
+    "the streamed driver insert instead of throwing") {
+    import graft.io.BloomState
+    val hashes = (1L to 5000L).map(_ * 2654435761L)
+    val df = hashes.toDF("h")
+    val prev = org.apache.spark.util.sketch.BloomFilter.create(100000L, 0.01)
+    prev.putLong(42L)
+    // driver path (under the threshold) vs distributed path (over it)
+    val drv = BloomState.append(df, "h", Some(BloomState.fromBytes(
+      BloomState.toBytes(prev))), 100000L, 0.01, driverMaxRows = 1000000L)
+    val dist = BloomState.append(df, "h", Some(BloomState.fromBytes(
+      BloomState.toBytes(prev))), 100000L, 0.01, driverMaxRows = 0L)
+    (hashes :+ 42L).foreach { h =>
+      assert(drv.mightContainLong(h), s"driver bloom missing $h")
+      assert(dist.mightContainLong(h), s"distributed bloom missing $h")
+    }
+    // the input copy stays untouched (the crash-safety contract)
+    assert(!prev.mightContainLong(hashes.head))
+    // mis-sized prev (different expectedItems → incompatible merge):
+    // the distributed path must fall back, not throw, and still admit
+    val odd = org.apache.spark.util.sketch.BloomFilter.create(1000L, 0.1)
+    odd.putLong(7L)
+    val fb = BloomState.append(df, "h", Some(odd), 100000L, 0.01,
+      driverMaxRows = 0L)
+    (hashes :+ 7L).foreach(h =>
+      assert(fb.mightContainLong(h), s"fallback bloom missing $h"))
+  }
+
   test("requireBatchLayout fails fast on pre-layout flat parquet at the root") {
     val root = newRoot("graft_batches_flat")
     Seq(1L, 2L).toDF("v").write.parquet(root) // old flat-append layout
