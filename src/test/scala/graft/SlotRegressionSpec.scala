@@ -108,6 +108,56 @@ class SlotRegressionSpec extends SparkSpec {
       s"hr coef ${co._3 / 1e6} vs $c")
   }
 
+  test("fixed-point algebra EXACTLY matches a BigInt replay on random " +
+    "slot frames (no silent long overflow within the documented " +
+    "label bound, signs included)") {
+    val rnd = new scala.util.Random(20260815L)
+    def coefRef(det: BigInt, det0: BigInt): Long =
+      if (det0 == 0) 0L
+      else {
+        val ad = det.abs
+        val q = (ad / det0) * 10000 + ((ad % det0) * 10000) / det0
+        (if (det < 0) -q else q).toLong
+      }
+    for (trial <- 1 to 8) {
+      // random sparse slot grid, labels up to ±1e7 cents (the
+      // documented headroom is ~8e8) — negative labels exercise every
+      // sign-split branch
+      val slots = for {
+        dow <- 0 to 6; hr <- Seq(0, 4, 9, 13, 17, 22)
+        if rnd.nextDouble() > 0.25
+      } yield (1L, dow.toLong, hr.toLong, rnd.nextLong() % 10000000L)
+      val df = slots.toDF("user_id", "dow", "hr", "y")
+      val got = SlotRegression.fitU6(df, "user_id").collect().head
+      val n = BigInt(slots.size)
+      def s(f: ((Long, Long, Long, Long)) => BigInt): BigInt =
+        slots.map(f).sum
+      val (sx1, sx2) = (s(r => BigInt(r._2)), s(r => BigInt(r._3)))
+      val sx11 = s(r => BigInt(r._2) * r._2)
+      val sx22 = s(r => BigInt(r._3) * r._3)
+      val sx12 = s(r => BigInt(r._2) * r._3)
+      val sy = s(r => BigInt(r._4))
+      val sx1y = s(r => BigInt(r._2) * r._4)
+      val sx2y = s(r => BigInt(r._3) * r._4)
+      val det0 = n * (sx11 * sx22 - sx12 * sx12) -
+        sx1 * (sx1 * sx22 - sx12 * sx2) + sx2 * (sx1 * sx12 - sx11 * sx2)
+      val detA = sy * (sx11 * sx22 - sx12 * sx12) -
+        sx1 * (sx1y * sx22 - sx12 * sx2y) +
+        sx2 * (sx1y * sx12 - sx11 * sx2y)
+      val detB = n * (sx1y * sx22 - sx12 * sx2y) -
+        sy * (sx1 * sx22 - sx12 * sx2) + sx2 * (sx1 * sx2y - sx1y * sx2)
+      val detC = n * (sx11 * sx2y - sx12 * sx1y) -
+        sx1 * (sx1 * sx2y - sx1y * sx2) + sy * (sx1 * sx12 - sx11 * sx2)
+      assert(got.getAs[Long]("det0") == det0.toLong, s"trial $trial det0")
+      assert(got.getAs[Long]("a_u6") == coefRef(detA, det0),
+        s"trial $trial a")
+      assert(got.getAs[Long]("b_u6") == coefRef(detB, det0),
+        s"trial $trial b")
+      assert(got.getAs[Long]("c_u6") == coefRef(detC, det0),
+        s"trial $trial c")
+    }
+  }
+
   test("fitStatsU6: a perfectly linear corpus reads ~zero residuals; " +
     "a jittered one reads MAE/max of the true residual distribution") {
     val perfect = fixture(base = 100.0, bDow = 10.0, cHr = 5.0)
