@@ -306,28 +306,63 @@ object Forecast {
     val g = denseUnits(
       bucketUnits(df, keyCol, tsCol, valueCol, bucketSec), keyCol, bucketSec)
     val w = Window.partitionBy(col(keyCol)).orderBy("bucket_ts")
-    // window expressions must sit at the top level of a projection —
-    // compute the maxLag lag columns there (one shared sort), THEN
-    // pack them into the explode array
-    val lagged = g.select(col(keyCol) +: col("u").as("_y") +:
-      (1 to maxLag).map(l => lag(col("u"), l).over(w).as(s"_x$l")): _*)
-    val lagArr = array((1 to maxLag).map(l =>
-      struct(lit(l).as("lag"), col(s"_x$l").as("_x"))): _*)
-    val pairs = lagged.select(col(keyCol), col("_y"),
-        explode(lagArr).as("_e"))
-      .select(col(keyCol), col("_e.lag").as("lag"),
-        col("_e._x").as("_x"), col("_y"))
+    // Of the five sufficient sums per (key, lag), four are PREFIX
+    // sums of the dense series — on the zero-filled spine with rows
+    // indexed t = 1..T, the lag-ℓ pair set is exactly
+    // (u_{t−ℓ}, u_t) for t in ℓ+1..T, so
+    //   n(ℓ)  = T − ℓ
+    //   sx(ℓ) = P[T−ℓ]          sxx(ℓ) = PP[T−ℓ]
+    //   sy(ℓ) = P[T] − P[ℓ]     syy(ℓ) = PP[T] − PP[ℓ]
+    // with P/PP the running sums of u and u². Only the cross product
+    // sxy(ℓ) = Σ u_{t−ℓ}·u_t genuinely needs the spine×maxLag pair
+    // explode — so that explode now carries ONE lprodSum instead of
+    // five aggregates (round-14 bench: ts_dominant_period's 52M-pair
+    // aggregation was 12 accumulator updates per row; this form pays
+    // 3). All sums are exact integers/decimals either way, so the
+    // final doubles — and the oracle hash — are bit-identical.
+    // Window expressions must sit at the top level of a projection:
+    // position, running sums and the maxLag lag columns all share the
+    // ONE per-key sort.
+    val withPos = g.select(
+      col(keyCol) +: col("u").as("_y") +:
+        row_number().over(w).as("_t") +:
+        sum(col("u")).over(w).as("_p") +:
+        sum(col("u").cast("decimal(38,0)") * col("u")).over(w).as("_pp") +:
+        (1 to maxLag).map(l => lag(col("u"), l).over(w).as(s"_x$l")): _*)
+    // the only pair-grain work: (lag, x) via posexplode of a plain
+    // long array (lag = pos + 1 — cheaper rows than lag-struct ones)
+    val lagArr = array((1 to maxLag).map(l => col(s"_x$l")): _*)
+    val sxy = withPos
+      .select(col(keyCol), col("_y"), posexplode(lagArr).as(Seq("_pos", "_x")))
       .filter(col("_x").isNotNull)
-    val sums = pairs
+      .select(col(keyCol), (col("_pos") + 1).as("lag"), col("_x"), col("_y"))
       .groupBy(col(keyCol), col("lag"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
-        // split-word product sums: exact decimal totals at primitive-
-        // long per-row cost (graft.util.Exact.lprodSum — the per-row
-        // decimal form benched 75 s vs 18 s on these 52M products)
-        graft.util.Exact.lprodSum(col("_x"), col("_y")).as("_sxy"),
-        graft.util.Exact.lprodSum(col("_x"), col("_x")).as("_sxx"),
-        graft.util.Exact.lprodSum(col("_y"), col("_y")).as("_syy"))
+      // split-word product sum: exact decimal total at primitive-long
+      // per-row cost (graft.util.Exact.lprodSum — the per-row decimal
+      // form benched 75 s vs 18 s on these 52M products)
+      .agg(graft.util.Exact.lprodSum(col("_x"), col("_y")).as("_sxy"))
+    val prefixes = withPos.select(col(keyCol), col("_t"), col("_p"),
+      col("_pp"))
+    val totals = g.groupBy(col(keyCol)).agg(count(lit(1)).as("_len"),
+      sum(col("u")).as("_ptot"),
+      sum(col("u").cast("decimal(38,0)") * col("u")).as("_pptot"))
+    // tail rows carry P[T−ℓ]/PP[T−ℓ] and define the (key, lag) domain
+    // (ℓ = T − t for t in T−maxLag..T−1); head rows carry P[ℓ]/PP[ℓ]
+    val tail = prefixes.join(totals, Seq(keyCol))
+      .filter(col("_t") >= col("_len") - maxLag && col("_t") < col("_len"))
+      .select(col(keyCol),
+        (col("_len") - col("_t")).cast("int").as("lag"),
+        col("_len"), col("_ptot"), col("_pptot"),
+        col("_p").as("_sx"), col("_pp").as("_sxx"))
+    val head = prefixes.filter(col("_t") <= maxLag)
+      .select(col(keyCol), col("_t").as("lag"),
+        col("_p").as("_ph"), col("_pp").as("_pph"))
+    val sums = tail.join(head, Seq(keyCol, "lag"))
+      .join(sxy, Seq(keyCol, "lag"))
+      .select(col(keyCol), col("lag"),
+        (col("_len") - col("lag")).as("n"),
+        col("_sx"), (col("_ptot") - col("_ph")).as("_sy"),
+        col("_sxy"), col("_sxx"), (col("_pptot") - col("_pph")).as("_syy"))
     val num = col("n").cast("double") * col("_sxy").cast("double") -
       col("_sx").cast("double") * col("_sy").cast("double")
     val vx = col("n").cast("double") * col("_sxx").cast("double") -
