@@ -323,9 +323,17 @@ object Forecast {
     // Window expressions must sit at the top level of a projection:
     // position, running sums and the maxLag lag columns all share the
     // ONE per-key sort.
+    // _len rides the SAME key partitioning as the ordered window (an
+    // unordered partition count — no extra shuffle), so the head/tail
+    // prefix rows are MAP-SIDE filters of the spine: no spine-scale
+    // join anywhere (the first cut joined per-key totals against the
+    // full spine to compute T − t and probed 3× slower at the ×30
+    // key-cardinality scale)
+    val wPart = Window.partitionBy(col(keyCol))
     val withPos = g.select(
       col(keyCol) +: col("u").as("_y") +:
         row_number().over(w).as("_t") +:
+        count(lit(1)).over(wPart).as("_len") +:
         sum(col("u")).over(w).as("_p") +:
         sum(col("u").cast("decimal(38,0)") * col("u")).over(w).as("_pp") +:
         (1 to maxLag).map(l => lag(col("u"), l).over(w).as(s"_x$l")): _*)
@@ -341,19 +349,19 @@ object Forecast {
       // per-row cost (graft.util.Exact.lprodSum — the per-row decimal
       // form benched 75 s vs 18 s on these 52M products)
       .agg(graft.util.Exact.lprodSum(col("_x"), col("_y")).as("_sxy"))
-    val prefixes = withPos.select(col(keyCol), col("_t"), col("_p"),
-      col("_pp"))
-    val totals = g.groupBy(col(keyCol)).agg(count(lit(1)).as("_len"),
-      sum(col("u")).as("_ptot"),
-      sum(col("u").cast("decimal(38,0)") * col("u")).as("_pptot"))
+    val prefixes = withPos.select(col(keyCol), col("_t"), col("_len"),
+      col("_p"), col("_pp"))
+    // per-key totals are the LAST prefix row — a filter, not an agg
+    val totalsRow = prefixes.filter(col("_t") === col("_len"))
+      .select(col(keyCol), col("_p").as("_ptot"), col("_pp").as("_pptot"))
     // tail rows carry P[T−ℓ]/PP[T−ℓ] and define the (key, lag) domain
     // (ℓ = T − t for t in T−maxLag..T−1); head rows carry P[ℓ]/PP[ℓ]
-    val tail = prefixes.join(totals, Seq(keyCol))
+    val tail = prefixes
       .filter(col("_t") >= col("_len") - maxLag && col("_t") < col("_len"))
       .select(col(keyCol),
         (col("_len") - col("_t")).cast("int").as("lag"),
-        col("_len"), col("_ptot"), col("_pptot"),
-        col("_p").as("_sx"), col("_pp").as("_sxx"))
+        col("_len"), col("_p").as("_sx"), col("_pp").as("_sxx"))
+      .join(totalsRow, Seq(keyCol))
     val head = prefixes.filter(col("_t") <= maxLag)
       .select(col(keyCol), col("_t").as("lag"),
         col("_p").as("_ph"), col("_pp").as("_pph"))
