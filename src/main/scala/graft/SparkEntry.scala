@@ -1270,6 +1270,11 @@ object SparkEntry {
       TextStats.tfidfTopK(Tables.documents(s, dir), "doc_id", "text", 3)
         .orderBy("doc_id", "rnk")),
     // ---- corpus-unigram quality score (LM-filter stand-in) ----
+    // smoothed CONDITIONAL LM score (the CCNet perplexity analog):
+    // add-one P(w2|w1) quantized to u9 per bigram value, exact
+    // integer mean per doc
+    "t_lm_condprob" -> ((s, dir) =>
+      TextStats.lmCondScore(Tables.documents(s, dir), "doc_id", "text")),
     "t_unigram_score" -> ((s, dir) =>
       TextStats.unigramScore(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
@@ -5698,6 +5703,23 @@ object SparkEntry {
         |        ORDER BY score DESC, term) AS INT) rnk FROM scored)
         |SELECT doc_id, term, tf, df, score, rnk FROM r
         |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "t_lm_condprob" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') w FROM documents),
+        |g AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        |      FROM t, UNNEST(generate_series(1, greatest(len(w)-1, 0))) AS gs(i)),
+        |tf AS (SELECT doc_id, w1, w2, COUNT(*) tf FROM g GROUP BY 1, 2, 3),
+        |cnt AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) cnt FROM tf GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) c1 FROM cnt GROUP BY 1),
+        |v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab
+        |      FROM (SELECT unnest(w) AS tok FROM t)),
+        |p AS (SELECT cnt.w1, cnt.w2,
+        |        (1000000000 * (cnt.cnt + 1)) // (c1.c1 + v.vocab) AS p_u9
+        |      FROM cnt JOIN c1 USING (w1), v)
+        |SELECT tf.doc_id AS doc_id,
+        |       CAST(SUM(tf.tf) AS BIGINT) AS n_bigrams,
+        |       CAST(SUM(tf.tf * p.p_u9) // SUM(tf.tf) AS BIGINT) AS lm_u9
+        |FROM tf JOIN p ON tf.w1 = p.w1 AND tf.w2 = p.w2
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "t_unigram_score" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
         |            FROM documents),

@@ -287,6 +287,53 @@ object TextStats {
           .as("avg_bigram_prob"))
   }
 
+  /** Add-one-smoothed CONDITIONAL bigram LM score — the CCNet-style
+    * scorer proper (Wenzek et al. 2020 rank by LM perplexity, i.e.
+    * P(w₂|w₁) chains, not joint typicality): per bigram VALUE the
+    * smoothed conditional probability
+    *   P̂(w₂|w₁) = (c(w₁w₂) + 1) / (c(w₁·) + V)
+    * (add-one over the corpus vocabulary V, c(w₁·) the left-context
+    * total), QUANTIZED per value to u9 fixed point by integer
+    * division — which is what makes a conditional-probability MEAN
+    * deterministic at all: summing raw per-event fractions with
+    * differing denominators is float-addition-order-dependent under
+    * shuffle (the documented reason [[bigramScore]] rejected the
+    * conditional form), while quantized longs sum exactly in any
+    * order and the oracle replays every division. Doc score =
+    * (Σ tf·p_u9) div n — the integer mean of its events' smoothed
+    * conditional probabilities (log-free on purpose: cross-engine
+    * `ln` is not bit-reproducible). Documents with fewer than two
+    * tokens emit no row.
+    *
+    * Scale shape: counts live at bigram-vocab cardinality, the
+    * context totals at unigram-vocab; the probability attaches to the
+    * (doc, bigram) tf grain by a vocab-keyed join; V is a one-row
+    * broadcast. No event-grain join, no all-pairs. */
+  def lmCondScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), TextDedup.tokens(col(textCol)).as("_w"))
+    val tf = toks.select(col(idCol),
+        explode(TextDedup.shingleArray(col("_w"), 2)).as("bg"))
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("tf"))
+    val cnt = tf.groupBy(col("bg")).agg(sum(col("tf")).as("cnt"))
+    val c1 = cnt
+      .groupBy(split(col("bg"), " ").getItem(0).as("_w1"))
+      .agg(sum(col("cnt")).as("_c1"))
+    val vocab = toks.select(explode(col("_w")).as("_tok"))
+      .agg(count_distinct(col("_tok")).as("_v"))
+    val p = cnt.withColumn("_w1", split(col("bg"), " ").getItem(0))
+      .join(c1, Seq("_w1")).crossJoin(broadcast(vocab))
+      .select(col("bg"),
+        call_function("div", lit(1000000000L) * (col("cnt") + lit(1L)),
+          col("_c1") + col("_v")).as("_p"))
+    tf.join(p, Seq("bg"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("tf") * col("_p")).as("_su"))
+      .select(col(idCol), col("n_bigrams"),
+        call_function("div", col("_su"), col("n_bigrams")).as("lm_u9"))
+      .orderBy(idCol)
+  }
+
   /** Per-batch corpus term counts `(term, cnt)` — the additive partial
     * for the streaming unigram-stats MV
     * ([[graft.streaming.Ingest.startUnigramSink]]). Long counts are

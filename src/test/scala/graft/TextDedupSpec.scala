@@ -616,6 +616,34 @@ class TextDedupSpec extends SparkSpec {
       s"shuffled doc must score far below natural: ${bi(5L)} vs ${bi(1L)}")
   }
 
+  test("lmCondScore: hand-computed add-one conditional probabilities, " +
+    "quantized exactly; sub-2-token docs emit no row; order " +
+    "sensitivity matches the conditional-LM intuition") {
+    // corpus: doc1 "a b a b", doc2 "a c", doc3 "a" (no bigram)
+    // bigram counts: ab=2, ba=1, ac=1; left totals: a->3, b->1; V=3
+    // p_u9(ab) = 1e9*(2+1) div (3+3) = 500000000
+    // p_u9(ba) = 1e9*(1+1) div (1+3) = 500000000
+    // p_u9(ac) = 1e9*(1+1) div (3+3) = 333333333
+    // doc1: n=3 (ab,ba,ab), mean = (2*5e8 + 1*5e8) div 3 = 500000000
+    // doc2: n=1, mean = 333333333
+    val d = Seq((1L, "a b a b"), (2L, "a c"), (3L, "a"))
+      .toDF("doc_id", "text")
+    val out = TextStats.lmCondScore(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out == Map(1L -> ((3L, 500000000L)), 2L -> ((1L, 333333333L))),
+      out.toString)
+    // conditional form: a scrambled doc scores below its natural twin
+    val natural = "the quick brown fox jumps over the lazy dog"
+    val shuffled = "dog the over fox lazy quick the jumps brown"
+    val c = ((1L to 4L).map(_ -> natural) :+ (5L -> shuffled))
+      .toDF("doc_id", "text")
+    val lm = TextStats.lmCondScore(c, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(lm(5L) < lm(1L) / 2,
+      s"shuffled doc must score far below natural: ${lm(5L)} vs ${lm(1L)}")
+  }
+
   test("bpeMerges learns deterministic merge rules; merge is left-to-right non-overlapping") {
     val d = Seq((1L, "aab aab"), (2L, "aab ab")).toDF("doc_id", "text")
     // wf: aab x3, ab x1 → round 1 pairs (a,a):3, (a,b):4 → merge (a,b)
