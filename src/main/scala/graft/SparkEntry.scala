@@ -490,6 +490,13 @@ object SparkEntry {
     "a7_window_stats" -> ((s, dir) =>
       WindowStats.multiWindow(ev(s, dir), "ts", "value",
         Seq("1h" -> 3600L, "5h" -> 18000L, "24h" -> 86400L, "7d" -> 604800L))),
+    // per-event trailing time-RANGE frame (1 h): the window family's
+    // time-frame member — rows sharing a timestamp are all in or out
+    // together, gaps shrink the frame; the rolling volume rides exact
+    // long cents (engines disagree on windowed double sums)
+    "w_range_trailing_1h" -> ((s, dir) =>
+      WindowStats.trailingRange(ev(s, dir), "user_id", "event_id",
+        "ts", "value", windowSec = 3600L)),
     // ---- A5: per-key hourly sums (the grain A6 fits from) ----
     "a5_hourly_sums" -> ((s, dir) =>
       Percentiles.hourlyPartials(ev(s, dir), "user_id", "ts", "value")
@@ -3246,6 +3253,20 @@ object SparkEntry {
          |$cols
          |FROM events, m GROUP BY m.now_ts""".stripMargin
     },
+    "w_range_trailing_1h" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+        |         CAST(round(value * 100) AS BIGINT) AS u
+        |  FROM events)
+        |SELECT user_id, event_id, ts_epoch,
+        |       COUNT(*) OVER w AS n_trailing,
+        |       CAST(CAST(SUM(u) OVER w AS DECIMAL(38,0)) / 100 AS DOUBLE)
+        |         AS trailing_volume
+        |FROM b
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_epoch
+        |             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "a5_hourly_sums" ->
       """SELECT user_id,
         |       CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_ts,

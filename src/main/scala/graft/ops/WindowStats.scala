@@ -65,4 +65,40 @@ object WindowStats {
     }
     pruned.agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Per-EVENT trailing time-RANGE window — the frame family A7's
+    * snapshot form cannot express: for every event, the count and
+    * exact volume of its key's events in the trailing `windowSec`
+    * seconds INCLUDING itself (`RANGE BETWEEN windowSec−1 PRECEDING
+    * AND CURRENT ROW` over epoch seconds — a time frame, so rows
+    * sharing a timestamp are all in or all out together, unlike a
+    * ROWS frame, and gaps in the series shrink the frame instead of
+    * reaching further back). The rolling volume rides exact long
+    * cents: engines disagree on windowed DOUBLE sums (different
+    * accumulation trees — Spark re-adds the frame per row, DuckDB
+    * uses segment trees), while long addition is order-free; the one
+    * double division per row is IEEE-identical on identical inputs.
+    *
+    * Scale shape: one shuffle on the key, one per-key sort shared by
+    * both window aggregates; the frame is bounded by wall-clock, so
+    * state per row is the key's event rate × windowSec regardless of
+    * corpus size. */
+  def trailingRange(df: DataFrame, keyCol: String, idCol: String,
+                    tsCol: String, valueCol: String,
+                    windowSec: Long): DataFrame = {
+    require(windowSec >= 1, s"windowSec must be >= 1: $windowSec")
+    val base = df.select(col(keyCol), col(idCol),
+      unix_timestamp(col(tsCol)).as("ts_epoch"),
+      round(col(valueCol) * 100).cast("long").as("_u"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("ts_epoch"))
+      .rangeBetween(-(windowSec - 1), 0)
+    base.select(col(keyCol), col(idCol), col("ts_epoch"),
+        count(lit(1)).over(w).as("n_trailing"),
+        sum(col("_u")).over(w).as("_tu"))
+      .select(col(keyCol), col(idCol), col("ts_epoch"),
+        col("n_trailing"),
+        Exact.unitsToDouble2(col("_tu")).as("trailing_volume"))
+      .orderBy(idCol)
+  }
 }

@@ -36,6 +36,33 @@ class EdgeCasesSpec extends SparkSpec {
     r.foreach(row => assert(row.getAs[Double]("total_1h") == 0.0))
   }
 
+  test("trailingRange: time-frame semantics — ties all in together, " +
+    "gaps shrink the frame, boundary row exactly windowSec-1 back " +
+    "included, windowSec back excluded") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // key 1: events at t=0, 0 (tie), 3599 (inside from 0), 3600 (0 now
+    // out), 10000 (alone after a gap); key 2 independent
+    val df = Seq(
+      (1L, 10L, ts("2024-02-05 00:00:00"), 1.0),
+      (1L, 11L, ts("2024-02-05 00:00:00"), 2.0),  // tie with 10
+      (1L, 12L, ts("2024-02-05 00:59:59"), 4.0),  // 3599 s later: in
+      (1L, 13L, ts("2024-02-05 01:00:00"), 8.0),  // 3600 s: 0 drops out
+      (1L, 14L, ts("2024-02-05 02:46:40"), 16.0), // gap: alone
+      (2L, 20L, ts("2024-02-05 00:30:00"), 100.0)
+    ).toDF("user_id", "event_id", "ts", "value")
+    val out = WindowStats.trailingRange(df, "user_id", "event_id",
+        "ts", "value", windowSec = 3600L)
+      .collect()
+      .map(r => r.getLong(1) -> (r.getLong(3), r.getDouble(4))).toMap
+    // tied rows see EACH OTHER (time frame, not row frame)
+    assert(out(10L) == ((2L, 3.0)) && out(11L) == ((2L, 3.0)), out.toString)
+    assert(out(12L) == ((3L, 7.0)))   // 0,0,3599 all inside
+    assert(out(13L) == ((2L, 12.0)))  // the two t=0 rows dropped out
+    assert(out(14L) == ((1L, 16.0)))  // gap shrinks the frame
+    assert(out(20L) == ((1L, 100.0))) // keys independent
+  }
+
   test("percentile thresholds on empty and single point") {
     assert(Percentiles.thresholds(empty, "user_id", "ts", "value")
       .collect().isEmpty)
