@@ -497,6 +497,37 @@ object SparkEntry {
     "w_range_trailing_1h" -> ((s, dir) =>
       WindowStats.trailingRange(ev(s, dir), "user_id", "event_id",
         "ts", "value", windowSec = 3600L)),
+    // ---- semi-structured payload extraction: JSON event metadata
+    // (device/fw/nested geo) parsed with BOTH native paths —
+    // get_json_object for point lookups, from_json for the typed
+    // nested struct — then aggregated per device. The payload is
+    // synthesized deterministically (the withSynthUrl precedent:
+    // identical construction in the oracle); lat values are exact
+    // halves so the double sum is order-independent without a
+    // decimal hop ----
+    "x_json_extract" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val payload = concat(lit("{\"device\":\"dev-"),
+        pmod(col("user_id"), lit(7)).cast("string"),
+        lit("\",\"fw\":"), pmod(col("event_id"), lit(13)).cast("string"),
+        lit(",\"geo\":{\"lat\":"),
+        (pmod(col("user_id"), lit(90)).cast("double") + lit(0.5))
+          .cast("string"),
+        lit("}}"))
+      e.withColumn("_p", payload)
+        .select(
+          get_json_object(col("_p"), "$.device").as("device"),
+          get_json_object(col("_p"), "$.fw").cast("long").as("fw"),
+          from_json(col("_p"),
+            "device STRING, fw BIGINT, geo STRUCT<lat: DOUBLE>",
+            Map.empty[String, String])
+            .getField("geo").getField("lat").as("lat"))
+        .groupBy(col("device"))
+        .agg(count(lit(1)).as("n_events"),
+          max(col("fw")).as("max_fw"),
+          avg(col("lat")).as("avg_lat"))
+        .orderBy("device")
+    }),
     // ---- A5: per-key hourly sums (the grain A6 fits from) ----
     "a5_hourly_sums" -> ((s, dir) =>
       Percentiles.hourlyPartials(ev(s, dir), "user_id", "ts", "value")
@@ -3253,6 +3284,20 @@ object SparkEntry {
          |$cols
          |FROM events, m GROUP BY m.now_ts""".stripMargin
     },
+    "x_json_extract" ->
+      """WITH p AS (
+        |  SELECT '{"device":"dev-' || CAST(user_id % 7 AS VARCHAR) ||
+        |         '","fw":' || CAST(event_id % 13 AS VARCHAR) ||
+        |         ',"geo":{"lat":' ||
+        |         CAST(CAST(user_id % 90 AS DOUBLE) + 0.5 AS VARCHAR) ||
+        |         '}}' AS j
+        |  FROM events)
+        |SELECT json_extract_string(j, '$.device') AS device,
+        |       COUNT(*) AS n_events,
+        |       MAX(CAST(json_extract_string(j, '$.fw') AS BIGINT)) AS max_fw,
+        |       AVG(CAST(json_extract_string(j, '$.geo.lat') AS DOUBLE))
+        |         AS avg_lat
+        |FROM p GROUP BY 1 ORDER BY device""".stripMargin,
     "w_range_trailing_1h" ->
       """WITH b AS (
         |  SELECT user_id, event_id,

@@ -63,6 +63,32 @@ class EdgeCasesSpec extends SparkSpec {
     assert(out(20L) == ((1L, 100.0))) // keys independent
   }
 
+  test("JSON payload extraction: point lookup and typed struct parse " +
+    "agree; malformed payloads yield null, never throw") {
+    val df = Seq(
+      """{"device":"dev-3","fw":7,"geo":{"lat":12.5}}""",
+      """{"device":"dev-0","fw":0,"geo":{"lat":0.5}}""",
+      """not json at all""",
+      """{"device":"dev-9","fw":"""
+    ).toDF("j")
+    val out = df.select(
+        get_json_object(col("j"), "$.device").as("d1"),
+        from_json(col("j"),
+          "device STRING, fw BIGINT, geo STRUCT<lat: DOUBLE>",
+          Map.empty[String, String]).as("s"))
+      .select(col("d1"), col("s.device").as("d2"), col("s.fw"),
+        col("s.geo.lat").as("lat"))
+      .collect()
+    assert(out(0).getString(0) == "dev-3" &&
+      out(0).getString(1) == "dev-3" &&
+      out(0).getLong(2) == 7L && out(0).getDouble(3) == 12.5)
+    assert(out(1).getString(0) == "dev-0" && out(1).getDouble(3) == 0.5)
+    // malformed: both paths degrade to null (PERMISSIVE mode), no throw
+    assert(out(2).isNullAt(0) && out(2).isNullAt(1) && out(2).isNullAt(3))
+    assert(out(3).isNullAt(0) || out(3).getString(0) == "dev-9")
+    assert(out(3).isNullAt(2), "truncated payload must not parse fw")
+  }
+
   test("percentile thresholds on empty and single point") {
     assert(Percentiles.thresholds(empty, "user_id", "ts", "value")
       .collect().isEmpty)
