@@ -497,6 +497,21 @@ object SparkEntry {
     "w_range_trailing_1h" -> ((s, dir) =>
       WindowStats.trailingRange(ev(s, dir), "user_id", "event_id",
         "ts", "value", windowSec = 3600L)),
+    // ---- UNPIVOT (melt): the inverse of A9's pivot — per-user wide
+    // metric columns melted back to (user, metric, n) long form via
+    // the native Dataset.unpivot (Spark 3.4+); the oracle spells the
+    // same melt as a portable UNION ALL ----
+    "a15_unpivot_metrics" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val wide = e.groupBy(col("user_id")).agg(
+        count(when(col("event_type") === "view", 1)).as("n_view"),
+        count(when(col("event_type") === "click", 1)).as("n_click"),
+        count(when(col("event_type") === "error", 1)).as("n_error"))
+      wide.unpivot(Array(col("user_id")),
+          Array(col("n_view"), col("n_click"), col("n_error")),
+          "metric", "n")
+        .orderBy("user_id", "metric")
+    }),
     // ---- semi-structured payload extraction: JSON event metadata
     // (device/fw/nested geo) parsed with BOTH native paths —
     // get_json_object for point lookups, from_json for the typed
@@ -3284,6 +3299,20 @@ object SparkEntry {
          |$cols
          |FROM events, m GROUP BY m.now_ts""".stripMargin
     },
+    "a15_unpivot_metrics" ->
+      """WITH w AS (
+        |  SELECT user_id,
+        |         COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+        |         COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+        |         COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error
+        |  FROM events GROUP BY 1)
+        |SELECT user_id, metric, n FROM (
+        |  SELECT user_id, 'n_view' AS metric, n_view AS n FROM w
+        |  UNION ALL
+        |  SELECT user_id, 'n_click', n_click FROM w
+        |  UNION ALL
+        |  SELECT user_id, 'n_error', n_error FROM w)
+        |ORDER BY user_id, metric""".stripMargin,
     "x_json_extract" ->
       """WITH p AS (
         |  SELECT '{"device":"dev-' || CAST(user_id % 7 AS VARCHAR) ||
