@@ -497,6 +497,25 @@ object SparkEntry {
     "w_range_trailing_1h" -> ((s, dir) =>
       WindowStats.trailingRange(ev(s, dir), "user_id", "event_id",
         "ts", "value", windowSec = 3600L)),
+    // ---- native session windows (batch form of the streaming
+    // gap-session API): events on a SECOND-truncated clock (the repo's
+    // epoch-second discipline — raw micros would hand the oracle a
+    // ns-vs-µs boundary hazard) grouped into 30-minute-gap sessions;
+    // window end is Spark's max(ts)+gap convention, mirrored in the
+    // oracle's lag/flag/cumsum replay ----
+    "a16_session_window" -> ((s, dir) => {
+      val e = ev(s, dir)
+      e.groupBy(col("user_id"),
+          session_window(date_trunc("second", col("ts")),
+            "1800 seconds").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.util.Exact.dsum2(col("value")).as("session_volume"))
+        .select(col("user_id"),
+          unix_timestamp(col("sw.start")).as("session_start"),
+          unix_timestamp(col("sw.end")).as("session_end"),
+          col("n_events"), col("session_volume"))
+        .orderBy("user_id", "session_start")
+    }),
     // ---- UNPIVOT (melt): the inverse of A9's pivot — per-user wide
     // metric columns melted back to (user, metric, n) long form via
     // the native Dataset.unpivot (Spark 3.4+); the oracle spells the
@@ -3299,6 +3318,30 @@ object SparkEntry {
          |$cols
          |FROM events, m GROUP BY m.now_ts""".stripMargin
     },
+    "a16_session_window" ->
+      """WITH o AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) eps, value,
+        |         LAG(CAST(floor(epoch(ts)) AS BIGINT))
+        |           OVER (PARTITION BY user_id ORDER BY ts) prev
+        |  FROM events),
+        |brk AS (
+        |  SELECT user_id, eps, value,
+        |         CASE WHEN prev IS NULL OR eps - prev >= 1800
+        |              THEN 1 ELSE 0 END b
+        |  FROM o),
+        |sess AS (
+        |  SELECT user_id, eps, value,
+        |         SUM(b) OVER (PARTITION BY user_id ORDER BY eps
+        |                      ROWS UNBOUNDED PRECEDING) sid
+        |  FROM brk)
+        |SELECT user_id,
+        |       CAST(MIN(eps) AS BIGINT) AS session_start,
+        |       CAST(MAX(eps) + 1800 AS BIGINT) AS session_end,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE)
+        |         AS session_volume
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "a15_unpivot_metrics" ->
       """WITH w AS (
         |  SELECT user_id,
