@@ -32,6 +32,10 @@ import org.apache.spark.sql.SparkSession
   *    join as g_pagerank, served from the edge-log MV (g_kcore's
   *    semi-joins read clean: AQE broadcasts the node-scale keep
   *    set).
+  * Round-14 addition, deliberate:
+  *  - t_lm_condprob: BroadcastNestedLoop — the one-row vocabulary
+  *    scalar broadcast (the t_unigram_score/t_bigram_score totals
+  *    pattern).
   * Anything NEW appearing here deserves a look.
   */
 object AuditAll {
