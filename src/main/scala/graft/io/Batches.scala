@@ -104,13 +104,21 @@ object Batches {
 
   /** Read the layout's live content (base + tail) with `b` as a
     * partition column (the base dir's rows carry its tag). None when
-    * nothing has been written yet. */
+    * nothing has been written yet.
+    *
+    * `mergeSchema` is ON: a long-running sink redeployed with newer
+    * code may add columns to later batches, and the default
+    * sample-one-file schema SILENTLY DROPS them from every read
+    * (SchemaEvolutionSpec pins the contract: evolved columns surface,
+    * nulled on elder rows). The merge pass reads footers only, and the
+    * dir count is bounded by the compaction cadence. */
   def read(s: SparkSession, root: String,
            below: Option[Long] = None): Option[DataFrame] = {
     requireBatchLayout(s, root)
     val dirs = liveDirs(s, root, below)
     if (dirs.isEmpty) None
-    else Some(s.read.option("basePath", root).parquet(dirs: _*))
+    else Some(s.read.option("basePath", root)
+      .option("mergeSchema", "true").parquet(dirs: _*))
   }
 
   /** Fold the compacted base plus every committed batch dir with
