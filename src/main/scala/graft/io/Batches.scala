@@ -168,18 +168,24 @@ object Batches {
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
     val shaped =
       if (partitionBy.isEmpty)
-        s.read.option("basePath", root).parquet(paths: _*)
+        // mergeSchema for the same reason as read(): folding an
+        // evolved tail into the base must not drop its added columns
+        s.read.option("basePath", root).option("mergeSchema", "true")
+          .parquet(paths: _*)
           .drop("b") // the new base dir's name carries the provenance tag
           .coalesce(nFiles.toInt)
       else {
         // mixed read: the old base carries partitionBy as partition
-        // dirs, flat tails re-derive them (see scaladoc)
+        // dirs, flat tails re-derive them (see scaladoc);
+        // allowMissingColumns = the unionByName spelling of the same
+        // schema-evolution contract (elder frames null the new column)
         val oldBase = if (w >= 0L)
-          Seq(s.read.parquet(s"$root/b=${-(w + 2L)}")) else Nil
+          Seq(s.read.option("mergeSchema", "true")
+            .parquet(s"$root/b=${-(w + 2L)}")) else Nil
         val tails = candidates.sorted
           .map(id => deriveTail(s.read.parquet(s"$root/b=$id")))
         (oldBase ++ tails)
-          .reduce(_.unionByName(_))
+          .reduce(_.unionByName(_, allowMissingColumns = true))
           .repartition(nFiles.toInt,
             partitionBy.map(org.apache.spark.sql.functions.col): _*)
       }
