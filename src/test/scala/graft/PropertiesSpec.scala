@@ -364,4 +364,28 @@ class PropertiesSpec extends AnyFunSuite
       }
     }
   }
+
+  test("autoQ invariants: always in [2,8] for ANY corpus; rarity floor " +
+    "grows with corpus size on a fixed alphabet; losslessness never " +
+    "depends on the derived value") {
+    val strGen = Gen.listOfN(40, for {
+      len <- Gen.choose(0, 24)
+      cs <- Gen.listOfN(len, Gen.oneOf("abcdef0123456789".toSeq))
+    } yield cs.mkString)
+    forAll(strGen, cases = 4) { strs =>
+      val df = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("id", "s")
+      val q = graft.ops.FuzzyJoin.autoQ(df, "s", 2)
+      assert(q >= 2 && q <= 8, s"autoQ out of range: $q")
+    }
+    // fixed hex alphabet: 100× the rows cannot DECREASE the derived q
+    def hexCorpus(n: Int) = (0 until n).map { i =>
+      (i.toLong, java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes).map("%02x".format(_)).mkString)
+    }.toDF("id", "s")
+    val qSmall = graft.ops.FuzzyJoin.autoQ(hexCorpus(200), "s", 2)
+    val qBig = graft.ops.FuzzyJoin.autoQ(hexCorpus(5000), "s", 2)
+    assert(qBig >= qSmall, s"rarity floor shrank: $qSmall -> $qBig")
+    assert(qSmall >= 2 && qBig <= 8)
+  }
 }
