@@ -170,7 +170,10 @@ object SlotRegression {
             .otherwise(col("a_u6") + col("b_u6") * col("dow") +
               col("c_u6") * col("hr"))).as("_ar"))
       .groupBy(col(keyCol))
-      .agg(first(col("n_slots")).as("n_slots"),
+      // min, not first: every row in the group carries the same
+      // n_slots, but min is deterministic by construction (and the
+      // oracle's exact spelling)
+      .agg(min(col("n_slots")).as("n_slots"),
         sum(col("_ar")).as("_sar"), max(col("_ar")).as("max_abs_u6"))
       .select(col(keyCol), col("n_slots"),
         tdiv(col("_sar"), col("n_slots")).as("mae_u6"),
