@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * at a multiplier the full sweep can't afford): text | sampling |
   * jaccard | contamination | ann | snapshot | ndsink | ndprobe | ldsink | ldprobe | embprobe | span |
   * linehot | ndaudit | embsink | events | forecast | sketch | fuzzy |
-  * interval | cdc | warehouse | graph | mvserve.
+  * interval | cdc | warehouse | graph | mvserve | pca.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -161,6 +161,25 @@ object ScaleProbe {
         alpha = 0.5, budgetFrac = 0.9, nShards = 16, seed = "probe")
         .count()
     }
+    }
+
+    section("pca") {
+      // exact-PCA stats pass (ops/Spectral): the per-row d(d+1)/2
+      // product expansion feeds a 2,080-group partial agg, so cost
+      // must be LINEAR in rows (the eigen-solve is driver-side over
+      // d² integers — constant). Synthetic 64-dim corpus at ×10 / ×100
+      // of sf0.1's 5,000 vectors.
+      def vecOf(idc: org.apache.spark.sql.Column) =
+        transform(sequence(lit(1), lit(64)),
+          j => ((pmod(idc * 31L + j.cast("long") * 17L, lit(201L)) - 100L)
+            .cast("double") / 50.0).cast("float"))
+      for (m <- Seq(50000L, 500000L)) {
+        val df = spark.range(m)
+          .select(col("id").as("vec_id"), vecOf(col("id")).as("embedding"))
+        time(s"pca_variance_${m / 1000}k") {
+          ops.Spectral.pcaVariance(df, "embedding", 64, 12).count()
+        }
+      }
     }
 
     section("embprobe") {

@@ -1735,6 +1735,15 @@ object SparkEntry {
       Embeddings.semanticDedup(u, "vec_id", "embedding",
         dim = 64, minCos = 0.99).select("vec_id").orderBy("vec_id")
     }),
+    // ---- training-data pipeline: spectral analysis (exact-integer PCA;
+    // the oracle replays quantize → Gram → covariance → 12 power-iteration
+    // rounds → projection bit-for-bit as unrolled CTEs) ----
+    "e_pca_outliers" -> ((s, dir) =>
+      Spectral.pcaOutliers(Tables.embeddings(s, dir), "vec_id",
+        "embedding", dim = 64, iters = 12, k = 20)),
+    "e_pca_var" -> ((s, dir) =>
+      Spectral.pcaVariance(Tables.embeddings(s, dir), "embedding",
+        dim = 64, iters = 12)),
     // ---- multimodal plumbing (stubbed codec; Spark-side shape real) ----
     "mm_feature_extract" -> ((s, dir) => {
       val m = Multimodal.fromText(Tables.documents(s, dir), "doc_id", "text",
@@ -1996,6 +2005,18 @@ object SparkEntry {
           "user_id", "ts", "value")
       }
       graft.streaming.Ingest.readSlotModel(s, work, "user_id").get
+    }),
+    // streaming SPECTRAL MV: exact Gram partials fold by decimal
+    // addition, so the served covariance spectrum equals the batch
+    // e_pca_var fit bit-for-bit (shared unrolled-CTE oracle)
+    "mv_pca" -> ((s, dir) => {
+      val work = freshWorkDir()
+      val e = Tables.embeddings(s, dir)
+      (0L to 2L).foreach { b =>
+        graft.streaming.Ingest.commitGramBatch(
+          e.filter(pmod(col("vec_id"), lit(3)) === b), work, b, "embedding")
+      }
+      graft.streaming.Ingest.readPcaVariance(s, work, 64, 12).get
     }),
     "mv_thresholds" -> ((s, dir) => {
       val work = freshWorkDir()
@@ -2350,6 +2371,63 @@ object SparkEntry {
     sb ++= lloydCtesSql("", "samp", "dims", nLists, iters)
     sb.toString
   }
+
+  /** WITH-prefix replaying ops/Spectral's exact-integer PCA over the
+    * embeddings table: the shared floor(x·10⁴) quantizer, the full
+    * Gram matrix via a vec_id self-join, covariance C = n·G − s·sᵀ,
+    * and `iters` unrolled power-iteration rounds ending at CTE
+    * `v$iters` — every division a truncating `//` on NON-NEGATIVE
+    * operands (C is PSD; the renorm is sign-split), mirroring the
+    * driver-side BigInt algebra bit-for-bit. HUGEINT throughout;
+    * headroom analysis in ops/Spectral.scala's scaladoc. */
+  private def pcaCtesSql(dim: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH l AS MATERIALIZED (SELECT vec_id, d.i AS i,
+              |        CAST(floor(CAST(embedding[d.i + 1] AS DOUBLE) * 10000)
+              |          AS BIGINT) AS li
+              |      FROM embeddings,
+              |        (SELECT unnest(generate_series(0, ${dim - 1})) AS i) d),
+              |g AS (SELECT a.i AS i, b.i AS j,
+              |        SUM(CAST(a.li AS HUGEINT) * b.li) AS g
+              |      FROM l a JOIN l b USING (vec_id) GROUP BY 1, 2),
+              |sv AS (SELECT i, SUM(CAST(li AS HUGEINT)) AS s FROM l GROUP BY 1),
+              |nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM embeddings),
+              |cov AS MATERIALIZED (SELECT g.i, g.j, nn.n * g.g - si.s * sj.s AS c
+              |        FROM g, nn, sv si, sv sj
+              |        WHERE si.i = g.i AND sj.i = g.j),
+              |v0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS v
+              |       FROM (SELECT unnest(generate_series(0, ${dim - 1})) AS i)),
+              |""".stripMargin
+    for (r <- 1 to iters) {
+      sb ++= s"""w$r AS MATERIALIZED (SELECT c.i, SUM(c.c * v.v) AS w
+                |        FROM cov c JOIN v${r - 1} v ON c.j = v.i GROUP BY 1),
+                |m$r AS (SELECT MAX(ABS(w)) AS m FROM w$r),
+                |v$r AS MATERIALIZED (SELECT w.i, CASE WHEN m.m = 0 THEN CAST(0 AS HUGEINT)
+                |          WHEN w.w < 0 THEN -((1000000 * (-w.w)) // m.m)
+                |          ELSE (1000000 * w.w) // m.m END AS v
+                |        FROM w$r w, m$r m),
+                |""".stripMargin
+    }
+    sb.toString
+  }
+
+  /** The spectral health-row oracle (shared by e_pca_var and the
+    * streaming mv_pca, whose exact-addition partials make the served
+    * row identical to the batch fit). */
+  private lazy val pcaVarOracleSql: String = pcaCtesSql(64, 12) +
+    """tr AS (SELECT SUM(c) AS t FROM cov WHERE i = j),
+      |vv AS (SELECT SUM(v * v) AS d FROM v12),
+      |ray AS (SELECT SUM(a.v * c.c * b.v) AS num
+      |        FROM cov c JOIN v12 a ON a.i = c.i JOIN v12 b ON b.i = c.j)
+      |SELECT CAST(nn.n AS BIGINT) AS n_vecs,
+      |       CAST(tr.t // 100000000 AS BIGINT) AS trace_e8,
+      |       CAST(CASE WHEN vv.d = 0 THEN 0
+      |            ELSE (ray.num // vv.d) // 100000000 END AS BIGINT)
+      |         AS lambda_e8,
+      |       CAST(CASE WHEN vv.d = 0 OR tr.t = 0 THEN 0
+      |            ELSE (10000 * ray.num) // (vv.d * tr.t) END AS BIGINT)
+      |         AS share_bp
+      |FROM nn, tr, vv, ray""".stripMargin
 
   private def ivfTopKOracleSql(nLists: Int, iters: Int, nProbe: Int, k: Int,
                                dim: Int, sampleCap: Int): String = {
@@ -6143,6 +6221,16 @@ object SparkEntry {
         |        (sqrt(CAST(list_dot_product(a.qv, a.qv) AS DOUBLE)) *
         |         sqrt(CAST(list_dot_product(b.qv, b.qv) AS DOUBLE))) >= 0.99)
         |ORDER BY vec_id""".stripMargin,
+    "e_pca_outliers" -> (pcaCtesSql(64, 12) +
+      """p AS (SELECT l.vec_id, SUM(CAST(l.li AS HUGEINT) * v.v) AS p
+        |      FROM l JOIN v12 v USING (i) GROUP BY 1)
+        |SELECT vec_id, CAST(p AS BIGINT) AS proj FROM p
+        |ORDER BY ABS(p) DESC, vec_id LIMIT 20""".stripMargin),
+    "e_pca_var" -> pcaVarOracleSql,
+    // the streaming spectral MV replays the full corpus through the
+    // commit path; exact-addition folding makes it share the batch
+    // oracle verbatim (the mv_slot_lr/ml_slot_lr precedent)
+    "mv_pca" -> pcaVarOracleSql,
     "f_rules_density_status" ->
       """SELECT CASE WHEN value <= 10 THEN 'LANCAR'
         |            WHEN value <= 25 THEN 'PADAT LANCAR'

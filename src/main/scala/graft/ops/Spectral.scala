@@ -1,0 +1,198 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Spectral analysis of an embedding corpus — the dimensionality-
+  * reduction / dominant-direction family a curation pipeline runs
+  * before clustering or outlier triage (classic PCA over document
+  * embeddings: the top principal direction is where the corpus varies
+  * most, and documents with extreme projections along it are the
+  * embedding-space outliers worth auditing first).
+  *
+  * Everything is EXACT fixed-point integer arithmetic, same
+  * portability contract as [[Graph]]'s micro-unit PageRank and
+  * [[graft.ml.SlotRegression]]'s Cramer fit: vectors quantize through
+  * the shared [[Embeddings.quantize]] floor(x·10⁴) kernel, the
+  * second-moment sums are exact integers, the covariance is the
+  * integer matrix C = n·G − s·sᵀ (covariance scaled by n² — positive
+  * semidefinite, so Rayleigh quotients and the trace are
+  * non-negative and every division below runs on non-negative
+  * operands where Spark `div`, BigInt `/` and DuckDB `//` all agree),
+  * and the power iteration renormalizes with truncating division in
+  * micro-units. A DuckDB oracle replays the whole chain — quantize,
+  * Gram, covariance, each iteration, projection — bit-for-bit as
+  * unrolled CTEs.
+  *
+  * Scale shape: the ONLY data-scale work is (a) one pass computing
+  * the d(d+1)/2 Gram sums — a per-row d² expansion (inherent to any
+  * Gram computation) that partial aggregation collapses to
+  * d(d+1)/2 × partitions rows before the one narrow shuffle — and
+  * (b) one map-side projection pass over the broadcast direction
+  * (64 longs). The d×d eigen-solve runs on the DRIVER over
+  * metadata-scale state (d² integers — the same bounded-collect
+  * class as IVF centroids), never over rows. Integer headroom: Gram
+  * entries are summed as DECIMAL(38,0) (exact at any corpus size);
+  * the driver covariance and iteration run in BigInt (unbounded);
+  * the oracle mirrors with HUGEINT, whose 1.7e38 ceiling holds past
+  * 10⁹ vectors (C·v terms ≈ n²·10⁸·10⁶ ≈ 10³² at n = 10⁹).
+  */
+object Spectral {
+
+  /** ADDITIVE second-moment partials of the quantized corpus as a
+    * (i, j, v DECIMAL(38,0)) frame: Gram entries Σ l_i·l_j at (i, j)
+    * with i ≤ j, component sums Σ l_i at (i, -1), and the row count at
+    * (-1, -1). Partials from disjoint batches fold by plain addition
+    * ([[mergeGramPartials]]) — the streaming-MV contract: a sink that
+    * keeps these d(d+1)/2 + d + 1 rows current serves the SAME model
+    * the batch fit computes, bit-for-bit, without ever rescanning
+    * vectors. Contract: every vector has exactly `dim` elements (the
+    * fixture contract all `e_*` operators share). */
+  def gramPartials(df: DataFrame, vecCol: String): DataFrame = {
+    val q = df.select(Embeddings.quantize(col(vecCol)).as("l"))
+    val li = q.select(col("l"), posexplode(col("l")).as(Seq("i", "li")))
+    val g = li
+      .select(col("i"), col("li"), posexplode(col("l")).as(Seq("j", "lj")))
+      .filter(col("j") >= col("i"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum((col("li") * col("lj")).cast(DecimalType(38, 0))).as("v"))
+    val s = li.groupBy(col("i"))
+      .agg(sum(col("li").cast(DecimalType(38, 0))).as("v"))
+      .select(col("i"), lit(-1).as("j"), col("v"))
+    val n = df.agg(count(lit(1)).cast(DecimalType(38, 0)).as("v"))
+      .select(lit(-1).as("i"), lit(-1).as("j"), col("v"))
+    g.select(col("i"), col("j"), col("v")).union(s).union(n)
+  }
+
+  /** Fold two partial frames — exact decimal addition on the
+    * (i, j) grain. */
+  def mergeGramPartials(state: DataFrame, batch: DataFrame): DataFrame =
+    state.union(batch).groupBy(col("i"), col("j"))
+      .agg(sum(col("v")).as("v"))
+
+  /** Driver-side (n, s, G) from a partials frame (metadata-scale
+    * collect: 1 + d + d(d+1)/2 rows). */
+  def statsFromPartials(partials: DataFrame,
+                        dim: Int): (BigInt, Array[BigInt], Array[Array[BigInt]]) = {
+    val gm = Array.fill(dim, dim)(BigInt(0))
+    val s = Array.fill(dim)(BigInt(0))
+    var n = BigInt(0)
+    partials.collect().foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1)
+      val v = BigInt(r.getDecimal(2).toBigInteger)
+      if (i == -1) n = v
+      else if (j == -1) s(i) = v
+      else { gm(i)(j) = v; gm(j)(i) = v }
+    }
+    (n, s, gm)
+  }
+
+  /** Second-moment sufficient statistics of the quantized corpus,
+    * collected to the driver (metadata-scale: 1 + d + d² integers).
+    * Returns (n, s, G) with s_i = Σ l_i and G_ij = Σ l_i·l_j over all
+    * vectors (G symmetric, computed once per unordered pair). */
+  def momentStats(df: DataFrame, vecCol: String,
+                  dim: Int): (BigInt, Array[BigInt], Array[Array[BigInt]]) =
+    statsFromPartials(gramPartials(df, vecCol), dim)
+
+  /** Integer covariance matrix scaled by n²: C = n·G − s·sᵀ. Positive
+    * semidefinite (it is n² times the sample covariance), so traces
+    * and Rayleigh quotients downstream are non-negative. */
+  def covarianceN2(n: BigInt, s: Array[BigInt],
+                   g: Array[Array[BigInt]]): Array[Array[BigInt]] = {
+    val d = s.length
+    Array.tabulate(d, d)((i, j) => n * g(i)(j) - s(i) * s(j))
+  }
+
+  /** Fixed-count power iteration in exact micro-units: v₀ = (10⁶,…),
+    * each round w = C·v, then renormalize to max |component| = 10⁶ by
+    * the SIGN-SPLIT truncating division (both operands non-negative,
+    * so BigInt `/` and DuckDB `//` agree). A zero w (C = 0, or a start
+    * vector exactly in C's kernel) collapses to the zero vector and
+    * stays there — callers read that as "no dominant direction". */
+  def powerIterU6(c: Array[Array[BigInt]], iters: Int): Array[Long] = {
+    val d = c.length
+    val mega = BigInt(1000000)
+    var v = Array.fill(d)(mega)
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(d) { i =>
+        var acc = BigInt(0)
+        var j = 0
+        while (j < d) { acc += c(i)(j) * v(j); j += 1 }
+        acc
+      }
+      val m = w.map(_.abs).max
+      v =
+        if (m == 0) Array.fill(d)(BigInt(0))
+        else w.map(t => if (t < 0) -((mega * -t) / m) else (mega * t) / m)
+    }
+    v.map(_.toLong)
+  }
+
+  /** Top principal direction of the corpus in micro-units (one Spark
+    * stats pass + the driver-side iteration). The sign is fixed by the
+    * deterministic all-ones start, not normalized — oracles replay it,
+    * and projections only ever feed |·|-ranked decisions. */
+  def principalDirectionU6(df: DataFrame, vecCol: String, dim: Int,
+                           iters: Int): Array[Long] = {
+    val (n, s, g) = momentStats(df, vecCol, dim)
+    powerIterU6(covarianceN2(n, s, g), iters)
+  }
+
+  /** Exact integer projection of every vector on a micro-unit
+    * direction: proj = Σ l_k·dir_k (units 10⁻¹⁰ of x·v̂·|v|) — a pure
+    * map-side pass over the 64-long broadcast literal, through the
+    * fused [[graft.functions.QDot]] codegen kernel. */
+  def projectU6(df: DataFrame, idCol: String, vecCol: String,
+                dirU6: Array[Long]): DataFrame =
+    df.select(col(idCol),
+      Embeddings.qdot(Embeddings.quantize(col(vecCol)),
+        typedLit(dirU6.toSeq)).as("proj"))
+
+  /** The k most extreme documents along the corpus's top principal
+    * direction — the "audit these first" outlier list. Ordered by
+    * |projection| descending with id tie-break. */
+  def pcaOutliers(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                  iters: Int, k: Int): DataFrame = {
+    val dir = principalDirectionU6(df, vecCol, dim, iters)
+    projectU6(df, idCol, vecCol, dir)
+      .orderBy(abs(col("proj")).desc, col(idCol))
+      .limit(k)
+  }
+
+  /** One-row spectral summary: corpus size, total variance (trace of
+    * C, scaled down 10⁸), the top eigenvalue estimate (Rayleigh
+    * quotient of the fitted direction, same scale), and its share of
+    * total variance in basis points — the "is this corpus effectively
+    * low-rank?" health check. All quotients are truncating divisions
+    * on non-negative integers (C is PSD), replayed by the oracle. */
+  def pcaVariance(df: DataFrame, vecCol: String, dim: Int,
+                  iters: Int): DataFrame =
+    varianceDf(df.sparkSession, momentStats(df, vecCol, dim), iters)
+
+  /** The one-row summary from already-collected stats — shared by the
+    * batch query and the streaming-MV serve path
+    * ([[graft.streaming.Ingest.readPcaVariance]]): partials fold by
+    * exact addition, so the MV serves this same row bit-for-bit. */
+  def varianceDf(spark: org.apache.spark.sql.SparkSession,
+                 stats: (BigInt, Array[BigInt], Array[Array[BigInt]]),
+                 iters: Int): DataFrame = {
+    val (n, s, g) = stats
+    val c = covarianceN2(n, s, g)
+    val v = powerIterU6(c, iters).map(BigInt(_))
+    val d = c.length
+    val trace = (0 until d).map(i => c(i)(i)).sum
+    val vv = v.map(x => x * x).sum
+    var num = BigInt(0)
+    for (i <- 0 until d; j <- 0 until d) num += v(i) * c(i)(j) * v(j)
+    val e8 = BigInt(100000000)
+    val lambdaE8 = if (vv == 0) BigInt(0) else (num / vv) / e8
+    val shareBp =
+      if (vv == 0 || trace == 0) BigInt(0)
+      else (BigInt(10000) * num) / (vv * trace)
+    import spark.implicits._
+    Seq((n.toLong, (trace / e8).toLong, lambdaE8.toLong, shareBp.toLong))
+      .toDF("n_vecs", "trace_e8", "lambda_e8", "share_bp")
+  }
+}

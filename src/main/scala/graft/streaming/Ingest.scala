@@ -415,6 +415,51 @@ object Ingest {
         graft.ml.SlotRegression.slotLabelsFromDaily(daily, keyCol),
         keyCol))
 
+  /** Streaming SPECTRAL MV — [[readSlotModel]]'s sibling for the
+    * embedding corpus: each batch folds its exact second-moment
+    * partials ([[graft.ops.Spectral.gramPartials]] — d(d+1)/2 + d + 1
+    * DECIMAL rows, additive) into versioned state, so the corpus's
+    * covariance spectrum is always current without ever rescanning
+    * vectors. Per-trigger cost is the batch's one Gram pass plus a
+    * merge over the metadata-scale state table; at 100 TB the
+    * spectrum serves from state alone. */
+  def startGramSink(vectors: DataFrame, vecCol: String, workRoot: String,
+                    checkpoint: String,
+                    trigger: Trigger = Trigger.ProcessingTime(0L))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitGramBatch(batch, workRoot, batchId, vecCol)
+      }
+      .start()
+
+  /** The EXACT per-batch body of [[startGramSink]] (batch replay /
+    * oracle-gate entry point, same contract as
+    * [[commitPatternBatch]]). */
+  def commitGramBatch(batch: DataFrame, workRoot: String, batchId: Long,
+                      vecCol: String): Unit = {
+    graft.io.VersionedState.mergeCommit(
+      batch.sparkSession, s"$workRoot/gram", batchId,
+      graft.ops.Spectral.gramPartials(batch, vecCol),
+      graft.ops.Spectral.mergeGramPartials)
+    ()
+  }
+
+  /** Serving read for [[startGramSink]]: the spectral health row
+    * (n_vecs, trace_e8, lambda_e8, share_bp) refit from state — the
+    * partials merge is exact decimal addition, so this equals the
+    * batch [[graft.ops.Spectral.pcaVariance]] over the concatenated
+    * stream BIT-FOR-BIT (the mv_pca driver row shares e_pca_var's
+    * unrolled-CTE oracle). */
+  def readPcaVariance(spark: SparkSession, workRoot: String, dim: Int,
+                      iters: Int): Option[DataFrame] =
+    graft.io.VersionedState.readLatest(spark, s"$workRoot/gram")
+      .map(p => graft.ops.Spectral.varianceDf(spark,
+        graft.ops.Spectral.statsFromPartials(p, dim), iters))
+
   /** Incrementally-maintained threshold training input — the A5/A6
     * materialized view, same mechanic as [[startPatternSink]]: each
     * batch's (key, hour_bucket) volume partials (exact long units,
