@@ -173,6 +173,11 @@ object ScaleProbe {
         transform(sequence(lit(1), lit(64)),
           j => ((pmod(idc * 31L + j.cast("long") * 17L, lit(201L)) - 100L)
             .cast("double") / 50.0).cast("float"))
+      // untimed warmup: the cold first call pays JVM + codegen setup
+      // that would otherwise dominate the 50k number
+      ops.Spectral.pcaVariance(spark.range(5000L)
+        .select(col("id").as("vec_id"), vecOf(col("id")).as("embedding")),
+        "embedding", 64, 12).count()
       for (m <- Seq(50000L, 500000L)) {
         val df = spark.range(m)
           .select(col("id").as("vec_id"), vecOf(col("id")).as("embedding"))

@@ -50,15 +50,32 @@ object Spectral {
     * vectors. Contract: every vector has exactly `dim` elements (the
     * fixture contract all `e_*` operators share). */
   def gramPartials(df: DataFrame, vecCol: String): DataFrame = {
-    val q = df.select(Embeddings.quantize(col(vecCol)).as("l"))
-    val li = q.select(col("l"), posexplode(col("l")).as(Seq("i", "li")))
+    // Two-phase exact aggregation (the graft.util.Exact rationale:
+    // per-row decimal updates inside the aggregate hash map cost ~3×
+    // a primitive long sum): phase 1 sums PRIMITIVE LONG products per
+    // (input partition, i, j) — exact while rows-per-partition ×
+    // max|l|² < 2^63, i.e. ~10⁹ unit-scale vectors per 128 MB split,
+    // far past any sane partitioning; ANSI mode errors loudly if a
+    // caller ever feeds huge-magnitude vectors — and phase 2 folds
+    // the partition partials (d(d+1)/2 × partitions rows, tiny) in
+    // DECIMAL(38,0), exact at ANY corpus size.
+    val q = df.select(Embeddings.quantize(col(vecCol)).as("l"),
+      spark_partition_id().as("_pid"))
+    val li = q.select(col("_pid"), col("l"),
+      posexplode(col("l")).as(Seq("i", "li")))
     val g = li
-      .select(col("i"), col("li"), posexplode(col("l")).as(Seq("j", "lj")))
+      .select(col("_pid"), col("i"), col("li"),
+        posexplode(col("l")).as(Seq("j", "lj")))
       .filter(col("j") >= col("i"))
+      .groupBy(col("_pid"), col("i"), col("j"))
+      .agg(sum(col("li") * col("lj")).as("p"))
       .groupBy(col("i"), col("j"))
-      .agg(sum((col("li") * col("lj")).cast(DecimalType(38, 0))).as("v"))
-    val s = li.groupBy(col("i"))
-      .agg(sum(col("li").cast(DecimalType(38, 0))).as("v"))
+      .agg(sum(col("p").cast(DecimalType(38, 0))).as("v"))
+    val s = li
+      .groupBy(col("_pid"), col("i"))
+      .agg(sum(col("li")).as("p"))
+      .groupBy(col("i"))
+      .agg(sum(col("p").cast(DecimalType(38, 0))).as("v"))
       .select(col("i"), lit(-1).as("j"), col("v"))
     val n = df.agg(count(lit(1)).cast(DecimalType(38, 0)).as("v"))
       .select(lit(-1).as("i"), lit(-1).as("j"), col("v"))
