@@ -1744,6 +1744,9 @@ object SparkEntry {
     "e_pca_var" -> ((s, dir) =>
       Spectral.pcaVariance(Tables.embeddings(s, dir), "embedding",
         dim = 64, iters = 12)),
+    "e_pca_top2" -> ((s, dir) =>
+      Spectral.topTwoShares(Tables.embeddings(s, dir), "embedding",
+        dim = 64, iters = 12)),
     // ---- multimodal plumbing (stubbed codec; Spark-side shape real) ----
     "mm_feature_extract" -> ((s, dir) => {
       val m = Multimodal.fromText(Tables.documents(s, dir), "doc_id", "text",
@@ -2398,18 +2401,65 @@ object SparkEntry {
               |v0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS v
               |       FROM (SELECT unnest(generate_series(0, ${dim - 1})) AS i)),
               |""".stripMargin
+    sb ++= powerIterCtesSql("cov", "v", iters)
+    sb.toString
+  }
+
+  /** `iters` unrolled power-iteration rounds of the (i, j, c) matrix
+    * CTE `matCte`, producing vector CTEs `$vp$r` (micro-unit renorm,
+    * sign-split truncating division) — chains start from the all-10⁶
+    * `${vp}0` emitted by the caller. */
+  private def powerIterCtesSql(matCte: String, vp: String,
+                               iters: Int): String = {
+    val sb = new StringBuilder
     for (r <- 1 to iters) {
-      sb ++= s"""w$r AS MATERIALIZED (SELECT c.i, SUM(c.c * v.v) AS w
-                |        FROM cov c JOIN v${r - 1} v ON c.j = v.i GROUP BY 1),
-                |m$r AS (SELECT MAX(ABS(w)) AS m FROM w$r),
-                |v$r AS MATERIALIZED (SELECT w.i, CASE WHEN m.m = 0 THEN CAST(0 AS HUGEINT)
+      sb ++= s"""${vp}w$r AS MATERIALIZED (SELECT c.i, SUM(c.c * v.v) AS w
+                |        FROM $matCte c JOIN $vp${r - 1} v ON c.j = v.i
+                |        GROUP BY 1),
+                |${vp}m$r AS (SELECT MAX(ABS(w)) AS m FROM ${vp}w$r),
+                |$vp$r AS MATERIALIZED (SELECT w.i,
+                |          CASE WHEN m.m = 0 THEN CAST(0 AS HUGEINT)
                 |          WHEN w.w < 0 THEN -((1000000 * (-w.w)) // m.m)
                 |          ELSE (1000000 * w.w) // m.m END AS v
-                |        FROM w$r w, m$r m),
+                |        FROM ${vp}w$r w, ${vp}m$r m),
                 |""".stripMargin
     }
     sb.toString
   }
+
+  /** The top-2 spectrum oracle: after the shared PC1 chain, replay
+    * the integer Wielandt deflation A₂ = (vᵀv)·C − v·(Cv)ᵀ, its
+    * divisor rescale D = 1 + max|A₂|//2³⁸ (sign-split — entries can
+    * be negative), 12 more iteration rounds on A₂, and both Rayleigh
+    * shares against the ORIGINAL covariance. */
+  private lazy val pcaTop2OracleSql: String = pcaCtesSql(64, 12) +
+    s"""vv1 AS (SELECT SUM(v * v) AS d FROM v12),
+       |wv AS MATERIALIZED (SELECT c.i, SUM(c.c * v.v) AS w
+       |      FROM cov c JOIN v12 v ON c.j = v.i GROUP BY 1),
+       |a2 AS MATERIALIZED (SELECT c.i, c.j, vv1.d * c.c - a.v * w.w AS c
+       |      FROM cov c, vv1, v12 a, wv w WHERE a.i = c.i AND w.i = c.j),
+       |ddv AS (SELECT 1 + MAX(ABS(c)) // ${1L << 38} AS d FROM a2),
+       |a2s AS MATERIALIZED (SELECT i, j,
+       |        CASE WHEN a2.c < 0 THEN -((-a2.c) // ddv.d)
+       |        ELSE a2.c // ddv.d END AS c FROM a2, ddv),
+       |u0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS v
+       |       FROM (SELECT unnest(generate_series(0, 63)) AS i)),
+       |""".stripMargin +
+    powerIterCtesSql("a2s", "u", 12) +
+    """tr AS (SELECT SUM(c) AS t FROM cov WHERE i = j),
+      |r1 AS (SELECT SUM(a.v * c.c * b.v) AS num
+      |       FROM cov c JOIN v12 a ON a.i = c.i JOIN v12 b ON b.i = c.j),
+      |vv2 AS (SELECT SUM(v * v) AS d FROM u12),
+      |r2 AS (SELECT SUM(a.v * c.c * b.v) AS num
+      |       FROM cov c JOIN u12 a ON a.i = c.i JOIN u12 b ON b.i = c.j)
+      |SELECT CAST(nn.n AS BIGINT) AS n_vecs,
+      |       CAST(CASE WHEN vv1.d = 0 OR tr.t = 0 THEN 0
+      |            ELSE (10000 * r1.num) // (vv1.d * tr.t) END AS BIGINT)
+      |         AS share1_bp,
+      |       CAST(CASE WHEN vv2.d = 0 OR tr.t = 0 THEN 0
+      |            ELSE (10000 * r2.num) // (vv2.d * tr.t) END AS BIGINT)
+      |         AS share2_bp
+      |FROM nn, tr, vv1, r1, vv2, r2""".stripMargin
 
   /** The spectral health-row oracle (shared by e_pca_var and the
     * streaming mv_pca, whose exact-addition partials make the served
@@ -6227,6 +6277,7 @@ object SparkEntry {
         |SELECT vec_id, CAST(p AS BIGINT) AS proj FROM p
         |ORDER BY ABS(p) DESC, vec_id LIMIT 20""".stripMargin),
     "e_pca_var" -> pcaVarOracleSql,
+    "e_pca_top2" -> pcaTop2OracleSql,
     // the streaming spectral MV replays the full corpus through the
     // commit path; exact-addition folding makes it share the batch
     // oracle verbatim (the mv_slot_lr/ml_slot_lr precedent)

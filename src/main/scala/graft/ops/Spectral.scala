@@ -178,6 +178,82 @@ object Spectral {
       .limit(k)
   }
 
+  /** Wielandt deflation of a fitted direction, integer-exact:
+    * A₂ = (vᵀv)·C − v·(Cv)ᵀ removes v's eigenvalue while keeping every
+    * other eigenpair of the symmetric C (the classic Wielandt step
+    * with u = v/(vᵀv), multiplied through by vᵀv so it stays integer),
+    * then rescales by the truncating divisor D = 1 + max|A₂|/2³⁸ — a
+    * pure-integer renormalization (sign-split, so both engines agree)
+    * that bounds entries to ~2³⁸ and keeps the oracle's HUGEINT
+    * matvec far from overflow at any corpus size. Rescaling only
+    * changes eigenVALUE scale, never eigenvectors, and shares are
+    * measured against the ORIGINAL C afterwards. */
+  def deflateScaled(c: Array[Array[BigInt]],
+                    v: Array[BigInt]): Array[Array[BigInt]] = {
+    val d = c.length
+    val vv = v.map(x => x * x).sum
+    val w = Array.tabulate(d) { i =>
+      var acc = BigInt(0); var j = 0
+      while (j < d) { acc += c(i)(j) * v(j); j += 1 }
+      acc
+    }
+    val a2 = Array.tabulate(d, d)((i, j) => vv * c(i)(j) - v(i) * w(j))
+    val m = a2.flatten.map(_.abs).max
+    val dd = BigInt(1) + m / (BigInt(1) << 38)
+    a2.map(_.map(t => if (t < 0) -((-t) / dd) else t / dd))
+  }
+
+  /** Variance share of direction v against C, in basis points:
+    * 10000·(vᵀCv) / ((vᵀv)·trace(C)) — non-negative for ANY v since C
+    * is PSD, so the truncating division is portable. 0 on the
+    * degenerate guards. */
+  def rayleighShareBp(c: Array[Array[BigInt]], trace: BigInt,
+                      v: Array[BigInt]): BigInt = {
+    val d = c.length
+    val vv = v.map(x => x * x).sum
+    var num = BigInt(0)
+    for (i <- 0 until d; j <- 0 until d) num += v(i) * c(i)(j) * v(j)
+    if (vv == 0 || trace == 0) BigInt(0)
+    else (BigInt(10000) * num) / (vv * trace)
+  }
+
+  /** Top two principal directions (micro-units): the second comes from
+    * power iteration on the Wielandt-deflated matrix. */
+  def topTwoDirectionsU6(df: DataFrame, vecCol: String, dim: Int,
+                         iters: Int): (Array[Long], Array[Long]) = {
+    val (n, s, g) = momentStats(df, vecCol, dim)
+    val c = covarianceN2(n, s, g)
+    val v1 = powerIterU6(c, iters)
+    val v2 = powerIterU6(deflateScaled(c, v1.map(BigInt(_))), iters)
+    (v1, v2)
+  }
+
+  /** One-row top-2 spectrum: (n_vecs, share1_bp, share2_bp) — the
+    * "is this corpus effectively rank-1/rank-2?" readout (embedding
+    * collapse shows up as share1 ≈ 10000; a healthy spread splits
+    * mass across many directions). Same exact-integer chain as
+    * [[pcaVariance]], one deflation deeper. Caveat inherent to finite
+    * power iteration: on a near-FLAT spectrum (shares within a few bp
+    * of each other, i.e. no dominant direction to find) the two
+    * estimates can land within noise of each other and even misorder —
+    * deterministically, and the oracle replays the same estimates. The
+    * readout is meaningful exactly when it matters: when some
+    * direction actually dominates. */
+  def topTwoShares(df: DataFrame, vecCol: String, dim: Int,
+                   iters: Int): DataFrame = {
+    val (n, s, g) = momentStats(df, vecCol, dim)
+    val c = covarianceN2(n, s, g)
+    val d = c.length
+    val trace = (0 until d).map(i => c(i)(i)).sum
+    val v1 = powerIterU6(c, iters).map(BigInt(_))
+    val v2 = powerIterU6(deflateScaled(c, v1), iters).map(BigInt(_))
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((n.toLong, rayleighShareBp(c, trace, v1).toLong,
+        rayleighShareBp(c, trace, v2).toLong))
+      .toDF("n_vecs", "share1_bp", "share2_bp")
+  }
+
   /** One-row spectral summary: corpus size, total variance (trace of
     * C, scaled down 10⁸), the top eigenvalue estimate (Rayleigh
     * quotient of the fitted direction, same scale), and its share of

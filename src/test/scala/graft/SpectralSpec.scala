@@ -132,6 +132,68 @@ class SpectralSpec extends SparkSpec {
     assert(replayed == full)
   }
 
+  /** Two planted orthogonal axes with a 4:1 spread ratio — PC1 must
+    * find the wide axis, the deflated PC2 the narrow one. */
+  private def planted2() = {
+    val u1 = Array(1.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0).map(_ / 2.0)
+    val u2 = Array(0.0, 0.0, 0.0, 0.0, 1.0, -1.0, 1.0, -1.0).map(_ / 2.0)
+    val rows = (0 until 400).map { i =>
+      val a = ((i % 41).toDouble - 20.0)       // spread ±20 along u1
+      val b = ((i % 11).toDouble - 5.0)        // spread ±5 along u2
+      val vec = Array.tabulate(dim) { k =>
+        (a * u1(k) + b * u2(k) + 0.01 * math.sin(i * 37 + k * 13)).toFloat
+      }
+      (i.toLong, vec.toSeq)
+    }
+    (rows.toDF("vec_id", "embedding"), u1, u2)
+  }
+
+  test("deflated second direction recovers the planted second axis") {
+    val (df, u1, u2) = planted2()
+    val (v1, v2) = Spectral.topTwoDirectionsU6(df, "embedding", dim, 12)
+    assert(math.abs(cosine(v1.map(_.toDouble), u1)) > 0.99)
+    assert(math.abs(cosine(v2.map(_.toDouble), u2)) > 0.99)
+    // near-orthogonal by construction of the deflation
+    assert(math.abs(cosine(v1.map(_.toDouble), v2.map(_.toDouble))) < 0.05)
+  }
+
+  test("top-2 shares: ordered, and near-exhaustive on a rank-2 corpus") {
+    val (df, _, _) = planted2()
+    val r = Spectral.topTwoShares(df, "embedding", dim, 12).collect()(0)
+    val s1 = r.getAs[Long]("share1_bp"); val s2 = r.getAs[Long]("share2_bp")
+    assert(s1 >= s2 && s2 > 0)
+    assert(s1 + s2 > 9900L) // the planted corpus is essentially rank 2
+  }
+
+  test("rank-1 corpus: second share collapses to ~0") {
+    val (df, _) = planted() // single planted axis + tiny noise
+    val r = Spectral.topTwoShares(df, "embedding", dim, 12).collect()(0)
+    assert(r.getAs[Long]("share1_bp") > 9900L)
+    assert(r.getAs[Long]("share2_bp") < 100L)
+  }
+
+  test("invariants over seeded random PSD matrices: renorm bound and " +
+    "share range") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 20) {
+      val d = 1 + rnd.nextInt(12)
+      // C = BᵀB is PSD for any integer B
+      val b = Array.fill(d, d)(BigInt(rnd.nextInt(2001) - 1000))
+      val c = Array.tabulate(d, d)((i, j) =>
+        (0 until d).map(k => b(k)(i) * b(k)(j)).sum)
+      val v = Spectral.powerIterU6(c, 8)
+      val maxAbs = v.map(math.abs).max
+      assert(maxAbs == 1000000L || v.forall(_ == 0L))
+      val trace = (0 until d).map(i => c(i)(i)).sum
+      val s1 = Spectral.rayleighShareBp(c, trace, v.map(BigInt(_)))
+      assert(s1 >= 0 && s1 <= 10000)
+      val v2 = Spectral.powerIterU6(
+        Spectral.deflateScaled(c, v.map(BigInt(_))), 8)
+      val s2 = Spectral.rayleighShareBp(c, trace, v2.map(BigInt(_)))
+      assert(s2 >= 0 && s2 <= 10000)
+    }
+  }
+
   test("variance summary: dominant share is high on the planted corpus") {
     val (df, _) = planted()
     val v = Spectral.pcaVariance(df, "embedding", dim, 12).collect()(0)
