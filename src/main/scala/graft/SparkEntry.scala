@@ -1747,6 +1747,31 @@ object SparkEntry {
     "e_pca_top2" -> ((s, dir) =>
       Spectral.topTwoShares(Tables.embeddings(s, dir), "embedding",
         dim = 64, iters = 12)),
+    // end-to-end embedding curation: the twin-union corpus flows
+    // through the spectral outlier gate (drop the 10 most extreme
+    // |projection| vectors), then semantic dedup at minCos 0.99, and
+    // reports survivors per label — each stage an already-oracled
+    // operator, composed; the oracle replays all three stages
+    "pipe_embed_curation" -> ((s, dir) => {
+      val e0 = Tables.embeddings(s, dir)
+      val base = e0.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"),
+        col("label"))
+      val u = base.union(e0.select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => x + lit(0.005)).as("embedding"),
+        col("label")))
+      val dir6 = Spectral.principalDirectionU6(u, "embedding", 64, 12)
+      val outliers = Spectral.projectU6(u, "vec_id", "embedding", dir6)
+        .orderBy(abs(col("proj")).desc, col("vec_id")).limit(10)
+        .select("vec_id")
+      val kept = u.join(outliers, Seq("vec_id"), "left_anti")
+      val survivors = Embeddings.semanticDedup(kept, "vec_id", "embedding",
+        dim = 64, minCos = 0.99).select("vec_id")
+      kept.join(survivors, Seq("vec_id"))
+        .groupBy(col("label")).agg(count(lit(1)).as("n_kept"))
+        .orderBy("label")
+    }),
     // ---- multimodal plumbing (stubbed codec; Spark-side shape real) ----
     "mm_feature_extract" -> ((s, dir) => {
       val m = Multimodal.fromText(Tables.documents(s, dir), "doc_id", "text",
@@ -2383,18 +2408,20 @@ object SparkEntry {
     * operands (C is PSD; the renorm is sign-split), mirroring the
     * driver-side BigInt algebra bit-for-bit. HUGEINT throughout;
     * headroom analysis in ops/Spectral.scala's scaladoc. */
-  private def pcaCtesSql(dim: Int, iters: Int): String = {
+  private def pcaCtesSql(dim: Int, iters: Int,
+                         src: String = "WITH",
+                         srcTable: String = "embeddings"): String = {
     val sb = new StringBuilder
-    sb ++= s"""WITH l AS MATERIALIZED (SELECT vec_id, d.i AS i,
+    sb ++= s"""$src l AS MATERIALIZED (SELECT vec_id, d.i AS i,
               |        CAST(floor(CAST(embedding[d.i + 1] AS DOUBLE) * 10000)
               |          AS BIGINT) AS li
-              |      FROM embeddings,
+              |      FROM $srcTable,
               |        (SELECT unnest(generate_series(0, ${dim - 1})) AS i) d),
               |g AS (SELECT a.i AS i, b.i AS j,
               |        SUM(CAST(a.li AS HUGEINT) * b.li) AS g
               |      FROM l a JOIN l b USING (vec_id) GROUP BY 1, 2),
               |sv AS (SELECT i, SUM(CAST(li AS HUGEINT)) AS s FROM l GROUP BY 1),
-              |nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM embeddings),
+              |nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM $srcTable),
               |cov AS MATERIALIZED (SELECT g.i, g.j, nn.n * g.g - si.s * sj.s AS c
               |        FROM g, nn, sv si, sv sj
               |        WHERE si.i = g.i AND sj.i = g.j),
@@ -6278,6 +6305,37 @@ object SparkEntry {
         |ORDER BY ABS(p) DESC, vec_id LIMIT 20""".stripMargin),
     "e_pca_var" -> pcaVarOracleSql,
     "e_pca_top2" -> pcaTop2OracleSql,
+    "pipe_embed_curation" ->
+      ("""WITH uu AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding,
+         |    label
+         |  FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.005),
+         |    label
+         |  FROM embeddings),
+         |""".stripMargin +
+        pcaCtesSql(64, 12, src = "", srcTable = "uu") +
+        """p AS (SELECT l.vec_id, SUM(CAST(l.li AS HUGEINT) * v.v) AS p
+          |      FROM l JOIN v12 v USING (i) GROUP BY 1),
+          |outl AS (SELECT vec_id FROM p
+          |         QUALIFY ROW_NUMBER() OVER
+          |           (ORDER BY ABS(p) DESC, vec_id) <= 10),
+          |kept AS MATERIALIZED (SELECT u.vec_id, u.embedding, u.label
+          |        FROM uu u
+          |        WHERE u.vec_id NOT IN (SELECT vec_id FROM outl)),
+          |q AS MATERIALIZED (SELECT vec_id, label, list_transform(embedding,
+          |        x -> CAST(floor(x * 10000) AS BIGINT)) AS qv FROM kept),
+          |surv AS (SELECT vec_id, label FROM q WHERE vec_id NOT IN (
+          |  SELECT b.vec_id FROM q a JOIN q b ON a.vec_id < b.vec_id
+          |  WHERE CAST(list_dot_product(a.qv, b.qv) AS DOUBLE) /
+          |        (sqrt(CAST(list_dot_product(a.qv, a.qv) AS DOUBLE)) *
+          |         sqrt(CAST(list_dot_product(b.qv, b.qv) AS DOUBLE)))
+          |        >= 0.99))
+          |SELECT label, COUNT(*) AS n_kept FROM surv
+          |GROUP BY label ORDER BY label""".stripMargin),
     // the streaming spectral MV replays the full corpus through the
     // commit path; exact-addition folding makes it share the batch
     // oracle verbatim (the mv_slot_lr/ml_slot_lr precedent)
