@@ -249,8 +249,8 @@ object Spectral {
     val v2 = powerIterU6(deflateScaled(c, v1), iters).map(BigInt(_))
     val spark = df.sparkSession
     import spark.implicits._
-    Seq((n.toLong, rayleighShareBp(c, trace, v1).toLong,
-        rayleighShareBp(c, trace, v2).toLong))
+    Seq((exactLong(n), rayleighShareBp(c, trace, v1).toLong,
+        rayleighShareBp(c, trace, v2).toLong)) // shares ≤ 10000 by range
       .toDF("n_vecs", "share1_bp", "share2_bp")
   }
 
@@ -285,7 +285,14 @@ object Spectral {
       if (vv == 0 || trace == 0) BigInt(0)
       else (BigInt(10000) * num) / (vv * trace)
     import spark.implicits._
-    Seq((n.toLong, (trace / e8).toLong, lambdaE8.toLong, shareBp.toLong))
+    Seq((exactLong(n), exactLong(trace / e8), exactLong(lambdaE8),
+        exactLong(shareBp)))
       .toDF("n_vecs", "trace_e8", "lambda_e8", "share_bp")
   }
+
+  /** BigInt → Long that ERRORS on overflow instead of silently
+    * truncating bits (BigInt.toLong wraps): the oracle's
+    * CAST(... AS BIGINT) fails loudly past 2⁶³, and the Spark side
+    * must fail the same way, never emit a wrapped value. */
+  private def exactLong(b: BigInt): Long = b.bigInteger.longValueExact()
 }
