@@ -1645,4 +1645,36 @@ class StreamingSpec extends SparkSpec {
     assert(served.map(r => (r(0), r(3))).toMap ==
       Map("accepted_values" -> 1L, "in_range" -> 2L, "not_null" -> 1L))
   }
+
+  test("streaming gram sink: true-streaming path serves the batch " +
+    "spectrum bit-for-bit at every trigger") {
+    implicit val sc = spark.sqlContext
+    val dim = 8
+    def vec(seed: Int): Seq[Float] =
+      (0 until dim).map(k =>
+        (((seed * (k + 3)) % 17) - 8 + 0.01 * k).toFloat)
+    val rows = (0 until 60).map(i => (i.toLong, vec(i)))
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val dir = java.nio.file.Files.createTempDirectory("gram-stream").toString
+    val q = Ingest.startGramSink(
+      mem.toDF().toDF("vec_id", "embedding"), "embedding",
+      s"$dir/work", s"$dir/ckpt")
+    try {
+      val (b1, b2) = rows.splitAt(25)
+      mem.addData(b1: _*); q.processAllAvailable()
+      val s1 = Ingest.readPcaVariance(spark, s"$dir/work", dim, 12)
+        .get.collect().toSeq
+      val e1 = graft.ops.Spectral.pcaVariance(
+          b1.toDF("vec_id", "embedding"), "embedding", dim, 12)
+        .collect().toSeq
+      assert(s1 == e1, "after trigger 1")
+      mem.addData(b2: _*); q.processAllAvailable()
+      val s2 = Ingest.readPcaVariance(spark, s"$dir/work", dim, 12)
+        .get.collect().toSeq
+      val e2 = graft.ops.Spectral.pcaVariance(
+          rows.toDF("vec_id", "embedding"), "embedding", dim, 12)
+        .collect().toSeq
+      assert(s2 == e2, "after trigger 2")
+    } finally q.stop()
+  }
 }
