@@ -32,10 +32,15 @@ import org.apache.spark.sql.SparkSession
   *    join as g_pagerank, served from the edge-log MV (g_kcore's
   *    semi-joins read clean: AQE broadcasts the node-scale keep
   *    set).
-  * Round-14 addition, deliberate:
+  * Round-14 additions, deliberate:
   *  - t_lm_condprob: BroadcastNestedLoop — the one-row vocabulary
   *    scalar broadcast (the t_unigram_score/t_bigram_score totals
-  *    pattern).
+  *    pattern);
+  *  - pipe_embed_curation: SortMergeJoin — inherited from its
+  *    semanticDedup stage (the banded sign-LSH self-join, the
+  *    e_semantic_dedup/e_cosine_neardup shape where both sides are
+  *    corpus-scale at 100 TB). The spectral queries themselves
+  *    (e_pca_*, mv_pca) read clean: pure aggregations, no joins.
   * Anything NEW appearing here deserves a look.
   */
 object AuditAll {
