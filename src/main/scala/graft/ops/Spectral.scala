@@ -89,7 +89,12 @@ object Spectral {
       .agg(sum(col("v")).as("v"))
 
   /** Driver-side (n, s, G) from a partials frame (metadata-scale
-    * collect: 1 + d + d(d+1)/2 rows). */
+    * collect: 1 + d + d(d+1)/2 rows). Components past `dim` are
+    * DROPPED — the oracle's generate_series(0, dim−1) replay sees
+    * exactly the first dim components of an over-long vector, so the
+    * Spark side must truncate identically rather than crash (short
+    * vectors already agree: absent components contribute nothing on
+    * either engine). */
   def statsFromPartials(partials: DataFrame,
                         dim: Int): (BigInt, Array[BigInt], Array[Array[BigInt]]) = {
     val gm = Array.fill(dim, dim)(BigInt(0))
@@ -99,8 +104,8 @@ object Spectral {
       val i = r.getInt(0); val j = r.getInt(1)
       val v = BigInt(r.getDecimal(2).toBigInteger)
       if (i == -1) n = v
-      else if (j == -1) s(i) = v
-      else { gm(i)(j) = v; gm(j)(i) = v }
+      else if (j == -1) { if (i < dim) s(i) = v }
+      else if (i < dim && j < dim) { gm(i)(j) = v; gm(j)(i) = v }
     }
     (n, s, gm)
   }

@@ -172,6 +172,28 @@ class SpectralSpec extends SparkSpec {
     assert(r.getAs[Long]("share2_bp") < 100L)
   }
 
+  test("ragged corpora: over-long vectors truncate at dim (the oracle's " +
+    "generate_series view), short vectors contribute only present dims") {
+    val full = (0 until 30).map(i =>
+      (i.toLong, (0 until dim).map(k => (i * (k + 1) % 7 - 3).toFloat)))
+    // same corpus with 8 trailing junk components on every vector —
+    // stats at `dim` must be IDENTICAL (truncation, not a crash)
+    val long = full.map { case (id, v) =>
+      (id, v ++ (0 until 8).map(k => (99 + k).toFloat)) }
+    val (n1, s1, g1) = Spectral.momentStats(
+      full.toDF("vec_id", "embedding"), "embedding", dim)
+    val (n2, s2, g2) = Spectral.momentStats(
+      long.toDF("vec_id", "embedding"), "embedding", dim)
+    assert(n1 == n2 && s1.sameElements(s2))
+    assert(g1.map(_.toSeq).toSeq == g2.map(_.toSeq).toSeq)
+    // a short vector simply contributes nothing to its absent dims
+    val mixed = full.take(29) :+ (29L, (0 until dim / 2)
+      .map(k => 1.0f))
+    val v = Spectral.pcaVariance(
+      mixed.toDF("vec_id", "embedding"), "embedding", dim, 12).collect()(0)
+    assert(v.getAs[Long]("n_vecs") == 30L) // total, no crash
+  }
+
   test("invariants over seeded random PSD matrices: renorm bound and " +
     "share range") {
     val rnd = new scala.util.Random(42)
