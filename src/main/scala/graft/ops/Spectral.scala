@@ -47,8 +47,9 @@ object Spectral {
     * ([[mergeGramPartials]]) — the streaming-MV contract: a sink that
     * keeps these d(d+1)/2 + d + 1 rows current serves the SAME model
     * the batch fit computes, bit-for-bit, without ever rescanning
-    * vectors. Contract: every vector has exactly `dim` elements (the
-    * fixture contract all `e_*` operators share). */
+    * vectors. Ragged vectors are total on both engines: components
+    * past the consumer's `dim` truncate ([[statsFromPartials]]),
+    * short vectors contribute only their present components. */
   def gramPartials(df: DataFrame, vecCol: String): DataFrame = {
     // Two-phase exact aggregation (the graft.util.Exact rationale:
     // per-row decimal updates inside the aggregate hash map cost ~3×
