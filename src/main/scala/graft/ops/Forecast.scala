@@ -54,7 +54,18 @@ object Forecast {
     * last observation, absent buckets carried as u = 0 (no events ⇒ zero
     * traffic — the same zero-fill the reference's pre-allocated chart
     * buckets use, app/utils.py:570-612). The sequence explode runs on
-    * one row per key (its bounds), not on the event grain. */
+    * one row per key (its bounds), not on the event grain.
+    *
+    * NEGATIVE RESULT, kept deliberately: rewriting this as the
+    * interpolateGaps lead-window gap-generation shape (one window,
+    * zeros emitted from the row before each gap) consistently
+    * regressed the 48-lag ACF consumer ~3× at the ×10 probe — the
+    * union's two branches duplicate the lead-window subtree with no
+    * exchange reuse, and the heavy downstream window then re-sorts a
+    * union instead of a join output. The bounds+join form keeps the
+    * dense grid ONE exchange-reusable subtree for the expensive
+    * consumers; interpolateGaps has no such consumer, which is why
+    * the same rewrite wins there (5.9 → 0.3 s) and loses here. */
   private def denseUnits(b: DataFrame, keyCol: String,
                          bucketSec: Long): DataFrame = {
     val bounds = b.groupBy(col(keyCol))
