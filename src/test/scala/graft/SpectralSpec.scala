@@ -65,6 +65,15 @@ class SpectralSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("empty corpus: all-zero health row, empty outlier list, no crash") {
+    val df = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val v = Spectral.pcaVariance(df, "embedding", dim, 12).collect()(0)
+    assert(v.getAs[Long]("n_vecs") == 0L &&
+      v.getAs[Long]("trace_e8") == 0L && v.getAs[Long]("share_bp") == 0L)
+    assert(Spectral.pcaOutliers(df, "vec_id", "embedding", dim, 12, 5)
+      .collect().isEmpty)
+  }
+
   test("constant corpus: zero covariance collapses to the guard path") {
     val df = (0 until 20)
       .map(i => (i.toLong, Seq.fill(dim)(1.5f)))
