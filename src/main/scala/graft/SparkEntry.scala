@@ -2460,7 +2460,7 @@ object SparkEntry {
     * be negative), 12 more iteration rounds on A₂, and both Rayleigh
     * shares against the ORIGINAL covariance. */
   private lazy val pcaTop2OracleSql: String = pcaCtesSql(64, 12) +
-    s"""vv1 AS (SELECT SUM(v * v) AS d FROM v12),
+    s"""vv1 AS (SELECT COALESCE(SUM(v * v), 0) AS d FROM v12),
        |wv AS MATERIALIZED (SELECT c.i, SUM(c.c * v.v) AS w
        |      FROM cov c JOIN v12 v ON c.j = v.i GROUP BY 1),
        |a2 AS MATERIALIZED (SELECT c.i, c.j, vv1.d * c.c - a.v * w.w AS c
@@ -2473,11 +2473,11 @@ object SparkEntry {
        |       FROM (SELECT unnest(generate_series(0, 63)) AS i)),
        |""".stripMargin +
     powerIterCtesSql("a2s", "u", 12) +
-    """tr AS (SELECT SUM(c) AS t FROM cov WHERE i = j),
-      |r1 AS (SELECT SUM(a.v * c.c * b.v) AS num
+    """tr AS (SELECT COALESCE(SUM(c), 0) AS t FROM cov WHERE i = j),
+      |r1 AS (SELECT COALESCE(SUM(a.v * c.c * b.v), 0) AS num
       |       FROM cov c JOIN v12 a ON a.i = c.i JOIN v12 b ON b.i = c.j),
-      |vv2 AS (SELECT SUM(v * v) AS d FROM u12),
-      |r2 AS (SELECT SUM(a.v * c.c * b.v) AS num
+      |vv2 AS (SELECT COALESCE(SUM(v * v), 0) AS d FROM u12),
+      |r2 AS (SELECT COALESCE(SUM(a.v * c.c * b.v), 0) AS num
       |       FROM cov c JOIN u12 a ON a.i = c.i JOIN u12 b ON b.i = c.j)
       |SELECT CAST(nn.n AS BIGINT) AS n_vecs,
       |       CAST(CASE WHEN vv1.d = 0 OR tr.t = 0 THEN 0
@@ -2492,9 +2492,9 @@ object SparkEntry {
     * streaming mv_pca, whose exact-addition partials make the served
     * row identical to the batch fit). */
   private lazy val pcaVarOracleSql: String = pcaCtesSql(64, 12) +
-    """tr AS (SELECT SUM(c) AS t FROM cov WHERE i = j),
-      |vv AS (SELECT SUM(v * v) AS d FROM v12),
-      |ray AS (SELECT SUM(a.v * c.c * b.v) AS num
+    """tr AS (SELECT COALESCE(SUM(c), 0) AS t FROM cov WHERE i = j),
+      |vv AS (SELECT COALESCE(SUM(v * v), 0) AS d FROM v12),
+      |ray AS (SELECT COALESCE(SUM(a.v * c.c * b.v), 0) AS num
       |        FROM cov c JOIN v12 a ON a.i = c.i JOIN v12 b ON b.i = c.j)
       |SELECT CAST(nn.n AS BIGINT) AS n_vecs,
       |       CAST(tr.t // 100000000 AS BIGINT) AS trace_e8,

@@ -60,27 +60,32 @@ object Spectral {
     // caller ever feeds huge-magnitude vectors — and phase 2 folds
     // the partition partials (d(d+1)/2 × partitions rows, tiny) in
     // DECIMAL(38,0), exact at ANY corpus size.
+    // ONE source scan (the earlier form aggregated g, s and n as
+    // three branches over the same subtree, which Spark plans as
+    // three full reads — per STREAMING TRIGGER in commitGramBatch):
+    // each row emits its count sentinel (-1,-1,1), its component
+    // sentinels (i,-1,l_i) and its upper-triangle products
+    // (i,j,l_i·l_j) as one generated struct array, exploded once and
+    // folded by the same two-phase exact aggregation. An empty input
+    // now yields an EMPTY frame rather than a (-1,-1,0) row — the
+    // partials are additive, so the absent zero row is identical to
+    // every consumer (statsFromPartials initializes n = 0).
     val q = df.select(Embeddings.quantize(col(vecCol)).as("l"),
       spark_partition_id().as("_pid"))
-    val li = q.select(col("_pid"), col("l"),
-      posexplode(col("l")).as(Seq("i", "li")))
-    val g = li
-      .select(col("_pid"), col("i"), col("li"),
-        posexplode(col("l")).as(Seq("j", "lj")))
-      .filter(col("j") >= col("i"))
-      .groupBy(col("_pid"), col("i"), col("j"))
-      .agg(sum(col("li") * col("lj")).as("p"))
+    val rowEntries = concat(
+      array(struct(lit(-1).as("i"), lit(-1).as("j"), lit(1L).as("v"))),
+      flatten(transform(col("l"), (li, i) => concat(
+        array(struct(i.cast("int").as("i"), lit(-1).as("j"),
+          li.as("v"))),
+        transform(slice(col("l"), i + 1, size(col("l")) - i),
+          (lj, k) => struct(i.cast("int").as("i"),
+            (i + k).cast("int").as("j"), (li * lj).as("v")))))))
+    q.select(col("_pid"), explode(rowEntries).as("e"))
+      .groupBy(col("_pid"), col("e.i").as("i"), col("e.j").as("j"))
+      .agg(sum(col("e.v")).as("p"))
       .groupBy(col("i"), col("j"))
       .agg(sum(col("p").cast(DecimalType(38, 0))).as("v"))
-    val s = li
-      .groupBy(col("_pid"), col("i"))
-      .agg(sum(col("li")).as("p"))
-      .groupBy(col("i"))
-      .agg(sum(col("p").cast(DecimalType(38, 0))).as("v"))
-      .select(col("i"), lit(-1).as("j"), col("v"))
-    val n = df.agg(count(lit(1)).cast(DecimalType(38, 0)).as("v"))
-      .select(lit(-1).as("i"), lit(-1).as("j"), col("v"))
-    g.select(col("i"), col("j"), col("v")).union(s).union(n)
+      .select(col("i"), col("j"), col("v"))
   }
 
   /** Fold two partial frames — exact decimal addition on the

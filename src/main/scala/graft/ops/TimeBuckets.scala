@@ -168,8 +168,10 @@ object TimeBuckets {
     * extrapolated — identical semantics to the earlier
     * spine-join + IGNORE-NULLS-fill formulation (hash-pinned by the
     * oracle) at a fraction of the plan: no bounds aggregate, no
-    * dense-spine join, no fill windows (measured 5.9 → ~1 s;
-    * contract: valueCol is non-null, as events.value is).
+    * dense-spine join (measured 5.9 → ~1 s). Buckets whose events all
+    * carry NULL values are interpolated through (nearest non-null
+    * neighbors anchor the fill), exactly as the IGNORE-NULLS form and
+    * the oracle do — no non-null-valueCol precondition.
     * Interpolation arithmetic is plain IEEE doubles in a fixed
     * expression shape, replayed verbatim by the DuckDB oracle
     * (`a8_interpolate_gaps`).
@@ -185,23 +187,48 @@ object TimeBuckets {
       .agg(Exact.dsum2(col(valueCol)).as("obs_value"),
         count(lit(1)).as("n_events"))
     val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket_ts"))
+    // Anchor every row on its nearest NON-NULL-valued neighbors, not
+    // its adjacent rows: a bucket whose events all carry NULL values
+    // aggregates to obs_value NULL, and the contract (matching the
+    // spine-join + IGNORE-NULLS-fill formulation this replaced, which
+    // the oracle still replays) is to interpolate THROUGH such
+    // buckets, not to emit NULL and poison the adjacent gaps. All
+    // frames share w's partitioning+ordering — one sort, no extra
+    // exchange; with non-null values (_pv,_pt)=(obs,bucket) and
+    // (_nvE,_ntE)=(lead obs, lead bucket), so the arithmetic — and
+    // the oracle hash — is bit-identical to the plain-lead form.
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNextI = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wNextE = w.rowsBetween(1, Window.unboundedFollowing)
+    val obsTs = when(col("obs_value").isNotNull, col("bucket_ts"))
     val withNext = b.select(col(keyCol), col("bucket_ts"),
       col("obs_value"), col("n_events"),
       lead(col("bucket_ts"), 1).over(w).as("_nt"),
-      lead(col("obs_value"), 1).over(w).as("_nv"))
+      last(col("obs_value"), ignoreNulls = true).over(wPrev).as("_pv"),
+      last(obsTs, ignoreNulls = true).over(wPrev).as("_pt"),
+      first(col("obs_value"), ignoreNulls = true).over(wNextI).as("_nvI"),
+      first(obsTs, ignoreNulls = true).over(wNextI).as("_ntI"),
+      first(col("obs_value"), ignoreNulls = true).over(wNextE).as("_nvE"),
+      first(obsTs, ignoreNulls = true).over(wNextE).as("_ntE"))
+    def fill(pv: Column, pt: Column, nv: Column, nt: Column): Column =
+      when(pv.isNull, nv).when(nv.isNull, pv)
+        .otherwise(pv + (nv - pv) *
+          ((col("bucket_ts") - pt).cast("double") /
+            (nt - pt).cast("double")))
     val observedRows = withNext.select(col(keyCol), col("bucket_ts"),
-      col("n_events"), col("obs_value").as("value"),
+      col("n_events"),
+      when(col("obs_value").isNotNull, col("obs_value"))
+        .otherwise(fill(col("_pv"), col("_pt"), col("_nvI"), col("_ntI")))
+        .as("value"),
       col("obs_value").isNotNull.as("observed"))
     val gapRows = withNext
       .filter(col("_nt") > col("bucket_ts") + intervalSec)
-      .select(col(keyCol), col("obs_value"), col("_nv"),
-        col("bucket_ts").as("_pt"), col("_nt"),
+      .select(col(keyCol), col("_pv"), col("_pt"), col("_nvE"),
+        col("_ntE"),
         explode(sequence(col("bucket_ts") + intervalSec,
           col("_nt") - intervalSec, lit(intervalSec))).as("bucket_ts"))
       .select(col(keyCol), col("bucket_ts"), lit(0L).as("n_events"),
-        (col("obs_value") + (col("_nv") - col("obs_value")) *
-          ((col("bucket_ts") - col("_pt")).cast("double") /
-            (col("_nt") - col("_pt")).cast("double"))).as("value"),
+        fill(col("_pv"), col("_pt"), col("_nvE"), col("_ntE")).as("value"),
         lit(false).as("observed"))
     observedRows.union(gapRows)
   }

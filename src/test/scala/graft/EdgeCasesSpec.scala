@@ -371,6 +371,31 @@ class EdgeCasesSpec extends SparkSpec {
       "k", "ts", "value", 900L).collect().isEmpty)
   }
 
+  test("interpolateGaps: all-NULL-valued buckets are interpolated" +
+    " through (IGNORE-NULLS anchor parity), incl. leading NULL") {
+    import java.time.Instant
+    def ts(epoch: Long) = Timestamp.from(Instant.ofEpochSecond(epoch))
+    val ev = Seq(
+      // c: observed 10 @ b0, a NULL-valued event @ b900, observed 40
+      // @ b2700 — b900 keeps its event count but takes the linear
+      // fill between the non-null neighbors; b1800 is a plain gap.
+      ("c", ts(0L), Some(10.0)), ("c", ts(900L), None),
+      ("c", ts(2700L), Some(40.0)),
+      // d: the key's FIRST bucket is all-NULL — constant-fills from
+      // the next observation (no left anchor), like the oracle's
+      // WHEN pv IS NULL THEN nv arm.
+      ("d", ts(0L), None), ("d", ts(900L), Some(5.0)))
+      .toDF("k", "ts", "value")
+    val out = TimeBuckets.interpolateGaps(ev, "k", "ts", "value", 900L)
+      .orderBy("k", "bucket_ts").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+    assert(out == Seq(
+      ("c", 0L, 1L, 10.0, true), ("c", 900L, 1L, 20.0, false),
+      ("c", 1800L, 0L, 30.0, false), ("c", 2700L, 1L, 40.0, true),
+      ("d", 0L, 1L, 5.0, false), ("d", 900L, 1L, 5.0, true)))
+  }
+
   test("funnel: strict ordering and horizon; out-of-order and" +
     " beyond-horizon users drop at the right step") {
     import java.time.Instant
