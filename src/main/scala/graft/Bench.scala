@@ -43,13 +43,16 @@ object Bench {
     // spread at sf0.1 is routinely 2-3x between reps of the same query).
     // The last rep runs under a job group so the JSON can attribute the
     // ~0.2 s/query scheduling floor: many-job queries pay it per job.
+    // SPARK_GRAFT_BENCH_REPS overrides for expensive one-off baskets
+    // (the sf1 whole-basket run uses 1: warmup + one timed pass).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 3).map { rep =>
-        if (rep == 3) spark.sparkContext.setJobGroup(s"bench:$name", name)
+      val times = (1 to reps).map { rep =>
+        if (rep == reps) spark.sparkContext.setJobGroup(s"bench:$name", name)
         val t0 = System.nanoTime()
         try { run(fn) } catch { case _: Throwable => () }
         val dt = (System.nanoTime() - t0) / 1e9
-        if (rep == 3) spark.sparkContext.clearJobGroup()
+        if (rep == reps) spark.sparkContext.clearJobGroup()
         dt
       }
       name -> (times.min, jobsFor(s"bench:$name"))

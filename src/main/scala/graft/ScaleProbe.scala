@@ -426,6 +426,22 @@ object ScaleProbe {
       ops.Retrieval.bm25TopK(docs, "doc_id", "text",
         Seq("table", "hash"), k = 100).count()
     }
+    locally {
+      // the index-probe twin: once the index exists, both PRF rounds
+      // are bucket-pruned probes and mining is one postings pass —
+      // expansion cost must track the INDEX probe, not the corpus
+      val prfIdx = java.nio.file.Files
+        .createTempDirectory("graft_probe_prf").toString + "/idx"
+      time("prf_index_build") {
+        ops.Retrieval.writeSearchIndex(docs, "doc_id", "text", prfIdx,
+          nBuckets = 64)
+        0L
+      }
+      time("prf_index_expand") {
+        ops.Retrieval.prfIndexTopK(spark, prfIdx, "doc_id",
+          Seq("table", "hash"), k = 100).count()
+      }
+    }
     val emb = multiplied(Tables.embeddings(spark, dir)
       .select("vec_id", "embedding"), "vec_id").cache()
     println(s"[scaleprobe] embeddings x$mult = ${emb.count()}")

@@ -1482,6 +1482,17 @@ object SparkEntry {
     "t_prf_expand" -> ((s, dir) =>
       Retrieval.prfExpand(Tables.documents(s, dir), "doc_id", "text",
         Seq("table", "hash"), k = 10)),
+    // the same two-round expansion through the at-rest search index
+    // (round 1/2 bucket-pruned probes, mining from postings, df from
+    // the dfreq partials) — same oracle SQL as t_prf_expand: the two
+    // paths are row-identical by construction
+    "t_prf_indexed" -> ((s, dir) => {
+      val idx = freshWorkDir() + "/prfidx"
+      Retrieval.writeSearchIndex(Tables.documents(s, dir), "doc_id",
+        "text", idx, nBuckets = 64)
+      Retrieval.prfIndexTopK(s, idx, "doc_id", Seq("table", "hash"),
+        k = 10)
+    }),
     // retrieval eval: the batch-BM25 run (first-6-token queries,
     // docs 0..4) scored against data-derived qrels — docs sharing the
     // query doc's (lang, source), self excluded; recall@k and MRR
@@ -2100,6 +2111,22 @@ object SparkEntry {
       }
       graft.streaming.Ingest.readRetention(s, work, "user_id").get
         .orderBy("cohort", "offset")
+    }),
+    // gap-session MV: the event log replayed through the session
+    // sink's commit path in a round-robin split — every third event
+    // per batch, so nearly every session is bisected across commits —
+    // then served by the interval merge; equals a16_session_window's
+    // one-shot batch aggregation bit-for-bit
+    "mv_sessions" -> ((s, dir) => {
+      val work = freshWorkDir()
+      val e = ev(s, dir)
+      (0L to 2L).foreach { b =>
+        graft.streaming.Ingest.commitSessionBatch(
+          e.filter(pmod(col("event_id"), lit(3)) === b), work, b,
+          "user_id", "ts", "value", 1800L)
+      }
+      graft.streaming.Ingest.readSessions(s, work, "user_id", 1800L).get
+        .orderBy("user_id", "session_start")
     }),
     // link-graph MV: the edge log replayed through the sink's commit
     // path, ranks served from the accumulated state — same answer as
@@ -2842,6 +2869,93 @@ object SparkEntry {
        |          CAST(round(CAST(SUM(du6) AS DOUBLE)/COUNT(*)) AS BIGINT) AS s_u6
        |        FROM t3 WHERE du6 IS NOT NULL GROUP BY 1, 2)""".stripMargin
 
+  /** The gap-session oracle (lag/flag/cumsum replay of Spark's
+    * session_window max(ts)+gap convention) — shared by
+    * a16_session_window (native batch aggregation) and mv_sessions
+    * (the streaming sink's summaries replayed and interval-merged),
+    * which are bit-identical by the additive-summary construction. */
+  private lazy val sessionWindowOracleSql: String =
+    """WITH o AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) eps, value,
+      |         LAG(CAST(floor(epoch(ts)) AS BIGINT))
+      |           OVER (PARTITION BY user_id ORDER BY ts) prev
+      |  FROM events),
+      |brk AS (
+      |  SELECT user_id, eps, value,
+      |         CASE WHEN prev IS NULL OR eps - prev >= 1800
+      |              THEN 1 ELSE 0 END b
+      |  FROM o),
+      |sess AS (
+      |  SELECT user_id, eps, value,
+      |         SUM(b) OVER (PARTITION BY user_id ORDER BY eps
+      |                      ROWS UNBOUNDED PRECEDING) sid
+      |  FROM brk)
+      |SELECT user_id,
+      |       CAST(MIN(eps) AS BIGINT) AS session_start,
+      |       CAST(MAX(eps) + 1800 AS BIGINT) AS session_end,
+      |       COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE)
+      |         AS session_volume
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
+  /** The two-round PRF oracle (RM3-lite replayed in SQL) — shared by
+    * t_prf_expand (in-memory recompute) and t_prf_indexed (the at-rest
+    * index probe), which are row-identical by construction. */
+  private lazy val prfExpandOracleSql: String =
+    """WITH toks AS (SELECT doc_id,
+      |         regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+      |       FROM documents),
+      |b2 AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl, ts FROM toks),
+      |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_tokens FROM b2),
+      |tf1 AS (SELECT doc_id, dl, term, COUNT(*) AS tf
+      |        FROM (SELECT doc_id, dl, unnest(ts) AS term FROM b2)
+      |        WHERE term IN ('table', 'hash') GROUP BY 1, 2, 3),
+      |dfq1 AS (SELECT term, COUNT(*) AS df_t FROM tf1 GROUP BY 1),
+      |s1 AS (SELECT doc_id,
+      |    CAST(round(
+      |      (CAST(n_docs AS DOUBLE) - CAST(df_t AS DOUBLE) + 0.5)
+      |        / (CAST(df_t AS DOUBLE) + 0.5)
+      |      * (CAST(tf AS DOUBLE) * 2.2)
+      |      / (CAST(tf AS DOUBLE)
+      |         + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+      |             / (CAST(tot_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+      |      * 1000000.0, 0) AS BIGINT) AS ts_ppm
+      |  FROM tf1 JOIN dfq1 USING (term) CROSS JOIN stats),
+      |fb AS (SELECT doc_id FROM (SELECT doc_id, SUM(ts_ppm) AS sc
+      |         FROM s1 GROUP BY 1)
+      |       ORDER BY sc DESC, doc_id LIMIT 3),
+      |fbtf AS (SELECT term, COUNT(*) AS fb_tf
+      |         FROM (SELECT unnest(ts) AS term FROM b2 JOIN fb USING (doc_id))
+      |         WHERE term NOT IN ('table', 'hash') GROUP BY 1),
+      |cdf AS (SELECT term, COUNT(*) AS df_t
+      |        FROM (SELECT doc_id, unnest(list_distinct(ts)) AS term FROM b2)
+      |        WHERE term IN (SELECT term FROM fbtf) GROUP BY 1),
+      |exp1 AS (SELECT fbtf.term FROM fbtf JOIN cdf USING (term)
+      |         CROSS JOIN stats
+      |         WHERE df_t * 100 <= n_docs * 50
+      |         ORDER BY fb_tf DESC, term LIMIT 4),
+      |t2 AS (SELECT term FROM exp1
+      |       UNION SELECT unnest(['table', 'hash'])),
+      |tf2 AS (SELECT doc_id, dl, term, COUNT(*) AS tf
+      |        FROM (SELECT doc_id, dl, unnest(ts) AS term FROM b2)
+      |        WHERE term IN (SELECT term FROM t2) GROUP BY 1, 2, 3),
+      |dfq2 AS (SELECT term, COUNT(*) AS df_t FROM tf2 GROUP BY 1),
+      |s2 AS (SELECT doc_id,
+      |    CAST(round(
+      |      (CAST(n_docs AS DOUBLE) - CAST(df_t AS DOUBLE) + 0.5)
+      |        / (CAST(df_t AS DOUBLE) + 0.5)
+      |      * (CAST(tf AS DOUBLE) * 2.2)
+      |      / (CAST(tf AS DOUBLE)
+      |         + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+      |             / (CAST(tot_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+      |      * 1000000.0, 0) AS BIGINT) AS ts_ppm
+      |  FROM tf2 JOIN dfq2 USING (term) CROSS JOIN stats)
+      |SELECT doc_id, CAST(SUM(ts_ppm) AS BIGINT) AS score_ppm,
+      |       CAST(COUNT(*) AS BIGINT) AS n_terms
+      |FROM s2 GROUP BY 1
+      |ORDER BY score_ppm DESC, doc_id LIMIT 10""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "ts_seasonal_decomp" ->
       (decompCtes("event_type") +
@@ -3473,30 +3587,11 @@ object SparkEntry {
          |$cols
          |FROM events, m GROUP BY m.now_ts""".stripMargin
     },
-    "a16_session_window" ->
-      """WITH o AS (
-        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) eps, value,
-        |         LAG(CAST(floor(epoch(ts)) AS BIGINT))
-        |           OVER (PARTITION BY user_id ORDER BY ts) prev
-        |  FROM events),
-        |brk AS (
-        |  SELECT user_id, eps, value,
-        |         CASE WHEN prev IS NULL OR eps - prev >= 1800
-        |              THEN 1 ELSE 0 END b
-        |  FROM o),
-        |sess AS (
-        |  SELECT user_id, eps, value,
-        |         SUM(b) OVER (PARTITION BY user_id ORDER BY eps
-        |                      ROWS UNBOUNDED PRECEDING) sid
-        |  FROM brk)
-        |SELECT user_id,
-        |       CAST(MIN(eps) AS BIGINT) AS session_start,
-        |       CAST(MAX(eps) + 1800 AS BIGINT) AS session_end,
-        |       COUNT(*) AS n_events,
-        |       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE)
-        |         AS session_volume
-        |FROM sess GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin,
+    "a16_session_window" -> sessionWindowOracleSql,
+    // the streaming-MV twin replays the same events through the
+    // session sink's commit path and serves the merged summaries —
+    // bit-identical to the batch aggregation, one oracle formula
+    "mv_sessions" -> sessionWindowOracleSql,
     "a15_unpivot_metrics" ->
       """WITH w AS (
         |  SELECT user_id,
@@ -5355,59 +5450,11 @@ object SparkEntry {
         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rrf_u,
         |       n_arms, rnk
         |FROM franked WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
-    "t_prf_expand" ->
-      """WITH toks AS (SELECT doc_id,
-        |         regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
-        |       FROM documents),
-        |b2 AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl, ts FROM toks),
-        |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_tokens FROM b2),
-        |tf1 AS (SELECT doc_id, dl, term, COUNT(*) AS tf
-        |        FROM (SELECT doc_id, dl, unnest(ts) AS term FROM b2)
-        |        WHERE term IN ('table', 'hash') GROUP BY 1, 2, 3),
-        |dfq1 AS (SELECT term, COUNT(*) AS df_t FROM tf1 GROUP BY 1),
-        |s1 AS (SELECT doc_id,
-        |    CAST(round(
-        |      (CAST(n_docs AS DOUBLE) - CAST(df_t AS DOUBLE) + 0.5)
-        |        / (CAST(df_t AS DOUBLE) + 0.5)
-        |      * (CAST(tf AS DOUBLE) * 2.2)
-        |      / (CAST(tf AS DOUBLE)
-        |         + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
-        |             / (CAST(tot_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
-        |      * 1000000.0, 0) AS BIGINT) AS ts_ppm
-        |  FROM tf1 JOIN dfq1 USING (term) CROSS JOIN stats),
-        |fb AS (SELECT doc_id FROM (SELECT doc_id, SUM(ts_ppm) AS sc
-        |         FROM s1 GROUP BY 1)
-        |       ORDER BY sc DESC, doc_id LIMIT 3),
-        |fbtf AS (SELECT term, COUNT(*) AS fb_tf
-        |         FROM (SELECT unnest(ts) AS term FROM b2 JOIN fb USING (doc_id))
-        |         WHERE term NOT IN ('table', 'hash') GROUP BY 1),
-        |cdf AS (SELECT term, COUNT(*) AS df_t
-        |        FROM (SELECT doc_id, unnest(list_distinct(ts)) AS term FROM b2)
-        |        WHERE term IN (SELECT term FROM fbtf) GROUP BY 1),
-        |exp1 AS (SELECT fbtf.term FROM fbtf JOIN cdf USING (term)
-        |         CROSS JOIN stats
-        |         WHERE df_t * 100 <= n_docs * 50
-        |         ORDER BY fb_tf DESC, term LIMIT 4),
-        |t2 AS (SELECT term FROM exp1
-        |       UNION SELECT unnest(['table', 'hash'])),
-        |tf2 AS (SELECT doc_id, dl, term, COUNT(*) AS tf
-        |        FROM (SELECT doc_id, dl, unnest(ts) AS term FROM b2)
-        |        WHERE term IN (SELECT term FROM t2) GROUP BY 1, 2, 3),
-        |dfq2 AS (SELECT term, COUNT(*) AS df_t FROM tf2 GROUP BY 1),
-        |s2 AS (SELECT doc_id,
-        |    CAST(round(
-        |      (CAST(n_docs AS DOUBLE) - CAST(df_t AS DOUBLE) + 0.5)
-        |        / (CAST(df_t AS DOUBLE) + 0.5)
-        |      * (CAST(tf AS DOUBLE) * 2.2)
-        |      / (CAST(tf AS DOUBLE)
-        |         + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
-        |             / (CAST(tot_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
-        |      * 1000000.0, 0) AS BIGINT) AS ts_ppm
-        |  FROM tf2 JOIN dfq2 USING (term) CROSS JOIN stats)
-        |SELECT doc_id, CAST(SUM(ts_ppm) AS BIGINT) AS score_ppm,
-        |       CAST(COUNT(*) AS BIGINT) AS n_terms
-        |FROM s2 GROUP BY 1
-        |ORDER BY score_ppm DESC, doc_id LIMIT 10""".stripMargin,
+    "t_prf_expand" -> prfExpandOracleSql,
+    // the index-probe twin reads the same corpus through the at-rest
+    // index trees and is row-identical by construction — one oracle
+    // formula covers both paths
+    "t_prf_indexed" -> prfExpandOracleSql,
     "t_eval_retrieval" -> (
       """WITH toks AS (SELECT doc_id,
         |         regexp_extract_all(lower(text), '[a-z0-9]+') AS ts

@@ -341,6 +341,16 @@ object Forecast {
     // full spine to compute T − t and probed 3× slower at the ×30
     // key-cardinality scale)
     val wPart = Window.partitionBy(col(keyCol))
+    // cached: FOUR consumers read this frame (the wide sxy aggregate
+    // plus the totals/tail/head prefix extracts below), and they
+    // re-key/filter differently so exchange reuse cannot dedup them —
+    // uncached, the whole bucket+spine+window subtree executes four
+    // times per run (measured: the cache is the difference between
+    // four window sorts and one on ts_dominant_period's 1500-key
+    // grid). Same justification as trendedAndIdx above: the cached
+    // set is the op's own working grid (|keys|·|buckets| rows),
+    // MEMORY_AND_DISK spills rather than OOMs at 100 TB; released on
+    // the caller's first action via CacheRelease.
     val withPos = g.select(
       col(keyCol) +: col("u").as("_y") +:
         row_number().over(w).as("_t") +:
@@ -348,6 +358,7 @@ object Forecast {
         sum(col("u")).over(w).as("_p") +:
         sum(col("u").cast("decimal(38,0)") * col("u")).over(w).as("_pp") +:
         (1 to maxLag).map(l => lag(col("u"), l).over(w).as(s"_x$l")): _*)
+      .cache()
     // the cross-product sums, WIDE: one key-grain aggregation with
     // maxLag lprodSum columns over the lag columns the window pass
     // already computed — the same multiplications as the earlier
@@ -356,7 +367,19 @@ object Forecast {
     // measured 15.2 → 8.3 s warm best-of-3 on ts_dominant_period
     // (ts_acf, keyed on 5 event types, moved +0.3 s — the wide agg
     // pays 144 accumulators per row regardless of key count, a fair
-    // trade for the many-key case that dominates). Each lprodSum is
+    // trade for the many-key case that dominates).
+    //
+    // FIRST-REP ADJUDICATION (the ~8 s cold-vs-warm gap a single-pass
+    // bench shows on ts_acf): measured NOT to be this aggregate's
+    // codegen — isolated, the window+wide-agg pair costs 3.1+1.1 s
+    // cold; the gap persists unchanged under
+    // codegen.factoryMode=NO_CODEGEN and under a split-half hoisting
+    // rewrite that shrank every update expression (which also
+    // REGRESSED ts_dominant_period 8.4 → 26.6 s warm and was
+    // reverted). The cost is plan-shape-wide first-JVM-run
+    // JIT/compile — 12 s on a few HUNDRED rows at sf0.001,
+    // data-independent, absent on every later rep at ANY SF — not
+    // something an operator rewrite removes. Each lprodSum is
     // the split-word exact form (sum skips null products, so head
     // rows where the lag column is null drop exactly like the old
     // explode's isNotNull filter, and an all-null lag — lag ≥ series
@@ -402,10 +425,11 @@ object Forecast {
       col("_sx").cast("double") * col("_sx").cast("double")
     val vy = col("n").cast("double") * col("_syy").cast("double") -
       col("_sy").cast("double") * col("_sy").cast("double")
-    sums.select(col(keyCol), col("lag"), col("n"),
+    val out = sums.select(col(keyCol), col("lag"), col("n"),
         when(vx > 0 && vy > 0,
           round(num / (sqrt(vx) * sqrt(vy)), 6)).as("acf"))
       .orderBy(keyCol, "lag")
+    graft.util.CacheRelease.releaseAfterFirstAction(out, Seq(withPos))
   }
 
   /** Dominant period per key: the lag in [minLag, maxLag] with the

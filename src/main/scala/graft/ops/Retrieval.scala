@@ -413,7 +413,17 @@ object Retrieval {
     * whole-stage codegen. The right Spark plan when the corpus is
     * being scanned anyway (curation triage); [[phraseIndexTopK]] is
     * the index-probe twin for interactive use. Oracled
-    * (`t_phrase_search`). */
+    * (`t_phrase_search`).
+    *
+    * NEGATIVE RESULT, kept deliberately: replacing the
+    * sequence+filter position arrays with an allocation-free
+    * `aggregate` running fold (position and count packed into one
+    * long accumulator) measured 2.68 → 4.71 s at sf0.1 and was
+    * reverted — Spark's higher-order functions evaluate their lambda
+    * through the interpreted path per element, and that per-step cost
+    * exceeds the codegen'd array materialization it saves. The
+    * per-document arrays are bounded by token count and short-lived;
+    * they are not the bottleneck. */
   def phraseMatch(df: DataFrame, idCol: String, textCol: String,
                   phrase: Seq[String], k: Int): DataFrame = {
     require(phrase.nonEmpty, "phraseMatch: empty phrase")
@@ -508,6 +518,60 @@ object Retrieval {
       .limit(k)
   }
 
+  /** [[prfExpand]]'s index-probe twin: identical two-round RM3-lite
+    * semantics, but every corpus-scale pass reads the at-rest
+    * [[writeSearchIndex]] trees instead of re-tokenizing text — the
+    * interactive-path variant prfExpand's scaladoc names. Round 1 and
+    * round 2 are term-bucket-PRUNED postings probes (the
+    * [[bm25IndexTopK]] path), candidate mining reads the postings'
+    * (doc, term, tf) rows semi-joined to the (broadcast, nDocs-row)
+    * feedback set — one postings pass, no tokenization — and the
+    * stopword df cap sums the dfreq tree's additive partials. The
+    * expanded term set (≤ nTerms + |query| strings) is collected to
+    * the driver to drive round 2's bucket pruning (bounded-collect
+    * class). Row-identical to [[prfExpand]] over the indexed corpus —
+    * oracled `t_prf_indexed`, same oracle SQL as `t_prf_expand` —
+    * including across incremental appends (spec-pinned). */
+  def prfIndexTopK(spark: org.apache.spark.sql.SparkSession,
+                   indexPath: String, idCol: String,
+                   queryTerms: Seq[String], k: Int,
+                   nDocs: Int = 3, nTerms: Int = 4, maxDfPct: Int = 50,
+                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "prfIndexTopK: empty query")
+    require(maxDfPct >= 1 && maxDfPct <= 100,
+      "prfIndexTopK: maxDfPct must be in [1, 100]")
+    graft.io.Fs.recoverPublished(spark, indexPath)
+    val live = liveSearchRows(searchWatermark(spark, indexPath))
+    val stats = spark.read.parquet(indexPath + "/stats").filter(live)
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("tot_tokens")).as("tot_tokens"))
+    // round 1: the pruned index probe, feedback = its top nDocs ids
+    val fb = bm25IndexTopK(spark, indexPath, idCol, queryTerms, nDocs,
+        k1, b)
+      .select(col(idCol))
+    // candidate mining: postings already carry (doc, term, tf), so
+    // feedback-doc term frequencies are ONE semi-joined postings pass
+    // (Σ tf over the fb docs ≡ prfExpand's exploded-token count)
+    val fbTf = spark.read.parquet(indexPath + "/postings").filter(live)
+      .join(broadcast(fb), Seq(idCol), "left_semi")
+      .filter(!col("term").isin(queryTerms: _*))
+      .groupBy(col("term")).agg(sum(col("tf")).as("fb_tf"))
+    // corpus df of the candidates from the dfreq tree's exact partials
+    val candDf = spark.read.parquet(indexPath + "/dfreq").filter(live)
+      .join(broadcast(fbTf.select("term")), Seq("term"), "left_semi")
+      .groupBy(col("term")).agg(sum(col("df_t")).as("df_t"))
+    val expansion = fbTf.join(candDf, "term")
+      .crossJoin(broadcast(stats))
+      .filter(col("df_t") * lit(100L) <= col("n_docs") * lit(maxDfPct.toLong))
+      .orderBy(col("fb_tf").desc, col("term"))
+      .limit(nTerms)
+      .select(col("term"))
+    val terms2 =
+      (expansion.collect().map(_.getString(0)).toSeq ++ queryTerms).distinct
+    // round 2 IS a plain pruned probe with the expanded term set
+    bm25IndexTopK(spark, indexPath, idCol, terms2, k, k1, b)
+  }
+
   /** Pseudo-relevance-feedback query expansion (RM3-lite, Lavrenko &
     * Croft's relevance-model idea with tf-based term selection): run
     * BM25 once, mine the top feedback docs for frequent terms the
@@ -529,9 +593,10 @@ object Retrieval {
     * (broadcast), the df guard and round 2 semi-join against the
     * (tiny, broadcast) candidate/expanded term sets. Round 2 ranks via
     * the same TakeOrderedAndProject path as [[bm25TopK]] — no window,
-    * no single-partition hot key. An index-backed variant would read
-    * df from the [[writeSearchIndex]] stats tree instead of pass 2;
-    * the in-memory form keeps the composition self-contained.
+    * no single-partition hot key. [[prfIndexTopK]] is the index-backed
+    * twin (df/stats from the [[writeSearchIndex]] trees, zero
+    * tokenization); the in-memory form keeps the composition
+    * self-contained when no index exists.
     */
   def prfExpand(df: DataFrame, idCol: String, textCol: String,
                 queryTerms: Seq[String], k: Int,

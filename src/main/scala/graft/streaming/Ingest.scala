@@ -797,6 +797,99 @@ object Ingest {
         act.select(col(userCol), col("period")).distinct(),
         userCol))
 
+  /** Streaming GAP-SESSION MV — the streaming form of the native
+    * session-window family (`a16_session_window` is the batch twin):
+    * each micro-batch sessionizes ITS OWN events (the lag/cumsum gap
+    * split, per key) and appends the resulting session SUMMARIES
+    * `(key, smin, smax, n, vol_units)` under `b=<batchId>`
+    * (replay-idempotent; [[graft.io.Batches.compact]] bounds the
+    * directory count). Serving ([[readSessions]]) interval-merges the
+    * accumulated summaries per key — exact: consecutive gaps inside a
+    * committed sub-session are < gapSec by construction, so two
+    * summaries belong to one raw-event session iff their intervals
+    * overlap or sit closer than gapSec, a pure fold over
+    * SESSION-grain rows (state is sessions × keys, never the event
+    * history). Counts and fixed-point volume units are additive
+    * longs, so the merged row is bit-identical to the batch
+    * aggregation at ANY batch split, including splits that bisect a
+    * session and out-of-order arrivals (StreamingSpec; driver-oracled
+    * `mv_sessions` against the a16 SQL). A production deployment
+    * bounds the summary log by watermark-evicting sessions older than
+    * the horizon (the recent-store discipline below); the MV replay
+    * keeps everything so the oracle can re-derive it exactly. */
+  def startSessionSink(events: DataFrame, keyCol: String, tsCol: String,
+                       valueCol: String, gapSec: Long,
+                       outRoot: String, checkpoint: String,
+                       trigger: Trigger = Trigger.ProcessingTime(0L))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitSessionBatch(batch, outRoot, batchId, keyCol, tsCol,
+          valueCol, gapSec)
+      }
+      .start()
+
+  /** Per-batch body of [[startSessionSink]] (see
+    * [[commitPatternBatch]] for why these are exposed): the batch's
+    * own gap-sessions, reduced to summary rows with exact long units
+    * (round(value·100) — the [[graft.util.Exact]] fixed-point). */
+  def commitSessionBatch(batch: DataFrame, outRoot: String,
+                         batchId: Long, keyCol: String, tsCol: String,
+                         valueCol: String, gapSec: Long): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("eps"))
+    batch.select(col(keyCol),
+        unix_timestamp(col(tsCol)).as("eps"),
+        round(col(valueCol) * 100).cast("long").as("_u"))
+      .withColumn("_brk",
+        when(lag(col("eps"), 1).over(w).isNull ||
+          col("eps") - lag(col("eps"), 1).over(w) >= gapSec, 1L)
+          .otherwise(0L))
+      .withColumn("_sid", sum(col("_brk")).over(w))
+      .groupBy(col(keyCol), col("_sid"))
+      .agg(min(col("eps")).as("smin"), max(col("eps")).as("smax"),
+        count(lit(1)).as("n"), sum(col("_u")).as("vol_units"))
+      .select(col(keyCol), col("smin"), col("smax"), col("n"),
+        col("vol_units"))
+      .write.mode("overwrite").parquet(s"$outRoot/b=$batchId")
+    ()
+  }
+
+  /** Serving read for [[startSessionSink]]: the merged session table
+    * over everything ingested so far, in the `a16_session_window`
+    * output convention (`session_end` = last event + gap). The merge
+    * is one window pass over SESSION-summary rows: a summary starts a
+    * new merged session iff its smin sits ≥ gapSec after the running
+    * max smax of everything before it (running max, not lag — an
+    * interval can be wholly contained in an earlier one). None before
+    * the first commit. */
+  def readSessions(spark: SparkSession, outRoot: String, keyCol: String,
+                   gapSec: Long): Option[DataFrame] =
+    graft.io.Batches.read(spark, outRoot).map { s =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col(keyCol))
+        .orderBy(col("smin"), col("smax"))
+      val prevMax = max(col("smax")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+      s.withColumn("_brk",
+          when(prevMax.isNull || col("smin") - prevMax >= gapSec, 1L)
+            .otherwise(0L))
+        .withColumn("_sid",
+          sum(col("_brk")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col(keyCol), col("_sid"))
+        .agg(min(col("smin")).as("session_start"),
+          (max(col("smax")) + gapSec).as("session_end"),
+          sum(col("n")).as("n_events"),
+          graft.util.Exact.unitsToDouble2(sum(col("vol_units")))
+            .as("session_volume"))
+        .select(col(keyCol), col("session_start"), col("session_end"),
+          col("n_events"), col("session_volume"))
+    }
+
   /** Streaming LINK-GRAPH MV — the crawl-prioritization model kept
     * current: each micro-batch appends its (src, dst) edges under
     * `b=<batchId>` (replay-idempotent — the activity-sink layout;

@@ -152,6 +152,31 @@ class RetrievalSpec extends SparkSpec {
     assert(dfRow.length == 1 && dfRow.head.getAs[Long]("df_t") == 3L)
   }
 
+  test("prfIndexTopK: row-identical to prfExpand, including across" +
+    " incremental appends") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-prfidx")
+    val idx = tmp.toString + "/idx"
+    val incr = tmp.toString + "/incr"
+    Retrieval.writeSearchIndex(corpus, "doc_id", "text", idx, nBuckets = 8)
+    // a query whose literal match misses paraphrase docs, forcing a
+    // real expansion round (same shape as the prfExpand spec)
+    val terms = Seq("skew")
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val mem = rows(Retrieval.prfExpand(corpus, "doc_id", "text", terms,
+      k = 10, nDocs = 2, nTerms = 3, maxDfPct = 60))
+    assert(mem.nonEmpty)
+    assert(rows(Retrieval.prfIndexTopK(spark, idx, "doc_id", terms,
+      k = 10, nDocs = 2, nTerms = 3, maxDfPct = 60)) == mem)
+    // the additive index trees keep the equivalence across appends
+    Retrieval.writeSearchIndex(corpus.filter(col("doc_id") < 3),
+      "doc_id", "text", incr, nBuckets = 8)
+    Retrieval.appendToSearchIndex(corpus.filter(col("doc_id") >= 3),
+      "doc_id", "text", incr, batchTag = Some(3L))
+    assert(rows(Retrieval.prfIndexTopK(spark, incr, "doc_id", terms,
+      k = 10, nDocs = 2, nTerms = 3, maxDfPct = 60)) == mem)
+  }
+
   test("search index append: incremental index answers identically to" +
     " a full rebuild over the union") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-sidx2")

@@ -1051,6 +1051,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session MV sink: merged summaries equal the one-shot batch" +
+    " session_window aggregation across splits that bisect sessions," +
+    " incl. out-of-order arrivals; replaying a commit is idempotent") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    // user 1's first session spans three commits (every inter-event
+    // gap < 30 min) and batch 3 delivers an OUT-OF-ORDER event that
+    // lands BETWEEN batch-1 events — the interval merge must stitch
+    // all of it back into one session
+    val batches: Seq[Seq[(Long, Timestamp, Double)]] = Seq(
+      Seq((1L, ts("2024-02-01 10:00:00"), 5.0),
+        (1L, ts("2024-02-01 10:20:00"), 7.0)),
+      Seq((1L, ts("2024-02-01 10:45:00"), 2.0), // bisects session 1
+        (1L, ts("2024-02-01 12:00:00"), 1.0)), // gap 75m: new session
+      Seq((1L, ts("2024-02-01 10:10:00"), 3.0), // out-of-order, inside s1
+        (2L, ts("2024-02-01 09:00:00"), 4.0)))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sessmv")
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val q = Ingest.startSessionSink(
+      mem.toDF().toDF("user_id", "ts", "value"),
+      "user_id", "ts", "value", 1800L, s"$tmp/work", s"$tmp/cp")
+    try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    def servedSet() = Ingest
+      .readSessions(spark, s"$tmp/work", "user_id", 1800L).get
+      .collect().map(_.toSeq).toSet
+    val served = servedSet()
+    val batchForm = batches.flatten.toDF("user_id", "ts", "value")
+      .groupBy(col("user_id"),
+        session_window(date_trunc("second", col("ts")),
+          "1800 seconds").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.util.Exact.dsum2(col("value")).as("session_volume"))
+      .select(col("user_id"),
+        unix_timestamp(col("sw.start")).as("session_start"),
+        unix_timestamp(col("sw.end")).as("session_end"),
+        col("n_events"), col("session_volume"))
+      .collect().map(_.toSeq).toSet
+    assert(served == batchForm, s"served=$served\nbatch=$batchForm")
+    // the thrice-bisected session came back as ONE 4-event session
+    assert(served.count(_.head == 1L) == 2)
+    assert(served.exists(r => r.head == 1L && r(3) == 4L))
+    // crash-replay: re-committing a batch overwrites its own b= dir
+    Ingest.commitSessionBatch(batches(1).toDF("user_id", "ts", "value"),
+      s"$tmp/work", 1L, "user_id", "ts", "value", 1800L)
+    assert(servedSet() == batchForm)
+  }
+
   test("COCO class map: {1,3}→motorcycle, {2,5,7}→car, else null") {
     val d = Seq(1, 2, 3, 5, 7, 9).toDF("c")
     val out = d.select(Ingest.mapCocoClass(col("c"))).as[Option[String]]

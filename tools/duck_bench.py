@@ -42,3 +42,8 @@ for name in sorted(best, key=lambda n: -best[n]):
     print(f"{best[name]:8.3f}  {name}")
 print(json.dumps({"metric": "duckdb_oracle_basket", "unit": "sec",
                   "value": sum(best.values()), "queries": len(best)}))
+# optional 4th arg: dump the per-query minima for tools/bench_ratio.py
+if len(sys.argv) > 4:
+    with open(sys.argv[4], "w") as f:
+        json.dump({"metric": "duckdb_oracle_basket", "unit": "sec",
+                   "sf": sf_dir, "reps": reps, "queries": best}, f)
