@@ -341,16 +341,6 @@ object Forecast {
     // full spine to compute T − t and probed 3× slower at the ×30
     // key-cardinality scale)
     val wPart = Window.partitionBy(col(keyCol))
-    // cached: FOUR consumers read this frame (the wide sxy aggregate
-    // plus the totals/tail/head prefix extracts below), and they
-    // re-key/filter differently so exchange reuse cannot dedup them —
-    // uncached, the whole bucket+spine+window subtree executes four
-    // times per run (measured: the cache is the difference between
-    // four window sorts and one on ts_dominant_period's 1500-key
-    // grid). Same justification as trendedAndIdx above: the cached
-    // set is the op's own working grid (|keys|·|buckets| rows),
-    // MEMORY_AND_DISK spills rather than OOMs at 100 TB; released on
-    // the caller's first action via CacheRelease.
     val withPos = g.select(
       col(keyCol) +: col("u").as("_y") +:
         row_number().over(w).as("_t") +:
@@ -358,7 +348,6 @@ object Forecast {
         sum(col("u")).over(w).as("_p") +:
         sum(col("u").cast("decimal(38,0)") * col("u")).over(w).as("_pp") +:
         (1 to maxLag).map(l => lag(col("u"), l).over(w).as(s"_x$l")): _*)
-      .cache()
     // the cross-product sums, WIDE: one key-grain aggregation with
     // maxLag lprodSum columns over the lag columns the window pass
     // already computed — the same multiplications as the earlier
@@ -397,8 +386,21 @@ object Forecast {
         .as(Seq("_pos", "_sxy")))
       .filter(col("_sxy").isNotNull)
       .select(col(keyCol), (col("_pos") + 1).as("lag"), col("_sxy"))
+    // The three prefix extracts below (totals/tail/head) re-filter
+    // this frame differently and join on different keys, so exchange
+    // reuse cannot dedup them — each would re-run the prefix window
+    // pass. Cache the SMALL slice they share: only the head/tail/last
+    // rows (≤ 2·maxLag+1 per key, 5 narrow columns — |keys|-scale,
+    // NOT the dense grid), computed by ONE light window pass (column
+    // pruning drops the 48 lag expressions from this branch; the lag
+    // pass runs once for the sxy aggregate). Caching the full
+    // 54-column grid instead was tried and REVERTED: the ~1.4 GB/rep
+    // of storage churn dragged whole-basket GC — this slice is a few
+    // MB. Released on the caller's first action via CacheRelease.
     val prefixes = withPos.select(col(keyCol), col("_t"), col("_len"),
-      col("_p"), col("_pp"))
+        col("_p"), col("_pp"))
+      .filter(col("_t") <= maxLag || col("_t") >= col("_len") - maxLag)
+      .cache()
     // per-key totals are the LAST prefix row — a filter, not an agg
     val totalsRow = prefixes.filter(col("_t") === col("_len"))
       .select(col(keyCol), col("_p").as("_ptot"), col("_pp").as("_pptot"))
@@ -429,7 +431,7 @@ object Forecast {
         when(vx > 0 && vy > 0,
           round(num / (sqrt(vx) * sqrt(vy)), 6)).as("acf"))
       .orderBy(keyCol, "lag")
-    graft.util.CacheRelease.releaseAfterFirstAction(out, Seq(withPos))
+    graft.util.CacheRelease.releaseAfterFirstAction(out, Seq(prefixes))
   }
 
   /** Dominant period per key: the lag in [minLag, maxLag] with the

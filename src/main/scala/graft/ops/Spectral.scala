@@ -60,29 +60,37 @@ object Spectral {
     // caller ever feeds huge-magnitude vectors — and phase 2 folds
     // the partition partials (d(d+1)/2 × partitions rows, tiny) in
     // DECIMAL(38,0), exact at ANY corpus size.
-    // ONE source scan (the earlier form aggregated g, s and n as
-    // three branches over the same subtree, which Spark plans as
-    // three full reads — per STREAMING TRIGGER in commitGramBatch):
-    // each row emits its count sentinel (-1,-1,1), its component
-    // sentinels (i,-1,l_i) and its upper-triangle products
-    // (i,j,l_i·l_j) as one generated struct array, exploded once and
-    // folded by the same two-phase exact aggregation. An empty input
-    // now yields an EMPTY frame rather than a (-1,-1,0) row — the
-    // partials are additive, so the absent zero row is identical to
-    // every consumer (statsFromPartials initializes n = 0).
-    val q = df.select(Embeddings.quantize(col(vecCol)).as("l"),
+    // ONE source scan (the first form aggregated g, s and n as three
+    // branches over the same subtree — three full source reads per
+    // call, and per STREAMING TRIGGER in commitGramBatch), kept on
+    // the codegen'd Generate path: append a SENTINEL 1 to each
+    // quantized vector and run the same upper-triangle double
+    // posexplode over the extended array — pairs with j at the
+    // sentinel slot are l_i·1 = the component sums, and the
+    // (sentinel, sentinel) pair is 1·1 = the row count; the index
+    // remap to the (-1) sentinel coordinates happens on the exploded
+    // grain. (A struct-array `transform`+`flatten` formulation was
+    // tried first and REVERTED: higher-order-function lambdas
+    // evaluate interpreted per element — e_pca_var 0.34 → 2.5 s at
+    // sf0.1.) An empty input vector still contributes its count row
+    // (its extended array is just the sentinel). Empty INPUT yields
+    // an empty frame rather than a (-1,-1,0) row — the partials are
+    // additive, so the absent zero row is identical to every
+    // consumer (statsFromPartials initializes n = 0).
+    val q = df.select(
+      concat(Embeddings.quantize(col(vecCol)), array(lit(1L))).as("l"),
       spark_partition_id().as("_pid"))
-    val rowEntries = concat(
-      array(struct(lit(-1).as("i"), lit(-1).as("j"), lit(1L).as("v"))),
-      flatten(transform(col("l"), (li, i) => concat(
-        array(struct(i.cast("int").as("i"), lit(-1).as("j"),
-          li.as("v"))),
-        transform(slice(col("l"), i + 1, size(col("l")) - i),
-          (lj, k) => struct(i.cast("int").as("i"),
-            (i + k).cast("int").as("j"), (li * lj).as("v")))))))
-    q.select(col("_pid"), explode(rowEntries).as("e"))
-      .groupBy(col("_pid"), col("e.i").as("i"), col("e.j").as("j"))
-      .agg(sum(col("e.v")).as("p"))
+    val li = q.select(col("_pid"), col("l"), size(col("l")).as("_d"),
+      posexplode(col("l")).as(Seq("i", "li")))
+    li.select(col("_pid"), col("_d"), col("i"), col("li"),
+        posexplode(col("l")).as(Seq("j", "lj")))
+      .filter(col("j") >= col("i"))
+      .groupBy(col("_pid"),
+        when(col("i") === col("_d") - 1, lit(-1))
+          .otherwise(col("i")).as("i"),
+        when(col("j") === col("_d") - 1, lit(-1))
+          .otherwise(col("j")).as("j"))
+      .agg(sum(col("li") * col("lj")).as("p"))
       .groupBy(col("i"), col("j"))
       .agg(sum(col("p").cast(DecimalType(38, 0))).as("v"))
       .select(col("i"), col("j"), col("v"))

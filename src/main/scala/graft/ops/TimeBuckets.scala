@@ -192,24 +192,34 @@ object TimeBuckets {
     // aggregates to obs_value NULL, and the contract (matching the
     // spine-join + IGNORE-NULLS-fill formulation this replaced, which
     // the oracle still replays) is to interpolate THROUGH such
-    // buckets, not to emit NULL and poison the adjacent gaps. All
-    // frames share w's partitioning+ordering — one sort, no extra
-    // exchange; with non-null values (_pv,_pt)=(obs,bucket) and
-    // (_nvE,_ntE)=(lead obs, lead bucket), so the arithmetic — and
-    // the oracle hash — is bit-identical to the plain-lead form.
+    // buckets, not to emit NULL and poison the adjacent gaps. The
+    // backward anchors ride w's RUNNING frame; the forward anchors
+    // ride a DESCENDING-order running frame (last-ignoreNulls over
+    // rows already seen in descending order = first non-null
+    // at-or-after the row in ascending order) — running frames
+    // stream in O(rows), where the first cut's UNBOUNDED FOLLOWING
+    // frames re-scanned ahead per row and benched 0.36 → 2.5 s at
+    // sf0.1. Both orders share the one hash partitioning on the key
+    // (two in-partition sorts, no extra exchange); with non-null
+    // values (_pv,_pt)=(obs,bucket) and (_nvE,_ntE)=(lead obs, lead
+    // bucket), so the arithmetic — and the oracle hash — is
+    // bit-identical to the plain-lead form.
     val wPrev = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wNextI = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val wNextE = w.rowsBetween(1, Window.unboundedFollowing)
+    val wDesc = Window.partitionBy(col(keyCol))
+      .orderBy(col("bucket_ts").desc)
+    val wNextI = wDesc.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val wNextE = wDesc.rowsBetween(Window.unboundedPreceding, -1)
     val obsTs = when(col("obs_value").isNotNull, col("bucket_ts"))
     val withNext = b.select(col(keyCol), col("bucket_ts"),
       col("obs_value"), col("n_events"),
       lead(col("bucket_ts"), 1).over(w).as("_nt"),
       last(col("obs_value"), ignoreNulls = true).over(wPrev).as("_pv"),
       last(obsTs, ignoreNulls = true).over(wPrev).as("_pt"),
-      first(col("obs_value"), ignoreNulls = true).over(wNextI).as("_nvI"),
-      first(obsTs, ignoreNulls = true).over(wNextI).as("_ntI"),
-      first(col("obs_value"), ignoreNulls = true).over(wNextE).as("_nvE"),
-      first(obsTs, ignoreNulls = true).over(wNextE).as("_ntE"))
+      last(col("obs_value"), ignoreNulls = true).over(wNextI).as("_nvI"),
+      last(obsTs, ignoreNulls = true).over(wNextI).as("_ntI"),
+      last(col("obs_value"), ignoreNulls = true).over(wNextE).as("_nvE"),
+      last(obsTs, ignoreNulls = true).over(wNextE).as("_ntE"))
     def fill(pv: Column, pt: Column, nv: Column, nt: Column): Column =
       when(pv.isNull, nv).when(nv.isNull, pv)
         .otherwise(pv + (nv - pv) *
