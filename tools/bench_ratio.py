@@ -6,10 +6,20 @@ WITHOUT a checked-in adjudication.
 
 The 2x engine-to-engine contract is enforced on the basket total by
 the driver; this tool closes the per-query blind spot — a single
-pathological query hiding under the basket's headroom. Every >2x row
-must either carry an entry in tools/ratio_adjudications.json
-(category: "floor" = sub-second scheduling-floor query, "replay" =
-multi-commit MV serve the one-shot oracle doesn't pay, "real" = an
+pathological query hiding under the basket's headroom. Two classes
+auto-adjudicate (they are structural, not per-query facts):
+
+- "floor": Spark best-of-N under FLOOR_S (1.5 s) — DuckDB answers
+  sf0.1-scale oracles in single-digit milliseconds while Spark pays a
+  ~0.1-0.3 s per-query scheduling/planning floor at local[32], so a
+  sub-1.5 s absolute time with a huge ratio is fixed overhead, not a
+  scale hazard (the floor does not grow with data).
+- "replay": mv_* queries replay MULTI-COMMIT sink writes plus a serve
+  (12-22 Spark jobs) where the oracle runs one batch SQL — the ratio
+  prices the streaming machinery, not the operator.
+
+Every OTHER >2x row must carry an entry in
+tools/ratio_adjudications.json (category "real" with a why — an
 accepted, documented cost) or it is reported as NEW/unexplained and
 the tool exits nonzero.
 
@@ -48,23 +58,42 @@ for name, s in spark_q.items():
     duck_s[name] = d
     ratio[name] = round(s / d, 2) if d > 0 else float("inf")
 
+FLOOR_S = 1.5
+
+def adjudicate(n):
+    if n in adj:
+        return adj[n].get("category", "real"), adj[n].get("why", "")
+    if spark_q[n] <= FLOOR_S:
+        return "floor", f"spark abs {spark_q[n]:.2f}s = scheduling floor"
+    if n.startswith("mv_"):
+        return "replay", "multi-commit sink replay + serve vs one-shot SQL"
+    return None, None
+
 bench["duck_s"] = duck_s
 bench["ratio"] = ratio
 over = sorted((n for n, r in ratio.items() if r > args.threshold),
               key=lambda n: -ratio[n])
-flags = [n for n in over if n not in adj]
+verdicts = {n: adjudicate(n) for n in over}
+flags = [n for n in over if verdicts[n][0] is None]
 bench["ratio_flags"] = flags
+bench["ratio_adjudications"] = {
+    n: v[0] for n, v in verdicts.items() if v[0] is not None}
 
 out = args.out or args.bench_json
 with open(out, "w") as f:
     json.dump(bench, f)
 
-print(f"{len(ratio)} queries merged; "
-      f"{len(over)} over {args.threshold}x, {len(flags)} unexplained")
+cats = {}
+for n in over:
+    cats[verdicts[n][0] or "NEW"] = cats.get(verdicts[n][0] or "NEW", 0) + 1
+print(f"{len(ratio)} queries merged; {len(over)} over {args.threshold}x "
+      f"({', '.join(f'{k}: {v}' for k, v in sorted(cats.items()))}); "
+      f"{len(flags)} unexplained")
 print(f"{'query':30s} {'spark_s':>8s} {'duck_s':>8s} {'ratio':>7s}  adjudication")
 for n in over:
-    a = adj.get(n, {})
-    tag = f"{a.get('category', 'NEW/UNEXPLAINED')}: {a.get('why', '')}" \
-        if n in adj else "NEW/UNEXPLAINED"
+    cat, why = verdicts[n]
+    if cat == "floor":
+        continue  # structural; counted above, not worth 150 table rows
+    tag = f"{cat}: {why}" if cat else "NEW/UNEXPLAINED"
     print(f"{n:30s} {spark_q[n]:8.3f} {duck_s[n]:8.3f} {ratio[n]:7.2f}  {tag}")
 sys.exit(1 if flags else 0)
