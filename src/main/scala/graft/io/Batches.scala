@@ -143,10 +143,19 @@ object Batches {
     * lands in ~one task's files) instead of a bare coalesce, which
     * would scatter every value across every task and write
     * nFiles × nValues tiny files. */
+  /** `foldBase` (additional hook): applied to the UNION of everything
+    * being folded, before the new base is written — for roots whose
+    * rows are MERGEABLE state rather than append-only facts (e.g. the
+    * session-summary sink: summaries of one raw session split across
+    * commits collapse to one row). The function must be a semantic
+    * no-op for the root's serving read (serve(fold(x)) == serve(x)) —
+    * the fold then also BOUNDS the at-rest state by live entities
+    * instead of by commit count. Identity for plain fact logs. */
   def compact(s: SparkSession, root: String, upTo: Long,
               targetFileBytes: Long = 128L * 1024 * 1024,
               partitionBy: Seq[String] = Nil,
-              deriveTail: DataFrame => DataFrame = identity): Boolean = {
+              deriveTail: DataFrame => DataFrame = identity,
+              foldBase: DataFrame => DataFrame = identity): Boolean = {
     if (!Fs.exists(s, root)) return false
     requireBatchLayout(s, root)
     val staging = s"$root/_compact_b"
@@ -170,9 +179,10 @@ object Batches {
       if (partitionBy.isEmpty)
         // mergeSchema for the same reason as read(): folding an
         // evolved tail into the base must not drop its added columns
-        s.read.option("basePath", root).option("mergeSchema", "true")
-          .parquet(paths: _*)
-          .drop("b") // the new base dir's name carries the provenance tag
+        foldBase(s.read.option("basePath", root)
+            .option("mergeSchema", "true")
+            .parquet(paths: _*)
+            .drop("b")) // the new base dir's name carries the tag
           .coalesce(nFiles.toInt)
       else {
         // mixed read: the old base carries partitionBy as partition
@@ -184,8 +194,8 @@ object Batches {
             .parquet(s"$root/b=${-(w + 2L)}")) else Nil
         val tails = candidates.sorted
           .map(id => deriveTail(s.read.parquet(s"$root/b=$id")))
-        (oldBase ++ tails)
-          .reduce(_.unionByName(_, allowMissingColumns = true))
+        foldBase((oldBase ++ tails)
+            .reduce(_.unionByName(_, allowMissingColumns = true)))
           .repartition(nFiles.toInt,
             partitionBy.map(org.apache.spark.sql.functions.col): _*)
       }

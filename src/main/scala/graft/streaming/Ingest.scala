@@ -820,17 +820,65 @@ object Ingest {
   def startSessionSink(events: DataFrame, keyCol: String, tsCol: String,
                        valueCol: String, gapSec: Long,
                        outRoot: String, checkpoint: String,
-                       trigger: Trigger = Trigger.ProcessingTime(0L))
+                       trigger: Trigger = Trigger.ProcessingTime(0L),
+                       compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .outputMode(OutputMode.Append)
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the session fold MERGES while it compacts (Batches.compact
+        // foldBase contract): the folded base holds one row per LIVE
+        // merged session, so the at-rest state — and every serve's
+        // merge input — is bounded by session count, never by how
+        // many commits the stream has made. Consumer contract as
+        // every self-compacting root: read via Batches.read
+        // (readSessions does).
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          compactSessions(batch.sparkSession, outRoot, keyCol, gapSec,
+            upTo = batchId - 1)
         commitSessionBatch(batch, outRoot, batchId, keyCol, tsCol,
           valueCol, gapSec)
       }
       .start()
+
+  /** The session-summary interval merge in STORED form (`smin`,
+    * `smax`, `n`, `vol_units`) — shared by the serving read and the
+    * compaction fold. A summary starts a new merged session iff its
+    * smin sits ≥ gapSec after the running max smax of everything
+    * before it (running max, not lag — an interval can be wholly
+    * contained in an earlier one). Confluent: a merged row is itself
+    * a valid summary (its internal gaps are < gapSec), so merging a
+    * SUBSET first and re-merging later yields the same final rows —
+    * which is what makes the fold a serve-level no-op at any
+    * compaction cadence (spec-pinned). */
+  def mergeSessionSummaries(s: DataFrame, keyCol: String,
+                            gapSec: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("smin"), col("smax"))
+    val prevMax = max(col("smax")).over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    s.withColumn("_brk",
+        when(prevMax.isNull || col("smin") - prevMax >= gapSec, 1L)
+          .otherwise(0L))
+      .withColumn("_sid",
+        sum(col("_brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("_sid"))
+      .agg(min(col("smin")).as("smin"), max(col("smax")).as("smax"),
+        sum(col("n")).as("n"), sum(col("vol_units")).as("vol_units"))
+      .select(col(keyCol), col("smin"), col("smax"), col("n"),
+        col("vol_units"))
+  }
+
+  /** Fold the session root's committed batches into one PRE-MERGED
+    * base (see [[startSessionSink]]'s compactEvery note). */
+  def compactSessions(spark: SparkSession, outRoot: String,
+                      keyCol: String, gapSec: Long, upTo: Long): Boolean =
+    graft.io.Batches.compact(spark, outRoot, upTo,
+      foldBase = df => mergeSessionSummaries(df.drop("b"), keyCol, gapSec))
 
   /** Per-batch body of [[startSessionSink]] (see
     * [[commitPatternBatch]] for why these are exposed): the batch's
@@ -869,25 +917,13 @@ object Ingest {
   def readSessions(spark: SparkSession, outRoot: String, keyCol: String,
                    gapSec: Long): Option[DataFrame] =
     graft.io.Batches.read(spark, outRoot).map { s =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col(keyCol))
-        .orderBy(col("smin"), col("smax"))
-      val prevMax = max(col("smax")).over(
-        w.rowsBetween(Window.unboundedPreceding, -1))
-      s.withColumn("_brk",
-          when(prevMax.isNull || col("smin") - prevMax >= gapSec, 1L)
-            .otherwise(0L))
-        .withColumn("_sid",
-          sum(col("_brk")).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy(col(keyCol), col("_sid"))
-        .agg(min(col("smin")).as("session_start"),
-          (max(col("smax")) + gapSec).as("session_end"),
-          sum(col("n")).as("n_events"),
-          graft.util.Exact.unitsToDouble2(sum(col("vol_units")))
+      mergeSessionSummaries(s.select(col(keyCol), col("smin"),
+          col("smax"), col("n"), col("vol_units")), keyCol, gapSec)
+        .select(col(keyCol), col("smin").as("session_start"),
+          (col("smax") + gapSec).as("session_end"),
+          col("n").as("n_events"),
+          graft.util.Exact.unitsToDouble2(col("vol_units"))
             .as("session_volume"))
-        .select(col(keyCol), col("session_start"), col("session_end"),
-          col("n_events"), col("session_volume"))
     }
 
   /** Streaming LINK-GRAPH MV — the crawl-prioritization model kept

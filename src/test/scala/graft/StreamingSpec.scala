@@ -1097,6 +1097,35 @@ class StreamingSpec extends SparkSpec {
     Ingest.commitSessionBatch(batches(1).toDF("user_id", "ts", "value"),
       s"$tmp/work", 1L, "user_id", "ts", "value", 1800L)
     assert(servedSet() == batchForm)
+    // compaction MERGES while it folds: the base holds one row per
+    // live merged session (3 here), and the serve is unchanged
+    assert(Ingest.compactSessions(spark, s"$tmp/work", "user_id",
+      1800L, upTo = 2L))
+    assert(servedSet() == batchForm)
+    val base = spark.read.parquet(s"$tmp/work/b=-4")
+    assert(base.count() == 3L)
+    // a post-compaction commit still merges against the folded base
+    Ingest.commitSessionBatch(
+      Seq((1L, ts("2024-02-01 11:10:00"), 9.0)) // extends folded s1
+        .toDF("user_id", "ts", "value"),
+      s"$tmp/work", 3L, "user_id", "ts", "value", 1800L)
+    val after = Ingest
+      .readSessions(spark, s"$tmp/work", "user_id", 1800L).get
+      .collect().map(_.toSeq).toSet
+    val batchForm2 = (batches.flatten :+
+        (1L, ts("2024-02-01 11:10:00"), 9.0))
+      .toDF("user_id", "ts", "value")
+      .groupBy(col("user_id"),
+        session_window(date_trunc("second", col("ts")),
+          "1800 seconds").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.util.Exact.dsum2(col("value")).as("session_volume"))
+      .select(col("user_id"),
+        unix_timestamp(col("sw.start")).as("session_start"),
+        unix_timestamp(col("sw.end")).as("session_end"),
+        col("n_events"), col("session_volume"))
+      .collect().map(_.toSeq).toSet
+    assert(after == batchForm2)
   }
 
   test("COCO class map: {1,3}→motorcycle, {2,5,7}→car, else null") {
