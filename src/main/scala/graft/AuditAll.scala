@@ -41,6 +41,10 @@ import org.apache.spark.sql.SparkSession
   *    e_semantic_dedup/e_cosine_neardup shape where both sides are
   *    corpus-scale at 100 TB). The spectral queries themselves
   *    (e_pca_*, mv_pca) read clean: pure aggregations, no joins.
+  * Round-15 addition, deliberate:
+  *  - t_prf_indexed: BroadcastNestedLoop — the one-row expansion-stats
+  *    scalar broadcast (crossJoin(broadcast(stats)), the same pattern
+  *    as t_bm25_topk's corpus-stats scalar).
   * Anything NEW appearing here deserves a look.
   */
 object AuditAll {

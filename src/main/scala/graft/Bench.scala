@@ -13,6 +13,17 @@ object Bench {
       // a 60-query suite (several codegen units each), forcing janino
       // recompiles on every timed rep
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // AQE partition coalescing sizes post-shuffle partitions by
+      // COMPRESSED BYTES, but this engine's decomposition/window ops
+      // stack many CPU-heavy passes downstream of shuffles that
+      // compress to a few MB (two-long grid rows) — the coalescer
+      // collapsed those stages to 1-4 partitions and serialized them
+      // (ts_residual_cusum: 11.5 s coalesced vs 1.4 s not, round 16).
+      // At 32 shuffle partitions coalescing saves only sub-ms task
+      // scheduling, so it is off in every engine session; on a real
+      // cluster with TB-scale shuffles the byte model is accurate and
+      // the flag can be re-enabled.
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       // keep every job in the status store so per-query job counts
       // (read via statusTracker job groups) never get evicted mid-run
       .config("spark.ui.retainedJobs", "100000")
@@ -45,7 +56,14 @@ object Bench {
     // ~0.2 s/query scheduling floor: many-job queries pay it per job.
     // SPARK_GRAFT_BENCH_REPS overrides for expensive one-off baskets
     // (the sf1 whole-basket run uses 1: warmup + one timed pass).
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS") match {
+      case Some(v) => v.toIntOption match {
+        case Some(n) if n >= 1 => n
+        case _ => sys.error(
+          s"SPARK_GRAFT_BENCH_REPS must be a positive integer, got '$v'")
+      }
+      case None => 3
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to reps).map { rep =>
         if (rep == reps) spark.sparkContext.setJobGroup(s"bench:$name", name)
@@ -57,13 +75,27 @@ object Bench {
       }
       name -> (times.min, jobsFor(s"bench:$name"))
     }
+    // Noise index: 5 reps of one fixed, untouched control query AFTER
+    // the whole basket, so every bench artifact carries its own
+    // box-noise measurement — readers adjudicate 2-30x single-rep
+    // spikes against this series instead of prose (the r15 driver rep
+    // carried ~40 s of noise on untouched code; this makes that
+    // visible in-band). a1_totals_global: one scan + one tiny agg,
+    // plan-stable since round 1.
+    val noiseControl = (1 to 5).map { _ =>
+      val t0 = System.nanoTime()
+      try { run(SparkEntry.queries("a1_totals_global")) }
+      catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val noiseJson = noiseControl.map(t => f"$t%.4f").mkString("[", ",", "]")
     val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val js = results.map { case (k, (_, j)) => s"\"" + k + "\":" + j }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val totalJobs = results.values.map(_._2).sum
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"jobs":$js,"total_jobs":$totalJobs,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"jobs":$js,"total_jobs":$totalJobs,"noise_control":$noiseJson,"sf":"$sfDir"}"""
     // the full per-query map lives ONLY in the file artifact: a
     // 76-query single-line JSON overflows captured-log tails, leaving
     // the driver-side artifact unparseable (round-7 BENCH_r07.json had

@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * at a multiplier the full sweep can't afford): text | sampling |
   * jaccard | contamination | ann | snapshot | ndsink | ndprobe | ldsink | ldprobe | embprobe | span |
   * linehot | ndaudit | embsink | events | forecast | sketch | fuzzy |
-  * interval | cdc | warehouse | graph | mvserve | pca.
+  * interval | cdc | warehouse | graph | mvserve | pca | geo | sessions.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -24,6 +24,10 @@ object ScaleProbe {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // byte-proportional AQE coalescing serializes the engine\'s
+      // CPU-heavy stacked-window stages at bench data sizes (see
+      // Bench.scala for the measurement); off in every engine session
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // same rationale as Bench: the default 100-entry codegen cache
@@ -1585,6 +1589,88 @@ object ScaleProbe {
         "1997-07-01", "1997-10-01").count()
     }
     liW.unpersist(); ordW.unpersist()
+    }
+
+    // geo range join, PRODUCTION shape: a FIXED zone catalog against
+    // xN point volume — the sf1 whole-basket probe multiplies BOTH
+    // sides into the same 0.2-deg box (candidate pairs xN², a fixture
+    // artifact); this row pins the claimed-linear fixed-catalog form.
+    // Run at x1 then xN: time should scale ~linearly with the points.
+    section("geo") {
+    val zones = Tables.customer(spark, dir).select(
+      col("c_custkey").as("zone_id"),
+      (lit(-6.90) - ((col("c_custkey") * 7) % 200).cast("double") / 1000.0)
+        .as("z_lat"),
+      (lit(107.60) + ((col("c_custkey") * 11) % 200).cast("double") / 1000.0)
+        .as("z_lng"))
+    def pts(m: Int) = (0 until m).map { i =>
+      Tables.supplier(spark, dir).select(
+        (col("s_suppkey") + lit(i.toLong * 10000000L)).as("point_id"),
+        (lit(-6.90) - (((col("s_suppkey") + i * 37) * 13) % 200)
+          .cast("double") / 1000.0).as("p_lat"),
+        (lit(107.60) + (((col("s_suppkey") + i * 41) * 17) % 200)
+          .cast("double") / 1000.0).as("p_lng"))
+    }.reduce(_ union _)
+    time("geo_fixed_catalog_x1") {
+      ops.Joins.withinRangeGrid(zones, "z_lat", "z_lng",
+        pts(1), "p_lat", "p_lng", 2000.0).count()
+    }
+    time(s"geo_fixed_catalog_x$mult") {
+      ops.Joins.withinRangeGrid(zones, "z_lat", "z_lng",
+        pts(mult), "p_lat", "p_lng", 2000.0).count()
+    }
+    // dense-catalog adaptive cell: zones xN in the SAME box trips the
+    // density threshold (cell shrinks, k > 1) — A/B against the cell
+    // pinned at radius via maxZonesPerCell = MaxValue
+    val zDense = (0 until mult).map { i =>
+      zones.select((col("zone_id") + lit(i.toLong * 10000000L))
+        .as("zone_id"),
+        (col("z_lat") + lit((i % 7).toDouble / 35000.0)).as("z_lat"),
+        (col("z_lng") + lit((i % 5).toDouble / 25000.0)).as("z_lng"))
+    }.reduce(_ union _)
+    time("geo_dense_adaptive") {
+      ops.Joins.withinRangeGrid(zDense, "z_lat", "z_lng",
+        pts(1), "p_lat", "p_lng", 2000.0).count()
+    }
+    time("geo_dense_cell_pinned_r") {
+      ops.Joins.withinRangeGrid(zDense, "z_lat", "z_lng",
+        pts(1), "p_lat", "p_lng", 2000.0,
+        maxZonesPerCell = Double.MaxValue).count()
+    }
+    }
+
+    // session MV watermark eviction: 200 commits of an
+    // ever-advancing stream, compaction every 20 with a 10-commit
+    // horizon — at-rest base rows must stay FLAT (live in-horizon
+    // sessions) while the keep-everything twin grows with history
+    section("sessions") {
+    import spark.implicits._
+    val t0 = 1706745600L
+    def batchAt(root: String, i: Int): Unit =
+      streaming.Ingest.commitSessionBatch(
+        Seq((1L, new java.sql.Timestamp((t0 + i * 3600L) * 1000L), 1.0),
+          (1L, new java.sql.Timestamp((t0 + i * 3600L + 60L) * 1000L), 2.0))
+          .toDF("user_id", "ts", "value"),
+        root, i.toLong, "user_id", "ts", "value", 1800L)
+    def run(tag: String, horizonSec: Long): Unit = {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_sessprobe$tag").toString
+      time(s"sessions_200_commits_$tag") {
+        (0 until 200).foreach { i =>
+          batchAt(root, i)
+          if (i > 0 && i % 20 == 0)
+            streaming.Ingest.compactSessions(spark, root, "user_id",
+              1800L, upTo = i - 1L, horizonSec = horizonSec)
+        }
+        0L
+      }
+      val base = spark.read.parquet(s"$root/b=-182")
+      println(s"[scaleprobe] sessions_$tag base rows = ${base.count()}" +
+        s" (serve = ${streaming.Ingest.readSessions(spark, root,
+          "user_id", 1800L).get.count()})")
+    }
+    run("evict_h10", 10L * 3600L)
+    run("keep_all", 0L)
     }
     spark.stop()
   }

@@ -7,6 +7,10 @@ object TimeOne {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      // byte-proportional AQE coalescing serializes the engine\'s
+      // CPU-heavy stacked-window stages at bench data sizes (see
+      // Bench.scala for the measurement); off in every engine session
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       // same rationale as Bench: the default 100-entry codegen cache
       // thrashes under AQE's many small stages and serializes tasks

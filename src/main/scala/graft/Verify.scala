@@ -27,6 +27,10 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // byte-proportional AQE coalescing serializes the engine\'s
+      // CPU-heavy stacked-window stages at bench data sizes (see
+      // Bench.scala for the measurement); off in every engine session
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.sql.session.timeZone", tz)
       .config("spark.ui.enabled", "false")
       .getOrCreate()

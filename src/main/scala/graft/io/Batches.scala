@@ -53,6 +53,10 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * cadence.
   */
 object Batches {
+  /** Identity fold sentinel: compact() sizes its new base action-free
+    * when the fold is this exact value (reference check), and measures
+    * the fold's row shrink otherwise. */
+  val noFold: DataFrame => DataFrame = identity
 
   private[io] def idOf(name: String): Option[Long] =
     if (name.startsWith("b=")) name.stripPrefix("b=").toLongOption else None
@@ -155,7 +159,7 @@ object Batches {
               targetFileBytes: Long = 128L * 1024 * 1024,
               partitionBy: Seq[String] = Nil,
               deriveTail: DataFrame => DataFrame = identity,
-              foldBase: DataFrame => DataFrame = identity): Boolean = {
+              foldBase: DataFrame => DataFrame = Batches.noFold): Boolean = {
     if (!Fs.exists(s, root)) return false
     requireBatchLayout(s, root)
     val staging = s"$root/_compact_b"
@@ -174,17 +178,35 @@ object Batches {
     val paths = sources.map(id => s"$root/b=$id")
     val bytes = paths
       .map(p => Fs.totalBytes(s, p, _.endsWith(".parquet"))).sum
-    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+    // A non-identity foldBase can SHRINK the union substantially (the
+    // session fold collapses per-commit summaries to one row per live
+    // session), so sizing the new base from pre-fold bytes writes more
+    // files than the folded data warrants — small-file drift that
+    // compounds across compactions. Scale the byte estimate by the
+    // fold's observed row ratio (two cheap counts, state-scale frames;
+    // skipped entirely for identity folds — the common fact-log path
+    // stays action-free).
+    def sizedFiles(raw: DataFrame, folded: DataFrame): Int = {
+      val effBytes =
+        if (foldBase eq Batches.noFold) bytes
+        else {
+          val rawN = raw.count()
+          if (rawN == 0L) bytes
+          else math.max(1L, bytes * folded.count() / rawN)
+        }
+      math.max(1L, (effBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    }
     val shaped =
-      if (partitionBy.isEmpty)
+      if (partitionBy.isEmpty) {
         // mergeSchema for the same reason as read(): folding an
         // evolved tail into the base must not drop its added columns
-        foldBase(s.read.option("basePath", root)
-            .option("mergeSchema", "true")
-            .parquet(paths: _*)
-            .drop("b")) // the new base dir's name carries the tag
-          .coalesce(nFiles.toInt)
-      else {
+        val raw = s.read.option("basePath", root)
+          .option("mergeSchema", "true")
+          .parquet(paths: _*)
+          .drop("b") // the new base dir's name carries the tag
+        val folded = foldBase(raw)
+        folded.coalesce(sizedFiles(raw, folded))
+      } else {
         // mixed read: the old base carries partitionBy as partition
         // dirs, flat tails re-derive them (see scaladoc);
         // allowMissingColumns = the unionByName spelling of the same
@@ -194,10 +216,11 @@ object Batches {
             .parquet(s"$root/b=${-(w + 2L)}")) else Nil
         val tails = candidates.sorted
           .map(id => deriveTail(s.read.parquet(s"$root/b=$id")))
-        foldBase((oldBase ++ tails)
-            .reduce(_.unionByName(_, allowMissingColumns = true)))
-          .repartition(nFiles.toInt,
-            partitionBy.map(org.apache.spark.sql.functions.col): _*)
+        val raw = (oldBase ++ tails)
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+        val folded = foldBase(raw)
+        folded.repartition(sizedFiles(raw, folded),
+          partitionBy.map(org.apache.spark.sql.functions.col): _*)
       }
     val w0 = shaped.write.mode(SaveMode.Overwrite)
     (if (partitionBy.isEmpty) w0 else w0.partitionBy(partitionBy: _*))

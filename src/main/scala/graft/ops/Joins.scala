@@ -94,29 +94,59 @@ object Joins {
   }
 
   /** Grid-bucketed range join — the 100 TB shape of [[withinRange]].
-    * Every point hashes to ONE grid cell of side `radiusM`; every zone
-    * fans out to its 3×3 covering cells (a match within the radius
-    * forces |cell delta| <= 1 on both axes, so no qualifying pair can
-    * escape); the join is then an EQUI-join on the cell key with the
-    * exact distance predicate as a residual filter. Output is
-    * row-identical to the nested-loop form (GeoSpec pins it), but the
-    * plan is a hash join: with a catalog-sized zone side it broadcasts
-    * like before, and when BOTH sides are huge it degrades gracefully
-    * to a shuffle hash join on the cell key — something a
-    * BroadcastNestedLoopJoin can never do. Each zone appears in 9
-    * distinct cells and each point in exactly one, so no pair dedup is
-    * needed. */
+    * Every point hashes to ONE grid cell; every zone fans out to its
+    * (2k+1)² covering cells, k = ceil(radius/cell) (a match within the
+    * radius forces |cell delta| <= k on both axes — floors of values
+    * differing by <= r/c differ by <= ceil(r/c) — so no qualifying
+    * pair can escape); the join is then an EQUI-join on the cell key
+    * with the exact distance predicate as a residual filter. Output is
+    * row-identical to the nested-loop form at ANY cell size (GeoSpec
+    * pins it), but the plan is a hash join: with a catalog-sized zone
+    * side it broadcasts like before, and when BOTH sides are huge it
+    * degrades gracefully to a shuffle hash join on the cell key.
+    *
+    * ADAPTIVE CELL: with cell = radius (the k=1 minimum-replication
+    * choice), candidate pairs per point ≈ zoneDensity·9r² — a dense
+    * metro catalog degenerates every cell toward a per-cell quadratic.
+    * Shrinking the cell tightens the candidate window toward the 2r×2r
+    * bounding box (candidate area (2k+1)²c² → 4r² as c→0) at the cost
+    * of (2k+1)² zone replication, so the cell adapts DOWN from radius
+    * only when a cheap zone-extent aggregate (count + bounding box —
+    * one catalog-side row, the bounded-collect class) estimates more
+    * than `maxZonesPerCell` zones in a radius-sized cell; clamped at
+    * radius/8 (k <= 8, replication <= 289× of the CATALOG side only).
+    * The sf-fixture catalogs sit far below the threshold, so their
+    * plans and candidate sets are unchanged. */
   def withinRangeGrid(zones: DataFrame, zLat: String, zLng: String,
                       points: DataFrame, pLat: String, pLng: String,
-                      radiusM: Double): DataFrame = {
-    val mLat = lit(110540.0)
-    val mLng = lit(109640.0)
-    def cx(latC: Column): Column = floor(latC * mLat / radiusM).cast("long")
-    def cy(lngC: Column): Column = floor(lngC * mLng / radiusM).cast("long")
+                      radiusM: Double,
+                      maxZonesPerCell: Double = 32.0): DataFrame = {
+    val mLatD = 110540.0
+    val mLngD = 109640.0
+    val cellM = {
+      val st = zones.agg(count(lit(1)), min(col(zLat)), max(col(zLat)),
+        min(col(zLng)), max(col(zLng))).head()
+      if (st.getLong(0) == 0L) radiusM
+      else {
+        val nZ = st.getLong(0).toDouble
+        val areaM2 = math.max(
+          (st.getDouble(2) - st.getDouble(1)) * mLatD *
+            ((st.getDouble(4) - st.getDouble(3)) * mLngD), 1.0)
+        val zonesAtR = nZ / areaM2 * radiusM * radiusM
+        if (zonesAtR <= maxZonesPerCell) radiusM
+        else math.max(radiusM * math.sqrt(maxZonesPerCell / zonesAtR),
+          radiusM / 8.0)
+      }
+    }
+    val k = math.ceil(radiusM / cellM).toInt
+    val mLat = lit(mLatD)
+    val mLng = lit(mLngD)
+    def cx(latC: Column): Column = floor(latC * mLat / cellM).cast("long")
+    def cy(lngC: Column): Column = floor(lngC * mLng / cellM).cast("long")
     val zExp = zones
-      .withColumn("_cx", explode(array((-1 to 1).map(d =>
+      .withColumn("_cx", explode(array((-k to k).map(d =>
         cx(col(zLat)) + d): _*)))
-      .withColumn("_cy", explode(array((-1 to 1).map(d =>
+      .withColumn("_cy", explode(array((-k to k).map(d =>
         cy(col(zLng)) + d): _*)))
     val pCells = points
       .withColumn("_cx", cx(col(pLat)))

@@ -16,6 +16,10 @@ object ProbeContam {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      // byte-proportional AQE coalescing serializes the engine\'s
+      // CPU-heavy stacked-window stages at bench data sizes (see
+      // Bench.scala for the measurement); off in every engine session
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -76,9 +76,14 @@ object Spectral {
     // (its extended array is just the sentinel). Empty INPUT yields
     // an empty frame rather than a (-1,-1,0) row — the partials are
     // additive, so the absent zero row is identical to every
-    // consumer (statsFromPartials initializes n = 0).
+    // consumer (statsFromPartials initializes n = 0). A NULL vector
+    // coalesces to the empty array first: concat(null, [1]) is null
+    // and posexplode would silently drop the row from the count,
+    // diverging from the pre-sentinel form's count(*) — null-vector
+    // rows contribute their count row and nothing else.
     val q = df.select(
-      concat(Embeddings.quantize(col(vecCol)), array(lit(1L))).as("l"),
+      concat(coalesce(Embeddings.quantize(col(vecCol)),
+          array().cast("array<bigint>")), array(lit(1L))).as("l"),
       spark_partition_id().as("_pid"))
     val li = q.select(col("_pid"), col("l"), size(col("l")).as("_d"),
       posexplode(col("l")).as(Seq("i", "li")))

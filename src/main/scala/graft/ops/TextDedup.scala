@@ -97,6 +97,23 @@ object TextDedup {
         array_distinct(transform(shingleArray(col("w"), n),
           s => md5Hash60(s))).as("sh_set"))
 
+  /** Exact-duplicate collapse for pair mining ([[jaccardPairs]] /
+    * [[containmentPairs]] / [[minhashLshPairs]] / [[simhashPairs]]
+    * `collapseExact` flag): reduce the corpus to one representative
+    * (min id) per exact content group BEFORE candidate generation.
+    * Near-dup pair output is inherently quadratic in duplicate-GROUP
+    * size — at 100 TB one boilerplate cluster of k exact copies emits
+    * k²/2 hamming-0 pairs and skews its band's task — and those pairs
+    * carry no information the exact stage doesn't already have. With
+    * the collapse, emitted pairs are BETWEEN representatives only
+    * (within-group pairs are the exact stage's job, same ordering as
+    * [[dedupCorpus]]); on a corpus with no exact duplicates the
+    * output is bit-identical to the uncollapsed form (spec-pinned). */
+  private def exactReps(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame =
+    df.join(exactDedup(df, idCol, textCol).select(col("keep_id").as(idCol)),
+      Seq(idCol), "left_semi")
+
   /** Exact dedup: group by full-content hash, keep the smallest id as the
     * canonical representative. One shuffle on a 60-bit key; the text
     * itself never shuffles (only hash + id). */
@@ -250,10 +267,12 @@ object TextDedup {
     * J >= 0.8 the indexed fraction is ~20% of each doc and the hot
     * boilerplate shingles (the 100 TB skew hazard) fall out of the
     * prefixes entirely. Emits (a, b, n_common, jaccard), a < b. */
-  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+  def jaccardPairs(df0: DataFrame, idCol: String, textCol: String,
                    n: Int, minJ: Double,
                    maxShingleDocFreq: Option[Long] = None,
-                   restrictSets: Boolean = true): DataFrame = {
+                   restrictSets: Boolean = true,
+                   collapseExact: Boolean = false): DataFrame = {
+    val df = if (collapseExact) exactReps(df0, idCol, textCol) else df0
     val sh0 = shingleHashes(df, idCol, textCol, n)
     // stop-shingle guard (Skew.dropHotKeys): optional hard cap for
     // adversarial corpora; biases jaccard slightly low. Off by default —
@@ -331,10 +350,12 @@ object TextDedup {
     * minC·|A|) prunes the one cheap direction; correctly-rounded
     * division makes it conservative, never unsound (containment ≤
     * |B|/|A| under shared divisor, monotone under rounding). */
-  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+  def containmentPairs(df0: DataFrame, idCol: String, textCol: String,
                        n: Int, minC: Double,
                        maxShingleDocFreq: Option[Long] = None,
-                       restrictSets: Boolean = true): DataFrame = {
+                       restrictSets: Boolean = true,
+                       collapseExact: Boolean = false): DataFrame = {
+    val df = if (collapseExact) exactReps(df0, idCol, textCol) else df0
     val sh0 = shingleHashes(df, idCol, textCol, n)
     val sh = maxShingleDocFreq.fold(sh0)(Skew.dropHotKeys(sh0, "sh_h", _))
     val sets = maxShingleDocFreq match {
@@ -425,9 +446,11 @@ object TextDedup {
     * sharing any full band land in one bucket and become candidates.
     * The band bucket is the shuffle key → no all-pairs comparison.
     * Candidates are then exact-verified (jaccard >= minJ). */
-  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+  def minhashLshPairs(df0: DataFrame, idCol: String, textCol: String,
                       n: Int, k: Int, bands: Int, minJ: Double,
-                      restrictSets: Boolean = true): DataFrame = {
+                      restrictSets: Boolean = true,
+                      collapseExact: Boolean = false): DataFrame = {
+    val df = if (collapseExact) exactReps(df0, idCol, textCol) else df0
     val sets = shingleHashSets(df, idCol, textCol, n)
     val rows = k / bands
     // anchor the signature table behind ONE exchange before the banded
@@ -751,8 +774,10 @@ object TextDedup {
   /** SimHash near-dup pairs: candidates from 15-bit band buckets (4 bands
     * over the 60-bit signature — any identical band → candidate), then
     * exact Hamming-distance filter <= maxHamming. */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int): DataFrame = {
+  def simhashPairs(df0: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int,
+                   collapseExact: Boolean = false): DataFrame = {
+    val df = if (collapseExact) exactReps(df0, idCol, textCol) else df0
     // anchor the (id, simhash) table behind one tiny exchange so both
     // sides of the banded self-join replay the same shuffle stage
     // instead of re-running tokenize+md5 per side (same pattern as

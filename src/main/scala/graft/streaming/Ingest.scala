@@ -813,15 +813,21 @@ object Ingest {
     * longs, so the merged row is bit-identical to the batch
     * aggregation at ANY batch split, including splits that bisect a
     * session and out-of-order arrivals (StreamingSpec; driver-oracled
-    * `mv_sessions` against the a16 SQL). A production deployment
-    * bounds the summary log by watermark-evicting sessions older than
-    * the horizon (the recent-store discipline below); the MV replay
-    * keeps everything so the oracle can re-derive it exactly. */
+    * `mv_sessions` against the a16 SQL). `horizonSec > 0` (requires
+    * compactEvery > 0) turns on the production recent-store
+    * discipline: compaction watermark-evicts sessions closed more
+    * than the horizon before the event-time high-water mark, bounding
+    * at-rest state by LIVE in-horizon sessions instead of stream
+    * history — serving inside the horizon stays bit-identical
+    * ([[compactSessions]]; StreamingSpec pins both properties). The
+    * default keeps everything so the oracle can re-derive the MV
+    * exactly. */
   def startSessionSink(events: DataFrame, keyCol: String, tsCol: String,
                        valueCol: String, gapSec: Long,
                        outRoot: String, checkpoint: String,
                        trigger: Trigger = Trigger.ProcessingTime(0L),
-                       compactEvery: Int = 0)
+                       compactEvery: Int = 0,
+                       horizonSec: Long = 0L)
       : org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .outputMode(OutputMode.Append)
@@ -837,7 +843,7 @@ object Ingest {
         // (readSessions does).
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
           compactSessions(batch.sparkSession, outRoot, keyCol, gapSec,
-            upTo = batchId - 1)
+            upTo = batchId - 1, horizonSec = horizonSec)
         commitSessionBatch(batch, outRoot, batchId, keyCol, tsCol,
           valueCol, gapSec)
       }
@@ -874,11 +880,38 @@ object Ingest {
   }
 
   /** Fold the session root's committed batches into one PRE-MERGED
-    * base (see [[startSessionSink]]'s compactEvery note). */
+    * base (see [[startSessionSink]]'s compactEvery note).
+    *
+    * `horizonSec > 0` enables WATERMARK EVICTION — the production
+    * recent-store discipline: after the merge, sessions whose
+    * `smax + gapSec` sits more than `horizonSec` behind the fold's
+    * event-time high-water mark (max smax across the folded state)
+    * are dropped from the new base. Such a session is CLOSED under
+    * the watermark contract — any event that could still extend it
+    * would be more than `horizonSec` late and is excluded by
+    * assumption (the standard Structured-Streaming lateness bound) —
+    * so serving within the horizon is bit-identical to the
+    * keep-everything replay (spec-pinned), while the at-rest state is
+    * bounded by sessions LIVE inside the horizon instead of growing
+    * with stream history. 0 keeps everything (the oracle-replay
+    * mode). */
   def compactSessions(spark: SparkSession, outRoot: String,
-                      keyCol: String, gapSec: Long, upTo: Long): Boolean =
+                      keyCol: String, gapSec: Long, upTo: Long,
+                      horizonSec: Long = 0L): Boolean =
     graft.io.Batches.compact(spark, outRoot, upTo,
-      foldBase = df => mergeSessionSummaries(df.drop("b"), keyCol, gapSec))
+      foldBase = { df =>
+        val merged = mergeSessionSummaries(df.drop("b"), keyCol, gapSec)
+        if (horizonSec <= 0L) merged
+        else {
+          // one-row event-time high-water mark (the bounded scalar
+          // broadcast pattern); evict sessions already closed more
+          // than the horizon before it
+          val wm = merged.agg(max(col("smax")).as("_wm"))
+          merged.crossJoin(broadcast(wm))
+            .filter(col("smax") + gapSec >= col("_wm") - horizonSec)
+            .drop("_wm")
+        }
+      })
 
   /** Per-batch body of [[startSessionSink]] (see
     * [[commitPatternBatch]] for why these are exposed): the batch's

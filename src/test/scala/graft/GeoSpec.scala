@@ -38,6 +38,39 @@ class GeoSpec extends SparkSpec {
     }
   }
 
+  test("adaptive cell (dense catalog, k > 1) stays row-identical to BNL") {
+    // force the density trigger: the whole catalog inside a tight box
+    // (~±0.005 deg) so zones-per-radius-cell far exceeds the threshold
+    // and the cell shrinks below radius (k >= 2). The shrunken grid
+    // must still produce EXACTLY the nested-loop pair set — the lemma
+    // |cell delta| <= ceil(r/c) under distance <= r.
+    val z = (1 to 300).map { i =>
+      (i.toLong, -6.900 - (i % 10).toDouble / 1000.0,
+        107.600 + (i % 11).toDouble / 1000.0)
+    }.toDF("zone_id", "z_lat", "z_lng")
+    for (radius <- Seq(700.0, 2000.0)) {
+      val bnl = Joins.withinRange(z, "z_lat", "z_lng",
+          pointsDf, "p_lat", "p_lng", radius)
+        .select("zone_id", "point_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val grid = Joins.withinRangeGrid(z, "z_lat", "z_lng",
+          pointsDf, "p_lat", "p_lng", radius)
+        .select("zone_id", "point_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(grid == bnl, s"radius $radius: adaptive grid and BNL disagree")
+      val n = Joins.withinRangeGrid(z, "z_lat", "z_lng",
+        pointsDf, "p_lat", "p_lng", radius).count()
+      assert(n == grid.size.toLong, "adaptive grid duplicated a pair")
+      // and forcing the cell back to radius (huge threshold) agrees too
+      val fixed = Joins.withinRangeGrid(z, "z_lat", "z_lng",
+          pointsDf, "p_lat", "p_lng", radius,
+          maxZonesPerCell = Double.MaxValue)
+        .select("zone_id", "point_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(fixed == bnl)
+    }
+  }
+
   test("grid range join handles cell-boundary and negative coordinates") {
     // points exactly on a cell boundary multiple (floor edge) and in the
     // southern/western hemisphere

@@ -1128,6 +1128,56 @@ class StreamingSpec extends SparkSpec {
     assert(after == batchForm2)
   }
 
+  test("session MV watermark eviction: in-horizon serve identical," +
+    " at-rest state bounded by live in-horizon sessions") {
+    import spark.implicits._
+    val gap = 1800L
+    val horizon = 4 * 3600L
+    val t0 = 1706745600L // 2024-02-01 00:00:00 UTC
+    // 30 commits, each one 2-event session per user 1, sessions 1 h
+    // apart (every inter-session gap > gapSec) with event time
+    // strictly advancing — the steady-stream shape whose summary log
+    // grows forever without eviction
+    def batchAt(i: Int) = Seq(
+      (1L, new Timestamp((t0 + i * 3600L) * 1000L), 1.0),
+      (1L, new Timestamp((t0 + i * 3600L + 60L) * 1000L), 2.0))
+      .toDF("user_id", "ts", "value")
+    def runAll(root: String, horizonSec: Long): Unit =
+      (0 until 30).foreach { i =>
+        Ingest.commitSessionBatch(batchAt(i), root, i.toLong,
+          "user_id", "ts", "value", gap)
+        if (i > 0 && i % 5 == 0)
+          Ingest.compactSessions(spark, root, "user_id", gap,
+            upTo = i - 1L, horizonSec = horizonSec)
+      }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sessev")
+    runAll(s"$tmp/evict", horizon)
+    runAll(s"$tmp/keep", 0L)
+    def served(root: String) = Ingest
+      .readSessions(spark, root, "user_id", gap).get
+      .collect().map(_.toSeq).toSet
+    val evictServe = served(s"$tmp/evict")
+    val keepServe = served(s"$tmp/keep")
+    // last compaction saw batches 0..24: watermark = t0 + 24h + 60s.
+    // In-horizon sessions (smax + gap >= wm - horizon) are i >= 20;
+    // commits 25..29 land after that compaction. Within the horizon
+    // the evicting serve is IDENTICAL to keep-everything.
+    val wmLast = t0 + 24 * 3600L + 60L
+    val inHorizon = keepServe.filter { r =>
+      // session_end = smax + gap (readSessions convention)
+      r(2).asInstanceOf[Long] >= wmLast - horizon
+    }
+    assert(evictServe == inHorizon,
+      s"evict=${evictServe.size} rows, expected=${inHorizon.size}")
+    assert(keepServe.size == 30 && evictServe.size == 10)
+    // at-rest bound: the evicting base holds only live in-horizon
+    // sessions (i = 20..24 -> 5 rows); keep-everything folds all 25
+    val evictBase = spark.read.parquet(s"$tmp/evict/b=-26")
+    val keepBase = spark.read.parquet(s"$tmp/keep/b=-26")
+    assert(evictBase.count() == 5L, s"evict base = ${evictBase.count()}")
+    assert(keepBase.count() == 25L)
+  }
+
   test("COCO class map: {1,3}→motorcycle, {2,5,7}→car, else null") {
     val d = Seq(1, 2, 3, 5, 7, 9).toDF("c")
     val out = d.select(Ingest.mapCocoClass(col("c"))).as[Option[String]]

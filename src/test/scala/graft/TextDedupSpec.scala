@@ -220,6 +220,46 @@ class TextDedupSpec extends SparkSpec {
       r.getAs[Long]("b_id") == 2L && r.getAs[Long]("hamming") == 0L))
   }
 
+  test("collapseExact mines pairs between exact-group representatives only") {
+    // docs 1,2,3 are exact copies; doc 4 is a near-dup of the group;
+    // doc 5 is unrelated. Uncollapsed: within-group pairs (1,2) (1,3)
+    // (2,3) all emit at hamming 0 — quadratic in group size. Collapsed:
+    // the group participates ONLY through its min-id representative.
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "alpha beta gamma delta epsilon zeta",
+      3L -> "alpha beta gamma delta epsilon zeta",
+      4L -> "alpha beta gamma delta epsilon eta",
+      5L -> "unrelated words entirely here now")
+    val collapsed = TextDedup.simhashPairs(d, "doc_id", "text", 10,
+      collapseExact = true).collect()
+    val pairs = collapsed.map(r =>
+      (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(!pairs.contains((1L, 2L)) && !pairs.contains((2L, 3L)),
+      s"within-group pairs must not emit: $pairs")
+    assert(pairs.contains((1L, 4L)), s"representative pair missing: $pairs")
+    assert(pairs.forall { case (_, b) => b != 2L && b != 3L })
+    // equivalence: collapsed output == uncollapsed over a
+    // hand-collapsed corpus (reps = min id per exact text)
+    val handReps = docs(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      4L -> "alpha beta gamma delta epsilon eta",
+      5L -> "unrelated words entirely here now")
+    val expect = TextDedup.simhashPairs(handReps, "doc_id", "text", 10)
+      .collect().map(_.toString).sorted
+    assert(collapsed.map(_.toString).sorted.sameElements(expect))
+    // no exact dups -> flag is a no-op (bit-identical), across all four
+    // pair entry points' shared exactReps path
+    val clean = docs(1L -> "alpha beta gamma delta epsilon zeta",
+      4L -> "alpha beta gamma delta epsilon eta",
+      5L -> "unrelated words entirely here now")
+    val on = TextDedup.jaccardPairs(clean, "doc_id", "text", 3, 0.5,
+      collapseExact = true).collect().map(_.toString).sorted
+    val off = TextDedup.jaccardPairs(clean, "doc_id", "text", 3, 0.5)
+      .collect().map(_.toString).sorted
+    assert(on.sameElements(off))
+  }
+
   test("simhashSignatures is a pure projection — no shuffle in the plan") {
     // the 100 TB contract for the map-side rewrite: signatures fold
     // per-row over the token array; nothing about the corpus shuffles

@@ -56,22 +56,35 @@ for name, s in spark_q.items():
     if d is None:
         continue
     duck_s[name] = d
-    ratio[name] = round(s / d, 2) if d > 0 else float("inf")
+    if d > 0:
+        ratio[name] = round(s / d, 2)
+    else:
+        # a 0 duck time would yield float('inf'), which json.dump
+        # emits as bare Infinity — invalid strict JSON that breaks
+        # downstream parsers. Record null and warn instead.
+        print(f"WARN {name}: duck time {d} <= 0, ratio recorded as null")
+        ratio[name] = None
 
 FLOOR_S = 1.5
+# replay auto-adjudication cap: mv_* rows price multi-commit sink
+# machinery (~10-25x vs one batch SQL), but a genuine regression in a
+# serve path must still flag — beyond this bound an mv_ row needs an
+# explicit adjudication entry like any other query.
+REPLAY_MAX_RATIO = 25.0
 
 def adjudicate(n):
     if n in adj:
         return adj[n].get("category", "real"), adj[n].get("why", "")
     if spark_q[n] <= FLOOR_S:
         return "floor", f"spark abs {spark_q[n]:.2f}s = scheduling floor"
-    if n.startswith("mv_"):
+    if n.startswith("mv_") and (ratio[n] or 0) <= REPLAY_MAX_RATIO:
         return "replay", "multi-commit sink replay + serve vs one-shot SQL"
     return None, None
 
 bench["duck_s"] = duck_s
 bench["ratio"] = ratio
-over = sorted((n for n, r in ratio.items() if r > args.threshold),
+over = sorted((n for n, r in ratio.items()
+               if r is not None and r > args.threshold),
               key=lambda n: -ratio[n])
 verdicts = {n: adjudicate(n) for n in over}
 flags = [n for n in over if verdicts[n][0] is None]

@@ -88,7 +88,17 @@ def cmp_frames(name, spark_df, oracle_cols, oracle_types, oracle_rows):
     return ok, msgs
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # optional: --json <path> archives a CORRECTNESS_r*-shaped record
+    # (per-query pass/fail + rows + err) — used to check the
+    # second-SF sweep in as a round artifact instead of prose
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sf_dir, out_dir = args[0], args[1]
+    record = {}
     con = duckdb.connect()
     load_views(con, sf_dir)
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
@@ -97,6 +107,7 @@ def main():
         pdir = os.path.join(out_dir, name)
         if not os.path.isdir(pdir):
             print(f"FAIL {name}: no spark output dir")
+            record[name] = {"pass": False, "err": "no spark output dir"}
             n_fail += 1
             continue
         try:
@@ -104,6 +115,7 @@ def main():
                                   sorted(glob.glob(f"{pdir}/*.parquet"))])
         except Exception as e:
             print(f"FAIL {name}: cannot read spark parquet: {e}")
+            record[name] = {"pass": False, "err": f"unreadable: {e}"}
             n_fail += 1
             continue
         try:
@@ -113,9 +125,13 @@ def main():
             oracle_rows = con.execute(sql).fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
+            record[name] = {"pass": False, "err": f"oracle SQL error: {e}"}
             n_fail += 1
             continue
         ok, msgs = cmp_frames(name, spark_df, oracle_cols, oracle_types, oracle_rows)
+        record[name] = {"pass": bool(ok), "spark_rows": len(spark_df),
+                        "oracle_rows": len(oracle_rows),
+                        "err": None if ok else "; ".join(msgs)[:500]}
         if ok:
             print(f"PASS {name} ({len(spark_df)} rows)")
             n_pass += 1
@@ -135,6 +151,11 @@ def main():
             except Exception as e:
                 print(f"ROWS {name}: unreadable: {e}")
     print(f"\n{n_pass} passed, {n_fail} failed")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_pass": n_pass,
+                       "n_fail": n_fail, "queries": record}, f, indent=1)
+        print(f"archived {json_out}")
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
