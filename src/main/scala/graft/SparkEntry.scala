@@ -1226,9 +1226,13 @@ object SparkEntry {
     // where the corpus-wide shuffle it removes is a memory copy —
     // same local-vs-scale pin as contamination's broadcastEval;
     // row-identity of the two modes is spec-pinned in TextDedupSpec
+    // collapseExact on every pair-mining entry (see dd_simhash_pairs
+    // note): pairs are between exact-group representatives; oracles
+    // pre-collapse identically
     "dd_jaccard_pairs" -> ((s, dir) =>
       TextDedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-        3, 0.8, restrictSets = false).orderBy("a_id", "b_id")),
+        3, 0.8, restrictSets = false, collapseExact = true)
+        .orderBy("a_id", "b_id")),
     "dd_containment_pairs" -> ((s, dir) => {
       // asymmetric dedup demands asymmetric test data: plant a
       // token-truncated HALF of every doc (fully contained in its
@@ -1240,7 +1244,7 @@ object SparkEntry {
           slice(toks, lit(1), (size(toks) / lit(2)).cast("int")))
           .as("text")))
       TextDedup.containmentPairs(u, "doc_id", "text", n = 3, minC = 0.9,
-          restrictSets = false)
+          restrictSets = false, collapseExact = true)
         .orderBy("a_id", "b_id")
     }),
     // the dup-span FILTER: planted half-copies (dup_frac 1.0) must be
@@ -1260,7 +1264,8 @@ object SparkEntry {
     }),
     "dd_minhash_lsh" -> ((s, dir) =>
       TextDedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
-        n = 3, k = 16, bands = 4, minJ = 0.8, restrictSets = false)
+        n = 3, k = 16, bands = 4, minJ = 0.8, restrictSets = false,
+        collapseExact = true)
         .orderBy("a_id", "b_id")),
     "dd_corpus_dedup" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
@@ -4806,7 +4811,10 @@ object SparkEntry {
         |FROM t LEFT JOIN agg a USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
     "dd_jaccard_pairs" ->
-      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') w FROM documents),
+      """WITH reps AS (SELECT doc_id, text FROM documents
+        |              WHERE doc_id IN (SELECT min(doc_id) FROM documents
+        |                               GROUP BY CAST(('0x'||substr(md5(text),1,15)) AS BIGINT))),
+        |t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') w FROM reps),
         |sh AS (SELECT DISTINCT doc_id,
         |         CAST(('0x'||substr(md5(array_to_string(w[i:i+2], ' ')),1,15)) AS BIGINT) AS sh_h
         |       FROM t, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS g(i)),
@@ -4820,10 +4828,13 @@ object SparkEntry {
         |WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.8
         |ORDER BY a_id, b_id""".stripMargin,
     "dd_containment_pairs" ->
-      """WITH base AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') w FROM documents),
-        |u AS (SELECT doc_id, w FROM base
+      """WITH base AS MATERIALIZED (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') w FROM documents),
+        |u0 AS MATERIALIZED (SELECT doc_id, text AS utext, w FROM base
         |      UNION ALL
-        |      SELECT doc_id + 100000, w[1:len(w)//2] FROM base),
+        |      SELECT doc_id + 100000, array_to_string(w[1:len(w)//2], ' '), w[1:len(w)//2] FROM base),
+        |u AS (SELECT doc_id, w FROM u0
+        |      WHERE doc_id IN (SELECT min(doc_id) FROM u0
+        |                       GROUP BY CAST(('0x'||substr(md5(utext),1,15)) AS BIGINT))),
         |sh AS (SELECT DISTINCT doc_id,
         |         CAST(('0x'||substr(md5(array_to_string(w[i:i+2], ' ')),1,15)) AS BIGINT) AS sh_h
         |       FROM u, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS g(i)),
@@ -4837,7 +4848,10 @@ object SparkEntry {
         |WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz AS DOUBLE) >= 0.9
         |ORDER BY a_id, b_id""".stripMargin,
     "dd_minhash_lsh" ->
-      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') w FROM documents),
+      """WITH reps AS (SELECT doc_id, text FROM documents
+        |              WHERE doc_id IN (SELECT min(doc_id) FROM documents
+        |                               GROUP BY CAST(('0x'||substr(md5(text),1,15)) AS BIGINT))),
+        |t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') w FROM reps),
         |sh AS (SELECT DISTINCT doc_id,
         |         CAST(('0x'||substr(md5(array_to_string(w[i:i+2], ' ')),1,15)) AS BIGINT) AS sh_h
         |       FROM t, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS g(i)),

@@ -7,10 +7,15 @@ object TimeOne {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
-      // byte-proportional AQE coalescing serializes the engine\'s
+      // byte-proportional AQE coalescing serializes the engine's
       // CPU-heavy stacked-window stages at bench data sizes (see
-      // Bench.scala for the measurement); off in every engine session
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // Bench.scala for the measurement); off in every engine session.
+      // SPARK_GRAFT_COALESCE=true flips it back on for same-window
+      // A/Bs of the trade.
+      .config("spark.sql.adaptive.coalescePartitions.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_COALESCE", "false"))
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PART_SIZE", "1mb"))
       .config("spark.sql.session.timeZone", "UTC")
       // same rationale as Bench: the default 100-entry codegen cache
       // thrashes under AQE's many small stages and serializes tasks

@@ -107,16 +107,22 @@ object Joins {
     *
     * ADAPTIVE CELL: with cell = radius (the k=1 minimum-replication
     * choice), candidate pairs per point ≈ zoneDensity·9r² — a dense
-    * metro catalog degenerates every cell toward a per-cell quadratic.
+    * metro catalog makes every probe wade through the full 3r×3r box.
     * Shrinking the cell tightens the candidate window toward the 2r×2r
-    * bounding box (candidate area (2k+1)²c² → 4r² as c→0) at the cost
-    * of (2k+1)² zone replication, so the cell adapts DOWN from radius
-    * only when a cheap zone-extent aggregate (count + bounding box —
-    * one catalog-side row, the bounded-collect class) estimates more
-    * than `maxZonesPerCell` zones in a radius-sized cell; clamped at
-    * radius/8 (k <= 8, replication <= 289× of the CATALOG side only).
-    * The sf-fixture catalogs sit far below the threshold, so their
-    * plans and candidate sets are unchanged. */
+    * bounding box at the cost of (2k+1)² zone replication, and the two
+    * move at very different rates: candidate area (2k+1)²(r/k)² falls
+    * 9r² → 6.25r² → 5.06r² for k = 1,2,4 (saturating at 4r²) while
+    * replication grows 9 → 25 → 81. So the cell adapts DOWN only when
+    * a cheap zone-extent aggregate (count + bounding box — one
+    * catalog-side row, the bounded-collect class) estimates more than
+    * `maxZonesPerCell` zones per radius-sized cell, and is clamped at
+    * radius/2 (k <= 2, replication <= 25× of the CATALOG side only).
+    * MEASURED (×10 dense-catalog probe, 150k zones / 1k points): an
+    * r/8 clamp let k reach 8 — a 43M-row broadcast build that cost
+    * 20 s against the 3.7 s pinned-at-r run, while candidates only
+    * fell 9.5M → 7.1M; k = 2 keeps that candidate cut at 25×
+    * replication. The sf-fixture catalogs sit below the threshold, so
+    * their plans and candidate sets are unchanged. */
   def withinRangeGrid(zones: DataFrame, zLat: String, zLng: String,
                       points: DataFrame, pLat: String, pLng: String,
                       radiusM: Double,
@@ -135,7 +141,7 @@ object Joins {
         val zonesAtR = nZ / areaM2 * radiusM * radiusM
         if (zonesAtR <= maxZonesPerCell) radiusM
         else math.max(radiusM * math.sqrt(maxZonesPerCell / zonesAtR),
-          radiusM / 8.0)
+          radiusM / 2.0)
       }
     }
     val k = math.ceil(radiusM / cellM).toInt
