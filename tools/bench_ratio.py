@@ -66,17 +66,31 @@ for name, s in spark_q.items():
         ratio[name] = None
 
 FLOOR_S = 1.5
+# jobs-aware floor: a query that fans into many Spark jobs (replayed
+# sink commits, iterative loops, multi-stage pipelines) pays the
+# ~0.1-0.3 s/job scheduling+planning cost at local[32] that many
+# times; measured s/job across the borderline set is 0.075-0.26. Auto-
+# adjudicate "floor" up to PER_JOB_S per job, hard-capped at
+# JOB_FLOOR_CAP_S so a genuinely slow query can't hide behind a high
+# job count.
+PER_JOB_S = 0.15
+JOB_FLOOR_CAP_S = 3.0
+jobs_map = bench.get("jobs", {})
 # replay auto-adjudication cap: mv_* rows price multi-commit sink
 # machinery (~10-25x vs one batch SQL), but a genuine regression in a
 # serve path must still flag — beyond this bound an mv_ row needs an
-# explicit adjudication entry like any other query.
+# explicit adjudication entry or the jobs-aware floor.
 REPLAY_MAX_RATIO = 25.0
 
 def adjudicate(n):
     if n in adj:
         return adj[n].get("category", "real"), adj[n].get("why", "")
-    if spark_q[n] <= FLOOR_S:
-        return "floor", f"spark abs {spark_q[n]:.2f}s = scheduling floor"
+    floor = max(FLOOR_S,
+                min(JOB_FLOOR_CAP_S, PER_JOB_S * jobs_map.get(n, 0)))
+    if spark_q[n] <= floor:
+        return "floor", (f"spark abs {spark_q[n]:.2f}s <= "
+                         f"{floor:.2f}s scheduling floor "
+                         f"({jobs_map.get(n, 0)} jobs)")
     if n.startswith("mv_") and (ratio[n] or 0) <= REPLAY_MAX_RATIO:
         return "replay", "multi-commit sink replay + serve vs one-shot SQL"
     return None, None
