@@ -191,8 +191,12 @@ object Batches {
         if (foldBase eq Batches.noFold) bytes
         else {
           val rawN = raw.count()
+          // double intermediate: bytes * foldedCount would overflow a
+          // long once bytes x rows crosses 2^63 (TB-scale base, 1e9
+          // rows); the ratio itself is always <= 1
           if (rawN == 0L) bytes
-          else math.max(1L, bytes * folded.count() / rawN)
+          else math.max(1L,
+            (bytes.toDouble * folded.count() / rawN).toLong)
         }
       math.max(1L, (effBytes + targetFileBytes - 1) / targetFileBytes).toInt
     }

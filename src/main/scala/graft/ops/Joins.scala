@@ -130,9 +130,12 @@ object Joins {
     val mLatD = 110540.0
     val mLngD = 109640.0
     val cellM = {
-      val st = zones.agg(count(lit(1)), min(col(zLat)), max(col(zLat)),
+      val st = zones.agg(count(col(zLat)), min(col(zLat)), max(col(zLat)),
         min(col(zLng)), max(col(zLng))).head()
-      if (st.getLong(0) == 0L) radiusM
+      // count(col) so an all-null-coordinate catalog (count 0, null
+      // bounds) falls through to the radius cell instead of NPEing on
+      // the null min/max reads below
+      if (st.getLong(0) == 0L || st.isNullAt(1) || st.isNullAt(3)) radiusM
       else {
         val nZ = st.getLong(0).toDouble
         val areaM2 = math.max(
