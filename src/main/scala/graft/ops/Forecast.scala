@@ -277,6 +277,9 @@ object Forecast {
     * together?"), zero-filled over the GLOBAL dense bucket spine (no
     * events ⇒ zero traffic, the same convention as the decomposition).
     *
+    * Same explode-after-tiny-exchange shape as [[denseUnits]] (the
+    * AQE-coalescing hazard documented there applies: the grid stage
+    * inherits the distinct-keys exchange's partitioning).
     * One (key,bucket) agg, a tiny grid build (|keys| × |buckets| —
     * both bounded: classes are an enum, buckets are wall-clock), a
     * bucket-keyed self-join, and a (key,key) agg of the five exact

@@ -49,6 +49,37 @@ class BatchesSpec extends SparkSpec {
     assert(readAll(root).map(_._1) == values)
   }
 
+  test("fold-aware base sizing: a shrinking foldBase writes files for" +
+    " the FOLDED size, not the pre-fold byte total") {
+    val root = newRoot("graft_foldsz")
+    // 40 commits x 50 rows; a fold that collapses everything to one
+    // summary row. targetFileBytes tiny, so the PRE-fold total would
+    // demand many files — the folded base must not inherit that
+    (0L until 40L).foreach(id =>
+      writeBatch(root, id, (0L until 50L).map(id * 100 + _)))
+    val preBytes = Fs.totalBytes(spark, root, _.endsWith(".parquet"))
+    assert(preBytes > 8L * 1024, "fixture must exceed targetFileBytes")
+    assert(Batches.compact(spark, root, upTo = 39L,
+      targetFileBytes = 8L * 1024,
+      foldBase = df => df.agg(max(col("v")).as("v"))))
+    val baseFiles = new java.io.File(s"$root/b=-41").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(baseFiles.length == 1,
+      s"one summary row must land in one file, got ${baseFiles.length}")
+    assert(Batches.read(spark, root).get.select("v")
+      .collect().map(_.getLong(0)).toSeq == Seq(39L * 100 + 49))
+    // identity fold keeps the byte-proportional sizing (several files)
+    val root2 = newRoot("graft_foldsz2")
+    (0L until 40L).foreach(id =>
+      writeBatch(root2, id, (0L until 50L).map(id * 100 + _)))
+    assert(Batches.compact(spark, root2, upTo = 39L,
+      targetFileBytes = 8L * 1024))
+    val base2 = new java.io.File(s"$root2/b=-41").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(base2.length > 1,
+      "identity fold sizes by raw bytes (several files at a tiny target)")
+  }
+
   test("crash artifacts — superseded base, folded leftovers, staging — are invisible and swept") {
     val root = newRoot("graft_batches_crash")
     (0L to 3L).foreach(id => writeBatch(root, id, Seq(id)))
