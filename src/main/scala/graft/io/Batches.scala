@@ -154,7 +154,15 @@ object Batches {
     * commits collapse to one row). The function must be a semantic
     * no-op for the root's serving read (serve(fold(x)) == serve(x)) —
     * the fold then also BOUNDS the at-rest state by live entities
-    * instead of by commit count. Identity for plain fact logs. */
+    * instead of by commit count. Identity for plain fact logs.
+    *
+    * Fold-aware sizing contract: a NON-identity fold pays two extra
+    * actions (a raw count and a folded count, state-scale frames; the
+    * folded frame is persisted so the sizing count and the write share
+    * one fold evaluation). Identity folds must be passed as
+    * [[Batches.noFold]] — the no-op detection is by REFERENCE, so a
+    * caller handing a plain `identity` lambda pays the sizing passes
+    * for nothing. */
   def compact(s: SparkSession, root: String, upTo: Long,
               targetFileBytes: Long = 128L * 1024 * 1024,
               partitionBy: Seq[String] = Nil,
@@ -185,7 +193,8 @@ object Batches {
     // compounds across compactions. Scale the byte estimate by the
     // fold's observed row ratio (two cheap counts, state-scale frames;
     // skipped entirely for identity folds — the common fact-log path
-    // stays action-free).
+    // stays action-free). The caller persists `folded` before calling
+    // so the count here and the write after share one fold evaluation.
     def sizedFiles(raw: DataFrame, folded: DataFrame): Int = {
       val effBytes =
         if (foldBase eq Batches.noFold) bytes
@@ -200,6 +209,12 @@ object Batches {
         }
       math.max(1L, (effBytes + targetFileBytes - 1) / targetFileBytes).toInt
     }
+    // persisted across sizedFiles' count and the write below for
+    // non-identity folds; unpersisted after the publish
+    var foldedHandle: Option[DataFrame] = None
+    def pin(folded: DataFrame): DataFrame =
+      if (foldBase eq Batches.noFold) folded
+      else { foldedHandle = Some(folded.persist()); folded }
     val shaped =
       if (partitionBy.isEmpty) {
         // mergeSchema for the same reason as read(): folding an
@@ -208,7 +223,7 @@ object Batches {
           .option("mergeSchema", "true")
           .parquet(paths: _*)
           .drop("b") // the new base dir's name carries the tag
-        val folded = foldBase(raw)
+        val folded = pin(foldBase(raw))
         folded.coalesce(sizedFiles(raw, folded))
       } else {
         // mixed read: the old base carries partitionBy as partition
@@ -222,13 +237,15 @@ object Batches {
           .map(id => deriveTail(s.read.parquet(s"$root/b=$id")))
         val raw = (oldBase ++ tails)
           .reduce(_.unionByName(_, allowMissingColumns = true))
-        val folded = foldBase(raw)
+        val folded = pin(foldBase(raw))
         folded.repartition(sizedFiles(raw, folded),
           partitionBy.map(org.apache.spark.sql.functions.col): _*)
       }
-    val w0 = shaped.write.mode(SaveMode.Overwrite)
-    (if (partitionBy.isEmpty) w0 else w0.partitionBy(partitionBy: _*))
-      .parquet(staging)
+    try {
+      val w0 = shaped.write.mode(SaveMode.Overwrite)
+      (if (partitionBy.isEmpty) w0 else w0.partitionBy(partitionBy: _*))
+        .parquet(staging)
+    } finally foldedHandle.foreach(_.unpersist())
     Fs.rename(s, staging, s"$root/b=${-(newW + 2L)}") // atomic publish
     paths.foreach(Fs.delete(s, _))
     true

@@ -113,40 +113,41 @@ object Joins {
     * move at very different rates: candidate area (2k+1)²(r/k)² falls
     * 9r² → 6.25r² → 5.06r² for k = 1,2,4 (saturating at 4r²) while
     * replication grows 9 → 25 → 81. So the cell adapts DOWN only when
-    * a cheap zone-extent aggregate (count + bounding box — one
-    * catalog-side row, the bounded-collect class) estimates more than
-    * `maxZonesPerCell` zones per radius-sized cell, and is clamped at
-    * radius/2 (k <= 2, replication <= 25× of the CATALOG side only).
+    * the HOTTEST radius-sized cell holds more than `maxZonesPerCell`
+    * zones, and is clamped at radius/2 (k <= 2, replication <= 25× of
+    * the CATALOG side only). The estimator is a max-zones-per-cell
+    * groupBy on the catalog side (one bounded row back), NOT a
+    * bounding-box average: a clustered catalog (one metro plus sparse
+    * country) has hot-cell density orders of magnitude above its
+    * average, which is exactly where the fat-cell candidate blowup
+    * lives (GeoSpec pins a clustered catalog tripping the cut that the
+    * average would miss).
     * MEASURED (×10 dense-catalog probe, 150k zones / 1k points): an
     * r/8 clamp let k reach 8 — a 43M-row broadcast build that cost
     * 20 s against the 3.7 s pinned-at-r run, while candidates only
     * fell 9.5M → 7.1M; k = 2 keeps that candidate cut at 25×
-    * replication. The sf-fixture catalogs sit below the threshold, so
-    * their plans and candidate sets are unchanged. */
+    * replication.
+    *
+    * EAGER STATS JOB: the estimate runs `zones.groupBy(cell).count()`
+    * AT DATAFRAME-CONSTRUCTION TIME — plan-only consumers (explain /
+    * audit) pay a real catalog scan, and the cell is frozen from the
+    * catalog's state at construction. Catalogs whose optimizer-
+    * estimated size is under `adaptStatsMinBytes` (default 1 MiB)
+    * SHORT-CIRCUIT to cell = radius with zero extra jobs: a catalog
+    * that small broadcasts whole, so even its worst-case candidate set
+    * (every zone in one cell) is the bounded nested-loop work the
+    * non-grid form does anyway — an extra stats job can never pay for
+    * itself there. Pass 0 to force the probe (tests), or a huge value
+    * to pin cell = radius for a catalog known statically uniform. */
   def withinRangeGrid(zones: DataFrame, zLat: String, zLng: String,
                       points: DataFrame, pLat: String, pLng: String,
                       radiusM: Double,
-                      maxZonesPerCell: Double = 32.0): DataFrame = {
+                      maxZonesPerCell: Double = 32.0,
+                      adaptStatsMinBytes: Long = 1L << 20): DataFrame = {
     val mLatD = 110540.0
     val mLngD = 109640.0
-    val cellM = {
-      val st = zones.agg(count(col(zLat)), min(col(zLat)), max(col(zLat)),
-        min(col(zLng)), max(col(zLng))).head()
-      // count(col) so an all-null-coordinate catalog (count 0, null
-      // bounds) falls through to the radius cell instead of NPEing on
-      // the null min/max reads below
-      if (st.getLong(0) == 0L || st.isNullAt(1) || st.isNullAt(3)) radiusM
-      else {
-        val nZ = st.getLong(0).toDouble
-        val areaM2 = math.max(
-          (st.getDouble(2) - st.getDouble(1)) * mLatD *
-            ((st.getDouble(4) - st.getDouble(3)) * mLngD), 1.0)
-        val zonesAtR = nZ / areaM2 * radiusM * radiusM
-        if (zonesAtR <= maxZonesPerCell) radiusM
-        else math.max(radiusM * math.sqrt(maxZonesPerCell / zonesAtR),
-          radiusM / 2.0)
-      }
-    }
+    val cellM = adaptiveCellM(zones, zLat, zLng, radiusM,
+      maxZonesPerCell, adaptStatsMinBytes)
     val k = math.ceil(radiusM / cellM).toInt
     val mLat = lit(mLatD)
     val mLng = lit(mLngD)
@@ -166,5 +167,39 @@ object Joins {
     pCells.join(broadcast(zExp), Seq("_cx", "_cy"))
       .filter(d2 <= lit(radiusM) * lit(radiusM))
       .drop("_cx", "_cy")
+  }
+
+  /** The adaptive-cell decision of [[withinRangeGrid]], exposed so the
+    * spec can pin WHICH cell a catalog shape produces (not just the
+    * row-identical output every cell size gives). See the scaladoc
+    * there for the estimator rationale and the eager-job caveat. */
+  private[graft] def adaptiveCellM(zones: DataFrame,
+                                   zLat: String, zLng: String,
+                                   radiusM: Double,
+                                   maxZonesPerCell: Double,
+                                   adaptStatsMinBytes: Long): Double = {
+    val mLatD = 110540.0
+    val mLngD = 109640.0
+    val zoneStatsBytes = zones.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (zoneStatsBytes < adaptStatsMinBytes) radiusM
+    else {
+      // hottest radius-sized cell: at most one row per OCCUPIED cell
+      // leaves the map side (bounded by catalog cardinality), one row
+      // reaches the driver
+      val st = zones
+        .filter(col(zLat).isNotNull && col(zLng).isNotNull)
+        .groupBy(floor(col(zLat) * mLatD / radiusM).cast("long"),
+          floor(col(zLng) * mLngD / radiusM).cast("long"))
+        .agg(count(lit(1)).as("_c"))
+        .agg(max(col("_c"))).head()
+      // empty / all-null-coordinate catalog → null max → radius cell
+      if (st.isNullAt(0)) radiusM
+      else {
+        val hot = st.getLong(0).toDouble
+        if (hot <= maxZonesPerCell) radiusM
+        else math.max(radiusM * math.sqrt(maxZonesPerCell / hot),
+          radiusM / 2.0)
+      }
+    }
   }
 }

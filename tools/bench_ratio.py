@@ -113,14 +113,38 @@ with open(out, "w") as f:
 cats = {}
 for n in over:
     cats[verdicts[n][0] or "NEW"] = cats.get(verdicts[n][0] or "NEW", 0) + 1
+# The artifact's own box-noise measurement (5 post-basket reps of a
+# 1-job control query): its median IS the measured scheduling floor of
+# the rep that produced these numbers — context for judging spikes.
+noise = bench.get("noise_control") or []
+noise_vals = sorted(t for t in noise if isinstance(t, (int, float)))
+noise_med = noise_vals[len(noise_vals) // 2] if noise_vals else None
+noise_txt = (f"noise_control median {noise_med:.3f}s" if noise_med is not None
+             else "NO noise_control series in artifact")
 print(f"{len(ratio)} queries merged; {len(over)} over {args.threshold}x "
       f"({', '.join(f'{k}: {v}' for k, v in sorted(cats.items()))}); "
-      f"{len(flags)} unexplained")
+      f"{len(flags)} unexplained; {noise_txt}")
 print(f"{'query':30s} {'spark_s':>8s} {'duck_s':>8s} {'ratio':>7s}  adjudication")
 for n in over:
     cat, why = verdicts[n]
     if cat == "floor":
-        continue  # structural; counted above, not worth 150 table rows
+        continue  # structural; printed compactly below, not as 150 table rows
     tag = f"{cat}: {why}" if cat else "NEW/UNEXPLAINED"
     print(f"{n:30s} {spark_q[n]:8.3f} {duck_s[n]:8.3f} {ratio[n]:7.2f}  {tag}")
+# Auto-floor visibility: every row the relaxed gate absorbed, with its
+# computed floor, so a genuine sub-floor regression on a many-job query
+# is eyeball-able instead of invisible. Sorted by spark time descending
+# (the rows nearest their floor are the ones worth a second look).
+floor_rows = sorted((n for n in over if verdicts[n][0] == "floor"),
+                    key=lambda n: -spark_q[n])
+if floor_rows:
+    def floor_of(n):
+        return max(FLOOR_S,
+                   min(JOB_FLOOR_CAP_S, PER_JOB_S * jobs_map.get(n, 0)))
+    print(f"auto-floor absorbed {len(floor_rows)} rows "
+          f"(name spark_s/floor_s jobs, spark-desc):")
+    items = [f"{n} {spark_q[n]:.2f}/{floor_of(n):.2f} "
+             f"j{jobs_map.get(n, 0)}" for n in floor_rows]
+    for i in range(0, len(items), 4):
+        print("  " + "  |  ".join(items[i:i + 4]))
 sys.exit(1 if flags else 0)
