@@ -407,36 +407,33 @@ object Retrieval {
   }
 
   /** Exact-phrase top-k by occurrence count, CORPUS-SCAN form: one
-    * pure column expression counts the phrase's occurrences per
-    * document (a filtered start-position sequence over the token
-    * array) — zero shuffle until the final TakeOrderedAndProject, all
-    * whole-stage codegen. The right Spark plan when the corpus is
-    * being scanned anyway (curation triage); [[phraseIndexTopK]] is
-    * the index-probe twin for interactive use. Oracled
-    * (`t_phrase_search`).
+    * fused kernel ([[graft.functions.PhraseScan]]) counts the phrase's
+    * occurrences per document — zero shuffle until the final
+    * TakeOrderedAndProject, all whole-stage codegen. The right Spark
+    * plan when the corpus is being scanned anyway (curation triage);
+    * [[phraseIndexTopK]] is the index-probe twin for interactive use.
+    * Oracled (`t_phrase_search`).
     *
-    * NEGATIVE RESULT, kept deliberately: replacing the
-    * sequence+filter position arrays with an allocation-free
-    * `aggregate` running fold (position and count packed into one
-    * long accumulator) measured 2.68 → 4.71 s at sf0.1 and was
-    * reverted — Spark's higher-order functions evaluate their lambda
-    * through the interpreted path per element, and that per-step cost
-    * exceeds the codegen'd array materialization it saves. The
-    * per-document arrays are bounded by token count and short-lived;
-    * they are not the bottleneck. */
+    * History, kept deliberately: the original declarative form (a
+    * filtered start-position `sequence` over the token array) ran its
+    * lambda interpreted per position; a round-15 attempt to fix that
+    * WITHIN the HoF vocabulary — an allocation-free `aggregate`
+    * running fold — measured 2.68 → 4.71 s at sf0.1 (every HoF lambda
+    * is interpreted, so folding harder only added per-step dispatch).
+    * That negative result is the argument FOR the round-17 kernel: one
+    * codegen'd JVM loop, no per-element dispatch at all. */
   def phraseMatch(df: DataFrame, idCol: String, textCol: String,
                   phrase: Seq[String], k: Int): DataFrame = {
     require(phrase.nonEmpty, "phraseMatch: empty phrase")
-    val L = phrase.length
-    def matchAt(i: org.apache.spark.sql.Column) =
-      phrase.zipWithIndex.map { case (t, j) =>
-        element_at(col("_toks"), i + lit(j + 1)) === lit(t)
-      }.reduce(_ && _)
+    // round 17: the position scan is a fused codegen kernel
+    // (graft.functions.PhraseScan) — the declarative
+    // size(filter(sequence(...), element_at chain)) form evaluated its
+    // lambda INTERPRETED per position (~2.8 s of the r16 bench row);
+    // the kernel is one JVM loop per row, value-identical
+    // (TextKernelsSpec pins it against the old expression).
     df.select(col(idCol), TextDedup.tokens(col(textCol)).as("_toks"))
-      .withColumn("n_occ", when(size(col("_toks")) >= L,
-          size(filter(sequence(lit(0), size(col("_toks")) - L),
-            i => matchAt(i))))
-        .otherwise(lit(0)).cast("long"))
+      .withColumn("n_occ", graft.functions.TextKernels
+        .phraseScanCol(col("_toks"), phrase).getField("n_occ"))
       .filter(col("n_occ") > 0)
       .select(col(idCol), col("n_occ"))
       .orderBy(col("n_occ").desc, col(idCol))
@@ -454,22 +451,18 @@ object Retrieval {
                    phrase: Seq[String], window: Int, k: Int): DataFrame = {
     require(phrase.nonEmpty, "kwicSnippets: empty phrase")
     val L = phrase.length
-    def matchAt(i: org.apache.spark.sql.Column) =
-      phrase.zipWithIndex.map { case (t, j) =>
-        element_at(col("_toks"), i + lit(j + 1)) === lit(t)
-      }.reduce(_ && _)
-    val starts = when(size(col("_toks")) >= L,
-      filter(sequence(lit(0), size(col("_toks")) - L), i => matchAt(i)))
-      .otherwise(array().cast("array<int>"))
-    // 1-based slice bounds, clamped to the document
+    // same fused kernel as [[phraseMatch]] (round 17); the snippet
+    // slice stays declarative — it runs once per SURVIVING row, after
+    // the n_occ > 0 filter
     val gs = greatest(col("_first") + lit(1) - lit(window), lit(1))
     val ge = least(col("_first") + lit(L) + lit(window),
       size(col("_toks")))
     df.select(col(idCol), TextDedup.tokens(col(textCol)).as("_toks"))
-      .withColumn("_starts", starts)
-      .filter(size(col("_starts")) > 0)
-      .withColumn("n_occ", size(col("_starts")).cast("long"))
-      .withColumn("_first", element_at(col("_starts"), 1))
+      .withColumn("_ps",
+        graft.functions.TextKernels.phraseScanCol(col("_toks"), phrase))
+      .withColumn("n_occ", col("_ps").getField("n_occ"))
+      .filter(col("n_occ") > 0)
+      .withColumn("_first", col("_ps").getField("first_pos").cast("int"))
       .select(col(idCol), col("n_occ"),
         col("_first").cast("long").as("first_pos"),
         array_join(slice(col("_toks"), gs, ge - gs + lit(1)), " ")

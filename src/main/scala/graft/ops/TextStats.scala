@@ -643,29 +643,26 @@ object TextStats {
     * oracle-reproducible. */
   def repetitionMetrics(df: DataFrame, idCol: String,
                         textCol: String): DataFrame = {
-    // max multiplicity of a sorted array = longest run of equal values:
-    // one aggregate pass with (prev, run length, best run) carried in
-    // the accumulator struct
-    def maxRun(sorted: Column): Column = aggregate(
-      sorted,
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, g) => {
-        val run = when(g === acc.getField("prev"),
-          acc.getField("run") + lit(1L)).otherwise(lit(1L))
-        struct(g.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
+    // round 17: max bigram multiplicity via the fused TopGramRun kernel
+    // (one hash-map pass per row) — the sort_array(shingles) +
+    // interpreted aggregate run-scan it replaces materialized and
+    // sorted a per-row shingle copy and evaluated its lambda per
+    // element (TextKernelsSpec pins value-identity). The denominator
+    // is the bigram count, max(n_tokens - 1, 0), without building the
+    // array: division by 0 yields null → coalesce 0.0, exactly as the
+    // empty-shingle case did before.
     df.select(col(idCol), TextDedup.tokens(col(textCol)).as("_w"))
       .withColumn("n_tokens", size(col("_w")).cast("long"))
       .withColumn("_nd", size(array_distinct(col("_w"))).cast("long"))
-      .withColumn("_bg", sort_array(TextDedup.shingleArray(col("_w"), 2)))
+      .withColumn("_bgtop",
+        graft.functions.TextKernels.topGramRunCol(col("_w"), 2))
       .select(col(idCol), col("n_tokens"),
         round(when(col("n_tokens") > 0,
           lit(1.0) - col("_nd").cast("double") / col("n_tokens")
             .cast("double")).otherwise(lit(0.0)), 6).as("dup_token_frac"),
-        round(coalesce(maxRun(col("_bg")).cast("double") /
-          size(col("_bg")).cast("double"), lit(0.0)), 6)
+        round(coalesce(col("_bgtop").getField("cnt").cast("double") /
+          greatest(col("n_tokens") - 1L, lit(0L)).cast("double"),
+          lit(0.0)), 6)
           .as("top_bigram_frac"))
   }
 
@@ -711,8 +708,8 @@ object TextStats {
         split(t, "\n").as("_lines"),
         split(trim(lower(t)), "\\s+").as("_ws"))
       .withColumn("_nw", size(col("_w")).cast("long"))
-      .withColumn("_chars", aggregate(col("_w"), lit(0L),
-        (acc, w) => acc + length(w).cast("long")))
+      .withColumn("_chars",
+        graft.functions.TextKernels.sumCharLenCol(col("_w")))
       .withColumn("_nsym", (nHash + nEllipsis).cast("long"))
       .withColumn("_nlines", size(col("_lines")).cast("long"))
       .withColumn("_nbullet", size(filter(col("_lines"), l => {
@@ -779,83 +776,40 @@ object TextStats {
     * n = `dupN` (positional union — overlapping occurrences counted
     * once).
     *
-    * Scale shape: entirely per-row array expressions, zero shuffles.
-    * The top-n-gram pass is sort + one linear run-scan (first gram to
-    * reach the max run wins, which on a sorted array IS the
-    * lexicographically-smallest argmax — deterministic). The dupN
-    * coverage pass is O(tokens x duplicated-starts) per row — fine for
-    * web documents (duplicated starts are sparse); corpora where whole
-    * documents are one repeated phrase should profile spans with the
-    * corpus-level machinery (TextDedup.dupSpanStats) instead. */
+    * Scale shape: entirely per-row fused kernels, zero shuffles. The
+    * top-n-gram pass is one hash-map scan (ties go to the
+    * lexicographically-smallest gram — deterministic, the same winner
+    * the previous sorted-run-scan form produced). The dupN coverage
+    * pass is O(tokens) per row. Corpora where whole documents are one
+    * repeated phrase should profile spans with the corpus-level
+    * machinery (TextDedup.dupSpanStats) instead. */
   def gopherRepetition(df: DataFrame, idCol: String, textCol: String,
                        dupN: Int = 5): DataFrame = {
-    // EXPRESSION-STRUCTURE HAZARD, load-bearing: referencing a
-    // non-cheap array column from inside a higher-order-function
-    // LAMBDA is dangerous — after column pruning drops the
-    // pass-through reference, CollapseProject inlines the whole
-    // producing expression into the lambda body, which then
-    // re-evaluates it PER ELEMENT (first cut: the duplicated-gram set
-    // re-sorted for every position of every doc — 9.6 ms/doc at the
-    // x30 probe, 200x the honest cost). Every pass below therefore
-    // either consumes arrays in HoF INPUT position (evaluated once per
-    // row even when inlined) or keeps a second post-pruning reference
-    // alive as a real output signal (dup5_ngrams / dup5_spans).
-    // (best run, gram holding it) over a sorted array, one pass
-    def maxRunGram(sorted: Column): Column = aggregate(
-      sorted,
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"),
-        lit("").as("bestg")),
-      (acc, g) => {
-        val run = when(g === acc.getField("prev"),
-          acc.getField("run") + lit(1L)).otherwise(lit(1L))
-        val better = run > acc.getField("best")
-        struct(g.as("prev"), run.as("run"),
-          when(better, run).otherwise(acc.getField("best")).as("best"),
-          when(better, g).otherwise(acc.getField("bestg")).as("bestg"))
-      },
-      acc => struct(acc.getField("best").as("cnt"),
-        acc.getField("bestg").as("gram")))
-    // values occurring >= 2 times in a sorted array (distinct)
-    def dupValues(sorted: Column): Column = array_distinct(
-      filter(zip_with(sorted, slice(sorted, lit(2),
-        greatest(size(sorted) - 1, lit(0))), (a, b) => when(a === b, a)),
-        v => v.isNotNull))
-    // char mass of values occurring >= 2 times, one run-scan over the
-    // sorted array (flush a run's chars when it ends; finish flushes
-    // the last) — no membership probe, no second array
-    def runDupChars(sorted: Column): Column = {
-      def flush(acc: Column): Column =
-        when(acc.getField("run") >= 2L,
-          acc.getField("chars") + acc.getField("run") *
-            length(acc.getField("prev")).cast("long"))
-          .otherwise(acc.getField("chars"))
-      aggregate(
-        sorted,
-        struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
-          lit(0L).as("chars")),
-        (acc, g) => {
-          val same = acc.getField("prev").isNotNull &&
-            g === acc.getField("prev")
-          struct(g.as("prev"),
-            when(same, acc.getField("run") + 1L).otherwise(lit(1L))
-              .as("run"),
-            when(same, acc.getField("chars")).otherwise(flush(acc))
-              .as("chars"))
-        },
-        acc => flush(acc))
-    }
+    // Round 17: every per-row pass below is a fused codegen kernel
+    // (graft.functions.TextKernels) — the sort_array + interpreted
+    // higher-order run-scans this replaced spent seconds per bench row
+    // in per-element lambda dispatch, and their expression structure
+    // had to be defended against a CollapseProject-inlining hazard
+    // (a HoF lambda referencing a non-cheap array column re-evaluates
+    // the producing expression PER ELEMENT once pruning drops the
+    // pass-through reference — measured 200x at the x30 probe in r15).
+    // Kernels consume the array once per row by construction, so the
+    // hazard class is gone, the per-row sorted shingle copies are
+    // gone, and each signal is one hash-map pass. Value parity with
+    // the old expressions is pinned by TextKernelsSpec and the
+    // unchanged DuckDB oracle.
+    import graft.functions.TextKernels.{topGramRunCol, dupGramCoverageCol,
+      sumCharLenCol, dupRunCharsCol}
     val s1 = df
       .select(col(idCol), TextDedup.tokens(col(textCol)).as("_w"),
         split(col(textCol), "\n").as("_lines"))
       .withColumn("n_tokens", size(col("_w")).cast("long"))
-      .withColumn("_chars", aggregate(col("_w"), lit(0L),
-        (acc, w) => acc + length(w).cast("long")))
+      .withColumn("_chars", sumCharLenCol(col("_w")))
       .withColumn("_nlines", size(col("_lines")).cast("long"))
       .withColumn("_ndlines",
         size(array_distinct(col("_lines"))).cast("long"))
-      .withColumn("_linechars", aggregate(col("_lines"), lit(0L),
-        (acc, l) => acc + length(l).cast("long")))
-      .withColumn("_dupchars", runDupChars(sort_array(col("_lines"))))
+      .withColumn("_linechars", sumCharLenCol(col("_lines")))
+      .withColumn("_dupchars", dupRunCharsCol(col("_lines")))
     // per-n top-gram stats: the (cnt, gram) struct is a COLUMN so the
     // two getField consumers share one run-scan
     def topFracOut(t: Column, n: Int): Column =
@@ -866,42 +820,14 @@ object TextStats {
             col("_chars").cast("double")),
         lit(0.0)), 6)
     val s1t = s1
-      .withColumn("_t2",
-        maxRunGram(sort_array(TextDedup.shingleArray(col("_w"), 2))))
-      .withColumn("_t3",
-        maxRunGram(sort_array(TextDedup.shingleArray(col("_w"), 3))))
-      .withColumn("_t4",
-        maxRunGram(sort_array(TextDedup.shingleArray(col("_w"), 4))))
-    // duplicated dupN-gram positional coverage: starts whose gram
-    // repeats within the doc, merged into disjoint [lo, hi) intervals
-    // (the removeDupSpans merge), then the covered token chars sliced
-    // out interval by interval — every HoF consumes its array in input
-    // position; _dupg's lambda reference is protected by the
-    // dup5_ngrams output
+      .withColumn("_t2", topGramRunCol(col("_w"), 2))
+      .withColumn("_t3", topGramRunCol(col("_w"), 3))
+      .withColumn("_t4", topGramRunCol(col("_w"), 4))
+    // duplicated dupN-gram positional coverage (distinct duplicated
+    // grams, repeat-start count, covered-token char mass) — one kernel
+    // pass replacing the dupg/starts/interval-merge/slice-sum chain
     val s2 = s1t
-      .withColumn("_g", TextDedup.shingleArray(col("_w"), dupN))
-      .withColumn("_dupg", dupValues(sort_array(col("_g"))))
-      .withColumn("_starts", filter(
-        transform(col("_g"), (g, i) =>
-          when(array_contains(col("_dupg"), g), i.cast("long"))),
-        v => v.isNotNull))
-      .withColumn("_iv", aggregate(
-        col("_starts"),
-        array().cast("array<struct<lo:bigint,hi:bigint>>"),
-        (acc, s) => when(
-          size(acc) > 0 && s <= element_at(acc, -1).getField("hi"),
-          concat(slice(acc, lit(1), size(acc) - 1),
-            array(struct(element_at(acc, -1).getField("lo").as("lo"),
-              greatest(element_at(acc, -1).getField("hi"), s + lit(dupN))
-                .as("hi")))))
-          .otherwise(concat(acc,
-            array(struct(s.as("lo"), (s + lit(dupN)).as("hi")))))))
-      .withColumn("_covchars", aggregate(
-        col("_iv"), lit(0L),
-        (acc, iv) => acc + aggregate(
-          slice(col("_w"), iv.getField("lo").cast("int") + 1,
-            (iv.getField("hi") - iv.getField("lo")).cast("int")),
-          lit(0L), (a, w) => a + length(w).cast("long"))))
+      .withColumn("_dupc", dupGramCoverageCol(col("_w"), dupN))
     s2.select(col(idCol), col("n_tokens"),
       round(when(col("_nlines") > 0,
         (col("_nlines") - col("_ndlines")).cast("double") /
@@ -913,10 +839,11 @@ object TextStats {
       topFracOut(col("_t2"), 2).as("top2_char_frac"),
       topFracOut(col("_t3"), 3).as("top3_char_frac"),
       topFracOut(col("_t4"), 4).as("top4_char_frac"),
-      size(col("_dupg")).cast("long").as(s"dup${dupN}_ngrams"),
-      size(col("_starts")).cast("long").as(s"dup${dupN}_spans"),
+      col("_dupc").getField("dup_ngrams").as(s"dup${dupN}_ngrams"),
+      col("_dupc").getField("dup_spans").as(s"dup${dupN}_spans"),
       round(when(col("_chars") > 0,
-        col("_covchars").cast("double") / col("_chars").cast("double"))
+        col("_dupc").getField("cov_chars").cast("double") /
+          col("_chars").cast("double"))
         .otherwise(lit(0.0)), 6).as(s"dup${dupN}_char_frac"))
   }
 
