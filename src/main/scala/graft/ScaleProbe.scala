@@ -1047,16 +1047,20 @@ object ScaleProbe {
       implicit val sqlCtx = spark.sqlContext
       import spark.implicits._
       val nB = 200; val rowsPer = 20
-      def run(compactEvery: Int): (Seq[Double], Int) = {
+      def run(compactEvery: Int,
+              horizonSec: Long = 0L): (Seq[Double], Int, Long) = {
         val tmp = java.nio.file.Files
           .createTempDirectory("graft_probe_nd").toString
         val mem = MemoryStream[(Long, String)]
+        var clk = 0L // injected clock: 10 s per micro-batch
         val q = streaming.Ingest.startNearDupFilterSink(
           mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
           s"$tmp/out", s"$tmp/idx", s"$tmp/cp",
-          compactEvery = compactEvery)
+          compactEvery = compactEvery,
+          horizonSec = horizonSec, clock = () => clk)
         val times = try {
           (0 until nB).map { b =>
+            clk = b.toLong * 10L
             val rows = (0 until rowsPer).map { r =>
               val id = b.toLong * 1000 + r
               id -> (s"probe document $id carrying tokens a${id * 7 % 9973} " +
@@ -1071,10 +1075,16 @@ object ScaleProbe {
         } finally q.stop()
         val dirs = io.Fs.listDirNames(spark, s"$tmp/idx")
           .count(_.startsWith("b="))
-        (times, dirs)
+        val idxRows = streaming.Ingest.readNearDupIndex(spark, s"$tmp/idx")
+          .map(_.count()).getOrElse(0L)
+        (times, dirs, idxRows)
       }
-      val (tPlain, dPlain) = run(0)
-      val (tComp, dComp) = run(10)
+      val (tPlain, dPlain, rPlain) = run(0)
+      val (tComp, dComp, rComp) = run(10)
+      // horizon = 300 s of a 10 s/batch stream: the at-rest index must
+      // be bounded by the ~30-batch live window (plus uncompacted
+      // tails), not by the 200-batch corpus history
+      val (_, _, rHz) = run(10, horizonSec = 300L)
       def win(s: Seq[Double], from: Int, until: Int) =
         s.slice(from, until).sum / (until - from)
       val (pe, pl) = (win(tPlain, 5, 25), win(tPlain, nB - 20, nB))
@@ -1082,10 +1092,15 @@ object ScaleProbe {
       println(f"[scaleprobe] neardup_sink $nB batches x $rowsPer docs: " +
         f"uncompacted early=$pe%.3f s late=$pl%.3f s ($dPlain index dirs); " +
         f"compactEvery=10 early=$ce%.3f s late=$cl%.3f s ($dComp index dirs)")
+      println(f"[scaleprobe] neardup_sink index rows at rest: " +
+        f"unbounded=$rPlain compacted=$rComp horizon300s=$rHz " +
+        f"(live window ~30 of $nB batches)")
       assert(dComp <= 12,
         s"compaction not bounding the index layout: $dComp dirs")
       assert(cl <= ce * 2.0 + 0.3,
         f"compacted per-batch time grew with stream age: early=$ce%.3f late=$cl%.3f")
+      assert(rHz * 3 < rPlain,
+        s"horizon did not bound at-rest index rows: $rHz vs $rPlain")
     }
     }
 

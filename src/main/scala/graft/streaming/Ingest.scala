@@ -1241,7 +1241,30 @@ object Ingest {
     * NOT silently ignored — previously admitted docs would be
     * forgotten and near-dups of them re-admitted. [[graft.io.Batches
     * .requireBatchLayout]] fails the batch fast; migrate the flat
-    * files into a `b=` dir first. */
+    * files into a `b=` dir first.
+    *
+    * STATE HORIZON (`horizonSec`, round 17): by default (0) the band
+    * index grows with corpus history forever — the right default for
+    * dedup, where "have I EVER admitted this" is the question. At
+    * 100 TB an operator needs the documented alternative: with
+    * `horizonSec > 0`, index rows are stamped with their admission
+    * second (`_seen` = `clock()` at the batch), the prior-hits probe
+    * only consults rows admitted within the horizon (an out-of-horizon
+    * near-dup is RE-ADMITTED and re-indexed fresh — recency dedup, the
+    * retention trade an operator dials like [[nearDupDropAudit]]
+    * measures the no-verify trade), and compaction's fold EVICTS
+    * out-of-horizon rows, so the at-rest index is bounded by
+    * horizon-live admissions instead of corpus history (StreamingSpec
+    * pins in-horizon behavior identical to the unbounded sink and the
+    * state bound itself). The cumulative bloom deliberately does NOT
+    * evict (a bloom cannot): stale positives are exact-verified
+    * against the in-horizon index and fall through to admission, so
+    * correctness is unaffected, but its fpp tracks total history —
+    * rebuild it offline via `rebuildNearDupGuard` if a very long
+    * stream outgrows `expectedKeys`. A horizoned index must be
+    * horizoned from its FIRST batch (rows without `_seen` cannot be
+    * probed); `clock` is injectable for deterministic tests and must
+    * be monotone. */
   def startNearDupFilterSink(docs: DataFrame, idCol: String,
                              textCol: String, outRoot: String,
                              indexPath: String, checkpoint: String,
@@ -1252,8 +1275,12 @@ object Ingest {
                              expectedKeys: Long = 40000000L,
                              fpp: Double = 0.001,
                              prefixParts: Int = 256,
-                             bloomDriverMaxRows: Long = 1000000L)
+                             bloomDriverMaxRows: Long = 1000000L,
+                             horizonSec: Long = 0L,
+                             clock: () => Long =
+                               () => System.currentTimeMillis() / 1000L)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(horizonSec >= 0L, s"horizonSec must be >= 0, got $horizonSec")
     // cross-trigger bloom cache — same contract as the line sink's
     var bloomCache: (Long, org.apache.spark.util.sketch.BloomFilter) = null
     docs.writeStream
@@ -1262,6 +1289,15 @@ object Ingest {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        // one clock read per batch: the stamp every admitted key gets,
+        // the probe cutoff, and the eviction cutoff all agree
+        val now = clock()
+        val cutoff: Option[Long] =
+          if (horizonSec > 0L) Some(now - horizonSec) else None
+        val evict: DataFrame => DataFrame = cutoff match {
+          case Some(c) => df => df.filter(col("_seen") >= c)
+          case None => graft.io.Batches.noFold
+        }
         val keys = graft.ops.TextDedup
           .bandKeys(batch, idCol, textCol, n, k, bands).cache()
         var admittedKeys: DataFrame = null
@@ -1274,13 +1310,18 @@ object Ingest {
           // same cadence: write-only here, but its dir count (and any
           // downstream consumer's listing) grows per batch all the same
           if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+            // the index fold evicts out-of-horizon rows (state bound);
+            // outRoot is the OUTPUT corpus, not probe state — never
+            // evicted
             if (bloomGuard)
               graft.io.Batches.compact(spark, indexPath, upTo = batchId - 1,
                 partitionBy = Seq("p"),
                 deriveTail = df => df.withColumn("p",
-                  pmod(col("band_h"), lit(prefixParts)).cast("int")))
+                  pmod(col("band_h"), lit(prefixParts)).cast("int")),
+                foldBase = evict)
             else
-              graft.io.Batches.compact(spark, indexPath, upTo = batchId - 1)
+              graft.io.Batches.compact(spark, indexPath, upTo = batchId - 1,
+                foldBase = evict)
             graft.io.Batches.compact(spark, outRoot, upTo = batchId - 1)
           }
           val bloomRoot = s"$indexPath/_bloom"
@@ -1304,11 +1345,15 @@ object Ingest {
           val priorHits =
             if (bloomGuard)
               nearDupPriorHits(spark, indexPath, batchId, keys, idCol,
-                prevBloom, prefixParts)
+                prevBloom, prefixParts, cutoff)
             else graft.io.Batches
               .read(spark, indexPath, below = Some(batchId)) match {
               case Some(idx) =>
-                keys.join(idx.select("band", "band_h"),
+                val inHorizon = cutoff match {
+                  case Some(c) => idx.filter(col("_seen") >= c)
+                  case None => idx
+                }
+                keys.join(inHorizon.select("band", "band_h"),
                     Seq("band", "band_h"), "left_semi")
                   .select(col(idCol)).distinct()
               case None => keys.select(col(idCol)).limit(0)
@@ -1327,7 +1372,11 @@ object Ingest {
           // append (which also counts it) — one computation, not three
           admittedKeys = keys.join(dropIds, Seq(idCol), "left_anti")
             .persist()
-          admittedKeys
+          // horizoned indexes stamp every key with its admission second
+          val indexRows =
+            if (horizonSec > 0L) admittedKeys.withColumn("_seen", lit(now))
+            else admittedKeys
+          indexRows
             .write.mode("overwrite").parquet(s"$indexPath/b=$batchId")
           if (bloomGuard) {
             // bloom LAST — committed only once the index rows it
@@ -1537,7 +1586,8 @@ object Ingest {
   private[graft] def nearDupPriorHits(spark: SparkSession,
       indexPath: String, batchId: Long, keys: DataFrame, idCol: String,
       bloom: Option[org.apache.spark.util.sketch.BloomFilter],
-      prefixParts: Int): DataFrame = {
+      prefixParts: Int,
+      horizonCutoff: Option[Long] = None): DataFrame = {
     graft.io.Batches.requireBatchLayout(spark, indexPath)
     val dirs = graft.io.Batches.liveDirs(spark, indexPath,
       below = Some(batchId))
@@ -1557,12 +1607,24 @@ object Ingest {
             pmod(col("band_h"), lit(prefixParts)).cast("int"))
         val pset = positives.select(col("p")).distinct()
           .collect().map(_.getInt(0))
+        // horizoned probe: only in-horizon index rows may suppress —
+        // a bloom positive whose rows all aged out falls through to
+        // admission (the bloom itself never evicts; see the sink doc)
+        val readCols = horizonCutoff match {
+          case Some(_) => Seq("band", "band_h", "_seen")
+          case None => Seq("band", "band_h")
+        }
         if (pset.isEmpty) keys.select(col(idCol)).limit(0)
-        else positives.join(
-            prunedIndexRead(spark, dirs, indexPath, pset,
-              Seq("band", "band_h")),
-            Seq("band", "band_h"), "left_semi")
-          .select(col(idCol)).distinct()
+        else {
+          val idx = prunedIndexRead(spark, dirs, indexPath, pset, readCols)
+          val inHorizon = horizonCutoff match {
+            case Some(c) => idx.filter(col("_seen") >= c)
+              .select(col("band"), col("band_h"))
+            case None => idx
+          }
+          positives.join(inHorizon, Seq("band", "band_h"), "left_semi")
+            .select(col(idCol)).distinct()
+        }
     }
   }
 

@@ -165,6 +165,68 @@ class StreamingSpec extends SparkSpec {
       s"compacted index layout: $dirsComp")
   }
 
+  test("near-dup horizon: stale state is re-admitted and evicted; " +
+    "in-horizon behavior identical to the unbounded sink") {
+    implicit val sc = spark.sqlContext
+    // injected monotone clock, advanced between micro-batches
+    val fox = "the quick brown fox jumps over the lazy dog today"
+    val diff = "completely different words describing another topic entirely here"
+    val twin = "some brand new content that matches only its own twin text"
+    val fresh = "yet another unrelated document with fresh vocabulary inside"
+    // (time, docs): batch 1 runs 1000 s later — past a 100 s horizon
+    // of batch 0 — then batch 2 runs 10 s after batch 1 (in-horizon)
+    val script: Seq[(Long, Seq[(Long, String)])] = Seq(
+      1000L -> Seq(1L -> fox, 2L -> diff),
+      2000L -> Seq(3L -> fox, 4L -> twin), // 3 dups 1, but 1 aged out
+      2010L -> Seq(5L -> fox, 6L -> fresh)) // 5 dups 3, 3 in-horizon
+    def run(horizonSec: Long, compactEvery: Int, bloomGuard: Boolean,
+            tag: String): (Set[Long], Set[Long]) = {
+      val tmp = java.nio.file.Files.createTempDirectory(tag)
+      val out = s"$tmp/out"; val idx = s"$tmp/idx"; val cp = s"$tmp/cp"
+      var t = 0L
+      val mem = MemoryStream[(Long, String)]
+      val q = Ingest.startNearDupFilterSink(mem.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", out, idx, cp, compactEvery = compactEvery,
+        bloomGuard = bloomGuard, horizonSec = horizonSec, clock = () => t)
+      try {
+        script.foreach { case (time, docs) =>
+          t = time; mem.addData(docs: _*); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val kept = spark.read.parquet(out)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val indexed = Ingest.readNearDupIndex(spark, idx)
+        .map(_.select("doc_id").distinct()
+          .collect().map(_.getLong(0)).toSet)
+        .getOrElse(Set.empty[Long])
+      (kept, indexed)
+    }
+    for (guard <- Seq(true, false)) {
+      // horizon = 100 s: doc 3 (dup of 1, 1000 s later) is RE-ADMITTED;
+      // doc 5 (dup of 3, 10 s later) is still suppressed
+      val (kept, _) = run(100L, 0, guard, s"graft_nd_hz_$guard")
+      assert(kept == Set(1L, 2L, 3L, 4L, 6L),
+        s"horizon admissions (guard=$guard): $kept")
+      // a horizon nothing ages out of behaves exactly like the
+      // unbounded sink on the same script
+      val (keptWide, idxWide) = run(1000000L, 0, guard, s"graft_nd_wide_$guard")
+      val (kept0, idx0) = run(0L, 0, guard, s"graft_nd_unb_$guard")
+      assert(kept0 == Set(1L, 2L, 4L, 6L), s"unbounded kept: $kept0")
+      assert(keptWide == kept0 && idxWide == idx0,
+        s"in-horizon run differs from unbounded (guard=$guard): " +
+          s"$keptWide/$idxWide vs $kept0/$idx0")
+      // state bound: with compaction, the fold EVICTS batch-0 rows
+      // (stamped 1000 < cutoff 1910 at the batch-2 fold) — the at-rest
+      // index holds only horizon-live admissions {3, 4}, plus the
+      // uncompacted batch-2 tail {6}; the OUT corpus keeps everything
+      val (keptC, idxC) = run(100L, 2, guard, s"graft_nd_hzc_$guard")
+      assert(keptC == Set(1L, 2L, 3L, 4L, 6L),
+        s"compacted-horizon admissions (guard=$guard): $keptC")
+      assert(idxC == Set(3L, 4L, 6L),
+        s"horizon fold did not bound the index (guard=$guard): $idxC")
+    }
+  }
+
   test("near-dup guard: admitted corpus and index identical with guard " +
     "on/off; the guarded collision probe is partition-pruned") {
     implicit val sc = spark.sqlContext
