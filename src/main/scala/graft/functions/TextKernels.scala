@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -57,6 +57,9 @@ object TextKernels {
   val dupCoverageType: StructType =
     structOf("dup_ngrams" -> LongType, "dup_spans" -> LongType,
       "cov_chars" -> LongType)
+  val spanCutType: StructType =
+    structOf("text" -> StringType, "kept" -> LongType,
+      "removed" -> LongType)
 
   /** n-gram at start i (space-joined tokens), or null if any slot in
     * [i, i+n) is a null element. */
@@ -212,6 +215,49 @@ object TextKernels {
     s
   }
 
+  // ---- span cut ----
+
+  /** Cut every [s, s+n) token span (starts SORTED ascending) out of
+    * the token array; returns (kept text space-joined, kept count,
+    * removed count). One pass: merge overlapping/touching intervals,
+    * emit the complement. Null tokens count as kept but contribute no
+    * text (array_join's skip-null convention). */
+  def spanCut(toks: ArrayData, starts: ArrayData, n: Int): InternalRow = {
+    val m = toks.numElements()
+    val nS = starts.numElements()
+    val kept = new java.util.ArrayList[UTF8String](m)
+    var keptCount = 0L
+    def emit(from: Int, until: Int): Unit = {
+      var j = from
+      while (j < until) {
+        keptCount += 1L
+        if (!toks.isNullAt(j)) kept.add(toks.getUTF8String(j))
+        j += 1
+      }
+    }
+    var pos = 0 // next uncovered token index
+    var i = 0
+    var lo = -1L
+    var hi = -1L
+    def closeInterval(): Unit = if (lo >= 0L) {
+      emit(pos, math.min(lo, m.toLong).toInt)
+      pos = math.min(math.max(hi, pos.toLong), m.toLong).toInt
+    }
+    while (i < nS) {
+      if (!starts.isNullAt(i)) {
+        val s = starts.getLong(i)
+        if (lo >= 0L && s <= hi) { if (s + n > hi) hi = s + n }
+        else { closeInterval(); lo = s; hi = s + n }
+      }
+      i += 1
+    }
+    closeInterval()
+    emit(pos, m)
+    val text = UTF8String.concatWs(UTF8String.fromString(" "),
+      kept.toArray(new Array[UTF8String](kept.size())): _*)
+    new GenericInternalRow(Array[Any](text, keptCount, m - keptCount))
+  }
+
   // ---- Column API ----
 
   def phraseScanCol(tokens: Column, phrase: Seq[String]): Column =
@@ -229,6 +275,10 @@ object TextKernels {
   def dupRunCharsCol(arr: Column): Column =
     GraftColumnBridge.column(
       DupRunChars(GraftColumnBridge.expression(arr)))
+  def spanCutCol(tokens: Column, starts: Column, n: Int): Column =
+    GraftColumnBridge.column(
+      SpanCut(GraftColumnBridge.expression(tokens),
+        GraftColumnBridge.expression(starts), n))
 }
 
 /** Shared type-check: the child must be array<string>. */
@@ -330,6 +380,41 @@ case class SumCharLen(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): SumCharLen =
     copy(child = newChild)
+}
+
+/** ExactSubstr span cut: remove every [s, s+n) token window (left =
+  * array<string> tokens, right = array<bigint> SORTED start positions)
+  * and reassemble the survivors — (text, kept, removed) in one fused
+  * loop, replacing the interval-merge + complement-segment +
+  * slice-flatten HoF chain of TextDedup.cutSpans. Null contract: null
+  * in either child → null row (the caller coalesces absent starts to
+  * an empty array first). */
+case class SpanCut(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression {
+  require(n >= 1, s"spanCut: n must be >= 1, got $n")
+
+  override def dataType: DataType = TextKernels.spanCutType
+  override def prettyName: String = "span_cut"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"span_cut requires (array<string>, array<bigint>), got $other")
+    }
+
+  override protected def nullSafeEval(toks: Any, starts: Any): Any =
+    TextKernels.spanCut(toks.asInstanceOf[ArrayData],
+      starts.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.TextKernels.spanCut($a, $b, $n);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SpanCut =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Char mass of duplicated values in a string array (cnt·len summed over

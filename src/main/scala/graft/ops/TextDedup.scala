@@ -971,43 +971,24 @@ object TextDedup {
       .agg(sort_array(collect_set(col("_p"))).as("_starts"))
 
   /** The map-side cut shared by the batch and against-MV forms: merge
-    * overlapping [s, s+n) intervals, slice the complement segments out
-    * of the token array, reassemble. */
+    * overlapping [s, s+n) intervals and reassemble the complement —
+    * one fused kernel pass per row ([[graft.functions.SpanCut]],
+    * round 17; the interval-merge + complement-segment + slice-flatten
+    * HoF chain it replaces evaluated interpreted per element —
+    * TextDedupSpec's reference-implementation property pins the cut). */
   private def cutSpans(df: DataFrame, idCol: String, textCol: String,
                        n: Int, starts: DataFrame): DataFrame = {
     val toks = df.select(col(idCol), tokens(col(textCol)).as("_w"))
       .join(starts, Seq(idCol), "left")
       .withColumn("_starts",
         coalesce(col("_starts"), array().cast("array<long>")))
-    val merged = aggregate(
-      col("_starts"),
-      array().cast("array<struct<lo:bigint,hi:bigint>>"),
-      (acc, s) => when(
-        size(acc) > 0 && s <= element_at(acc, -1).getField("hi"),
-        concat(slice(acc, lit(1), size(acc) - 1),
-          array(struct(element_at(acc, -1).getField("lo").as("lo"),
-            greatest(element_at(acc, -1).getField("hi"), s + lit(n))
-              .as("hi")))))
-        .otherwise(concat(acc,
-          array(struct(s.as("lo"), (s + lit(n)).as("hi"))))))
-    val len = size(col("_w")).cast("long")
-    val staged = toks.withColumn("_iv", merged)
-      // kept segments = complement of the merged intervals in [0, len):
-      // gap k runs from interval (k-1)'s hi (or 0) to interval k's lo
-      // (or len) — zip the shifted boundary arrays
-      .withColumn("_segs", zip_with(
-        concat(array(lit(0L)), transform(col("_iv"), m => m.getField("hi"))),
-        concat(transform(col("_iv"), m => m.getField("lo")), array(len)),
-        (a, b) => struct(a.as("lo"), b.as("hi"))))
-      .withColumn("_kept", flatten(transform(
-        filter(col("_segs"), g => g.getField("hi") > g.getField("lo")),
-        g => slice(col("_w"), g.getField("lo") + 1,
-          g.getField("hi") - g.getField("lo")))))
-    staged.select(col(idCol),
-      array_join(col("_kept"), " ").as(textCol),
-      size(col("_kept")).cast("long").as("n_tokens_kept"),
-      (size(col("_w")) - size(col("_kept"))).cast("long")
-        .as("n_tokens_removed"))
+    toks
+      .withColumn("_cut", graft.functions.TextKernels
+        .spanCutCol(col("_w"), col("_starts"), n))
+      .select(col(idCol),
+        col("_cut").getField("text").as(textCol),
+        col("_cut").getField("kept").as("n_tokens_kept"),
+        col("_cut").getField("removed").as("n_tokens_removed"))
   }
 
   /** Per-batch shingle doc-frequency partials: `(sh_h, df)` where `df`
