@@ -103,15 +103,75 @@ object Sketches {
       .select(explode(col("mg")).as(Seq("term", "est")))
   }
 
+  /** [[MisraGries]] fused with positional shingle ASSEMBLY: input is
+    * the TOKEN ARRAY of a document; `reduce` walks the `len − n + 1`
+    * shingle positions with one StringBuilder, feeding the same MG
+    * buffer — identical counts to exploding
+    * [[TextDedup.shingleArray]] into [[MisraGries]] (space-joined
+    * windows, every position, docs shorter than `n` contribute
+    * nothing; SketchesSpec pins value parity against the explode
+    * path). The fusion exists because the explode form materializes
+    * one row PER SHINGLE through `n − 1` interpreted `zip_with`
+    * concat passes before the aggregator sees it — per-row work the
+    * sketch's whole design is meant to avoid (round 17: ~2× on
+    * t_heavy_shingles; the shuffle was already summary-sized, this
+    * recovers the map-side cost). */
+  final class MisraGriesShingles(capacity: Int, n: Int)
+      extends Aggregator[Seq[String], MGBuf, Map[String, Long]] {
+    require(capacity >= 1 && n >= 1)
+    private val delegate = new MisraGries(capacity)
+    override def zero: MGBuf = delegate.zero
+    override def reduce(b: MGBuf, toks: Seq[String]): MGBuf = {
+      if (toks == null) return b
+      val m = toks.length - n + 1
+      var i = 0
+      val sb = new java.lang.StringBuilder
+      while (i < m) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j)); j += 1
+        }
+        val sh = sb.toString
+        b.n += 1
+        b.counts.put(sh, b.counts.getOrDefault(sh, 0L) + 1L)
+        if (b.counts.size > 2 * capacity) compress(b.counts, capacity)
+        i += 1
+      }
+      b
+    }
+    override def merge(a: MGBuf, b: MGBuf): MGBuf = delegate.merge(a, b)
+    override def finish(b: MGBuf): Map[String, Long] = delegate.finish(b)
+    override def bufferEncoder: Encoder[MGBuf] = Encoders.kryo[MGBuf]
+    override def outputEncoder: Encoder[Map[String, Long]] =
+      ExpressionEncoder[Map[String, Long]]()
+  }
+
+  /** The pre-fusion explode form of [[heavyShingles]]'s summary —
+    * kept as the parity reference (SketchesSpec compares the two on
+    * the same corpus in the exact regime). */
+  private[graft] def shingleSummaryExploded(docs: DataFrame,
+                                            textCol: String,
+                                            shingleN: Int,
+                                            capacity: Int): DataFrame =
+    mgSummary(docs.select(explode(TextDedup.shingleArray(
+      TextDedup.tokens(col(textCol)), shingleN)).as("shingle")),
+      "shingle", capacity)
+
   /** Heavy-hitter POSITIONAL shingles of a corpus (candidate
     * boilerplate): top `k` by estimated count, count-desc / term-asc
-    * ranked. Map-side: tokenize + shingle (a projection), then the MG
-    * partial per partition; only summaries shuffle. */
+    * ranked. Map-side: tokenize (a codegen projection), then the
+    * FUSED shingle+MG partial per partition ([[MisraGriesShingles]] —
+    * no per-shingle row ever materializes); only summaries shuffle. */
   def heavyShingles(docs: DataFrame, textCol: String, shingleN: Int,
                     capacity: Int, k: Int): DataFrame = {
-    val sh = docs.select(explode(TextDedup.shingleArray(
-      TextDedup.tokens(col(textCol)), shingleN)).as("shingle"))
-    val top = mgSummary(sh, "shingle", capacity)
+    val toks = docs.select(TextDedup.tokens(col(textCol)).as("toks"))
+      .as(ExpressionEncoder[Seq[String]]())
+    val top = toks
+      .select(new MisraGriesShingles(capacity, shingleN)
+        .toColumn.name("mg"))
+      .select(explode(col("mg")).as(Seq("term", "est")))
       .orderBy(col("est").desc, col("term"))
       .limit(k)
     top.select(

@@ -64,4 +64,33 @@ class SketchesSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSeq == (1L to 5L))
     assert(out.sliding(2).forall(p => p(0).getLong(2) >= p(1).getLong(2)))
   }
+
+  test("fused shingle MG == explode-path MG (exact regime), hard inputs") {
+    // short docs (< n tokens: contribute nothing), empty text, null
+    // text, punctuation-only (tokenizes to []), repeated shingles
+    // inside one doc (positional counting, not distinct), digits,
+    // and enough bulk to cross partition merges
+    val docs = (Seq(
+      (1L, "a b"), (2L, ""), (3L, null), (4L, "... !!!"),
+      (5L, "x y z x y z x y z"), (6L, "cam 01 cam 01 cam 01"),
+      (7L, "The QUICK brown FOX")) ++
+      (8L to 200L).map(i => (i, s"stop word run ${i % 7} stop word run")))
+      .toDF("doc_id", "text")
+    val fused = Sketches.heavyShingles(docs.repartition(9), "text", 3,
+        capacity = 1 << 12, k = 40)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val exploded = {
+      val top = Sketches.shingleSummaryExploded(docs.repartition(4),
+          "text", 3, capacity = 1 << 12)
+        .orderBy(col("est").desc, col("term")).limit(40)
+      top.select(
+        org.apache.spark.sql.expressions.Window.orderBy(
+          col("est").desc, col("term")) match { case w =>
+            row_number().over(w).cast("long").as("rnk") },
+        col("term").as("shingle"), col("est").as("cnt"))
+        .orderBy("rnk")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    }
+    assert(fused == exploded)
+  }
 }
