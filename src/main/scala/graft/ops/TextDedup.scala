@@ -409,9 +409,22 @@ object TextDedup {
     * (spec-pinned against the declarative form). Docs with zero
     * shingles have no signature (filtered, matching the old
     * no-rows-per-empty-group behavior). Input: [[shingleHashSets]]
-    * output. Output: (id, mh0..mh{k-1}). */
-  def minhashSignatures(sets: DataFrame, idCol: String, k: Int): DataFrame =
-    sets.filter(size(col("sh_set")) > 0)
+    * output. Output: (id, mh0..mh{k-1}).
+    *
+    * `noEmptySets = true` skips the emptiness filter for callers that
+    * guarantee it upstream. The flag exists because FILTER PUSHDOWN
+    * has no duplication guard (unlike CollapseProject): pushed below
+    * a live [[shingleHashSets]] projection, `size(sh_set) > 0`
+    * inlines the whole set derivation and lands at the scan
+    * re-tokenizing every row SIX times (plan-audited, round 17 —
+    * `plans/r17/dd_minhash_lsh_before.txt` node (2)). Text-derived
+    * callers instead pre-filter the doc frame on the provably
+    * equivalent `size(tokens) >= n` (shingleArray is nonempty iff the
+    * doc has ≥ n tokens; array_distinct/transform preserve
+    * (non)emptiness), which pushes down as ONE tokenization. */
+  def minhashSignatures(sets: DataFrame, idCol: String, k: Int,
+                        noEmptySets: Boolean = false): DataFrame =
+    (if (noEmptySets) sets else sets.filter(size(col("sh_set")) > 0))
       .select(col(idCol),
         graft.functions.MinHashK.minhashK(col("sh_set"), k).as("_mh"))
       .select(col(idCol) +:
@@ -425,8 +438,12 @@ object TextDedup {
   def bandKeys(df: DataFrame, idCol: String, textCol: String,
                n: Int, k: Int, bands: Int): DataFrame = {
     val rows = k / bands
-    val sig = minhashSignatures(shingleHashSets(df, idCol, textCol, n),
-      idCol, k)
+    // cheap pushable guard (one tokenization at the scan) instead of
+    // minhashSignatures' set-level filter — see its scaladoc
+    val sig = minhashSignatures(
+      shingleHashSets(df.filter(size(tokens(col(textCol))) >= n),
+        idCol, textCol, n),
+      idCol, k, noEmptySets = true)
     val bandStructs = (0 until bands).map { b =>
       struct((0 until rows).map(r => col(s"mh${b * rows + r}").as(s"v$r")): _*)
     }
@@ -459,7 +476,14 @@ object TextDedup {
     // tokenize+md5+minhash map work per side. The anchored payload is
     // (id, k longs) — ~10× smaller than the exploded index the old
     // groupBy-signatures formulation shuffled for the same anchoring.
-    val sig = minhashSignatures(sets, idCol, k).repartition(col(idCol))
+    // The signature input carries the cheap token-count guard (one
+    // tokenization at the scan) instead of minhashSignatures' set-
+    // level filter — see its scaladoc; `sets` for verification stays
+    // unguarded (candidates only ever reference guarded ids).
+    val sig = minhashSignatures(
+      shingleHashSets(df.filter(size(tokens(col(textCol))) >= n),
+        idCol, textCol, n),
+      idCol, k, noEmptySets = true).repartition(col(idCol))
     // one row per (doc, band); the band key is the band's minhash tuple
     val bandStructs = (0 until bands).map { b =>
       struct((0 until rows).map(r => col(s"mh${b * rows + r}").as(s"v$r")): _*)
