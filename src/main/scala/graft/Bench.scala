@@ -127,7 +127,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val totalJobs = results.values.map(_._2).sum
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"jobs":$js,"total_jobs":$totalJobs,"noise_control":$noiseJson,"recheck":$recheckJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"queries":$qs,"jobs":$js,"total_jobs":$totalJobs,"noise_control":$noiseJson,"recheck":$recheckJson,"sf":"$sfDir"}"""
     // the full per-query map lives ONLY in the file artifact: a
     // 76-query single-line JSON overflows captured-log tails, leaving
     // the driver-side artifact unparseable (round-7 BENCH_r07.json had
@@ -136,7 +136,19 @@ object Bench {
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (full + "\n").getBytes("UTF-8"))
+    // ALSO write a run-stamped copy (round-17 verdict item: two driver
+    // runs at different core counts clobbered each other's per-query
+    // map in BENCH_FULL.json, blinding the round-over-round PERF
+    // comparison to totals). The stamp (core count + epoch seconds)
+    // makes every run's map durable; the short stdout line names the
+    // exact file so a parser can find this run's map without guessing.
+    val stamped = {
+      val base = outFile.stripSuffix(".json")
+      s"${base}_c${cpus}_${System.currentTimeMillis / 1000}.json"
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(stamped),
+      (full + "\n").getBytes("UTF-8"))
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"total_jobs":$totalJobs,"sf":"$sfDir","per_query":"BENCH_FULL.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"cpus":$cpus,"total_jobs":$totalJobs,"sf":"$sfDir","per_query":"$stamped"}""")
   }
 }

@@ -340,14 +340,23 @@ object Embeddings {
     }
 
   /** Nearest-centroid cell id for a quantized vector (ties → lowest
-    * cell; struct comparison is lexicographic, so array_min gives the
-    * deterministic argmin). */
+    * cell). ONE fused kernel call ([[graft.functions.IvfCell]],
+    * value-identical to the `array_min(array(struct(d, cell), …))`
+    * argmin it replaces — IvfIndexSpec pins the declarative form
+    * verbatim): a single expression node means a pushed join-key
+    * filter (`isnotnull(cell)`) inlines ONE call, where the struct
+    * form re-inlined the whole per-centroid distance array — 16
+    * quantization `transform`s per row in samp_cluster_balanced's
+    * scan Filter before round 18 (lambdas are CSE-exempt, so every
+    * copy evaluated). */
   def cellOfQuantized(model: IvfModel, qv: Column): Column =
-    array_min(array(centroidDistStructs(model, qv): _*)).getField("cell")
+    graft.functions.IvfCell.cellCol(qv, model.centroids)
 
-  /** Nearest-centroid cell id (quantizes, then exact integer argmin). */
+  /** Nearest-centroid cell id (exact integer argmin; the kernel
+    * quantizes raw float vectors inline — no `transform` lambda in
+    * the plan at all). */
   def cellOf(model: IvfModel, vec: Column): Column =
-    cellOfQuantized(model, quantize(vec))
+    graft.functions.IvfCell.cellCol(vec, model.centroids)
 
   /** Assign each vector to its IVF cell — one narrow projection. */
   def ivfAssign(model: IvfModel, df: DataFrame,

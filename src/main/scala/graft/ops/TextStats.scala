@@ -999,19 +999,35 @@ object TextStats {
     * across the two references of `passed` below. */
   def curate(df: DataFrame, idCol: String, textCol: String,
              keepLangs: Seq[String], minQuality: Double): DataFrame = {
-    val lang = withLangId(df.select(col(idCol), col(textCol)),
-      textCol, "lang_pred")
-    val q = qualityMetrics(df, idCol, textCol)
-      .select(col(idCol), col("quality_score"), col("n_tokens"))
-    val passed = lang.join(q, idCol)
-      .filter(col("lang_pred").isin(keepLangs.map(lit): _*) &&
-        col("quality_score") >= minQuality)
-    val keep = TextDedup.exactDedup(
-        passed.select(col(idCol), col(textCol)), idCol, textCol)
-      .select(col("keep_id").as(idCol))
-    passed.join(keep, Seq(idCol), "left_semi")
-      .select(col(idCol), col("lang_pred"), col("quality_score"),
-        col("n_tokens"))
+    // ONE corpus scan, ONE tokenization: the fused kernel computes
+    // lang_pred + n_tokens + quality_score + the keep decision in a
+    // single expression, so the pushed scan filter references ONE
+    // `pass` field (one tokenizer pass per row) instead of re-inlining
+    // the staged langid/quality cascade (24 regexp_extract_all copies
+    // per row across 4 corpus scans before round 18 — predicate
+    // pushdown has no duplication guard; see
+    // [[graft.functions.CurateSignalKernel]]).
+    val passed = df.select(col(idCol), col(textCol))
+      .withColumn("_cs", graft.functions.CurateSignal.signalCol(
+        TextDedup.tokens(col(textCol)),
+        length(col(textCol)).cast("long"),
+        length(regexp_replace(col(textCol), "[a-zA-Z0-9\\s]+", ""))
+          .cast("long"),
+        stopwordProfiles, keepLangs, minQuality))
+      .filter(col("_cs.pass"))
+    // exact dedup (TextDedup.exactDedup semantics: group by the
+    // 60-bit content hash, keep the min-id row) fused into ONE
+    // aggregation instead of groupBy + semi-join-back: rows in a hash
+    // group share the text, hence every kernel-derived column — so
+    // min_by lifts the survivor ROW directly, map-side partial
+    // aggregation and all, and the corpus is scanned once, not twice.
+    passed
+      .groupBy(TextDedup.md5Hash60(col(textCol)).as("_h"))
+      .agg(min_by(struct(col(idCol), col("_cs.lang_pred").as("lang_pred"),
+        col("_cs.quality_score").as("quality_score"),
+        col("_cs.n_tokens").as("n_tokens")), col(idCol)).as("_r"))
+      .select(col(s"_r.$idCol"), col("_r.lang_pred"),
+        col("_r.quality_score"), col("_r.n_tokens"))
   }
 
   // ---- tokenizer family: vocab application + BPE merge training ----
