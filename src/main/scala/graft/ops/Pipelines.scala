@@ -44,9 +44,15 @@ object Pipelines {
     // composition measured 93 s vs 13 s at sf0.1 for identical output
     val curated = TextStats.curate(docs, idCol, textCol,
       keepLangs, minQuality).localCheckpoint()
+    // curatedDocs is deliberately NOT cut (round-18 per-site A/B:
+    // 2.74 s vs 3.42 s with the cut, quiet control): its lineage is
+    // one raw scan + a semi join against the ALREADY-CUT curated ids
+    // — re-evaluating that per dedupCorpus reference is two pruned
+    // parquet scans, where the cut materialized a corpus-scale
+    // (id, text) frame to executor storage. pretrainRecipe's
+    // curatedDocs has the same shape and was never cut.
     val curatedDocs = docs.select(col(idCol), col(textCol))
       .join(curated.select(col(idCol)), Seq(idCol), "left_semi")
-      .localCheckpoint()
     val survivors = TextDedup.dedupCorpus(curatedDocs, idCol, textCol,
       n, k, bands, minJ)
     val enriched = survivors.join(
