@@ -28,6 +28,11 @@ case class BloomMightContainLong(child: Expression,
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_might_contain_long"
 
+  // null-in -> null-out (nullSafeEval); declaring it lets the
+  // optimizer rules gated on nullIntolerant apply (null-literal
+  // folding, not-null constraint scans through the kernel)
+  override def nullIntolerant: Boolean = true
+
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType == LongType)

@@ -125,6 +125,11 @@ case class CurateSignal(first: Expression, second: Expression,
   override def dataType: DataType = CurateSignalKernel.outType
   override def prettyName: String = "curate_signal"
 
+  // null-in -> null-out (nullSafeEval); declaring it lets the
+  // optimizer rules gated on nullIntolerant apply (null-literal
+  // folding, not-null constraint scans through the kernel)
+  override def nullIntolerant: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult =
     (first.dataType, second.dataType, third.dataType) match {
       case (ArrayType(StringType, _), LongType, LongType) =>

@@ -97,6 +97,11 @@ case class IvfCell(child: Expression, centroids: Seq[Seq[Long]])
   override def dataType: DataType = IntegerType
   override def prettyName: String = "ivf_cell"
 
+  // null-in -> null-out (nullSafeEval); declaring it lets the
+  // optimizer rules gated on nullIntolerant apply (null-literal
+  // folding, not-null constraint scans through the kernel)
+  override def nullIntolerant: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
       case ArrayType(FloatType, _) | ArrayType(LongType, _) =>

@@ -27,6 +27,11 @@ case class Md5Hash60(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "md5hash60"
 
+  // null-in -> null-out (nullSafeEval); declaring it lets the
+  // optimizer rules gated on nullIntolerant apply (null-literal
+  // folding, not-null constraint scans through the kernel)
+  override def nullIntolerant: Boolean = true
+
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType == StringType)

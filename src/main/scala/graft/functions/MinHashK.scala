@@ -32,6 +32,11 @@ case class MinHashK(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_k"
 
+  // null-in -> null-out (nullSafeEval); declaring it lets the
+  // optimizer rules gated on nullIntolerant apply (null-literal
+  // folding, not-null constraint scans through the kernel)
+  override def nullIntolerant: Boolean = true
+
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {

@@ -303,6 +303,11 @@ case class PhraseScan(child: Expression, phrase: Seq[String])
   override def dataType: DataType = TextKernels.phraseScanType
   override def prettyName: String = "phrase_scan"
 
+  // null-in -> null-out (nullSafeEval); declaring it lets the
+  // optimizer rules gated on nullIntolerant apply (null-literal
+  // folding, not-null constraint scans through the kernel)
+  override def nullIntolerant: Boolean = true
+
   @transient private lazy val phraseU8: Array[UTF8String] =
     phrase.map(UTF8String.fromString).toArray
 
@@ -330,6 +335,11 @@ case class TopGramRun(child: Expression, n: Int)
   override def dataType: DataType = TextKernels.topGramType
   override def prettyName: String = "top_gram_run"
 
+  // null-in -> null-out (nullSafeEval); declaring it lets the
+  // optimizer rules gated on nullIntolerant apply (null-literal
+  // folding, not-null constraint scans through the kernel)
+  override def nullIntolerant: Boolean = true
+
   override protected def nullSafeEval(input: Any): Any =
     TextKernels.topGramRun(input.asInstanceOf[ArrayData], n)
 
@@ -353,6 +363,11 @@ case class DupGramCoverage(child: Expression, n: Int)
   override def dataType: DataType = TextKernels.dupCoverageType
   override def prettyName: String = "dup_gram_coverage"
 
+  // null-in -> null-out (nullSafeEval); declaring it lets the
+  // optimizer rules gated on nullIntolerant apply (null-literal
+  // folding, not-null constraint scans through the kernel)
+  override def nullIntolerant: Boolean = true
+
   override protected def nullSafeEval(input: Any): Any =
     TextKernels.dupGramCoverage(input.asInstanceOf[ArrayData], n)
 
@@ -370,6 +385,11 @@ case class SumCharLen(child: Expression)
     extends UnaryExpression with StringArrayKernel {
   override def dataType: DataType = LongType
   override def prettyName: String = "sum_char_len"
+
+  // null-in -> null-out (nullSafeEval); declaring it lets the
+  // optimizer rules gated on nullIntolerant apply (null-literal
+  // folding, not-null constraint scans through the kernel)
+  override def nullIntolerant: Boolean = true
 
   override protected def nullSafeEval(input: Any): Any =
     TextKernels.sumCharLen(input.asInstanceOf[ArrayData])
@@ -395,6 +415,11 @@ case class SpanCut(left: Expression, right: Expression, n: Int)
 
   override def dataType: DataType = TextKernels.spanCutType
   override def prettyName: String = "span_cut"
+
+  // null-in -> null-out (nullSafeEval); declaring it lets the
+  // optimizer rules gated on nullIntolerant apply (null-literal
+  // folding, not-null constraint scans through the kernel)
+  override def nullIntolerant: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -424,6 +449,11 @@ case class DupRunChars(child: Expression)
     extends UnaryExpression with StringArrayKernel {
   override def dataType: DataType = LongType
   override def prettyName: String = "dup_run_chars"
+
+  // null-in -> null-out (nullSafeEval); declaring it lets the
+  // optimizer rules gated on nullIntolerant apply (null-literal
+  // folding, not-null constraint scans through the kernel)
+  override def nullIntolerant: Boolean = true
 
   override protected def nullSafeEval(input: Any): Any =
     TextKernels.dupRunChars(input.asInstanceOf[ArrayData])

@@ -448,33 +448,26 @@ object Embeddings {
     PqModel(subDim, books)
   }
 
-  /** Per-subspace (distance, code) structs for one subvector — the
-    * same fused-QDot argmin shape as [[centroidDistStructs]]. */
-  private def subCodeStructs(book: Array[Array[Long]],
-                             sub: Column): Seq[Column] =
-    book.toIndexedSeq.zipWithIndex.map { case (c, j) =>
-      struct(
-        (lit(-2L) * qdot(sub, typedlit(c.toIndexedSeq)) +
-          lit(c.map(x => x * x).sum)).as("d"),
-        lit(j).as("code"))
-    }
-
   /** PQ code array (length m) of a quantized vector — a pure map
     * expression: m independent argmins over k centroids each, no join,
     * no shuffle; encoding a 100 TB corpus is an embarrassingly
-    * parallel scan that writes m small ints per row. */
+    * parallel scan that writes m small ints per row. ONE fused kernel
+    * call ([[graft.functions.PqCodes]], value-identical to the
+    * `array(array_min(array(struct(…))), …)` composition it replaces —
+    * IvfCellSpec pins the declarative form verbatim): the struct form
+    * re-inlined the quantization `transform` once per (subspace ×
+    * centroid) reference — 64 interpreted lambda evaluations per
+    * corpus row in the encode Project (lambdas are CSE-exempt). */
   def pqCodeOfQuantized(model: PqModel, qv: Column): Column =
-    array(model.codebooks.toIndexedSeq.zipWithIndex.map { case (b, j) =>
-      array_min(array(subCodeStructs(b,
-        slice(qv, lit(j * model.subDim + 1), lit(model.subDim))): _*))
-        .getField("code")
-    }: _*)
+    graft.functions.PqCodes.codesCol(qv, model.subDim, model.codebooks)
 
-  /** Encode a corpus: (id, codes) — the stored PQ index rows. */
+  /** Encode a corpus: (id, codes) — the stored PQ index rows. The
+    * kernel quantizes raw float vectors inline (no `transform` lambda
+    * in the plan at all). */
   def pqEncode(model: PqModel, df: DataFrame, idCol: String,
                vecCol: String): DataFrame =
     df.select(col(idCol),
-      pqCodeOfQuantized(model, quantize(col(vecCol))).as("codes"))
+      pqCodeOfQuantized(model, col(vecCol)).as("codes"))
 
   /** Reconstruct the quantized vector a code array stands for: the
     * concatenation of each subspace's chosen centroid, looked up in

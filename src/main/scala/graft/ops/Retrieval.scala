@@ -83,7 +83,7 @@ object Retrieval {
     val stats = base.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("tot_tokens"))
     val tf = base
-      .select(col(idCol), col("dl"), explode(col("_toks")).as("term"))
+      .select(col(idCol), col("dl"), TextDedup.explodeArr(col("_toks")).as("term"))
       .filter(col("term").isin(queryTerms: _*))
       .groupBy(col(idCol), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
@@ -151,7 +151,7 @@ object Retrieval {
     val stats = base.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("tot_tokens"))
     val tf = base
-      .select(col(idCol), col("dl"), explode(col("_toks")).as("term"))
+      .select(col(idCol), col("dl"), TextDedup.explodeArr(col("_toks")).as("term"))
       .join(broadcast(allTerms), Seq("term"), "left_semi")
       .groupBy(col(idCol), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
@@ -211,7 +211,7 @@ object Retrieval {
         TextDedup.tokens(col(textCol)).as("_toks"))
       .select(col(idCol), size(col("_toks")).as("dl"), col("_toks"))
     val posed = base.select(col(idCol), col("dl"),
-        posexplode(col("_toks")).as(Seq("pos", "term")))
+        TextDedup.posexplodeArr(col("_toks")).as(Seq("pos", "term")))
       .groupBy(col(idCol), col("dl"), col("term"))
     val tf = (if (withPositions)
         posed.agg(count(lit(1)).as("tf"),
@@ -611,7 +611,7 @@ object Retrieval {
     // candidate mining: term tf inside the feedback docs only
     val fbTf = base
       .join(broadcast(fb), Seq(idCol), "left_semi")
-      .select(explode(col("_toks")).as("term"))
+      .select(TextDedup.explodeArr(col("_toks")).as("term"))
       .filter(!col("term").isin(queryTerms: _*))
       .groupBy(col("term")).agg(count(lit(1)).as("fb_tf"))
     // corpus df of the candidates (one pass, candidate-filtered first)
@@ -628,7 +628,7 @@ object Retrieval {
     // round 2: literal + mined terms, scored on the no-window path
     val terms2 = expansion.union(queryTerms.toDF("term")).distinct()
     val tf2 = base
-      .select(col(idCol), col("dl"), explode(col("_toks")).as("term"))
+      .select(col(idCol), col("dl"), TextDedup.explodeArr(col("_toks")).as("term"))
       .join(broadcast(terms2), Seq("term"), "left_semi")
       .groupBy(col(idCol), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))

@@ -30,6 +30,22 @@ object TextDedup {
   def tokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
 
+  /** explode/posexplode over a STAGED token-array attribute without
+    * tripping InferFiltersFromGenerate: that rule fires only on bare
+    * Attribute generator children, and its inferred
+    * `size(a) > 0 AND isnotnull(a)` predicate — useful on a STORED
+    * column — is pushed below the staging projection with the alias
+    * INLINED (filter pushdown has no duplication guard), so the
+    * tokenizer ran two extra times per row at the scan (round-18 plan
+    * sweep: every BM25-family corpus scan paid 3 tokenizations/row).
+    * The coalesce wrapper is value-identical for a generator (null
+    * and empty arrays both emit zero rows) and is not an Attribute,
+    * so the rule passes and the scan keeps ONE tokenization. */
+  private[graft] def explodeArr(a: Column): Column =
+    explode(coalesce(a, typedlit(Seq.empty[String])))
+  private[graft] def posexplodeArr(a: Column): Column =
+    posexplode(coalesce(a, typedlit(Seq.empty[String])))
+
   /** First 60 bits of md5 as a non-negative BIGINT — the cross-engine
     * deterministic string hash (DuckDB: CAST('0x'||substr(md5(s),1,15) AS
     * BIGINT)). 60 bits keeps every downstream product in Long range under
@@ -790,8 +806,17 @@ object TextDedup {
     * [[graft.functions.SimHash60]] on arbitrary arrays get the
     * skip-null semantics (documented there). */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), tokens(col(textCol)).as("w"))
-      .filter(size(col("w")) > 0)
+    // cheap pushable guard: `lower(text) RLIKE '[a-z0-9]'` is exactly
+    // `size(tokens) > 0` (regexp_extract_all over '[a-z0-9]+' is
+    // nonempty iff the lowered text contains one such char; both run
+    // java.util.regex on the same lowered string, null text drops
+    // either way) — but it pushes down as a find-first regex probe
+    // with NO array build, where the size(tokens) form re-tokenized
+    // the row at the scan (round-18 plan sweep; the same
+    // pushdown-has-no-duplication-guard mechanism as bandKeys'
+    // token-count guard, minhashSignatures scaladoc).
+    df.filter(lower(col(textCol)).rlike("[a-z0-9]"))
+      .select(col(idCol), tokens(col(textCol)).as("w"))
       .select(col(idCol),
         graft.functions.SimHash60.simhash60(col("w")).as("simhash"))
 

@@ -269,9 +269,15 @@ object TextStats {
     * division, one-row totals broadcast. Documents with fewer than two
     * tokens carry no bigrams and emit no row. */
   def bigramScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val grams = df.select(col(idCol),
-      explode(TextDedup.shingleArray(
-        TextDedup.tokens(col(textCol)), 2)).as("bg"))
+    // tokens staged in their OWN projection below the Generate
+    // (lmCondScore's shape): generator expressions get no
+    // subexpression elimination, so the inlined form ran the
+    // tokenizer regex 4x per row (shingleArray references the token
+    // array four times — round-18 plan sweep)
+    val grams = df
+      .select(col(idCol), TextDedup.tokens(col(textCol)).as("_w"))
+      .select(col(idCol),
+        explode(TextDedup.shingleArray(col("_w"), 2)).as("bg"))
     val tf = grams.groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("tf"))
     val cnt = tf.groupBy("bg").agg(sum("tf").as("cnt"))
     val totals = cnt.agg(sum("cnt").as("total_bigrams"))
@@ -318,7 +324,7 @@ object TextStats {
     val c1 = cnt
       .groupBy(split(col("bg"), " ").getItem(0).as("_w1"))
       .agg(sum(col("cnt")).as("_c1"))
-    val vocab = toks.select(explode(col("_w")).as("_tok"))
+    val vocab = toks.select(TextDedup.explodeArr(col("_w")).as("_tok"))
       .agg(count_distinct(col("_tok")).as("_v"))
     val p = cnt.withColumn("_w1", split(col("bg"), " ").getItem(0))
       .join(c1, Seq("_w1")).crossJoin(broadcast(vocab))
@@ -385,8 +391,8 @@ object TextStats {
     * long counts, same column names — [[mergeUnigramPartials]] merges
     * these unchanged, and the state is bigram-VOCAB-scale. */
   def bigramPartials(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(TextDedup.shingleArray(
-        TextDedup.tokens(col(textCol)), 2)).as("term"))
+    df.select(TextDedup.tokens(col(textCol)).as("_w"))
+      .select(explode(TextDedup.shingleArray(col("_w"), 2)).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
 
   /** [[bigramScore]] against PRE-BUILT corpus bigram counts — the
@@ -398,9 +404,10 @@ object TextStats {
     * join — never a corpus rescan. */
   def bigramScoreAgainst(df: DataFrame, idCol: String, textCol: String,
                          counts: DataFrame): DataFrame = {
-    val grams = df.select(col(idCol),
-      explode(TextDedup.shingleArray(
-        TextDedup.tokens(col(textCol)), 2)).as("term"))
+    val grams = df
+      .select(col(idCol), TextDedup.tokens(col(textCol)).as("_w"))
+      .select(col(idCol),
+        explode(TextDedup.shingleArray(col("_w"), 2)).as("term"))
     val tf = grams.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
     val totals = counts.agg(sum("cnt").as("total_bigrams"))

@@ -74,6 +74,60 @@ class IvfCellSpec extends SparkSpec {
     assert(bad.isEmpty, s"long path mismatch: ${bad.take(5).mkString(";")}")
   }
 
+  // ---- PqCodes: the verbatim pre-round-18 PQ encode composition ----
+
+  private def oldPqCodes(model: Embeddings.PqModel, qv: Column): Column =
+    array(model.codebooks.toIndexedSeq.zipWithIndex.map { case (b, j) =>
+      val sub = slice(qv, lit(j * model.subDim + 1), lit(model.subDim))
+      array_min(array(b.toIndexedSeq.zipWithIndex.map { case (c, k) =>
+        struct(
+          (lit(-2L) * graft.functions.QDot.qdot(sub,
+            typedlit(c.toIndexedSeq)) +
+            lit(c.map(x => x * x).sum)).as("d"),
+          lit(k).as("code"))
+      }: _*)).getField("code")
+    }: _*)
+
+  private def pqModel: Embeddings.PqModel = {
+    val subDim = 6
+    val m = dim / subDim // 24 / 6 = 4 subspaces
+    val books = Array.tabulate(m) { _ =>
+      val cents = (1 to 5).map(_ =>
+        randVec(subDim).map(f => math.floor(f.toDouble * 10000).toLong)
+          .toArray).toArray
+      cents(3) = cents(1).clone() // duplicate centroid: tie -> lowest code
+      cents
+    }
+    Embeddings.PqModel(subDim, books)
+  }
+
+  test("PqCodes(float) == verbatim declarative per-subspace argmin") {
+    val m = pqModel
+    val df = vecs.toDF("id", "v")
+    val bad = df.select(col("id"),
+        graft.functions.PqCodes.codesCol(col("v"), m.subDim, m.codebooks)
+          .as("a"),
+        oldPqCodes(m, quantizeCol(col("v"))).as("e"))
+      .filter(not(col("a") <=> col("e"))).collect()
+    assert(bad.isEmpty, s"pq float mismatch: ${bad.take(5).mkString(";")}")
+  }
+
+  test("PqCodes(long) == verbatim declarative argmin, incl. short vectors") {
+    val m = pqModel
+    // short vectors exercise the slice-past-end + qdot-min-length path
+    val short = Seq((9000L, Seq(1234L, -5L)), (9001L, Seq.empty[Long]))
+      .toDF("id", "qv")
+    val df = vecs.toDF("id", "v")
+      .select(col("id"), quantizeCol(col("v")).as("qv"))
+      .union(short)
+    val bad = df.select(col("id"),
+        graft.functions.PqCodes.codesCol(col("qv"), m.subDim, m.codebooks)
+          .as("a"),
+        oldPqCodes(m, col("qv")).as("e"))
+      .filter(not(col("a") <=> col("e"))).collect()
+    assert(bad.isEmpty, s"pq long mismatch: ${bad.take(5).mkString(";")}")
+  }
+
   test("null vector -> null cell; kernel runs inside codegen") {
     val m = model
     val withNull = Seq((1L, Some(randVec(dim))), (2L, None)).toDF("id", "v")
