@@ -45,6 +45,10 @@ import org.apache.spark.sql.SparkSession
   *  - t_prf_indexed: BroadcastNestedLoop — the one-row expansion-stats
   *    scalar broadcast (crossJoin(broadcast(stats)), the same pattern
   *    as t_bm25_topk's corpus-stats scalar).
+  * Round-18 removals (53 flags, down from 56): t_curate no longer
+  * flags — its exactDedup semi-join collapsed into one min_by
+  * aggregation (no join at all); pipe_pretrain_recipe /
+  * pipe_curate_shards flag via their eager internal stages only.
   * Anything NEW appearing here deserves a look.
   */
 object AuditAll {
